@@ -1,0 +1,202 @@
+"""Deterministic synthetic corpora (FIXTURES.md).
+
+Two generators, both pure functions of (sf, seed) — no wall clock, no
+global RNG state — so every run, partition count, and parallelism level
+produces byte-identical inputs:
+
+* ``gen_events``   — sigraph-native provenance events (FIXTURES.md §2),
+  exercising @-in-name artifacts, all three directions, null parents,
+  repeated (node, trace) pairs, duplicate triples with differing
+  timestamps, one skewed head entity (>=30% of rows), and invalid rows for
+  the error channel.
+* ``gen_pages``    — Common-Crawl-style pages per BASELINE.json
+  ``input_hint`` (url, warc_ts, html, text, lang): seeded templates
+  embedding known behavior sentences from the golden sentence bank
+  (operators/triples.py fixtures) wrapped in boilerplate so the stripper
+  has real work.
+
+Rows are generated distributively: we parallelize an id range and derive
+every field arithmetically from the id (hash-seeded), so generation itself
+scales — no driver-side list materialization at large sf.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+ACTIONS_BY_TYPE = {
+    "FILE": ["CREATE", "RENAME", "DELETE", "MODIFY", "RAW_ACCESS_READ"],
+    "REGISTRY": ["REG_ADD", "REG_DELETE", "REG_SET", "REG_QUERY"],
+    "NETWORK": ["CONNECT", "ACCEPT"],
+    "PROCESS": ["LAUNCH", "ACCESS", "REMOTE_THREAD", "TAMPERING"],
+    "MODULE": ["LOAD"],
+}
+ACTORS = ["READ_RECV", "WRITE_SEND", "NOT_ACTOR"]
+
+
+def events_count(sf: float) -> int:
+    return max(200, int(500_000 * sf / 0.1))
+
+
+def pages_count(sf: float) -> int:
+    return max(64, int(100_000 * sf / 0.1))
+
+
+def gen_events(spark: SparkSession, sf: float = 0.001, parts: int | None = None) -> DataFrame:
+    """Provenance events table (GraphNode schema, graph_model.py:29-41)."""
+    n = events_count(sf)
+    parts = parts or max(4, n // 50_000)
+    base = spark.range(0, n, 1, parts).withColumnRenamed("id", "i")
+
+    # deterministic pseudo-random streams from the row id (xxhash64 is a
+    # fixed, documented function — identical across runs and partitionings)
+    def h(salt: int):
+        return F.abs(F.xxhash64(F.col("i"), F.lit(salt)))
+
+    n_units = max(4, n // 2000)
+    n_traces_per_unit = 25
+    unit = (h(1) % n_units).alias("unit_n")
+    trace = (h(2) % n_traces_per_unit).alias("trace_n")
+
+    atype_idx = h(3) % 100
+    # artifact type mix: FILE 35, REGISTRY 20, NETWORK 15, PROCESS 20, MODULE 10
+    atype = (
+        F.when(atype_idx < 35, "FILE")
+        .when(atype_idx < 55, "REGISTRY")
+        .when(atype_idx < 70, "NETWORK")
+        .when(atype_idx < 90, "PROCESS")
+        .otherwise("MODULE")
+    )
+    df = base.select(
+        "i", unit, trace, atype.alias("atype"),
+        h(4).alias("h4"), h(5).alias("h5"), h(6).alias("h6"),
+        h(7).alias("h7"), h(8).alias("h8"), h(9).alias("h9"),
+    )
+
+    # head-entity skew: ~32% of rows hit one hot FILE artifact
+    is_hot = (F.col("h4") % 100) < 32
+    # limited artifact vocabulary per type => repeated (node, trace) pairs
+    name = F.when(is_hot, F.lit("C:\\\\windows\\\\temp\\\\hot@payload.bin")).otherwise(
+        F.concat(
+            F.lower(F.col("atype")), F.lit("_art_"), (F.col("h5") % (20 + n // 100)).cast("string")
+        )
+    )
+    artifact_type = F.when(is_hot, F.lit("FILE")).otherwise(F.col("atype"))
+
+    # action drawn from the type's action list
+    action = F.lit(None).cast("string")
+    for t, acts in ACTIONS_BY_TYPE.items():
+        pick = F.element_at(
+            F.array(*[F.lit(a) for a in acts]), (F.col("h6") % len(acts) + 1).cast("int")
+        )
+        action = F.when(artifact_type == t, pick).otherwise(action)
+    actor = F.element_at(
+        F.array(*[F.lit(a) for a in ACTORS]), (F.col("h7") % 3 + 1).cast("int")
+    )
+
+    parent_n = F.col("h8") % 12
+    has_parent = (F.col("h9") % 10) < 8  # 20% null parents
+    parent_name = F.concat(F.lit("proc_"), parent_n.cast("string"), F.lit(".exe"))
+    parent_sp = F.when(
+        has_parent,
+        F.concat(parent_name, F.lit("@PROCESS@LAUNCH@NOT_ACTOR")),
+    )
+
+    # ~1.5% invalid rows for the error channel (FIXTURES.md §2)
+    bad_kind = F.col("h4") % 1000
+    sp_good = F.concat_ws(
+        "@", name, artifact_type, action, actor
+    )
+    sp = (
+        F.when(bad_kind == 0, F.lit(""))
+        .when(bad_kind == 1, F.lit("no_at_separator"))
+        .when(bad_kind == 2, F.concat(name, F.lit("@BADTYPE@CREATE@WRITE_SEND")))
+        .when(bad_kind == 3, F.concat(name, F.lit("@FILE@BADACTION@WRITE_SEND")))
+        .otherwise(sp_good)
+    )
+
+    ts = F.to_timestamp(F.lit(EPOCH.isoformat())) + F.make_dt_interval(
+        F.lit(0), F.lit(0), F.lit(0), (F.col("h5") % 86_400_0).cast("double") / 10.0
+    )
+
+    rule_ids = F.when(
+        (F.col("h6") % 20) == 0,
+        F.array(
+            F.concat(F.lit("rule-"), (F.col("h7") % 8).cast("string")),
+            F.concat(F.lit("rule-"), (F.col("h8") % 8).cast("string")),
+        ),
+    )
+
+    return df.select(
+        F.concat(F.lit("trace-"), F.col("unit_n"), F.lit("-"), F.col("trace_n")).alias("trace_id"),
+        F.concat(F.lit("span-"), F.col("i")).alias("span_id"),
+        F.concat(F.lit("00000000-0000-4000-8000-"), F.lpad(F.col("unit_n").cast("string"), 12, "0")).alias("unit_id"),
+        sp.alias("system_provenance"),
+        ts.alias("timestamp"),
+        (F.col("h9") % 9 + 1).cast("int").alias("weight"),
+        F.when(has_parent, parent_name).alias("process_name"),
+        rule_ids.alias("related_rule_ids"),
+        F.when(has_parent, F.concat(F.lit("span-p-"), parent_n.cast("string"))).alias("parent_span_id"),
+        parent_sp.alias("parent_system_provenance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pages corpus (Common-Crawl-style) — built on the golden sentence bank
+# ---------------------------------------------------------------------------
+
+def gen_pages(spark: SparkSession, sf: float = 0.001, parts: int | None = None) -> DataFrame:
+    """Pages table (url, warc_ts, html, text, lang) per BASELINE.json input_hint.
+
+    Each page embeds 2-5 behavior sentences drawn deterministically from the
+    golden sentence bank (sigraph_spark.operators.triples.SENTENCE_BANK) in a
+    boilerplate HTML template (nav/script/style/footer), so expected triples
+    per url are derivable arithmetically — the goldens ARE the generator.
+    """
+    from sigraph_spark.operators.triples import SENTENCE_BANK
+
+    n = pages_count(sf)
+    parts = parts or max(4, n // 20_000)
+    base = spark.range(0, n, 1, parts).withColumnRenamed("id", "i")
+
+    def h(salt: int):
+        return F.abs(F.xxhash64(F.col("i"), F.lit(salt)))
+
+    safe_bank = [s for s in SENTENCE_BANK if s.page_safe]
+    bank = F.array(*[F.lit(s.text) for s in safe_bank])
+    k_bank = len(safe_bank)
+    # 2-5 sentences per page, chosen by stride so coverage is uniform
+    n_sent = (h(11) % 4 + 2).cast("int")
+    idxs = F.transform(
+        F.sequence(F.lit(0), n_sent - 1),
+        lambda j: (h(12) + j * (h(13) % (k_bank - 1) + 1)) % k_bank + 1,
+    )
+    body_sentences = F.transform(idxs, lambda ix: F.element_at(bank, ix.cast("int")))
+    body = F.concat_ws("\n", body_sentences)
+
+    title = F.concat(F.lit("Threat report #"), F.col("i").cast("string"))
+    html = F.concat(
+        F.lit("<html><head><title>"), title,
+        F.lit("</title><script>var x=1;</script>"
+              "<style>.a{color:red}</style></head><body>"
+              "<nav><a href='/'>Home</a> | <a href='/about'>About</a></nav>"
+              "<div class='content'><h1>"), title,
+        F.lit("</h1><p>"), body,
+        F.lit("</p></div><footer>&copy; 2024 Example Corp &mdash; all rights reserved</footer>"
+              "</body></html>"),
+    )
+    ts = F.to_timestamp(F.lit(EPOCH.isoformat())) + F.make_dt_interval(
+        F.lit(0), F.lit(0), F.lit(0), (h(14) % 31_536_000).cast("double")
+    )
+    return base.select(
+        F.concat(F.lit("https://example.org/report/"), F.col("i").cast("string")).alias("url"),
+        ts.alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("en").alias("lang"),
+    )

@@ -1,0 +1,87 @@
+"""S1: HTML -> main-text extraction (boilerplate stripping).
+
+Trafilatura-equivalent *logic* implemented as a self-contained, pure,
+deterministic function (BASELINE.json ``north_star``): the library itself is
+not installed and would not pin bytes across versions, so we implement the
+stripping pipeline directly and freeze its behavior with per-url SHA-256
+goldens (``input_hint`` byte-identity invariant).
+
+Guarantees (SURVEY.md §7.3-1):
+* pure function of the html bytes — no locale, wall-clock, or partition
+  dependence; bytes are decoded explicitly as UTF-8 with ``errors="replace"``;
+* deterministic whitespace canonicalization: newline-separated block text,
+  single-space-collapsed within lines;
+* executed as an Arrow-batched pandas UDF — the sanctioned Python path; the
+  surrounding plan stays whole-stage codegen.
+
+Pipeline: drop <script>/<style>/<head>/<nav>/<header>/<footer>/<aside> and
+comments -> block tags become newlines -> remaining tags drop -> entities
+unescape -> per-line whitespace collapse -> blank lines drop.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import html as _htmllib
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DROP_RE = re.compile(
+    r"<(script|style|head|nav|header|footer|aside|noscript|form|iframe|svg)\b[^>]*>.*?</\1\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_BLOCK_RE = re.compile(
+    r"</?(p|div|br|li|ul|ol|table|tr|td|th|h[1-6]|section|article|main|blockquote|pre|hr)\b[^>]*/?>",
+    re.IGNORECASE,
+)
+_TAG_RE = re.compile(r"<[^>]+>")
+_SPACES_RE = re.compile(r"[ \t\r\f\v ]+")
+
+
+def strip_html(html_bytes: bytes | bytearray | None) -> str:
+    """Extract main text from HTML bytes. Pure and deterministic."""
+    if html_bytes is None:
+        return ""
+    raw = bytes(html_bytes).decode("utf-8", errors="replace")
+    s = _COMMENT_RE.sub(" ", raw)
+    # repeated pass handles (non-pathological) nesting of dropped containers
+    prev = None
+    while prev != s:
+        prev = s
+        s = _DROP_RE.sub(" ", s)
+    s = _BLOCK_RE.sub("\n", s)
+    s = _TAG_RE.sub(" ", s)
+    s = _htmllib.unescape(s)
+    lines = []
+    for line in s.split("\n"):
+        line = _SPACES_RE.sub(" ", line).strip()
+        if line:
+            lines.append(line)
+    return "\n".join(lines)
+
+
+def _strip_html_batch(html: pd.Series) -> pd.Series:
+    return html.map(strip_html)
+
+
+def strip_html_udf():
+    """Arrow-batched UDF factory (lazy: pandas_udf needs an active session)."""
+    return F.pandas_udf(_strip_html_batch, "string")
+
+
+def text_sha256(text: str) -> str:
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+def extract_pages(pages: DataFrame) -> DataFrame:
+    """pages(url, warc_ts, html, ...) -> + extracted ``text`` and
+    ``text_sha256`` columns. ``html`` is read only here — downstream stages
+    must never touch it so Catalyst prunes the binary column out of every
+    other scan (SURVEY.md §4)."""
+    return pages.withColumn("text", strip_html_udf()(F.col("html"))).withColumn(
+        "text_sha256", F.sha2(F.col("text"), 256)
+    )

@@ -1,0 +1,299 @@
+"""Graph construction: events -> nodes / edges / traces / containment / matches.
+
+This is the batch restatement of the reference's per-event write path
+(``/root/reference/src/graph/graph_element/element_behavior.py:260-522``):
+the 3-7 Cypher round-trips per event collapse into five set-oriented
+aggregations + merges. Merge semantics follow SURVEY.md §1.3 exactly:
+
+1. node identity = ``name@TYPE`` string, unique per label;
+2. node list props accumulate set-union; ``image``/process_name keeps the
+   first non-null (reference: existing wins when incoming null, else
+   overwrite — batch-deterministic equivalent: min-timestamp non-null);
+3. edge identity = (src, predicate, dst); props last-writer-wins by event
+   timestamp (tie-break span_id) — reference ``client.py:221`` SET r += ...;
+4. direction: READ_RECV => artifact->parent-process, else parent->artifact
+   (``element.py:192-226``);
+5. events without a parent create only node + containment, no action edge
+   (``element_behavior.py:388-424``);
+6. trace aggregates: span_count = count, start_time = min ts,
+   representative_process_name = min_by(ts) (``element_behavior.py:350-382``);
+7. containment = distinct (unit_id, trace_id, node_id) pairs.
+
+All expressions are codegen-friendly Columns; the only shuffles are the
+keyed aggregations themselves (map-side partial aggregation applies), and
+each output is partitionable by its merge key for downstream MERGE INTO.
+
+Scale notes: the node aggregation groups by ``node_id`` — head entities
+(e.g., a hot registry key appearing in 30% of events) skew this shuffle.
+``collect_set`` is not algebraic over huge groups, so for the skewed head we
+bound list accumulation with a two-phase salted aggregation (see
+``operators/skew.py``); AQE skew-join splitting covers the join paths.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sigraph_spark.functions.provenance import parse_actor, parse_parent_artifact
+
+
+@dataclass
+class GraphTables:
+    """The five core tables of the behavioral KG (SURVEY.md §1.1)."""
+
+    nodes: DataFrame        # node_id, label, image, related_span_ids, related_trace_ids
+    edges: DataFrame        # src, predicate, dst, start_time, weight
+    traces: DataFrame       # unit_id, trace_id, start_time, representative_process_name, span_count
+    trace_contains: DataFrame  # unit_id, trace_id, node_id
+    rule_matches: DataFrame    # rule_id, node_id
+    errors: DataFrame       # original event row + error string (side output)
+
+
+def parse_events(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Parse + validate raw events; returns (parsed, errors).
+
+    Validation mirrors element_behavior.py:295-308 (weight >= 1) plus the
+    parser checks; the reference silently swallows bad events
+    (graph_session.py:128-132) — we emit them on an error side-channel.
+    """
+    actor = parse_actor(F.col("system_provenance"))
+    parent = parse_parent_artifact(F.col("parent_system_provenance"))
+    parsed = (
+        events.withColumn("_actor", actor)
+        .withColumn(
+            "_parent",
+            F.when(
+                F.col("parent_system_provenance").isNotNull()
+                & (F.col("parent_system_provenance") != ""),
+                parent,
+            ),
+        )
+        .withColumn(
+            "_error",
+            F.when(F.col("_actor.error").isNotNull(), F.col("_actor.error"))
+            .when(F.col("weight") < 1, F.lit("weight must be >= 1"))
+            .when(
+                F.col("_parent").isNotNull() & F.col("_parent.error").isNotNull(),
+                F.col("_parent.error"),
+            ),
+        )
+    )
+    good = (
+        parsed.filter(F.col("_error").isNull())
+        .select(
+            "trace_id",
+            "span_id",
+            "unit_id",
+            "timestamp",
+            "weight",
+            "process_name",
+            "related_rule_ids",
+            F.col("_actor.artifact").alias("node_id"),
+            F.col("_actor.artifact_type").alias("label"),
+            F.col("_actor.action").alias("action"),
+            F.col("_actor.actor_type").alias("actor_type"),
+            F.col("_parent.artifact").alias("parent_id"),
+            F.col("_parent.artifact_type").alias("parent_label"),
+        )
+    )
+    errors = parsed.filter(F.col("_error").isNotNull()).select(
+        "trace_id", "span_id", "unit_id", "system_provenance",
+        F.col("_error").alias("error"),
+    )
+    return good, errors
+
+
+def build_nodes(parsed: DataFrame) -> DataFrame:
+    """Node table with set-union list accumulation (element_behavior.py:316-347).
+
+    Child and parent artifacts both materialize as nodes (merge-parent at
+    element_behavior.py:461-465). ``image`` (process_name) is the
+    min-timestamp non-null value — the batch-deterministic equivalent of the
+    reference's keep-existing-unless-null arrival rule.
+
+    Lists are sorted for cross-cluster-size determinism (SURVEY.md §7.3-2).
+    """
+    child = parsed.select(
+        "node_id", "label", "span_id", "trace_id", "timestamp",
+        F.col("process_name").alias("image"),
+    )
+    par = parsed.filter(F.col("parent_id").isNotNull()).select(
+        F.col("parent_id").alias("node_id"),
+        F.col("parent_label").alias("label"),
+        "span_id", "trace_id", "timestamp",
+        F.lit(None).cast("string").alias("image"),
+    )
+    return (
+        child.unionByName(par)
+        .groupBy("node_id", "label")
+        .agg(
+            F.min_by("image", F.when(F.col("image").isNotNull(), F.col("timestamp"))).alias("image"),
+            F.array_sort(F.collect_set("span_id")).alias("related_span_ids"),
+            F.array_sort(F.collect_set("trace_id")).alias("related_trace_ids"),
+        )
+    )
+
+
+def build_edges(parsed: DataFrame) -> DataFrame:
+    """Edge (triple) table: direction flip + last-writer-wins dedup.
+
+    Direction (element.py:192-226): READ_RECV reverses (artifact is read BY
+    the parent process => data flows artifact->process); WRITE_SEND and
+    NOT_ACTOR flow process->artifact. Events with no parent emit no edge
+    (element_behavior.py:388-424 guard at :392).
+
+    Identity = (src, predicate, dst); start_time/weight overwritten by the
+    latest event (client.py:221 ``SET r += $rprops``) — deterministic
+    tie-break (timestamp desc, span_id desc) per SURVEY.md §7.3-6.
+    """
+    with_parent = parsed.filter(F.col("parent_id").isNotNull())
+    directed = with_parent.select(
+        F.when(F.col("actor_type") == "READ_RECV", F.col("node_id"))
+        .otherwise(F.col("parent_id"))
+        .alias("src"),
+        F.col("action").alias("predicate"),
+        F.when(F.col("actor_type") == "READ_RECV", F.col("parent_id"))
+        .otherwise(F.col("node_id"))
+        .alias("dst"),
+        F.col("timestamp").alias("start_time"),
+        F.col("weight").cast("long").alias("weight"),
+        "span_id",
+    )
+    w = Window.partitionBy("src", "predicate", "dst").orderBy(
+        F.col("start_time").desc(), F.col("span_id").desc()
+    )
+    return (
+        directed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "span_id")
+    )
+
+
+def build_traces(parsed: DataFrame) -> DataFrame:
+    """Per-(unit_id, trace_id) aggregates (element_behavior.py:350-382)."""
+    return parsed.groupBy("unit_id", "trace_id").agg(
+        F.min("timestamp").alias("start_time"),
+        F.min_by("process_name", "timestamp").alias("representative_process_name"),
+        F.count(F.lit(1)).alias("span_count"),
+    )
+
+
+def build_trace_contains(parsed: DataFrame) -> DataFrame:
+    """Distinct (unit, trace, node) containment incl. parents
+    (element_behavior.py:377-381, 400-413).
+
+    The reference adds a parent's containment edge only when the parent node
+    did not previously exist — an arrival-order dependence we normalize to
+    set semantics (documented deviation, SURVEY.md §1.3-7): containment is
+    the full distinct set of (trace, node) incidences.
+    """
+    child = parsed.select("unit_id", "trace_id", "node_id")
+    par = parsed.filter(F.col("parent_id").isNotNull()).select(
+        "unit_id", "trace_id", F.col("parent_id").alias("node_id")
+    )
+    return child.unionByName(par).distinct()
+
+
+def build_rule_matches(parsed: DataFrame) -> DataFrame:
+    """Explode related_rule_ids -> distinct (rule_id, node_id) MATCHES pairs
+    (element_behavior.py:488-515)."""
+    return (
+        parsed.filter(F.col("related_rule_ids").isNotNull())
+        .select(F.explode("related_rule_ids").alias("rule_id"), "node_id")
+        .distinct()
+    )
+
+
+def build_graph(events: DataFrame) -> GraphTables:
+    """Full batch construction. ``events`` follows the GraphNode schema
+    (graph_model.py:29-41); see FIXTURES.md §2."""
+    parsed, errors = parse_events(events)
+    return GraphTables(
+        nodes=build_nodes(parsed),
+        edges=build_edges(parsed),
+        traces=build_traces(parsed),
+        trace_contains=build_trace_contains(parsed),
+        rule_matches=build_rule_matches(parsed),
+        errors=errors,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Derived tables / maintenance
+# ---------------------------------------------------------------------------
+
+def adjacency_lists(edges: DataFrame) -> DataFrame:
+    """Adjacency-list node table (north-rule requirement).
+
+    Sorted struct arrays so output is identical across parallelism levels.
+    For head-entity skew use ``operators.skew.salted_adjacency`` instead.
+    """
+    return edges.groupBy("src").agg(
+        F.array_sort(
+            F.collect_list(F.struct("predicate", "dst", "start_time", "weight"))
+        ).alias("out_edges"),
+        F.count(F.lit(1)).alias("out_degree"),
+    )
+
+
+def degree_table(edges: DataFrame, trace_contains: DataFrame) -> DataFrame:
+    """Undirected degree over action edges + containment (schema.py:119-124)."""
+    endpoints = (
+        edges.select(F.col("src").alias("node_id"))
+        .unionAll(edges.select(F.col("dst").alias("node_id")))
+        .unionAll(trace_contains.select("node_id"))
+    )
+    return endpoints.groupBy("node_id").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def debris_candidates(
+    traces: DataFrame, trace_contains: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """Debris GC (schema.py:112-125): traces containing exactly one node
+    whose total degree is 1 (i.e. only the containment edge). Returns the
+    (unit_id, trace_id, node_id) rows to delete."""
+    per_trace = trace_contains.groupBy("unit_id", "trace_id").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    single = per_trace.filter(F.col("n_nodes") == 1).select("unit_id", "trace_id")
+    deg = degree_table(edges, trace_contains)
+    return (
+        trace_contains.join(single, ["unit_id", "trace_id"])
+        .join(deg.filter(F.col("degree") == 1), "node_id")
+        .select("unit_id", "trace_id", "node_id")
+    )
+
+
+def iocs(nodes: DataFrame, trace_contains: DataFrame, unit_id: str) -> DataFrame:
+    """IoC extraction for a unit (schema.py:154-168, element_behavior.py:788-857):
+    nodes contained by the unit's traces, excluding PROCESS labels, distinct
+    per node, with related_trace_ids intersected against the unit's traces."""
+    unit_contains = trace_contains.filter(F.col("unit_id") == unit_id)
+    unit_traces = (
+        unit_contains.select("trace_id").distinct()
+        .agg(F.array_sort(F.collect_set("trace_id")).alias("unit_trace_ids"))
+    )
+    contained = unit_contains.select("node_id").distinct()
+    return (
+        nodes.join(contained, "node_id")
+        .filter(F.col("label") != "PROCESS")
+        .crossJoin(F.broadcast(unit_traces))
+        .select(
+            F.col("image"),
+            F.col("node_id").alias("artifact"),
+            F.col("label").alias("artifact_type"),
+            F.array_sort(
+                F.array_intersect("related_trace_ids", "unit_trace_ids")
+            ).alias("related_trace_ids"),
+        )
+    )
+
+
+def unit_flush(table: DataFrame, unit_id: str) -> DataFrame:
+    """Unit flush (schema.py:182-193) as a relational delete. With the
+    production Iceberg tables partitioned by bucket(unit_id) this is a
+    metadata-only ``DELETE FROM t WHERE unit_id = ?``."""
+    return table.filter(F.col("unit_id") != unit_id)

@@ -1,0 +1,231 @@
+"""S3: entity linking & canonicalization.
+
+Stage layout (north_star):
+
+1. **Normalize** (exact unification, reference ``ai_agent.py:389-403``):
+   lowercase + trim + defang ``[.]`` -> ``.`` — pure Column expressions.
+2. **Block** candidate near-duplicate pairs with MinHash-LSH over character
+   3-gram shingles (Spark ML ``MinHashLSH``; shingling itself is a Column
+   ``transform``/``sequence`` expression — no Python).
+3. **Score** candidates with TF-IDF cosine (``HashingTF`` + ``IDF`` +
+   ``Normalizer``; the dot product over the LSH-pruned pair set is an
+   Arrow-batched pandas UDF — the pair set is tiny relative to the corpus).
+4. **Canonicalize** with connected components over the match edges
+   (iterative min-label propagation over DataFrames — GraphFrames-free,
+   deterministic: the canonical id is the lexicographic minimum of each
+   component).
+
+Scale notes: LSH banding bounds the candidate-pair explosion to near-linear;
+the CC loop converges in O(component diameter) rounds — entity-match
+clusters are small (chains of spelling variants), so iterations are few;
+each round localCheckpoints to truncate lineage. Skewed head entities
+(one hot URL in 30% of triples) never blow up: linking runs over the
+**distinct entity vocabulary**, not over triple instances.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_entity(c: Column) -> Column:
+    """Exact unification (ai_agent.py:389-403): lower, strip, re-fang.
+
+    ``replace`` is literal (not regex) — defanged IoCs like
+    ``evil[.]example`` become ``evil.example``.
+    """
+    return F.replace(F.lower(F.trim(c)), F.lit("[.]"), F.lit("."))
+
+
+def remove_lucene_chars(c: Column) -> Column:
+    """Predicate sanitation (ai_agent.py:378, langchain-neo4j charset):
+    ``+ - && || ! ( ) { } [ ] ^ " ~ * ? : \\ /`` -> space."""
+    return F.trim(F.regexp_replace(c, r'[+\-&|!(){}\[\]^"~*?:\\/]', " "))
+
+
+def char_shingles(c: Column, k: int = 3) -> Column:
+    """Character k-gram shingle array as a pure Column expression; short
+    strings fall back to the whole string as a single shingle."""
+    return F.when(
+        F.length(c) < k, F.array(c)
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(c) - (k - 1)),
+                lambda i: F.substring(c, i, k),
+            )
+        )
+    )
+
+
+def entity_vocab(triples: DataFrame) -> DataFrame:
+    """Distinct normalized entity strings from actor + object columns."""
+    ents = (
+        triples.select(normalize_entity(F.col("actor")).alias("entity"))
+        .unionAll(triples.select(normalize_entity(F.col("object")).alias("entity")))
+        .filter(F.col("entity") != "")
+        .distinct()
+    )
+    return ents
+
+
+def candidate_pairs(
+    entities: DataFrame,
+    jaccard_dist: float = 0.4,
+    num_hash_tables: int = 6,
+    num_features: int = 1 << 18,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH blocking over char-3-gram shingles -> (a, b) candidate
+    pairs with a < b. Deterministic for a fixed seed."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = entities.select("entity", char_shingles(F.col("entity")).alias("shingles"))
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=num_features)
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, jaccard_dist, distCol="jaccard_dist")
+    return (
+        pairs.select(
+            F.col("datasetA.entity").alias("a"),
+            F.col("datasetB.entity").alias("b"),
+            F.col("jaccard_dist"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def tfidf_cosine_scores(
+    entities: DataFrame,
+    pairs: DataFrame,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """TF-IDF cosine over char-3-gram shingle counts for the LSH-pruned
+    pairs. Returns (a, b, cosine)."""
+    from pyspark.ml.feature import IDF, HashingTF, Normalizer
+    from pyspark.ml.functions import vector_to_array
+
+    sh = entities.select("entity", char_shingles(F.col("entity")).alias("shingles"))
+    tf = HashingTF(inputCol="shingles", outputCol="tf", numFeatures=num_features)
+    tfed = tf.transform(sh)
+    idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tfed)
+    vecs = Normalizer(inputCol="tfidf", outputCol="norm", p=2.0).transform(
+        idf_model.transform(tfed)
+    )
+    # sparse dot product via posexplode of the dense form would be wasteful;
+    # join both sides and compute with zip_with over sparse indices/values
+    # materialized as maps. The pair set is LSH-pruned, so this join is the
+    # cheap part; broadcast when small.
+    lhs = vecs.select(F.col("entity").alias("a"), F.col("norm").alias("va"))
+    rhs = vecs.select(F.col("entity").alias("b"), F.col("norm").alias("vb"))
+    joined = pairs.join(lhs, "a").join(rhs, "b")
+
+    import pandas as pd  # noqa: F401
+
+    @F.pandas_udf("double")
+    def _dot(va: "pd.Series", vb: "pd.Series") -> "pd.Series":
+        import pandas as pd
+        return pd.Series([float(x.dot(y)) for x, y in zip(va, vb)])
+
+    return joined.select("a", "b", _dot("va", "vb").alias("cosine"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Min-label propagation connected components over DataFrames.
+
+    Deterministic: label = lexicographic min entity id in the component.
+    Each round: push the current label across (undirected) edges, take the
+    min of own + neighbor labels, stop when no label changes. Rounds are
+    O(component diameter) — near-duplicate clusters are shallow. This is
+    the zero-dependency replacement for GraphFrames' connectedComponents
+    (SURVEY.md §4-custom-1); the reference's analog is its bounded
+    trace-connectivity walk (schema.py:89-110).
+    """
+    und = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .unionAll(edges.select(F.col(dst).alias("x"), F.col(src).alias("y")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("x").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und.y == labels.node)
+            .groupBy("x")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.x, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+                (F.col("nlabel") < F.col("label")).alias("changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("changed")).limit(1).count()
+        labels = new_labels.drop("changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("entity"), F.col("label").alias("canonical_id"))
+
+
+def link_entities(
+    triples: DataFrame,
+    cosine_threshold: float = 0.85,
+    jaccard_dist: float = 0.4,
+) -> DataFrame:
+    """Full S3: triples -> (entity, canonical_id) mapping.
+
+    Entities with no near-duplicate keep themselves as canonical id (the
+    mapping is total over the vocabulary).
+    """
+    vocab = entity_vocab(triples).localCheckpoint(eager=True)
+    pairs = candidate_pairs(vocab, jaccard_dist=jaccard_dist)
+    scored = tfidf_cosine_scores(vocab, pairs)
+    matches = scored.filter(F.col("cosine") >= cosine_threshold).select("a", "b")
+    cc = connected_components(matches)
+    return (
+        vocab.join(cc, "entity", "left")
+        .select(
+            "entity",
+            F.coalesce(F.col("canonical_id"), F.col("entity")).alias("canonical_id"),
+        )
+    )
+
+
+def canonicalize_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite triples onto canonical entity ids (provenance columns kept).
+
+    Two equi-joins against the (small) mapping — broadcast both; the triple
+    side never shuffles.
+    """
+    m_actor = mapping.select(
+        F.col("entity").alias("_na"), F.col("canonical_id").alias("subj")
+    )
+    m_obj = mapping.select(
+        F.col("entity").alias("_no"), F.col("canonical_id").alias("obj")
+    )
+    return (
+        triples.withColumn("_na", normalize_entity(F.col("actor")))
+        .withColumn("_no", normalize_entity(F.col("object")))
+        .join(F.broadcast(m_actor), "_na", "left")
+        .join(F.broadcast(m_obj), "_no", "left")
+        .withColumn("subj", F.coalesce("subj", "_na"))
+        .withColumn("obj", F.coalesce("obj", "_no"))
+        .drop("_na", "_no")
+    )

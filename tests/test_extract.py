@@ -1,0 +1,69 @@
+"""S1 text extraction: boilerplate stripping + the byte-identity invariant
+(BASELINE.json input_hint: byte-identical extracted text per url across
+runs, partition counts, and parallelism levels)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sigraph_spark.corpus import gen_pages
+from sigraph_spark.operators.extract import extract_pages, strip_html, text_sha256
+
+
+def test_strip_html_basic():
+    html = (
+        b"<html><head><title>T</title><script>var x=1;</script>"
+        b"<style>.a{}</style></head><body>"
+        b"<nav><a href='/'>Home</a></nav>"
+        b"<h1>Title</h1><p>Hello &amp; goodbye.</p>"
+        b"<footer>&copy; corp</footer></body></html>"
+    )
+    assert strip_html(html) == "Title\nHello & goodbye."
+
+
+def test_strip_html_preserves_newlines_in_paragraph():
+    html = b"<p>Line one.\nLine two.</p>"
+    assert strip_html(html) == "Line one.\nLine two."
+
+
+def test_strip_html_pure():
+    html = b"<div>abc <b>def</b>\xff</div>"  # invalid utf-8 byte
+    a = strip_html(html)
+    b = strip_html(html)
+    assert a == b  # deterministic under replace policy
+    assert "def" in a
+
+
+def test_extract_is_partition_invariant(spark):
+    pages = gen_pages(spark, sf=0.001).limit(64).cache()
+    h2 = (
+        extract_pages(pages.repartition(2))
+        .select("url", "text_sha256")
+        .collect()
+    )
+    h8 = (
+        extract_pages(pages.repartition(8))
+        .select("url", "text_sha256")
+        .collect()
+    )
+    assert sorted((r.url, r.text_sha256) for r in h2) == sorted(
+        (r.url, r.text_sha256) for r in h8
+    )
+    pages.unpersist()
+
+
+def test_extract_matches_python_reference(spark):
+    pages = gen_pages(spark, sf=0.001).limit(16)
+    rows = extract_pages(pages).select("url", "html", "text", "text_sha256").collect()
+    for r in rows:
+        expect = strip_html(bytes(r.html))
+        assert r.text == expect
+        assert r.text_sha256 == text_sha256(expect)
+
+
+def test_no_row_udf_in_plan(spark):
+    # hot-path constraint: the only Python in the plan is ArrowEvalPython
+    pages = gen_pages(spark, sf=0.001)
+    plan = extract_pages(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan

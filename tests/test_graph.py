@@ -1,0 +1,200 @@
+"""Graph-construction invariants (SURVEY.md §1.3 / §5.3) on hand-pinned
+events plus the synthetic corpus."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sigraph_spark.corpus import gen_events
+from sigraph_spark.operators.graph import (
+    adjacency_lists,
+    build_graph,
+    debris_candidates,
+    iocs,
+)
+
+TS = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("trace_id", T.StringType()),
+    T.StructField("span_id", T.StringType()),
+    T.StructField("unit_id", T.StringType()),
+    T.StructField("system_provenance", T.StringType()),
+    T.StructField("timestamp", T.TimestampType()),
+    T.StructField("weight", T.IntegerType()),
+    T.StructField("process_name", T.StringType()),
+    T.StructField("related_rule_ids", T.ArrayType(T.StringType())),
+    T.StructField("parent_span_id", T.StringType()),
+    T.StructField("parent_system_provenance", T.StringType()),
+])
+
+
+def ev(trace="t1", span="s1", unit="u1", sp="f1@FILE@CREATE@WRITE_SEND",
+       ts=TS, weight=1, proc=None, rules=None, pspan=None, psp=None):
+    return (trace, span, unit, sp, ts, weight, proc, rules, pspan, psp)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        # parent p1 WRITE_SEND-creates f1 (edge p1->f1), twice with later ts
+        ev(span="s1", sp="f1@FILE@CREATE@WRITE_SEND", ts=TS, weight=1,
+           proc="p1.exe", pspan="ps1", psp="p1.exe@PROCESS@LAUNCH@NOT_ACTOR"),
+        ev(span="s2", sp="f1@FILE@CREATE@WRITE_SEND",
+           ts=TS + dt.timedelta(seconds=10), weight=7,
+           proc="p1.exe", pspan="ps1", psp="p1.exe@PROCESS@LAUNCH@NOT_ACTOR"),
+        # READ_RECV flips direction: f2 -> p1
+        ev(span="s3", sp="f2@FILE@MODIFY@READ_RECV",
+           ts=TS + dt.timedelta(seconds=20), weight=2,
+           proc="p1.exe", pspan="ps1", psp="p1.exe@PROCESS@LAUNCH@NOT_ACTOR"),
+        # no parent: node + containment only, no edge
+        ev(span="s4", sp="n1@NETWORK@CONNECT@NOT_ACTOR",
+           ts=TS + dt.timedelta(seconds=30), weight=3),
+        # second trace shares node f1 (set-union accumulation)
+        ev(trace="t2", span="s5", sp="f1@FILE@DELETE@NOT_ACTOR",
+           ts=TS + dt.timedelta(seconds=40), weight=1,
+           proc="p2.exe", pspan="ps2", psp="p2.exe@PROCESS@LAUNCH@NOT_ACTOR",
+           rules=["r1", "r2"]),
+        # invalid rows -> error channel
+        ev(trace="t3", span="s6", sp="garbage_no_at"),
+        ev(trace="t3", span="s7", sp="f3@FILE@BADACTION@WRITE_SEND"),
+        # @-in-name binding
+        ev(trace="t2", span="s8", sp="a@b@file@FILE@RENAME@WRITE_SEND",
+           ts=TS + dt.timedelta(seconds=50), weight=4,
+           proc="p2.exe", pspan="ps2", psp="p2.exe@PROCESS@LAUNCH@NOT_ACTOR"),
+    ]
+    g = build_graph(spark.createDataFrame(rows, EVENT_SCHEMA))
+    # materialize once per module
+    return {
+        "nodes": g.nodes.collect(),
+        "edges": g.edges.collect(),
+        "traces": g.traces.collect(),
+        "contains": g.trace_contains.collect(),
+        "matches": g.rule_matches.collect(),
+        "errors": g.errors.collect(),
+        "g": g,
+    }
+
+
+def test_node_uniqueness_and_accumulation(tiny):
+    nodes = {r.node_id: r for r in tiny["nodes"]}
+    assert len(tiny["nodes"]) == len(nodes)  # §1.3-1 uniqueness
+    f1 = nodes["f1@FILE"]
+    assert f1.related_trace_ids == ["t1", "t2"]  # §1.3-2 set-union, sorted
+    assert set(f1.related_span_ids) == {"s1", "s2", "s5"}
+    assert nodes["a@b@file@FILE"].label == "FILE"  # @-in-name rightmost binding
+    assert "p1.exe@PROCESS" in nodes  # parents materialize as nodes
+
+
+def test_edge_triple_dedup_last_writer(tiny):
+    edges = {(r.src, r.predicate, r.dst): r for r in tiny["edges"]}
+    assert len(tiny["edges"]) == len(edges)  # §1.3-3 unique triple key
+    e = edges[("p1.exe@PROCESS", "CREATE", "f1@FILE")]
+    assert e.weight == 7  # last writer (s2) wins
+    assert e.start_time == TS + dt.timedelta(seconds=10)
+
+
+def test_direction_flip(tiny):
+    keys = {(r.src, r.predicate, r.dst) for r in tiny["edges"]}
+    assert ("f2@FILE", "MODIFY", "p1.exe@PROCESS") in keys  # READ_RECV reversed
+    assert ("p2.exe@PROCESS", "DELETE", "f1@FILE") in keys  # NOT_ACTOR forward
+
+
+def test_no_parent_no_edge(tiny):
+    assert not any(
+        r.src == "n1@NETWORK" or r.dst == "n1@NETWORK" for r in tiny["edges"]
+    )  # §1.3-5
+    assert any(r.node_id == "n1@NETWORK" for r in tiny["contains"])
+
+
+def test_trace_aggregates(tiny):
+    traces = {(r.unit_id, r.trace_id): r for r in tiny["traces"]}
+    t1 = traces[("u1", "t1")]
+    assert t1.span_count == 4
+    assert t1.start_time == TS
+    assert t1.representative_process_name == "p1.exe"  # min_by ts §1.3-6
+
+
+def test_rule_matches(tiny):
+    assert {(r.rule_id, r.node_id) for r in tiny["matches"]} == {
+        ("r1", "f1@FILE"), ("r2", "f1@FILE"),
+    }
+
+
+def test_error_side_channel(tiny):
+    errs = {r.span_id: r.error for r in tiny["errors"]}
+    assert set(errs) == {"s6", "s7"}
+    assert "must contain '@'" in errs["s6"]
+    assert "invalid action type" in errs["s7"]
+
+
+def test_ioc_projection(tiny):
+    g = tiny["g"]
+    rows = iocs(g.nodes, g.trace_contains, "u1").collect()
+    arts = {r.artifact for r in rows}
+    # PROCESS labels excluded; trace-set intersected with the unit's traces
+    assert "p1.exe@PROCESS" not in arts
+    assert "n1@NETWORK" in arts
+    f1 = next(r for r in rows if r.artifact == "f1@FILE")
+    assert f1.related_trace_ids == ["t1", "t2"]  # both traces are in u1
+
+
+def test_corpus_graph_invariants(spark):
+    events = gen_events(spark, sf=0.001)
+    g = build_graph(events)
+    # no duplicate node ids (MERGE-key invariant, SURVEY.md A9)
+    assert g.nodes.groupBy("node_id").count().filter("count > 1").count() == 0
+    assert (
+        g.edges.groupBy("src", "predicate", "dst").count().filter("count > 1").count() == 0
+    )
+    # error channel caught the injected invalid rows
+    assert g.errors.count() > 0
+    # every edge endpoint exists in the node table
+    nodes = g.nodes.select("node_id")
+    missing = (
+        g.edges.select(F.col("src").alias("node_id"))
+        .union(g.edges.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .join(nodes, "node_id", "left_anti")
+        .count()
+    )
+    assert missing == 0
+
+
+def test_determinism_across_parallelism(spark):
+    """SURVEY.md §7.3-2: identical tables at different partitionings."""
+    events = gen_events(spark, sf=0.001)
+    a = build_graph(events.repartition(2))
+    b = build_graph(events.repartition(16))
+    for x, y in [(a.nodes, b.nodes), (a.edges, b.edges), (a.traces, b.traces)]:
+        diff = x.exceptAll(y).count() + y.exceptAll(x).count()
+        assert diff == 0
+
+
+def test_adjacency_sorted(spark, tiny):
+    adj = adjacency_lists(tiny["g"].edges).collect()
+    for r in adj:
+        preds = [(e.predicate, e.dst) for e in r.out_edges]
+        assert preds == sorted(preds)
+        assert r.out_degree == len(r.out_edges)
+
+
+def test_debris_gc(spark):
+    # one trace containing exactly one node of total degree 1 -> debris
+    rows = [
+        ev(trace="lone", span="d1", unit="u9", sp="ghost@FILE@CREATE@NOT_ACTOR"),
+        ev(trace="busy", span="d2", unit="u9", sp="f@FILE@CREATE@WRITE_SEND",
+           proc="p.exe", pspan="pp", psp="p.exe@PROCESS@LAUNCH@NOT_ACTOR"),
+        ev(trace="busy", span="d3", unit="u9", sp="g@FILE@MODIFY@WRITE_SEND",
+           proc="p.exe", pspan="pp", psp="p.exe@PROCESS@LAUNCH@NOT_ACTOR"),
+    ]
+    import sigraph_spark.operators.graph as G
+    from pyspark.sql import SparkSession
+    spark_ = SparkSession.getActiveSession()
+    g = build_graph(spark_.createDataFrame(rows, EVENT_SCHEMA))
+    debris = debris_candidates(g.traces, g.trace_contains, g.edges).collect()
+    assert {(r.trace_id, r.node_id) for r in debris} == {("lone", "ghost@FILE")}
