@@ -1,0 +1,134 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Headline: end-to-end KG construction (synthetic Common-Crawl-style pages ->
+extract -> triples -> link -> canonical edges) plus the other pipeline
+families (graph construction from events, MinHash dedup, ANN top-k, text
+profiling) at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+Prints: {"metric": ..., "value": total_sec, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": ...,
+         "triples": N, "triples_per_sec": X, "cpus": K}
+
+Scaling-efficiency evidence (north rule, N vs 4N): run
+``tools/bench_scaling.py`` which invokes this file at local[8] and
+local[32] on the same input and writes BENCH/BASELINE.md numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from pyspark.sql import functions as F
+
+    from sigraph_spark.session import build_session
+
+    spark = build_session(
+        app_name=f"sigraph-bench-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # --- headline: full KG pipeline over synthetic pages ---------------------
+    from sigraph_spark.corpus import gen_pages
+    from sigraph_spark.operators.extract import extract_pages
+    from sigraph_spark.operators.linking import (
+        canonicalize_triples, link_entities,
+    )
+    from sigraph_spark.operators.triples import triples_from_docs
+
+    pages = gen_pages(spark, sf=sf).localCheckpoint(eager=True)  # exclude gen cost
+
+    def run_pipeline() -> int:
+        docs = extract_pages(pages).select("url", "warc_ts", "text")
+        triples = triples_from_docs(docs).localCheckpoint(eager=True)
+        n_triples = triples.count()
+        mapping = link_entities(triples)
+        canon = canonicalize_triples(triples, mapping).join(
+            docs.select("url", "warc_ts"), "url"
+        )
+        edges = (
+            canon.groupBy(F.col("subj"), F.col("verb").alias("predicate"), F.col("obj"))
+            .agg(F.max(F.struct("warc_ts", "url")).alias("_lw"), F.count(F.lit(1)).alias("weight"))
+        )
+        extras["edges"] = edges.count()
+        return n_triples
+
+    n_triples = timed("kg_pipeline", run_pipeline)
+    extras["triples"] = n_triples
+    extras["triples_per_sec"] = round(n_triples / timings["kg_pipeline"], 1)
+
+    # --- graph construction from events --------------------------------------
+    from sigraph_spark.operators.graph import build_graph
+    from sigraph_spark.sources.events_map import sigraph_events
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    def run_graph() -> int:
+        g = build_graph(sigraph_events(events))
+        return (
+            g.nodes.count() + g.edges.count() + g.traces.count()
+            + g.trace_contains.count() + g.rule_matches.count()
+        )
+
+    timed("graph_construct", run_graph)
+
+    # --- dedup over documents -------------------------------------------------
+    from sigraph_spark.operators.dedup import minhash_dedup, simhash_candidates
+
+    docs_tbl = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    timed("dedup_minhash", lambda: minhash_dedup(docs_tbl).count())
+    timed("dedup_simhash", lambda: simhash_candidates(docs_tbl, max_hamming=8).count())
+
+    # --- ANN top-k --------------------------------------------------------------
+    from sigraph_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    timed("ann_bruteforce", lambda: brute_force_topk(emb, q, k=10).count())
+    timed("ann_lsh", lambda: lsh_topk(emb, q, dim=64, k=10, bits=8).count())
+
+    # --- text profiling ---------------------------------------------------------
+    from sigraph_spark.operators.textstats import text_profile
+
+    timed("text_profile", lambda: text_profile(docs_tbl).count())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "kg_pipeline_e2e+operators",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        **extras,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

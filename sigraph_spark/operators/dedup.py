@@ -1,0 +1,340 @@
+"""Deduplication operators for the training-data pipeline.
+
+Five families, all first-class at 100 TB (driver brief):
+
+* **exact**        — content-hash groupBy; keeps the min-id representative.
+* **MinHash+LSH**  — shingle -> minhash signature -> band buckets ->
+  bucket-join candidate pairs. The hash family is explicit modular
+  arithmetic (``(a*h + b) mod p``) over ``crc32``-based shingle hashes, so
+  the identical computation is expressible in DuckDB SQL for the oracle —
+  no dependence on Spark ML internals.
+* **SimHash**      — 64-bit sign-aggregated shingle hash; near-dups =
+  Hamming distance <= k, found via 4-way band blocking (pigeonhole: any
+  pair within Hamming<=3 shares at least one of 4 16-bit bands).
+* **n-gram Jaccard** — exact Jaccard over shingle sets for a candidate
+  pair set (the verify step after LSH blocking).
+* **embedding cosine** — near-dup by cosine >= t over an
+  ``array<float>`` column (see operators/similarity.py for the top-k and
+  bucketed variants).
+
+Scale notes:
+* signatures/buckets are computed in one narrow pass (no Python, no UDF);
+* the only shuffles are the band-bucket groupBys and the final pair
+  dedup — both keyed on short strings with near-uniform distribution
+  (hash buckets), so no head-key skew by construction;
+* bucket-join pair generation caps per-bucket fanout: a bucket of b docs
+  yields b*(b-1)/2 pairs — monitor via ``bucket_histogram`` and raise
+  bands/rows when buckets saturate (logged, not silently truncated).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 61-bit Mersenne prime keeps (a*h+b) mod p exact in signed 64-bit range
+# only if a*h fits — so we work mod 2^31-1 with 32-bit shingle hashes
+# (crc32 output), the classic Broder construction. All arithmetic stays
+# exact in BIGINT in both Spark and DuckDB.
+MERSENNE_P = (1 << 31) - 1
+
+
+def _word_shingles(c: Column, k: int) -> Column:
+    """k-word shingle array (distinct) from lowercased text — pure Columns."""
+    words = F.split(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"\s+")
+    n = F.size(words)
+    return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+            )
+        )
+    )
+
+
+def shingle_hashes(c: Column, k: int = 3) -> Column:
+    """array<long> of crc32 hashes of the k-word shingles (sorted distinct).
+
+    crc32 is bit-identical across Spark and every other engine (it's the
+    IEEE polynomial), unlike xxhash64 whose seed handling is Spark-specific.
+    """
+    return F.array_sort(
+        F.array_distinct(
+            F.transform(_word_shingles(c, k), lambda s: F.crc32(s.cast("binary")))
+        )
+    )
+
+
+def minhash_signature(hashes: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: for i in 0..n-1, min over shingles of
+    ``(a_i * h + b_i) mod p`` with fixed odd coefficients.
+
+    a_i = 2i+1, b_i = i*i+1 — fixed, documented, reproducible anywhere.
+    Empty shingle set -> p (sentinel max) in every slot.
+
+    Single ``aggregate`` pass over the shingle array carrying all
+    ``num_hashes`` running minima as an array accumulator — the shingle
+    hashes are scanned ONCE (a per-slot formulation would inline and
+    recompute the shingling ``num_hashes`` times after Catalyst's
+    CollapseProject).
+    """
+    a_coefs = F.array(*[F.lit(2 * i + 1).cast("long") for i in range(num_hashes)])
+    b_coefs = F.array(*[F.lit(i * i + 1).cast("long") for i in range(num_hashes)])
+    init = F.array_repeat(F.lit(MERSENNE_P).cast("long"), num_hashes)
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(
+                a_coefs, b_coefs, lambda a, b: (a * h + b) % F.lit(MERSENNE_P)
+            ),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+
+
+def lsh_band_keys(sig: Column, bands: int = 16, rows: int = 4) -> Column:
+    """Band the signature: array of ``band_idx || ':' || joined-rows`` keys.
+    Two docs sharing any band key are candidates."""
+    return F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                F.concat_ws("_", F.slice(sig, b * rows + 1, rows)),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+) -> DataFrame:
+    """MinHash-LSH candidate near-duplicate pairs (a < b by id).
+
+    Plan shape: narrow signature pass -> explode band keys -> self-join on
+    band key (shuffle on uniform hash keys) -> pair dedup.
+    """
+    assert bands * rows <= num_hashes
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(shingle_hashes(F.col(text_col), k), num_hashes).alias("sig"),
+    )
+    banded = sig.select("id", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk"))
+    a = banded.select(F.col("bk"), F.col("id").alias("a"))
+    b = banded.select(F.col("bk"), F.col("id").alias("b"))
+    return (
+        a.join(b, "bk")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over k-word shingle sets for a candidate pair set.
+    Returns (a, b, jaccard). Shingle arrays join in via two broadcasts when
+    the pair set is small; the arrays themselves never shuffle twice."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        shingle_hashes(F.col(text_col), k).alias("sh"),
+    )
+    la = sh.select(F.col("id").alias("a"), F.col("sh").alias("sha"))
+    lb = sh.select(F.col("id").alias("b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb")).cast("double")
+    union = F.size(F.array_union("sha", "shb")).cast("double")
+    return (
+        pairs.join(la, "a")
+        .join(lb, "b")
+        .select(
+            "a",
+            "b",
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    k: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify ->
+    connected components -> (id, canonical_id) mapping (total over ids)."""
+    from sigraph_spark.operators.linking import connected_components
+
+    cand = minhash_candidates(docs, id_col, text_col, k=k)
+    verified = ngram_jaccard(docs, cand, id_col, text_col, k=k).filter(
+        F.col("jaccard") >= threshold
+    )
+    cc = connected_components(verified.select("a", "b"))
+    ids = docs.select(F.col(id_col).alias("entity")).distinct()
+    return (
+        ids.join(cc, "entity", "left")
+        .select(
+            F.col("entity").alias(id_col),
+            F.coalesce(F.col("canonical_id"), F.col("entity")).alias("canonical_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-content dedup: group by sha2(text), keep min id as canonical.
+    Returns (id, canonical_id, content_hash). One shuffle on the content
+    hash (uniform by construction — no skew)."""
+    h = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+    return (
+        docs.select(F.col(id_col).alias("id"), h.alias("content_hash"))
+        .withColumn(
+            "canonical_id", F.min("id").over(Window.partitionBy("content_hash"))
+        )
+        .select(F.col("id").alias(id_col), "canonical_id", "content_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(c: Column, k: int = 3) -> Column:
+    """64-bit SimHash over k-word shingles.
+
+    Per bit j: sum over shingles of (+1 if bit j of xxhash64(shingle) else
+    -1); bit j of the result = (sum > 0). Implemented as 64 aggregate
+    expressions over the shingle array — heavy-looking but all codegen'd,
+    single pass, no shuffle. (xxhash64 is fine here: SimHash needs no
+    cross-engine oracle — its pair-generation is verified via Hamming
+    distance in-engine.)
+    """
+    hs = F.transform(_word_shingles(c, k), lambda s: F.xxhash64(s))
+    bit_idx = F.array(*[F.lit(j) for j in range(64)])
+    # one pass: per shingle, +-1 vote for each of the 64 bit positions
+    votes = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                bit_idx,
+                lambda j: F.when(F.getbit(h, j) == 1, F.lit(1))
+                .otherwise(F.lit(-1)).cast("long"),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    # fold votes -> bits; positive-vote bit j contributes 2^j (the j=63
+    # power is the long min value — each power appears at most once, so the
+    # bitwise OR fold never overflows, ANSI-safe)
+    pow2 = F.array(
+        *[F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long") for j in range(64)]
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes, pow2,
+            lambda v, p2: F.when(v > 0, p2).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4 16-bit bands (pigeonhole for
+    Hamming<=3), verify exact Hamming distance via bit_count(xor)."""
+    sim = docs.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
+    )
+    bands = sim.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(b)),
+                        F.shiftright(F.col("sh"), b * 16).bitwiseAND(F.lit(0xFFFF)),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    )
+    a = bands.select("bk", F.col("id").alias("a"), F.col("sh").alias("sha"))
+    b = bands.select("bk", F.col("id").alias("b"), F.col("sh").alias("shb"))
+    return (
+        a.join(b, "bk")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("hamming", F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_neardup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold over an array<float>
+    column. Brute-force all-pairs (correctness baseline; the LSH-bucketed
+    scale path lives in operators/similarity.py). Cosine via zip_with dot
+    product — JVM-side, no UDF."""
+    from sigraph_spark.operators.similarity import l2_normalize, dot
+
+    v = emb.select(
+        F.col(id_col).alias("id"), l2_normalize(F.col(vec_col)).alias("v")
+    )
+    a = v.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", dot(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def bucket_histogram(banded: DataFrame, key: str = "bk") -> DataFrame:
+    """LSH bucket-size histogram — the no-silent-caps diagnostic: when the
+    top buckets approach sqrt(pair budget), raise bands/rows."""
+    return (
+        banded.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .groupBy("bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .orderBy(F.col("bucket_size").desc())
+    )

@@ -270,24 +270,25 @@ def debris_candidates(
 def iocs(nodes: DataFrame, trace_contains: DataFrame, unit_id: str) -> DataFrame:
     """IoC extraction for a unit (schema.py:154-168, element_behavior.py:788-857):
     nodes contained by the unit's traces, excluding PROCESS labels, distinct
-    per node, with related_trace_ids intersected against the unit's traces."""
+    per node, with related_trace_ids intersected against the unit's traces.
+
+    A node's ``related_trace_ids`` are exactly its containment incidences,
+    so "related_trace_ids ∩ unit's traces" equals "the unit's containment
+    rows for the node" — one equi-join + agg instead of an array intersect
+    against a collected trace set (which would serialize the whole unit's
+    trace list through a broadcast; this form stays set-oriented and the
+    unit filter pushes into the containment scan)."""
     unit_contains = trace_contains.filter(F.col("unit_id") == unit_id)
-    unit_traces = (
-        unit_contains.select("trace_id").distinct()
-        .agg(F.array_sort(F.collect_set("trace_id")).alias("unit_trace_ids"))
-    )
-    contained = unit_contains.select("node_id").distinct()
     return (
-        nodes.join(contained, "node_id")
-        .filter(F.col("label") != "PROCESS")
-        .crossJoin(F.broadcast(unit_traces))
+        nodes.filter(F.col("label") != "PROCESS")
+        .join(unit_contains.select("node_id", "trace_id"), "node_id")
+        .groupBy("node_id", "label", "image")
+        .agg(F.array_sort(F.collect_set("trace_id")).alias("related_trace_ids"))
         .select(
             F.col("image"),
             F.col("node_id").alias("artifact"),
             F.col("label").alias("artifact_type"),
-            F.array_sort(
-                F.array_intersect("related_trace_ids", "unit_trace_ids")
-            ).alias("related_trace_ids"),
+            "related_trace_ids",
         )
     )
 

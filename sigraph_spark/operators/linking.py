@@ -25,8 +25,20 @@ each round localCheckpoints to truncate lineage. Skewed head entities
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _sparse_dot_batch(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Arrow-batched sparse-vector dot product (normalized inputs ->
+    cosine). The pair set is LSH-pruned, so this Python path sees only a
+    tiny fraction of the corpus."""
+    return pd.Series([float(x.dot(y)) for x, y in zip(va, vb)])
+
+
+def _sparse_dot_udf():
+    return F.pandas_udf(_sparse_dot_batch, "double")
 
 
 def normalize_entity(c: Column) -> Column:
@@ -124,15 +136,7 @@ def tfidf_cosine_scores(
     lhs = vecs.select(F.col("entity").alias("a"), F.col("norm").alias("va"))
     rhs = vecs.select(F.col("entity").alias("b"), F.col("norm").alias("vb"))
     joined = pairs.join(lhs, "a").join(rhs, "b")
-
-    import pandas as pd  # noqa: F401
-
-    @F.pandas_udf("double")
-    def _dot(va: "pd.Series", vb: "pd.Series") -> "pd.Series":
-        import pandas as pd
-        return pd.Series([float(x.dot(y)) for x, y in zip(va, vb)])
-
-    return joined.select("a", "b", _dot("va", "vb").alias("cosine"))
+    return joined.select("a", "b", _sparse_dot_udf()("va", "vb").alias("cosine"))
 
 
 def connected_components(

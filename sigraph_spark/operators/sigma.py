@@ -1,0 +1,204 @@
+"""Sigma-rule subset compiler: detection trees -> Catalyst Column predicates.
+
+The reference compiles Sigma YAML through sigma-cli's sysmon pipeline into
+OpenSearch Lucene DSL and pages results (``/root/reference/src/rule/
+session.py:30-114``, ``src/db/db_session.py:233-345``). We compile the same
+detection semantics straight to ``Column`` expressions, so a rule query is
+one pushdown-friendly ``docs.filter(...)`` — the reference's 1024-clause
+split and search_after pagination machinery disappears (Catalyst handles
+arbitrarily wide boolean trees; documented dropped limit, SURVEY.md C5).
+
+Supported subset (what sigraph's fixtures exercise):
+* detection items: field: value (exact), field|contains, field|startswith,
+  field|endswith, field|re, lists of values (OR), null;
+* value wildcards ``*``/``?`` compile to LIKE patterns;
+* condition grammar: ``and / or / not / ( )`` over selection names plus
+  ``1 of them`` / ``all of them`` / ``1 of sel*`` / ``all of sel*``;
+* field-name prefixing (reference rewrites ``X:`` -> ``raw_data.Metadata.X``,
+  rule/session.py:110-114) via the ``field_prefix`` argument.
+
+Rule parse/compile happens on the driver (plain Python over a dict already
+parsed from YAML); executors only ever see the compiled Column tree.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TOKEN_RE = re.compile(r"\(|\)|[^\s()]+")
+
+
+def _field_col(field: str, field_prefix: str | None) -> Column:
+    name = f"{field_prefix}.{field}" if field_prefix else field
+    return F.col(name)
+
+
+def _like_escape(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
+
+
+def _value_predicate(col: Column, value, modifier: str | None) -> Column:
+    """One (field, modifier, scalar value) -> Column predicate."""
+    if value is None:
+        return col.isNull()
+    sval = str(value)
+    if modifier == "contains":
+        return col.contains(sval)
+    if modifier == "startswith":
+        return col.startswith(sval)
+    if modifier == "endswith":
+        return col.endswith(sval)
+    if modifier == "re":
+        return col.rlike(sval)
+    if isinstance(value, str) and ("*" in value or "?" in value):
+        pat = _like_escape(value).replace("*", "%").replace("?", "_")
+        return col.like(pat)
+    if isinstance(value, bool):
+        return col.cast("boolean") == value
+    if isinstance(value, (int, float)):
+        return (col == F.lit(value)) | (col == F.lit(sval))
+    return col == F.lit(sval)
+
+
+def _item_predicate(key: str, value, field_prefix: str | None) -> Column:
+    """One detection-map entry: ``Field|modifier: value-or-list``."""
+    parts = key.split("|")
+    field, modifier = parts[0], (parts[1] if len(parts) > 1 else None)
+    if len(parts) > 2 and parts[2] == "all":
+        mode_all = True
+    else:
+        mode_all = False
+    col = _field_col(field, field_prefix)
+    values = value if isinstance(value, list) else [value]
+    preds = [_value_predicate(col, v, modifier) for v in values]
+    out = preds[0]
+    for p in preds[1:]:
+        out = (out & p) if mode_all else (out | p)
+    return out
+
+
+def _selection_predicate(sel, field_prefix: str | None) -> Column:
+    """A selection is a map (AND of items) or a list of maps/strings (OR)."""
+    if isinstance(sel, dict):
+        preds = [_item_predicate(k, v, field_prefix) for k, v in sel.items()]
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return out
+    if isinstance(sel, list):
+        preds = [_selection_predicate(s, field_prefix) for s in sel]
+        out = preds[0]
+        for p in preds[1:]:
+            out = out | p
+        return out
+    raise ValueError(f"unsupported selection shape: {type(sel)}")
+
+
+def _compile_condition(
+    condition: str, selections: dict[str, Column]
+) -> Column:
+    """Recursive-descent parse of the Sigma condition grammar."""
+    tokens = _TOKEN_RE.findall(condition)
+    pos = 0
+
+    def peek() -> str | None:
+        return tokens[pos] if pos < len(tokens) else None
+
+    def take() -> str:
+        nonlocal pos
+        tok = tokens[pos]
+        pos += 1
+        return tok
+
+    def parse_or() -> Column:
+        left = parse_and()
+        while peek() == "or":
+            take()
+            left = left | parse_and()
+        return left
+
+    def parse_and() -> Column:
+        left = parse_not()
+        while peek() == "and":
+            take()
+            left = left & parse_not()
+        return left
+
+    def parse_not() -> Column:
+        if peek() == "not":
+            take()
+            return ~parse_not()
+        return parse_atom()
+
+    def parse_atom() -> Column:
+        tok = take()
+        if tok == "(":
+            inner = parse_or()
+            assert take() == ")", "unbalanced parens in condition"
+            return inner
+        if tok in ("1", "all") and peek() == "of":
+            take()  # of
+            pat = take()
+            names = (
+                list(selections)
+                if pat == "them"
+                else [n for n in selections if fnmatch.fnmatch(n, pat)]
+            )
+            if not names:
+                raise ValueError(f"'of {pat}' matches no selection")
+            preds = [selections[n] for n in sorted(names)]
+            out = preds[0]
+            for p in preds[1:]:
+                out = (out & p) if tok == "all" else (out | p)
+            return out
+        if tok not in selections:
+            raise ValueError(f"unknown selection '{tok}' in condition")
+        return selections[tok]
+
+    result = parse_or()
+    if pos != len(tokens):
+        raise ValueError(f"trailing tokens in condition: {tokens[pos:]}")
+    return result
+
+
+def compile_rule(rule: dict, field_prefix: str | None = None) -> Column:
+    """Compile one parsed Sigma rule dict -> Column predicate.
+
+    ``rule['detection']`` holds named selections + ``condition``. The
+    logsource category constraint (reference adds ``raw_data.EventName ==
+    category``, db_session.py:258-270) is the caller's concern — pass it as
+    an extra filter so this stays a pure detection compiler.
+    """
+    detection = rule["detection"]
+    condition = detection.get("condition", " or ".join(
+        k for k in detection if k != "condition"
+    ))
+    selections = {
+        name: _selection_predicate(sel, field_prefix)
+        for name, sel in detection.items()
+        if name != "condition"
+    }
+    return _compile_condition(condition, selections)
+
+
+def apply_rules(
+    docs: DataFrame,
+    rules: list[dict],
+    field_prefix: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Evaluate many rules in ONE pass: each rule becomes a boolean column;
+    explode the hits into (doc_id, rule_id) match rows. One scan however
+    many rules — the batch analog of the reference's per-rule queries."""
+    hit_cols = [
+        F.when(compile_rule(r, field_prefix), F.lit(r.get("id", f"rule-{i}")))
+        for i, r in enumerate(rules)
+    ]
+    return (
+        docs.select(F.col(id_col), F.array(*hit_cols).alias("_hits"))
+        .select(id_col, F.explode(F.filter(F.col("_hits"), lambda x: x.isNotNull())).alias("rule_id"))
+    )

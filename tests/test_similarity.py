@@ -1,0 +1,78 @@
+"""Similarity search: brute-force cosine top-k + LSH-bucketed ANN."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sigraph_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    topk_recall,
+)
+
+
+def _vectors(spark, n=64, dim=8):
+    # deterministic vectors: cluster c = id % 4 sets the dominant axis
+    rows = []
+    for i in range(n):
+        c = i % 4
+        v = [0.1 * ((i * 7 + d) % 5) for d in range(dim)]
+        v[c] += 3.0
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_self_is_rank1(spark):
+    vecs = _vectors(spark)
+    q = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(vecs, q, k=5)
+    r1 = {r["query_id"]: r["vec_id"] for r in out.filter(F.col("rank") == 1).collect()}
+    assert r1 == {0: 0, 1: 1, 2: 2}
+    # all cosines within [-1, 1+eps]
+    for r in out.collect():
+        assert -1.0 - 1e-9 <= r["cosine"] <= 1.0 + 1e-9
+
+
+def test_brute_force_matches_numpy(spark):
+    vecs = _vectors(spark, n=16)
+    rows = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+    q = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(vecs, q, k=16).collect()
+
+    def cos(a, b):
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (da * db)
+
+    for r in out:
+        expected = cos(rows[0], rows[r["vec_id"]])
+        assert abs(r["cosine"] - expected) < 1e-6
+
+
+def test_lsh_topk_recall(spark):
+    vecs = _vectors(spark, n=128)
+    q = vecs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(vecs, q, k=5)
+    approx = lsh_topk(vecs, q, dim=8, k=5, bits=2)
+    rec = topk_recall(exact, approx).agg(F.avg("recall")).collect()[0][0]
+    # clustered data + coarse buckets: same-cluster vectors share buckets
+    assert rec >= 0.5
+    # the query itself always lands in its own bucket
+    self_hits = {r["query_id"]: r["vec_id"] for r in approx.filter(F.col("rank") == 1).collect()}
+    assert self_hits == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_lsh_buckets_deterministic(spark):
+    vecs = _vectors(spark, n=32)
+    q = vecs.filter(F.col("vec_id") < 2).select(F.col("vec_id").alias("query_id"), "embedding")
+    a = sorted(map(tuple, lsh_topk(vecs, q, dim=8, k=3, bits=4).collect()))
+    b = sorted(map(tuple, lsh_topk(vecs.repartition(5), q, dim=8, k=3, bits=4).collect()))
+    assert a == b
