@@ -43,9 +43,25 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _parsed(spark: SparkSession, sf_dir: str):
+    """Parsed events, localCheckpointed: graph queries union/self-join the
+    parse output, and without a materialization barrier Catalyst would
+    re-execute the (wide) parse expression tree once per plan branch —
+    the dominant cost at any scale. On a cluster this is the s1 stage
+    checkpoint (plans/pipeline.py); localCheckpoint is its in-session
+    equivalent."""
     from sigraph_spark.operators.graph import parse_events
 
-    return parse_events(sigraph_events(_events(spark, sf_dir)))
+    good, errors = parse_events(sigraph_events(_events(spark, sf_dir)))
+    return good.localCheckpoint(eager=False), errors
+
+
+def _edges_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduped edge table, materialized once for multi-branch queries
+    (neighborhood unions out/in views; BFS joins it every round)."""
+    from sigraph_spark.operators.graph import build_edges
+
+    good, _ = _parsed(spark, sf_dir)
+    return build_edges(good).localCheckpoint(eager=False)
 
 
 # ---------------------------------------------------------------------------
@@ -137,12 +153,12 @@ def q_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_degree_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sigraph_spark.operators.graph import (
-        build_edges, build_trace_contains, degree_table,
-    )
+    from sigraph_spark.operators.graph import build_trace_contains, degree_table
 
     good, _ = _parsed(spark, sf_dir)
-    return degree_table(build_edges(good), build_trace_contains(good)).select(
+    return degree_table(
+        _edges_ckpt(spark, sf_dir), build_trace_contains(good)
+    ).select(
         "node_id", F.col("degree").cast("long").alias("degree")
     )
 
@@ -175,22 +191,20 @@ def q_traces_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sigraph_spark.operators.graph import build_edges
     from sigraph_spark.operators.queries import neighborhood
 
-    good, _ = _parsed(spark, sf_dir)
-    return neighborhood(build_edges(good), "a@1")
+    return neighborhood(_edges_ckpt(spark, sf_dir), "a@1")
 
 
 def q_related_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sigraph_spark.operators.graph import (
-        build_edges, build_trace_contains, build_traces,
-    )
+    from sigraph_spark.operators.graph import build_trace_contains, build_traces
     from sigraph_spark.operators.queries import related_traces
 
     good, _ = _parsed(spark, sf_dir)
     out = related_traces(
-        build_traces(good), build_trace_contains(good), build_edges(good),
+        build_traces(good),
+        build_trace_contains(good).localCheckpoint(eager=False),
+        _edges_ckpt(spark, sf_dir),
         "u-2", max_hop=3,
     )
     return out.select("t1", "t2", F.col("hops").cast("long").alias("hops"))
@@ -198,12 +212,14 @@ def q_related_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_debris(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sigraph_spark.operators.graph import (
-        build_edges, build_trace_contains, build_traces, debris_candidates,
+        build_trace_contains, build_traces, debris_candidates,
     )
 
     good, _ = _parsed(spark, sf_dir)
     return debris_candidates(
-        build_traces(good), build_trace_contains(good), build_edges(good)
+        build_traces(good),
+        build_trace_contains(good).localCheckpoint(eager=False),
+        _edges_ckpt(spark, sf_dir),
     )
 
 

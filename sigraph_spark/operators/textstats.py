@@ -143,10 +143,14 @@ def fingerprint64(c: Column) -> Column:
     """
     prefix = F.substring(F.coalesce(c, F.lit("")), 1, 4096)
     codes = F.transform(F.split(prefix, ""), lambda ch: F.ascii(ch).cast("long"))
-    return F.aggregate(
-        codes,
-        F.lit(7).cast("long"),
-        lambda acc, x: (acc * F.lit(31).cast("long") + x) % F.lit(FINGERPRINT_P),
+    return F.when(F.length(prefix) == 0, F.lit(7).cast("long")).otherwise(
+        # split("", "") yields [""] — the length guard above keeps the
+        # empty document at the seed value like the plain recurrence
+        F.aggregate(
+            codes,
+            F.lit(7).cast("long"),
+            lambda acc, x: (acc * F.lit(31).cast("long") + x) % F.lit(FINGERPRINT_P),
+        )
     )
 
 
