@@ -530,6 +530,56 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_trace_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered sequence retrieval (reference F1, db_session.py:181-214):
+    per trace, span ids concatenated in (timestamp, span_id) order."""
+    good, _ = _parsed(spark, sf_dir)
+    return (
+        good.filter(F.col("unit_id") == "u-3")
+        .groupBy("trace_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("timestamp", "span_id"))),
+                    lambda s: s["span_id"],
+                ),
+                ",",
+            ).alias("sequence"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+
+
+def q_unit_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit flush (reference A11, schema.py:182-193): per-unit containment
+    counts after deleting unit u-0."""
+    from sigraph_spark.operators.graph import build_trace_contains, unit_flush
+
+    good, _ = _parsed(spark, sf_dir)
+    kept = unit_flush(build_trace_contains(good), "u-0")
+    return kept.groupBy("unit_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+
+
+def q_provenance_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: multi-hop provenance subgraph export (reference D5,
+    schema.py:127-152) for unit u-3, 2 hops."""
+    from sigraph_spark.operators.graph import build_nodes, build_trace_contains
+    from sigraph_spark.operators.queries import provenance_subgraph
+
+    good, _ = _parsed(spark, sf_dir)
+    _nodes, sub_edges = provenance_subgraph(
+        build_trace_contains(good).localCheckpoint(eager=False),
+        _edges_ckpt(spark, sf_dir),
+        build_nodes(good).localCheckpoint(eager=False),
+        "u-3",
+        max_hop=2,
+    )
+    return sub_edges
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "provenance_parse": q_provenance_parse,
@@ -566,6 +616,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_extract": q_triples_extract,
         "pipeline_edges": q_pipeline_edges,
         "media_features": q_media_features,
+        "trace_sequences": q_trace_sequences,
+        "unit_flush": q_unit_flush,
+        "provenance_export": q_provenance_export,
     }
 
 
@@ -943,6 +996,22 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
     """
+    sq["trace_sequences"] = (
+        "WITH " + SEVENTS_CTE
+        + """
+        SELECT trace_id,
+               string_agg(span_id, ',' ORDER BY timestamp, span_id) AS sequence,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM parsed WHERE unit_id = 'u-3' GROUP BY trace_id
+        """
+    )
+    sq["unit_flush"] = (
+        "WITH " + _EDGES_CTE
+        + """
+        SELECT unit_id, CAST(count(*) AS BIGINT) AS n_rows
+        FROM containment WHERE unit_id <> 'u-0' GROUP BY unit_id
+        """
+    )
     sq["orders_priority"] = """
         SELECT o_orderpriority,
                CAST(count(*) AS BIGINT) AS n_orders,

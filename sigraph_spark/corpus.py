@@ -150,6 +150,24 @@ def gen_events(spark: SparkSession, sf: float = 0.001, parts: int | None = None)
 # Pages corpus (Common-Crawl-style) — built on the golden sentence bank
 # ---------------------------------------------------------------------------
 
+def page_sentence_idxs(i_col: str = "i"):
+    """1-based indexes into the page-safe sentence bank for page ``i`` —
+    the SAME expression gen_pages embeds, exposed so expected-triple
+    derivation (tools/score_pr.py) can reconstruct ground truth
+    relationally. Pure function of the row id."""
+    from sigraph_spark.operators.triples import SENTENCE_BANK
+
+    def h(salt: int):
+        return F.abs(F.xxhash64(F.col(i_col), F.lit(salt)))
+
+    k_bank = len([s for s in SENTENCE_BANK if s.page_safe])
+    n_sent = (h(11) % 4 + 2).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_sent - 1),
+        lambda j: (h(12) + j * (h(13) % (k_bank - 1) + 1)) % k_bank + 1,
+    )
+
+
 def gen_pages(spark: SparkSession, sf: float = 0.001, parts: int | None = None) -> DataFrame:
     """Pages table (url, warc_ts, html, text, lang) per BASELINE.json input_hint.
 
@@ -169,13 +187,7 @@ def gen_pages(spark: SparkSession, sf: float = 0.001, parts: int | None = None) 
 
     safe_bank = [s for s in SENTENCE_BANK if s.page_safe]
     bank = F.array(*[F.lit(s.text) for s in safe_bank])
-    k_bank = len(safe_bank)
-    # 2-5 sentences per page, chosen by stride so coverage is uniform
-    n_sent = (h(11) % 4 + 2).cast("int")
-    idxs = F.transform(
-        F.sequence(F.lit(0), n_sent - 1),
-        lambda j: (h(12) + j * (h(13) % (k_bank - 1) + 1)) % k_bank + 1,
-    )
+    idxs = page_sentence_idxs("i")
     body_sentences = F.transform(idxs, lambda ix: F.element_at(bank, ix.cast("int")))
     body = F.concat_ws("\n", body_sentences)
 

@@ -1,0 +1,74 @@
+"""Entity linking S3: normalization, LSH blocking, CC canonicalization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sigraph_spark.operators.linking import (
+    candidate_pairs,
+    canonicalize_triples,
+    connected_components,
+    link_entities,
+    normalize_entity,
+    remove_lucene_chars,
+)
+
+
+def test_normalize_entity(spark):
+    df = spark.createDataFrame(
+        [("  EVIL[.]Example.COM  ",), ("C:\\Path\\File.EXE",)], "e string"
+    )
+    out = [r["n"] for r in df.select(normalize_entity(F.col("e")).alias("n")).collect()]
+    assert out == ["evil.example.com", "c:\\path\\file.exe"]
+
+
+def test_remove_lucene_chars(spark):
+    df = spark.createDataFrame([("a+b-c&&d||e!f(g)h{i}[j]^k\"l~m*n?o:p\\q/r",)], "e string")
+    out = df.select(remove_lucene_chars(F.col("e")).alias("n")).collect()[0]["n"]
+    for ch in '+-&|!(){}[]^"~*?:\\/':
+        assert ch not in out
+    assert "a b c" in out
+
+
+def test_connected_components_chains_and_determinism(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "p")],
+        "a string, b string",
+    )
+    cc = {r["entity"]: r["canonical_id"] for r in connected_components(edges).collect()}
+    assert cc["a"] == cc["b"] == cc["c"] == "a"  # min-id labeling
+    assert cc["x"] == cc["y"] == "x"
+    assert cc["p"] == cc["q"] == "p"
+    cc2 = {r["entity"]: r["canonical_id"]
+           for r in connected_components(edges.repartition(7)).collect()}
+    assert cc == cc2
+
+
+def test_lsh_blocks_near_duplicate_entities(spark):
+    ents = spark.createDataFrame(
+        [("cobalt strike beacon",), ("cobalt strike beacn",),
+         ("emotet loader",), ("completely different",)],
+        "entity string",
+    )
+    pairs = {(r["a"], r["b"]) for r in candidate_pairs(ents, jaccard_dist=0.5).collect()}
+    assert ("cobalt strike beacn", "cobalt strike beacon") in pairs
+
+
+def test_link_entities_merges_variants(spark):
+    triples = spark.createDataFrame(
+        [
+            ("u1", "XenoRAT", "network_connect", "evil[.]example.com"),
+            ("u2", "XenoRAT", "network_connect", "EVIL.example.com"),
+            ("u3", "Emotet", "create", "c:\\tmp\\a.exe"),
+        ],
+        "url string, actor string, verb string, object string",
+    )
+    mapping = {r["entity"]: r["canonical_id"] for r in link_entities(triples).collect()}
+    # exact normalization unifies the defanged/case variants before LSH
+    assert mapping["evil.example.com"] == mapping["evil.example.com"]
+    assert set(mapping) >= {"xenorat", "emotet", "evil.example.com", "c:\\tmp\\a.exe"}
+    canon = canonicalize_triples(triples, link_entities(triples))
+    rows = {(r["subj"], r["verb"], r["obj"]) for r in canon.select("subj", "verb", "obj").collect()}
+    # both defang variants land on one canonical object
+    objs = {o for (_, v, o) in rows if v == "network_connect"}
+    assert len(objs) == 1
