@@ -580,6 +580,24 @@ def q_provenance_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sub_edges
 
 
+
+def q_drift_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift sequences (reference D7, v1/api.py:177-208): ordered sequences
+    of trace tr-2 plus its related traces within 3 hops (unit u-2)."""
+    from sigraph_spark.operators.graph import build_trace_contains, build_traces
+    from sigraph_spark.operators.queries import drift_sequences
+
+    good, _ = _parsed(spark, sf_dir)
+    good = good.localCheckpoint(eager=False)
+    return drift_sequences(
+        good,
+        build_traces(good),
+        build_trace_contains(good).localCheckpoint(eager=False),
+        _edges_ckpt(spark, sf_dir),
+        "u-2", "tr-2", max_hop=3,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "provenance_parse": q_provenance_parse,
@@ -619,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trace_sequences": q_trace_sequences,
         "unit_flush": q_unit_flush,
         "provenance_export": q_provenance_export,
+        "drift_sequences": q_drift_sequences,
     }
 
 
@@ -1010,6 +1029,39 @@ def oracle_sql() -> dict[str, str]:
         + """
         SELECT unit_id, CAST(count(*) AS BIGINT) AS n_rows
         FROM containment WHERE unit_id <> 'u-0' GROUP BY unit_id
+        """
+    )
+    sq["drift_sequences"] = (
+        "WITH RECURSIVE " + _EDGES_CTE
+        + """,
+        und AS (
+          SELECT DISTINCT src AS x, dst AS y FROM edges
+          UNION SELECT dst AS x, src AS y FROM edges),
+        seed AS (
+          SELECT DISTINCT trace_id, node_id AS x FROM containment
+          WHERE unit_id = 'u-2'),
+        reach(trace_id, x, hops) AS (
+          SELECT trace_id, x, 0 FROM seed
+          UNION
+          SELECT r.trace_id, e.y, r.hops + 1
+          FROM reach r JOIN und e ON r.x = e.x WHERE r.hops < 3),
+        minreach AS (
+          SELECT trace_id, x, min(hops) AS hops FROM reach GROUP BY 1, 2),
+        rel AS (
+          SELECT t1, t2 FROM (
+            SELECT a.trace_id AS t1, b.trace_id AS t2, a.hops + b.hops AS plen
+            FROM minreach a JOIN minreach b ON a.x = b.x AND a.trace_id < b.trace_id)
+          WHERE plen <= 3 GROUP BY t1, t2),
+        wanted AS (
+          SELECT t2 AS trace_id FROM rel WHERE t1 = 'tr-2'
+          UNION SELECT t1 FROM rel WHERE t2 = 'tr-2'
+          UNION SELECT 'tr-2')
+        SELECT trace_id,
+               string_agg(span_id, ',' ORDER BY timestamp, span_id) AS sequence,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM parsed
+        WHERE unit_id = 'u-2' AND trace_id IN (SELECT trace_id FROM wanted)
+        GROUP BY trace_id
         """
     )
     sq["orders_priority"] = """

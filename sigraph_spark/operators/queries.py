@@ -185,3 +185,49 @@ def traces_listing(traces: DataFrame, unit_id: str, min_span_count: int = 2) -> 
         traces.filter((F.col("unit_id") == unit_id) & (F.col("span_count") >= min_span_count))
         .orderBy("start_time", "trace_id")
     )
+
+
+def drift_sequences(
+    events_parsed: DataFrame,
+    traces: DataFrame,
+    trace_contains: DataFrame,
+    edges: DataFrame,
+    unit_id: str,
+    trace_id: str,
+    max_hop: int = 3,
+) -> DataFrame:
+    """Drift sequence assembly (reference D7, ``v1/api.py:177-208``): the
+    ordered span sequence of a trace UNION the sequences of every trace
+    connected to it within ``max_hop`` graph hops (same unit), re-sorted.
+
+    One BFS (shared with ``related_traces``) + one semi-join + one keyed
+    aggregation; the per-trace sequence is a sorted struct collect.
+    """
+    rel = related_traces(traces, trace_contains, edges, unit_id, max_hop)
+    related = (
+        rel.filter(F.col("t1") == trace_id).select(F.col("t2").alias("trace_id"))
+        .unionByName(
+            rel.filter(F.col("t2") == trace_id).select(F.col("t1").alias("trace_id"))
+        )
+        .unionByName(
+            events_parsed.sparkSession.createDataFrame(
+                [(trace_id,)], "trace_id string"
+            )
+        )
+        .distinct()
+    )
+    return (
+        events_parsed.filter(F.col("unit_id") == unit_id)
+        .join(F.broadcast(related), "trace_id", "left_semi")
+        .groupBy("trace_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("timestamp", "span_id"))),
+                    lambda s: s["span_id"],
+                ),
+                ",",
+            ).alias("sequence"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )

@@ -202,3 +202,18 @@ def apply_rules(
         docs.select(F.col(id_col), F.array(*hit_cols).alias("_hits"))
         .select(id_col, F.explode(F.filter(F.col("_hits"), lambda x: x.isNotNull())).alias("rule_id"))
     )
+
+
+def parse_rules_yaml(texts: list[str]) -> list[dict]:
+    """Parse Sigma YAML rule file contents (reference upload path,
+    ``/root/reference/src/app/backend/v1/api.py:296-312`` /
+    ``src/rule/session.py:62-81``). Multi-document files supported;
+    driver-side (rule files are tiny)."""
+    import yaml
+
+    rules: list[dict] = []
+    for text in texts:
+        for doc in yaml.safe_load_all(text):
+            if doc and "detection" in doc:
+                rules.append(doc)
+    return rules
