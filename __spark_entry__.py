@@ -343,7 +343,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check (xxhash64 is Spark-specific)."""
     from sigraph_spark.operators.dedup import simhash_candidates
 
-    return simhash_candidates(_docs(spark, sf_dir), max_hamming=8)
+    return simhash_candidates(_docs(spark, sf_dir), max_hamming=3)
 
 
 # --- similarity search ------------------------------------------------------

@@ -116,7 +116,7 @@ def main() -> None:
 
     docs_tbl = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     timed("dedup_minhash", lambda: minhash_dedup(docs_tbl).count())
-    timed("dedup_simhash", lambda: simhash_candidates(docs_tbl, max_hamming=8).count())
+    timed("dedup_simhash", lambda: simhash_candidates(docs_tbl, max_hamming=3).count())
 
     # --- ANN top-k --------------------------------------------------------------
     from sigraph_spark.operators.similarity import brute_force_topk, lsh_topk
