@@ -54,10 +54,19 @@ def main() -> None:
     )
     warm.select(F.sum(F.length("t"))).collect()
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
     def timed(name: str, fn):
-        t0 = time.monotonic()
-        out = fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+        # the sandbox host shows 2-3x run-to-run noise: keep the per-stage
+        # MIN over `reps` repetitions (the least-noise estimate)
+        best_t, out = None, None
+        for _ in range(reps):
+            t0 = time.monotonic()
+            out = fn()
+            dt = time.monotonic() - t0
+            if best_t is None or dt < best_t:
+                best_t = dt
+        timings[name] = round(best_t, 3)
         return out
 
     # --- headline: full KG pipeline over synthetic pages ---------------------

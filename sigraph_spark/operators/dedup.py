@@ -111,6 +111,47 @@ def lsh_band_keys(sig: Column, bands: int = 16, rows: int = 4) -> Column:
     )
 
 
+def _minhash_batch_factory(k: int, num_hashes: int):
+    """Arrow-batched MinHash signatures, numpy-vectorized, computing the
+    EXACT same family as ``minhash_signature`` (crc32 shingles,
+    ``(a_i*h+b_i) mod p``, a_i=2i+1, b_i=i*i+1) — the two formulations are
+    bit-identical (pinned by tests/test_dedup.py). The pure-Column form's
+    64-wide zip_with tree exceeds janino's 64KB method limit and drops to
+    interpreted eval; the numpy kernel is one (shingles x 64) outer op."""
+    import zlib
+
+    import numpy as np
+
+    A = np.arange(num_hashes, dtype=np.uint64) * 2 + 1
+    B = np.arange(num_hashes, dtype=np.uint64) ** 2 + 1
+    P = np.uint64(MERSENNE_P)
+
+    def batch(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            words = (t or "").lower().strip().split()
+            if len(words) < k:
+                shingles = {" ".join(words)}
+            else:
+                shingles = {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
+            hs = np.fromiter(
+                (zlib.crc32(s.encode()) for s in shingles),
+                dtype=np.uint64, count=len(shingles),
+            )
+            if len(hs) == 0:
+                out.append([MERSENNE_P] * num_hashes)
+                continue
+            sig = ((hs[:, None] * A[None, :] + B[None, :]) % P).min(axis=0)
+            out.append(sig.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return batch
+
+
+def minhash_signature_udf(k: int = 3, num_hashes: int = 64):
+    return F.pandas_udf(_minhash_batch_factory(k, num_hashes), "array<long>")
+
+
 def minhash_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -122,13 +163,14 @@ def minhash_candidates(
 ) -> DataFrame:
     """MinHash-LSH candidate near-duplicate pairs (a < b by id).
 
-    Plan shape: narrow signature pass -> explode band keys -> self-join on
-    band key (shuffle on uniform hash keys) -> pair dedup.
+    Plan shape: narrow signature pass (Arrow numpy kernel) -> explode band
+    keys -> self-join on band key (shuffle on uniform hash keys) -> pair
+    dedup.
     """
     assert bands * rows <= num_hashes
     sig = docs.select(
         F.col(id_col).alias("id"),
-        minhash_signature(shingle_hashes(F.col(text_col), k), num_hashes).alias("sig"),
+        minhash_signature_udf(k, num_hashes)(F.col(text_col)).alias("sig"),
     )
     banded = sig.select("id", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk"))
     a = banded.select(F.col("bk"), F.col("id").alias("a"))

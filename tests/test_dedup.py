@@ -65,3 +65,31 @@ def test_dedup_deterministic_across_partitionings(spark):
     a = sorted(map(tuple, minhash_candidates(docs.repartition(1)).collect()))
     b = sorted(map(tuple, minhash_candidates(docs.repartition(7)).collect()))
     assert a == b
+
+
+def test_minhash_udf_matches_column_formulation(spark):
+    """The numpy kernel and the pure-Column expression compute the SAME
+    signature family bit-for-bit (crc32 shingles, (a*h+b) mod p)."""
+    from pyspark.sql import functions as F
+
+    from sigraph_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signature_udf,
+        shingle_hashes,
+    )
+
+    docs = _docs(spark)
+    a = {
+        r["doc_id"]: list(r["s"])
+        for r in docs.select(
+            "doc_id",
+            minhash_signature(shingle_hashes(F.col("text"), 3), 64).alias("s"),
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: list(r["s"])
+        for r in docs.select(
+            "doc_id", minhash_signature_udf(3, 64)(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert a == b
