@@ -43,6 +43,18 @@ _ARTIFACT_FMT = "[artifact_name]@[artifact_type]"
 _ACTOR_FMT = "[artifact_name]@[artifact_type]@[action_type]@[actor_type]"
 
 
+def _let(value: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``value`` ONCE per row
+    and reference it many times via a lambda variable.
+
+    Catalyst's CollapseProject re-inlines intermediate projections, so a
+    naive formulation of the parser re-evaluates ``split(c, '@')`` once per
+    reference (dozens per row — measured 5x slowdown on the parse stage).
+    ``transform`` over a single-element array introduces a named lambda
+    variable, which IS evaluated once and shared."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def _empty_or_missing_at(c: Column) -> Column:
     """Shared SystemProvenance constructor checks (type.py:125-132)."""
     return (
@@ -51,15 +63,8 @@ def _empty_or_missing_at(c: Column) -> Column:
     )
 
 
-def parse_artifact(c: Column) -> Column:
-    """``name@TYPE`` -> struct(name, artifact_type, error).
-
-    Mirrors ``ArtifactExtension.from_systemprovenance``
-    (type_extension.py:148-182): type = last ``@`` token (rightmost
-    binding), name = join of the rest; empty type token and unknown enum
-    values are errors.
-    """
-    toks = F.split(c, "@")
+def _artifact_from_toks(c: Column, toks: Column) -> Column:
+    """Artifact struct given the (already-bound) token array."""
     type_tok = F.element_at(toks, -1)
     name = F.concat_ws("@", F.slice(toks, 1, F.size(toks) - 1))
     error = (
@@ -76,6 +81,17 @@ def parse_artifact(c: Column) -> Column:
     )
 
 
+def parse_artifact(c: Column) -> Column:
+    """``name@TYPE`` -> struct(name, artifact_type, error).
+
+    Mirrors ``ArtifactExtension.from_systemprovenance``
+    (type_extension.py:148-182): type = last ``@`` token (rightmost
+    binding), name = join of the rest; empty type token and unknown enum
+    values are errors.
+    """
+    return _let(F.split(c, "@"), lambda toks: _artifact_from_toks(c, toks))
+
+
 def parse_actor(c: Column) -> Column:
     """``name@TYPE@ACTION@ACTOR`` -> struct(name, artifact_type, action,
     actor_type, artifact, error).
@@ -85,33 +101,44 @@ def parse_actor(c: Column) -> Column:
     action/actor-direction; the prefix re-parses as an artifact. ``artifact``
     is the rendered ``name@TYPE`` node key (type.py:170-172).
     """
-    toks = F.split(c, "@")
-    n = F.size(toks)
-    action_tok = F.element_at(toks, -2)
-    actor_tok = F.element_at(toks, -1)
-    prefix = F.concat_ws("@", F.slice(toks, 1, n - 2))
-    art = parse_artifact(prefix)
-    error = (
-        _empty_or_missing_at(c)
-        .when(n < 4, F.lit("Data is not in the expected format: " + _ACTOR_FMT))
-        .when(
-            (action_tok == "") | (actor_tok == ""),
-            F.lit("Data contains empty tokens: " + _ACTOR_FMT),
-        )
-        .when(art["error"].isNotNull(), art["error"])
-        .when(~action_tok.isin(*ACTION_TYPES), F.lit("invalid action type"))
-        .when(~actor_tok.isin(*ACTOR_TYPES), F.lit("invalid actor type"))
-        .otherwise(F.lit(None))
-    )
-    ok = error.isNull()
-    return F.struct(
-        F.when(ok, art["name"]).alias("name"),
-        F.when(ok, art["artifact_type"]).alias("artifact_type"),
-        F.when(ok, action_tok).alias("action"),
-        F.when(ok, actor_tok).alias("actor_type"),
-        F.when(ok, F.concat_ws("@", art["name"], art["artifact_type"])).alias("artifact"),
-        error.alias("error"),
-    )
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        action_tok = F.element_at(toks, -2)
+        actor_tok = F.element_at(toks, -1)
+        # the artifact prefix re-parses from the SAME bound token array —
+        # no re-split (prefix toks = all but the last two). Clamp: the
+        # lambda binding evaluates eagerly (no CASE-WHEN laziness), and a
+        # negative slice length raises under ANSI; n<4 rows error out via
+        # the format check below regardless of the clamped value.
+        prefix_toks = F.slice(toks, 1, F.greatest(n - 2, F.lit(0)))
+        prefix_str = F.concat_ws("@", prefix_toks)
+
+        def with_art(art: Column) -> Column:
+            error = (
+                _empty_or_missing_at(c)
+                .when(n < 4, F.lit("Data is not in the expected format: " + _ACTOR_FMT))
+                .when(
+                    (action_tok == "") | (actor_tok == ""),
+                    F.lit("Data contains empty tokens: " + _ACTOR_FMT),
+                )
+                .when(art["error"].isNotNull(), art["error"])
+                .when(~action_tok.isin(*ACTION_TYPES), F.lit("invalid action type"))
+                .when(~actor_tok.isin(*ACTOR_TYPES), F.lit("invalid actor type"))
+                .otherwise(F.lit(None))
+            )
+            ok = error.isNull()
+            return F.struct(
+                F.when(ok, art["name"]).alias("name"),
+                F.when(ok, art["artifact_type"]).alias("artifact_type"),
+                F.when(ok, action_tok).alias("action"),
+                F.when(ok, actor_tok).alias("actor_type"),
+                F.when(ok, F.concat_ws("@", art["name"], art["artifact_type"])).alias("artifact"),
+                error.alias("error"),
+            )
+
+        return _let(_artifact_from_toks(prefix_str, prefix_toks), with_art)
+
+    return _let(F.split(c, "@"), body)
 
 
 def parse_parent_artifact(c: Column) -> Column:
@@ -123,18 +150,25 @@ def parse_parent_artifact(c: Column) -> Column:
     token ``b`` (usually the type). Parent names containing ``@`` are
     truncated; quirk preserved deliberately (SURVEY.md §1.3-4).
     """
-    toks = F.split(c, "@")
-    first_two = F.concat_ws("@", F.slice(toks, 1, 2))
-    art = parse_artifact(first_two)
-    error = (
-        _empty_or_missing_at(c)
-        .when(art["error"].isNotNull(), art["error"])
-        .otherwise(F.lit(None))
-    )
-    ok = error.isNull()
-    return F.struct(
-        F.when(ok, art["name"]).alias("name"),
-        F.when(ok, art["artifact_type"]).alias("artifact_type"),
-        F.when(ok, F.concat_ws("@", art["name"], art["artifact_type"])).alias("artifact"),
-        error.alias("error"),
-    )
+    def body(toks: Column) -> Column:
+        first_two = F.slice(toks, 1, 2)
+
+        def with_art(art: Column) -> Column:
+            error = (
+                _empty_or_missing_at(c)
+                .when(art["error"].isNotNull(), art["error"])
+                .otherwise(F.lit(None))
+            )
+            ok = error.isNull()
+            return F.struct(
+                F.when(ok, art["name"]).alias("name"),
+                F.when(ok, art["artifact_type"]).alias("artifact_type"),
+                F.when(ok, F.concat_ws("@", art["name"], art["artifact_type"])).alias("artifact"),
+                error.alias("error"),
+            )
+
+        return _let(
+            _artifact_from_toks(F.concat_ws("@", first_two), first_two), with_art
+        )
+
+    return _let(F.split(c, "@"), body)
