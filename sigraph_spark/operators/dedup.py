@@ -18,10 +18,13 @@ Five families, all first-class at 100 TB (driver brief):
   bucketed variants).
 
 Scale notes:
-* signatures/buckets are computed in one narrow pass (no Python, no UDF);
-* the only shuffles are the band-bucket groupBys and the final pair
-  dedup — both keyed on short strings with near-uniform distribution
-  (hash buckets), so no head-key skew by construction;
+* signatures are one narrow pass: Arrow-batched numpy kernels (the
+  pure-Column formulations are kept for the oracle-portable pieces, but a
+  64-slot expression tree exceeds janino's 64KB method limit and falls
+  back to interpreted eval — measured ~10x slower);
+* the only shuffles are the band-bucket self-joins — keyed on
+  near-uniform hash buckets, so no head-key skew by construction; SimHash
+  pair dedup is a per-row first-matching-band filter, not a distinct();
 * bucket-join pair generation caps per-bucket fanout: a bucket of b docs
   yields b*(b-1)/2 pairs — monitor via ``bucket_histogram`` and raise
   bands/rows when buckets saturate (logged, not silently truncated).
@@ -260,58 +263,13 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(c: Column, k: int = 3) -> Column:
-    """64-bit SimHash over k-word shingles.
-
-    Per bit j: sum over shingles of (+1 if bit j of xxhash64(shingle) else
-    -1); bit j of the result = (sum > 0). Implemented as 64 aggregate
-    expressions over the shingle array — heavy-looking but all codegen'd,
-    single pass, no shuffle. (xxhash64 is fine here: SimHash needs no
-    cross-engine oracle — its pair-generation is verified via Hamming
-    distance in-engine.)
-    """
-    hs = F.transform(_word_shingles(c, k), lambda s: F.xxhash64(s))
-    bit_idx = F.array(*[F.lit(j) for j in range(64)])
-    # one pass: per shingle, +-1 vote for each of the 64 bit positions
-    votes = F.aggregate(
-        hs,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
-                bit_idx,
-                lambda j: F.when(F.getbit(h, j) == 1, F.lit(1))
-                .otherwise(F.lit(-1)).cast("long"),
-            ),
-            lambda x, y: x + y,
-        ),
-    )
-    # fold votes -> bits; positive-vote bit j contributes 2^j (the j=63
-    # power is the long min value — each power appears at most once, so the
-    # bitwise OR fold never overflows, ANSI-safe)
-    pow2 = F.array(
-        *[F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long") for j in range(64)]
-    )
-    return F.aggregate(
-        F.zip_with(
-            votes, pow2,
-            lambda v, p2: F.when(v > 0, p2).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
-
-
 def _simhash_batch(texts: pd.Series) -> pd.Series:
-    """Arrow-batched SimHash signatures, numpy-vectorized.
-
-    The pure-Column formulation (``simhash64``) is semantically identical
-    but its 64-bit vote tree exceeds janino's 64KB method limit, so
-    whole-stage codegen falls back to interpreted eval (~10x slower). Here
-    the votes are one ``unpackbits`` + column-sum per doc. Hash = blake2b
-    8-byte digest per shingle (any stable 64-bit hash works — SimHash
-    signatures never cross engines).
-    """
+    """Arrow-batched SimHash signatures, numpy-vectorized: votes are one
+    ``unpackbits`` + column-sum per doc. Hash = blake2b 8-byte digest per
+    shingle (any stable 64-bit hash works — SimHash signatures never cross
+    engines). A pure-Column formulation exists but its 64-bit vote tree
+    exceeds janino's 64KB method limit and drops whole-stage codegen to
+    interpreted eval (~10x slower)."""
     import hashlib
 
     import numpy as np

@@ -539,6 +539,11 @@ SENTENCE_BANK: tuple[GoldenSentence, ...] = (
     ),
     GoldenSentence(
         "verb-map",
+        "TunnelRAT moved C:\\staging\\out.dat to E:\\exfil\\out.dat quietly.",
+        (("TunnelRAT", "move", "C:\\staging\\out.dat to E:\\exfil\\out.dat quietly"),),
+    ),
+    GoldenSentence(
+        "verb-map",
         "ArchiveRAT decompressed C:\\tmp\\pack.gz into C:\\tmp\\tools. ArchiveRAT persisted via HKLM Run key Updater2.",
         (
             ("ArchiveRAT", "decompress", "C:\\tmp\\pack.gz into C:\\tmp\\tools"),
