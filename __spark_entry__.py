@@ -598,6 +598,19 @@ def q_drift_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: IVF ANN (k-means coarse quantizer + 2-probe search)."""
+    from sigraph_spark.operators.similarity import ivf_index, ivf_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tagged, centroids = ivf_index(e, k=8)
+    return ivf_topk(tagged, centroids, q, k=10, n_probe=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "provenance_parse": q_provenance_parse,
@@ -638,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unit_flush": q_unit_flush,
         "provenance_export": q_provenance_export,
         "drift_sequences": q_drift_sequences,
+        "ivf_topk": q_ivf_topk,
     }
 
 

@@ -91,3 +91,35 @@ def test_parquet_column_pruning(spark, tmp_path):
     physical = df._jdf.queryExecution().executedPlan().toString()
     assert "fat" not in physical  # pruned
     assert "PushedFilters: [" in physical or "PushedFilters" in physical
+
+
+def test_crash_mid_stage_recovers(spark, tmp_path):
+    """A stale .tmp dir from a killed run must not poison the next run,
+    and a missing/mismatched manifest always recomputes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "stage")
+    # simulate a crash: partial tmp dir left behind, no final output
+    os.makedirs(out + ".tmp/data", exist_ok=True)
+    with open(out + ".tmp/data/garbage", "w") as f:
+        f.write("partial write from a killed attempt")
+
+    df = run_stage(
+        spark, "s", out,
+        lambda: spark.range(7).select(F.col("id")),
+        input_fingerprint="fp",
+    )
+    assert df.count() == 7
+    m = read_manifest(out)
+    assert m["rows"] == 7
+    # a second crash AFTER output exists: tmp dir reappears; resume path
+    # must still serve the committed output untouched
+    os.makedirs(out + ".tmp", exist_ok=True)
+    df2 = run_stage(
+        spark, "s", out,
+        lambda: (_ for _ in ()).throw(AssertionError("must not recompute")),
+        input_fingerprint="fp",
+    )
+    assert df2.count() == 7

@@ -76,3 +76,22 @@ def test_lsh_buckets_deterministic(spark):
     a = sorted(map(tuple, lsh_topk(vecs, q, dim=8, k=3, bits=4).collect()))
     b = sorted(map(tuple, lsh_topk(vecs.repartition(5), q, dim=8, k=3, bits=4).collect()))
     assert a == b
+
+
+def test_ivf_topk_recall(spark):
+    from sigraph_spark.operators.similarity import ivf_index, ivf_topk
+
+    vecs = _vectors(spark, n=128)
+    q = vecs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tagged, centroids = ivf_index(vecs, k=4)
+    assert len(centroids) == 4 and len(centroids[0]) == 8
+    exact = brute_force_topk(vecs, q, k=5)
+    approx = ivf_topk(tagged, centroids, q, k=5, n_probe=2)
+    rec = topk_recall(exact, approx).agg(F.avg("recall")).collect()[0][0]
+    # 4 natural clusters, 4 centroids, 2 probes: high recall expected
+    assert rec >= 0.8, rec
+    self_hits = {r["query_id"]: r["vec_id"]
+                 for r in approx.filter(F.col("rank") == 1).collect()}
+    assert self_hits == {0: 0, 1: 1, 2: 2, 3: 3}
