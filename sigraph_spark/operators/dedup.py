@@ -4,10 +4,12 @@ Five families, all first-class at 100 TB (driver brief):
 
 * **exact**        — content-hash groupBy; keeps the min-id representative.
 * **MinHash+LSH**  — shingle -> minhash signature -> band buckets ->
-  bucket-join candidate pairs. The hash family is explicit modular
-  arithmetic (``(a*h + b) mod p``) over ``crc32``-based shingle hashes, so
-  the identical computation is expressible in DuckDB SQL for the oracle —
-  no dependence on Spark ML internals.
+  bucket-join candidate pairs. The hash family is explicit, documented
+  modular arithmetic (``(a*h + b) mod p`` over crc32 shingle hashes) with
+  no dependence on Spark ML internals — the Column and numpy formulations
+  are proven bit-identical by test (DuckDB lacks crc32, so the driver gate
+  records this family rows-only; the downstream Jaccard verify IS
+  oracle-checked in integer form).
 * **SimHash**      — 64-bit sign-aggregated shingle hash; near-dups =
   Hamming distance <= k, found via 4-way band blocking (pigeonhole: any
   pair within Hamming<=3 shares at least one of 4 16-bit bands).
