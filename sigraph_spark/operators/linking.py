@@ -120,7 +120,6 @@ def tfidf_cosine_scores(
     """TF-IDF cosine over char-3-gram shingle counts for the LSH-pruned
     pairs. Returns (a, b, cosine)."""
     from pyspark.ml.feature import IDF, HashingTF, Normalizer
-    from pyspark.ml.functions import vector_to_array
 
     sh = entities.select("entity", char_shingles(F.col("entity")).alias("shingles"))
     tf = HashingTF(inputCol="shingles", outputCol="tf", numFeatures=num_features)
