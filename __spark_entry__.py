@@ -948,9 +948,16 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
           FROM documents WHERE doc_id % 10 = 0),
         sh AS (
-          SELECT DISTINCT doc_id,
-                 w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2] AS s
-          FROM d, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i)),
+          -- docs with <3 words use the whole text as the single shingle,
+          -- matching Spark's _word_shingles short-input fallback (a 2-word
+          -- doc must not produce a NULL out-of-range shingle)
+          SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+                        ELSE w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+                             || ' ' || w[CAST(i AS INT) + 2] END AS s
+            FROM d, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i))
+          WHERE s IS NOT NULL),
         cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
         inter AS (
           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i

@@ -211,11 +211,21 @@ def link_entities(
     )
 
 
-def canonicalize_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+def canonicalize_triples(
+    triples: DataFrame,
+    mapping: DataFrame,
+    broadcast_max_rows: int | None = None,
+) -> DataFrame:
     """Rewrite triples onto canonical entity ids (provenance columns kept).
 
-    Two equi-joins against the (small) mapping — broadcast both; the triple
-    side never shuffles.
+    Two equi-joins against the mapping. The mapping is the DISTINCT ENTITY
+    VOCABULARY — at web scale (10^12 docs) that is billions of rows, so a
+    forced ``F.broadcast`` would OOM the driver. Default: NO hint — AQE
+    picks broadcast at runtime when the built side is actually small, and
+    falls back to a shuffled hash join otherwise (both sides shuffle on the
+    same entity key, so the two joins reuse one exchange of the mapping).
+    Pass ``broadcast_max_rows`` to opt in to a size-guarded explicit hint
+    (one cheap count against a known-tiny vocabulary).
     """
     m_actor = mapping.select(
         F.col("entity").alias("_na"), F.col("canonical_id").alias("subj")
@@ -223,11 +233,15 @@ def canonicalize_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
     m_obj = mapping.select(
         F.col("entity").alias("_no"), F.col("canonical_id").alias("obj")
     )
+    if broadcast_max_rows is not None and (
+        mapping.limit(broadcast_max_rows + 1).count() <= broadcast_max_rows
+    ):
+        m_actor, m_obj = F.broadcast(m_actor), F.broadcast(m_obj)
     return (
         triples.withColumn("_na", normalize_entity(F.col("actor")))
         .withColumn("_no", normalize_entity(F.col("object")))
-        .join(F.broadcast(m_actor), "_na", "left")
-        .join(F.broadcast(m_obj), "_no", "left")
+        .join(m_actor, "_na", "left")
+        .join(m_obj, "_no", "left")
         .withColumn("subj", F.coalesce("subj", "_na"))
         .withColumn("obj", F.coalesce("obj", "_no"))
         .drop("_na", "_no")

@@ -345,10 +345,20 @@ def extract_triples_udf():
 
 def triples_from_docs(docs: DataFrame, text_col: str = "text", id_col: str = "url") -> DataFrame:
     """docs(text) -> exploded triple rows with provenance (I9): one row per
-    (url, step, actor, verb, object, context)."""
+    (url, step, actor, verb, object, context).
+
+    ``explode_outer`` + null-filter instead of plain ``explode``: the inner
+    explode makes the optimizer infer a ``size(_triples) > 0`` pre-filter
+    below the Generate, and that filter re-evaluates the whole UDF chain —
+    when composed over an unmaterialized upstream UDF (strip_html), every
+    row paid extraction TWICE (two ArrowEvalPython nodes computing the same
+    chain; VERDICT r1 wrong-item 3). The outer form infers no filter; the
+    post-explode null-filter is a cheap struct check on the exploded rows.
+    """
     return (
         docs.select(id_col, extract_triples_udf()(F.col(text_col)).alias("_triples"))
-        .select(id_col, F.explode("_triples").alias("t"))
+        .select(id_col, F.explode_outer("_triples").alias("t"))
+        .filter(F.col("t").isNotNull())
         .select(
             id_col,
             F.col("t.step").alias("step"),

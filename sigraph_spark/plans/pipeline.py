@@ -155,11 +155,20 @@ def run_pipeline(
     edges, adjacency}. Each stage resumes from its manifest; pass the
     upstream snapshot/run id as ``input_fingerprint`` to key the cache
     (defaults to fingerprinting the pages table — one extra pass).
+
+    Fingerprints CHAIN stage-to-stage: each downstream stage is keyed on
+    its actual upstream manifests' ``output_fingerprint`` (plus a stage
+    code-version tag), not the pipeline input — so a rebuilt/edited s1
+    output invalidates s2-s4 even when the pages table is unchanged.
     """
     from sigraph_spark.operators.extract import extract_pages
     from sigraph_spark.operators.linking import canonicalize_triples, link_entities
     from sigraph_spark.operators.skew import salted_adjacency
     from sigraph_spark.operators.triples import triples_from_docs
+
+    def out_fp(stage_dir: str) -> str:
+        m = read_manifest(os.path.join(workdir, stage_dir))
+        return m["output_fingerprint"] if m else "missing"
 
     fp = input_fingerprint or table_fingerprint(
         pages.select("url", "warc_ts", "lang")
@@ -167,18 +176,21 @@ def run_pipeline(
     docs = run_stage(
         spark, "s1_extract", os.path.join(workdir, "s1_docs"),
         lambda: extract_pages(pages).select("url", "warc_ts", "text", "text_sha256"),
-        fp,
+        fp + ":s1v1",
     )
+    fp_s1 = out_fp("s1_docs")
     triples = run_stage(
         spark, "s2_triples", os.path.join(workdir, "s2_triples"),
         lambda: triples_from_docs(docs),
-        fp,
+        fp_s1 + ":s2v1",
     )
+    fp_s2 = out_fp("s2_triples")
     mapping = run_stage(
         spark, "s3_mapping", os.path.join(workdir, "s3_mapping"),
         lambda: link_entities(triples),
-        fp,
+        fp_s2 + ":s3v1",
     )
+    fp_s3 = out_fp("s3_mapping")
     def build_edges() -> DataFrame:
         canon = canonicalize_triples(triples, mapping)
         joined = canon.join(docs.select("url", "warc_ts"), "url")
@@ -200,7 +212,8 @@ def run_pipeline(
             )
         )
     edges = run_stage(
-        spark, "s4_edges", os.path.join(workdir, "s4_edges"), build_edges, fp
+        spark, "s4_edges", os.path.join(workdir, "s4_edges"), build_edges,
+        fp_s1 + ":" + fp_s2 + ":" + fp_s3 + ":s4v1",
     )
     adjacency = run_stage(
         spark, "s4_adjacency", os.path.join(workdir, "s4_adjacency"),
@@ -210,7 +223,7 @@ def run_pipeline(
                 F.col("obj").alias("dst"), "start_time", "weight",
             )
         ),
-        fp,
+        out_fp("s4_edges") + ":s4adjv1",
     )
     return {
         "docs": docs,

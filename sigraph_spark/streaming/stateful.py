@@ -56,6 +56,14 @@ def _make_update_fn(evict_ms: int):
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # ProcessingTimeTimeout fired: the key is invoked with no data.
+            # Evict for real — drop the state and emit nothing. Re-arming the
+            # timeout or emitting here would keep the key alive forever and
+            # grow state unboundedly in continuous deployments; an aged-out
+            # entity re-hydrates from the batch tables on its next touch.
+            state.remove()
+            return
         degree, weight_sum, first_seen, last_seen = (
             state.get if state.exists else (0, 0, None, None)
         )

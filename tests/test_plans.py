@@ -60,8 +60,38 @@ def test_full_pipeline_runs_and_resumes(spark, tmp_path):
     # resume: all manifests match -> same results, instant
     out2 = run_pipeline(spark, pages, wd, input_fingerprint="run-1")
     assert out2["edges"].count() == n_edges
-    m = read_manifest(os.path.join(wd, "s4_edges"))
-    assert m["input_fingerprint"] == "run-1"
+    # fingerprints CHAIN: each stage is keyed on its upstreams' outputs
+    m1 = read_manifest(os.path.join(wd, "s1_docs"))
+    m2 = read_manifest(os.path.join(wd, "s2_triples"))
+    m3 = read_manifest(os.path.join(wd, "s3_mapping"))
+    m4 = read_manifest(os.path.join(wd, "s4_edges"))
+    assert m1["input_fingerprint"] == "run-1:s1v1"
+    assert m2["input_fingerprint"] == m1["output_fingerprint"] + ":s2v1"
+    assert m4["input_fingerprint"] == ":".join(
+        [m1["output_fingerprint"], m2["output_fingerprint"], m3["output_fingerprint"]]
+    ) + ":s4v1"
+
+
+def test_changed_upstream_output_invalidates_downstream(spark, tmp_path):
+    """A rebuilt s1 output (same pipeline input) must recompute s2-s4 —
+    the chained-fingerprint guarantee (ADVICE r1)."""
+    import json
+
+    from sigraph_spark.corpus import gen_pages
+
+    pages = gen_pages(spark, sf=0.001)
+    wd = str(tmp_path / "wd")
+    run_pipeline(spark, pages, wd, input_fingerprint="run-1")
+    m2_before = read_manifest(os.path.join(wd, "s2_triples"))
+    # simulate an out-of-band s1 rebuild: its output fingerprint changes
+    m1_path = os.path.join(wd, "s1_docs", "_manifest.json")
+    m1 = json.load(open(m1_path))
+    m1["output_fingerprint"] = "tampered:123"
+    json.dump(m1, open(m1_path, "w"))
+    run_pipeline(spark, pages, wd, input_fingerprint="run-1")
+    m2_after = read_manifest(os.path.join(wd, "s2_triples"))
+    assert m2_after["input_fingerprint"] == "tampered:123:s2v1"
+    assert m2_after["input_fingerprint"] != m2_before["input_fingerprint"]
 
 
 def test_no_python_row_udfs_in_hot_paths(spark):
@@ -78,6 +108,23 @@ def test_no_python_row_udfs_in_hot_paths(spark):
     good, _ = parse_events(sigraph_events(ev))
     plan = build_edges(good)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_single_udf_evaluation_in_composed_extraction(spark):
+    """triples_from_docs composed over an unmaterialized strip_html upstream
+    must evaluate each pandas UDF exactly ONCE: the plain-explode form let
+    the optimizer infer a size()>0 filter that duplicated the whole
+    strip+extract chain into a second ArrowEvalPython (VERDICT r1 item 3)."""
+    from sigraph_spark.corpus import gen_pages
+    from sigraph_spark.operators.extract import extract_pages
+    from sigraph_spark.operators.triples import triples_from_docs
+
+    pages = gen_pages(spark, sf=0.001)
+    docs = extract_pages(pages).select("url", "text")
+    plan = triples_from_docs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("_strip_html_batch") == 1
+    assert plan.count("_extract_triples_batch") == 1
 
 
 def test_parquet_column_pruning(spark, tmp_path):

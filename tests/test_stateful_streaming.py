@@ -52,3 +52,65 @@ def test_running_entity_stats_accumulates(spark, tmp_path):
     }
     assert final["a"] == (3, 12)
     assert final["b"] == (2, 6)
+
+
+class _FakeState:
+    """Duck-typed GroupState for unit-testing the update closure (driving a
+    real ProcessingTimeTimeout needs a continuous trigger that never
+    terminates under availableNow)."""
+
+    def __init__(self, value=None, has_timed_out=False):
+        self._value = value
+        self.hasTimedOut = has_timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self.removed = True
+        self._value = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_timeout_evicts_state_and_emits_nothing():
+    """When ProcessingTimeTimeout fires (empty invocation), the key's state
+    must be REMOVED and no stale output row emitted — otherwise eviction
+    never happens and state grows unboundedly (ADVICE r1)."""
+    from sigraph_spark.streaming.stateful import _make_update_fn
+
+    update = _make_update_fn(evict_ms=1000)
+    state = _FakeState(value=(3, 7, None, None), has_timed_out=True)
+    out = list(update(("a",), iter([]), state))
+    assert out == []
+    assert state.removed
+    assert state.timeout_set is None  # must not re-arm the timeout
+
+
+def test_data_invocation_updates_and_arms_timeout():
+    import pandas as pd
+
+    from sigraph_spark.streaming.stateful import _make_update_fn
+
+    update = _make_update_fn(evict_ms=1000)
+    state = _FakeState()
+    pdf = pd.DataFrame({
+        "src": ["a", "a"],
+        "start_time": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+        "weight": [2, 3],
+    })
+    out = list(update(("a",), iter([pdf]), state))
+    assert len(out) == 1 and int(out[0]["degree"].iloc[0]) == 2
+    assert state.get[1] == 5
+    assert state.timeout_set == 1000
