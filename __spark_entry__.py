@@ -476,43 +476,58 @@ def q_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- pandas-UDF / pipeline stages (rows-only checks) -------------------------
 
 def q_triples_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (Arrow pandas-UDF extraction; goldens pinned in
-    tests/test_triples.py)."""
+    """HARD oracle (upgraded r2): the pages corpus selects golden-bank
+    sentences via an engine-portable hash (corpus.portable_hash), so the
+    exact expected (url, step, actor, verb, object, context) relation is
+    reconstructable in DuckDB SQL — extraction order, per-doc IoC dedup,
+    and step renumbering included. Pinned sf=0.01 (10,000 pages) so the
+    oracle constant matches regardless of sf_dir."""
     from sigraph_spark.corpus import gen_pages
     from sigraph_spark.operators.extract import extract_pages
     from sigraph_spark.operators.triples import triples_from_docs
 
-    pages = gen_pages(spark, sf=min(_sf_of(sf_dir), 0.01))
+    pages = gen_pages(spark, sf=0.01)
     docs = extract_pages(pages).select("url", "text")
-    return triples_from_docs(docs)
+    return triples_from_docs(docs).select(
+        "url", F.col("step").cast("int").alias("step"),
+        "actor", "verb", "object", "context",
+    )
 
 
 def q_pipeline_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: full S1-S4 pipeline (extract -> triples -> link ->
-    canonical edge table) on the synthetic pages corpus."""
-    from sigraph_spark.corpus import gen_pages
+    """HARD oracle (upgraded r2): full S1-S4 pipeline (extract -> triples ->
+    link -> canonical edge table). The sf0.01 vocabulary has no near-dup
+    merges (verified by running link_entities over the full bank vocab), so
+    canonicalization == normalization in the oracle; last-writer timestamps
+    compare as integer second offsets from the corpus epoch to avoid
+    cross-engine timestamp stringification drift."""
+    from sigraph_spark.corpus import EPOCH, gen_pages
     from sigraph_spark.operators.extract import extract_pages
     from sigraph_spark.operators.linking import (
         canonicalize_triples, link_entities,
     )
     from sigraph_spark.operators.triples import triples_from_docs
 
-    pages = gen_pages(spark, sf=min(_sf_of(sf_dir), 0.01))
+    pages = gen_pages(spark, sf=0.01)
     docs = extract_pages(pages).select("url", "warc_ts", "text")
     triples = triples_from_docs(docs)
     mapping = link_entities(triples)
+    epoch_s = F.unix_timestamp(F.lit(EPOCH.isoformat()).cast("timestamp"))
     canon = canonicalize_triples(triples, mapping).join(
-        docs.select("url", "warc_ts"), "url"
+        docs.select(
+            "url", (F.unix_timestamp("warc_ts") - epoch_s).alias("start_off")
+        ),
+        "url",
     )
     return (
         canon.groupBy(F.col("subj"), F.col("verb").alias("predicate"), F.col("obj"))
         .agg(
-            F.max(F.struct("warc_ts", "url")).alias("_lw"),
+            F.max(F.struct("start_off", "url")).alias("_lw"),
             F.count(F.lit(1)).cast("long").alias("weight"),
         )
         .select(
             "subj", "predicate", "obj",
-            F.col("_lw.warc_ts").alias("start_time"),
+            F.col("_lw.start_off").cast("long").alias("start_off"),
             F.col("_lw.url").alias("provenance_url"),
             "weight",
         )
@@ -658,6 +673,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB)
 # ---------------------------------------------------------------------------
+
+def _pages_triples_cte(n_pages: int = 10_000) -> str:
+    """Reconstruct the synthetic pages corpus' expected triples in DuckDB:
+    portable-hash sentence selection (corpus.page_sentence_idxs_sql) joined
+    against the golden bank as VALUES, per-url first-instance dedup, step
+    renumbering — the relational restatement of extract_triples over
+    gen_pages (page-level parity pinned in tests/test_corpus.py)."""
+    from sigraph_spark.corpus import page_sentence_idxs_sql
+    from sigraph_spark.operators.triples import SENTENCE_BANK
+
+    frag = page_sentence_idxs_sql("i", "j")
+
+    def q(x: str) -> str:
+        return "'" + x.replace("'", "''") + "'"
+
+    vals = []
+    idx = 0
+    for s in SENTENCE_BANK:
+        if not s.page_safe:
+            continue
+        idx += 1
+        for t_ord, (a, v, o) in enumerate(s.expected):
+            ctx = "'in memory'" if v == "inject" else "CAST(NULL AS VARCHAR)"
+            vals.append(f"({idx}, {t_ord}, {q(a)}, {q(v)}, {q(o)}, {ctx})")
+    values = ",\n    ".join(vals)
+    return f"""
+pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, {n_pages})),
+sel AS (
+  SELECT i, CAST(j AS BIGINT) AS j, {frag['sent_idx']} AS sent_idx
+  FROM pg, UNNEST(range(0, {frag['n_sent']})) AS t(j)),
+golden(sent_idx, t_ord, actor, verb, object, context) AS (VALUES
+    {values}),
+tri AS (
+  SELECT i, j, t_ord, actor, verb, object, context
+  FROM sel JOIN golden USING (sent_idx)),
+firsts AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY i, actor, verb, object ORDER BY j, t_ord) AS rn
+    FROM tri) WHERE rn = 1),
+stepped AS (
+  SELECT 'https://example.org/report/' || CAST(i AS VARCHAR) AS url,
+         CAST(row_number() OVER (PARTITION BY i ORDER BY j, t_ord) AS INT) AS step,
+         actor, verb, object, context, i
+  FROM firsts)
+"""
+
 
 _EDGES_CTE = SEVENTS_CTE + """,
 edges0 AS (
@@ -1083,6 +1145,32 @@ def oracle_sql() -> dict[str, str]:
         FROM parsed
         WHERE unit_id = 'u-2' AND trace_id IN (SELECT trace_id FROM wanted)
         GROUP BY trace_id
+        """
+    )
+    sq["triples_extract"] = (
+        "WITH " + _pages_triples_cte()
+        + " SELECT url, step, actor, verb, object, context FROM stepped"
+    )
+    from sigraph_spark.corpus import portable_hash_sql
+    sq["pipeline_edges"] = (
+        "WITH " + _pages_triples_cte()
+        + f""",
+        norm AS (
+          SELECT i, url,
+                 replace(lower(trim(actor)), '[.]', '.') AS subj,
+                 verb AS predicate,
+                 replace(lower(trim(object)), '[.]', '.') AS obj,
+                 {portable_hash_sql('i', 14)} % 31536000 AS start_off
+          FROM stepped),
+        ranked AS (
+          SELECT subj, predicate, obj, start_off, url,
+                 row_number() OVER (PARTITION BY subj, predicate, obj
+                                    ORDER BY start_off DESC, url DESC) AS rn,
+                 count(*) OVER (PARTITION BY subj, predicate, obj) AS weight
+          FROM norm)
+        SELECT subj, predicate, obj, CAST(start_off AS BIGINT) AS start_off,
+               url AS provenance_url, CAST(weight AS BIGINT) AS weight
+        FROM ranked WHERE rn = 1
         """
     )
     sq["orders_priority"] = """

@@ -47,6 +47,35 @@ def pages_count(sf: float) -> int:
     return max(64, int(100_000 * sf / 0.1))
 
 
+# ---------------------------------------------------------------------------
+# Engine-portable row hash (pages corpus only)
+# ---------------------------------------------------------------------------
+# The pages generator must be reconstructable by the DuckDB oracle so the
+# triple-extraction gate queries can be HARD-oracled (expected triples per
+# url are a pure function of the row id). xxhash64 is Spark-specific, so
+# page-level randomness uses two Lehmer (minstd, a=48271 mod 2^31-1) rounds
+# over a salted linear seed — exact int64 arithmetic in BOTH engines (ANSI
+# overflow-safe: every product < 2^63). gen_events keeps xxhash64 (its
+# oracles read the same parquet, nothing re-derives it cross-engine).
+
+PORTABLE_M = 2147483647  # 2^31 - 1
+
+
+def portable_hash(i_col, salt: int):
+    """Column form: deterministic hash of (row id, salt) in [0, 2^31-1)."""
+    x = ((i_col % PORTABLE_M) * 1103515245 + (salt * 12345 + 12345)) % PORTABLE_M
+    x = (x * 48271) % PORTABLE_M
+    return (x * 48271) % PORTABLE_M
+
+
+def portable_hash_sql(expr: str, salt: int) -> str:
+    """The same function as DuckDB SQL text (kept adjacent for parity)."""
+    c = salt * 12345 + 12345
+    x0 = f"(((({expr}) % {PORTABLE_M}) * 1103515245 + {c}) % {PORTABLE_M})"
+    x1 = f"(({x0} * 48271) % {PORTABLE_M})"
+    return f"(({x1} * 48271) % {PORTABLE_M})"
+
+
 def gen_events(spark: SparkSession, sf: float = 0.001, parts: int | None = None) -> DataFrame:
     """Provenance events table (GraphNode schema, graph_model.py:29-41)."""
     n = events_count(sf)
@@ -153,12 +182,14 @@ def gen_events(spark: SparkSession, sf: float = 0.001, parts: int | None = None)
 def page_sentence_idxs(i_col: str = "i"):
     """1-based indexes into the page-safe sentence bank for page ``i`` —
     the SAME expression gen_pages embeds, exposed so expected-triple
-    derivation (tools/score_pr.py) can reconstruct ground truth
-    relationally. Pure function of the row id."""
+    derivation (tools/score_pr.py AND the DuckDB gate oracle) can
+    reconstruct ground truth relationally. Pure function of the row id
+    via ``portable_hash`` — see ``page_sentence_idxs_sql`` for the
+    engine-portable SQL rendering."""
     from sigraph_spark.operators.triples import SENTENCE_BANK
 
     def h(salt: int):
-        return F.abs(F.xxhash64(F.col(i_col), F.lit(salt)))
+        return portable_hash(F.col(i_col), salt)
 
     k_bank = len([s for s in SENTENCE_BANK if s.page_safe])
     n_sent = (h(11) % 4 + 2).cast("int")
@@ -166,6 +197,22 @@ def page_sentence_idxs(i_col: str = "i"):
         F.sequence(F.lit(0), n_sent - 1),
         lambda j: (h(12) + j * (h(13) % (k_bank - 1) + 1)) % k_bank + 1,
     )
+
+
+def page_sentence_idxs_sql(i_expr: str = "i", j_expr: str = "j") -> dict[str, str]:
+    """DuckDB SQL fragments mirroring ``page_sentence_idxs``: ``n_sent``
+    (sentence count per page) and ``sent_idx`` (1-based bank index for
+    sentence position ``j`` in 0..n_sent-1)."""
+    from sigraph_spark.operators.triples import SENTENCE_BANK
+
+    k_bank = len([s for s in SENTENCE_BANK if s.page_safe])
+    h11 = portable_hash_sql(i_expr, 11)
+    h12 = portable_hash_sql(i_expr, 12)
+    h13 = portable_hash_sql(i_expr, 13)
+    return {
+        "n_sent": f"({h11} % 4 + 2)",
+        "sent_idx": f"(({h12} + ({j_expr}) * ({h13} % {k_bank - 1} + 1)) % {k_bank} + 1)",
+    }
 
 
 def gen_pages(spark: SparkSession, sf: float = 0.001, parts: int | None = None) -> DataFrame:
@@ -183,7 +230,7 @@ def gen_pages(spark: SparkSession, sf: float = 0.001, parts: int | None = None) 
     base = spark.range(0, n, 1, parts).withColumnRenamed("id", "i")
 
     def h(salt: int):
-        return F.abs(F.xxhash64(F.col("i"), F.lit(salt)))
+        return portable_hash(F.col("i"), salt)
 
     safe_bank = [s for s in SENTENCE_BANK if s.page_safe]
     bank = F.array(*[F.lit(s.text) for s in safe_bank])
