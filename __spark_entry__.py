@@ -110,7 +110,9 @@ def q_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sigraph_spark.operators.graph import build_edges
 
     good, _ = _parsed(spark, sf_dir)
-    return build_edges(good)
+    # last_span_id is an internal merge key (delta-merge tie-break), not
+    # part of the reference edge surface — project it away for the oracle
+    return build_edges(good).select("src", "predicate", "dst", "start_time", "weight")
 
 
 def q_graph_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,6 +222,47 @@ def q_debris(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_traces(good),
         build_trace_contains(good).localCheckpoint(eager=False),
         _edges_ckpt(spark, sf_dir),
+    )
+
+
+def _merged_tables(spark: SparkSession, sf_dir: str):
+    """Incremental write path (reference §1.3 re-upsert): build the graph
+    from HALF the events, merge the other half in as a delta — TWICE (the
+    combiners are idempotent semilattice joins, so re-applying a delta is a
+    no-op). The oracle for each graph_merge_* query is the FULL-recompute
+    SQL: merge-twice == merge-once == recompute-from-union."""
+    from sigraph_spark.operators.graph import build_graph, merge_graph_tables
+
+    ev = sigraph_events(_events(spark, sf_dir))
+    parity = F.pmod(F.xxhash64("span_id"), F.lit(2))
+    half1 = ev.filter(parity == 0)
+    half2 = ev.filter(parity == 1)
+    once = merge_graph_tables(build_graph(half1), half2)
+    return merge_graph_tables(once, half2)
+
+
+def q_graph_merge_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _merged_tables(spark, sf_dir)
+    return m.nodes.select(
+        "node_id",
+        "label",
+        F.coalesce("image", F.lit("")).alias("image"),
+        F.array_join("related_span_ids", ",").alias("span_ids"),
+        F.array_join("related_trace_ids", ",").alias("trace_ids"),
+    )
+
+
+def q_graph_merge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _merged_tables(spark, sf_dir)
+    return m.edges.select("src", "predicate", "dst", "start_time", "weight")
+
+
+def q_graph_merge_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _merged_tables(spark, sf_dir)
+    return m.traces.select(
+        "unit_id", "trace_id", "start_time",
+        "representative_process_name",
+        F.col("span_count").cast("long").alias("span_count"),
     )
 
 
@@ -635,6 +678,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_traces": q_graph_traces,
         "trace_contains": q_trace_contains,
         "rule_matches": q_rule_matches,
+        "graph_merge_nodes": q_graph_merge_nodes,
+        "graph_merge_edges": q_graph_merge_edges,
+        "graph_merge_traces": q_graph_merge_traces,
         "adjacency": q_adjacency,
         "degree_table": q_degree_table,
         "iocs": q_iocs,
@@ -1180,4 +1226,9 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total
         FROM orders GROUP BY o_orderpriority
     """
+    # the incremental merge path must reproduce the full recompute exactly
+    # (merge-twice == merge-once == recompute-from-union, §1.3 semilattice)
+    sq["graph_merge_nodes"] = sq["graph_nodes"]
+    sq["graph_merge_edges"] = sq["graph_edges"]
+    sq["graph_merge_traces"] = sq["graph_traces"]
     return sq

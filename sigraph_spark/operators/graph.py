@@ -44,9 +44,9 @@ from sigraph_spark.functions.provenance import parse_actor, parse_parent_artifac
 class GraphTables:
     """The five core tables of the behavioral KG (SURVEY.md §1.1)."""
 
-    nodes: DataFrame        # node_id, label, image, related_span_ids, related_trace_ids
-    edges: DataFrame        # src, predicate, dst, start_time, weight
-    traces: DataFrame       # unit_id, trace_id, start_time, representative_process_name, span_count
+    nodes: DataFrame        # node_id, label, image, related_span_ids, related_trace_ids (+ image_ts/image_span merge keys)
+    edges: DataFrame        # src, predicate, dst, start_time, weight (+ last_span_id merge key)
+    traces: DataFrame       # unit_id, trace_id, start_time, representative_process_name, span_count (+ rep_span_id/span_ids merge keys)
     trace_contains: DataFrame  # unit_id, trace_id, node_id
     rule_matches: DataFrame    # rule_id, node_id
     errors: DataFrame       # original event row + error string (side output)
@@ -130,9 +130,29 @@ def build_nodes(parsed: DataFrame) -> DataFrame:
         child.unionByName(par)
         .groupBy("node_id", "label")
         .agg(
-            F.min_by("image", F.when(F.col("image").isNotNull(), F.col("timestamp"))).alias("image"),
+            # min struct == min_by(image, ts) with a deterministic span_id
+            # tie-break; (image_ts, image_span) ride along as the MERGE KEY
+            # so incremental delta-merge recombines images exactly
+            # (merge_nodes below) — the semilattice-join design.
+            F.min(
+                F.when(
+                    F.col("image").isNotNull(),
+                    F.struct(
+                        F.col("timestamp").alias("image_ts"),
+                        F.col("span_id").alias("image_span"),
+                        F.col("image").alias("image"),
+                    ),
+                )
+            ).alias("_img"),
             F.array_sort(F.collect_set("span_id")).alias("related_span_ids"),
             F.array_sort(F.collect_set("trace_id")).alias("related_trace_ids"),
+        )
+        .select(
+            "node_id", "label",
+            F.col("_img.image").alias("image"),
+            "related_span_ids", "related_trace_ids",
+            F.col("_img.image_ts").alias("image_ts"),
+            F.col("_img.image_span").alias("image_span"),
         )
     )
 
@@ -168,16 +188,43 @@ def build_edges(parsed: DataFrame) -> DataFrame:
     return (
         directed.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "span_id")
+        .drop("_rn")
+        # the winning event's span_id rides along as the MERGE KEY: delta
+        # merges recombine last-writer-wins exactly via max(struct(
+        # start_time, last_span_id, ...)) — see merge_edges below
+        .withColumnRenamed("span_id", "last_span_id")
     )
 
 
 def build_traces(parsed: DataFrame) -> DataFrame:
-    """Per-(unit_id, trace_id) aggregates (element_behavior.py:350-382)."""
-    return parsed.groupBy("unit_id", "trace_id").agg(
-        F.min("timestamp").alias("start_time"),
-        F.min_by("process_name", "timestamp").alias("representative_process_name"),
-        F.count(F.lit(1)).alias("span_count"),
+    """Per-(unit_id, trace_id) aggregates (element_behavior.py:350-382).
+
+    The representative is the min-(timestamp, span_id) event's process_name
+    (deterministic tie-break; lexicographic min over structs is associative,
+    so delta merges recombine it exactly). ``span_ids`` (the distinct span
+    set) and ``rep_span_id`` ride along as MERGE KEYS: span_count =
+    size(span_ids) stays correct — and idempotent — under re-delivered
+    events, unlike a count(*) sum."""
+    return (
+        parsed.groupBy("unit_id", "trace_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("timestamp").alias("ts"),
+                    F.col("span_id").alias("sid"),
+                    F.col("process_name").alias("pname"),
+                )
+            ).alias("_rep"),
+            F.array_sort(F.collect_set("span_id")).alias("span_ids"),
+        )
+        .select(
+            "unit_id", "trace_id",
+            F.col("_rep.ts").alias("start_time"),
+            F.col("_rep.pname").alias("representative_process_name"),
+            F.size("span_ids").cast("long").alias("span_count"),
+            F.col("_rep.sid").alias("rep_span_id"),
+            "span_ids",
+        )
     )
 
 
@@ -218,6 +265,120 @@ def build_graph(events: DataFrame) -> GraphTables:
         trace_contains=build_trace_contains(parsed),
         rule_matches=build_rule_matches(parsed),
         errors=errors,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental delta-merge (reference write path, SURVEY.md §1.3 re-upsert)
+# ---------------------------------------------------------------------------
+# The reference's core write semantic is re-upsert into an EXISTING graph:
+# list accumulation on re-upsert (element_behavior.py:316-347), SET n +=
+# keep-existing-unless-null (client.py:159-162), edge prop overwrite
+# (client.py:221). Every combiner below is a SEMILATTICE JOIN (commutative,
+# associative, idempotent): set-union for lists, lexicographic min/max
+# structs for image / representative / last-writer props. Consequences at
+# scale: apply-delta-twice == apply-once == recompute-from-union (the gate
+# queries graph_merge_* encode exactly that against the full-recompute
+# oracle), deltas can merge in any order and any grouping across executors,
+# and re-delivered events are harmless. Each merge is ONE keyed shuffle on
+# the table's merge key — the parquet-local analog of the Iceberg MERGE
+# INTO emitted by plans/iceberg_sql.py.
+
+def merge_nodes(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Union + re-aggregate on the node merge key: span/trace lists
+    set-union re-sorted; image = min (image_ts, image_span) non-null —
+    the batch-deterministic keep-existing-unless-null rule."""
+    return (
+        existing.unionByName(delta)
+        .groupBy("node_id", "label")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("image").isNotNull(),
+                    F.struct("image_ts", "image_span", "image"),
+                )
+            ).alias("_img"),
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("related_span_ids")))
+            ).alias("related_span_ids"),
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("related_trace_ids")))
+            ).alias("related_trace_ids"),
+        )
+        .select(
+            "node_id", "label",
+            F.col("_img.image").alias("image"),
+            "related_span_ids", "related_trace_ids",
+            F.col("_img.image_ts").alias("image_ts"),
+            F.col("_img.image_span").alias("image_span"),
+        )
+    )
+
+
+def merge_edges(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Last-writer-wins on (src, predicate, dst): max (start_time,
+    last_span_id) carries its weight — client.py:221 ``SET r += $rprops``."""
+    return (
+        existing.unionByName(delta)
+        .groupBy("src", "predicate", "dst")
+        .agg(F.max(F.struct("start_time", "last_span_id", "weight")).alias("_lw"))
+        .select(
+            "src", "predicate", "dst",
+            F.col("_lw.start_time").alias("start_time"),
+            F.col("_lw.weight").alias("weight"),
+            F.col("_lw.last_span_id").alias("last_span_id"),
+        )
+    )
+
+
+def merge_traces(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Trace aggregates recombine exactly: the global min-(ts, span_id)
+    representative is the min over per-side minima; span_count recounts the
+    unioned distinct span set (idempotent under re-delivery)."""
+    return (
+        existing.unionByName(delta)
+        .groupBy("unit_id", "trace_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("start_time").alias("ts"),
+                    F.col("rep_span_id").alias("sid"),
+                    F.col("representative_process_name").alias("pname"),
+                )
+            ).alias("_rep"),
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("span_ids")))
+            ).alias("span_ids"),
+        )
+        .select(
+            "unit_id", "trace_id",
+            F.col("_rep.ts").alias("start_time"),
+            F.col("_rep.pname").alias("representative_process_name"),
+            F.size("span_ids").cast("long").alias("span_count"),
+            F.col("_rep.sid").alias("rep_span_id"),
+            "span_ids",
+        )
+    )
+
+
+def merge_graph_tables(existing: GraphTables, delta_events: DataFrame) -> GraphTables:
+    """Incrementally upsert a batch of raw events into an existing graph —
+    the batch analog of the reference's per-event MERGE round-trips
+    (element_behavior.py:260-522). Builds the delta's five tables with the
+    shared stage functions, then merges each against the existing table
+    with the §1.3 combiners above. Errors append (side channel)."""
+    delta = build_graph(delta_events)
+    return GraphTables(
+        nodes=merge_nodes(existing.nodes, delta.nodes),
+        edges=merge_edges(existing.edges, delta.edges),
+        traces=merge_traces(existing.traces, delta.traces),
+        trace_contains=existing.trace_contains.unionByName(
+            delta.trace_contains
+        ).distinct(),
+        rule_matches=existing.rule_matches.unionByName(
+            delta.rule_matches
+        ).distinct(),
+        errors=existing.errors.unionByName(delta.errors),
     )
 
 

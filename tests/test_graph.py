@@ -183,6 +183,79 @@ def test_adjacency_sorted(spark, tiny):
         assert r.out_degree == len(r.out_edges)
 
 
+def _tables_equal(a, b) -> bool:
+    for x, y in [
+        (a.nodes, b.nodes), (a.edges, b.edges), (a.traces, b.traces),
+        (a.trace_contains, b.trace_contains), (a.rule_matches, b.rule_matches),
+    ]:
+        if x.exceptAll(y).count() + y.exceptAll(x).count() != 0:
+            return False
+    return True
+
+
+def test_merge_twice_equals_once_equals_recompute(spark):
+    """§1.3 incremental write path: apply delta twice == apply once ==
+    recompute from union (the semilattice-combiner contract; mirrored by
+    the graph_merge_* gate oracles)."""
+    from sigraph_spark.operators.graph import merge_graph_tables
+
+    events = gen_events(spark, sf=0.001).localCheckpoint()
+    parity = F.pmod(F.xxhash64("span_id"), F.lit(2))
+    half1, half2 = events.filter(parity == 0), events.filter(parity == 1)
+    full = build_graph(events)
+    once = merge_graph_tables(build_graph(half1), half2)
+    twice = merge_graph_tables(once, half2)
+    assert _tables_equal(once, full)
+    assert _tables_equal(twice, full)
+
+
+def test_merge_order_independent(spark):
+    """Deltas merge in any order/grouping (commutative + associative)."""
+    from sigraph_spark.operators.graph import merge_graph_tables
+
+    events = gen_events(spark, sf=0.001).localCheckpoint()
+    third = F.pmod(F.xxhash64("span_id"), F.lit(3))
+    a, b, c = (events.filter(third == k) for k in range(3))
+    abc = merge_graph_tables(merge_graph_tables(build_graph(a), b), c)
+    cba = merge_graph_tables(merge_graph_tables(build_graph(c), b), a)
+    assert _tables_equal(abc, cba)
+
+
+def test_merge_reupsert_semantics(spark):
+    """The reference's arrival rules on a concrete delta: list set-union
+    accumulates, existing non-null image is kept when the delta's event
+    carries none (element_behavior.py:316-347), edge props last-writer-win
+    (client.py:221), trace aggregates recombine."""
+    from sigraph_spark.operators.graph import build_graph, merge_graph_tables
+
+    base_rows = [
+        ev(span="s1", sp="f1@FILE@CREATE@WRITE_SEND", ts=TS, weight=1,
+           proc="p1.exe", pspan="ps1", psp="p1.exe@PROCESS@LAUNCH@NOT_ACTOR"),
+    ]
+    delta_rows = [
+        # same node f1 in a NEW trace, later ts, same edge key with higher
+        # weight -> last writer; parent-only incidence leaves image alone
+        ev(trace="t9", span="s2", sp="f1@FILE@CREATE@WRITE_SEND",
+           ts=TS + dt.timedelta(seconds=5), weight=9,
+           proc="p1.exe", pspan="ps1", psp="p1.exe@PROCESS@LAUNCH@NOT_ACTOR"),
+    ]
+    g0 = build_graph(spark.createDataFrame(base_rows, EVENT_SCHEMA))
+    merged = merge_graph_tables(
+        g0, spark.createDataFrame(delta_rows, EVENT_SCHEMA)
+    )
+    f1 = next(r for r in merged.nodes.collect() if r.node_id == "f1@FILE")
+    assert f1.related_trace_ids == ["t1", "t9"]          # set-union
+    assert f1.related_span_ids == ["s1", "s2"]
+    assert f1.image == "p1.exe"                          # earliest non-null kept
+    e = next(r for r in merged.edges.collect()
+             if (r.src, r.predicate, r.dst) == ("p1.exe@PROCESS", "CREATE", "f1@FILE"))
+    assert e.weight == 9                                 # last writer wins
+    assert e.start_time == TS + dt.timedelta(seconds=5)
+    t1 = {(r.unit_id, r.trace_id): r for r in merged.traces.collect()}
+    assert t1[("u1", "t1")].span_count == 1
+    assert t1[("u1", "t9")].span_count == 1
+
+
 def test_debris_gc(spark):
     # one trace containing exactly one node of total degree 1 -> debris
     rows = [
