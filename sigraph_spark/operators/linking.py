@@ -11,16 +11,17 @@ Stage layout (north_star):
    ``Normalizer``; the dot product over the LSH-pruned pair set is an
    Arrow-batched pandas UDF — the pair set is tiny relative to the corpus).
 4. **Canonicalize** with connected components over the match edges
-   (iterative min-label propagation over DataFrames — GraphFrames-free,
-   deterministic: the canonical id is the lexicographic minimum of each
-   component).
+   (alternating large-star/small-star contraction over DataFrames —
+   GraphFrames-free, deterministic: the canonical id is the lexicographic
+   minimum of each component; O(log n) rounds regardless of component
+   diameter).
 
 Scale notes: LSH banding bounds the candidate-pair explosion to near-linear;
-the CC loop converges in O(component diameter) rounds — entity-match
-clusters are small (chains of spelling variants), so iterations are few;
-each round localCheckpoints to truncate lineage. Skewed head entities
-(one hot URL in 30% of triples) never blow up: linking runs over the
-**distinct entity vocabulary**, not over triple instances.
+star contraction converges in O(log n) rounds even on giant high-diameter
+components (web boilerplate chains); each round localCheckpoints to
+truncate lineage. Skewed head entities (one hot URL in 30% of triples)
+never blow up: linking runs over the **distinct entity vocabulary**, not
+over triple instances.
 """
 
 from __future__ import annotations
@@ -138,22 +139,103 @@ def tfidf_cosine_scores(
     return joined.select("a", "b", _sparse_dot_udf()("va", "vb").alias("cosine"))
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star operation (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): every node attaches its strictly-larger
+    neighbors to its minimum neighborhood member. One min-agg (algebraic,
+    map-side partial) + one equi-join."""
+    nbrs = e.select("u", "v").unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        nbrs.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select("u", F.least(F.col("_mv"), F.col("u")).alias("m"))
+    )
+    return (
+        nbrs.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star operation: orient edges toward the smaller endpoint, then
+    every node attaches itself and its smaller neighbors to the minimum."""
+    o = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    attached = (
+        o.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    selfed = mins.select("u", F.col("m").alias("v"))
+    return attached.unionAll(selfed).filter(F.col("u") != F.col("v")).distinct()
+
+
 def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 50,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (SURVEY.md
+    §4-custom-1; Kiveris et al. 2014). Deterministic: the canonical id is
+    the minimum node id of the component.
+
+    Why not min-label propagation: propagation converges in O(component
+    diameter) rounds, and web-scale near-dup graphs grow giant HIGH-diameter
+    components (boilerplate chains) — a 10^6-long chain would need 10^6
+    shuffles. Star contraction converges in O(log n) rounds regardless of
+    diameter, each round two algebraic min-aggregations + joins whose keys
+    are spread across the component (no single hub groupBy). One driver job
+    per round checks convergence (edge set unchanged). Pass ``metrics`` to
+    capture {rounds, edges_final} for the stage manifest.
+
+    The previous propagation routine is kept as
+    ``connected_components_propagation`` (fast path for known-shallow
+    graphs; equality pinned in tests)."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # converged when the canonical edge set is unchanged (one job)
+        changed = (
+            e2.exceptAll(e).unionAll(e.exceptAll(e2)).limit(1).count()
+        )
+        e = e2
+        if changed == 0:
+            break
+    if metrics is not None:
+        metrics["rounds"] = rounds
+        metrics["edges_final"] = e.count()
+    # at convergence e is a star forest (child -> component min); roots
+    # label themselves
+    children = e.select(F.col("u").alias("entity"), F.col("v").alias("canonical_id"))
+    roots = e.select(F.col("v").alias("entity"), F.col("v").alias("canonical_id")).distinct()
+    return children.unionByName(roots).distinct()
+
+
+def connected_components_propagation(
     edges: DataFrame,
     src: str = "a",
     dst: str = "b",
     max_iter: int = 25,
 ) -> DataFrame:
-    """Min-label propagation connected components over DataFrames.
-
-    Deterministic: label = lexicographic min entity id in the component.
-    Each round: push the current label across (undirected) edges, take the
-    min of own + neighbor labels, stop when no label changes. Rounds are
-    O(component diameter) — near-duplicate clusters are shallow. This is
-    the zero-dependency replacement for GraphFrames' connectedComponents
-    (SURVEY.md §4-custom-1); the reference's analog is its bounded
-    trace-connectivity walk (schema.py:89-110).
-    """
+    """Min-label propagation (legacy r1 routine): O(component diameter)
+    rounds — fine for known-shallow match graphs, replaced by star
+    contraction as the default. Kept for cross-checking."""
     und = (
         edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
         .unionAll(edges.select(F.col(dst).alias("x"), F.col(src).alias("y")))
