@@ -438,6 +438,17 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (bucketing is engine-side): banded-LSH near-dup — the
+    scale path whose recall vs the brute-force oracle is pinned in
+    tests/test_similarity.py (>= 0.9 on planted near-dups)."""
+    from sigraph_spark.operators.similarity import embedding_neardup_lsh
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    out = embedding_neardup_lsh(e, dim=64, threshold=0.5, bits=4, bands=8)
+    return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check (bucketing is engine-side); recall vs brute force is
     asserted in tests/test_similarity.py."""
@@ -700,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "lsh_topk": q_lsh_topk,
         "events_sessions": q_events_sessions,
         "tpch_q1": q_tpch_q1,

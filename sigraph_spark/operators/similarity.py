@@ -51,6 +51,37 @@ def l2_normalize(a: Column) -> Column:
     )
 
 
+def topk_per_query(scored: DataFrame, k: int, salt_buckets: int = 32) -> DataFrame:
+    """Two-stage salted per-query top-k over (query_id, vec_id, cosine).
+
+    A single ``Window.partitionBy(query_id)`` funnels EVERY scored row of a
+    query into one task — with few queries that is a whole-corpus
+    single-task sort that skews/OOMs at scale (ADVICE r1). Instead: rank
+    within (query_id, salt) shards (salt = hash of vec_id, so shards are
+    uniform), keep k per shard, then rank the <= salt_buckets*k survivors
+    per query. Identical output (deterministic (cosine desc, vec_id)
+    ordering in both stages); the heavy shuffle spreads over
+    ``salt_buckets`` tasks per query and the final per-query sort sees a
+    bounded row count."""
+    salt = F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(salt_buckets))
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    local = (
+        scored.withColumn("_salt", salt)
+        .withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= k)
+        .drop("_r", "_salt")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -63,9 +94,10 @@ def brute_force_topk(
     vectors. Returns (query_id, vec_id, cosine, rank).
 
     The query side is broadcast (top-k search is always few-queries ×
-    huge-corpus); the corpus side streams through one narrow pass, so this
-    scales to any corpus size — the cost is O(|corpus| * |queries| * dim)
-    compute with zero corpus shuffle. Deterministic tie-break on id.
+    huge-corpus); the corpus side streams through one narrow scoring pass.
+    The per-query ranking is the salted two-stage ``topk_per_query`` —
+    only ~salt_buckets*k rows per query reach the final sort, so the plan
+    has no single-task whole-corpus window. Deterministic tie-break on id.
     """
     c = corpus.select(
         F.col(id_col).alias("vec_id"), l2_normalize(F.col(vec_col)).alias("cv")
@@ -77,14 +109,7 @@ def brute_force_topk(
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id", "vec_id", dot(F.col("cv"), F.col("qv")).alias("cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", F.col("cosine"), "rank")
-    )
+    return topk_per_query(scored, k).select("query_id", "vec_id", "cosine", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -103,11 +128,13 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     ]
 
 
-def lsh_bucket(vec: Column, dim: int, bits: int = 8) -> Column:
-    """Bucket id in [0, 2^bits): bit i = sign of <vec, plane_i>."""
+def lsh_bucket(vec: Column, dim: int, bits: int = 8, plane_offset: int = 0) -> Column:
+    """Bucket id in [0, 2^bits): bit i = sign of <vec, plane_{offset+i}>.
+    ``plane_offset`` selects an independent hyperplane family — band b of a
+    multi-band scheme uses offset b*bits."""
     acc = F.lit(0)
     for i in range(bits):
-        plane = F.array(*[F.lit(w) for w in _hyperplane(dim, i)])
+        plane = F.array(*[F.lit(w) for w in _hyperplane(dim, plane_offset + i)])
         acc = acc + F.when(dot(vec, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return acc
 
@@ -140,13 +167,63 @@ def lsh_topk(
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id", "vec_id", dot(F.col("cv"), F.col("qv")).alias("cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
+    return topk_per_query(scored, k).select("query_id", "vec_id", "cosine", "rank")
+
+
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    bits: int = 8,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold — the SCALE path for
+    operators.dedup.embedding_neardup (which stays as the brute-force
+    recall oracle). Multi-band random-hyperplane LSH: ``bands`` independent
+    ``bits``-bit bucketings; any pair agreeing in at least one band becomes
+    a candidate (pair generation is an equi-join on (band, bucket), never
+    all-pairs), then exact cosine verifies. Per-row first-matching-band
+    filter dedups multi-band collisions without a distinct() shuffle (same
+    trick as dedup.simhash_candidates). Recall rises with ``bands`` and
+    falls with ``bits``; measure against the brute-force oracle on a
+    sample (tests pin >= 0.9 on planted near-dups).
+
+    Returns (a, b, cosine) with a < b — same shape as the brute path.
+    """
+    v = emb.select(
+        F.col(id_col).alias("id"), l2_normalize(F.col(vec_col)).alias("v")
+    ).withColumn(
+        "bks",
+        F.array(*[
+            lsh_bucket(F.col("v"), dim, bits, plane_offset=b * bits)
+            for b in range(bands)
+        ]),
+    )
+    banded = v.select(
+        "id", "v", "bks",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.element_at("bks", b + 1).alias("bucket"))
+                for b in range(bands)
+            ])
+        ).alias("_bk"),
+    ).select("id", "v", "bks", F.col("_bk.band").alias("band"), F.col("_bk.bucket").alias("bucket"))
+    a = banded.select("band", "bucket", F.col("id").alias("a"),
+                      F.col("v").alias("va"), F.col("bks").alias("bksa"))
+    b = banded.select("band", "bucket", F.col("id").alias("b"),
+                      F.col("v").alias("vb"), F.col("bks").alias("bksb"))
+    first_match = F.array_position(
+        F.zip_with("bksa", "bksb", lambda x, y: x == y), F.lit(True)
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .filter(F.col("band") == first_match - 1)
+        .withColumn("cosine", dot(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
     )
 
 
@@ -248,11 +325,4 @@ def ivf_topk(
     scored = c.join(F.broadcast(probes), "cluster").select(
         "query_id", "vec_id", dot(F.col("cv"), F.col("qv")).alias("cosine")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
-    )
+    return topk_per_query(scored, k).select("query_id", "vec_id", "cosine", "rank")

@@ -78,6 +78,69 @@ def test_lsh_buckets_deterministic(spark):
     assert a == b
 
 
+def test_salted_topk_no_single_partition_window(spark):
+    """topk_per_query: results identical to a naive global window, and the
+    physical plan windows on (query_id, _salt) first — no stage funnels the
+    whole scored relation into one partition per query (ADVICE r1)."""
+    from pyspark.sql import Window
+
+    from sigraph_spark.operators.similarity import topk_per_query
+
+    vecs = _vectors(spark, n=200)
+    q = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(vecs, q, k=7)
+    # naive reference ranking
+    from sigraph_spark.operators.similarity import dot, l2_normalize
+
+    c = vecs.select("vec_id", l2_normalize(F.col("embedding")).alias("cv"))
+    qq = q.select("query_id", l2_normalize(F.col("embedding")).alias("qv"))
+    scored = c.crossJoin(qq).select(
+        "query_id", "vec_id", dot(F.col("cv"), F.col("qv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    naive = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 7
+    )
+    a = sorted((r["query_id"], r["vec_id"], r["rank"]) for r in out.collect())
+    b = sorted((r["query_id"], r["vec_id"], r["rank"]) for r in naive.collect())
+    assert a == b
+    plan = topk_per_query(scored, 7)._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan  # sharded first stage present
+
+
+def test_embedding_neardup_lsh_recall(spark):
+    """Planted near-duplicates: the banded LSH path must recover >= 0.9 of
+    the brute-force pairs (VERDICT r1 next-8) and report exact cosines."""
+    import random
+
+    from sigraph_spark.operators.dedup import embedding_neardup
+    from sigraph_spark.operators.similarity import embedding_neardup_lsh
+
+    rng = random.Random(11)
+    dim = 16
+    rows = []
+    vid = 0
+    for base in range(40):
+        v = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append((vid, v)); vid += 1
+        if base % 2 == 0:  # plant a near-duplicate (tiny perturbation)
+            w = [x + rng.uniform(-0.01, 0.01) for x in v]
+            rows.append((vid, w)); vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["a"], r["b"]) for r in embedding_neardup(emb, threshold=0.99).collect()}
+    got_rows = embedding_neardup_lsh(emb, dim=dim, threshold=0.99, bits=6, bands=6).collect()
+    got = {(r["a"], r["b"]) for r in got_rows}
+    assert len(exact) >= 20
+    assert got <= exact  # exact-verify: no false positives
+    assert len(got & exact) / len(exact) >= 0.9
+    # pair dedup: first-matching-band filter leaves each pair once
+    assert len(got_rows) == len(got)
+
+
 def test_ivf_topk_recall(spark):
     from sigraph_spark.operators.similarity import ivf_index, ivf_topk
 
