@@ -633,8 +633,11 @@ def q_unit_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_provenance_export(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: multi-hop provenance subgraph export (reference D5,
-    schema.py:127-152) for unit u-3, 2 hops."""
+    """HARD oracle (upgraded r2): multi-hop provenance subgraph export
+    (reference D5, schema.py QUERY_ALL_PROVENANCE) for unit u-3, 2 hops —
+    the oracle is the recursive-CTE restatement of the label-filtered BFS
+    (edges whose src is reachable within max_hop-1 hops of the unit's
+    containment anchors)."""
     from sigraph_spark.operators.graph import build_nodes, build_trace_contains
     from sigraph_spark.operators.queries import provenance_subgraph
 
@@ -1229,6 +1232,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT subj, predicate, obj, CAST(start_off AS BIGINT) AS start_off,
                url AS provenance_url, CAST(weight AS BIGINT) AS weight
         FROM ranked WHERE rn = 1
+        """
+    )
+    sq["provenance_export"] = (
+        "WITH RECURSIVE " + _EDGES_CTE
+        + """,
+        fe AS (
+          SELECT e.src, e.predicate, e.dst, e.start_time, e.weight
+          FROM edges e
+          JOIN nodes ns ON ns.node_id = e.src
+          JOIN nodes nd ON nd.node_id = e.dst
+          WHERE ns.label <> 'MODULE'
+            AND NOT (ns.label = 'PROCESS' AND nd.label = 'PROCESS')),
+        anchor AS (
+          SELECT DISTINCT node_id AS x FROM containment WHERE unit_id = 'u-3'),
+        reach(x, hops) AS (
+          SELECT x, 0 FROM anchor
+          UNION
+          SELECT fe.dst, r.hops + 1 FROM reach r JOIN fe ON fe.src = r.x
+          WHERE r.hops < 1),
+        minreach AS (SELECT x, min(hops) AS h FROM reach GROUP BY x)
+        SELECT fe.src, fe.predicate, fe.dst, fe.start_time, fe.weight
+        FROM fe JOIN minreach m ON fe.src = m.x
         """
     )
     sq["orders_priority"] = """

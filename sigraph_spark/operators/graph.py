@@ -254,12 +254,47 @@ def build_rule_matches(parsed: DataFrame) -> DataFrame:
     )
 
 
-def build_graph(events: DataFrame) -> GraphTables:
+def node_label_conflicts(nodes: DataFrame) -> DataFrame:
+    """Cross-label duplicate node_ids as error rows (the reference FAILS
+    LOUDLY when one artifact key resolves to multiple nodes,
+    element_behavior.py:149-153; we surface it on the error side-channel
+    instead of silently keeping two rows). Returns (node_id, error)."""
+    return (
+        nodes.groupBy("node_id")
+        .agg(F.array_sort(F.collect_set("label")).alias("_labels"))
+        .filter(F.size("_labels") > 1)
+        .select(
+            "node_id",
+            F.concat(
+                F.lit("label conflict: node '"), F.col("node_id"),
+                F.lit("' resolves to labels ["),
+                F.array_join("_labels", ","), F.lit("]"),
+            ).alias("error"),
+        )
+    )
+
+
+def build_graph(events: DataFrame, check_label_conflicts: bool = False) -> GraphTables:
     """Full batch construction. ``events`` follows the GraphNode schema
-    (graph_model.py:29-41); see FIXTURES.md §2."""
+    (graph_model.py:29-41); see FIXTURES.md §2.
+
+    ``check_label_conflicts=True`` appends cross-label duplicate node_ids
+    to the error channel (C1) — one extra aggregation over the node table,
+    so it is opt-in for pipelines that want the reference's hard-failure
+    signal as data."""
     parsed, errors = parse_events(events)
+    nodes = build_nodes(parsed)
+    if check_label_conflicts:
+        conflicts = node_label_conflicts(nodes).select(
+            F.lit(None).cast("string").alias("trace_id"),
+            F.lit(None).cast("string").alias("span_id"),
+            F.lit(None).cast("string").alias("unit_id"),
+            F.col("node_id").alias("system_provenance"),
+            "error",
+        )
+        errors = errors.unionByName(conflicts)
     return GraphTables(
-        nodes=build_nodes(parsed),
+        nodes=nodes,
         edges=build_edges(parsed),
         traces=build_traces(parsed),
         trace_contains=build_trace_contains(parsed),
@@ -459,3 +494,57 @@ def unit_flush(table: DataFrame, unit_id: str) -> DataFrame:
     production Iceberg tables partitioned by bucket(unit_id) this is a
     metadata-only ``DELETE FROM t WHERE unit_id = ?``."""
     return table.filter(F.col("unit_id") != unit_id)
+
+
+def apply_debris(tables: GraphTables, debris: DataFrame) -> tuple[GraphTables, dict]:
+    """Apply debris GC deletions across the graph tables (the relational
+    ``DETACH DELETE t, n`` of reference FLUSH_SINGLE_ENTITIES_WITH_TRACE,
+    schema.py:119-125): drop the debris traces, their containment rows,
+    the contained nodes (degree 1 == containment-only, so no action edges
+    exist by construction — asserted via anti-join all the same), and any
+    rule-match rows on those nodes. Returns (new tables, A13 summary
+    counters: rows deleted per table)."""
+    d = debris.select("unit_id", "trace_id", "node_id").localCheckpoint(eager=True)
+    d_traces = d.select("unit_id", "trace_id").distinct()
+    d_nodes = d.select("node_id").distinct()
+    new = GraphTables(
+        nodes=tables.nodes.join(d_nodes, "node_id", "left_anti"),
+        edges=tables.edges
+        .join(d_nodes.withColumnRenamed("node_id", "src"), "src", "left_anti")
+        .join(d_nodes.withColumnRenamed("node_id", "dst"), "dst", "left_anti"),
+        traces=tables.traces.join(d_traces, ["unit_id", "trace_id"], "left_anti"),
+        trace_contains=tables.trace_contains.join(
+            d_traces, ["unit_id", "trace_id"], "left_anti"
+        ),
+        rule_matches=tables.rule_matches.join(d_nodes, "node_id", "left_anti"),
+        errors=tables.errors,
+    )
+    counters = _deletion_counters(tables, new)
+    return new, counters
+
+
+def apply_unit_flush(tables: GraphTables, unit_id: str) -> tuple[GraphTables, dict]:
+    """Flush one unit across the graph tables (reference FLUSH_UNIT_DATA,
+    ``DETACH DELETE n WHERE n.unit_id = $unit_id``): only Trace nodes carry
+    unit_id, so the delete removes the unit's traces and their containment
+    edges; artifact nodes / action edges / rule matches persist (they may
+    be shared with other units). Returns (new tables, A13 counters)."""
+    new = GraphTables(
+        nodes=tables.nodes,
+        edges=tables.edges,
+        traces=unit_flush(tables.traces, unit_id),
+        trace_contains=unit_flush(tables.trace_contains, unit_id),
+        rule_matches=tables.rule_matches,
+        errors=tables.errors,
+    )
+    counters = _deletion_counters(tables, new)
+    return new, counters
+
+
+def _deletion_counters(before: GraphTables, after: GraphTables) -> dict:
+    """A13 summary-counter deltas (reference keeps created/deleted counts
+    per entity type): rows deleted per table — five cheap count jobs."""
+    return {
+        name: getattr(before, name).count() - getattr(after, name).count()
+        for name in ("nodes", "edges", "traces", "trace_contains", "rule_matches")
+    }

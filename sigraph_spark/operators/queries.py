@@ -149,6 +149,55 @@ def provenance_subgraph(
     return sub_nodes, sub_edges
 
 
+def export_envelope(sub_nodes: DataFrame, sub_edges: DataFrame) -> dict:
+    """Render a provenance subgraph as the reference's export document
+    ``{"nodes": [...], "rels": [...]}`` (graph_element/helper.py:17-50 +
+    element_behavior.py get_all_provenance dedup loop):
+
+    * node entry  = {elementId, labels, properties} — our stable elementId
+      is the node_id itself (unique by A9; Neo4j's internal ids have no
+      relational analog);
+    * rel entry   = {elementId, startNodeElementId, endNodeElementId,
+      type, properties} with elementId = "src|type|dst" (the edge MERGE
+      key);
+    * temporal properties ISO-8601-encoded (helper.py temporal_encoder);
+    * deduped by elementId, deterministically sorted.
+
+    The envelope is ONE unit's bounded subgraph (an API response), so the
+    final assembly collects — every upstream step (BFS expansion, label
+    filters, dedup) stays distributed in provenance_subgraph."""
+    nodes = [
+        {
+            "elementId": r["node_id"],
+            "labels": [r["label"]],
+            "properties": {
+                "name": r["node_id"],
+                "image": r["image"],
+                "related_span_ids": list(r["related_span_ids"]),
+                "related_trace_ids": list(r["related_trace_ids"]),
+            },
+        }
+        for r in sub_nodes.select(
+            "node_id", "label", "image", "related_span_ids", "related_trace_ids"
+        ).distinct().orderBy("node_id").collect()
+    ]
+    rels = [
+        {
+            "elementId": f"{r['src']}|{r['predicate']}|{r['dst']}",
+            "startNodeElementId": r["src"],
+            "endNodeElementId": r["dst"],
+            "type": r["predicate"],
+            "properties": {
+                "start_time": r["start_time"].isoformat(),
+                "weight": r["weight"],
+            },
+        }
+        for r in sub_edges.select("src", "predicate", "dst", "start_time", "weight")
+        .distinct().orderBy("src", "predicate", "dst").collect()
+    ]
+    return {"nodes": nodes, "rels": rels}
+
+
 def ordered_sequences(
     docs: DataFrame,
     unit_id: str,

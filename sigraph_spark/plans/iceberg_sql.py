@@ -1,0 +1,138 @@
+"""Production Iceberg bindings: DDL + MERGE INTO statements for the five
+graph tables (north_rule names Iceberg as the production table format).
+
+The container ships no Iceberg jars, so execution stays on the parquet+
+manifest binding (plans/pipeline.py); this module emits the EXACT SQL the
+production deployment runs — text-golden-tested (tests/test_iceberg_sql.py)
+and parser-validated (Spark's SQL parser accepts every statement without a
+catalog). The MERGE combiners are the same semilattice joins as
+operators.graph.merge_* — §1.3 re-upsert semantics:
+
+* nodes:  list set-union re-sorted; image keeps the (image_ts, image_span)
+  minimum non-null (keep-existing-unless-null, client.py:159-162);
+* edges:  last-writer-wins by (start_time, last_span_id) (client.py:221);
+* traces: span_ids set-union (span_count = its size — idempotent under
+  replay), representative = global min (start_time, rep_span_id);
+* trace_contains / rule_matches: insert-if-absent.
+
+Partitioning: unit-scoped tables bucket on unit_id so unit flush
+(DELETE WHERE unit_id = ?) is partition-local; nodes/edges bucket on their
+join keys so graph traversals co-locate.
+"""
+
+from __future__ import annotations
+
+DB = "sigraph"
+
+_BUCKETS = 16
+
+DDL: dict[str, str] = {
+    "nodes": f"""\
+CREATE TABLE IF NOT EXISTS {DB}.nodes (
+  node_id STRING NOT NULL,
+  label STRING NOT NULL,
+  image STRING,
+  related_span_ids ARRAY<STRING>,
+  related_trace_ids ARRAY<STRING>,
+  image_ts TIMESTAMP,
+  image_span STRING)
+USING iceberg
+PARTITIONED BY (bucket({_BUCKETS}, node_id))""",
+    "edges": f"""\
+CREATE TABLE IF NOT EXISTS {DB}.edges (
+  src STRING NOT NULL,
+  predicate STRING NOT NULL,
+  dst STRING NOT NULL,
+  start_time TIMESTAMP,
+  weight BIGINT,
+  last_span_id STRING)
+USING iceberg
+PARTITIONED BY (bucket({_BUCKETS}, src))""",
+    "traces": f"""\
+CREATE TABLE IF NOT EXISTS {DB}.traces (
+  unit_id STRING NOT NULL,
+  trace_id STRING NOT NULL,
+  start_time TIMESTAMP,
+  representative_process_name STRING,
+  span_count BIGINT,
+  rep_span_id STRING,
+  span_ids ARRAY<STRING>)
+USING iceberg
+PARTITIONED BY (bucket({_BUCKETS}, unit_id))""",
+    "trace_contains": f"""\
+CREATE TABLE IF NOT EXISTS {DB}.trace_contains (
+  unit_id STRING NOT NULL,
+  trace_id STRING NOT NULL,
+  node_id STRING NOT NULL)
+USING iceberg
+PARTITIONED BY (bucket({_BUCKETS}, unit_id))""",
+    "rule_matches": f"""\
+CREATE TABLE IF NOT EXISTS {DB}.rule_matches (
+  rule_id STRING NOT NULL,
+  node_id STRING NOT NULL)
+USING iceberg
+PARTITIONED BY (bucket({_BUCKETS}, rule_id))""",
+}
+
+_IMG_TAKE_S = (
+    "(s.image IS NOT NULL AND (t.image IS NULL OR "
+    "struct(s.image_ts, s.image_span) < struct(t.image_ts, t.image_span)))"
+)
+_REP_TAKE_S = (
+    "struct(s.start_time, s.rep_span_id) < struct(t.start_time, t.rep_span_id)"
+)
+
+MERGE: dict[str, str] = {
+    "nodes": f"""\
+MERGE INTO {DB}.nodes t
+USING nodes_delta s
+ON t.node_id = s.node_id AND t.label = s.label
+WHEN MATCHED THEN UPDATE SET
+  t.related_span_ids = array_sort(array_union(t.related_span_ids, s.related_span_ids)),
+  t.related_trace_ids = array_sort(array_union(t.related_trace_ids, s.related_trace_ids)),
+  t.image = CASE WHEN {_IMG_TAKE_S} THEN s.image ELSE t.image END,
+  t.image_ts = CASE WHEN {_IMG_TAKE_S} THEN s.image_ts ELSE t.image_ts END,
+  t.image_span = CASE WHEN {_IMG_TAKE_S} THEN s.image_span ELSE t.image_span END
+WHEN NOT MATCHED THEN INSERT *""",
+    "edges": f"""\
+MERGE INTO {DB}.edges t
+USING edges_delta s
+ON t.src = s.src AND t.predicate = s.predicate AND t.dst = s.dst
+WHEN MATCHED AND struct(s.start_time, s.last_span_id) > struct(t.start_time, t.last_span_id)
+  THEN UPDATE SET
+    t.start_time = s.start_time,
+    t.weight = s.weight,
+    t.last_span_id = s.last_span_id
+WHEN NOT MATCHED THEN INSERT *""",
+    "traces": f"""\
+MERGE INTO {DB}.traces t
+USING traces_delta s
+ON t.unit_id = s.unit_id AND t.trace_id = s.trace_id
+WHEN MATCHED THEN UPDATE SET
+  t.span_ids = array_sort(array_union(t.span_ids, s.span_ids)),
+  t.span_count = size(array_sort(array_union(t.span_ids, s.span_ids))),
+  t.start_time = CASE WHEN {_REP_TAKE_S} THEN s.start_time ELSE t.start_time END,
+  t.representative_process_name = CASE WHEN {_REP_TAKE_S} THEN s.representative_process_name ELSE t.representative_process_name END,
+  t.rep_span_id = CASE WHEN {_REP_TAKE_S} THEN s.rep_span_id ELSE t.rep_span_id END
+WHEN NOT MATCHED THEN INSERT *""",
+    "trace_contains": f"""\
+MERGE INTO {DB}.trace_contains t
+USING trace_contains_delta s
+ON t.unit_id = s.unit_id AND t.trace_id = s.trace_id AND t.node_id = s.node_id
+WHEN NOT MATCHED THEN INSERT *""",
+    "rule_matches": f"""\
+MERGE INTO {DB}.rule_matches t
+USING rule_matches_delta s
+ON t.rule_id = s.rule_id AND t.node_id = s.node_id
+WHEN NOT MATCHED THEN INSERT *""",
+}
+
+# unit flush (A11) — partition-local deletes thanks to bucket(unit_id)
+FLUSH_UNIT: dict[str, str] = {
+    "traces": f"DELETE FROM {DB}.traces WHERE unit_id = :unit_id",
+    "trace_contains": f"DELETE FROM {DB}.trace_contains WHERE unit_id = :unit_id",
+}
+
+
+def all_statements() -> list[str]:
+    return [*DDL.values(), *MERGE.values(), *FLUSH_UNIT.values()]

