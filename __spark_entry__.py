@@ -25,11 +25,6 @@ from pyspark.sql import functions as F
 from sigraph_spark.sources.events_map import SEVENTS_CTE, sigraph_events
 
 
-def _sf_of(sf_dir: str) -> float:
-    base = os.path.basename(sf_dir.rstrip("/"))
-    return float(base.replace("sf", "")) if base.startswith("sf") else 0.01
-
-
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 

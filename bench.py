@@ -120,6 +120,26 @@ def main() -> None:
 
     timed("graph_construct", run_graph)
 
+    # --- incremental delta-merge (the §1.3 re-upsert write path) --------------
+    from sigraph_spark.operators.graph import (
+        GraphTables, build_graph, merge_graph_tables,
+    )
+
+    ev_all = sigraph_events(events)
+    parity = F.pmod(F.xxhash64("span_id"), F.lit(10))
+    base = build_graph(ev_all.filter(parity < 9))
+    base = GraphTables(**{
+        f: getattr(base, f).localCheckpoint(eager=True)
+        for f in ("nodes", "edges", "traces", "trace_contains", "rule_matches", "errors")
+    })  # existing graph (90% of events) materialized OUTSIDE the timing
+    delta_events = ev_all.filter(parity == 9).localCheckpoint(eager=True)
+
+    def run_merge() -> int:
+        m = merge_graph_tables(base, delta_events)
+        return m.nodes.count() + m.edges.count() + m.traces.count()
+
+    timed("graph_merge_delta", run_merge)
+
     # --- dedup over documents -------------------------------------------------
     from sigraph_spark.operators.dedup import minhash_dedup, simhash_candidates
 

@@ -134,6 +134,106 @@ def sample_frames(
     return cols.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("n_windows", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def _decode_audio_features(payload: bytes | None, duration_ms: int | None, window_ms: int) -> tuple[int, list[float]]:
+    """STUB DECODE (no audio libs in this container): deterministic fake —
+    per-window mean byte value over equal payload slices ("energy"),
+    padded/truncated to _FEATURE_DIM. Swap in librosa/torchaudio here."""
+    if not payload:
+        return 0, [0.0] * _FEATURE_DIM
+    n_windows = max(1, int((duration_ms or 1000) // max(window_ms, 1)))
+    step = max(1, len(payload) // n_windows)
+    energies = []
+    for w in range(min(n_windows, _FEATURE_DIM)):
+        chunk = payload[w * step:(w + 1) * step] or b"\x00"
+        energies.append(sum(chunk) / (255.0 * len(chunk)))
+    energies += [0.0] * (_FEATURE_DIM - len(energies))
+    return n_windows, energies
+
+
+def _decode_resize(payload: bytes | None, w: int, h: int) -> bytes:
+    """STUB RESIZE: deterministic fake — truncate/pad the payload to w*h/64
+    bytes (a real decoder would decode -> resample -> re-encode)."""
+    size = max(1, (w * h) // 64)
+    body = (payload or b"")[:size]
+    return body + b"\x00" * (size - len(body))
+
+
+def audio_features(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    meta_col: str = "meta",
+    window_ms: int = 1000,
+) -> DataFrame:
+    """binary audio payload -> windowed energy feature vector via
+    mapInPandas (same batch contract as image_features; the blob is read
+    only inside this stage)."""
+    cols = media.select(
+        F.col(id_col).alias("media_id"),
+        F.col(payload_col).alias("payload"),
+        F.col(meta_col + ".duration_ms").alias("duration_ms"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_windows, feats = [], []
+            for payload, dur in zip(pdf["payload"], pdf["duration_ms"]):
+                n, f = _decode_audio_features(
+                    payload, None if pd.isna(dur) else int(dur), window_ms
+                )
+                n_windows.append(n)
+                feats.append(f)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "n_windows": n_windows, "feature": feats}
+            )
+
+    return cols.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """binary image payload -> resized binary payload (stub kernel, real
+    plumbing): output stays a binary column + typed dims so downstream
+    stages keep pruning the blob everywhere else."""
+    cols = media.select(F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [_decode_resize(p, width, height) for p in pdf["payload"]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return cols.mapInPandas(run, RESIZED_SCHEMA)
+
+
 def rebalance_by_bytes(media: DataFrame, payload_col: str = "payload", target_bytes: int = 64 << 20) -> DataFrame:
     """Repartition so each decode task sees ~target_bytes of blobs:
     range-partition on a cumulative-ish proxy (hash spread weighted by

@@ -257,9 +257,22 @@ def test_merge_reupsert_semantics(spark):
 
 
 def test_label_conflict_error_channel(spark):
-    """One artifact key under two labels must surface on the error channel
-    when checking is enabled (the reference fails loudly,
-    element_behavior.py:149-153)."""
+    """One node key under two labels must surface on the error channel
+    (the reference fails loudly when an artifact key resolves to multiple
+    nodes, element_behavior.py:149-153). Parsed events can't produce this
+    (node_id = name@TYPE embeds the label), so it is the data-quality
+    invariant for EXTERNALLY merged node tables — tested directly."""
+    from sigraph_spark.operators.graph import node_label_conflicts
+
+    nodes = spark.createDataFrame(
+        [("shared", "FILE"), ("shared", "REGISTRY"), ("clean", "FILE")],
+        "node_id string, label string",
+    )
+    errs = [r.error for r in node_label_conflicts(nodes).collect()]
+    assert len(errs) == 1
+    assert "label conflict" in errs[0] and "shared" in errs[0]
+    assert "FILE,REGISTRY" in errs[0]
+    # the opt-in build_graph check stays silent on valid parsed input
     rows = [
         ev(span="k1", sp="shared@FILE@CREATE@NOT_ACTOR"),
         ev(span="k2", sp="shared@REGISTRY@REG_ADD@NOT_ACTOR",
@@ -267,11 +280,7 @@ def test_label_conflict_error_channel(spark):
     ]
     df = spark.createDataFrame(rows, EVENT_SCHEMA)
     g = build_graph(df, check_label_conflicts=True)
-    errs = [r.error for r in g.errors.collect()]
-    assert any("label conflict" in e and "shared" in e and "FILE,REGISTRY" in e
-               for e in errs)
-    # default build stays silent (opt-in check)
-    assert build_graph(df).errors.count() == 0
+    assert g.errors.count() == 0  # distinct node_ids: shared@FILE, shared@REGISTRY
 
 
 def test_apply_debris_detach_deletes(spark):

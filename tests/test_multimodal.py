@@ -52,6 +52,40 @@ def test_rebalance_preserves_rows(spark):
     assert set(out.columns) == set(media.columns)
 
 
+def test_audio_features_contract(spark):
+    from sigraph_spark.operators.multimodal import audio_features
+
+    media = gen_media(spark, n=12)
+    out = audio_features(media)
+    assert out.columns == ["media_id", "n_windows", "feature"]
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 12
+    # duration (id%5+1)s at 1000ms windows -> that many windows
+    assert rows["m-4"]["n_windows"] == 5 and rows["m-0"]["n_windows"] == 1
+    for r in rows.values():
+        assert len(r["feature"]) == 16
+        assert all(0.0 <= x <= 1.0 for x in r["feature"])
+
+
+def test_resize_images_contract(spark):
+    from sigraph_spark.operators.multimodal import resize_images
+
+    media = gen_media(spark, n=8)
+    out = resize_images(media, width=64, height=64)
+    rows = out.collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert (r["width"], r["height"]) == (64, 64)
+        assert len(bytes(r["payload"])) == 64 * 64 // 64  # stub size contract
+    # deterministic across partitionings
+    a = sorted((r["media_id"], bytes(r["payload"])) for r in rows)
+    b = sorted(
+        (r["media_id"], bytes(r["payload"]))
+        for r in resize_images(media.repartition(5), 64, 64).collect()
+    )
+    assert a == b
+
+
 def test_features_deterministic_across_partitionings(spark):
     media = gen_media(spark, n=16)
     a = sorted((r["media_id"], tuple(r["feature"])) for r in image_features(media.repartition(1)).collect())

@@ -61,8 +61,13 @@ best = None
 for _rep in range(%(reps)d):
     t0 = time.monotonic()
     docs = pages.select("url", "warc_ts", strip_html_udf()(F.col("html")).alias("text"))
-    triples = docs.select(
-        "url", "warc_ts", F.explode(extract_triples_udf()(F.col("text"))).alias("t"))
+    # explode_outer + null-filter: plain explode makes the optimizer infer a
+    # size()>0 pre-filter that re-evaluates the whole strip+extract UDF
+    # chain twice per row (same fix as operators.triples.triples_from_docs)
+    triples = (docs
+               .select("url", "warc_ts", extract_triples_udf()(F.col("text")).alias("_ts"))
+               .select("url", "warc_ts", F.explode_outer("_ts").alias("t"))
+               .filter(F.col("t").isNotNull()))
     edges = (triples
              .groupBy(F.col("t.actor").alias("subj"), F.col("t.verb").alias("predicate"),
                       F.col("t.object").alias("obj"))
