@@ -277,6 +277,33 @@ def q_sigma_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(compile_rule(rule)).select("event_id", "event_type")
 
 
+def q_sigma_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sigma pattern path end-to-end (reference §3.3: rules -> predicate ->
+    ordered matching sequences): compile the rule to a Column, filter, then
+    assemble each user's ordered event sequence — the clause-split and
+    pagination machinery of the reference collapses into one job."""
+    from sigraph_spark.operators.sigma import compile_rule
+
+    rule = {
+        "id": "r-seq",
+        "detection": {
+            "sel": {"event_type|startswith": "sign"},
+            "condition": "sel",
+        },
+    }
+    ev = _events(spark, sf_dir).filter(compile_rule(rule))
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id"))),
+                lambda s: s["event_id"].cast("string"),
+            ),
+            ",",
+        ).alias("sequence"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
 # --- text analysis ----------------------------------------------------------
 
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -698,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "related_traces": q_related_traces,
         "debris": q_debris,
         "sigma_filter": q_sigma_filter,
+        "sigma_sequences": q_sigma_sequences,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -983,6 +1011,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id, event_type FROM events
         WHERE (event_type = 'error' AND props LIKE '%9%')
            OR (event_type LIKE 'sign%' AND NOT (event_type LIKE 'cl%'))
+    """
+    sq["sigma_sequences"] = """
+        SELECT user_id,
+               string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id) AS sequence,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        WHERE event_type LIKE 'sign%'
+        GROUP BY user_id
     """
     sq["text_tokens"] = r"""
         SELECT doc_id,

@@ -103,6 +103,39 @@ def test_page_extraction_matches_relational_derivation():
         assert got == exp, f"page {i} diverged"
 
 
+def test_oracle_constants_hold(spark):
+    """Guards for the hard-oracle assumptions: the gate queries pin
+    sf=0.01 == 10,000 pages, and the pipeline_edges oracle inlines NO
+    entity mapping because linking over the full bank vocabulary produces
+    the identity map — a future SENTENCE_BANK edit that introduces a
+    near-dup merge must fail HERE with a clear message, not as an opaque
+    driver hash mismatch."""
+    from sigraph_spark.corpus import pages_count
+    from sigraph_spark.operators.linking import link_entities
+    from sigraph_spark.operators.triples import SENTENCE_BANK
+
+    assert pages_count(0.01) == 10_000  # oracle range(0, 10000)
+
+    rows = []
+    for s in SENTENCE_BANK:
+        if s.page_safe:
+            for (a, v, o) in s.expected:
+                rows.append(("u", a, v, o))
+    triples = spark.createDataFrame(
+        rows, "url string, actor string, verb string, object string"
+    )
+    nonid = [
+        (r["entity"], r["canonical_id"])
+        for r in link_entities(triples).collect()
+        if r["entity"] != r["canonical_id"]
+    ]
+    assert nonid == [], (
+        "bank vocabulary no longer maps to itself — update the "
+        "pipeline_edges oracle SQL with these canonicalization pairs: "
+        f"{nonid}"
+    )
+
+
 def test_gen_pages_embeds_selected_sentences(spark):
     """The html body embeds exactly the selected bank sentences in order."""
     from sigraph_spark.operators.triples import SENTENCE_BANK
