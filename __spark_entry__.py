@@ -397,18 +397,23 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (crc32 shingle hashing is not available in DuckDB);
-    pinned instead by tests/test_dedup.py golden assertions."""
+    """HARD oracle: the gate runs the engine-portable md5 hash family
+    (``hash32_md5_le``) so DuckDB reproduces the exact shingle hashes,
+    64-permutation signatures, band keys, and pair set. The crc32 default
+    family is pinned separately by tests/test_dedup.py bit-identity
+    assertions (Column form == numpy kernel)."""
     from sigraph_spark.operators.dedup import minhash_candidates
 
-    return minhash_candidates(_docs(spark, sf_dir))
+    return minhash_candidates(_docs(spark, sf_dir), hash_family="md5")
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (xxhash64 is Spark-specific)."""
+    """HARD oracle: md5 family — DuckDB's md5_number_upper() IS the
+    little-endian uint64 of digest[0:8], so signatures, 16-bit band
+    blocking, and Hamming verification all reproduce exactly in SQL."""
     from sigraph_spark.operators.dedup import simhash_candidates
 
-    return simhash_candidates(_docs(spark, sf_dir), max_hamming=3)
+    return simhash_candidates(_docs(spark, sf_dir), max_hamming=3, hash_family="md5")
 
 
 # --- similarity search ------------------------------------------------------
@@ -461,9 +466,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (bucketing is engine-side): banded-LSH near-dup — the
-    scale path whose recall vs the brute-force oracle is pinned in
-    tests/test_similarity.py (>= 0.9 on planted near-dups)."""
+    """HARD oracle: the 8x4-bit band hyperplanes are literal constants, so
+    DuckDB reproduces bucket agreement per band and the verified pair set
+    (a pair is emitted once regardless of how many bands collide — the
+    oracle uses DISTINCT where Spark uses the first-matching-band filter).
+    Recall vs the brute-force oracle is pinned in tests/test_similarity.py
+    (>= 0.9 on planted near-dups)."""
     from sigraph_spark.operators.similarity import embedding_neardup_lsh
 
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
@@ -472,15 +480,38 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (bucketing is engine-side); recall vs brute force is
-    asserted in tests/test_similarity.py."""
-    from sigraph_spark.operators.similarity import lsh_topk
+    """HARD oracle: the hyperplanes are deterministic literal constants
+    (similarity._hyperplane), so DuckDB reproduces the bucket bits exactly;
+    scores are rounded to 6 decimals BEFORE ranking so the per-query
+    ordering (cosine desc, vec_id) is identical across engines. Recall vs
+    brute force is separately asserted in tests/test_similarity.py."""
+    from sigraph_spark.operators.similarity import dot, l2_norm, l2_normalize, lsh_bucket
 
     e = _emb(spark, sf_dir)
-    q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    c = e.select(
+        "vec_id",
+        F.col("embedding").alias("cv"),
+        lsh_bucket(l2_normalize(F.col("embedding")), dim=64, bits=4).alias("bucket"),
     )
-    return lsh_topk(e, q, dim=64, k=10, bits=4)
+    q = c.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("cv").alias("qv"), "bucket"
+    )
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        "vec_id",
+        F.round(
+            dot(F.col("cv"), F.col("qv"))
+            / (l2_norm(F.col("cv")) * l2_norm(F.col("qv"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )
 
 
 # --- generic engine coverage ------------------------------------------------
@@ -611,13 +642,19 @@ def q_pipeline_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: multimodal plumbing (mapInPandas over binary payloads,
-    stub decode — schema/batch contract is the tested surface)."""
+    """HARD oracle: gen_media payloads are deterministic ASCII
+    ('MEDIA{id}' + 'x'*((id%7+1)*100)) and the stub decoder is a byte%16
+    histogram, so DuckDB reconstructs the whole pipeline from range(128) —
+    the mapInPandas plumbing (schema, batching, null handling) is what the
+    comparison exercises."""
     from sigraph_spark.operators.multimodal import gen_media, image_features
 
     media = gen_media(spark, n=128)
+    # cast the float32 feature to double BEFORE rounding so the oracle can
+    # reproduce the exact value (float32 quantization then float64 round)
     return image_features(media).select(
-        "media_id", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
+        "media_id", "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0")
     )
 
 
@@ -844,6 +881,23 @@ nodes AS (
   FROM node_incidence GROUP BY node_id, label
 )
 """
+
+
+def _lsh_bucket_sql(vec_expr: str, dim: int, bits: int, offset: int) -> str:
+    """DuckDB expression for similarity.lsh_bucket: bit i of the bucket id
+    is the sign of <vec, hyperplane_{offset+i}>; the planes are the same
+    deterministic constants Spark embeds (crc32-derived, literal-exact via
+    repr round-trip)."""
+    from sigraph_spark.operators.similarity import _hyperplane
+
+    terms = []
+    for i in range(bits):
+        plane = "[" + ", ".join(repr(w) for w in _hyperplane(dim, offset + i)) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {plane}) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1150,6 +1204,153 @@ def oracle_sql() -> dict[str, str]:
                           * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
           FROM e a JOIN e b ON a.vec_id < b.vec_id)
         SELECT a, b, cosine FROM scored WHERE cosine >= 0.5
+    """
+    # --- LSH similarity: the hyperplanes are deterministic constants
+    # (similarity._hyperplane), embedded below as double literals (repr()
+    # round-trips IEEE754 exactly), so bucket bits reproduce in any engine.
+    _NORM_CTE = """
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        u AS (SELECT vec_id, v, nrm,
+                     CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+                          ELSE v END AS uv
+              FROM n)
+    """
+    sq["lsh_topk"] = (
+        "WITH " + _NORM_CTE + f""",
+        b AS (SELECT vec_id, v, nrm, {_lsh_bucket_sql('uv', 64, 4, 0)} AS bucket FROM u),
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket
+              FROM b WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, c.vec_id,
+                 round(list_dot_product(c.v, q.qv) / (c.nrm * q.qn), 6) AS cosine
+          FROM b c JOIN q USING (bucket))
+        SELECT query_id, vec_id, cosine, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+          FROM scored)
+        WHERE rank <= 10
+        """
+    )
+    _ndl_buckets = ", ".join(
+        _lsh_bucket_sql("uv", 64, 4, band * 4) + f" AS bk{band}" for band in range(8)
+    )
+    _ndl_bucket_list = "[" + ", ".join(f"bk{band}" for band in range(8)) + "]"
+    sq["embedding_neardup_lsh"] = (
+        "WITH " + _NORM_CTE + f""",
+        b AS (SELECT vec_id, uv, {_ndl_buckets} FROM u),
+        banded AS (
+          SELECT vec_id, uv, CAST(i AS INT) AS band,
+                 {_ndl_bucket_list}[CAST(i + 1 AS INT)] AS bucket
+          FROM b, UNNEST(range(0, 8)) AS t(i))
+        SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
+               round(list_dot_product(x.uv, y.uv), 6) AS cosine
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+        WHERE list_dot_product(x.uv, y.uv) >= 0.5
+        """
+    )
+    # --- MinHash-LSH pairs, md5 hash family (gate query passes
+    # hash_family="md5"): shingle hash = little-endian uint32 of
+    # md5-digest[0:4] == md5_number_upper(s) & 0xFFFFFFFF; signature slot i
+    # = min((2i+1)*h + i*i+1) mod 2^31-1; 16 bands x 4 rows.
+    sq["minhash_candidates"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+                        ELSE w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+                             || ' ' || w[CAST(i AS INT) + 2] END AS s
+            FROM d, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i))
+          WHERE s IS NOT NULL),
+        h AS (
+          SELECT DISTINCT doc_id,
+                 CAST(md5_number_upper(s) & 4294967295 AS BIGINT) AS h
+          FROM sh),
+        sig AS (
+          SELECT doc_id, i,
+                 min(((2 * i + 1) * h + (i * i + 1)) % 2147483647) AS m
+          FROM h, UNNEST(range(0, 64)) AS t(i)
+          GROUP BY doc_id, i),
+        sigarr AS (
+          SELECT doc_id, list(m ORDER BY i) AS sig FROM sig GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id,
+                 CAST(b AS VARCHAR) || ':' ||
+                 CAST(sig[CAST(b * 4 + 1 AS INT)] AS VARCHAR) || '_' ||
+                 CAST(sig[CAST(b * 4 + 2 AS INT)] AS VARCHAR) || '_' ||
+                 CAST(sig[CAST(b * 4 + 3 AS INT)] AS VARCHAR) || '_' ||
+                 CAST(sig[CAST(b * 4 + 4 AS INT)] AS VARCHAR) AS bk
+          FROM sigarr, UNNEST(range(0, 16)) AS t(b))
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM banded x JOIN banded y ON x.bk = y.bk AND x.doc_id < y.doc_id
+    """
+    # --- SimHash pairs, md5 family: signature bit j = sign of the +1/-1
+    # vote sum of bit j over shingle hashes h = md5_number_upper(s); docs
+    # with no words have signature 0 (LEFT JOIN back to documents); 4
+    # 16-bit bands block, bit_count(xor) verifies Hamming <= 3. Spark's
+    # first-matching-band filter == DISTINCT here (hamming is band-free).
+    sq["simhash_pairs"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(
+                   string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                   x -> x <> '') AS w
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+                        ELSE w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+                             || ' ' || w[CAST(i AS INT) + 2] END AS s
+            FROM d, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i))
+          WHERE s IS NOT NULL AND s <> ''),
+        hs AS (SELECT doc_id, md5_number_upper(s) AS h FROM sh),
+        votes AS (
+          SELECT doc_id, j,
+                 sum(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM hs, UNNEST(range(0, 64)) AS t(j)
+          GROUP BY doc_id, j),
+        sig0 AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS UBIGINT) << CAST(j AS INT)
+                               ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sig
+          FROM votes GROUP BY doc_id),
+        sig AS (
+          SELECT dd.doc_id AS id, coalesce(s.sig, CAST(0 AS UBIGINT)) AS sig
+          FROM documents dd LEFT JOIN sig0 s ON dd.doc_id = s.doc_id),
+        banded AS (
+          SELECT id, sig, CAST(i AS INT) AS bi,
+                 (sig >> CAST(16 * i AS INT)) & 65535 AS bv
+          FROM sig, UNNEST(range(0, 4)) AS t(i))
+        SELECT DISTINCT x.id AS a, y.id AS b,
+               CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming
+        FROM banded x JOIN banded y
+          ON x.bi = y.bi AND x.bv = y.bv AND x.id < y.id
+        WHERE bit_count(xor(x.sig, y.sig)) <= 3
+    """
+    # --- media features: gen_media payloads are deterministic ASCII and
+    # the stub decoder is a byte%16 histogram — reconstruct both from
+    # range(128). The inner CAST AS FLOAT replicates the float32
+    # quantization of the declared array<float> schema before rounding.
+    sq["media_features"] = """
+        WITH m AS (
+          SELECT CAST(i AS BIGINT) AS id,
+                 'MEDIA' || CAST(i AS VARCHAR)
+                   || repeat('x', CAST(((i % 7) + 1) * 100 AS INT)) AS s
+          FROM UNNEST(range(0, 128)) AS t(i))
+        SELECT 'm-' || CAST(id AS VARCHAR) AS media_id,
+               CAST(length(s) AS BIGINT) AS n_bytes,
+               round(CAST(CAST(
+                 CAST(len(list_filter(range(1, length(s) + 1),
+                                      i -> ascii(s[CAST(i AS INT)]) % 16 = 0))
+                      AS DOUBLE) / length(s)
+                 AS FLOAT) AS DOUBLE), 6) AS f0
+        FROM m
     """
     sq["events_sessions"] = """
         WITH g AS (

@@ -59,16 +59,42 @@ def _word_shingles(c: Column, k: int) -> Column:
     )
 
 
-def shingle_hashes(c: Column, k: int = 3) -> Column:
-    """array<long> of crc32 hashes of the k-word shingles (sorted distinct).
+def hash32_md5_le(s: Column) -> Column:
+    """Portable 32-bit string hash: the little-endian uint32 of the first
+    four md5 digest bytes. Every engine exposes md5, so this family crosses
+    engines exactly:
 
-    crc32 is bit-identical across Spark and every other engine (it's the
-    IEEE polynomial), unlike xxhash64 whose seed handling is Spark-specific.
+    * Spark (here): reverse the first 4 hex-pairs of ``md5()`` and ``conv``
+      base-16 — stays inside whole-stage codegen.
+    * numpy kernels: ``int.from_bytes(md5(s).digest()[:4], "little")``.
+    * DuckDB oracle: ``md5_number_upper(s) & 4294967295``
+      (``md5_number_upper`` IS the little-endian uint64 of digest[0:8]).
     """
+    m = F.md5(s.cast("binary"))
+    le_hex = F.concat(
+        F.substring(m, 7, 2), F.substring(m, 5, 2),
+        F.substring(m, 3, 2), F.substring(m, 1, 2),
+    )
+    return F.conv(le_hex, 16, 10).cast("long")
+
+
+def shingle_hashes(c: Column, k: int = 3, family: str = "crc32") -> Column:
+    """array<long> of hashes of the k-word shingles (sorted distinct).
+
+    ``family="crc32"`` (default): bit-identical across Spark and every
+    engine that exposes crc32 (it's the IEEE polynomial), unlike xxhash64
+    whose seed handling is Spark-specific. ``family="md5"``: the portable
+    ``hash32_md5_le`` form — DuckDB lacks crc32, so the driver-gate oracle
+    path uses this family (same Broder construction, different 32-bit
+    uniform hash).
+    """
+    hash_fn = (
+        (lambda s: F.crc32(s.cast("binary")))
+        if family == "crc32"
+        else hash32_md5_le
+    )
     return F.array_sort(
-        F.array_distinct(
-            F.transform(_word_shingles(c, k), lambda s: F.crc32(s.cast("binary")))
-        )
+        F.array_distinct(F.transform(_word_shingles(c, k), hash_fn))
     )
 
 
@@ -116,16 +142,26 @@ def lsh_band_keys(sig: Column, bands: int = 16, rows: int = 4) -> Column:
     )
 
 
-def _minhash_batch_factory(k: int, num_hashes: int):
+def _minhash_batch_factory(k: int, num_hashes: int, family: str = "crc32"):
     """Arrow-batched MinHash signatures, numpy-vectorized, computing the
-    EXACT same family as ``minhash_signature`` (crc32 shingles,
-    ``(a_i*h+b_i) mod p``, a_i=2i+1, b_i=i*i+1) — the two formulations are
-    bit-identical (pinned by tests/test_dedup.py). The pure-Column form's
-    64-wide zip_with tree exceeds janino's 64KB method limit and drops to
-    interpreted eval; the numpy kernel is one (shingles x 64) outer op."""
+    EXACT same family as ``minhash_signature`` over ``shingle_hashes``
+    (``(a_i*h+b_i) mod p``, a_i=2i+1, b_i=i*i+1) — the two formulations are
+    bit-identical per hash family (pinned by tests/test_dedup.py). The
+    pure-Column form's 64-wide zip_with tree exceeds janino's 64KB method
+    limit and drops to interpreted eval; the numpy kernel is one
+    (shingles x 64) outer op. ``family``: "crc32" (default) or the
+    engine-portable "md5" (see ``hash32_md5_le``)."""
+    import hashlib
     import zlib
 
     import numpy as np
+
+    if family == "crc32":
+        hash_one = lambda s: zlib.crc32(s.encode())  # noqa: E731
+    else:
+        hash_one = lambda s: int.from_bytes(  # noqa: E731
+            hashlib.md5(s.encode()).digest()[:4], "little"
+        )
 
     A = np.arange(num_hashes, dtype=np.uint64) * 2 + 1
     B = np.arange(num_hashes, dtype=np.uint64) ** 2 + 1
@@ -140,7 +176,7 @@ def _minhash_batch_factory(k: int, num_hashes: int):
             else:
                 shingles = {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
             hs = np.fromiter(
-                (zlib.crc32(s.encode()) for s in shingles),
+                (hash_one(s) for s in shingles),
                 dtype=np.uint64, count=len(shingles),
             )
             if len(hs) == 0:
@@ -153,8 +189,8 @@ def _minhash_batch_factory(k: int, num_hashes: int):
     return batch
 
 
-def minhash_signature_udf(k: int = 3, num_hashes: int = 64):
-    return F.pandas_udf(_minhash_batch_factory(k, num_hashes), "array<long>")
+def minhash_signature_udf(k: int = 3, num_hashes: int = 64, family: str = "crc32"):
+    return F.pandas_udf(_minhash_batch_factory(k, num_hashes, family), "array<long>")
 
 
 def minhash_candidates(
@@ -165,17 +201,19 @@ def minhash_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     rows: int = 4,
+    hash_family: str = "crc32",
 ) -> DataFrame:
     """MinHash-LSH candidate near-duplicate pairs (a < b by id).
 
     Plan shape: narrow signature pass (Arrow numpy kernel) -> explode band
     keys -> self-join on band key (shuffle on uniform hash keys) -> pair
-    dedup.
+    dedup. ``hash_family="md5"`` selects the engine-portable shingle hash
+    so an external SQL engine can reproduce the exact pair set.
     """
     assert bands * rows <= num_hashes
     sig = docs.select(
         F.col(id_col).alias("id"),
-        minhash_signature_udf(k, num_hashes)(F.col(text_col)).alias("sig"),
+        minhash_signature_udf(k, num_hashes, hash_family)(F.col(text_col)).alias("sig"),
     )
     banded = sig.select("id", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk"))
     a = banded.select(F.col("bk"), F.col("id").alias("a"))
@@ -265,42 +303,60 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 # SimHash
 # ---------------------------------------------------------------------------
 
-def _simhash_batch(texts: pd.Series) -> pd.Series:
+def _simhash_batch_factory(family: str = "blake2b"):
     """Arrow-batched SimHash signatures, numpy-vectorized: votes are one
-    ``unpackbits`` + column-sum per doc. Hash = blake2b 8-byte digest per
-    shingle (any stable 64-bit hash works — SimHash signatures never cross
-    engines). A pure-Column formulation exists but its 64-bit vote tree
-    exceeds janino's 64KB method limit and drops whole-stage codegen to
+    ``unpackbits`` + column-sum per doc. Hash families (both read as the
+    little-endian uint64 of an 8-byte digest):
+
+    * ``blake2b`` (default) — fastest stable 8-byte digest in hashlib.
+    * ``md5`` — digest[0:8]; engine-portable: DuckDB's
+      ``md5_number_upper(s)`` IS this exact value, so an external SQL
+      oracle can reproduce signatures bit-for-bit.
+
+    A pure-Column formulation exists but its 64-bit vote tree exceeds
+    janino's 64KB method limit and drops whole-stage codegen to
     interpreted eval (~10x slower)."""
     import hashlib
 
     import numpy as np
 
-    out = []
-    for t in texts:
-        words = (t or "").lower().split()
-        if len(words) < 3:
-            shingles = {" ".join(words)} if words else set()
-        else:
-            shingles = {" ".join(words[i:i + 3]) for i in range(len(words) - 2)}
-        if not shingles:
-            out.append(0)
-            continue
-        hs = np.frombuffer(
-            b"".join(hashlib.blake2b(s.encode(), digest_size=8).digest() for s in sorted(shingles)),
-            dtype=np.uint64,
-        )
-        bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-        votes = bits.sum(axis=0) * 2 - len(hs)  # +1/-1 votes per bit
-        sig = np.uint64(0)
-        for j in np.nonzero(votes > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(j)
-        out.append(int(sig.astype(np.int64)))
-    return pd.Series(out)
+    if family == "blake2b":
+        digest8 = lambda s: hashlib.blake2b(s, digest_size=8).digest()  # noqa: E731
+    else:
+        digest8 = lambda s: hashlib.md5(s).digest()[:8]  # noqa: E731
+
+    def batch(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            words = (t or "").lower().split()
+            if len(words) < 3:
+                shingles = {" ".join(words)} if words else set()
+            else:
+                shingles = {" ".join(words[i:i + 3]) for i in range(len(words) - 2)}
+            if not shingles:
+                out.append(0)
+                continue
+            hs = np.frombuffer(
+                b"".join(digest8(s.encode()) for s in sorted(shingles)),
+                dtype=np.uint64,
+            )
+            bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+            # signed accumulator: the uint8 column sum promotes to uint64,
+            # where a negative vote total would wrap to a huge positive —
+            # silently setting every non-tied bit (caught by the DuckDB
+            # signature oracle)
+            votes = bits.sum(axis=0).astype(np.int64) * 2 - len(hs)  # +1/-1 votes per bit
+            sig = np.uint64(0)
+            for j in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(j)
+            out.append(int(sig.astype(np.int64)))
+        return pd.Series(out)
+
+    return batch
 
 
-def simhash_udf():
-    return F.pandas_udf(_simhash_batch, "long")
+def simhash_udf(family: str = "blake2b"):
+    return F.pandas_udf(_simhash_batch_factory(family), "long")
 
 
 def simhash_candidates(
@@ -308,14 +364,15 @@ def simhash_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    hash_family: str = "blake2b",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on 4 16-bit bands (pigeonhole for
     Hamming<=3), verify exact Hamming distance via bit_count(xor).
 
-    Signature via the Arrow pandas UDF (see ``_simhash_batch``); banding,
-    the bucket self-join, and Hamming verification stay JVM-side."""
+    Signature via the Arrow pandas UDF (see ``_simhash_batch_factory``);
+    banding, the bucket self-join, and Hamming verification stay JVM-side."""
     sim = docs.select(
-        F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sh")
+        F.col(id_col).alias("id"), simhash_udf(hash_family)(F.col(text_col)).alias("sh")
     )
 
     def band_val(sh, i: int):

@@ -93,3 +93,54 @@ def test_minhash_udf_matches_column_formulation(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_simhash_single_shingle_sig_is_hash_bits():
+    """A one-shingle doc's signature must be EXACTLY the shingle's hash
+    bits (votes are +-1 per bit). Regression: the uint8 bit-column sum
+    promotes to uint64, where `sum*2 - n` wraps negative votes to huge
+    positives and sets every non-tied bit — caught by the DuckDB oracle."""
+    import hashlib
+
+    import pandas as pd
+
+    from sigraph_spark.operators.dedup import _simhash_batch_factory
+
+    text = "alpha beta"  # < 3 words -> single shingle "alpha beta"
+    for family, digest in (
+        ("md5", lambda s: hashlib.md5(s).digest()[:8]),
+        ("blake2b", lambda s: hashlib.blake2b(s, digest_size=8).digest()),
+    ):
+        sig = int(_simhash_batch_factory(family)(pd.Series([text])).iloc[0])
+        expected = int.from_bytes(digest(text.encode()), "little")
+        assert sig & 0xFFFFFFFFFFFFFFFF == expected, family
+
+
+def test_minhash_md5_family_matches_column_formulation(spark):
+    """The md5 hash family (engine-portable, used by the driver-gate
+    oracle) is bit-identical between the numpy kernel and the pure-Column
+    hash32_md5_le formulation."""
+    from sigraph_spark.operators.dedup import (
+        hash32_md5_le,
+        minhash_signature,
+        minhash_signature_udf,
+        shingle_hashes,
+    )
+
+    docs = _docs(spark)
+    col_form = docs.select(
+        "doc_id",
+        minhash_signature(shingle_hashes(F.col("text"), 3, family="md5"), 64).alias("s"),
+    )
+    udf_form = docs.select(
+        "doc_id", minhash_signature_udf(3, 64, family="md5")(F.col("text")).alias("s")
+    )
+    a = {r["doc_id"]: r["s"] for r in col_form.collect()}
+    b = {r["doc_id"]: r["s"] for r in udf_form.collect()}
+    assert a == b
+
+    # and the Column hash itself matches hashlib little-endian uint32
+    import hashlib
+
+    val = docs.select(hash32_md5_le(F.lit("alpha beta gamma")).alias("h")).first()["h"]
+    assert val == int.from_bytes(hashlib.md5(b"alpha beta gamma").digest()[:4], "little")
