@@ -514,6 +514,79 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- corpus curation (training-data pipeline ops) ---------------------------
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by the portable md5 bucket —
+    zero-shuffle narrow map; assignment is stable across corpus growth."""
+    from sigraph_spark.operators.corpus import dataset_split
+
+    return dataset_split(_docs(spark, sf_dir)).select("doc_id", "bucket", "split")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic hash-threshold sampling (en at 20%,
+    everything else at 50%) — zero-shuffle."""
+    from sigraph_spark.operators.corpus import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), {"en": 200}, 500).select(
+        "doc_id", "lang", "bucket"
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/IPv4/digit-run masking. The corpus has no organic PII, so the
+    gate seeds deterministic synthetic PII per doc first; the oracle
+    reproduces seed + redaction with the same RE2/Java-compatible
+    patterns."""
+    from sigraph_spark.operators.corpus import redact_pii
+
+    seeded = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 acct 1234567"), F.col("doc_id").cast("string"),
+        ),
+    )
+    return redact_pii(seeded).select("doc_id", "text")
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate 3-gram ratio per document (narrow map)."""
+    from sigraph_spark.operators.corpus import repetition_score
+
+    return repetition_score(_docs(spark, sf_dir))
+
+
+def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-100 token frequencies: partial aggregation then a
+    TakeOrdered of 100 rows (never a full vocabulary sort); deterministic
+    (n desc, token asc) boundary."""
+    from sigraph_spark.operators.corpus import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir), k=100)
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event picks up the most recent error event
+    at-or-before it for the same user (union-and-carry plan: one shuffle
+    on user_id + one window scan — no range cross-join). Ties on the
+    right side resolve to the greatest event_id, so the result is
+    engine-reproducible."""
+    from sigraph_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    clicks = ev.filter(F.col("event_type") == "click")
+    errors = ev.filter(F.col("event_type") == "error")
+    out = asof_join(clicks, errors, on="user_id", right_tiebreak="event_id")
+    return out.select(
+        "event_id", "user_id", "ts", "matched_event_id", "matched_value"
+    )
+
+
 # --- generic engine coverage ------------------------------------------------
 
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -776,6 +849,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "lsh_topk": q_lsh_topk,
+        "dataset_split": q_dataset_split,
+        "stratified_sample": q_stratified_sample,
+        "pii_redact": q_pii_redact,
+        "text_repetition": q_text_repetition,
+        "corpus_vocab": q_corpus_vocab,
+        "events_asof": q_events_asof,
         "events_sessions": q_events_sessions,
         "tpch_q1": q_tpch_q1,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1351,6 +1430,88 @@ def oracle_sql() -> dict[str, str]:
                       AS DOUBLE) / length(s)
                  AS FLOAT) AS DOUBLE), 6) AS f0
         FROM m
+    """
+    # --- corpus curation ops: the split/sample hash is the portable md5
+    # family (hash32_md5_le == md5_number_upper & 0xFFFFFFFF).
+    sq["dataset_split"] = """
+        WITH b AS (
+          SELECT doc_id,
+                 CAST((md5_number_upper('split:' || CAST(doc_id AS VARCHAR))
+                       & 4294967295) % 100 AS BIGINT) AS bucket
+          FROM documents)
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+    """
+    sq["stratified_sample"] = """
+        WITH b AS (
+          SELECT doc_id, lang,
+                 CAST((md5_number_upper('sample:' || CAST(doc_id AS VARCHAR))
+                       & 4294967295) % 1000 AS BIGINT) AS bucket
+          FROM documents)
+        SELECT doc_id, lang, bucket FROM b
+        WHERE bucket < CASE WHEN lang = 'en' THEN 200 ELSE 500 END
+    """
+    sq["pii_redact"] = r"""
+        WITH seeded AS (
+          SELECT doc_id,
+                 text || ' contact u' || CAST(doc_id AS VARCHAR)
+                      || '@mail.example.com from 10.0.'
+                      || CAST(doc_id % 256 AS VARCHAR)
+                      || '.7 acct 1234567' || CAST(doc_id AS VARCHAR) AS text
+          FROM documents)
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                 '\b\d{7,}\b', '<NUM>', 'g') AS text
+        FROM seeded
+    """
+    sq["text_repetition"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+                      ELSE w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+                           || ' ' || w[CAST(i AS INT) + 2] END AS s
+          FROM d, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i)),
+        cnt AS (
+          SELECT doc_id, count(*) AS total, count(DISTINCT s) AS dis
+          FROM sh GROUP BY doc_id)
+        SELECT doc_id,
+               round((total - dis) / CAST(total AS DOUBLE), 6) AS dup_ngram_ratio
+        FROM cnt
+    """
+    sq["corpus_vocab"] = r"""
+        WITH w AS (
+          SELECT unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\s+')) AS token
+          FROM documents)
+        SELECT token, CAST(count(*) AS BIGINT) AS n
+        FROM w WHERE token <> ''
+        GROUP BY token
+        ORDER BY n DESC, token ASC
+        LIMIT 100
+    """
+    sq["events_asof"] = """
+        WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+             e AS (SELECT * FROM events WHERE event_type = 'error')
+        SELECT event_id, user_id, ts, matched_event_id, matched_value FROM (
+          SELECT c.event_id, c.user_id, c.ts,
+                 e.event_id AS matched_event_id, e.value AS matched_value,
+                 row_number() OVER (
+                   PARTITION BY c.event_id
+                   ORDER BY e.ts DESC NULLS LAST, e.event_id DESC NULLS LAST
+                 ) AS rn
+          FROM c LEFT JOIN e ON c.user_id = e.user_id AND e.ts <= c.ts)
+        WHERE rn = 1
     """
     sq["events_sessions"] = """
         WITH g AS (

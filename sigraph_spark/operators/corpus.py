@@ -1,0 +1,143 @@
+"""Corpus-curation operators for training-data pipelines.
+
+Five operators a 100 TB web-text pipeline needs beyond dedup/quality
+(driver brief: training-data ops are first-class alongside the KG
+pipeline). All are NARROW maps or partial-aggregations — no UDFs, no
+skew-prone shuffles:
+
+* ``dataset_split``     — deterministic train/val/test assignment by a
+  portable content-free hash of the id; re-running on new data never
+  reshuffles old rows between splits (the property replication/backfill
+  jobs rely on).
+* ``stratified_sample`` — per-stratum (e.g. per-language) deterministic
+  sampling by hash threshold; sampling a 100 TB corpus is one narrow
+  scan, no shuffle at all.
+* ``redact_pii``        — email / IPv4 / long-digit-run masking as JVM
+  regexp_replace chains (whole-stage codegen; the patterns are RE2- and
+  Java-compatible so external engines reproduce them).
+* ``repetition_score``  — Gopher-style duplicate n-gram ratio per doc
+  (the "remove boilerplate-repetitive docs" quality signal).
+* ``vocab_topk``        — corpus-wide top-k token frequencies: partial
+  map-side aggregation then a TakeOrdered of only k rows to the driver
+  (never a full sort of the vocabulary).
+
+The split/sample hash is ``dedup.hash32_md5_le`` — the engine-portable
+md5 family, so every assignment is reproducible in plain SQL (the
+driver-gate DuckDB oracles recompute them exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sigraph_spark.operators.dedup import hash32_md5_le
+
+# patterns are deliberately restricted to the Java/RE2 common subset
+# (\d, \b, bounded repeats, char classes) so SQL engines reproduce them
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{7,}\b", "<NUM>"),
+]
+
+
+def split_bucket(id_col: Column, salt: str = "split") -> Column:
+    """Deterministic bucket in [0, 100) from the portable md5 hash of
+    ``salt:id``. Content-free (renamed/re-crawled docs keep their split
+    as long as the id is stable) and engine-portable."""
+    return hash32_md5_le(F.concat(F.lit(salt + ":"), id_col.cast("string"))) % 100
+
+
+def dataset_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Assign train/val/test by deterministic hash bucket. A narrow map:
+    at any scale this is a zero-shuffle projection, and the assignment
+    never changes when the corpus grows (no sampling drift between
+    pipeline runs)."""
+    b = split_bucket(F.col(id_col))
+    return docs.withColumn("bucket", b.cast("long")).withColumn(
+        "split",
+        F.when(F.col("bucket") < train_pct, "train")
+        .when(F.col("bucket") < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates_permille: dict[str, int],
+    default_permille: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each row iff its hash bucket (0..999) falls under its
+    stratum's rate. Deterministic, zero-shuffle, and exact in
+    expectation per stratum — the standard way to rebalance language /
+    source mix without materializing per-stratum counts first."""
+    bucket = (
+        hash32_md5_le(F.concat(F.lit("sample:"), F.col(id_col).cast("string"))) % 1000
+    )
+    rate: Column = F.lit(default_permille)
+    for value, permille in sorted(rates_permille.items()):
+        rate = F.when(F.col(stratum_col) == value, F.lit(permille)).otherwise(rate)
+    return (
+        docs.withColumn("bucket", bucket.cast("long"))
+        .filter(F.col("bucket") < rate)
+    )
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mask emails, IPv4 addresses, and 7+-digit runs in ``text_col``
+    (in that order — the IP pattern must not see digits already consumed
+    by an email). Pure regexp_replace chain: JVM-side, codegen, no UDF;
+    order and patterns are part of the contract (PII_PATTERNS)."""
+    c: Column = F.col(text_col)
+    for pattern, replacement in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, replacement)
+    return docs.withColumn(text_col, c)
+
+
+def repetition_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Duplicate k-gram ratio per document: (total - distinct) / total
+    over word k-grams (Gopher-style repetition quality signal; docs
+    below ~3 words score 0.0 by construction). Narrow map — the n-gram
+    arrays never leave the row."""
+    words = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    n = F.size(words)
+    grams = F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        )
+    )
+    total = F.size(grams).cast("double")
+    distinct = F.size(F.array_distinct(grams)).cast("double")
+    return docs.select(
+        F.col(id_col),
+        F.round((total - distinct) / total, 6).alias("dup_ngram_ratio"),
+    )
+
+
+def vocab_topk(
+    docs: DataFrame, text_col: str = "text", k: int = 100
+) -> DataFrame:
+    """Corpus-wide top-k token frequencies (count desc, token asc —
+    deterministic at the boundary). The groupBy is a uniform-key shuffle
+    with map-side partial aggregation; the global ordering is a
+    TakeOrdered of k rows, NOT a full vocabulary sort."""
+    words = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    return (
+        docs.select(F.explode(words).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )
