@@ -570,6 +570,17 @@ def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(_docs(spark, sf_dir), k=100)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing at ctx=512. The Spark side is a
+    distributed two-stage prefix sum (banded cumsum + per-band base
+    offsets, band_size=100 here so the test data actually exercises
+    multiple bands); the oracle is the plain single-window cumsum the
+    two-stage form must equal exactly."""
+    from sigraph_spark.operators.corpus import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), ctx_len=512, band_size=100)
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click event picks up the most recent error event
     at-or-before it for the same user (union-and-carry plan: one shuffle
@@ -854,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "text_repetition": q_text_repetition,
         "corpus_vocab": q_corpus_vocab,
+        "pack_sequences": q_pack_sequences,
         "events_asof": q_events_asof,
         "events_sessions": q_events_sessions,
         "tpch_q1": q_tpch_q1,
@@ -1499,6 +1511,27 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY token
         ORDER BY n DESC, token ASC
         LIMIT 100
+    """
+    sq["pack_sequences"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                      ELSE len(string_split_regex(lower(trim(text)), '\s+'))
+                 END AS n_tokens
+          FROM documents),
+        o AS (
+          SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS start_offset
+          FROM t)
+        SELECT doc_id, n_tokens, start_offset,
+               start_offset // 512 AS chunk_id,
+               (start_offset + greatest(n_tokens, 1) - 1) // 512 AS end_chunk_id,
+               (start_offset + greatest(n_tokens, 1) - 1) // 512
+                 <> start_offset // 512 AS spans_chunks
+        FROM o
     """
     sq["events_asof"] = """
         WITH c AS (SELECT * FROM events WHERE event_type = 'click'),

@@ -28,7 +28,7 @@ driver-gate DuckDB oracles recompute them exactly).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sigraph_spark.operators.dedup import hash32_md5_le
@@ -122,6 +122,77 @@ def repetition_score(
     return docs.select(
         F.col(id_col),
         F.round((total - distinct) / total, 6).alias("dup_ngram_ratio"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_size: int = 1_000_000,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing (the standard LLM-pretraining
+    layout): documents are concatenated in ``id_col`` order and cut into
+    fixed ``ctx_len`` token windows; each doc learns its global token
+    ``start_offset``, its ``chunk_id`` (= start_offset div ctx_len), and
+    whether it straddles a chunk boundary.
+
+    The global running sum is a DISTRIBUTED two-stage prefix scan, not a
+    single-partition window (which would funnel the whole corpus through
+    one task):
+
+      1. band rows by ``id div band_size`` and cumsum within each band
+         (shuffle on the uniform band key, bounded rows per task);
+      2. prefix-sum the per-band totals — one row per band, a tiny
+         single-partition window over |corpus|/band_size rows — and add
+         the band's base offset back via a broadcast-sized join.
+
+    Token count here is the whitespace tokenizer (swap in the BPE regex
+    from textstats for subword budgets)."""
+    words = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    n_tok = F.when(F.trim(F.coalesce(F.col(text_col), F.lit(""))) == "", F.lit(0)).otherwise(
+        F.size(words)
+    )
+    banded = docs.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        (F.col(id_col) / band_size).cast("long").alias("_band"),
+    )
+    w_in = (
+        Window.partitionBy("_band")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = banded.withColumn(
+        "_local_off", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    )
+    w_band = (
+        Window.orderBy("_band").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    band_base = (
+        banded.groupBy("_band")
+        .agg(F.sum("n_tokens").alias("_band_total"))
+        .withColumn("_band_base", F.coalesce(F.sum("_band_total").over(w_band), F.lit(0)))
+        .select("_band", "_band_base")
+    )
+    packed = local.join(F.broadcast(band_base), "_band").select(
+        id_col,
+        "n_tokens",
+        (F.col("_local_off") + F.col("_band_base")).alias("start_offset"),
+    )
+    return packed.select(
+        id_col,
+        "n_tokens",
+        "start_offset",
+        (F.col("start_offset") / ctx_len).cast("long").alias("chunk_id"),
+        (
+            (F.col("start_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1) / ctx_len
+        ).cast("long").alias("end_chunk_id"),
+        (
+            ((F.col("start_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1) / ctx_len).cast("long")
+            != (F.col("start_offset") / ctx_len).cast("long")
+        ).alias("spans_chunks"),
     )
 
 

@@ -159,3 +159,28 @@ def test_asof_join_carries_across_interleaved_lefts(spark):
         for r in asof_join(left, right, on="user_id", right_tiebreak="event_id").collect()
     }
     assert out == {1: None, 2: 100, 3: 100, 4: 101, 5: 101}
+
+
+def test_pack_sequences_two_stage_equals_plain_cumsum(spark):
+    """The banded two-stage prefix sum must equal the single-window
+    cumsum exactly, across band boundaries and partitionings."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, " ".join(["w"] * rng.randint(0, 40))) for i in range(500)]
+    d = spark.createDataFrame(rows, "doc_id long, text string").repartition(11)
+    from sigraph_spark.operators.corpus import pack_sequences
+
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["start_offset"], r["chunk_id"], r["spans_chunks"])
+        for r in pack_sequences(d, ctx_len=64, band_size=37).collect()
+    }
+    # python reference
+    off = 0
+    for i, text in rows:
+        n = len(text.split()) if text.strip() else 0
+        start_chunk = off // 64
+        end_chunk = (off + max(n, 1) - 1) // 64
+        assert out[i] == (n, off, start_chunk, end_chunk != start_chunk), i
+        off += n
+    assert off == sum(v[0] for v in out.values())
