@@ -159,6 +159,11 @@ def pack_sequences(
         n_tok.cast("long").alias("n_tokens"),
         (F.col(id_col) / band_size).cast("long").alias("_band"),
     )
+    # materialize the narrow (id, n_tokens, band) projection: the cumsum
+    # and band-total branches both consume it, and without a barrier each
+    # branch would re-scan and re-tokenize the full text column (Catalyst
+    # does not reuse the exchange across the agg/window branch split)
+    banded = banded.localCheckpoint(eager=False)
     w_in = (
         Window.partitionBy("_band")
         .orderBy(id_col)
