@@ -826,6 +826,59 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(tagged, centroids, q, k=10, n_probe=2)
 
 
+def q_ivf_topk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD oracle for the IVF SEARCH path: fixed literal centroids (the
+    frozen-quantizer deployment — see similarity.ivf_assign) make the
+    assignment, 2-probe selection (score desc, cluster desc), and
+    cluster-restricted ranking fully SQL-reproducible. Only the k-means
+    TRAINING half (q_ivf_topk) stays rows-only, pinned by recall tests."""
+    from sigraph_spark.operators.similarity import (
+        _hyperplane, dot, ivf_assign, l2_norm, l2_normalize,
+    )
+
+    cents = [_hyperplane(64, 100 + i) for i in range(8)]
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+    e = _emb(spark, sf_dir)
+    tagged = ivf_assign(e, cents)
+    q0 = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.transform(
+            cent_arr, lambda c: dot(l2_normalize(F.col("embedding")), c)
+        ).alias("_cs"),
+    )
+    probes = q0.select(
+        "query_id", "qv",
+        F.explode(
+            F.slice(
+                F.reverse(F.array_sort(
+                    F.transform(
+                        F.col("_cs"),
+                        lambda s, i: F.struct(s.alias("score"), i.alias("cluster")),
+                    )
+                )),
+                1, 2,
+            )
+        ).alias("_p"),
+    ).select("query_id", "qv", F.col("_p.cluster").cast("int").alias("cluster"))
+    scored = tagged.join(F.broadcast(probes), "cluster").select(
+        "query_id",
+        "vec_id",
+        F.round(
+            dot(F.col("emb"), F.col("qv"))
+            / (l2_norm(F.col("emb")) * l2_norm(F.col("qv"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "provenance_parse": q_provenance_parse,
@@ -879,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "provenance_export": q_provenance_export,
         "drift_sequences": q_drift_sequences,
         "ivf_topk": q_ivf_topk,
+        "ivf_topk_fixed": q_ivf_topk_fixed,
     }
 
 
@@ -1339,6 +1393,42 @@ def oracle_sql() -> dict[str, str]:
         FROM banded x JOIN banded y
           ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
         WHERE list_dot_product(x.uv, y.uv) >= 0.5
+        """
+    )
+    from sigraph_spark.operators.similarity import _hyperplane as _hp
+
+    _cents = [
+        "[" + ", ".join(repr(w) for w in _hp(64, 100 + i)) + "]" for i in range(8)
+    ]
+    _cs_expr = "[" + ", ".join(f"list_dot_product(uv, {c})" for c in _cents) + "]"
+    sq["ivf_topk_fixed"] = (
+        "WITH " + _NORM_CTE + f""",
+        a AS (SELECT vec_id, v, nrm, {_cs_expr} AS cs FROM u),
+        assign AS (
+          SELECT vec_id, v, nrm,
+                 CAST(list_position(cs, list_aggregate(cs, 'max')) - 1 AS INT) AS cluster
+          FROM a),
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, cs
+              FROM a WHERE vec_id < 5),
+        qs AS (
+          SELECT query_id, qv, qn, CAST(i AS INT) AS cid,
+                 cs[CAST(i + 1 AS INT)] AS s
+          FROM q, UNNEST(range(0, 8)) AS t(i)),
+        probes AS (
+          SELECT query_id, qv, qn, cid FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY s DESC, cid DESC) AS rn
+            FROM qs)
+          WHERE rn <= 2),
+        scored AS (
+          SELECT p.query_id, c.vec_id,
+                 round(list_dot_product(c.v, p.qv) / (c.nrm * p.qn), 6) AS cosine
+          FROM assign c JOIN probes p ON c.cluster = p.cid)
+        SELECT query_id, vec_id, cosine, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+          FROM scored)
+        WHERE rank <= 10
         """
     )
     # --- MinHash-LSH pairs, md5 hash family (gate query passes

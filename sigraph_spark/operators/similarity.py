@@ -277,6 +277,29 @@ def ivf_index(
     return tagged, centroids
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max <normalized vec,
+    centroid>, first index wins ties) from a FIXED literal centroid list —
+    the deterministic quantizer for the standard at-scale IVF deployment:
+    train k-means on a sample offline, freeze the centroids, assign the
+    full corpus with pure Column arithmetic (no ML pass, no shuffle).
+    Same output shape as the ``ivf_index`` tagging, so ``ivf_topk``
+    consumes either."""
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    uv = l2_normalize(F.col(vec_col))
+    scores = F.transform(cent_arr, lambda c: dot(uv, c))
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("emb"),
+        (F.array_position(scores, F.array_max(scores)) - 1).cast("int").alias("cluster"),
+    )
+
+
 def ivf_topk(
     tagged: DataFrame,
     centroids: list[list[float]],

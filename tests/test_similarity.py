@@ -158,3 +158,20 @@ def test_ivf_topk_recall(spark):
     self_hits = {r["query_id"]: r["vec_id"]
                  for r in approx.filter(F.col("rank") == 1).collect()}
     assert self_hits == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_ivf_assign_nearest_centroid(spark):
+    """ivf_assign picks the argmax-dot centroid; first index wins ties."""
+    from pyspark.sql import functions as F
+
+    from sigraph_spark.operators.similarity import ivf_assign
+
+    cents = [[1.0, 0.0], [0.0, 1.0], [0.0, 1.0]]  # 1 and 2 identical
+    df = spark.createDataFrame(
+        [(0, [2.0, 0.1]), (1, [0.1, 3.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r["cluster"] for r in ivf_assign(df, cents).collect()}
+    assert out[0] == 0
+    assert out[1] == 1  # tie between centroids 1 and 2 -> first index
+    assert out[2] == 0  # zero vector: all scores 0 -> first centroid
