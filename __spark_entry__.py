@@ -475,7 +475,12 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sigraph_spark.operators.similarity import embedding_neardup_lsh
 
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
-    out = embedding_neardup_lsh(e, dim=64, threshold=0.5, bits=4, bands=8)
+    # bucket_kernel="column": exact float parity with the SQL oracle; the
+    # numpy matmul scale kernel is pinned equal to this form by
+    # tests/test_similarity.py on the same data
+    out = embedding_neardup_lsh(
+        e, dim=64, threshold=0.5, bits=4, bands=8, bucket_kernel="column"
+    )
     return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
 
 

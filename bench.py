@@ -162,6 +162,24 @@ def main() -> None:
 
     timed("text_profile", lambda: text_profile(docs_tbl).count())
 
+    # --- corpus curation (split/sample/redact/repetition/vocab/packing) ---------
+    from sigraph_spark.operators.corpus import (
+        dataset_split, pack_sequences, redact_pii, repetition_score,
+        stratified_sample, vocab_topk,
+    )
+
+    def run_corpus() -> int:
+        return (
+            dataset_split(docs_tbl).count()
+            + stratified_sample(docs_tbl, {"en": 200}, 500).count()
+            + redact_pii(docs_tbl).count()
+            + repetition_score(docs_tbl).count()
+            + vocab_topk(docs_tbl).count()
+            + pack_sequences(docs_tbl, ctx_len=2048).count()
+        )
+
+    timed("corpus_ops", run_corpus)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "kg_pipeline_e2e+operators",

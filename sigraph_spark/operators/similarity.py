@@ -139,6 +139,39 @@ def lsh_bucket(vec: Column, dim: int, bits: int = 8, plane_offset: int = 0) -> C
     return acc
 
 
+def lsh_buckets_udf(dim: int, bits: int, bands: int = 1):
+    """Arrow-batched multi-band bucket ids: ONE ``(batch x dim) @ (dim x
+    bands*bits)`` matmul + sign + bit-pack per batch — the scale path.
+    The per-band Column form (``lsh_bucket``) unrolls bands*bits separate
+    64-wide aggregate trees, which blows janino's 64KB method limit past
+    ~8 planes and drops whole-stage codegen to interpreted eval (same
+    cliff as the MinHash signature tree; measured ~0.7ms/vector vs
+    microseconds here). Signs are scale-invariant, so the raw (un-
+    normalized) vectors feed the matmul; bit i = <v, plane> >= 0 exactly
+    as the Column form. Returns ``array<int>`` of ``bands`` bucket ids.
+    """
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [
+            [_hyperplane(dim, b * bits + i) for i in range(bits)]
+            for b in range(bands)
+        ],
+        dtype=np.float64,
+    )  # bands x bits x dim
+    M = planes.reshape(bands * bits, dim).T  # dim x (bands*bits)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    def batch(vecs):
+        V = np.stack(vecs.to_numpy()).astype(np.float64)  # n x dim
+        S = (V @ M) >= 0.0  # n x bands*bits
+        B = S.reshape(len(V), bands, bits).astype(np.int64) @ weights
+        return pd.Series([row.tolist() for row in B.astype(np.int32)])
+
+    return F.pandas_udf(batch, "array<int>")
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -148,22 +181,35 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    bucket_kernel: str = "numpy",
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's LSH
     bucket. The cross join becomes an equi-join on ``bucket`` — at 10^12
     vectors with bits=16 each query touches ~|corpus|/65536 rows.
 
+    ``bucket_kernel``: "numpy" (default, Arrow matmul — see
+    ``lsh_buckets_udf``) or "column" (pure-Column unrolled dots — the
+    SQL-oracle-parity form; tests pin numpy == column on real data).
+
     Returns (query_id, vec_id, cosine, rank) — same shape as brute force so
     recall is measurable by direct comparison.
     """
+    if bucket_kernel == "numpy":
+        bk = lambda: F.element_at(  # noqa: E731
+            lsh_buckets_udf(dim, bits, 1)(F.col(vec_col)), 1
+        ).cast("int")
+    else:
+        bk = lambda: lsh_bucket(l2_normalize(F.col(vec_col)), dim, bits)  # noqa: E731
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         l2_normalize(F.col(vec_col)).alias("cv"),
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), dim, bits))
+        bk().alias("bucket"),
+    )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         l2_normalize(F.col(vec_col)).alias("qv"),
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), dim, bits))
+        bk().alias("bucket"),
+    )
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id", "vec_id", dot(F.col("cv"), F.col("qv")).alias("cosine")
     )
@@ -178,6 +224,7 @@ def embedding_neardup_lsh(
     bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_kernel: str = "numpy",
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold — the SCALE path for
     operators.dedup.embedding_neardup (which stays as the brute-force
@@ -190,16 +237,24 @@ def embedding_neardup_lsh(
     falls with ``bits``; measure against the brute-force oracle on a
     sample (tests pin >= 0.9 on planted near-dups).
 
+    ``bucket_kernel``: "numpy" (one matmul for all bands*bits planes —
+    see ``lsh_buckets_udf``) or "column" (unrolled dots, SQL-oracle
+    parity; bands*bits Column aggregates exceed janino's method limit
+    and drop to interpreted eval — keep for small verification runs).
+
     Returns (a, b, cosine) with a < b — same shape as the brute path.
     """
-    v = emb.select(
-        F.col(id_col).alias("id"), l2_normalize(F.col(vec_col)).alias("v")
-    ).withColumn(
-        "bks",
-        F.array(*[
-            lsh_bucket(F.col("v"), dim, bits, plane_offset=b * bits)
+    if bucket_kernel == "numpy":
+        bks_col = lsh_buckets_udf(dim, bits, bands)(F.col(vec_col))
+    else:
+        bks_col = F.array(*[
+            lsh_bucket(l2_normalize(F.col(vec_col)), dim, bits, plane_offset=b * bits)
             for b in range(bands)
-        ]),
+        ])
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        l2_normalize(F.col(vec_col)).alias("v"),
+        bks_col.alias("bks"),
     )
     banded = v.select(
         "id", "v", "bks",

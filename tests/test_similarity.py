@@ -175,3 +175,29 @@ def test_ivf_assign_nearest_centroid(spark):
     assert out[0] == 0
     assert out[1] == 1  # tie between centroids 1 and 2 -> first index
     assert out[2] == 0  # zero vector: all scores 0 -> first centroid
+
+
+def test_lsh_numpy_kernel_matches_column_buckets(spark):
+    """The matmul bucket kernel (scale path) produces the same bucket ids
+    as the unrolled Column form on real embeddings — sign decisions agree
+    (dots are never at the float boundary on real data)."""
+    from pyspark.sql import functions as F
+
+    from sigraph_spark.operators.similarity import (
+        l2_normalize, lsh_bucket, lsh_buckets_udf,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    col_form = e.select(
+        "vec_id",
+        F.array(*[
+            lsh_bucket(l2_normalize(F.col("embedding")), 64, 4, plane_offset=b * 4)
+            for b in range(8)
+        ]).alias("bks"),
+    )
+    np_form = e.select(
+        "vec_id", lsh_buckets_udf(64, 4, 8)(F.col("embedding")).alias("bks")
+    )
+    a = {r["vec_id"]: list(r["bks"]) for r in col_form.collect()}
+    b = {r["vec_id"]: list(r["bks"]) for r in np_form.collect()}
+    assert a == b
