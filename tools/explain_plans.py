@@ -79,6 +79,26 @@ def main() -> int:
     p = plan_of(df)
     check("embedding_topk", df, want=("Broadcast",))
 
+    # as-of join: union-and-carry — exactly ONE real exchange (the key
+    # shuffle feeding the window); no range join, no cross join
+    df = E.q_events_asof(spark, sf_dir)
+    p = plan_of(df)
+    check("events_asof", df, want=("Window",), forbid=("BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"))
+    n_ex = sum(
+        1 for line in p.splitlines()
+        if "Exchange" in line and "Reused" not in line and "Broadcast" not in line
+    )
+    if n_ex > 1:
+        failures.append(f"events_asof: {n_ex} shuffles (want 1 — the key exchange)")
+
+    # sequence packing: two-stage prefix sum — band cumsum + broadcast of
+    # the per-band bases; the only single-partition window is over bands
+    check(
+        "pack_sequences",
+        E.q_pack_sequences(spark, sf_dir),
+        want=("Window", "BroadcastHashJoin"),
+    )
+
     print("\n" + "=" * 70)
     if failures:
         print("PLAN INVARIANT FAILURES:")
