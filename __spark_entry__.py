@@ -603,6 +603,31 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (the batch form of the streaming
+    windowed stats — F.window is a plain grouping expression, so the same
+    code runs in both modes; streaming/windows.py + its stream==batch
+    test cover the watermarked path). 1-hour windows align to the epoch,
+    so date_trunc reproduces them in SQL."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "1 hour").alias("win"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # --- generic engine coverage ------------------------------------------------
 
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -925,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab": q_corpus_vocab,
         "pack_sequences": q_pack_sequences,
         "events_asof": q_events_asof,
+        "events_windows": q_events_windows,
         "events_sessions": q_events_sessions,
         "tpch_q1": q_tpch_q1,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1640,6 +1666,15 @@ def oracle_sql() -> dict[str, str]:
                  ) AS rn
           FROM c LEFT JOIN e ON c.user_id = e.user_id AND e.ts <= c.ts)
         WHERE rn = 1
+    """
+    sq["events_windows"] = """
+        SELECT date_trunc('hour', ts) AS window_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
     """
     sq["events_sessions"] = """
         WITH g AS (
