@@ -160,6 +160,17 @@ def q_degree_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (5 rounds, d=0.85) over the provenance
+    edge relation. BIGINT micro-unit arithmetic makes the per-round
+    reduction exactly associative — partition-order invariant on Spark and
+    bit-identical in the DuckDB unrolled-CTE oracle (floats would drift in
+    the last ulps per partitioning)."""
+    from sigraph_spark.operators.pagerank import pagerank
+
+    return pagerank(_edges_ckpt(spark, sf_dir))
+
+
 def q_iocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sigraph_spark.operators.graph import (
         build_nodes, build_trace_contains, iocs,
@@ -407,6 +418,26 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidates(_docs(spark, sf_dir), hash_family="md5")
 
 
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD oracle: incremental dedup — docs with doc_id % 4 == 0 are the
+    "new crawl"; the rest are the corpus whose LSH index is pre-built
+    (``minhash_index``). Because band keys are per-doc independent, the
+    incremental pair set must equal the full-corpus pair set filtered to
+    pairs touching a new doc — which is exactly what the oracle computes
+    from the full md5-family pipeline."""
+    from sigraph_spark.operators.dedup import (
+        incremental_minhash_candidates,
+        minhash_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    index = minhash_index(old, hash_family="md5")
+    pairs, _delta = incremental_minhash_candidates(new, index, hash_family="md5")
+    return pairs
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HARD oracle: md5 family — DuckDB's md5_number_upper() IS the
     little-endian uint64 of digest[0:8], so signatures, 16-bit band
@@ -573,6 +604,37 @@ def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sigraph_spark.operators.corpus import vocab_topk
 
     return vocab_topk(_docs(spark, sf_dir), k=100)
+
+
+def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact token-count quantiles (p25/p50/p75/p90), count
+    and mean: Spark exact ``percentile`` == DuckDB ``quantile_cont`` rank
+    arithmetic on integer inputs; both sides round to 4dp. The scale path
+    is ``token_quantiles_approx`` (t-digest-style mergeable sketch),
+    pinned vs this exact form by tests/test_corpus_ops.py."""
+    from sigraph_spark.operators.corpus import token_quantiles
+
+    return token_quantiles(_docs(spark, sf_dir))
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host corpus profile over synthesized multi-host URLs
+    (host{doc_id % 50}.example.com — deterministic in both engines). Host
+    extraction is double substring_index (not parse_url, whose semantics
+    differ across engines); aggregates are algebraic so map-side partials
+    absorb the power-law head key before the shuffle."""
+    from sigraph_spark.operators.corpus import domain_stats
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "url",
+        F.concat(
+            F.lit("https://HOST"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".Example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    return domain_stats(docs)
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -923,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_merge_traces": q_graph_merge_traces,
         "adjacency": q_adjacency,
         "degree_table": q_degree_table,
+        "pagerank": q_pagerank,
         "iocs": q_iocs,
         "traces_listing": q_traces_listing,
         "neighborhood": q_neighborhood,
@@ -938,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix": q_dedup_prefix,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_candidates": q_minhash_candidates,
+        "minhash_incremental": q_minhash_incremental,
         "simhash_pairs": q_simhash_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -948,6 +1012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "text_repetition": q_text_repetition,
         "corpus_vocab": q_corpus_vocab,
+        "corpus_quantiles": q_corpus_quantiles,
+        "domain_stats": q_domain_stats,
         "pack_sequences": q_pack_sequences,
         "events_asof": q_events_asof,
         "events_windows": q_events_windows,
@@ -1099,6 +1165,13 @@ def oracle_sql() -> dict[str, str]:
     sq["graph_edges"] = (
         "WITH " + _EDGES_CTE
         + " SELECT src, predicate, dst, start_time, weight FROM edges"
+    )
+    # --- fixed-point PageRank: same BIGINT micro-unit arithmetic as the
+    # Spark loop, unrolled to 5 CTE rounds — exact match, not approximate.
+    from sigraph_spark.operators.pagerank import pagerank_oracle_sql
+
+    sq["pagerank"] = (
+        "WITH " + _EDGES_CTE + "," + pagerank_oracle_sql("edges")
     )
     sq["graph_traces"] = (
         "WITH " + SEVENTS_CTE
@@ -1501,6 +1574,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         FROM banded x JOIN banded y ON x.bk = y.bk AND x.doc_id < y.doc_id
     """
+    # --- incremental MinHash: band keys are per-doc independent, so
+    # incremental(new, index(old)) == full-pipeline pairs touching a new
+    # doc (doc_id % 4 == 0). Same md5-family pipeline, filtered.
+    sq["minhash_incremental"] = (
+        sq["minhash_candidates"]
+        + " WHERE x.doc_id % 4 = 0 OR y.doc_id % 4 = 0"
+    )
     # --- SimHash pairs, md5 family: signature bit j = sign of the +1/-1
     # vote sum of bit j over shingle hashes h = md5_number_upper(s); docs
     # with no words have signature 0 (LEFT JOIN back to documents); 4
@@ -1632,6 +1712,43 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY token
         ORDER BY n DESC, token ASC
         LIMIT 100
+    """
+    # --- per-language exact quantiles: quantile_cont uses the same
+    # (n-1)*p linear-interpolation rank arithmetic as Spark's exact
+    # percentile; integer inputs + round(4) keep float parity.
+    sq["corpus_quantiles"] = r"""
+        WITH t AS (
+          SELECT lang,
+                 CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+'))
+                 END AS n_tok
+          FROM documents)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(n_tok), 4) AS mean_tokens,
+               round(quantile_cont(n_tok, 0.25), 4) AS p25,
+               round(quantile_cont(n_tok, 0.5), 4) AS p50,
+               round(quantile_cont(n_tok, 0.75), 4) AS p75,
+               round(quantile_cont(n_tok, 0.9), 4) AS p90
+        FROM t GROUP BY lang
+    """
+    # --- domain stats over synthesized multi-host urls: lowercased host
+    # by double substring_index, algebraic aggregates.
+    sq["domain_stats"] = r"""
+        WITH d AS (
+          SELECT 'https://HOST' || CAST(doc_id % 50 AS VARCHAR)
+                   || '.Example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                 CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+'))
+                 END AS n_tok
+          FROM documents),
+        h AS (
+          SELECT lower(string_split(string_split(url, '://')[2], '/')[1]) AS host,
+                 n_tok
+          FROM d)
+        SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               round(avg(n_tok), 4) AS mean_tokens
+        FROM h GROUP BY host
     """
     sq["pack_sequences"] = r"""
         WITH t AS (

@@ -201,6 +201,115 @@ def pack_sequences(
     )
 
 
+def token_quantiles(
+    docs: DataFrame,
+    text_col: str = "text",
+    by: str = "lang",
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Per-group EXACT token-count quantiles (linear interpolation) plus
+    count and mean — the per-language length profile a curation pipeline
+    cuts on.
+
+    One partial-agg shuffle on the group key (languages: low cardinality,
+    bounded skew — the agg is a sort-within-group of one bigint column).
+    ``percentile`` is exact and matches DuckDB ``quantile_cont`` rank
+    arithmetic bit-for-bit on integer inputs (the gate oracle relies on
+    this); at 100 TB swap in ``token_quantiles_approx`` — same schema,
+    t-digest sketch, fully mergeable map-side — when exactness isn't
+    required.
+    """
+    from sigraph_spark.operators.textstats import whitespace_token_count
+
+    toks = docs.select(
+        F.col(by).alias("grp"),
+        whitespace_token_count(F.col(text_col)).alias("n_tok"),
+    )
+    qcols = [
+        F.round(F.percentile("n_tok", F.lit(p)), 4).alias(f"p{int(p * 100)}")
+        for p in ps
+    ]
+    return (
+        toks.groupBy("grp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tok"), 4).alias("mean_tokens"),
+            *qcols,
+        )
+        .withColumnRenamed("grp", by)
+    )
+
+
+def token_quantiles_approx(
+    docs: DataFrame,
+    text_col: str = "text",
+    by: str = "lang",
+    ps: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Sketch-based variant of ``token_quantiles`` (same schema): Spark's
+    ``approx_percentile`` (KLL/GK-style) aggregates map-side and merges —
+    no per-group sort, bounded memory at any scale. Error <= 1/accuracy
+    rank units; pinned vs the exact form by test, not by the hash gate."""
+    from sigraph_spark.operators.textstats import whitespace_token_count
+
+    toks = docs.select(
+        F.col(by).alias("grp"),
+        whitespace_token_count(F.col(text_col)).alias("n_tok"),
+    )
+    qcols = [
+        F.round(
+            F.approx_percentile("n_tok", F.lit(p), F.lit(accuracy)).cast("double"), 4
+        ).alias(f"p{int(p * 100)}")
+        for p in ps
+    ]
+    return (
+        toks.groupBy("grp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tok"), 4).alias("mean_tokens"),
+            *qcols,
+        )
+        .withColumnRenamed("grp", by)
+    )
+
+
+def domain_stats(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-registrable-host corpus profile: page count, total/mean tokens.
+
+    Host extraction is pure string ops (``substring_index`` twice — no
+    ``parse_url``, whose semantics differ across engines). Web corpora are
+    power-law skewed on host (a few CDNs own 1%+ of pages); the count/sum
+    aggregates here are algebraic, so map-side partial aggregation absorbs
+    the head key before the shuffle — no salting needed for THIS op, and
+    the output is the table you'd consult to pick salts for non-algebraic
+    per-host work downstream.
+    """
+    from sigraph_spark.operators.textstats import whitespace_token_count
+
+    host = F.lower(
+        F.substring_index(
+            F.substring_index(F.col(url_col), "://", -1), "/", 1
+        )
+    )
+    return (
+        docs.select(
+            host.alias("host"),
+            whitespace_token_count(F.col(text_col)).alias("n_tok"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("mean_tokens"),
+        )
+    )
+
+
 def vocab_topk(
     docs: DataFrame, text_col: str = "text", k: int = 100
 ) -> DataFrame:

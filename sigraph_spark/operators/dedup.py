@@ -226,6 +226,84 @@ def minhash_candidates(
     )
 
 
+def minhash_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    hash_family: str = "crc32",
+) -> DataFrame:
+    """The persistable LSH index relation: one row per (id, bk) band key.
+
+    This is the table a 100 TB deployment stores (Iceberg, bucketed by
+    ``bk``) so that each new crawl snapshot deduplicates against the
+    existing corpus WITHOUT re-signing the corpus: signatures are computed
+    only for the delta and joined against this index (see
+    ``incremental_minhash_candidates``). One narrow Arrow pass + explode;
+    no shuffle until the consumer joins on ``bk``.
+    """
+    assert bands * rows <= num_hashes
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_signature_udf(k, num_hashes, hash_family)(F.col(text_col)).alias("sig"),
+    )
+    return sig.select(
+        "id", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
+    )
+
+
+def incremental_minhash_candidates(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    hash_family: str = "crc32",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup candidates: NEW docs vs the EXISTING corpus
+    index, plus new-vs-new — without touching corpus text.
+
+    Returns ``(pairs, delta_index)``: candidate pairs (a < b, distinct)
+    where at least one endpoint is new, and the delta index rows the caller
+    appends to the stored index (so the next snapshot sees these docs as
+    corpus).
+
+    Equivalence (oracled by the ``minhash_incremental`` gate query): band
+    keys are per-doc independent, so the full-corpus candidate pair set
+    decomposes exactly — ``candidates(old ∪ new) = candidates(old) ∪
+    incremental(new, index(old))``. The incremental join costs
+    O(|delta| x bands) probe rows against a bucketed index instead of
+    re-banding the whole corpus: at 10^12 docs with a 10^9 daily crawl
+    that is a 1000x scan reduction, and the join key is a near-uniform
+    hash bucket (no head-key skew by construction).
+    """
+    delta_index = minhash_index(
+        new_docs, id_col, text_col, k, num_hashes, bands, rows, hash_family
+    )
+    # New ids may collide with corpus ids only if the caller re-feeds a doc;
+    # a != b guard keeps self-pairs out in that case.
+    corpus = index.select(F.col("bk"), F.col("id").alias("x"))
+    fresh = delta_index.select(F.col("bk"), F.col("id").alias("y"))
+    new_vs_old = (
+        corpus.join(fresh, "bk")
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"),
+            F.greatest("x", "y").alias("b"),
+        )
+    )
+    n1 = delta_index.select(F.col("bk"), F.col("id").alias("a"))
+    n2 = delta_index.select(F.col("bk"), F.col("id").alias("b"))
+    new_vs_new = n1.join(n2, "bk").filter(F.col("a") < F.col("b")).select("a", "b")
+    return new_vs_old.unionByName(new_vs_new).distinct(), delta_index
+
+
 def ngram_jaccard(
     docs: DataFrame,
     pairs: DataFrame,

@@ -1,0 +1,146 @@
+"""Fixed-iteration PageRank over the KG edge table.
+
+Graph analytics the reference delegates to its graph store (Neo4j exposes
+centrality over the behavior graph; here the edge relation IS the store),
+re-expressed as iterative DataFrame aggregation.
+
+Design decisions, all scale-motivated:
+
+* **Fixed-point integer arithmetic** (``SCALE = 10^12`` micro-units in
+  BIGINT). Floating-point summation is not associative, so a distributed
+  ``sum(double)`` depends on partition merge order — reruns of the same
+  job can differ in the last ulps, which breaks result caching, regression
+  diffs, and any hash-verified replication. Integer sums are exactly
+  associative/commutative: the result is partition-order invariant and
+  bit-identical across engines (the DuckDB gate oracle reproduces it with
+  plain ``//`` arithmetic). Quantization error per iteration is
+  <= outdeg * 1e-12 — far below any ranking-relevant delta.
+* **Fixed iteration count, not convergence polling.** Each convergence
+  check is a driver-side action (extra job + barrier per round). For
+  ranking-quality use cases ~10 rounds is standard practice; callers who
+  need a residual can diff two runs' outputs themselves.
+* **One shuffle per iteration**: contributions join ranks to edges on
+  ``src`` (both sides hash-partitioned on the node key; ranks are the
+  small side and broadcast under AQE when they fit), then aggregate on
+  ``dst``. Degrees are computed once, outside the loop.
+* **Dangling nodes** (no out-edges) absorb rank: their mass is NOT
+  redistributed (the classic simplification; documented so the oracle
+  matches). Every node still receives the (1-d)/N teleport term.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping_pct: int = 85,
+    iterations: int = 5,
+) -> DataFrame:
+    """PageRank over distinct (src, dst) pairs; returns
+    ``(node, rank_fp, rank)`` where ``rank_fp`` is the exact fixed-point
+    BIGINT (SCALE units) and ``rank`` = rank_fp / SCALE rounded to 6dp.
+
+    ``damping_pct`` is an integer percentage so every multiplication stays
+    in exact BIGINT arithmetic end-to-end.
+    """
+    e = edges.select(
+        F.col(src).cast("string").alias("src"),
+        F.col(dst).cast("string").alias("dst"),
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()  # one small job; N is needed as an exact literal
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("rank_fp"),
+            F.lit(0.0).alias("rank"),
+        )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    teleport = ((100 - damping_pct) * SCALE) // (100 * n)
+    ranks = nodes.select("node", F.lit(SCALE // n).cast("long").alias("rank_fp"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_fp DIV deg").alias("c"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(s, 0)) DIV 100"
+                    )
+                ).cast("long").alias("rank_fp"),
+            )
+        )
+        # keep lineage bounded: each round's plan is small, but 10+ rounds
+        # of joins still nest — localCheckpoint would truncate on a real
+        # cluster run; at gate scale the nested plan is fine and keeps the
+        # whole computation lazily explainable
+    return ranks.select(
+        "node",
+        "rank_fp",
+        F.round(F.col("rank_fp") / F.lit(SCALE), 6).alias("rank"),
+    )
+
+
+def pagerank_oracle_sql(
+    edges_rel: str,
+    n_nodes_known: int | None = None,
+    damping_pct: int = 85,
+    iterations: int = 5,
+) -> str:
+    """The unrolled-CTE SQL restatement of ``pagerank`` for an external
+    engine (DuckDB): same fixed-point arithmetic, so the match is exact,
+    not approximate. ``edges_rel`` must be a relation (or CTE name) with
+    string columns src, dst."""
+    d = damping_pct
+    # pr_-prefixed CTE names so the block composes into WITH-lists that
+    # already define e.g. `nodes` (the graph-edge CTEs in the gate oracles)
+    sql = f"""
+pr_e AS (SELECT DISTINCT CAST(src AS VARCHAR) AS src, CAST(dst AS VARCHAR) AS dst FROM {edges_rel}),
+pr_nodes AS (SELECT src AS node FROM pr_e UNION SELECT dst FROM pr_e),
+pr_nn AS (SELECT count(*) AS n FROM pr_nodes),
+pr_outdeg AS (SELECT src, count(*) AS deg FROM pr_e GROUP BY src),
+pr_r0 AS (SELECT node, CAST({SCALE} // n AS BIGINT) AS rank_fp FROM pr_nodes, pr_nn)
+"""
+    prev = "pr_r0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+pr_c{i} AS (
+  SELECT pr_e.dst AS node, sum(r.rank_fp // o.deg) AS s
+  FROM pr_e JOIN {prev} r ON pr_e.src = r.node
+  JOIN pr_outdeg o ON pr_e.src = o.src
+  GROUP BY pr_e.dst),
+pr_r{i} AS (
+  SELECT pr_nodes.node,
+         CAST(((100 - {d}) * {SCALE}) // (100 * pr_nn.n)
+              + ({d} * coalesce(pr_c{i}.s, 0)) // 100 AS BIGINT) AS rank_fp
+  FROM pr_nodes CROSS JOIN pr_nn
+  LEFT JOIN pr_c{i} ON pr_nodes.node = pr_c{i}.node)
+"""
+        prev = f"pr_r{i}"
+    sql += f"""
+SELECT node, rank_fp, round(rank_fp / {SCALE}.0, 6) AS rank FROM {prev}
+"""
+    return sql

@@ -184,3 +184,61 @@ def test_pack_sequences_two_stage_equals_plain_cumsum(spark):
         assert out[i] == (n, off, start_chunk, end_chunk != start_chunk), i
         off += n
     assert off == sum(v[0] for v in out.values())
+
+
+def test_token_quantiles_exact_values(spark):
+    """Exact percentile over a hand-computable fixture: en docs have token
+    counts [9, 2, 0] -> sorted [0, 2, 9]; p50 = 2, p25 = (0+2)/2 = 1,
+    p75 = (2+9*... ) — (n-1)*p rank arithmetic, linear interpolation."""
+    from sigraph_spark.operators.corpus import token_quantiles
+
+    out = {r["lang"]: r.asDict() for r in token_quantiles(_docs(spark)).collect()}
+    en = out["en"]
+    assert en["n_docs"] == 3
+    assert en["p50"] == 2.0
+    assert en["p25"] == 1.0  # rank 0.5 between 0 and 2
+    assert en["p75"] == 5.5  # rank 1.5 between 2 and 9
+    assert en["p90"] == 7.6  # rank 1.8: 2 + 0.8*(9-2)
+    assert out["de"]["p50"] == 6.0 and out["de"]["n_docs"] == 1
+
+
+def test_token_quantiles_approx_tracks_exact(spark):
+    """The sketch path (mergeable, map-side) lands within one rank unit of
+    the exact form at accuracy=10000 on a small fixture — and shares the
+    exact schema so deployments can swap it in at scale."""
+    from sigraph_spark.operators.corpus import (
+        token_quantiles,
+        token_quantiles_approx,
+    )
+
+    exact = {r["lang"]: r.asDict() for r in token_quantiles(_docs(spark)).collect()}
+    approx = {
+        r["lang"]: r.asDict() for r in token_quantiles_approx(_docs(spark)).collect()
+    }
+    assert set(exact) == set(approx)
+    for lang in exact:
+        assert exact[lang].keys() == approx[lang].keys()
+        for p in ("p25", "p50", "p75", "p90"):
+            # approx_percentile returns an actual data point within the
+            # rank-error bound; the exact form interpolates between
+            # neighbors, so they differ by at most half the widest gap
+            # between adjacent counts in this fixture (|2-9|/2 = 3.5)
+            assert abs(exact[lang][p] - approx[lang][p]) <= 3.5, (lang, p)
+
+
+def test_domain_stats_host_extraction_and_aggregates(spark):
+    from sigraph_spark.operators.corpus import domain_stats
+
+    rows = [
+        ("https://A.Example.com/x/1", "one two three"),
+        ("http://a.example.com/y", "four five"),
+        ("https://b.example.com/", ""),
+        ("https://b.example.com", "six"),
+    ]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    out = {r["host"]: r.asDict() for r in domain_stats(docs).collect()}
+    assert set(out) == {"a.example.com", "b.example.com"}
+    a = out["a.example.com"]
+    assert a["n_pages"] == 2 and a["total_tokens"] == 5 and a["mean_tokens"] == 2.5
+    b = out["b.example.com"]
+    assert b["n_pages"] == 2 and b["total_tokens"] == 1

@@ -54,6 +54,59 @@ def test_minhash_dedup_mapping_total_and_clustered(spark):
     assert mapping[2] == 2 and mapping[4] == 4  # singletons keep themselves
 
 
+def test_incremental_minhash_equals_filtered_full(spark):
+    """candidates(old ∪ new) restricted to pairs touching a new doc ==
+    incremental(new, index(old)) — the decomposition the 100 TB
+    crawl-vs-corpus path relies on."""
+    from sigraph_spark.operators.dedup import (
+        incremental_minhash_candidates,
+        minhash_index,
+    )
+
+    docs = _docs(spark)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = minhash_index(old)
+    pairs, delta = incremental_minhash_candidates(new, idx)
+    got = sorted(map(tuple, pairs.collect()))
+    full = minhash_candidates(docs)
+    want = sorted(
+        (r["a"], r["b"])
+        for r in full.collect()
+        if r["a"] % 2 == 1 or r["b"] % 2 == 1
+    )
+    assert got == want
+    # delta index rows == index built over new docs directly
+    assert sorted(map(tuple, delta.collect())) == sorted(
+        map(tuple, minhash_index(new).collect())
+    )
+
+
+def test_incremental_minhash_appended_index_closes_loop(spark):
+    """After appending the delta index, a second snapshot sees the first
+    snapshot's docs as corpus: running increment twice == one big run."""
+    from sigraph_spark.operators.dedup import (
+        incremental_minhash_candidates,
+        minhash_index,
+    )
+
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") <= 1)
+    snap1 = docs.filter((F.col("doc_id") >= 2) & (F.col("doc_id") <= 3))
+    snap2 = docs.filter(F.col("doc_id") >= 4)
+    idx = minhash_index(base)
+    p1, d1 = incremental_minhash_candidates(snap1, idx)
+    p2, d2 = incremental_minhash_candidates(snap2, idx.unionByName(d1))
+    got = sorted(map(tuple, p1.unionByName(p2).distinct().collect()))
+    base_pairs = {tuple(r) for r in minhash_candidates(base).collect()}
+    want = sorted(
+        tuple(r)
+        for r in minhash_candidates(docs).collect()
+        if tuple(r) not in base_pairs
+    )
+    assert got == want
+
+
 def test_simhash_pairs(spark):
     pairs = {(r["a"], r["b"]) for r in simhash_candidates(_docs(spark), max_hamming=3).collect()}
     assert (0, 3) in pairs  # identical => hamming 0
