@@ -72,6 +72,16 @@ CREATE TABLE IF NOT EXISTS {DB}.rule_matches (
   node_id STRING NOT NULL)
 USING iceberg
 PARTITIONED BY (bucket({_BUCKETS}, rule_id))""",
+    # the stored LSH band index backing incremental dedup
+    # (operators/dedup.py minhash_index): bucketed on the band key, so the
+    # per-snapshot probe join (delta signatures vs corpus index) is
+    # storage-partitioned on both sides — no corpus-side shuffle
+    "minhash_index": f"""\
+CREATE TABLE IF NOT EXISTS {DB}.minhash_index (
+  id BIGINT NOT NULL,
+  bk STRING NOT NULL)
+USING iceberg
+PARTITIONED BY (bucket(256, bk))""",
 }
 
 _IMG_TAKE_S = (
@@ -124,6 +134,13 @@ WHEN NOT MATCHED THEN INSERT *""",
 MERGE INTO {DB}.rule_matches t
 USING rule_matches_delta s
 ON t.rule_id = s.rule_id AND t.node_id = s.node_id
+WHEN NOT MATCHED THEN INSERT *""",
+    # append the delta index after each snapshot's incremental dedup;
+    # insert-if-absent keeps a replayed snapshot from duplicating rows
+    "minhash_index": f"""\
+MERGE INTO {DB}.minhash_index t
+USING minhash_index_delta s
+ON t.id = s.id AND t.bk = s.bk
 WHEN NOT MATCHED THEN INSERT *""",
 }
 

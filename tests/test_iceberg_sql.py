@@ -79,3 +79,12 @@ def test_merge_combiners_match_batch_merge(spark):
     assert got["n1"].related_span_ids == ["s1", "s3"]
     assert got["n2"].image == "c.exe"
     assert got["n3"].image is None
+
+
+def test_minhash_index_binding_pinned():
+    """The incremental-dedup index table buckets on the band key (both
+    sides of the probe join storage-partitioned) and its merge is
+    insert-if-absent (snapshot replay can't duplicate index rows)."""
+    assert "PARTITIONED BY (bucket(256, bk))" in DDL["minhash_index"]
+    assert "WHEN NOT MATCHED THEN INSERT *" in MERGE["minhash_index"]
+    assert "WHEN MATCHED" not in MERGE["minhash_index"]
