@@ -99,6 +99,32 @@ def main() -> int:
         want=("Window", "BroadcastHashJoin"),
     )
 
+    # incremental dedup: delta signatures (one ArrowEvalPython) probe the
+    # index via a plain equi-join on the band key — no cartesian, no
+    # row-at-a-time python
+    check(
+        "minhash_incremental",
+        E.q_minhash_incremental(spark, sf_dir),
+        want=("ArrowEvalPython",),
+        forbid=("BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
+
+    # pagerank: pure integer Column arithmetic — zero Python eval of any
+    # kind in the iterative loop
+    check(
+        "pagerank",
+        E.q_pagerank(spark, sf_dir),
+        forbid=("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"),
+    )
+
+    # domain stats: algebraic aggregate -> map-side partial_count/sum
+    # absorbs the power-law host head before the exchange
+    check(
+        "domain_stats",
+        E.q_domain_stats(spark, sf_dir),
+        want=("partial_count",),
+    )
+
     print("\n" + "=" * 70)
     if failures:
         print("PLAN INVARIANT FAILURES:")
