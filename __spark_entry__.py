@@ -665,6 +665,29 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the watermarked stream-stream interval join
+    (streaming/joins.py — same DataFrame expression both modes; the
+    stream==batch identity is pinned by tests/test_streaming_joins.py):
+    every (click, error) pair for the same user with the error within 6
+    hours at-or-before the click (that width gives the sf0.01 fixture a
+    few hundred pairs)."""
+    from sigraph_spark.streaming.joins import interval_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    return interval_join(clicks, errors, "user_id", max_delay="6 hours").select(
+        "user_id",
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("error_id"),
+    )
+
+
 def q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (the batch form of the streaming
     windowed stats — F.window is a plain grouping expression, so the same
@@ -1016,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "pack_sequences": q_pack_sequences,
         "events_asof": q_events_asof,
+        "events_interval_join": q_events_interval_join,
         "events_windows": q_events_windows,
         "events_sessions": q_events_sessions,
         "tpch_q1": q_tpch_q1,
@@ -1770,6 +1794,16 @@ def oracle_sql() -> dict[str, str]:
                (start_offset + greatest(n_tokens, 1) - 1) // 512
                  <> start_offset // 512 AS spans_chunks
         FROM o
+    """
+    sq["events_interval_join"] = """
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               e.event_id AS error_id
+        FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+        JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') e
+          ON c.user_id = e.user_id
+         AND e.ts <= c.ts
+         AND e.ts >= c.ts - INTERVAL 6 HOUR
     """
     sq["events_asof"] = """
         WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
