@@ -171,6 +171,22 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_edges_ckpt(spark, sf_dir))
 
 
+def q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two versions of the edge table (built from
+    two overlapping event subsets, so added/removed/changed all occur):
+    one null-safe full-outer join on the merge key — with the bucketed/
+    Iceberg layout that join is storage-partitioned and shuffle-free."""
+    from sigraph_spark.operators.diff import diff_tables
+    from sigraph_spark.operators.graph import build_edges
+
+    good, _ = _parsed(spark, sf_dir)
+    eid = F.substring_index(F.col("span_id"), "-", -1).cast("long")
+    cols = ["src", "predicate", "dst", "start_time", "weight"]
+    old = build_edges(good.filter(eid % 11 != 0)).select(*cols)
+    new = build_edges(good.filter(eid % 13 != 0)).select(*cols)
+    return diff_tables(old, new, ["src", "predicate", "dst"])
+
+
 def q_iocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sigraph_spark.operators.graph import (
         build_nodes, build_trace_contains, iocs,
@@ -1009,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjacency": q_adjacency,
         "degree_table": q_degree_table,
         "pagerank": q_pagerank,
+        "graph_diff": q_graph_diff,
         "iocs": q_iocs,
         "traces_listing": q_traces_listing,
         "neighborhood": q_neighborhood,
@@ -1189,6 +1206,51 @@ def oracle_sql() -> dict[str, str]:
     sq["graph_edges"] = (
         "WITH " + _EDGES_CTE
         + " SELECT src, predicate, dst, start_time, weight FROM edges"
+    )
+    # --- snapshot diff: two filtered edge builds (event_id % 11 / % 13
+    # survivors), full-outer join, IS DISTINCT FROM == Spark's <=> negation.
+    sq["graph_diff"] = (
+        "WITH " + SEVENTS_CTE
+        + """,
+        eo0 AS (
+          SELECT CASE WHEN actor_type = 'READ_RECV' THEN node_id ELSE parent_id END AS src,
+                 action AS predicate,
+                 CASE WHEN actor_type = 'READ_RECV' THEN parent_id ELSE node_id END AS dst,
+                 timestamp AS start_time, CAST(weight AS BIGINT) AS weight, span_id
+          FROM parsed WHERE has_parent AND event_id % 11 <> 0),
+        eo AS (
+          SELECT src, predicate, dst, start_time, weight FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY src, predicate, dst
+              ORDER BY start_time DESC, span_id DESC) AS rn
+            FROM eo0) WHERE rn = 1),
+        en0 AS (
+          SELECT CASE WHEN actor_type = 'READ_RECV' THEN node_id ELSE parent_id END AS src,
+                 action AS predicate,
+                 CASE WHEN actor_type = 'READ_RECV' THEN parent_id ELSE node_id END AS dst,
+                 timestamp AS start_time, CAST(weight AS BIGINT) AS weight, span_id
+          FROM parsed WHERE has_parent AND event_id % 13 <> 0),
+        en AS (
+          SELECT src, predicate, dst, start_time, weight FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY src, predicate, dst
+              ORDER BY start_time DESC, span_id DESC) AS rn
+            FROM en0) WHERE rn = 1),
+        d AS (
+          SELECT coalesce(o.src, n.src) AS src,
+                 coalesce(o.predicate, n.predicate) AS predicate,
+                 coalesce(o.dst, n.dst) AS dst,
+                 CASE WHEN o.src IS NULL THEN 'added'
+                      WHEN n.src IS NULL THEN 'removed'
+                      WHEN (o.start_time IS DISTINCT FROM n.start_time)
+                        OR (o.weight IS DISTINCT FROM n.weight) THEN 'changed'
+                 END AS change,
+                 o.start_time AS old_start_time, o.weight AS old_weight,
+                 n.start_time AS new_start_time, n.weight AS new_weight
+          FROM eo o FULL OUTER JOIN en n
+            ON o.src = n.src AND o.predicate = n.predicate AND o.dst = n.dst)
+        SELECT * FROM d WHERE change IS NOT NULL
+        """
     )
     # --- fixed-point PageRank: same BIGINT micro-unit arithmetic as the
     # Spark loop, unrolled to 5 CTE rounds — exact match, not approximate.
