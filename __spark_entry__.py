@@ -171,6 +171,19 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_edges_ckpt(spark, sf_dir))
 
 
+def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD oracle for the large-star/small-star connected components
+    (SURVEY §4-custom-1): canonical id = component minimum, verified
+    against a recursive-CTE transitive closure over the undirected edge
+    graph. String min is lexicographic in both engines."""
+    from sigraph_spark.operators.linking import connected_components
+
+    e = _edges_ckpt(spark, sf_dir).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    return connected_components(e)
+
+
 def q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff between two versions of the edge table (built from
     two overlapping event subsets, so added/removed/changed all occur):
@@ -1026,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_table": q_degree_table,
         "pagerank": q_pagerank,
         "graph_diff": q_graph_diff,
+        "components": q_components,
         "iocs": q_iocs,
         "traces_listing": q_traces_listing,
         "neighborhood": q_neighborhood,
@@ -1206,6 +1220,22 @@ def oracle_sql() -> dict[str, str]:
     sq["graph_edges"] = (
         "WITH " + _EDGES_CTE
         + " SELECT src, predicate, dst, start_time, weight FROM edges"
+    )
+    # --- connected components: star contraction's fixpoint must equal the
+    # ground-truth reachability closure (min reachable id per node).
+    sq["components"] = (
+        "WITH RECURSIVE " + _EDGES_CTE
+        + """,
+        und AS (
+          SELECT DISTINCT src AS x, dst AS y FROM edges WHERE src <> dst
+          UNION
+          SELECT DISTINCT dst, src FROM edges WHERE src <> dst),
+        reach(x, r) AS (
+          SELECT DISTINCT x, x AS r FROM und
+          UNION
+          SELECT u.y, r.r FROM reach r JOIN und u ON u.x = r.x)
+        SELECT x AS entity, min(r) AS canonical_id FROM reach GROUP BY x
+        """
     )
     # --- snapshot diff: two filtered edge builds (event_id % 11 / % 13
     # survivors), full-outer join, IS DISTINCT FROM == Spark's <=> negation.

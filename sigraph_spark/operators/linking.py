@@ -206,15 +206,19 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_prev = e.count()
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        # converged when the canonical edge set is unchanged (one job)
+        # converged when the canonical edge set is unchanged. Both sides
+        # are distinct sets, so |A| == |B| and A\B == ∅ imply A == B —
+        # one count (on checkpointed data) + ONE exceptAll, not two.
+        n_new = e2.count()
         changed = (
-            e2.exceptAll(e).unionAll(e.exceptAll(e2)).limit(1).count()
+            1 if n_new != n_prev else e2.exceptAll(e).limit(1).count()
         )
-        e = e2
+        e, n_prev = e2, n_new
         if changed == 0:
             break
     if metrics is not None:
