@@ -666,6 +666,16 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(docs)
 
 
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance over the documents table for a fixed 3-term query
+    (terms chosen from the synthetic vocabulary). Lucene-form idf; 4dp
+    rounding puts the sub-ulp per-doc summation differences far inside
+    the grid in both engines."""
+    from sigraph_spark.operators.corpus import bm25_scores
+
+    return bm25_scores(_docs(spark, sf_dir), ["join", "hash", "vector"])
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-then-chunk sequence packing at ctx=512. The Spark side is a
     distributed two-stage prefix sum (banded cumsum + per-band base
@@ -1067,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "corpus_vocab": q_corpus_vocab,
         "corpus_quantiles": q_corpus_quantiles,
+        "bm25_scores": q_bm25,
         "domain_stats": q_domain_stats,
         "pack_sequences": q_pack_sequences,
         "events_asof": q_events_asof,
@@ -1846,6 +1857,32 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(n_tok, 0.75), 4) AS p75,
                round(quantile_cont(n_tok, 0.9), 4) AS p90
         FROM t GROUP BY lang
+    """
+    # --- BM25: identical float formulation (ln == F.log natural log;
+    # integer tf/df/dl; avgdl = exact int-sum / count in both engines).
+    sq["bm25_scores"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS w
+          FROM documents),
+        stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 avg(len(w)) AS avgdl FROM toks),
+        dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM toks),
+        hits AS (
+          SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf FROM (
+            SELECT doc_id, unnest(w) AS t FROM toks)
+          WHERE t IN ('join', 'hash', 'vector')
+          GROUP BY doc_id, t),
+        dfr AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM hits GROUP BY t)
+        SELECT doc_id,
+               round(sum(
+                 ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+               ), 4) AS bm25
+        FROM hits JOIN dfr USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY doc_id
     """
     # --- domain stats over synthesized multi-host urls: lowercased host
     # by double substring_index, algebraic aggregates.

@@ -242,3 +242,31 @@ def test_domain_stats_host_extraction_and_aggregates(spark):
     assert a["n_pages"] == 2 and a["total_tokens"] == 5 and a["mean_tokens"] == 2.5
     b = out["b.example.com"]
     assert b["n_pages"] == 2 and b["total_tokens"] == 1
+
+
+def test_bm25_hand_computed(spark):
+    """3 docs, query = ['spark']: df=2, N=3; doc A tf=2 dl=4, doc B tf=1
+    dl=2, avgdl=3 — Lucene-form idf, k1=1.2, b=0.75."""
+    import math
+
+    from sigraph_spark.operators.corpus import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark spark shuffle join"),
+            (1, "spark engine"),
+            (2, "duck db only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, ["spark"]).collect()}
+    assert set(out) == {0, 1}  # doc 2 never matches -> absent
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    avgdl = (4 + 2 + 3) / 3
+
+    def s(tf, dl):
+        return round(idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 4)
+
+    assert out[0] == s(2, 4)
+    assert out[1] == s(1, 2)
+    assert out[0] > out[1]  # higher tf wins despite longer doc
