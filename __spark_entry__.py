@@ -666,6 +666,26 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(docs)
 
 
+def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(lang, source) in one shuffle — per-pair, per-lang, and
+    grand-total counters from a single aggregation; grouping_id shares
+    bit semantics with SQL GROUPING(lang, source)."""
+    from sigraph_spark.operators.corpus import corpus_rollup
+
+    return corpus_rollup(_docs(spark, sf_dir))
+
+
+def q_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k=7 docs per language by portable md5-hash rank — the
+    deterministic eval-set sampler (count-guaranteed, unlike rate-based
+    stratified sampling)."""
+    from sigraph_spark.operators.corpus import sample_k_per_group
+
+    return sample_k_per_group(_docs(spark, sf_dir), k=7).select(
+        "doc_id", "lang"
+    )
+
+
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance over the documents table for a fixed 3-term query
     (terms chosen from the synthetic vocabulary). Lucene-form idf; 4dp
@@ -1078,6 +1098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab": q_corpus_vocab,
         "corpus_quantiles": q_corpus_quantiles,
         "bm25_scores": q_bm25,
+        "corpus_rollup": q_corpus_rollup,
+        "sample_k_per_group": q_sample_k_per_group,
         "domain_stats": q_domain_stats,
         "pack_sequences": q_pack_sequences,
         "events_asof": q_events_asof,
@@ -1857,6 +1879,30 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(n_tok, 0.75), 4) AS p75,
                round(quantile_cont(n_tok, 0.9), 4) AS p90
         FROM t GROUP BY lang
+    """
+    # --- rollup: GROUPING() bit semantics match Spark's grouping_id.
+    sq["corpus_rollup"] = r"""
+        WITH t AS (
+          SELECT lang, source,
+                 CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+'))
+                 END AS n_tok
+          FROM documents)
+        SELECT lang, source,
+               CAST(GROUPING(lang, source) AS INT) AS gid,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        FROM t GROUP BY ROLLUP (lang, source)
+    """
+    # --- k-per-group sample: same portable md5 rank order.
+    sq["sample_k_per_group"] = """
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang, row_number() OVER (
+            PARTITION BY lang
+            ORDER BY CAST((md5_number_upper('sample:' || CAST(doc_id AS VARCHAR))
+                           & 4294967295) AS BIGINT) ASC, doc_id ASC) AS rk
+          FROM documents)
+        WHERE rk <= 7
     """
     # --- BM25: identical float formulation (ln == F.log natural log;
     # integer tf/df/dl; avgdl = exact int-sum / count in both engines).

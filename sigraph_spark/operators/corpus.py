@@ -310,6 +310,62 @@ def domain_stats(
     )
 
 
+def corpus_rollup(
+    docs: DataFrame,
+    dims: tuple[str, str] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-level corpus profile in ONE pass: counts and token totals at
+    (lang, source), (lang), and grand-total levels via ROLLUP — Catalyst
+    expands grouping sets inside a single shuffle instead of three
+    separate aggregations over the corpus. ``grouping_id`` disambiguates
+    aggregation levels from genuine NULL dimension values (bit i set =
+    dimension i rolled up; same bit semantics as SQL GROUPING())."""
+    from sigraph_spark.operators.textstats import whitespace_token_count
+
+    d0, d1 = dims
+    return (
+        docs.select(
+            F.col(d0), F.col(d1),
+            whitespace_token_count(F.col(text_col)).alias("n_tok"),
+        )
+        .rollup(d0, d1)
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )
+
+
+def sample_k_per_group(
+    docs: DataFrame,
+    k: int,
+    by: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Exactly min(k, group size) rows per group, deterministically: rank
+    by the portable md5 hash of the id (ties broken by id) and keep the
+    k smallest. Unlike rate-based ``stratified_sample`` this guarantees
+    the COUNT (eval sets, per-language probes) and is reproducible on any
+    engine/partitioning — the hash order is a fixed total order, not a
+    seeded RNG.
+
+    Scale shape: one shuffle on the group key + a WindowGroupLimit —
+    Catalyst pushes the rank<=k filter map-side, so only ~k rows per
+    (partition, group) reach the final per-group sort."""
+    h = hash32_md5_le(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(by).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     query_terms: list[str],

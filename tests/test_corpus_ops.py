@@ -270,3 +270,46 @@ def test_bm25_hand_computed(spark):
     assert out[0] == s(2, 4)
     assert out[1] == s(1, 2)
     assert out[0] > out[1]  # higher tf wins despite longer doc
+
+
+def test_corpus_rollup_levels(spark):
+    from sigraph_spark.operators.corpus import corpus_rollup
+
+    d = spark.createDataFrame(
+        [(0, "a b", "en", "s1"), (1, "c", "en", "s2"), (2, "d e f", "de", "s1")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {
+        (r["lang"], r["source"]): (r["gid"], r["n_docs"], r["total_tokens"])
+        for r in corpus_rollup(d).collect()
+    }
+    assert out[("en", "s1")] == (0, 1, 2)
+    assert out[("en", None)] == (1, 2, 3)  # lang subtotal: source rolled up
+    assert out[("de", None)] == (1, 1, 3)
+    assert out[(None, None)] == (3, 3, 6)  # grand total: both rolled up
+
+
+def test_sample_k_per_group_exact_count_and_deterministic(spark):
+    from sigraph_spark.operators.corpus import sample_k_per_group
+
+    d = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.lit("t").alias("text"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("fr")
+        .alias("lang"),
+    )
+    out = sample_k_per_group(d, k=5).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert {len(v) for v in by_lang.values()} == {5}
+    # partition-invariant: identical rows under any layout
+    out2 = sample_k_per_group(d.repartition(17), k=5).collect()
+    assert {(r["doc_id"], r["lang"]) for r in out} == {
+        (r["doc_id"], r["lang"]) for r in out2
+    }
+    # small group: min(k, size)
+    tiny = d.filter(F.col("doc_id") < 4)
+    assert sample_k_per_group(tiny, k=5).count() == 4
