@@ -666,6 +666,28 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(docs)
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized point-in-interval join (the range-join Spark lacks a
+    native optimization for): points = distinct user_id % 997, intervals
+    synthesized from doc ids — the oracle is the plain BETWEEN theta
+    join, which the operator must reproduce exactly while planning as an
+    equi-join (no BroadcastNestedLoopJoin; plan-asserted in the audit)."""
+    from sigraph_spark.operators.rangejoin import point_in_interval_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    points = ev.select((F.col("user_id") % 997).alias("p")).distinct()
+    d = _docs(spark, sf_dir)
+    lo = (F.col("doc_id") * 7) % 1000
+    iv = d.select(
+        F.col("doc_id").alias("interval_id"),
+        lo.alias("lo"),
+        (lo + F.col("doc_id") % 50).alias("hi"),
+    )
+    return point_in_interval_join(points, iv, "p", bucket_width=64.0).select(
+        "p", "interval_id", "lo", "hi"
+    )
+
+
 def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(lang, source) in one shuffle — per-pair, per-lang, and
     grand-total counters from a single aggregation; grouping_id shares
@@ -1099,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quantiles": q_corpus_quantiles,
         "bm25_scores": q_bm25,
         "corpus_rollup": q_corpus_rollup,
+        "range_join": q_range_join,
         "sample_k_per_group": q_sample_k_per_group,
         "domain_stats": q_domain_stats,
         "pack_sequences": q_pack_sequences,
@@ -1879,6 +1902,18 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(n_tok, 0.75), 4) AS p75,
                round(quantile_cont(n_tok, 0.9), 4) AS p90
         FROM t GROUP BY lang
+    """
+    # --- range join: the oracle is the naive BETWEEN theta join the
+    # bucketized equi-join must equal exactly.
+    sq["range_join"] = """
+        WITH p AS (SELECT DISTINCT user_id % 997 AS p FROM events),
+        iv AS (
+          SELECT doc_id AS interval_id,
+                 (doc_id * 7) % 1000 AS lo,
+                 (doc_id * 7) % 1000 + doc_id % 50 AS hi
+          FROM documents)
+        SELECT p.p, iv.interval_id, iv.lo, iv.hi
+        FROM p JOIN iv ON p.p BETWEEN iv.lo AND iv.hi
     """
     # --- rollup: GROUPING() bit semantics match Spark's grouping_id.
     sq["corpus_rollup"] = r"""

@@ -125,6 +125,14 @@ def main() -> int:
         want=("partial_count",),
     )
 
+    # range join: bucketized equi-join — the whole point is NOT planning
+    # the BETWEEN predicate as a nested-loop
+    check(
+        "range_join",
+        E.q_range_join(spark, sf_dir),
+        forbid=("BatchEvalPython", "BroadcastNestedLoopJoin", "CartesianProduct"),
+    )
+
     print("\n" + "=" * 70)
     if failures:
         print("PLAN INVARIANT FAILURES:")
