@@ -184,6 +184,28 @@ def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(e)
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the trace co-occurrence graph
+    (nodes sharing a trace — the triangle-dense companion to degree/
+    PageRank for telling genuine clusters from boilerplate star hubs).
+    Spark runs degree-oriented wedge counting (out-degree bounded by
+    O(sqrt(E)) — no last-reducer hub); the oracle enumerates x<y<z
+    triangles directly. Same exact counts."""
+    from sigraph_spark.operators.graph import build_trace_contains
+    from sigraph_spark.operators.graphalgo import triangle_count
+
+    good, _ = _parsed(spark, sf_dir)
+    tc = build_trace_contains(good)
+    a = tc.select("unit_id", "trace_id", F.col("node_id").alias("src"))
+    b = tc.select("unit_id", "trace_id", F.col("node_id").alias("dst"))
+    co = (
+        a.join(b, ["unit_id", "trace_id"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    return triangle_count(co)
+
+
 def q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff between two versions of the edge table (built from
     two overlapping event subsets, so added/removed/changed all occur):
@@ -1092,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "graph_diff": q_graph_diff,
         "components": q_components,
+        "triangles": q_triangles,
         "iocs": q_iocs,
         "traces_listing": q_traces_listing,
         "neighborhood": q_neighborhood,
@@ -1276,6 +1299,26 @@ def oracle_sql() -> dict[str, str]:
     sq["graph_edges"] = (
         "WITH " + _EDGES_CTE
         + " SELECT src, predicate, dst, start_time, weight FROM edges"
+    )
+    # --- triangles: canonical x<y<z enumeration — orientation-free
+    # ground truth for the degree-oriented wedge count.
+    sq["triangles"] = (
+        "WITH " + _EDGES_CTE
+        + """,
+        co AS (
+          SELECT DISTINCT a.node_id AS x, b.node_id AS y
+          FROM containment a JOIN containment b USING (unit_id, trace_id)
+          WHERE a.node_id < b.node_id),
+        tri AS (
+          SELECT e1.x AS a, e1.y AS b, e2.y AS c FROM co e1
+          JOIN co e2 ON e2.x = e1.x AND e2.y > e1.y
+          JOIN co e3 ON e3.x = e1.y AND e3.y = e2.y)
+        SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+          SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+        GROUP BY node
+        """
     )
     # --- connected components: star contraction's fixpoint must equal the
     # ground-truth reachability closure (min reachable id per node).
