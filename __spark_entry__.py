@@ -730,6 +730,16 @@ def q_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking at 64 tokens / 16 overlap (small enough
+    that the synthetic docs produce multi-chunk output). Pure integer
+    window arithmetic + JVM array slice — no shuffle; the oracle
+    regenerates the identical windows."""
+    from sigraph_spark.operators.corpus import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, overlap=16)
+
+
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance over the documents table for a fixed 3-term query
     (terms chosen from the synthetic vocabulary). Lucene-form idf; 4dp
@@ -1146,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup": q_corpus_rollup,
         "range_join": q_range_join,
         "sample_k_per_group": q_sample_k_per_group,
+        "chunk_documents": q_chunk_documents,
         "domain_stats": q_domain_stats,
         "pack_sequences": q_pack_sequences,
         "events_asof": q_events_asof,
@@ -1981,6 +1992,29 @@ def oracle_sql() -> dict[str, str]:
                            & 4294967295) AS BIGINT) ASC, doc_id ASC) AS rk
           FROM documents)
         WHERE rk <= 7
+    """
+    # --- chunking: integer window arithmetic, 1-based inclusive list
+    # slice == Spark's F.slice(start, length).
+    sq["chunk_documents"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(coalesce(text, '')) = ''
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(text), '\s+')
+                 END AS w
+          FROM documents),
+        c AS (
+          SELECT doc_id, w, len(w) AS n,
+                 CAST((greatest(len(w) - 16, 1) + 47) // 48 AS INT) AS nc
+          FROM t)
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_id,
+               CAST(i * 48 AS BIGINT) AS start_tok,
+               CAST(least(64, n - i * 48) AS BIGINT) AS chunk_len,
+               array_to_string(
+                 w[CAST(i * 48 + 1 AS INT):CAST(i * 48 + 64 AS INT)], ' '
+               ) AS chunk_text
+        FROM c, UNNEST(range(0, nc)) AS u(i)
     """
     # --- BM25: identical float formulation (ln == F.log natural log;
     # integer tf/df/dl; avgdl = exact int-sum / count in both engines).

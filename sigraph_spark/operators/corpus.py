@@ -310,6 +310,57 @@ def domain_stats(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping token windows (the RAG /
+    long-context splitting op — the complement of ``pack_sequences``,
+    which concatenates short docs).
+
+    Chunk i starts at token ``i * (chunk_tokens - overlap)``; chunks are
+    emitted while ``start < max(n_tokens - overlap, 1)``, so the final
+    window is never a strict subset of the previous one and empty docs
+    yield exactly one empty chunk (count arithmetic is pure integers —
+    the gate oracle reproduces it exactly).
+
+    Scale shape: tokenize once, explode an integer sequence per doc —
+    a narrow map + generate, NO shuffle at all; chunk text is a
+    JVM-side array slice+join.
+    """
+    assert 0 <= overlap < chunk_tokens
+    step = chunk_tokens - overlap
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    w = F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    toks = docs.select(F.col(id_col).alias("id"), w.alias("w"))
+    n = F.size("w")
+    n_chunks = F.floor(
+        (F.greatest(n - overlap, F.lit(1)) + step - 1) / F.lit(step)
+    ).cast("int")
+    return (
+        toks.select(
+            "id", "w", n.alias("n_tokens"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "chunk_id",
+            (F.col("chunk_id") * step).cast("long").alias("start_tok"),
+            F.least(
+                F.lit(chunk_tokens), F.col("n_tokens") - F.col("chunk_id") * step
+            ).cast("long").alias("chunk_len"),
+            F.concat_ws(
+                " ", F.slice("w", F.col("chunk_id") * step + 1, chunk_tokens)
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def corpus_rollup(
     docs: DataFrame,
     dims: tuple[str, str] = ("lang", "source"),

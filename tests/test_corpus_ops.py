@@ -313,3 +313,33 @@ def test_sample_k_per_group_exact_count_and_deterministic(spark):
     # small group: min(k, size)
     tiny = d.filter(F.col("doc_id") < 4)
     assert sample_k_per_group(tiny, k=5).count() == 4
+
+
+def test_chunk_documents_windows(spark):
+    from sigraph_spark.operators.corpus import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (1, "a b"),                                  # fits one chunk
+            (2, ""),                                     # empty -> 1 empty chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        (r["doc_id"], r["chunk_id"], r["start_tok"], r["chunk_len"], r["chunk_text"])
+        for r in chunk_documents(docs, chunk_tokens=8, overlap=4).collect()
+    )
+    # doc 0: step=4, emit while start < max(10-4,1)=6 -> starts 0, 4
+    assert out == [
+        (0, 0, 0, 8, "t0 t1 t2 t3 t4 t5 t6 t7"),
+        (0, 1, 4, 6, "t4 t5 t6 t7 t8 t9"),
+        (1, 0, 0, 2, "a b"),
+        (2, 0, 0, 0, ""),
+    ]
+    # every token of doc 0 is covered by some chunk
+    covered = set()
+    for d, _c, s, ln, _t in out:
+        if d == 0:
+            covered.update(range(s, s + ln))
+    assert covered == set(range(10))
