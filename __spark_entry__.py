@@ -489,6 +489,20 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+def q_dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-hash incremental dedup: the delta (doc_id % 4 == 0) is
+    classified against the stored content-hash index of the rest —
+    corpus_dup / batch_dup / new, with deterministic canonicals."""
+    from sigraph_spark.operators.dedup import (
+        exact_hash_index,
+        incremental_exact_dedup,
+    )
+
+    docs = _docs(spark, sf_dir)
+    idx = exact_hash_index(docs.filter(F.col("doc_id") % 4 != 0))
+    return incremental_exact_dedup(docs.filter(F.col("doc_id") % 4 == 0), idx)
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HARD oracle: md5 family — DuckDB's md5_number_upper() IS the
     little-endian uint64 of digest[0:8], so signatures, 16-bit band
@@ -1141,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_candidates": q_minhash_candidates,
         "minhash_incremental": q_minhash_incremental,
+        "dedup_incremental_exact": q_dedup_incremental_exact,
         "simhash_pairs": q_simhash_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -1799,6 +1814,27 @@ def oracle_sql() -> dict[str, str]:
           FROM sigarr, UNNEST(range(0, 16)) AS t(b))
         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         FROM banded x JOIN banded y ON x.bk = y.bk AND x.doc_id < y.doc_id
+    """
+    # --- incremental exact dedup: same sha256 + deterministic canonicals.
+    sq["dedup_incremental_exact"] = """
+        WITH corpus AS (
+          SELECT sha256(coalesce(text, '')) AS content_hash,
+                 min(doc_id) AS cid
+          FROM documents WHERE doc_id % 4 <> 0
+          GROUP BY 1),
+        delta AS (
+          SELECT doc_id, sha256(coalesce(text, '')) AS content_hash,
+                 min(doc_id) OVER (
+                   PARTITION BY sha256(coalesce(text, ''))) AS bmin
+          FROM documents WHERE doc_id % 4 = 0)
+        SELECT d.doc_id, d.content_hash,
+               coalesce(c.cid,
+                        CASE WHEN d.doc_id > d.bmin THEN d.bmin END,
+                        d.doc_id) AS canonical_id,
+               CASE WHEN c.cid IS NOT NULL THEN 'corpus_dup'
+                    WHEN d.doc_id > d.bmin THEN 'batch_dup'
+                    ELSE 'new' END AS status
+        FROM delta d LEFT JOIN corpus c USING (content_hash)
     """
     # --- incremental MinHash: band keys are per-doc independent, so
     # incremental(new, index(old)) == full-pipeline pairs touching a new

@@ -377,6 +377,64 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def exact_hash_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Persistable exact-dedup index: one (content_hash, id) row per
+    DISTINCT content, keeping the min id as canonical — what a 100 TB
+    deployment stores (Iceberg, bucketed by content_hash) so new crawls
+    check membership without re-hashing the corpus."""
+    h = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+    return (
+        docs.select(F.col(id_col).alias("id"), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("id").alias("id"))
+        .select("id", "content_hash")
+    )
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Classify a crawl delta against the stored content-hash index:
+    returns ``(id, content_hash, canonical_id, status)`` with status
+    'corpus_dup' (content already in the index — canonical is the corpus
+    id), 'batch_dup' (first seen in THIS batch under a smaller id), or
+    'new' (canonical_id = own id; exactly the rows whose (content_hash,
+    id) the caller appends to the index).
+
+    One hash pass over the delta + one join against the bucketed index
+    on the uniform hash key + one within-batch min — the corpus is never
+    rescanned. Deterministic: within-batch canonical is the min id.
+    """
+    h = F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+    keyed = new_docs.select(F.col(id_col).alias("id"), h.alias("content_hash"))
+    batch_min = keyed.groupBy("content_hash").agg(F.min("id").alias("_bmin"))
+    corpus = index.select(
+        F.col("content_hash"), F.col("id").alias("_cid")
+    )
+    return (
+        keyed.join(batch_min, "content_hash")
+        .join(corpus, "content_hash", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "content_hash",
+            F.coalesce(
+                F.col("_cid"),
+                F.when(F.col("id") > F.col("_bmin"), F.col("_bmin")),
+                F.col("id"),
+            ).alias("canonical_id"),
+            F.when(F.col("_cid").isNotNull(), F.lit("corpus_dup"))
+            .when(F.col("id") > F.col("_bmin"), F.lit("batch_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -197,3 +197,47 @@ def test_minhash_md5_family_matches_column_formulation(spark):
 
     val = docs.select(hash32_md5_le(F.lit("alpha beta gamma")).alias("h")).first()["h"]
     assert val == int.from_bytes(hashlib.md5(b"alpha beta gamma").digest()[:4], "little")
+
+
+def test_incremental_exact_dedup_statuses(spark):
+    """corpus_dup / batch_dup / new classification with deterministic
+    canonicals, and the 'new' rows are exactly the index delta."""
+    from sigraph_spark.operators.dedup import (
+        exact_hash_index,
+        incremental_exact_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "known content"), (1, "other content")], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [
+            (10, "known content"),   # already in corpus -> corpus_dup of 0
+            (11, "fresh content"),   # new
+            (12, "fresh content"),   # dup within batch -> batch_dup of 11
+            (13, "also fresh"),      # new
+        ],
+        "doc_id long, text string",
+    )
+    idx = exact_hash_index(corpus)
+    out = {
+        r["doc_id"]: (r["status"], r["canonical_id"])
+        for r in incremental_exact_dedup(delta, idx).collect()
+    }
+    assert out == {
+        10: ("corpus_dup", 0),
+        11: ("new", 11),
+        12: ("batch_dup", 11),
+        13: ("new", 13),
+    }
+    # appending the 'new' rows' hashes makes a replayed batch all dups
+    classified = incremental_exact_dedup(delta, idx)
+    new_rows = classified.filter(classified["status"] == "new").select(
+        classified["doc_id"].alias("id"), "content_hash"
+    )
+    idx2 = idx.unionByName(new_rows)
+    replay = {
+        r["doc_id"]: r["status"]
+        for r in incremental_exact_dedup(delta, idx2).collect()
+    }
+    assert set(replay.values()) == {"corpus_dup"}
