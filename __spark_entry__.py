@@ -222,6 +222,30 @@ def q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_tables(old, new, ["src", "predicate", "dst"])
 
 
+def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS distances from a seed process over the directed
+    provenance edges (the 'blast radius in N hops' query). Spark runs the
+    iterative-frontier expansion; the oracle is a bounded recursive CTE
+    taking min(d) per node — exact equality because the fixture's
+    eccentricity (3) is far below the bound."""
+    from sigraph_spark.operators.graphalgo import shortest_paths
+
+    seeds = spark.createDataFrame(
+        [("proc_0.exe@PROCESS",)], "node_id string"
+    )
+    return shortest_paths(_edges_ckpt(spark, sf_dir), seeds)
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the undirected provenance graph: iterative peel on Spark
+    vs the same peel unrolled to 8 CTE rounds in DuckDB (the PageRank
+    unrolling device) — exact, with the fixture converging in 2 rounds
+    (pinned by the metrics dict in tests)."""
+    from sigraph_spark.operators.graphalgo import kcore
+
+    return kcore(_edges_ckpt(spark, sf_dir), k=4)
+
+
 def q_iocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sigraph_spark.operators.graph import (
         build_nodes, build_trace_contains, iocs,
@@ -456,6 +480,68 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard_num") > 0)
     )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: train docs flagged when they share any
+    3-gram with the (deterministic doc_id % 37 == 0) eval slice. The eval
+    n-gram set is broadcast — the corpus side never shuffles."""
+    from sigraph_spark.operators.contamination import decontaminate
+
+    d = _docs(spark, sf_dir)
+    evalset = d.filter(F.col("doc_id") % 37 == 0)
+    train = d.filter(F.col("doc_id") % 37 != 0)
+    out = decontaminate(train, evalset)
+    # int flag rather than boolean: keeps the driver's value stringification
+    # engine-neutral (no bool-vs-BOOLEAN canon divergence)
+    return out.withColumn("contaminated", F.col("contaminated").cast("int"))
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span profile: per doc, the fraction of
+    its distinct 3-grams occurring in at least one other document (the
+    span-level dedup signal; one uniform-key shuffle on shingles)."""
+    from sigraph_spark.operators.contamination import dup_spans
+
+    return dup_spans(_docs(spark, sf_dir))
+
+
+def q_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the near-dup pipeline: Jaccard-verified pairs (>= 0.5 on the
+    doc_id % 10 slice) -> large-star/small-star components -> keep the
+    min-id representative per cluster; singletons keep themselves. Oracle
+    = the same pair SQL + recursive reachability closure."""
+    from sigraph_spark.operators.dedup import _word_shingles, dedup_keeplist
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    sh = d.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(_word_shingles(F.col("text"), 3))).alias("sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.size(F.array_intersect("sha", "shb")).alias("ni"),
+            F.size(F.array_union("sha", "shb")).alias("nu"),
+        )
+        .filter(F.col("ni") * 2 >= F.col("nu"))  # jaccard >= 0.5, integer form
+        .select("a", "b")
+    )
+    out = dedup_keeplist(d, pairs)
+    return out.withColumn("keep", F.col("keep").cast("int"))
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered curation rule chain (length -> language -> quality ->
+    repetition) with the first failing rule recorded per document —
+    a single narrow map composing the textstats signals."""
+    from sigraph_spark.operators.corpus import curation_funnel
+
+    return curation_funnel(_docs(spark, sf_dir))
 
 
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1139,6 +1225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_diff": q_graph_diff,
         "components": q_components,
         "triangles": q_triangles,
+        "shortest_paths": q_shortest_paths,
+        "kcore": q_kcore,
         "iocs": q_iocs,
         "traces_listing": q_traces_listing,
         "neighborhood": q_neighborhood,
@@ -1153,6 +1241,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_prefix": q_dedup_prefix,
         "ngram_jaccard": q_ngram_jaccard,
+        "decontaminate": q_decontaminate,
+        "dup_spans": q_dup_spans,
+        "dedup_keeplist": q_dedup_keeplist,
+        "curation_funnel": q_curation_funnel,
         "minhash_candidates": q_minhash_candidates,
         "minhash_incremental": q_minhash_incremental,
         "dedup_incremental_exact": q_dedup_incremental_exact,
@@ -1361,6 +1453,27 @@ def oracle_sql() -> dict[str, str]:
           SELECT u.y, r.r FROM reach r JOIN und u ON u.x = r.x)
         SELECT x AS entity, min(r) AS canonical_id FROM reach GROUP BY x
         """
+    )
+    # --- multi-source BFS: bounded recursive closure, min(d) per node.
+    # Bound 10 >> fixture eccentricity (3), so equality is exact.
+    sq["shortest_paths"] = (
+        "WITH RECURSIVE " + _EDGES_CTE
+        + """,
+        de AS (SELECT DISTINCT src, dst FROM edges),
+        reach(node, d) AS (
+          SELECT 'proc_0.exe@PROCESS', 0
+          UNION
+          SELECT e.dst, r.d + 1 FROM reach r JOIN de e ON e.src = r.node
+          WHERE r.d < 10)
+        SELECT node AS node_id, CAST(min(d) AS BIGINT) AS distance
+        FROM reach GROUP BY node
+        """
+    )
+    # --- k-core: the same peel unrolled to 8 rounds (fixture converges in 2).
+    from sigraph_spark.operators.graphalgo import kcore_oracle_sql
+
+    sq["kcore"] = (
+        "WITH " + _EDGES_CTE + ",\n" + kcore_oracle_sql("edges", 4, 8)
     )
     # --- snapshot diff: two filtered edge builds (event_id % 11 / % 13
     # survivors), full-outer join, IS DISTINCT FROM == Spark's <=> negation.
@@ -1667,6 +1780,135 @@ def oracle_sql() -> dict[str, str]:
         FROM inter
         JOIN cnt ca ON ca.doc_id = inter.a
         JOIN cnt cb ON cb.doc_id = inter.b
+    """
+    # --- shared distinct-3-gram CTE for the contamination family (same
+    # short-doc fallback as the Spark _word_shingles construction)
+    _DSH = r"""
+        d AS (SELECT doc_id,
+                     string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS w
+              FROM documents),
+        dsh AS (
+          SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+                        ELSE w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+                             || ' ' || w[CAST(i AS INT) + 2] END AS s
+            FROM d, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i))
+          WHERE s IS NOT NULL)
+    """
+    sq["decontaminate"] = (
+        "WITH " + _DSH
+        + """,
+        ev AS (SELECT DISTINCT s FROM dsh WHERE doc_id % 37 = 0),
+        tr AS (SELECT doc_id, s FROM dsh WHERE doc_id % 37 <> 0)
+        SELECT tr.doc_id,
+               CAST(count(*) AS BIGINT) AS total_ngrams,
+               CAST(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS overlap_ngrams,
+               CAST(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) >= 1
+                    AS INT) AS contaminated
+        FROM tr LEFT JOIN ev ON tr.s = ev.s
+        GROUP BY tr.doc_id
+        """
+    )
+    sq["dup_spans"] = (
+        "WITH " + _DSH
+        + """,
+        c AS (SELECT s, count(*) AS doc_count FROM dsh GROUP BY s)
+        SELECT dsh.doc_id,
+               CAST(count(*) AS BIGINT) AS total_ngrams,
+               CAST(sum(CASE WHEN c.doc_count > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS shared_ngrams,
+               round(sum(CASE WHEN c.doc_count > 1 THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS dup_span_ratio
+        FROM dsh JOIN c ON dsh.s = c.s
+        GROUP BY dsh.doc_id
+        """
+    )
+    # --- keep-list: Jaccard>=0.5 pairs on the %10 slice -> reachability
+    # closure -> min-id representative; singletons keep themselves.
+    sq["dedup_keeplist"] = (
+        "WITH RECURSIVE " + _DSH
+        + """,
+        sub AS (SELECT doc_id, s FROM dsh WHERE doc_id % 10 = 0),
+        cnt AS (SELECT doc_id, count(*) AS c FROM sub GROUP BY doc_id),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+          FROM sub x JOIN sub y ON x.s = y.s AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT a, b FROM inter
+          JOIN cnt ca ON ca.doc_id = inter.a
+          JOIN cnt cb ON cb.doc_id = inter.b
+          WHERE inter.i * 2 >= ca.c + cb.c - inter.i),
+        und AS (SELECT a AS x, b AS y FROM pairs
+                UNION SELECT b, a FROM pairs),
+        reach(x, r) AS (
+          SELECT DISTINCT x, x AS r FROM und
+          UNION
+          SELECT u.y, r.r FROM reach r JOIN und u ON u.x = r.x),
+        canon AS (SELECT x AS doc_id, min(r) AS cluster_id FROM reach GROUP BY x)
+        SELECT dd.doc_id,
+               coalesce(canon.cluster_id, dd.doc_id) AS cluster_id,
+               CAST(dd.doc_id = coalesce(canon.cluster_id, dd.doc_id) AS INT) AS keep
+        FROM (SELECT DISTINCT doc_id FROM sub) dd
+        LEFT JOIN canon ON canon.doc_id = dd.doc_id
+        """
+    )
+    # --- curation funnel: the textstats signals composed, first failing
+    # rule wins (same CASE precedence as the Column chain).
+    sq["curation_funnel"] = r"""
+        WITH feat AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS w,
+                 CAST(length(text) AS DOUBLE) AS n_chars_text,
+                 CAST(length(regexp_extract_all(text, '[A-Za-z0-9_'']+')) AS DOUBLE) AS n_words,
+                 CAST(length(regexp_replace(text, '[^A-Za-z0-9_'']', '', 'g')) AS DOUBLE) AS word_chars,
+                 CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct,
+                 CAST(length(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS n_upper,
+                 CAST(length(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it|was|for)\b')) AS DOUBLE) AS n_stop,
+                 length(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it|was|for)\b')) AS s_en,
+                 length(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ein|mit|auf|zu)\b')) AS s_de,
+                 length(regexp_extract_all(lower(text), '\b(le|la|et|les|des|est|un|une|dans|que)\b')) AS s_fr,
+                 length(regexp_extract_all(lower(text), '\b(el|la|de|que|los|una|por|con|para|las)\b')) AS s_es
+          FROM documents),
+        grams AS (
+          SELECT doc_id, count(*) AS total, count(DISTINCT s) AS dis FROM (
+            SELECT doc_id,
+                   CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+                        ELSE w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+                             || ' ' || w[CAST(i AS INT) + 2] END AS s
+            FROM feat, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i))
+          GROUP BY doc_id),
+        sig AS (
+          SELECT feat.doc_id, n_words,
+                 CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                      WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                      WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                      WHEN s_fr >= s_es THEN 'fr'
+                      ELSE 'es' END AS lang_pred,
+                 round((total - dis) / CAST(total AS DOUBLE), 6) AS dup_ngram_ratio,
+                 (CASE WHEN n_words >= 5
+                            AND word_chars / greatest(n_words, 1.0) >= 2.0
+                            AND word_chars / greatest(n_words, 1.0) <= 12.0
+                       THEN 1.0 ELSE 0.0 END)
+                 * (0.4 * least(n_stop / greatest(n_words, 1.0) * 5.0, 1.0)
+                    + 0.3 * greatest(0.0, 1.0 - n_punct / greatest(n_chars_text, 1.0) * 4.0)
+                    + 0.3 * greatest(0.0, 1.0 - n_upper / greatest(n_chars_text, 1.0) * 2.0))
+                   AS q
+          FROM feat JOIN grams ON grams.doc_id = feat.doc_id)
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               lang_pred,
+               round(q, 4) AS quality_score,
+               dup_ngram_ratio,
+               CASE WHEN n_words < 10 THEN 'too_short'
+                    WHEN n_words > 1000000 THEN 'too_long'
+                    WHEN lang_pred <> 'en' THEN 'wrong_lang'
+                    WHEN q < 0.15 THEN 'low_quality'
+                    WHEN dup_ngram_ratio > 0.35 THEN 'repetitive'
+                    ELSE 'pass' END AS verdict
+        FROM sig
     """
     # embeddings are FLOAT[] — cast to DOUBLE[] so DuckDB accumulates the
     # dot product in float64 like Spark's zip_with/aggregate path does

@@ -1,0 +1,121 @@
+"""Train/eval decontamination and cross-document span duplication.
+
+Two standard training-data-curation operators the reference's corpus does
+not cover but any 100 TB pretraining pipeline needs:
+
+* **decontaminate** — GPT-3/PaLM-style eval-set contamination check: a
+  training document is contaminated when it shares any word n-gram with a
+  benchmark/eval document. The eval side is tiny relative to the corpus,
+  so its distinct n-gram set is broadcast; the corpus side is a narrow
+  map (shingle explode) + broadcast semi-join — NO corpus shuffle at all.
+  At 100 TB the only data movement is the scan itself.
+
+* **dup_spans** — cross-document duplicated-span profile (Lee et al.,
+  "Deduplicating Training Data Makes Language Models Better", re-expressed
+  set-wise): for each doc, the fraction of its k-gram shingles that occur
+  in at least one *other* document. Unlike ``repetition_score`` (within-doc
+  duplication, zero shuffle) this is corpus-global: one hash-partitioned
+  groupBy over shingles — a single uniform-key shuffle whose keys are
+  32-bit shingle hashes, so it scales like exact dedup (no skew beyond
+  natural boilerplate, which AQE skew-split handles).
+
+Both use the same ``_word_shingles`` construction as the MinHash/Jaccard
+family (``operators/dedup.py``), so "n-gram" means the same thing across
+the whole dedup/contamination surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _word_shingles
+
+
+def decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Flag training docs sharing >= ``min_overlap`` distinct word
+    ``k``-grams with any eval doc.
+
+    Plan shape (the one that survives 100x): the eval n-gram set is
+    deduplicated then **broadcast**; the train side explodes its distinct
+    shingles (narrow) and left-joins the broadcast set — the corpus never
+    shuffles. The per-doc re-aggregation groups on ``id_col``, which is
+    the scan's natural key (map-side partial aggregation absorbs it).
+
+    Returns one row per train doc:
+    ``(doc_id, total_ngrams, overlap_ngrams, contaminated)``.
+    """
+    eval_grams = (
+        evalset.select(F.explode(_word_shingles(F.col(text_col), k)).alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train_grams = train.select(
+        F.col(id_col),
+        F.explode(_word_shingles(F.col(text_col), k)).alias("gram"),
+    )
+    joined = train_grams.join(F.broadcast(eval_grams), "gram", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_ngrams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("overlap_ngrams"),
+        )
+        .withColumn("contaminated", F.col("overlap_ngrams") >= min_overlap)
+    )
+
+
+def dup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-doc cross-corpus duplicated-span ratio.
+
+    For each document: of its distinct word ``k``-grams, the fraction
+    that appear in at least one other document. High values mean the doc
+    is mostly boilerplate shared with the rest of the corpus — the signal
+    used to strip duplicated spans (vs dropping whole near-dup docs).
+
+    Two aggregations, one logical shuffle key each:
+      1. ``groupBy(gram)`` → number of distinct docs containing it
+         (uniform 32-ish-bit key space — scales like exact dedup);
+      2. ``groupBy(doc_id)`` → per-doc shared fraction.
+    The gram->doc_count table is reused across both sides via a self-join
+    on ``gram`` rather than recomputing shingles.
+
+    Returns ``(doc_id, total_ngrams, shared_ngrams, dup_span_ratio)``
+    with the ratio rounded to 6dp (same convention as repetition_score).
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(_word_shingles(F.col(text_col), k)).alias("gram"),
+    )
+    # shingles from _word_shingles are distinct within a doc already
+    counts = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_count")
+    )
+    return (
+        grams.join(counts, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_ngrams"),
+            F.sum((F.col("doc_count") > 1).cast("long")).cast("long").alias("shared_ngrams"),
+        )
+        .select(
+            id_col,
+            "total_ngrams",
+            "shared_ngrams",
+            F.round(
+                F.col("shared_ngrams") / F.col("total_ngrams").cast("double"), 6
+            ).alias("dup_span_ratio"),
+        )
+    )

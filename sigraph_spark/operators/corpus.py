@@ -500,3 +500,73 @@ def vocab_topk(
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+def curation_funnel(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 1_000_000,
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.15,
+    max_repetition: float = 0.35,
+) -> DataFrame:
+    """C4/Gopher-style curation funnel: run every document through an
+    ORDERED rule chain and record the first failing rule (or ``pass``).
+
+    Rules, in order: ``too_short`` (< min_words), ``too_long``
+    (> max_words), ``wrong_lang`` (predicted language not in ``langs``),
+    ``low_quality`` (composite score < min_quality), ``repetitive``
+    (duplicate 3-gram ratio > max_repetition).
+
+    Keeping the verdict per-document (instead of just filtering) is what
+    makes the funnel auditable at 100 TB: the per-rule rejection counts
+    are one groupBy over this output, and a threshold change replays from
+    the annotated table without re-scanning raw text. The whole funnel is
+    a single narrow map (all signals are Column arithmetic from
+    ``textstats`` + the repetition ratio) — zero shuffle, whole-stage
+    codegen, and every signal is ANSI-SQL-restatable for the oracle.
+
+    Returns ``(doc_id, n_words, lang_pred, quality_score,
+    dup_ngram_ratio, verdict)``.
+    """
+    from sigraph_spark.operators.textstats import (
+        lang_id, quality_features, quality_score, word_count,
+    )
+
+    t = F.col(text_col)
+    words = F.split(F.lower(F.trim(F.coalesce(t, F.lit("")))), r"\s+")
+    n = F.size(words)
+    grams = F.when(n < 3, F.array(F.concat_ws(" ", words))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+        )
+    )
+    total = F.size(grams).cast("double")
+    distinct = F.size(F.array_distinct(grams)).cast("double")
+    sig = docs.select(
+        F.col(id_col),
+        *quality_features(t),
+        lang_id(t).alias("lang_pred"),
+        F.round((total - distinct) / total, 6).alias("dup_ngram_ratio"),
+    ).select(
+        id_col, "n_words", "lang_pred", "dup_ngram_ratio", quality_score()
+    )
+    verdict = (
+        F.when(F.col("n_words") < float(min_words), F.lit("too_short"))
+        .when(F.col("n_words") > float(max_words), F.lit("too_long"))
+        .when(~F.col("lang_pred").isin(*langs), F.lit("wrong_lang"))
+        .when(F.col("quality_score") < min_quality, F.lit("low_quality"))
+        .when(F.col("dup_ngram_ratio") > max_repetition, F.lit("repetitive"))
+        .otherwise(F.lit("pass"))
+    )
+    return sig.select(
+        id_col,
+        F.col("n_words").cast("long").alias("n_words"),
+        "lang_pred",
+        F.round("quality_score", 4).alias("quality_score"),
+        "dup_ngram_ratio",
+        verdict.alias("verdict"),
+    )

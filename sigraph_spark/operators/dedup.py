@@ -584,3 +584,49 @@ def bucket_histogram(banded: DataFrame, key: str = "bk") -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_buckets"))
         .orderBy(F.col("bucket_size").desc())
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster representative selection (keep-list)
+# ---------------------------------------------------------------------------
+
+def dedup_keeplist(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Turn verified near-dup PAIRS into a per-document keep/drop verdict.
+
+    The last step of every near-dup pipeline (MinHash->Jaccard-verify or
+    SimHash or embedding-LSH all end in a pair set): connect the pairs
+    into clusters and keep exactly one representative per cluster — the
+    minimum ``id_col`` (deterministic; swap the ordering key for a quality
+    score upstream by remapping ids). Docs in no pair keep themselves.
+
+    Scale shape: connected components is the alternating large-star/
+    small-star routine (O(log n) rounds, hub-safe — see
+    ``linking.connected_components``); the singleton fill-in is one
+    left join from the corpus to the (much smaller) clustered-node map.
+
+    Returns ``(doc_id, cluster_id, keep)``.
+    """
+    from sigraph_spark.operators.linking import connected_components
+
+    cc = connected_components(pairs.select(a_col, b_col), src=a_col, dst=b_col)
+    out = (
+        docs.select(F.col(id_col))
+        .join(
+            cc.select(
+                F.col("entity").alias(id_col), F.col("canonical_id").alias("cluster_id")
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    return out.withColumn("keep", F.col(id_col) == F.col("cluster_id"))

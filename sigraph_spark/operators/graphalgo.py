@@ -91,3 +91,156 @@ def triangle_total(edges: DataFrame, src: str = "src", dst: str = "dst") -> int:
     wedges = w1.join(w2, "m").filter(F.col("u") != F.col("v"))
     closer = o.select(F.col("a").alias("u"), F.col("b").alias("v"))
     return wedges.join(closer, ["u", "v"]).count()
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 40,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Multi-source BFS distances over the DIRECTED edge relation:
+    ``(node_id, distance)`` for every node reachable from ``seeds``
+    (a one-column DataFrame of seed node ids, distance 0).
+
+    The standard iterative-frontier formulation: each round joins only the
+    FRONTIER (nodes first reached last round) against the edge table, so
+    per-round work is O(edges out of the frontier), not O(all edges); the
+    settled-distance table only ever grows by anti-join novelty. Rounds =
+    graph eccentricity, each one equi-join + one min-agg + one anti-join —
+    all on node-id keys (uniform after hash partitioning). For 100 TB
+    graphs the edge table should be pre-bucketed on ``src`` so every
+    round's join is storage-partitioned (no re-shuffle of the big side).
+
+    Deterministic: distances are unique minima, independent of partition
+    order. Convergence: stops when a round yields no new nodes (one count
+    per round, on the frontier — the small side).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("distance", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        reached = (
+            frontier.join(e, frontier.node == e.u)
+            .select(F.col("v").alias("node"), (F.col("distance") + 1).alias("distance"))
+            .groupBy("node")
+            .agg(F.min("distance").alias("distance"))
+        )
+        new = reached.join(dist.select("node"), "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        if new.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    if metrics is not None:
+        metrics["rounds"] = rounds
+    return dist.select(F.col("node").alias("node_id"), "distance")
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """K-core decomposition for a fixed ``k``: iteratively peel nodes of
+    undirected degree < k until a fixpoint; return the surviving nodes
+    with their degree inside the core: ``(node_id, core_degree)``.
+
+    The k-core is the standard "is this node in a genuinely dense region"
+    audit (complements triangles: a 2-core strips all tree-like fringe).
+    Each peel round is one degree aggregation + two semi-joins filtering
+    the edge set — all node-id keys. Rounds are bounded by the peel depth
+    (degeneracy ordering), which is tiny for web-like graphs; convergence
+    is one count per round on the (shrinking) checkpointed edge set.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("x"),
+            F.greatest(F.col(src), F.col(dst)).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = e.count()
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        deg = (
+            e.select(F.col("x").alias("n"))
+            .unionAll(e.select(F.col("y").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n")
+        e2 = (
+            e.join(keep.withColumnRenamed("n", "x"), "x", "left_semi")
+            .join(keep.withColumnRenamed("n", "y"), "y", "left_semi")
+            .select("x", "y")
+            .localCheckpoint(eager=True)
+        )
+        n_new = e2.count()
+        e = e2
+        if n_new == n_prev:
+            break
+        n_prev = n_new
+    if metrics is not None:
+        metrics["rounds"] = rounds
+    deg = (
+        e.select(F.col("x").alias("node_id"))
+        .unionAll(e.select(F.col("y").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+    )
+    return deg.filter(F.col("core_degree") >= k)
+
+
+def kcore_oracle_sql(edges_cte: str, k: int, rounds: int) -> str:
+    """Unrolled peel rounds as SQL CTEs (same device as the PageRank
+    oracle): ``edges_cte`` must name a relation with columns (src, dst).
+    Equals the Spark fixpoint whenever the fixpoint is reached within
+    ``rounds`` — pick rounds > the fixture's peel depth (asserted by the
+    convergence metric in tests).
+
+    Every round CTE is MATERIALIZED: each is referenced 3x by the next
+    round, so DuckDB's default inlining would expand the chain 3^rounds
+    times (file-handle exhaustion on the base scan, let alone the work).
+    """
+    parts = [
+        f"""und0 AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y
+          FROM {edges_cte} WHERE src <> dst)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+              SELECT n, count(*) AS c FROM (
+                SELECT x AS n FROM und{r} UNION ALL SELECT y FROM und{r})
+              GROUP BY n)"""
+        )
+        parts.append(
+            f"""und{r + 1} AS MATERIALIZED (
+              SELECT e.x, e.y FROM und{r} e
+              JOIN d{r} a ON a.n = e.x AND a.c >= {k}
+              JOIN d{r} b ON b.n = e.y AND b.c >= {k})"""
+        )
+    final = f"""
+        SELECT n AS node_id, CAST(c AS BIGINT) AS core_degree FROM (
+          SELECT n, count(*) AS c FROM (
+            SELECT x AS n FROM und{rounds} UNION ALL SELECT y FROM und{rounds})
+          GROUP BY n)
+        WHERE c >= {k}"""
+    return ",\n".join(parts) + final

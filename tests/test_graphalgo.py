@@ -62,3 +62,146 @@ def test_triangles_bipartite_is_zero(spark):
     df = spark.createDataFrame(bip, "src string, dst string")
     assert triangle_total(df) == 0
     assert triangle_count(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# shortest_paths
+# ---------------------------------------------------------------------------
+
+def _bfs(edges, seeds):
+    from collections import deque
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        n = q.popleft()
+        for m in adj.get(n, ()):
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                q.append(m)
+    return dist
+
+
+def test_shortest_paths_chain_and_branch(spark):
+    from sigraph_spark.operators.graphalgo import shortest_paths
+
+    edges = [
+        ("s", "a"), ("a", "b"), ("b", "c"), ("c", "d"),  # long chain
+        ("s", "x"), ("x", "d"),                          # shortcut to d
+        ("d", "s"),                                      # cycle back
+        ("q", "r"),                                      # unreachable island
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("s",)], "node_id string")
+    metrics = {}
+    got = {
+        r["node_id"]: r["distance"]
+        for r in shortest_paths(e, seeds, metrics=metrics).collect()
+    }
+    assert got == _bfs(edges, ["s"])
+    assert "q" not in got and "r" not in got
+    # d is at distance 2 via the shortcut, not 4 via the chain
+    assert got["d"] == 2
+    assert metrics["rounds"] >= 4
+
+
+def test_shortest_paths_multi_source_min(spark):
+    from sigraph_spark.operators.graphalgo import shortest_paths
+
+    edges = [("s1", "m"), ("s2", "n"), ("m", "n"), ("n", "t")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("s1",), ("s2",)], "node_id string")
+    got = {
+        r["node_id"]: r["distance"]
+        for r in shortest_paths(e, seeds).collect()
+    }
+    # n reachable at 1 from s2 (not 2 via s1 -> m)
+    assert got == {"s1": 0, "s2": 0, "m": 1, "n": 1, "t": 2}
+
+
+# ---------------------------------------------------------------------------
+# kcore
+# ---------------------------------------------------------------------------
+
+def _peel(edges, k):
+    from collections import Counter
+
+    E = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    while True:
+        deg = Counter()
+        for x, y in E:
+            deg[x] += 1
+            deg[y] += 1
+        keep = {n for n, d in deg.items() if d >= k}
+        E2 = {(x, y) for x, y in E if x in keep and y in keep}
+        if E2 == E:
+            out = Counter()
+            for x, y in E:
+                out[x] += 1
+                out[y] += 1
+            return {n: d for n, d in out.items() if d >= k}
+        E = E2
+
+
+def test_kcore_peels_tail_into_fixpoint(spark):
+    from itertools import combinations
+
+    from sigraph_spark.operators.graphalgo import kcore
+
+    # K4 core + a chain hanging off it: the chain peels away one link per
+    # round (the case that needs the iteration, not one pass)
+    k4 = [(a, b) for a, b in combinations(["a", "b", "c", "d"], 2)]
+    chain = [("d", "e"), ("e", "f"), ("f", "g")]
+    e = spark.createDataFrame(k4 + chain, "src string, dst string")
+    metrics = {}
+    got = {
+        r["node_id"]: r["core_degree"]
+        for r in kcore(e, k=2, metrics=metrics).collect()
+    }
+    assert got == _peel(k4 + chain, 2) == {"a": 3, "b": 3, "c": 3, "d": 3}
+    assert metrics["rounds"] >= 3  # one chain link per round
+
+
+def test_kcore_empty_when_k_exceeds_density(spark):
+    from sigraph_spark.operators.graphalgo import kcore
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    assert kcore(e, k=3).count() == 0
+    got = {r["node_id"]: r["core_degree"] for r in kcore(e, k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_oracle_matches_duckdb(spark):
+    """The unrolled-CTE oracle generator equals the Spark fixpoint on a
+    fixture with a real peel sequence (guards the MATERIALIZED CTE
+    chain's correctness, not just the gate fixture)."""
+    import duckdb
+
+    from sigraph_spark.operators.graphalgo import kcore, kcore_oracle_sql
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+        ("e", "f"), ("f", "d"), ("d", "c"), ("g", "a"),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = sorted(
+        (r["node_id"], r["core_degree"]) for r in kcore(e, k=2).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE edges AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{a}', '{b}')" for a, b in edges)
+        + ") t(src, dst)"
+    )
+    want = sorted(
+        (r[0], r[1])
+        for r in con.execute(
+            "WITH " + kcore_oracle_sql("edges", 2, 8)
+        ).fetchall()
+    )
+    assert got == want
