@@ -535,6 +535,48 @@ def q_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("keep", F.col("keep").cast("int"))
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC-lite ingest round trip, distributed end to end: documents ->
+    (url, ts, payload) pages -> multi-record segment blobs (applyInPandas
+    per doc_id%16 group) -> read_warc_segments parse -> per-page byte
+    length + portable fingerprint of the DECODED payload. The oracle
+    computes the same values straight from the documents table, so a
+    framing/parse corruption of any byte fails the hash."""
+    import pandas as pd
+
+    from sigraph_spark.operators.textstats import fingerprint64
+    from sigraph_spark.sources.warc import encode_records, read_warc_segments
+
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://corpus.example/"), F.col("doc_id")).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_dt_interval(secs=F.col("doc_id").cast("double"))
+        ).alias("ts"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("payload"),
+        (F.col("doc_id") % 16).alias("seg"),
+    )
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        recs = [
+            (u, t.to_pydatetime(), bytes(p))
+            for u, t, p in zip(pdf["url"], pdf["ts"], pdf["payload"])
+        ]
+        return pd.DataFrame(
+            {"segment": [f"seg-{int(pdf['seg'].iloc[0]):02d}"],
+             "content": [encode_records(recs)]}
+        )
+
+    segs = pages.groupBy("seg").applyInPandas(enc, "segment string, content binary")
+    rec = read_warc_segments(segs)
+    return rec.select(
+        "url",
+        F.col("warc_ts"),
+        F.length("payload").cast("long").alias("n_bytes"),
+        fingerprint64(F.decode(F.col("payload"), "UTF-8")).alias("fingerprint"),
+    )
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered curation rule chain (length -> language -> quality ->
     repetition) with the first failing rule recorded per document —
@@ -1245,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "dedup_keeplist": q_dedup_keeplist,
         "curation_funnel": q_curation_funnel,
+        "warc_roundtrip": q_warc_roundtrip,
         "minhash_candidates": q_minhash_candidates,
         "minhash_incremental": q_minhash_incremental,
         "dedup_incremental_exact": q_dedup_incremental_exact,
@@ -1855,6 +1898,21 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN canon ON canon.doc_id = dd.doc_id
         """
     )
+    # --- WARC round trip: the oracle recomputes url/ts/bytes/fingerprint
+    # straight from documents — equality proves the framing+parse path
+    # preserved every payload byte. encode() is DuckDB's VARCHAR->BLOB
+    # (UTF-8), octet_length counts its bytes like Spark length(binary).
+    sq["warc_roundtrip"] = """
+        SELECT 'https://corpus.example/' || CAST(doc_id AS VARCHAR) AS url,
+               TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id) AS warc_ts,
+               CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+               list_reduce(
+                 list_prepend(CAST(7 AS BIGINT),
+                   list_transform(regexp_extract_all(substr(coalesce(text, ''), 1, 4096), '(?s).'),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 72057594037927931) AS fingerprint
+        FROM documents
+    """
     # --- curation funnel: the textstats signals composed, first failing
     # rule wins (same CASE precedence as the Column chain).
     sq["curation_funnel"] = r"""
