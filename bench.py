@@ -149,6 +149,16 @@ def main() -> None:
 
     timed("pagerank", lambda: pagerank(edges_pr).count())
 
+    # --- graph analytics: BFS blast radius + k-core audit ---------------------
+    from sigraph_spark.operators.graphalgo import kcore, shortest_paths
+
+    seeds = spark.createDataFrame([("proc_0.exe@PROCESS",)], "node_id string")
+    timed(
+        "bfs_kcore",
+        lambda: shortest_paths(edges_pr, seeds).count()
+        + kcore(edges_pr, k=4).count(),
+    )
+
     # --- dedup over documents -------------------------------------------------
     from sigraph_spark.operators.dedup import (
         incremental_minhash_candidates, minhash_dedup, minhash_index,
@@ -203,6 +213,21 @@ def main() -> None:
         )
 
     timed("corpus_ops", run_corpus)
+
+    # --- contamination + curation funnel ---------------------------------------
+    from sigraph_spark.operators.contamination import decontaminate, dup_spans
+    from sigraph_spark.operators.corpus import curation_funnel
+
+    def run_contamination() -> int:
+        ev = docs_tbl.filter(F.col("doc_id") % 37 == 0)
+        tr = docs_tbl.filter(F.col("doc_id") % 37 != 0)
+        return (
+            decontaminate(tr, ev).count()
+            + dup_spans(docs_tbl).count()
+            + curation_funnel(docs_tbl).count()
+        )
+
+    timed("contamination", run_contamination)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

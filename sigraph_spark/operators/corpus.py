@@ -109,14 +109,9 @@ def repetition_score(
     over word k-grams (Gopher-style repetition quality signal; docs
     below ~3 words score 0.0 by construction). Narrow map — the n-gram
     arrays never leave the row."""
-    words = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
-    n = F.size(words)
-    grams = F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
-        )
-    )
+    from sigraph_spark.operators.dedup import _word_grams
+
+    grams = _word_grams(F.col(text_col), k)
     total = F.size(grams).cast("double")
     distinct = F.size(F.array_distinct(grams)).cast("double")
     return docs.select(
@@ -531,19 +526,13 @@ def curation_funnel(
     Returns ``(doc_id, n_words, lang_pred, quality_score,
     dup_ngram_ratio, verdict)``.
     """
+    from sigraph_spark.operators.dedup import _word_grams
     from sigraph_spark.operators.textstats import (
-        lang_id, quality_features, quality_score, word_count,
+        lang_id, quality_features, quality_score,
     )
 
     t = F.col(text_col)
-    words = F.split(F.lower(F.trim(F.coalesce(t, F.lit("")))), r"\s+")
-    n = F.size(words)
-    grams = F.when(n < 3, F.array(F.concat_ws(" ", words))).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
-        )
-    )
+    grams = _word_grams(t, 3)
     total = F.size(grams).cast("double")
     distinct = F.size(F.array_distinct(grams)).cast("double")
     sig = docs.select(

@@ -45,18 +45,30 @@ from pyspark.sql import functions as F
 MERSENNE_P = (1 << 31) - 1
 
 
-def _word_shingles(c: Column, k: int) -> Column:
-    """k-word shingle array (distinct) from lowercased text — pure Columns."""
+def _word_grams(c: Column, k: int) -> Column:
+    """Ordered (non-distinct) k-word gram array from lowercased text.
+
+    Built as arrays_zip of k SHIFTED SLICES of the word array rather than
+    ``transform(sequence(1, n-k+1), i -> slice(words, i, k))``: the
+    indexed-lambda form drops out of codegen into per-element interpreted
+    eval (measured ~6x slower on the documents fixture); the zip-shift
+    form stays vectorized. Docs with fewer than k words collapse to one
+    whole-text gram (the short-input fallback every oracle mirrors).
+    """
     words = F.split(F.lower(F.trim(F.coalesce(c, F.lit("")))), r"\s+")
     n = F.size(words)
-    return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - (k - 1)),
-                lambda i: F.concat_ws(" ", F.slice(words, i, k)),
-            )
-        )
+    cnt = n - (k - 1)
+    shifted = [F.slice(words, j + 1, cnt).alias(f"w{j}") for j in range(k)]
+    grams = F.transform(
+        F.arrays_zip(*shifted),
+        lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(k)]),
     )
+    return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(grams)
+
+
+def _word_shingles(c: Column, k: int) -> Column:
+    """k-word shingle array (distinct) from lowercased text — pure Columns."""
+    return F.array_distinct(_word_grams(c, k))
 
 
 def hash32_md5_le(s: Column) -> Column:

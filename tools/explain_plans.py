@@ -133,6 +133,33 @@ def main() -> int:
         forbid=("BatchEvalPython", "BroadcastNestedLoopJoin", "CartesianProduct"),
     )
 
+    # decontamination: eval n-gram set must BROADCAST (corpus side never
+    # shuffles for the join); the only exchange is the per-doc re-agg
+    check(
+        "decontaminate",
+        E.q_decontaminate(spark, sf_dir),
+        want=("BroadcastHashJoin",),
+        forbid=("BatchEvalPython", "ArrowEvalPython", "SortMergeJoin"),
+    )
+
+    # curation funnel: one narrow map — no exchange at all, no python
+    df = E.q_curation_funnel(spark, sf_dir)
+    p = plan_of(df)
+    check(
+        "curation_funnel",
+        df,
+        forbid=("BatchEvalPython", "ArrowEvalPython", "Exchange"),
+    )
+
+    # BFS: per-round joins are plain equi-joins on node ids — never a
+    # nested loop; no python anywhere in the loop
+    check(
+        "shortest_paths",
+        E.q_shortest_paths(spark, sf_dir),
+        forbid=("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                "BroadcastNestedLoopJoin"),
+    )
+
     print("\n" + "=" * 70)
     if failures:
         print("PLAN INVARIANT FAILURES:")
