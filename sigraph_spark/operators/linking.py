@@ -59,17 +59,20 @@ def remove_lucene_chars(c: Column) -> Column:
 
 def char_shingles(c: Column, k: int = 3) -> Column:
     """Character k-gram shingle array as a pure Column expression; short
-    strings fall back to the whole string as a single shingle."""
-    return F.when(
-        F.length(c) < k, F.array(c)
-    ).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.length(c) - (k - 1)),
-                lambda i: F.substring(c, i, k),
-            )
-        )
+    strings fall back to the whole string as a single shingle.
+
+    Zip-shift construction (arrays_zip of k shifted char slices) rather
+    than ``transform(sequence(i), substring(c, i, k))`` — the indexed
+    lambda drops to interpreted per-element eval (see dedup._word_grams).
+    """
+    chars = F.split(c, "")
+    cnt = F.size(chars) - (k - 1)
+    shifted = [F.slice(chars, j + 1, cnt).alias(f"c{j}") for j in range(k)]
+    grams = F.transform(
+        F.arrays_zip(*shifted),
+        lambda s: F.concat_ws("", *[s[f"c{j}"] for j in range(k)]),
     )
+    return F.when(F.length(c) < k, F.array(c)).otherwise(F.array_distinct(grams))
 
 
 def entity_vocab(triples: DataFrame) -> DataFrame:
