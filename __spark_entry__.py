@@ -246,6 +246,16 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(_edges_ckpt(spark, sf_dir), k=4)
 
 
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-choice random walks over the provenance edges
+    (the KG -> skip-gram embedding corpus path). Reproducible on any
+    partitioning, so the oracle unrolls the same 4 rounds in SQL with the
+    portable md5 hash family — exact match, not statistical."""
+    from sigraph_spark.operators.walks import random_walks
+
+    return random_walks(_edges_ckpt(spark, sf_dir), walks_per_node=2, length=4)
+
+
 def q_iocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sigraph_spark.operators.graph import (
         build_nodes, build_trace_contains, iocs,
@@ -1269,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "shortest_paths": q_shortest_paths,
         "kcore": q_kcore,
+        "random_walks": q_random_walks,
         "iocs": q_iocs,
         "traces_listing": q_traces_listing,
         "neighborhood": q_neighborhood,
@@ -1517,6 +1528,13 @@ def oracle_sql() -> dict[str, str]:
 
     sq["kcore"] = (
         "WITH " + _EDGES_CTE + ",\n" + kcore_oracle_sql("edges", 4, 8)
+    )
+    # --- random walks: hash-choice determinism means the oracle is the
+    # SAME walk, not a distributional check — md5 family, 4 unrolled rounds.
+    from sigraph_spark.operators.walks import random_walks_oracle_sql
+
+    sq["random_walks"] = (
+        "WITH " + _EDGES_CTE + ",\n" + random_walks_oracle_sql("edges", 2, 4)
     )
     # --- snapshot diff: two filtered edge builds (event_id % 11 / % 13
     # survivors), full-outer join, IS DISTINCT FROM == Spark's <=> negation.
