@@ -87,7 +87,8 @@ spark.stop()
 
 def run_at(cpus: int, sf: float) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", JOB % {"repo": REPO, "cpus": cpus, "sf": sf, "reps": 3}],
+        [sys.executable, "-c", JOB % {"repo": REPO, "cpus": cpus, "sf": sf,
+                                      "reps": int(os.environ.get("SCALE_REPS", "5"))}],
         capture_output=True, text=True, check=True,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
