@@ -545,6 +545,31 @@ def q_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("keep", F.col("keep").cast("int"))
 
 
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph from html: pages synthesized from documents
+    with deterministic cross-host links (mixed quote styles + a relative
+    href that must be dropped); extraction is JVM regexp_extract_all, the
+    oracle rebuilds the identical html string and runs the same regex."""
+    from sigraph_spark.operators.links import extract_links, host_link_graph
+
+    d = _docs(spark, sf_dir)
+
+    def url_of(t):
+        return F.concat(
+            F.lit("https://h"), t % 7, F.lit(".example.com/d/"), t
+        )
+
+    t1 = (F.col("doc_id") * 7 + 1) % 1000
+    t2 = (F.col("doc_id") * 13 + 5) % 1000
+    html = F.concat(
+        F.lit("<html><body><p>"), F.coalesce(F.col("text"), F.lit("")),
+        F.lit('</p><a href="'), url_of(t1), F.lit('">x</a> <a href=\''),
+        url_of(t2), F.lit("'>y</a><a href='/rel'>r</a></body></html>"),
+    )
+    pages = d.select(url_of(F.col("doc_id")).alias("url"), html.alias("html"))
+    return host_link_graph(extract_links(pages))
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC-lite ingest round trip, distributed end to end: documents ->
     (url, ts, payload) pages -> multi-record segment blobs (applyInPandas
@@ -1299,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keeplist": q_dedup_keeplist,
         "curation_funnel": q_curation_funnel,
         "warc_roundtrip": q_warc_roundtrip,
+        "link_graph": q_link_graph,
         "minhash_candidates": q_minhash_candidates,
         "minhash_incremental": q_minhash_incremental,
         "dedup_incremental_exact": q_dedup_incremental_exact,
@@ -1916,6 +1942,32 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN canon ON canon.doc_id = dd.doc_id
         """
     )
+    # --- link graph: identical html reconstruction + same href regex in
+    # both engines; relative hrefs dropped by the ://-containment filter.
+    sq["link_graph"] = r"""
+        WITH p AS (
+          SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.example.com/d/' || CAST(doc_id AS VARCHAR) AS url,
+                 '<html><body><p>' || coalesce(text, '')
+                 || '</p><a href="'
+                 || 'https://h' || CAST(((doc_id * 7 + 1) % 1000) % 7 AS VARCHAR)
+                 || '.example.com/d/' || CAST((doc_id * 7 + 1) % 1000 AS VARCHAR)
+                 || '">x</a> <a href='''
+                 || 'https://h' || CAST(((doc_id * 13 + 5) % 1000) % 7 AS VARCHAR)
+                 || '.example.com/d/' || CAST((doc_id * 13 + 5) % 1000 AS VARCHAR)
+                 || '''>y</a><a href=''/rel''>r</a></body></html>' AS html
+          FROM documents),
+        l AS (
+          SELECT url,
+                 unnest(regexp_extract_all(html, 'href=["'']([^"'']+)["'']', 1))
+                   AS target
+          FROM p)
+        SELECT split_part(split_part(url, '://', 2), '/', 1) AS src_host,
+               split_part(split_part(target, '://', 2), '/', 1) AS dst_host,
+               CAST(count(*) AS BIGINT) AS n_links
+        FROM l WHERE contains(target, '://')
+        GROUP BY 1, 2
+    """
     # --- WARC round trip: the oracle recomputes url/ts/bytes/fingerprint
     # straight from documents — equality proves the framing+parse path
     # preserved every payload byte. encode() is DuckDB's VARCHAR->BLOB
