@@ -18,8 +18,13 @@ Reference semantics (``/root/reference/src/graph/provenance/``):
   silently (the reference *swallows* errors at
   ``graph_session.py:128-132`` — surfacing them is a documented improvement).
 
-Everything below is whole-stage-codegen-friendly: `split`, `element_at`,
-`concat_ws`, `slice`, `isin` — zero Python on the executor path.
+Everything below is whole-stage-codegen-friendly — zero Python on the
+executor path, and deliberately NO higher-order functions: token access
+is expressed with ``substring_index`` / ``length`` arithmetic instead of
+``split`` + lambda-bound ``transform``/``element_at`` chains, because
+lambda-bound expression trees drop out of whole-stage codegen into
+per-row interpreted eval (measured ~5x slower on the parse stage — the
+same cliff as dedup._word_grams documents for shingles).
 """
 
 from __future__ import annotations
@@ -43,16 +48,18 @@ _ARTIFACT_FMT = "[artifact_name]@[artifact_type]"
 _ACTOR_FMT = "[artifact_name]@[artifact_type]@[action_type]@[actor_type]"
 
 
-def _let(value: Column, body) -> Column:
-    """Let-binding for Column expressions: evaluate ``value`` ONCE per row
-    and reference it many times via a lambda variable.
+def _ntokens(c: Column) -> Column:
+    """Number of ``@``-delimited tokens (== size(split(c, '@'))): count of
+    '@' occurrences + 1, via length arithmetic — codegen'd, no arrays."""
+    return (
+        F.length(c) - F.length(F.replace(c, F.lit("@"), F.lit(""))) + 1
+    )
 
-    Catalyst's CollapseProject re-inlines intermediate projections, so a
-    naive formulation of the parser re-evaluates ``split(c, '@')`` once per
-    reference (dozens per row — measured 5x slowdown on the parse stage).
-    ``transform`` over a single-element array introduces a named lambda
-    variable, which IS evaluated once and shared."""
-    return F.element_at(F.transform(F.array(value), body), 1)
+
+def _before_suffix(c: Column, suffix: Column) -> Column:
+    """The part of ``c`` before the trailing ``@<suffix>`` (i.e. drop the
+    suffix and its separator). Empty when the suffix IS the whole string."""
+    return F.substring(c, 1, F.length(c) - F.length(suffix) - 1)
 
 
 def _empty_or_missing_at(c: Column) -> Column:
@@ -63,16 +70,24 @@ def _empty_or_missing_at(c: Column) -> Column:
     )
 
 
-def _artifact_from_toks(c: Column, toks: Column) -> Column:
-    """Artifact struct given the (already-bound) token array."""
-    type_tok = F.element_at(toks, -1)
-    name = F.concat_ws("@", F.slice(toks, 1, F.size(toks) - 1))
-    error = (
+def _artifact_error(c: Column, type_tok: Column) -> Column:
+    """Artifact validation chain given the substring and its (already
+    extracted) rightmost type token — shared by the struct parsers and the
+    staged projection in operators/graph.parse_events."""
+    return (
         _empty_or_missing_at(c)
         .when(type_tok == "", F.lit("Data contains empty tokens: " + _ARTIFACT_FMT))
         .when(~type_tok.isin(*ARTIFACT_TYPES), F.lit("invalid artifact type"))
         .otherwise(F.lit(None))
     )
+
+
+def _artifact_struct(c: Column) -> Column:
+    """Artifact struct from a provenance substring: type = rightmost
+    ``@`` token, name = everything before it (may itself contain ``@``)."""
+    type_tok = F.substring_index(c, "@", -1)
+    name = _before_suffix(c, type_tok)
+    error = _artifact_error(c, type_tok)
     ok = error.isNull()
     return F.struct(
         F.when(ok, name).alias("name"),
@@ -89,7 +104,7 @@ def parse_artifact(c: Column) -> Column:
     binding), name = join of the rest; empty type token and unknown enum
     values are errors.
     """
-    return _let(F.split(c, "@"), lambda toks: _artifact_from_toks(c, toks))
+    return _artifact_struct(c)
 
 
 def parse_actor(c: Column) -> Column:
@@ -101,44 +116,37 @@ def parse_actor(c: Column) -> Column:
     action/actor-direction; the prefix re-parses as an artifact. ``artifact``
     is the rendered ``name@TYPE`` node key (type.py:170-172).
     """
-    def body(toks: Column) -> Column:
-        n = F.size(toks)
-        action_tok = F.element_at(toks, -2)
-        actor_tok = F.element_at(toks, -1)
-        # the artifact prefix re-parses from the SAME bound token array —
-        # no re-split (prefix toks = all but the last two). Clamp: the
-        # lambda binding evaluates eagerly (no CASE-WHEN laziness), and a
-        # negative slice length raises under ANSI; n<4 rows error out via
-        # the format check below regardless of the clamped value.
-        prefix_toks = F.slice(toks, 1, F.greatest(n - 2, F.lit(0)))
-        prefix_str = F.concat_ws("@", prefix_toks)
+    n = _ntokens(c)
+    actor_tok = F.substring_index(c, "@", -1)
+    last_two = F.substring_index(c, "@", -2)  # "action@actor" (joined)
+    action_tok = F.substring_index(last_two, "@", 1)
+    # artifact prefix = everything before the trailing "@action@actor";
+    # empty when n < 3 — those rows error out via the n<4 format check,
+    # and all value fields are CASE-guarded on ok anyway.
+    prefix_str = _before_suffix(c, last_two)
+    art = _artifact_struct(prefix_str)
 
-        def with_art(art: Column) -> Column:
-            error = (
-                _empty_or_missing_at(c)
-                .when(n < 4, F.lit("Data is not in the expected format: " + _ACTOR_FMT))
-                .when(
-                    (action_tok == "") | (actor_tok == ""),
-                    F.lit("Data contains empty tokens: " + _ACTOR_FMT),
-                )
-                .when(art["error"].isNotNull(), art["error"])
-                .when(~action_tok.isin(*ACTION_TYPES), F.lit("invalid action type"))
-                .when(~actor_tok.isin(*ACTOR_TYPES), F.lit("invalid actor type"))
-                .otherwise(F.lit(None))
-            )
-            ok = error.isNull()
-            return F.struct(
-                F.when(ok, art["name"]).alias("name"),
-                F.when(ok, art["artifact_type"]).alias("artifact_type"),
-                F.when(ok, action_tok).alias("action"),
-                F.when(ok, actor_tok).alias("actor_type"),
-                F.when(ok, F.concat_ws("@", art["name"], art["artifact_type"])).alias("artifact"),
-                error.alias("error"),
-            )
-
-        return _let(_artifact_from_toks(prefix_str, prefix_toks), with_art)
-
-    return _let(F.split(c, "@"), body)
+    error = (
+        _empty_or_missing_at(c)
+        .when(n < 4, F.lit("Data is not in the expected format: " + _ACTOR_FMT))
+        .when(
+            (action_tok == "") | (actor_tok == ""),
+            F.lit("Data contains empty tokens: " + _ACTOR_FMT),
+        )
+        .when(art["error"].isNotNull(), art["error"])
+        .when(~action_tok.isin(*ACTION_TYPES), F.lit("invalid action type"))
+        .when(~actor_tok.isin(*ACTOR_TYPES), F.lit("invalid actor type"))
+        .otherwise(F.lit(None))
+    )
+    ok = error.isNull()
+    return F.struct(
+        F.when(ok, art["name"]).alias("name"),
+        F.when(ok, art["artifact_type"]).alias("artifact_type"),
+        F.when(ok, action_tok).alias("action"),
+        F.when(ok, actor_tok).alias("actor_type"),
+        F.when(ok, F.concat_ws("@", art["name"], art["artifact_type"])).alias("artifact"),
+        error.alias("error"),
+    )
 
 
 def parse_parent_artifact(c: Column) -> Column:
@@ -150,25 +158,17 @@ def parse_parent_artifact(c: Column) -> Column:
     token ``b`` (usually the type). Parent names containing ``@`` are
     truncated; quirk preserved deliberately (SURVEY.md §1.3-4).
     """
-    def body(toks: Column) -> Column:
-        first_two = F.slice(toks, 1, 2)
-
-        def with_art(art: Column) -> Column:
-            error = (
-                _empty_or_missing_at(c)
-                .when(art["error"].isNotNull(), art["error"])
-                .otherwise(F.lit(None))
-            )
-            ok = error.isNull()
-            return F.struct(
-                F.when(ok, art["name"]).alias("name"),
-                F.when(ok, art["artifact_type"]).alias("artifact_type"),
-                F.when(ok, F.concat_ws("@", art["name"], art["artifact_type"])).alias("artifact"),
-                error.alias("error"),
-            )
-
-        return _let(
-            _artifact_from_toks(F.concat_ws("@", first_two), first_two), with_art
-        )
-
-    return _let(F.split(c, "@"), body)
+    first_two = F.substring_index(c, "@", 2)  # first two tokens, joined
+    art = _artifact_struct(first_two)
+    error = (
+        _empty_or_missing_at(c)
+        .when(art["error"].isNotNull(), art["error"])
+        .otherwise(F.lit(None))
+    )
+    ok = error.isNull()
+    return F.struct(
+        F.when(ok, art["name"]).alias("name"),
+        F.when(ok, art["artifact_type"]).alias("artifact_type"),
+        F.when(ok, F.concat_ws("@", art["name"], art["artifact_type"])).alias("artifact"),
+        error.alias("error"),
+    )

@@ -37,7 +37,6 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from sigraph_spark.functions.provenance import parse_actor, parse_parent_artifact
 
 
 @dataclass
@@ -58,46 +57,116 @@ def parse_events(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     Validation mirrors element_behavior.py:295-308 (weight >= 1) plus the
     parser checks; the reference silently swallows bad events
     (graph_session.py:128-132) — we emit them on an error side-channel.
+
+    Semantics are exactly ``parse_actor``/``parse_parent_artifact``
+    (functions/provenance.py — parity pinned by test_provenance and every
+    graph oracle), but built as STAGED projections: each shared piece
+    (token counts, prefix strings, per-part error chains) is aliased once
+    and referenced as an attribute downstream. Inlining the struct
+    expressions instead multiplies the tree ~10x (every struct field
+    duplicates the whole error chain), which cost ~3s of DRIVER
+    analysis/codegen per query over this parser — a fixed cost that
+    dominated small-SF runs and grows with plan complexity, not data.
     """
-    actor = parse_actor(F.col("system_provenance"))
-    parent = parse_parent_artifact(F.col("parent_system_provenance"))
-    parsed = (
-        events.withColumn("_actor", actor)
-        .withColumn(
-            "_parent",
-            F.when(
-                F.col("parent_system_provenance").isNotNull()
-                & (F.col("parent_system_provenance") != ""),
-                parent,
-            ),
-        )
-        .withColumn(
-            "_error",
-            F.when(F.col("_actor.error").isNotNull(), F.col("_actor.error"))
-            .when(F.col("weight") < 1, F.lit("weight must be >= 1"))
-            .when(
-                F.col("_parent").isNotNull() & F.col("_parent.error").isNotNull(),
-                F.col("_parent.error"),
-            ),
-        )
+    from sigraph_spark.functions.provenance import (
+        ACTION_TYPES, ACTOR_TYPES, _ACTOR_FMT, _before_suffix,
+        _artifact_error, _empty_or_missing_at, _ntokens,
     )
-    good = (
-        parsed.filter(F.col("_error").isNull())
-        .select(
-            "trace_id",
-            "span_id",
-            "unit_id",
-            "timestamp",
-            "weight",
-            "process_name",
-            "related_rule_ids",
-            F.col("_actor.artifact").alias("node_id"),
-            F.col("_actor.artifact_type").alias("label"),
-            F.col("_actor.action").alias("action"),
-            F.col("_actor.actor_type").alias("actor_type"),
-            F.col("_parent.artifact").alias("parent_id"),
-            F.col("_parent.artifact_type").alias("parent_label"),
+
+    sp = F.col("system_provenance")
+    psp = F.col("parent_system_provenance")
+
+    # stage 1: token anatomy (each referenced several times downstream)
+    s1 = events.select(
+        "*",
+        _ntokens(sp).alias("_n"),
+        F.substring_index(sp, "@", -1).alias("_actor_tok"),
+        F.substring_index(sp, "@", -2).alias("_last2"),
+        F.when(psp.isNotNull() & (psp != ""), F.substring_index(psp, "@", 2)).alias(
+            "_pft"
+        ),
+    )
+    # stage 2: derived substrings
+    s2 = s1.select(
+        "*",
+        F.substring_index(F.col("_last2"), "@", 1).alias("_action_tok"),
+        _before_suffix(sp, F.col("_last2")).alias("_prefix"),
+        F.substring_index(F.col("_pft"), "@", -1).alias("_p_type"),
+    )
+    # stage 3: artifact name parts + per-part error chains
+    s3 = s2.select(
+        "*",
+        F.substring_index(F.col("_prefix"), "@", -1).alias("_a_type"),
+        _artifact_error(F.col("_pft"), F.col("_p_type")).alias("_p_err"),
+    )
+    s4 = s3.select(
+        "*",
+        _before_suffix(F.col("_prefix"), F.col("_a_type")).alias("_a_name"),
+        _before_suffix(F.col("_pft"), F.col("_p_type")).alias("_p_name"),
+        _artifact_error(F.col("_prefix"), F.col("_a_type")).alias("_a_err"),
+    )
+    # stage 5: the combined validation verdict (actor chain, weight,
+    # parent) — the actor chain is its OWN aliased column so the final
+    # CASE references it twice as an attribute, not two inlined copies
+    # (inlined copies were the last straw pushing the fused codegen
+    # method over the JVM's 64 KB limit -> interpreted fallback).
+    s5 = s4.select(
+        "*",
+        _empty_or_missing_at(sp)
+        .when(F.col("_n") < 4, F.lit("Data is not in the expected format: " + _ACTOR_FMT))
+        .when(
+            (F.col("_action_tok") == "") | (F.col("_actor_tok") == ""),
+            F.lit("Data contains empty tokens: " + _ACTOR_FMT),
         )
+        .when(F.col("_a_err").isNotNull(), F.col("_a_err"))
+        .when(~F.col("_action_tok").isin(*ACTION_TYPES), F.lit("invalid action type"))
+        .when(~F.col("_actor_tok").isin(*ACTOR_TYPES), F.lit("invalid actor type"))
+        .otherwise(F.lit(None))
+        .alias("_actor_err"),
+    )
+    # The observe() below is a CollectMetrics node and doubles as a
+    # PUSHDOWN BARRIER: the good/errors filters must evaluate _error as a
+    # computed attribute HERE. Without the barrier,
+    # PushPredicateThroughNonJoin substitutes the alias chain into the
+    # filter condition recursively down to the scan, exploding the fused
+    # whole-stage-codegen method from ~85 KB to ~1.7 MB — past the JVM's
+    # 64 KB method limit, forcing interpreted fallback (measured 3x
+    # slower). A filter cannot legally move below CollectMetrics (it
+    # would change the observed counts), so the plan stays staged AND we
+    # get the parse-stage row/error counters for lineage manifests free.
+    # The name is unique per call so two parses can meet in one query.
+    import uuid
+
+    parsed = s5.select(
+        "*",
+        F.when(F.col("_actor_err").isNotNull(), F.col("_actor_err"))
+        .when(F.col("weight") < 1, F.lit("weight must be >= 1"))
+        .when(
+            F.col("_pft").isNotNull() & F.col("_p_err").isNotNull(), F.col("_p_err")
+        )
+        .alias("_error"),
+    ).observe(
+        f"parse_events_{uuid.uuid4().hex[:8]}",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("_error").isNotNull().cast("long")).alias("error_rows"),
+    )
+    good = parsed.filter(F.col("_error").isNull()).select(
+        "trace_id",
+        "span_id",
+        "unit_id",
+        "timestamp",
+        "weight",
+        "process_name",
+        "related_rule_ids",
+        F.concat_ws("@", F.col("_a_name"), F.col("_a_type")).alias("node_id"),
+        F.col("_a_type").alias("label"),
+        F.col("_action_tok").alias("action"),
+        F.col("_actor_tok").alias("actor_type"),
+        F.when(
+            F.col("_pft").isNotNull(),
+            F.concat_ws("@", F.col("_p_name"), F.col("_p_type")),
+        ).alias("parent_id"),
+        F.when(F.col("_pft").isNotNull(), F.col("_p_type")).alias("parent_label"),
     )
     errors = parsed.filter(F.col("_error").isNotNull()).select(
         "trace_id", "span_id", "unit_id", "system_provenance",
