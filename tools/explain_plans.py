@@ -160,6 +160,30 @@ def main() -> int:
                 "BroadcastNestedLoopJoin"),
     )
 
+    # codegen-size regression guard: the provenance parse once silently
+    # exceeded the JVM's 64 KB generated-method limit (1.7 MB of code from
+    # alias re-inlining), falling back to interpreted eval at a 6x cost.
+    # Keep the fused parse stage comfortably below the cliff.
+    import io as _io
+    import contextlib as _ctx
+
+    from sigraph_spark.operators.graph import parse_events
+    from sigraph_spark.sources.events_map import sigraph_events
+
+    good, _ = parse_events(
+        sigraph_events(spark.read.parquet(os.path.join(sf_dir, "events.parquet")))
+    )
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        good.explain("codegen")
+    gen_chars = len(buf.getvalue())
+    print(f"\nparse_events generated-code size: {gen_chars/1000:.0f} KB")
+    if gen_chars > 300_000:
+        failures.append(
+            f"parse_events: generated code {gen_chars/1000:.0f} KB — "
+            "re-inlining regression (64 KB method-limit fallback risk)"
+        )
+
     print("\n" + "=" * 70)
     if failures:
         print("PLAN INVARIANT FAILURES:")
