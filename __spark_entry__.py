@@ -256,6 +256,15 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(_edges_ckpt(spark, sf_dir), walks_per_node=2, length=4)
 
 
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pairs within a +-2 step window over the
+    deterministic walks — the actual embedding-training table."""
+    from sigraph_spark.operators.walks import random_walks, skipgram_pairs
+
+    w = random_walks(_edges_ckpt(spark, sf_dir), walks_per_node=2, length=4)
+    return skipgram_pairs(w, window=2)
+
+
 def q_iocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sigraph_spark.operators.graph import (
         build_nodes, build_trace_contains, iocs,
@@ -1305,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_paths": q_shortest_paths,
         "kcore": q_kcore,
         "random_walks": q_random_walks,
+        "skipgram_pairs": q_skipgram_pairs,
         "iocs": q_iocs,
         "traces_listing": q_traces_listing,
         "neighborhood": q_neighborhood,
@@ -1561,6 +1571,11 @@ def oracle_sql() -> dict[str, str]:
 
     sq["random_walks"] = (
         "WITH " + _EDGES_CTE + ",\n" + random_walks_oracle_sql("edges", 2, 4)
+    )
+    from sigraph_spark.operators.walks import skipgram_oracle_sql
+
+    sq["skipgram_pairs"] = (
+        "WITH " + _EDGES_CTE + ",\n" + skipgram_oracle_sql("edges", 2, 4, 2)
     )
     # --- snapshot diff: two filtered edge builds (event_id % 11 / % 13
     # survivors), full-outer join, IS DISTINCT FROM == Spark's <=> negation.

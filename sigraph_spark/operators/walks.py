@@ -121,6 +121,27 @@ def random_walks_oracle_sql(
           {union})"""
 
 
+def skipgram_oracle_sql(
+    edges_cte: str, walks_per_node: int, length: int, window: int
+) -> str:
+    """Oracle for :func:`skipgram_pairs` over :func:`random_walks` output:
+    the walk CTEs + a windowed self-join on the walker key."""
+    walks = random_walks_oracle_sql(edges_cte, walks_per_node, length)
+    cte_part, final = walks.rsplit("\n        SELECT start, walk,", 1)
+    return (
+        cte_part
+        + f""",
+        w AS MATERIALIZED (
+          SELECT start, walk,{final})
+        SELECT a.node AS center, b.node AS context,
+               CAST(count(*) AS BIGINT) AS n
+        FROM w a JOIN w b
+          ON a.start = b.start AND a.walk = b.walk
+         AND a.step <> b.step AND abs(a.step - b.step) <= {window}
+        GROUP BY 1, 2"""
+    )
+
+
 def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     """(center, context) co-occurrence pairs within ``window`` steps along
     each walk — the skip-gram training set. One self-join per walk keyed
