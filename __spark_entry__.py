@@ -525,6 +525,14 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_spans(_docs(spark, sf_dir))
 
 
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-removal rewrite: 10-word windows, globally-first occurrence
+    survives, docs reassembled in order — one window shuffle on span."""
+    from sigraph_spark.operators.contamination import remove_dup_spans
+
+    return remove_dup_spans(_docs(spark, sf_dir))
+
+
 def q_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End of the near-dup pipeline: Jaccard-verified pairs (>= 0.5 on the
     doc_id % 10 slice) -> large-star/small-star components -> keep the
@@ -1331,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "decontaminate": q_decontaminate,
         "dup_spans": q_dup_spans,
+        "remove_dup_spans": q_remove_dup_spans,
         "dedup_keeplist": q_dedup_keeplist,
         "curation_funnel": q_curation_funnel,
         "warc_roundtrip": q_warc_roundtrip,
@@ -1927,6 +1936,32 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY dsh.doc_id
         """
     )
+    # --- span-removal rewrite: DuckDB 1-based inclusive slices clamp at
+    # the array end exactly like Spark's slice(arr, start, length).
+    sq["remove_dup_spans"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS w
+          FROM documents),
+        ch AS (
+          SELECT doc_id, CAST(i AS INT) AS pos,
+                 array_to_string(w[CAST(i * 10 + 1 AS INT):CAST(i * 10 + 10 AS INT)], ' ') AS span
+          FROM d, UNNEST(range(0, greatest(CAST(ceil(len(w) / 10.0) AS BIGINT), 1))) AS t(i)),
+        k AS (
+          SELECT doc_id, pos, span,
+                 row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+          FROM ch),
+        reb AS (
+          SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS clean_text,
+                 count(*) AS kept
+          FROM k WHERE rn = 1 GROUP BY doc_id),
+        per AS (SELECT doc_id, count(*) AS n_spans FROM ch GROUP BY doc_id)
+        SELECT per.doc_id,
+               coalesce(reb.clean_text, '') AS clean_text,
+               CAST(per.n_spans AS BIGINT) AS n_spans,
+               CAST(coalesce(reb.kept, 0) AS BIGINT) AS kept_spans
+        FROM per LEFT JOIN reb ON reb.doc_id = per.doc_id
+    """
     # --- keep-list: Jaccard>=0.5 pairs on the %10 slice -> reachability
     # closure -> min-id representative; singletons keep themselves.
     sq["dedup_keeplist"] = (

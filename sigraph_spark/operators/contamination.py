@@ -26,7 +26,7 @@ the whole dedup/contamination surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _word_shingles
@@ -69,6 +69,77 @@ def decontaminate(
             F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("overlap_ngrams"),
         )
         .withColumn("contaminated", F.col("overlap_ngrams") >= min_overlap)
+    )
+
+
+def remove_dup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 10,
+) -> DataFrame:
+    """Span-level dedup REWRITE (the act-on-it companion to
+    :func:`dup_spans`): cut each document into fixed ``span_words``-word
+    windows, keep only the globally FIRST occurrence of each distinct
+    span (ordered by ``(doc_id, position)``), and reassemble the
+    surviving spans in order. The C4/Lee-et-al-style "remove duplicated
+    text, keep one copy" operation, set-oriented:
+
+      1. explode spans with their position (narrow);
+      2. one window ``row_number`` partitioned BY SPAN TEXT ordered by
+         (doc_id, pos) — a single uniform-key shuffle (span hash);
+      3. re-group survivors by doc, sort by position, join with spaces.
+
+    Returns ``(doc_id, clean_text, n_spans, kept_spans)``; a fully
+    duplicated document (every span seen earlier) keeps an empty string.
+    """
+    words = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    n_chunks = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
+    # explode the integer chunk index, THEN slice with a Column start —
+    # not transform(sequence, lambda): the indexed lambda drops out of
+    # codegen (see dedup._word_grams)
+    chunked = docs.select(
+        F.col(id_col),
+        words.alias("_w"),
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1)
+        ).alias("pos"),
+    )
+    spans = chunked.select(
+        id_col,
+        "pos",
+        F.array_join(
+            F.slice(F.col("_w"), F.col("pos") * span_words + 1, F.lit(span_words)),
+            " ",
+        ).alias("span"),
+    )
+    w = Window.partitionBy("span").orderBy(id_col, "pos")
+    ranked = spans.withColumn("rn", F.row_number().over(w))
+    kept = ranked.filter(F.col("rn") == 1)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans")
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("long").alias("kept_spans"),
+        )
+    )
+    return (
+        per_doc.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_spans",
+            F.coalesce(F.col("kept_spans"), F.lit(0)).cast("long").alias("kept_spans"),
+        )
     )
 
 

@@ -138,3 +138,38 @@ def test_curation_funnel_signal_columns(spark):
     assert r["lang_pred"] == "en"
     assert 0.0 <= r["quality_score"] <= 1.0
     assert r["dup_ngram_ratio"] >= 0.0
+
+
+def test_remove_dup_spans_keeps_first_occurrence(spark):
+    from sigraph_spark.operators.contamination import remove_dup_spans
+
+    # spans of 3 words for a readable fixture
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # spans: "a b c", "d e f"
+            (2, "a b c x y z"),        # "a b c" duplicated from doc 1
+            (3, "a b c d e f"),        # fully duplicated -> empty rewrite
+            (4, "p q"),                # short doc: single partial span
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_spans"], r["kept_spans"])
+        for r in remove_dup_spans(docs, span_words=3).collect()
+    }
+    assert got[1] == ("a b c d e f", 2, 2)
+    assert got[2] == ("x y z", 2, 1)      # duplicated leading span removed
+    assert got[3] == ("", 2, 0)           # everything seen before
+    assert got[4] == ("p q", 1, 1)
+
+
+def test_remove_dup_spans_order_preserved(spark):
+    from sigraph_spark.operators.contamination import remove_dup_spans
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(25)))], "doc_id long, text string"
+    )
+    r = remove_dup_spans(docs, span_words=10).collect()[0]
+    # 25 words -> 3 spans (10 + 10 + 5), reassembled == original
+    assert r["n_spans"] == 3 and r["kept_spans"] == 3
+    assert r["clean_text"] == " ".join(f"w{i}" for i in range(25))
