@@ -862,6 +862,42 @@ def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_quantiles(_docs(spark, sf_dir))
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/control-char/curly-quote normalization chain — one
+    narrow JVM regex map; the oracle runs the identical chain."""
+    from sigraph_spark.operators.corpus import normalize_text
+
+    # seed a few rows with the characters the chain exists for
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit("‘q’ “w” \x07 \x1f  a\tb\n"),
+                     F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    return normalize_text(d)
+
+
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap keeping the highest-quality k: WindowGroupLimit
+    pushes rank<=k below the shuffle, so a giant host ships at most k rows
+    per map partition. Quality = n_chars (deterministic, already present)."""
+    from sigraph_spark.operators.corpus import domain_quota
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "url",
+        F.concat(
+            F.lit("https://host"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    out = domain_quota(docs, per_host=25, quality_col="n_chars")
+    return out.select("doc_id", "host", "lang", "n_chars")
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host corpus profile over synthesized multi-host URLs
     (host{doc_id % 50}.example.com — deterministic in both engines). Host
@@ -1364,6 +1400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_k_per_group": q_sample_k_per_group,
         "chunk_documents": q_chunk_documents,
         "domain_stats": q_domain_stats,
+        "text_normalize": q_text_normalize,
+        "domain_quota": q_domain_quota,
         "pack_sequences": q_pack_sequences,
         "events_asof": q_events_asof,
         "events_interval_join": q_events_interval_join,
@@ -2500,6 +2538,42 @@ def oracle_sql() -> dict[str, str]:
     """
     # --- domain stats over synthesized multi-host urls: lowercased host
     # by double substring_index, algebraic aggregates.
+    sq["text_normalize"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0
+                      THEN '‘q’ “w” ' || chr(7) || ' ' || chr(31) || '  a'
+                           || chr(9) || 'b' || chr(10) || coalesce(text, '')
+                      ELSE coalesce(text, '') END AS t
+          FROM documents),
+        n AS (
+          SELECT doc_id,
+                 trim(regexp_replace(
+                   translate(
+                     regexp_replace(t, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', ' ', 'g'),
+                     '‘’“”', '''''""'),
+                   '\s+', ' ', 'g')) AS norm_text
+          FROM d)
+        SELECT doc_id, norm_text,
+               CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+        FROM n
+    """
+    sq["domain_quota"] = r"""
+        WITH d AS (
+          SELECT doc_id, lang, n_chars,
+                 'https://host' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents),
+        r AS (
+          SELECT doc_id, lang, n_chars,
+                 split_part(split_part(url, '://', 2), '/', 1) AS host,
+                 row_number() OVER (
+                   PARTITION BY split_part(split_part(url, '://', 2), '/', 1)
+                   ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM d)
+        SELECT doc_id, host, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM r WHERE rn <= 25
+    """
     sq["domain_stats"] = r"""
         WITH d AS (
           SELECT 'https://HOST' || CAST(doc_id % 50 AS VARCHAR)

@@ -559,3 +559,54 @@ def curation_funnel(
         "dup_ngram_ratio",
         verdict.alias("verdict"),
     )
+
+
+def normalize_text(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4-style text normalization as one JVM regex chain (narrow map):
+    control characters -> space, curly quotes -> straight, collapse runs
+    of whitespace, trim. Returns ``(doc_id, norm_text, n_chars_norm)``.
+    Every rule is ANSI-regex-portable so the oracle runs the same chain.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    t = F.regexp_replace(t, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", " ")
+    t = F.translate(t, "‘’“”", "''\"\"")
+    t = F.regexp_replace(t, r"\s+", " ")
+    t = F.trim(t)
+    return docs.select(
+        F.col(id_col),
+        t.alias("norm_text"),
+        F.length(t).cast("long").alias("n_chars_norm"),
+    )
+
+
+def domain_quota(
+    docs: DataFrame,
+    per_host: int,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Cap documents per host, keeping the best ``per_host`` by
+    ``quality_col`` (desc; ties and the no-quality case break by
+    ``id_col`` asc — deterministic). The anti-boilerplate quota every
+    crawl corpus applies so one giant host cannot dominate a mixture.
+
+    WindowGroupLimit plan: Catalyst pushes the rank <= k filter below the
+    shuffle (partial group limit map-side), so a 10^9-page host ships at
+    most k rows per map partition — the quota itself absorbs the skew.
+    """
+    order = (
+        [F.col(quality_col).desc(), F.col(id_col).asc()]
+        if quality_col
+        else [F.col(id_col).asc()]
+    )
+    host = F.substring_index(F.substring_index(F.col(url_col), "://", -1), "/", 1)
+    w = Window.partitionBy("host").orderBy(*order)
+    return (
+        docs.withColumn("host", host)
+        .withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= per_host)
+        .drop("host_rank")
+    )

@@ -343,3 +343,49 @@ def test_chunk_documents_windows(spark):
         if d == 0:
             covered.update(range(s, s + ln))
     assert covered == set(range(10))
+
+
+def test_normalize_text_chain(spark):
+    from sigraph_spark.operators.corpus import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "‘a’  “b”\tc\x07d\n\n e "),
+            (2, None),
+            (3, "plain text"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["norm_text"], r["n_chars_norm"])
+           for r in normalize_text(docs).collect()}
+    assert got[1] == ("'a' \"b\" c d e", 13)
+    assert got[2] == ("", 0)
+    assert got[3] == ("plain text", 10)
+
+
+def test_domain_quota_keeps_best_k_per_host(spark):
+    from sigraph_spark.operators.corpus import domain_quota
+
+    rows = [
+        (1, "https://a.com/1", 50), (2, "https://a.com/2", 90),
+        (3, "https://a.com/3", 70), (4, "https://b.com/1", 10),
+        (5, "https://a.com/4", 90),  # quality tie with doc 2 -> id asc wins
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, q long")
+    got = sorted(
+        r["doc_id"]
+        for r in domain_quota(docs, per_host=2, quality_col="q").collect()
+    )
+    # a.com keeps q=90 (doc 2 before doc 5 on tie), b.com keeps its only doc
+    assert got == [2, 4, 5]
+
+
+def test_domain_quota_without_quality_is_id_ordered(spark):
+    from sigraph_spark.operators.corpus import domain_quota
+
+    docs = spark.createDataFrame(
+        [(i, "https://h.com/%d" % i) for i in range(10, 0, -1)],
+        "doc_id long, url string",
+    )
+    got = sorted(r["doc_id"] for r in domain_quota(docs, per_host=3).collect())
+    assert got == [1, 2, 3]
