@@ -45,28 +45,40 @@ def decontaminate(
 
     Plan shape (the one that survives 100x): the eval n-gram set is
     deduplicated then **broadcast**; the train side explodes its distinct
-    shingles (narrow) and left-joins the broadcast set — the corpus never
-    shuffles. The per-doc re-aggregation groups on ``id_col``, which is
-    the scan's natural key (map-side partial aggregation absorbs it).
+    shingles (narrow) and INNER-joins the broadcast set, so only MATCHING
+    grams — the rare case, by construction — ever reach the per-doc
+    re-aggregation shuffle. ``total_ngrams`` comes from a narrow
+    ``size()`` projection before the explode; the corpus text itself is
+    never shuffled. (A left join + regroup would shuffle the full
+    exploded corpus, ~30x the text volume, just to count mostly-misses.)
 
     Returns one row per train doc:
     ``(doc_id, total_ngrams, overlap_ngrams, contaminated)``.
     """
-    eval_grams = (
-        evalset.select(F.explode(_word_shingles(F.col(text_col), k)).alias("gram"))
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    train_grams = train.select(
+    eval_grams = evalset.select(
+        F.explode(_word_shingles(F.col(text_col), k)).alias("gram")
+    ).distinct()
+    base = train.select(
         F.col(id_col),
-        F.explode(_word_shingles(F.col(text_col), k)).alias("gram"),
+        F.size(_word_shingles(F.col(text_col), k)).cast("long").alias("total_ngrams"),
     )
-    joined = train_grams.join(F.broadcast(eval_grams), "gram", "left")
+    matches = (
+        train.select(
+            F.col(id_col),
+            F.explode(_word_shingles(F.col(text_col), k)).alias("gram"),
+        )
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap_ngrams"))
+    )
     return (
-        joined.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("total_ngrams"),
-            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("overlap_ngrams"),
+        base.join(matches, id_col, "left")
+        .select(
+            id_col,
+            "total_ngrams",
+            F.coalesce(F.col("overlap_ngrams"), F.lit(0)).cast("long").alias(
+                "overlap_ngrams"
+            ),
         )
         .withColumn("contaminated", F.col("overlap_ngrams") >= min_overlap)
     )
