@@ -292,6 +292,27 @@ def q_traces_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_traces_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination (reference F2, search_after): page 2 of the
+    trace listing — cursor = page 1's max (start_time, trace_id), pushed
+    as a struct > predicate. Oracle uses the same row-comparison with a
+    scalar subquery cursor."""
+    from sigraph_spark.operators.graph import build_traces
+    from sigraph_spark.operators.queries import (
+        page_cursor, paginate_keyset, traces_listing,
+    )
+
+    good, _ = _parsed(spark, sf_dir)
+    listing = traces_listing(build_traces(good), "u-1").select(
+        "unit_id", "trace_id", "start_time",
+        "representative_process_name",
+        F.col("span_count").cast("long").alias("span_count"),
+    )
+    keys = ["start_time", "trace_id"]
+    page1 = paginate_keyset(listing, keys, page_size=2)
+    return paginate_keyset(listing, keys, page_size=2, after=page_cursor(page1, keys))
+
+
 def q_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sigraph_spark.operators.queries import neighborhood
 
@@ -1361,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_pairs": q_skipgram_pairs,
         "iocs": q_iocs,
         "traces_listing": q_traces_listing,
+        "traces_page": q_traces_page,
         "neighborhood": q_neighborhood,
         "related_traces": q_related_traces,
         "debris": q_debris,
@@ -1756,6 +1778,34 @@ def oracle_sql() -> dict[str, str]:
         FROM agg JOIN ranked
           ON agg.unit_id = ranked.unit_id AND agg.trace_id = ranked.trace_id
         WHERE ranked.rn = 1 AND agg.unit_id = 'u-1' AND agg.span_count >= 2
+        """
+    )
+    # --- keyset pagination: page 2 via ROW(key) > (scalar-subquery cursor)
+    sq["traces_page"] = (
+        "WITH " + SEVENTS_CTE
+        + """,
+        ranked AS (
+          SELECT unit_id, trace_id, process_name,
+                 row_number() OVER (PARTITION BY unit_id, trace_id
+                                    ORDER BY timestamp, span_id) AS rn
+          FROM parsed),
+        agg AS (
+          SELECT unit_id, trace_id, min(timestamp) AS start_time,
+                 CAST(count(*) AS BIGINT) AS span_count
+          FROM parsed GROUP BY unit_id, trace_id),
+        listing AS (
+          SELECT agg.unit_id, agg.trace_id, agg.start_time,
+                 ranked.process_name AS representative_process_name, agg.span_count
+          FROM agg JOIN ranked
+            ON agg.unit_id = ranked.unit_id AND agg.trace_id = ranked.trace_id
+          WHERE ranked.rn = 1 AND agg.unit_id = 'u-1' AND agg.span_count >= 2),
+        page1 AS (
+          SELECT * FROM listing ORDER BY start_time, trace_id LIMIT 2),
+        cursor AS (
+          SELECT max(ROW(start_time, trace_id)) AS c FROM page1)
+        SELECT * FROM listing
+        WHERE ROW(start_time, trace_id) > (SELECT c FROM cursor)
+        ORDER BY start_time, trace_id LIMIT 2
         """
     )
     sq["neighborhood"] = (

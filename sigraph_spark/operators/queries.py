@@ -280,3 +280,39 @@ def drift_sequences(
             F.count(F.lit(1)).cast("long").alias("n_events"),
         )
     )
+
+
+def paginate_keyset(
+    df: DataFrame,
+    keys: list[str],
+    page_size: int,
+    after: DataFrame | None = None,
+) -> DataFrame:
+    """Keyset ("search_after") pagination — the reference pages every
+    search with a 100-hit page + sort-key cursor (db_session.py:171,
+    189-208): rows strictly AFTER the cursor in ``keys`` order, first
+    ``page_size`` of them.
+
+    ``after`` is a one-row DataFrame carrying the previous page's last
+    key values (or None for page one). Keyset beats OFFSET at any scale:
+    the predicate pushes down to the scan/index, so page N costs the same
+    as page 1 — OFFSET N re-reads and discards N pages. The cursor
+    comparison is one row-wise struct ``>`` (lexicographic), broadcast to
+    the scan; ORDER+LIMIT plans as TakeOrdered (no full sort).
+    """
+    key_struct = F.struct(*[F.col(k) for k in keys])
+    if after is not None:
+        cursor = after.select(
+            F.struct(*[F.col(k) for k in keys]).alias("_cursor")
+        )
+        df = df.crossJoin(F.broadcast(cursor)).filter(
+            key_struct > F.col("_cursor")
+        ).drop("_cursor")
+    return df.orderBy(*keys).limit(page_size)
+
+
+def page_cursor(page: DataFrame, keys: list[str]) -> DataFrame:
+    """The cursor row for :func:`paginate_keyset`: the max key tuple of
+    the page just served (one tiny aggregate)."""
+    m = F.max(F.struct(*[F.col(k) for k in keys])).alias("_m")
+    return page.agg(m).select(*[F.col(f"_m.{k}").alias(k) for k in keys])

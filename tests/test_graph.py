@@ -391,3 +391,22 @@ def test_debris_gc(spark):
     g = build_graph(spark_.createDataFrame(rows, EVENT_SCHEMA))
     debris = debris_candidates(g.traces, g.trace_contains, g.edges).collect()
     assert {(r.trace_id, r.node_id) for r in debris} == {("lone", "ghost@FILE")}
+
+
+def test_keyset_pagination_covers_listing_exactly(spark):
+    """Pages chained by cursor tile the ordered listing with no gaps,
+    overlaps, or reordering (reference F2: search_after paging)."""
+    from sigraph_spark.operators.queries import page_cursor, paginate_keyset
+
+    rows = [(i, f"t{i % 4}", i * 10) for i in range(11)]
+    df = spark.createDataFrame(rows, "id long, tag string, v long")
+    keys = ["v", "id"]
+    seen, after = [], None
+    for _ in range(10):
+        page = paginate_keyset(df, keys, page_size=3, after=after)
+        got = page.collect()
+        if not got:
+            break
+        seen.extend((r["v"], r["id"]) for r in got)
+        after = page_cursor(page, keys)
+    assert seen == sorted((r[2], r[0]) for r in rows)
