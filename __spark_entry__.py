@@ -265,6 +265,20 @@ def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipgram_pairs(w, window=2)
 
 
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic word2vec-style negative sampling over the skip-gram
+    pairs: banded dense-rank vocab + portable md5 draw — same draws in
+    SQL, so the training triples (center, context, negative) are
+    hash-oracled end to end from the raw event log."""
+    from sigraph_spark.operators.walks import (
+        negative_samples, random_walks, skipgram_pairs,
+    )
+
+    w = random_walks(_edges_ckpt(spark, sf_dir), walks_per_node=2, length=4)
+    pairs = skipgram_pairs(w, window=2).select("center", "context")
+    return negative_samples(pairs, k=2)
+
+
 def q_iocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sigraph_spark.operators.graph import (
         build_nodes, build_trace_contains, iocs,
@@ -1380,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "random_walks": q_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
+        "negative_samples": q_negative_samples,
         "iocs": q_iocs,
         "traces_listing": q_traces_listing,
         "traces_page": q_traces_page,
@@ -1645,6 +1660,19 @@ def oracle_sql() -> dict[str, str]:
 
     sq["skipgram_pairs"] = (
         "WITH " + _EDGES_CTE + ",\n" + skipgram_oracle_sql("edges", 2, 4, 2)
+    )
+    from sigraph_spark.operators.walks import negative_samples_oracle_sql
+
+    _sg = skipgram_oracle_sql("edges", 2, 4, 2)
+    _sg_ctes, _sg_final = _sg.rsplit("\n        SELECT a.node AS center,", 1)
+    sq["negative_samples"] = (
+        "WITH " + _EDGES_CTE + ",\n" + _sg_ctes
+        + ",\n        sgp AS MATERIALIZED (\n        SELECT a.node AS center,"
+        + _sg_final.replace(
+            "CAST(count(*) AS BIGINT) AS n", "1 AS one"
+        )
+        + "),\n"
+        + negative_samples_oracle_sql("sgp", 2)
     )
     # --- snapshot diff: two filtered edge builds (event_id % 11 / % 13
     # survivors), full-outer join, IS DISTINCT FROM == Spark's <=> negation.

@@ -25,7 +25,7 @@ bucketed edge table the join side is storage-partitioned.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import hash32_md5_le
@@ -154,3 +154,94 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def negative_samples(
+    pairs: DataFrame,
+    k: int = 3,
+    center_col: str = "center",
+    context_col: str = "context",
+) -> DataFrame:
+    """Deterministic unigram negative sampling for skip-gram training:
+    for each (center, context) pair emit ``k`` negatives drawn
+    pseudo-randomly (portable md5 hash of pair x slot) from the node
+    vocabulary of the pair table itself; draws that collide with the
+    pair's true context are dropped (standard word2vec behavior), so a
+    pair yields between k-1 and k negatives.
+
+    Scale shape: the vocabulary's dense rank index is a BANDED two-stage
+    construction (the pack_sequences device), not a global
+    ``Window.orderBy`` — a partition-less window funnels the whole
+    vocabulary through one task. Bands are order-preserving string
+    prefixes, ranks are per-band row_numbers plus broadcast band base
+    offsets; the result is exactly the global lexicographic dense rank,
+    so the oracle's plain row_number reproduces it. The pair side
+    explodes k slots (narrow) and resolves draws via an equi-join on the
+    rank. Deterministic on any partitioning.
+
+    Returns ``(center, context, slot, negative)``.
+    """
+    vocab = (
+        pairs.select(F.col(center_col).alias("node"))
+        .unionAll(pairs.select(F.col(context_col).alias("node")))
+        .distinct()
+        .withColumn("_b", F.substring(F.col("node"), 1, 3))
+        .localCheckpoint(eager=False)
+    )
+    w_in = Window.partitionBy("_b").orderBy("node")
+    local = vocab.withColumn("_local", F.row_number().over(w_in) - 1)
+    w_band = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        vocab.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn("_base", F.coalesce(F.sum("_cnt").over(w_band), F.lit(0)))
+        .select("_b", "_base")
+    )
+    indexed = (
+        local.join(F.broadcast(bases), "_b")
+        .select("node", (F.col("_local") + F.col("_base")).alias("rank"))
+    )
+    n = vocab.count()
+    slots = pairs.select(
+        F.col(center_col).alias("center"),
+        F.col(context_col).alias("context"),
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("slot"),
+    )
+    drawn = slots.withColumn(
+        "rank",
+        hash32_md5_le(
+            F.concat_ws("|", F.col("center"), F.col("context"), F.col("slot"))
+        )
+        % F.lit(n),
+    )
+    return (
+        drawn.join(F.broadcast(indexed), "rank")
+        .filter(F.col("node") != F.col("context"))
+        .select(
+            "center", "context",
+            F.col("slot").cast("long").alias("slot"),
+            F.col("node").alias("negative"),
+        )
+    )
+
+
+def negative_samples_oracle_sql(pairs_cte: str, k: int) -> str:
+    """Oracle: the same rank-indexed vocabulary + md5 draw in SQL, over a
+    relation with columns (center, context)."""
+    return f"""
+        vocab AS MATERIALIZED (
+          SELECT node, row_number() OVER (ORDER BY node) - 1 AS rank FROM (
+            SELECT DISTINCT center AS node FROM {pairs_cte}
+            UNION SELECT DISTINCT context FROM {pairs_cte})),
+        nn AS (SELECT count(*) AS n FROM vocab),
+        slots AS (
+          SELECT center, context, CAST(s AS BIGINT) AS slot,
+                 CAST(md5_number_upper(center || '|' || context || '|'
+                      || CAST(s AS VARCHAR)) & 4294967295 AS BIGINT)
+                   %% (SELECT n FROM nn) AS rank
+          FROM {pairs_cte}, UNNEST(range(1, {k} + 1)) AS t(s))
+        SELECT slots.center, slots.context, slots.slot,
+               vocab.node AS negative
+        FROM slots JOIN vocab ON vocab.rank = slots.rank
+        WHERE vocab.node <> slots.context
+    """.replace("%%", "%")

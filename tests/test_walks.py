@@ -82,3 +82,34 @@ def test_skipgram_pairs_window(spark):
                 if i != j and abs(si - sj) <= 2:
                     ref[(ci, cj)] = ref.get((ci, cj), 0) + 1
     assert pairs == ref
+
+
+def test_negative_samples_deterministic_draws(spark):
+    from sigraph_spark.operators.walks import negative_samples
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("d", "b")]
+    df = spark.createDataFrame(pairs, "center string, context string")
+    got = sorted(
+        (r["center"], r["context"], r["slot"], r["negative"])
+        for r in negative_samples(df, k=3).collect()
+    )
+    vocab = sorted({n for p in pairs for n in p})
+    ref = []
+    for c, ctx in pairs:
+        for s in range(1, 4):
+            neg = vocab[_h32(f"{c}|{ctx}|{s}") % len(vocab)]
+            if neg != ctx:
+                ref.append((c, ctx, s, neg))
+    assert got == sorted(ref)
+    # draws are pseudorandom: not every negative is the same node
+    assert len({n for _, _, _, n in got}) > 1
+
+
+def test_negative_samples_partition_invariant(spark):
+    from sigraph_spark.operators.walks import negative_samples
+
+    pairs = [(f"n{i}", f"n{(i * 3 + 1) % 20}") for i in range(20)]
+    d1 = spark.createDataFrame(pairs, "center string, context string").repartition(1)
+    d5 = spark.createDataFrame(pairs, "center string, context string").repartition(5)
+    k = lambda df: sorted(map(tuple, negative_samples(df, k=2).collect()))
+    assert k(d1) == k(d5)
