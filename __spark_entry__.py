@@ -832,6 +832,15 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- corpus curation (training-data pipeline ops) ---------------------------
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector via posexplode + algebraic (label, dim)
+    aggregation — no UDF; 6dp rounding keeps float summation order out
+    of the hash."""
+    from sigraph_spark.operators.similarity import embedding_centroids
+
+    return embedding_centroids(_emb(spark, sf_dir))
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split by the portable md5 bucket —
     zero-shuffle narrow map; assignment is stable across corpus growth."""
@@ -1425,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "lsh_topk": q_lsh_topk,
+        "embedding_centroids": q_embedding_centroids,
         "dataset_split": q_dataset_split,
         "stratified_sample": q_stratified_sample,
         "pii_redact": q_pii_redact,
@@ -2220,6 +2230,18 @@ def oracle_sql() -> dict[str, str]:
             PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
           FROM scored)
         WHERE rank <= 10
+    """
+    sq["embedding_centroids"] = """
+        WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        x AS (
+          SELECT label, CAST(i - 1 AS INT) AS dim, v[CAST(i AS INT)] AS val
+          FROM e, UNNEST(range(1, len(v) + 1)) AS t(i)),
+        pd AS (
+          SELECT label, dim, round(avg(val), 6) AS m, count(*) AS c
+          FROM x GROUP BY 1, 2)
+        SELECT label, CAST(max(c) AS BIGINT) AS n_vectors,
+               list(m ORDER BY dim) AS centroid
+        FROM pd GROUP BY label
     """
     sq["embedding_neardup"] = """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

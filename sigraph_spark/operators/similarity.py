@@ -404,3 +404,43 @@ def ivf_topk(
         "query_id", "vec_id", dot(F.col("cv"), F.col("qv")).alias("cosine")
     )
     return topk_per_query(scored, k).select("query_id", "vec_id", "cosine", "rank")
+
+
+def embedding_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid (mean vector) + member count — the class-profile
+    aggregate behind cluster audits, nearest-centroid classification, and
+    IVF coarse-quantizer refreshes.
+
+    Formulation: posexplode to (label, dim, value), one groupBy on the
+    composite (label, dim) key — |labels| x dim groups, uniform, fully
+    map-side-combinable (avg is algebraic) — then reassemble the vector
+    with a sort-by-dim collect. The reassembly groups on label only, but
+    carries just dim rows per label, not members. No UDF anywhere.
+
+    Returns ``(label, n_vectors, centroid: array<double>)`` with 6dp
+    rounding so float summation order cannot leak into the hash.
+    """
+    exploded = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    )
+    per_dim = exploded.groupBy("label", "dim").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("m"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.max("c").cast("long").alias("n_vectors"),
+            F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("_dm"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            F.transform(F.col("_dm"), lambda s: s["m"]).alias("centroid"),
+        )
+    )

@@ -201,3 +201,19 @@ def test_lsh_numpy_kernel_matches_column_buckets(spark):
     a = {r["vec_id"]: list(r["bks"]) for r in col_form.collect()}
     b = {r["vec_id"]: list(r["bks"]) for r in np_form.collect()}
     assert a == b
+
+
+def test_embedding_centroids_exact_means(spark):
+    from sigraph_spark.operators.similarity import embedding_centroids
+
+    rows = [
+        (0, [1.0, 2.0, 3.0]), (0, [3.0, 2.0, 1.0]),
+        (1, [0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "label int, embedding array<double>"
+    )
+    got = {r["label"]: (r["n_vectors"], r["centroid"])
+           for r in embedding_centroids(emb).collect()}
+    assert got[0] == (2, [2.0, 2.0, 2.0])
+    assert got[1] == (1, [0.0, 0.0, 0.0])
