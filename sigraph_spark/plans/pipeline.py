@@ -232,3 +232,99 @@ def run_pipeline(
         "edges": edges,
         "adjacency": adjacency,
     }
+
+
+def run_curation(
+    spark: SparkSession,
+    docs: DataFrame,
+    workdir: str,
+    evalset: DataFrame | None = None,
+    ctx_len: int = 2048,
+    input_fingerprint: str | None = None,
+) -> dict[str, DataFrame]:
+    """Checkpointed training-data curation pipeline — the corpus-side
+    counterpart of :func:`run_pipeline`, same stage/manifest machinery:
+
+      c1 normalize   — text cleanup chain (narrow map);
+      c2 funnel      — ordered rule chain; only ``pass`` docs continue,
+                       the verdict table itself is the audit artifact;
+      c3 exact dedup — sha-canonical, keep min-id representative;
+      c4 near-dup    — MinHash LSH -> Jaccard verify -> components ->
+                       keep cluster representative;
+      c5 decontam    — drop docs sharing n-grams with the eval set
+                       (skipped when no eval set is given);
+      c6 pack        — concat-then-chunk sequence packing manifest.
+
+    Every stage resumes from its manifest with chained fingerprints, so a
+    threshold change in c2 replays c2-c6 only and a new crawl delta
+    invalidates exactly what it touches. Returns the per-stage tables;
+    per-stage row counts are the curation funnel report.
+    """
+    from sigraph_spark.operators.contamination import decontaminate
+    from sigraph_spark.operators.corpus import (
+        curation_funnel, normalize_text, pack_sequences,
+    )
+    from sigraph_spark.operators.dedup import exact_dedup, minhash_dedup
+
+    def out_fp(stage_dir: str) -> str:
+        m = read_manifest(os.path.join(workdir, stage_dir))
+        return m["output_fingerprint"] if m else "missing"
+
+    fp = input_fingerprint or table_fingerprint(docs.select("doc_id"))
+
+    def build_c1() -> DataFrame:
+        n = normalize_text(docs)
+        return (
+            docs.select("doc_id", "lang")
+            .join(n, "doc_id")
+            .select("doc_id", F.col("norm_text").alias("text"), "lang")
+        )
+
+    c1 = run_stage(spark, "c1_normalize", os.path.join(workdir, "c1_normalize"),
+                   build_c1, fp + ":c1v1")
+    fp1 = out_fp("c1_normalize")
+
+    c2 = run_stage(spark, "c2_funnel", os.path.join(workdir, "c2_funnel"),
+                   lambda: curation_funnel(c1), fp1 + ":c2v1")
+    fp2 = out_fp("c2_funnel")
+    survivors = c1.join(
+        c2.filter(F.col("verdict") == "pass").select("doc_id"), "doc_id"
+    )
+
+    c3 = run_stage(spark, "c3_exact", os.path.join(workdir, "c3_exact"),
+                   lambda: exact_dedup(survivors), fp2 + ":c3v1")
+    fp3 = out_fp("c3_exact")
+    exact_kept = survivors.join(
+        c3.filter(F.col("doc_id") == F.col("canonical_id")).select("doc_id"),
+        "doc_id",
+    )
+
+    c4 = run_stage(spark, "c4_neardup", os.path.join(workdir, "c4_neardup"),
+                   lambda: minhash_dedup(exact_kept), fp3 + ":c4v1")
+    fp4 = out_fp("c4_neardup")
+    near_kept = exact_kept.join(
+        c4.filter(F.col("doc_id") == F.col("canonical_id")).select("doc_id"),
+        "doc_id",
+    )
+
+    if evalset is not None:
+        c5 = run_stage(
+            spark, "c5_decontam", os.path.join(workdir, "c5_decontam"),
+            lambda: decontaminate(near_kept, evalset), fp4 + ":c5v1",
+        )
+        fp5 = out_fp("c5_decontam")
+        clean = near_kept.join(
+            c5.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+        )
+    else:
+        c5, fp5, clean = None, fp4, near_kept
+
+    c6 = run_stage(spark, "c6_pack", os.path.join(workdir, "c6_pack"),
+                   lambda: pack_sequences(clean, ctx_len=ctx_len),
+                   fp5 + ":c6v1")
+
+    out = {"normalized": c1, "funnel": c2, "exact": c3, "neardup": c4,
+           "packed": c6, "clean": clean}
+    if c5 is not None:
+        out["decontam"] = c5
+    return out

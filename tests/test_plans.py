@@ -170,3 +170,36 @@ def test_crash_mid_stage_recovers(spark, tmp_path):
         input_fingerprint="fp",
     )
     assert df2.count() == 7
+
+
+def test_run_curation_stages_and_resume(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from sigraph_spark.plans.pipeline import read_manifest, run_curation
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the dog sat on the rug it was calm", "en"),
+            (2, "the cat sat on the mat and the dog sat on the rug it was calm", "en"),  # exact dup
+            (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),  # und -> wrong_lang
+            (4, "the quick brown fox jumps over the lazy dog and naps in the warm sun", "en"),
+            (5, "tiny", "en"),  # too_short
+        ],
+        "doc_id long, text string, lang string",
+    )
+    wd = str(tmp_path / "curate")
+    out = run_curation(spark, docs, wd)
+    verdicts = {r["doc_id"]: r["verdict"] for r in out["funnel"].collect()}
+    assert verdicts[3] == "wrong_lang" and verdicts[5] == "too_short"
+    kept = {r["doc_id"] for r in out["clean"].collect()}
+    assert 1 in kept and 4 in kept
+    assert 2 not in kept  # exact dup of 1 dropped
+    # funnel is monotone: clean subset of funnel-pass subset of input
+    assert kept <= {d for d, v in verdicts.items() if v == "pass"}
+
+    # resume: manifests unchanged -> stages skipped, same results
+    m1 = read_manifest(str(tmp_path / "curate" / "c4_neardup"))
+    out2 = run_curation(spark, docs, wd)
+    m2 = read_manifest(str(tmp_path / "curate" / "c4_neardup"))
+    assert m1 == m2
+    assert {r["doc_id"] for r in out2["clean"].collect()} == kept
