@@ -222,6 +222,16 @@ def q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_tables(old, new, ["src", "predicate", "dst"])
 
 
+def q_node_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node feature table (degree, triangles, pagerank, component) —
+    the composition a GNN/anomaly trainer consumes; each constituent
+    keeps its own scale-safe algorithm and each was already individually
+    oracled, so this pins the JOIN composition too."""
+    from sigraph_spark.operators.graphalgo import node_features
+
+    return node_features(_edges_ckpt(spark, sf_dir))
+
+
 def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS distances from a seed process over the directed
     provenance edges (the 'blast radius in N hops' query). Spark runs the
@@ -1401,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "shortest_paths": q_shortest_paths,
         "kcore": q_kcore,
+        "node_features": q_node_features,
         "random_walks": q_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
         "negative_samples": q_negative_samples,
@@ -1636,6 +1647,53 @@ def oracle_sql() -> dict[str, str]:
           UNION
           SELECT u.y, r.r FROM reach r JOIN und u ON u.x = r.x)
         SELECT x AS entity, min(r) AS canonical_id FROM reach GROUP BY x
+        """
+    )
+    # --- node feature table: degree + triangles + pagerank + component,
+    # every constituent reusing its individually-proven oracle form.
+    from sigraph_spark.operators.pagerank import pagerank_oracle_sql as _pr_sql
+
+    _prk = _pr_sql("edges")
+    _prk_ctes, _prk_final = _prk.rsplit("\nSELECT node, rank_fp,", 1)
+    sq["node_features"] = (
+        "WITH RECURSIVE " + _EDGES_CTE
+        + """,
+        und AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y
+          FROM edges WHERE src <> dst),
+        degt AS (
+          SELECT n AS node_id, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT x AS n FROM und UNION ALL SELECT y FROM und)
+          GROUP BY n),
+        tri AS (
+          SELECT e1.x AS a, e1.y AS b, e2.y AS c
+          FROM und e1
+          JOIN und e2 ON e2.x = e1.x AND e2.y > e1.y
+          JOIN und e3 ON e3.x = e1.y AND e3.y = e2.y),
+        tric AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+          GROUP BY node),
+        cu AS (SELECT x, y FROM und UNION SELECT y, x FROM und),
+        reach(x, r) AS (
+          SELECT DISTINCT x, x AS r FROM cu
+          UNION
+          SELECT u.y, r.r FROM reach r JOIN cu u ON u.x = r.x),
+        comp AS (SELECT x AS node_id, min(r) AS component FROM reach GROUP BY x),
+        """
+        + _prk_ctes.lstrip()
+        + ",\n        prk AS MATERIALIZED (\nSELECT node, rank_fp," + _prk_final + ")"
+        + """
+        SELECT degt.node_id, degt.degree,
+               coalesce(tric.triangles, 0) AS triangles,
+               prk.rank AS pagerank,
+               coalesce(comp.component, degt.node_id) AS component
+        FROM degt
+        LEFT JOIN tric ON tric.node = degt.node_id
+        LEFT JOIN prk ON prk.node = degt.node_id
+        LEFT JOIN comp ON comp.node_id = degt.node_id
         """
     )
     # --- multi-source BFS: bounded recursive closure, min(d) per node.

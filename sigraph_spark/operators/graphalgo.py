@@ -244,3 +244,55 @@ def kcore_oracle_sql(edges_cte: str, k: int, rounds: int) -> str:
           GROUP BY n)
         WHERE c >= {k}"""
     return ",\n".join(parts) + final
+
+
+def node_features(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """One feature row per node of the edge relation — the table a
+    GNN/embedding trainer or anomaly scorer consumes: undirected degree,
+    triangle participation, fixed-point PageRank, and connected-component
+    id. Pure composition of the existing operators (each keeps its own
+    scale shape: degree-oriented wedges, star contraction, O(1)-round
+    integer PageRank), stitched with node-id equi-joins — uniform keys,
+    zero-filled where a node has no triangles.
+
+    Returns ``(node_id, degree, triangles, pagerank, component)``.
+    """
+    from sigraph_spark.operators.linking import connected_components
+    from sigraph_spark.operators.pagerank import pagerank
+
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("x"),
+            F.greatest(F.col(src), F.col(dst)).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("x").alias("node_id"))
+        .unionAll(und.select(F.col("y").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = triangle_count(edges, src, dst).select(
+        F.col("node").alias("node_id"), F.col("triangles").cast("long")
+    )
+    pr = pagerank(edges, src, dst).select(
+        F.col("node").alias("node_id"), F.col("rank").alias("pagerank")
+    )
+    cc = connected_components(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    ).select(F.col("entity").alias("node_id"), F.col("canonical_id").alias("component"))
+    return (
+        deg.join(tri, "node_id", "left")
+        .join(pr, "node_id", "left")
+        .join(cc, "node_id", "left")
+        .select(
+            "node_id",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+            "pagerank",
+            F.coalesce(F.col("component"), F.col("node_id")).alias("component"),
+        )
+    )

@@ -116,10 +116,16 @@ def pagerank_oracle_sql(
     string columns src, dst."""
     d = damping_pct
     # pr_-prefixed CTE names so the block composes into WITH-lists that
-    # already define e.g. `nodes` (the graph-edge CTEs in the gate oracles)
+    # already define e.g. `nodes` (the graph-edge CTEs in the gate oracles).
+    # The node list is DISTINCT-over-UNION-ALL, not a bare `A UNION B`:
+    # under a composed WITH RECURSIVE list DuckDB treats a top-level UNION
+    # CTE as anchor/step and the dedup silently degrades to UNION ALL
+    # (observed: duplicated rank rows + inflated sums in node_features).
     sql = f"""
 pr_e AS (SELECT DISTINCT CAST(src AS VARCHAR) AS src, CAST(dst AS VARCHAR) AS dst FROM {edges_rel}),
-pr_nodes AS (SELECT src AS node FROM pr_e UNION SELECT dst FROM pr_e),
+pr_nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM pr_e UNION ALL SELECT dst FROM pr_e)),
 pr_nn AS (SELECT count(*) AS n FROM pr_nodes),
 pr_outdeg AS (SELECT src, count(*) AS deg FROM pr_e GROUP BY src),
 pr_r0 AS (SELECT node, CAST({SCALE} // n AS BIGINT) AS rank_fp FROM pr_nodes, pr_nn)

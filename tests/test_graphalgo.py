@@ -205,3 +205,19 @@ def test_kcore_oracle_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_node_features_composition(spark):
+    from sigraph_spark.operators.graphalgo import node_features
+
+    # triangle abc + pendant d, separate pair e-f
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("e", "f")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node_id"]: r for r in node_features(e).collect()}
+    assert set(got) == {"a", "b", "c", "d", "e", "f"}
+    assert got["c"]["degree"] == 3 and got["d"]["degree"] == 1
+    assert got["a"]["triangles"] == 1 and got["d"]["triangles"] == 0
+    assert got["a"]["component"] == "a" and got["d"]["component"] == "a"
+    assert got["e"]["component"] == "e" == got["f"]["component"]
+    # pagerank: pendant sink d accumulates more than its sources
+    assert all(got[n]["pagerank"] > 0 for n in got)
