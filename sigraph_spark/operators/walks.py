@@ -165,9 +165,10 @@ def negative_samples(
     """Deterministic unigram negative sampling for skip-gram training:
     for each (center, context) pair emit ``k`` negatives drawn
     pseudo-randomly (portable md5 hash of pair x slot) from the node
-    vocabulary of the pair table itself; draws that collide with the
-    pair's true context are dropped (standard word2vec behavior), so a
-    pair yields between k-1 and k negatives.
+    vocabulary of the pair table itself; each draw that collides with the
+    pair's true context is dropped (standard word2vec behavior), so a
+    pair yields up to ``k`` negatives — typically all k, fewer only at
+    collision odds ~k/|V|.
 
     Scale shape: the vocabulary's dense rank index is a BANDED two-stage
     construction (the pack_sequences device), not a global

@@ -106,3 +106,94 @@ def test_chunking_covers_every_token_exactly(spark, lengths, chunk, overlap):
         assert covered == set(range(n))  # every token exactly covered
         if n == 0:
             assert len(chunks) == 1 and chunks[0]["chunk_len"] == 0
+
+
+@given(edges=_edges, seed=_nodes)
+@settings(**_SETTINGS)
+def test_shortest_paths_always_matches_python_bfs(spark, edges, seed):
+    from collections import deque
+
+    from sigraph_spark.operators.graphalgo import shortest_paths
+
+    e = [(f"n{a}", f"n{b}") for a, b in edges]
+    s = f"n{seed}"
+    got = {
+        r["node_id"]: r["distance"]
+        for r in shortest_paths(
+            spark.createDataFrame(e, "src string, dst string"),
+            spark.createDataFrame([(s,)], "node_id string"),
+        ).collect()
+    }
+    adj: dict[str, set[str]] = {}
+    for a, b in set(e):
+        adj.setdefault(a, set()).add(b)
+    ref = {s: 0}
+    q = deque([s])
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, ()):
+            if v not in ref:
+                ref[v] = ref[u] + 1
+                q.append(v)
+    assert got == ref
+
+
+_texts = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=8
+)
+
+
+@given(texts=_texts)
+@settings(**_SETTINGS)
+def test_remove_dup_spans_invariants(spark, texts):
+    from sigraph_spark.operators.contamination import remove_dup_spans
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = remove_dup_spans(docs, span_words=2).collect()
+    # invariant 1: every doc appears exactly once
+    assert sorted(r["doc_id"] for r in rows) == list(range(len(texts)))
+    # invariant 2: kept <= total per doc; total kept across the corpus ==
+    # number of DISTINCT spans in the corpus (each survives exactly once)
+    spans = []
+    for t in texts:
+        w = (t or "").lower().strip().split()
+        n = max((len(w) + 1) // 2, 1)
+        spans.extend(" ".join(w[i * 2 : i * 2 + 2]) for i in range(n))
+    assert sum(r["kept_spans"] for r in rows) == len(set(spans))
+    for r in rows:
+        assert 0 <= r["kept_spans"] <= r["n_spans"]
+        # invariant 3: the rewrite's words are a subsequence of the original
+        orig = (texts[r["doc_id"]] or "").lower().strip().split()
+        kept = r["clean_text"].split()
+        it = iter(orig)
+        assert all(any(k == o for o in it) for k in kept)
+
+
+@given(edges=_edges)
+@settings(**_SETTINGS)
+def test_negative_samples_count_bounds(spark, edges):
+    from sigraph_spark.operators.walks import negative_samples
+
+    pairs = sorted({(f"n{a}", f"n{b}") for a, b in edges if a != b})
+    if not pairs:
+        return
+    df = spark.createDataFrame(pairs, "center string, context string")
+    got = sorted(
+        (r["center"], r["context"], r["slot"], r["negative"])
+        for r in negative_samples(df, k=3).collect()
+    )
+    import hashlib
+
+    def h32(s: str) -> int:
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "little")
+
+    vocab = sorted({n for p in pairs for n in p})
+    ref = sorted(
+        (c, ctx, s, vocab[h32(f"{c}|{ctx}|{s}") % len(vocab)])
+        for c, ctx in pairs
+        for s in range(1, 4)
+        if vocab[h32(f"{c}|{ctx}|{s}") % len(vocab)] != ctx
+    )
+    assert got == ref
