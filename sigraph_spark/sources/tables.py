@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TESTDATA_TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -83,3 +84,50 @@ def write_atomic_parquet(df: DataFrame, out_dir: str, partition_by: list[str] | 
     w.parquet(tmp)
     shutil.rmtree(out_dir, ignore_errors=True)
     os.replace(tmp, out_dir)
+
+
+def write_sized_parquet(
+    df: DataFrame,
+    out_dir: str,
+    target_file_mb: int = 512,
+    sample_rows: int = 10_000,
+) -> int:
+    """Write ``df`` as parquet with files sized near ``target_file_mb`` —
+    the small-files guard: a 100 TB table written straight from a
+    50k-partition shuffle produces 50k files per partition boundary,
+    which murders both the object store (request amplification) and every
+    later scan (task-per-tiny-file). The inverse — too few files — caps
+    downstream read parallelism.
+
+    Mechanism: estimate on-disk bytes from a bounded SAMPLE (serialized
+    row size x exact row count x a parquet-compression factor measured
+    empirically at ~0.4 for text-heavy tables), then coalesce-or-
+    repartition to ceil(bytes / target). Estimation is one tiny job plus
+    the count; the write itself is the same single pass. Returns the file
+    count written. (On Iceberg this is the write.target-file-size-bytes
+    table property + rewrite_data_files compaction; this helper is the
+    parquet-local binding of the same contract.)
+    """
+    import math
+
+    n_rows = df.count()
+    if n_rows == 0:
+        df.coalesce(1).write.mode("overwrite").parquet(out_dir)
+        return 1
+    sample = df.limit(sample_rows)
+    sampled_bytes = (
+        sample.select(
+            F.sum(F.octet_length(F.to_json(F.struct("*")))).alias("b")
+        ).collect()[0]["b"]
+        or 1
+    )
+    sampled_n = min(n_rows, sample_rows)
+    est_bytes = (sampled_bytes / sampled_n) * n_rows * 0.4  # parquet factor
+    n_files = max(1, math.ceil(est_bytes / (target_file_mb * (1 << 20))))
+    shaped = (
+        df.coalesce(n_files)
+        if n_files < df.rdd.getNumPartitions()
+        else df.repartition(n_files)
+    )
+    shaped.write.mode("overwrite").parquet(out_dir)
+    return n_files

@@ -80,3 +80,23 @@ def test_unbucketed_join_does_shuffle(spark, tmp_path):
         j = e.join(n, e["src"] == n["node_id"])
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" in plan
+
+
+def test_write_sized_parquet_controls_file_count(spark, tmp_path):
+    import glob
+
+    from sigraph_spark.sources.tables import write_sized_parquet
+
+    df = spark.range(0, 20_000, 1, 64).selectExpr(
+        "id", "repeat('x', 200) AS payload"
+    )
+    out = str(tmp_path / "sized")
+    # ~20k rows x ~220B json ~ 4.4MB x 0.4 ~ 1.8MB -> 2 files at 1MB target
+    n = write_sized_parquet(df, out, target_file_mb=1)
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) == n
+    assert 1 <= n <= 6  # collapsed far below the 64 input partitions
+    # and a tiny frame collapses to one file
+    n1 = write_sized_parquet(spark.range(5), str(tmp_path / "one"), 512)
+    assert n1 == 1
+    assert spark.read.parquet(out).count() == 20_000
