@@ -151,5 +151,44 @@ FLUSH_UNIT: dict[str, str] = {
 }
 
 
+# --- curation-side tables (plans/pipeline.run_curation production seam) ---
+# content-hash index bucketed on the hash: the per-batch membership probe
+# (streaming/curation.py, dedup.incremental_exact_dedup) is storage-
+# partitioned on both sides; the corpus table sets target-file-size so
+# appends never accumulate small files (sources.tables.write_sized_parquet
+# is the local binding of the same contract).
+DDL["hash_index"] = f"""\
+CREATE TABLE IF NOT EXISTS {DB}.hash_index (
+  id BIGINT NOT NULL,
+  content_hash STRING NOT NULL)
+USING iceberg
+PARTITIONED BY (bucket(256, content_hash))"""
+DDL["corpus"] = f"""\
+CREATE TABLE IF NOT EXISTS {DB}.corpus (
+  doc_id BIGINT NOT NULL,
+  text STRING,
+  lang STRING,
+  batch_id BIGINT NOT NULL)
+USING iceberg
+PARTITIONED BY (bucket(64, doc_id))
+TBLPROPERTIES ('write.target-file-size-bytes'='536870912')"""
+
+# admission MERGE: a redelivered batch matches every row and does nothing
+# (WHEN MATCHED absent), so replays are no-ops at the table layer too —
+# the SQL twin of the applied-batch ledger in streaming/curation.py
+MERGE["hash_index"] = f"""\
+MERGE INTO {DB}.hash_index t
+USING new_hashes s
+ON t.content_hash = s.content_hash
+WHEN NOT MATCHED THEN INSERT (id, content_hash) VALUES (s.id, s.content_hash)"""
+MERGE["corpus"] = f"""\
+MERGE INTO {DB}.corpus t
+USING admitted s
+ON t.doc_id = s.doc_id
+WHEN NOT MATCHED THEN
+  INSERT (doc_id, text, lang, batch_id)
+  VALUES (s.doc_id, s.text, s.lang, s.batch_id)"""
+
+
 def all_statements() -> list[str]:
     return [*DDL.values(), *MERGE.values(), *FLUSH_UNIT.values()]
