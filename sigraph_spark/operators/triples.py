@@ -98,6 +98,7 @@ _GENERIC_ACTORS = {
 _HTTP_RE = re.compile(r"\bhttps?://", re.IGNORECASE)
 _SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+(?=[A-Z])|\n+")
 _CLAUSE_SPLIT_RE = re.compile(r";\s+|,?\s+and then\s+|,\s+then\s+|,?\s+which\s+")
+_AND_RE = re.compile(r"\s+and\s+")
 _TRAIL_PUNCT_RE = re.compile(r"[\s.;,]+$")
 
 
@@ -133,7 +134,7 @@ def _split_clauses(sentence: str) -> list[str]:
     parts = [p for p in _CLAUSE_SPLIT_RE.split(sentence) if p.strip()]
     out: list[str] = []
     for p in parts:
-        sub = re.split(r"\s+and\s+", p)
+        sub = _AND_RE.split(p)
         if len(sub) > 1:
             acc = sub[0]
             for nxt in sub[1:]:
