@@ -632,6 +632,30 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_link_graph(extract_links(pages))
 
 
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over synthesized messy aliases (case, default
+    ports, fragments, tracking params, trailing slash) — one JVM string
+    chain, identical rules restated in the SQL oracle."""
+    from sigraph_spark.operators.links import canonical_url
+
+    sfx = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("Host"), (F.col("doc_id") % 7), F.lit(".Example.com"))
+    url = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("HTTPS://"), host, F.lit(":443/P/"), sfx,
+                        F.lit("/?utm_source=x&b=2&a=1#f")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("http://"), F.lower(host), F.lit(":80/p/"), sfx))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("https://"), F.lower(host), F.lit("/p/"), sfx,
+                       F.lit("?z=9&utm_campaign=c&fbclid=y")))
+        .otherwise(F.concat(F.lit("https://"), host, F.lit("/p/"), sfx, F.lit("/")))
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", canonical_url(url).alias("canonical")
+    )
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC-lite ingest round trip, distributed end to end: documents ->
     (url, ts, payload) pages -> multi-record segment blobs (applyInPandas
@@ -1437,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "warc_roundtrip": q_warc_roundtrip,
         "link_graph": q_link_graph,
+        "url_canonical": q_url_canonical,
         "minhash_candidates": q_minhash_candidates,
         "minhash_incremental": q_minhash_incremental,
         "dedup_incremental_exact": q_dedup_incremental_exact,
@@ -2201,6 +2226,66 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_links
         FROM l WHERE contains(target, '://')
         GROUP BY 1, 2
+    """
+    # --- URL canonicalization: identical rule chain in SQL (list_filter/
+    # list_sort == Spark filter/array_sort under binary collation).
+    _TRK = "', '".join(
+        p for p in (
+            "utm_source", "utm_medium", "utm_campaign", "utm_term",
+            "utm_content", "gclid", "fbclid", "ref", "mc_cid", "mc_eid",
+        )
+    )
+    sq["url_canonical"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE doc_id % 4
+                   WHEN 0 THEN 'HTTPS://Host' || CAST(doc_id % 7 AS VARCHAR)
+                        || '.Example.com:443/P/' || CAST(doc_id AS VARCHAR)
+                        || '/?utm_source=x&b=2&a=1#f'
+                   WHEN 1 THEN 'http://host' || CAST(doc_id % 7 AS VARCHAR)
+                        || '.example.com:80/p/' || CAST(doc_id AS VARCHAR)
+                   WHEN 2 THEN 'https://host' || CAST(doc_id % 7 AS VARCHAR)
+                        || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                        || '?z=9&utm_campaign=c&fbclid=y'
+                   ELSE 'https://Host' || CAST(doc_id % 7 AS VARCHAR)
+                        || '.Example.com/p/' || CAST(doc_id AS VARCHAR) || '/'
+                 END AS url
+          FROM documents),
+        s1 AS (
+          SELECT doc_id, split_part(trim(url), '#', 1) AS u FROM d),
+        s2 AS (
+          SELECT doc_id, u,
+                 split_part(u, '?', 1) AS base,
+                 CASE WHEN contains(u, '?') THEN split_part(u, '?', 2) END AS query
+          FROM s1),
+        s3 AS (
+          SELECT doc_id, query,
+                 lower(split_part(base, '://', 1)) AS scheme,
+                 split_part(base, '://', 2) AS rest,
+                 lower(split_part(split_part(base, '://', 2), '/', 1)) AS hostport
+          FROM s2),
+        s4 AS (
+          SELECT doc_id, query, scheme,
+                 regexp_replace(hostport, ':(80|443)$', '') AS host,
+                 CASE WHEN contains(rest, '/')
+                      THEN substr(rest, length(hostport) + 1) ELSE '' END AS path0
+          FROM s3),
+        s5 AS (
+          SELECT doc_id, scheme, host,
+                 CASE WHEN length(path0) > 1
+                      THEN regexp_replace(path0, '/$', '') ELSE path0 END AS path,
+                 list_sort(list_filter(
+                   string_split(coalesce(query, ''), '&'),
+                   x -> x <> '' AND NOT list_contains(
+                     ['{_TRK}'], lower(split_part(x, '=', 1)))))
+                   AS keep
+          FROM s4)
+        SELECT doc_id,
+               scheme || '://' || host || path ||
+               CASE WHEN len(keep) > 0
+                    THEN '?' || array_to_string(keep, '&') ELSE '' END
+                 AS canonical
+        FROM s5
     """
     # --- WARC round trip: the oracle recomputes url/ts/bytes/fingerprint
     # straight from documents — equality proves the framing+parse path

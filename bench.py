@@ -159,6 +159,17 @@ def main() -> None:
         + kcore(edges_pr, k=4).count(),
     )
 
+    # --- KG -> training-data: node features + walk corpus --------------------
+    from sigraph_spark.operators.graphalgo import node_features
+    from sigraph_spark.operators.walks import random_walks, skipgram_pairs
+
+    def run_analytics() -> int:
+        nf = node_features(edges_pr).count()
+        pairs = skipgram_pairs(random_walks(edges_pr, walks_per_node=2, length=4))
+        return nf + pairs.count()
+
+    timed("kg_analytics", run_analytics)
+
     # --- dedup over documents -------------------------------------------------
     from sigraph_spark.operators.dedup import (
         incremental_minhash_candidates, minhash_dedup, minhash_index,

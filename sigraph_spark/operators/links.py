@@ -57,3 +57,60 @@ def host_link_graph(links: DataFrame) -> DataFrame:
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
     )
+
+
+# tracking parameters stripped by canonicalization (the usual suspects);
+# the list is part of the contract — ordering effects are eliminated by
+# sorting the surviving query params
+TRACKING_PARAMS: tuple[str, ...] = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "ref", "mc_cid", "mc_eid",
+)
+
+
+def canonical_url(url: Column) -> Column:
+    """Crawl-grade URL canonicalization as one JVM expression chain:
+
+    * scheme + host lowercased; default ports (:80/:443) dropped;
+    * fragment (#...) dropped;
+    * tracking query parameters (TRACKING_PARAMS) removed; surviving
+      params SORTED so param order cannot split identical resources;
+      '?' dropped when nothing survives;
+    * trailing '/' trimmed from non-root paths.
+
+    Dedup/link-graph keys should be canonical urls — otherwise the same
+    page fans into dozens of aliases and every per-url aggregate
+    undercounts. Pure string functions (split/filter/array_sort/
+    concat_ws + regex), zero UDF, and every rule is restatable in ANSI
+    SQL for the oracle.
+    """
+    u = F.trim(url)
+    # drop fragment
+    u = F.substring_index(u, "#", 1)
+    # split off the query
+    base = F.substring_index(u, "?", 1)
+    query = F.when(u.contains("?"), F.substring_index(u, "?", -1))
+    # lowercase scheme+host (everything before the path), keep path case
+    scheme = F.lower(F.substring_index(base, "://", 1))
+    rest = F.substring_index(base, "://", -1)
+    hostport = F.lower(F.substring_index(rest, "/", 1))
+    host = F.regexp_replace(hostport, r":(80|443)$", "")
+    path = F.when(
+        rest.contains("/"),
+        F.substring(rest, F.length(hostport) + 1, F.lit(1 << 20)),
+    ).otherwise(F.lit(""))
+    path = F.when(
+        (F.length(path) > 1), F.regexp_replace(path, r"/$", "")
+    ).otherwise(path)
+    # filter + sort query params
+    keep = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(query, F.lit("")), "&"),
+            lambda kv: (kv != "")
+            & ~F.lower(F.substring_index(kv, "=", 1)).isin(*TRACKING_PARAMS),
+        )
+    )
+    qs = F.when(F.size(keep) > 0, F.concat(F.lit("?"), F.array_join(keep, "&"))).otherwise(
+        F.lit("")
+    )
+    return F.concat(scheme, F.lit("://"), host, path, qs)

@@ -58,3 +58,37 @@ def test_page_host_port_and_path(spark):
     assert df.select(page_host(F.col("u")).alias("h")).collect()[0]["h"] == (
         "h.example.com:8443"
     )
+
+
+def test_canonical_url_rules(spark):
+    from sigraph_spark.operators.links import canonical_url
+
+    cases = [
+        # (input, expected)
+        ("HTTPS://Example.COM:443/A/B/", "https://example.com/A/B"),
+        ("http://example.com:80/", "http://example.com/"),
+        ("http://example.com", "http://example.com"),
+        ("https://e.com/p?utm_source=x&b=2&a=1#frag", "https://e.com/p?a=1&b=2"),
+        ("https://e.com/p?utm_source=x&fbclid=y", "https://e.com/p"),
+        ("https://e.com/p?z=1", "https://e.com/p?z=1"),
+        ("https://e.com/#top", "https://e.com/"),
+        ("https://e.com:8080/x", "https://e.com:8080/x"),  # non-default port kept
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [
+        r["c"] for r in df.select(canonical_url(F.col("u")).alias("c")).collect()
+    ]
+    assert got == [e for _, e in cases]
+
+
+def test_canonical_url_collapses_aliases(spark):
+    from sigraph_spark.operators.links import canonical_url
+
+    aliases = [
+        "https://E.com/page?b=2&a=1",
+        "https://e.com:443/page/?a=1&b=2#x",
+        "https://e.com/page?utm_campaign=c&a=1&b=2",
+    ]
+    df = spark.createDataFrame([(u,) for u in aliases], "u string")
+    n = df.select(canonical_url(F.col("u")).alias("c")).distinct().count()
+    assert n == 1
