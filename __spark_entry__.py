@@ -656,6 +656,28 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host blocklist filtering with registrable-parent suffix matching:
+    suffix chain exploded + broadcast anti-join (no LIKE nested loop).
+    Half the synthesized urls live under a blocked parent domain."""
+    from sigraph_spark.operators.links import blocklist_filter
+
+    host = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("h"), (F.col("doc_id") % 5), F.lit(".blocked.net")),
+    ).otherwise(
+        F.concat(F.lit("h"), (F.col("doc_id") % 5), F.lit(".example.com")),
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/p/"), F.col("doc_id")).alias("url"),
+    )
+    blocked = spark.createDataFrame(
+        [("blocked.net",), ("h2.example.com",)], "host string"
+    )
+    return blocklist_filter(docs, blocked)
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC-lite ingest round trip, distributed end to end: documents ->
     (url, ts, payload) pages -> multi-record segment blobs (applyInPandas
@@ -1462,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "link_graph": q_link_graph,
         "url_canonical": q_url_canonical,
+        "url_blocklist": q_url_blocklist,
         "minhash_candidates": q_minhash_candidates,
         "minhash_incremental": q_minhash_incremental,
         "dedup_incremental_exact": q_dedup_incremental_exact,
@@ -2286,6 +2309,33 @@ def oracle_sql() -> dict[str, str]:
                     THEN '?' || array_to_string(keep, '&') ELSE '' END
                  AS canonical
         FROM s5
+    """
+    # --- blocklist: suffix-chain membership via NOT EXISTS over the same
+    # exploded chain (label-boundary matching, not LIKE infix).
+    sq["url_blocklist"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 'https://' ||
+                 CASE WHEN doc_id % 3 = 0
+                      THEN 'h' || CAST(doc_id % 5 AS VARCHAR) || '.blocked.net'
+                      ELSE 'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+                 END || '/p/' || CAST(doc_id AS VARCHAR) AS url
+          FROM documents),
+        blocked(host) AS (VALUES ('blocked.net'), ('h2.example.com')),
+        hosts AS (
+          SELECT doc_id, url,
+                 string_split(
+                   regexp_replace(
+                     split_part(split_part(lower(url), '://', 2), '/', 1),
+                     ':\d+$', ''),
+                   '.') AS labels
+          FROM d)
+        SELECT doc_id, url FROM hosts
+        WHERE NOT EXISTS (
+          SELECT 1 FROM UNNEST(range(0, greatest(len(labels) - 1, 1))) AS t(i)
+          JOIN blocked
+            ON blocked.host = array_to_string(
+                 labels[CAST(i + 1 AS INT):CAST(len(labels) AS INT)], '.'))
     """
     # --- WARC round trip: the oracle recomputes url/ts/bytes/fingerprint
     # straight from documents — equality proves the framing+parse path

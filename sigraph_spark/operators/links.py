@@ -114,3 +114,45 @@ def canonical_url(url: Column) -> Column:
         F.lit("")
     )
     return F.concat(scheme, F.lit("://"), host, path, qs)
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    blocked_hosts: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop documents whose (canonicalized, port-stripped) host — or any
+    registrable parent domain — appears in the blocklist: the policy
+    layer every crawl pipeline runs (spam/adult/malware/opt-out lists).
+
+    Suffix matching is done by EXPLODING each url's domain-suffix chain
+    (w.x.y.z -> [w.x.y.z, x.y.z, y.z]) and anti-joining the (broadcast)
+    blocklist — never a LIKE-join, which would plan as a nested loop.
+    Suffix chains are bounded by label count (~4), so the explode is a
+    small constant factor on a narrow projection; the corpus text never
+    moves.
+    """
+    host = F.regexp_replace(
+        page_host(F.lower(F.col(url_col))), r":\d+$", ""
+    )
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    suffixes = F.transform(
+        # suffix chains down to 2 labels: [0..n-2] shifts
+        F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0))),
+        lambda i: F.array_join(F.slice(labels, i + 1, n), "."),
+    )
+    hit = (
+        docs.select(F.col(url_col), F.explode(suffixes).alias("_suffix"))
+        .join(
+            F.broadcast(
+                blocked_hosts.select(
+                    F.lower(F.col(blocked_hosts.columns[0])).alias("_suffix")
+                ).distinct()
+            ),
+            "_suffix",
+        )
+        .select(F.col(url_col))
+        .distinct()
+    )
+    return docs.join(hit, url_col, "left_anti")

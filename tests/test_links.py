@@ -92,3 +92,24 @@ def test_canonical_url_collapses_aliases(spark):
     df = spark.createDataFrame([(u,) for u in aliases], "u string")
     n = df.select(canonical_url(F.col("u")).alias("c")).distinct().count()
     assert n == 1
+
+
+def test_blocklist_filter_exact_and_parent_suffix(spark):
+    from sigraph_spark.operators.links import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://good.example.com/a"),
+            (2, "https://Bad.Example.com:8443/b"),     # exact (case/port insensitive)
+            (3, "https://sub.spam.net/c"),             # parent-domain suffix
+            (4, "https://deep.x.sub.spam.net/d"),      # deeper suffix
+            (5, "https://notspam.net/e"),              # NOT a label-boundary match
+            (6, "https://spam.net.example.com/f"),     # suffix only, not infix
+        ],
+        "doc_id long, url string",
+    )
+    blocked = spark.createDataFrame(
+        [("bad.example.com",), ("spam.net",)], "host string"
+    )
+    kept = sorted(r["doc_id"] for r in blocklist_filter(docs, blocked).collect())
+    assert kept == [1, 5, 6]
