@@ -222,6 +222,23 @@ def q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_tables(old, new, ["src", "predicate", "dst"])
 
 
+def q_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component size profile — the cluster audit run after
+    every near-dup/entity pass (a giant component usually means the
+    blocking threshold collapsed). One count per canonical id over the
+    already-oracled components output."""
+    from sigraph_spark.operators.linking import connected_components
+
+    e = _edges_ckpt(spark, sf_dir).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    cc = connected_components(e)
+    return (
+        cc.groupBy(F.col("canonical_id").alias("component"))
+        .agg(F.count(F.lit(1)).cast("long").alias("size"))
+    )
+
+
 def q_node_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node feature table (degree, triangles, pagerank, component) —
     the composition a GNN/anomaly trainer consumes; each constituent
@@ -1458,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_paths": q_shortest_paths,
         "kcore": q_kcore,
         "node_features": q_node_features,
+        "component_stats": q_component_stats,
         "random_walks": q_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
         "negative_samples": q_negative_samples,
@@ -1695,6 +1713,23 @@ def oracle_sql() -> dict[str, str]:
           UNION
           SELECT u.y, r.r FROM reach r JOIN und u ON u.x = r.x)
         SELECT x AS entity, min(r) AS canonical_id FROM reach GROUP BY x
+        """
+    )
+    # --- component size profile over the reachability closure
+    sq["component_stats"] = (
+        "WITH RECURSIVE " + _EDGES_CTE
+        + """,
+        und AS (
+          SELECT DISTINCT src AS x, dst AS y FROM edges WHERE src <> dst
+          UNION
+          SELECT DISTINCT dst, src FROM edges WHERE src <> dst),
+        reach(x, r) AS (
+          SELECT DISTINCT x, x AS r FROM und
+          UNION
+          SELECT u.y, r.r FROM reach r JOIN und u ON u.x = r.x),
+        canon AS (SELECT x, min(r) AS component FROM reach GROUP BY x)
+        SELECT component, CAST(count(*) AS BIGINT) AS size
+        FROM canon GROUP BY component
         """
     )
     # --- node feature table: degree + triangles + pagerank + component,
