@@ -222,6 +222,25 @@ def q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff_tables(old, new, ["src", "predicate", "dst"])
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label spread: the 7 process nodes seed their own
+    names as labels; 3 fixed rounds of deterministic majority vote
+    classify every artifact by its dominant process. The oracle unrolls
+    the identical rounds."""
+    from sigraph_spark.operators.graphalgo import label_propagation
+
+    e = _edges_ckpt(spark, sf_dir)
+    nodes = (
+        e.select(F.col("src").alias("n"))
+        .unionAll(e.select(F.col("dst").alias("n")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("n").like("proc\\_%")).select(
+        F.col("n").alias("node"), F.col("n").alias("label")
+    )
+    return label_propagation(e, seeds, rounds=3)
+
+
 def q_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-component size profile — the cluster audit run after
     every near-dup/entity pass (a giant component usually means the
@@ -1476,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "node_features": q_node_features,
         "component_stats": q_component_stats,
+        "label_propagation": q_label_propagation,
         "random_walks": q_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
         "negative_samples": q_negative_samples,
@@ -1714,6 +1734,19 @@ def oracle_sql() -> dict[str, str]:
           SELECT u.y, r.r FROM reach r JOIN und u ON u.x = r.x)
         SELECT x AS entity, min(r) AS canonical_id FROM reach GROUP BY x
         """
+    )
+    # --- label propagation: fixed 3 rounds of deterministic majority vote
+    from sigraph_spark.operators.graphalgo import label_propagation_oracle_sql
+
+    sq["label_propagation"] = (
+        "WITH " + _EDGES_CTE
+        + """,
+        lp_seeds AS (
+          SELECT DISTINCT n AS node, n AS label FROM (
+            SELECT src AS n FROM edges UNION ALL SELECT dst FROM edges)
+          WHERE n LIKE 'proc\\_%' ESCAPE '\\'),
+        """
+        + label_propagation_oracle_sql("edges", "lp_seeds", 3)
     )
     # --- component size profile over the reachability closure
     sq["component_stats"] = (

@@ -296,3 +296,91 @@ def node_features(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataF
             F.coalesce(F.col("component"), F.col("node_id")).alias("component"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Semi-supervised label propagation over the undirected graph:
+    seed nodes carry fixed labels; each round every node adopts the
+    MAJORITY label among its labeled neighbors (ties -> lexicographic
+    minimum, so the whole process is deterministic on any partitioning);
+    seeds stay clamped. Fixed ``rounds`` — the pagerank-style contract
+    that lets the oracle unroll the identical rounds in SQL.
+
+    The KG use: a handful of curated node labels (malware family,
+    benign-infra, campaign) spread over the behavior graph to classify
+    the unlabeled mass. Per round: one neighbor join + one (node, label)
+    count + one min-struct argmax — all uniform node keys; hub fan-in
+    aggregates map-side because count is algebraic.
+
+    Returns ``(node_id, label)`` for every node reached by a label.
+    """
+    und = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .unionAll(edges.select(F.col(dst).alias("x"), F.col(src).alias("y")))
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    seed_df = seeds.select(
+        F.col(seeds.columns[0]).alias("node"), F.col(seeds.columns[1]).alias("label")
+    ).localCheckpoint(eager=False)
+    labels = seed_df
+    for _ in range(rounds):
+        votes = (
+            und.join(labels, und.y == labels.node)
+            .groupBy(F.col("x"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = (
+            votes.groupBy("x")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("m"))
+            .select(F.col("x").alias("node"), F.col("m.label").alias("label"))
+        )
+        labels = seed_df.unionByName(
+            best.join(seed_df.select("node"), "node", "left_anti")
+        ).localCheckpoint(eager=False)
+    return labels.select(F.col("node").alias("node_id"), "label")
+
+
+def label_propagation_oracle_sql(
+    edges_cte: str, seeds_cte: str, rounds: int
+) -> str:
+    """Unrolled-round SQL restatement over relations (src, dst) and
+    (node, label). DISTINCT-over-UNION-ALL everywhere — a bare A UNION B
+    CTE degrades to UNION ALL under a composed WITH RECURSIVE list (see
+    pagerank_oracle_sql)."""
+    parts = [
+        f"""lp_und AS MATERIALIZED (
+          SELECT DISTINCT x, y FROM (
+            SELECT src AS x, dst AS y FROM {edges_cte}
+            UNION ALL SELECT dst, src FROM {edges_cte})
+          WHERE x <> y),
+        lp_l0 AS MATERIALIZED (SELECT node, label FROM {seeds_cte})"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""lp_b{t} AS MATERIALIZED (
+              SELECT node, label FROM (
+                SELECT u.x AS node, l.label,
+                       row_number() OVER (
+                         PARTITION BY u.x
+                         ORDER BY count(*) DESC, l.label ASC) AS rn
+                FROM lp_und u JOIN lp_l{t - 1} l ON l.node = u.y
+                GROUP BY u.x, l.label)
+              WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""lp_l{t} AS MATERIALIZED (
+              SELECT node, label FROM lp_l0
+              UNION ALL
+              SELECT node, label FROM lp_b{t}
+              WHERE node NOT IN (SELECT node FROM lp_l0))"""
+        )
+    return ",\n".join(parts) + f"""
+        SELECT node AS node_id, label FROM lp_l{rounds}"""

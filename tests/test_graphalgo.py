@@ -221,3 +221,36 @@ def test_node_features_composition(spark):
     assert got["e"]["component"] == "e" == got["f"]["component"]
     # pagerank: pendant sink d accumulates more than its sources
     assert all(got[n]["pagerank"] > 0 for n in got)
+
+
+def test_label_propagation_majority_and_clamp(spark):
+    from sigraph_spark.operators.graphalgo import label_propagation
+
+    # seeds A (on a1) and B (on b1); m touches two a-side and one b-side
+    # neighbor -> majority A; b1 stays clamped even though surrounded by A
+    edges = [
+        ("a1", "m"), ("a2", "m"), ("b1", "m"),
+        ("a1", "a2"), ("a1", "b1"), ("a2", "b1"),
+        ("m", "far"),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame(
+        [("a1", "A"), ("a2", "A"), ("b1", "B")], "node string, label string"
+    )
+    got = {r["node_id"]: r["label"] for r in label_propagation(e, seeds, rounds=3).collect()}
+    assert got["m"] == "A"          # 2 A-neighbors vs 1 B
+    assert got["b1"] == "B"         # clamped seed
+    assert got["far"] == "A"        # second-hop spread through m
+
+
+def test_label_propagation_tie_breaks_lexicographically(spark):
+    from sigraph_spark.operators.graphalgo import label_propagation
+
+    e = spark.createDataFrame(
+        [("s1", "m"), ("s2", "m")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame(
+        [("s1", "Z"), ("s2", "A")], "node string, label string"
+    )
+    got = {r["node_id"]: r["label"] for r in label_propagation(e, seeds, rounds=1).collect()}
+    assert got["m"] == "A"  # 1-1 tie -> lexicographic minimum
