@@ -998,6 +998,14 @@ def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_quantiles(_docs(spark, sf_dir))
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-normalized unigram LM quality score (CCNet-perplexity proxy):
+    two wordcount-shaped passes, natural-log mean per doc at 6dp."""
+    from sigraph_spark.operators.corpus import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace/control-char/curly-quote normalization chain — one
     narrow JVM regex map; the oracle runs the identical chain."""
@@ -1545,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "domain_stats": q_domain_stats,
         "text_normalize": q_text_normalize,
+        "unigram_logprob": q_unigram_logprob,
         "domain_quota": q_domain_quota,
         "pack_sequences": q_pack_sequences,
         "events_asof": q_events_asof,
@@ -2899,6 +2908,21 @@ def oracle_sql() -> dict[str, str]:
     """
     # --- domain stats over synthesized multi-host urls: lowercased host
     # by double substring_index, algebraic aggregates.
+    sq["unigram_logprob"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'))
+                   AS token
+          FROM documents),
+        tt AS (SELECT doc_id, token FROM t WHERE token <> ''),
+        f AS (SELECT token, count(*) AS tf FROM tt GROUP BY token),
+        n AS (SELECT sum(tf) AS n FROM f)
+        SELECT tt.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(ln(f.tf) - ln(n.n)), 6) AS mean_logprob
+        FROM tt JOIN f ON f.token = tt.token CROSS JOIN n
+        GROUP BY tt.doc_id
+    """
     sq["text_normalize"] = r"""
         WITH d AS (
           SELECT doc_id,

@@ -610,3 +610,44 @@ def domain_quota(
         .filter(F.col("host_rank") <= per_host)
         .drop("host_rank")
     )
+
+
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the cheap stand-in for the CCNet/KenLM
+    perplexity quality signal: documents full of corpus-typical words
+    score high; gibberish, rare-token spam, and wrong-language text
+    score low. Self-normalized (the model IS the corpus), so no external
+    LM artifact is needed.
+
+    Two wordcount-shaped passes: (1) global token frequencies — one
+    uniform-key shuffle with algebraic counts absorbing the Zipf head
+    map-side; (2) token explode re-joined to the frequency table, then a
+    per-doc mean. At 100 TB pass 1's output is the vocabulary table —
+    persist and reuse it across snapshots rather than recount.
+
+    Returns ``(doc_id, n_tokens, mean_logprob)`` (natural log, 6dp).
+    """
+    words = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    toks = docs.select(
+        F.col(id_col), F.explode(words).alias("token")
+    ).filter(F.col("token") != "")
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = freq.agg(F.sum("tf").alias("n")).select("n")
+    scored = (
+        toks.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            (F.log(F.col("tf").cast("double")) - F.log(F.col("n").cast("double"))).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("mean_logprob"),
+        )
+    )

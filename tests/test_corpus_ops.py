@@ -389,3 +389,23 @@ def test_domain_quota_without_quality_is_id_ordered(spark):
     )
     got = sorted(r["doc_id"] for r in domain_quota(docs, per_host=3).collect())
     assert got == [1, 2, 3]
+
+
+def test_unigram_logprob_reference(spark):
+    import math
+
+    from sigraph_spark.operators.corpus import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    # corpus: a=3, b=1, c=1, total=5
+    lp = lambda tf: math.log(tf) - math.log(5)
+    assert got[1]["n_tokens"] == 3
+    assert abs(got[1]["mean_logprob"] - round((2 * lp(3) + lp(1)) / 3, 6)) < 1e-6
+    assert abs(got[2]["mean_logprob"] - round((lp(3) + lp(1)) / 2, 6)) < 1e-6
+    assert 3 not in got  # empty doc has no tokens
+    # common-word doc scores higher than rare-word doc
+    assert got[1]["mean_logprob"] > got[2]["mean_logprob"]
