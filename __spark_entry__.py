@@ -998,6 +998,15 @@ def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_quantiles(_docs(spark, sf_dir))
 
 
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: PMI over adjacent word pairs (min_count 5) —
+    two wordcount aggregations + scalar-total broadcasts; ln math
+    reproduced exactly in the oracle at 6dp."""
+    from sigraph_spark.operators.corpus import bigram_pmi
+
+    return bigram_pmi(_docs(spark, sf_dir))
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-normalized unigram LM quality score (CCNet-perplexity proxy):
     two wordcount-shaped passes, natural-log mean per doc at 6dp."""
@@ -1554,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "text_normalize": q_text_normalize,
         "unigram_logprob": q_unigram_logprob,
+        "bigram_pmi": q_bigram_pmi,
         "domain_quota": q_domain_quota,
         "pack_sequences": q_pack_sequences,
         "events_asof": q_events_asof,
@@ -2908,6 +2918,31 @@ def oracle_sql() -> dict[str, str]:
     """
     # --- domain stats over synthesized multi-host urls: lowercased host
     # by double substring_index, algebraic aggregates.
+    sq["bigram_pmi"] = r"""
+        WITH d AS (
+          SELECT string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws
+          FROM documents),
+        uni AS (
+          SELECT u AS w, count(*) AS c FROM (SELECT unnest(ws) AS u FROM d)
+          WHERE u <> '' GROUP BY u),
+        nu AS (SELECT sum(c) AS nu FROM uni),
+        bi AS (
+          SELECT b, count(*) AS c_ab FROM (
+            SELECT ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] AS b
+            FROM d, UNNEST(range(1, len(ws))) AS t(i)
+            WHERE len(ws) >= 2)
+          GROUP BY b HAVING count(*) >= 5),
+        nb AS (SELECT sum(c_ab) AS nb FROM bi)
+        SELECT split_part(b, ' ', 1) AS w1,
+               split_part(b, ' ', 2) AS w2,
+               CAST(c_ab AS BIGINT) AS c_ab,
+               round(ln(c_ab) - ln(nb.nb) - ln(ua.c) - ln(ub.c)
+                     + 2 * ln(nu.nu), 6) AS pmi
+        FROM bi
+        JOIN uni ua ON ua.w = split_part(b, ' ', 1)
+        JOIN uni ub ON ub.w = split_part(b, ' ', 2)
+        CROSS JOIN nb CROSS JOIN nu
+    """
     sq["unigram_logprob"] = r"""
         WITH t AS (
           SELECT doc_id,

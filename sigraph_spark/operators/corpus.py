@@ -651,3 +651,63 @@ def unigram_logprob(
             F.round(F.avg("lp"), 6).alias("mean_logprob"),
         )
     )
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information over adjacent word pairs — the
+    classic collocation detector ("hash join", "prefix sum" score high;
+    chance pairs score ~0). Used to mine multi-word entities/terms for
+    the KG vocabulary before linking.
+
+    ``PMI = ln( (c_ab / N_bi) / ((c_a / N_uni) * (c_b / N_uni)) )``, all
+    counts corpus-global: two wordcount-shaped aggregations (bigrams +
+    unigrams, uniform keys, algebraic counts) and one broadcast of the
+    two scalar totals; ``min_count`` prunes the long random tail before
+    the join. Returns ``(w1, w2, c_ab, pmi)`` rounded to 6dp.
+    """
+    from sigraph_spark.operators.dedup import _word_grams
+
+    words = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    uni = (
+        docs.select(F.explode(words).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").alias("nu")).select("nu")
+    bi = (
+        docs.filter(F.size(words) >= 2)
+        .select(F.explode(_word_grams(F.col(text_col), 2)).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    n_bi = bi.agg(F.sum("c_ab").alias("nb")).select("nb")
+    w1 = F.substring_index(F.col("b"), " ", 1)
+    w2 = F.substring_index(F.col("b"), " ", -1)
+    ua = uni.select(F.col("w").alias("_w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("_w2"), F.col("c").alias("c_b"))
+    return (
+        bi.select(w1.alias("_w1"), w2.alias("_w2"), "c_ab")
+        .join(ua, "_w1")
+        .join(ub, "_w2")
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_uni))
+        .select(
+            F.col("_w1").alias("w1"),
+            F.col("_w2").alias("w2"),
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(
+                F.log(F.col("c_ab").cast("double"))
+                - F.log(F.col("nb").cast("double"))
+                - F.log(F.col("c_a").cast("double"))
+                - F.log(F.col("c_b").cast("double"))
+                + 2 * F.log(F.col("nu").cast("double")),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -409,3 +409,26 @@ def test_unigram_logprob_reference(spark):
     assert 3 not in got  # empty doc has no tokens
     # common-word doc scores higher than rare-word doc
     assert got[1]["mean_logprob"] > got[2]["mean_logprob"]
+
+
+def test_bigram_pmi_collocation_beats_chance(spark):
+    import math
+
+    from sigraph_spark.operators.corpus import bigram_pmi
+
+    # "hash join" always collocated; "the the" co-occurs by chance only
+    docs = spark.createDataFrame(
+        [(i, "hash join the x" + str(i) + " the y" + str(i)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    got = {(r["w1"], r["w2"]): r for r in bigram_pmi(docs, min_count=5).collect()}
+    assert ("hash", "join") in got
+    r = got[("hash", "join")]
+    assert r["c_ab"] == 6
+    # exact reference: N_bi = sum of surviving bigram counts; here only
+    # 'hash join' (6) and 'join the' (6) survive min_count=5
+    n_uni = 6 * 6  # six 6-word docs
+    n_bi = 12
+    ref = math.log(6) - math.log(n_bi) - math.log(6) - math.log(6) + 2 * math.log(n_uni)
+    assert abs(r["pmi"] - round(ref, 6)) < 1e-6
+    assert r["pmi"] > 0  # genuine collocation
