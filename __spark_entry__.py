@@ -998,6 +998,14 @@ def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_quantiles(_docs(spark, sf_dir))
 
 
+def q_doc_keyterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per doc: corpus-global df + WindowGroupLimit
+    top-k; identical double arithmetic orders both engines the same."""
+    from sigraph_spark.operators.corpus import doc_keyterms
+
+    return doc_keyterms(_docs(spark, sf_dir))
+
+
 def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: PMI over adjacent word pairs (min_count 5) —
     two wordcount aggregations + scalar-total broadcasts; ln math
@@ -1564,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "unigram_logprob": q_unigram_logprob,
         "bigram_pmi": q_bigram_pmi,
+        "doc_keyterms": q_doc_keyterms,
         "domain_quota": q_domain_quota,
         "pack_sequences": q_pack_sequences,
         "events_asof": q_events_asof,
@@ -2918,6 +2927,30 @@ def oracle_sql() -> dict[str, str]:
     """
     # --- domain stats over synthesized multi-host urls: lowercased host
     # by double substring_index, algebraic aggregates.
+    sq["doc_keyterms"] = r"""
+        WITH tt AS (
+          SELECT doc_id, u AS term FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'))
+                     AS u
+            FROM documents)
+          WHERE u <> ''),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tt GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 tf.tf * (ln(n.n) - ln(df.df)) AS s
+          FROM tf JOIN df ON df.term = tf.term CROSS JOIN n)
+        SELECT doc_id, term, CAST(rank AS BIGINT) AS rank,
+               round(s, 6) AS score
+        FROM (
+          SELECT doc_id, term, s,
+                 row_number() OVER (
+                   PARTITION BY doc_id ORDER BY s DESC, term ASC) AS rank
+          FROM scored)
+        WHERE rank <= 3
+    """
     sq["bigram_pmi"] = r"""
         WITH d AS (
           SELECT string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws

@@ -711,3 +711,49 @@ def bigram_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def doc_keyterms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the keyword/tag extraction
+    that feeds KG node enrichment and faceted search.
+
+    ``score = tf * ln(N / df)`` with corpus-global document frequencies:
+    one (doc, term) count, one term document-frequency aggregation, the
+    corpus size broadcast as a scalar, then a per-doc WindowGroupLimit
+    (rank <= k pushed below the shuffle — the per-doc top-k never
+    materializes the full score table downstream). Ties break by term
+    asc — deterministic. Returns ``(doc_id, term, rank, score)``.
+    """
+    words = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    toks = docs.select(F.col(id_col), F.explode(words).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.select(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "term",
+            (
+                F.col("tf").cast("double")
+                * (F.log(F.col("n").cast("double")) - F.log(F.col("df").cast("double")))
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("s").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col, "term", F.col("rank").cast("long").alias("rank"),
+            F.round("s", 6).alias("score"),
+        )
+    )

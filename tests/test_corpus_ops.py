@@ -432,3 +432,31 @@ def test_bigram_pmi_collocation_beats_chance(spark):
     ref = math.log(6) - math.log(n_bi) - math.log(6) - math.log(6) + 2 * math.log(n_uni)
     assert abs(r["pmi"] - round(ref, 6)) < 1e-6
     assert r["pmi"] > 0  # genuine collocation
+
+
+def test_doc_keyterms_tfidf_ordering(spark):
+    import math
+
+    from sigraph_spark.operators.corpus import doc_keyterms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common common"),   # 'rare' df=1, 'common' df=3
+            (2, "common unique unique"),
+            (3, "common filler"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in doc_keyterms(docs, k=2).collect():
+        got.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["score"]))
+    for v in got.values():
+        v.sort()
+    # doc 1: rare has idf ln(3); common tf=2 but idf 0 -> rare wins
+    assert got[1][0][1] == "rare"
+    assert abs(got[1][0][2] - round(math.log(3), 6)) < 1e-6
+    # doc 2: unique tf=2 idf ln(3) tops
+    assert got[2][0][1] == "unique"
+    assert abs(got[2][0][2] - round(2 * math.log(3), 6)) < 1e-6
+    # zero-idf terms score 0 but still rank when nothing better exists
+    assert got[3][0][1] == "filler"
