@@ -714,6 +714,32 @@ def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocklist_filter(docs, blocked)
 
 
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host authority: fixed-point PageRank over the host link graph —
+    the CommonCrawl-ranking composition (extract -> host graph -> rank),
+    exact BIGINT arithmetic end to end so the oracle is bit-identical."""
+    from sigraph_spark.operators.links import extract_links, host_link_graph
+    from sigraph_spark.operators.pagerank import pagerank
+
+    d = _docs(spark, sf_dir)
+
+    def url_of(t):
+        return F.concat(F.lit("https://h"), t % 7, F.lit(".example.com/d/"), t)
+
+    t1 = (F.col("doc_id") * 7 + 1) % 1000
+    t2 = (F.col("doc_id") * 13 + 5) % 1000
+    html = F.concat(
+        F.lit("<html><body><p>"), F.coalesce(F.col("text"), F.lit("")),
+        F.lit('</p><a href="'), url_of(t1), F.lit('">x</a> <a href=\''),
+        url_of(t2), F.lit("'>y</a><a href='/rel'>r</a></body></html>"),
+    )
+    pages = d.select(url_of(F.col("doc_id")).alias("url"), html.alias("html"))
+    hosts = host_link_graph(extract_links(pages)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return pagerank(hosts)
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC-lite ingest round trip, distributed end to end: documents ->
     (url, ts, payload) pages -> multi-record segment blobs (applyInPandas
@@ -1548,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "url_canonical": q_url_canonical,
         "url_blocklist": q_url_blocklist,
+        "host_pagerank": q_host_pagerank,
         "minhash_candidates": q_minhash_candidates,
         "minhash_incremental": q_minhash_incremental,
         "dedup_incremental_exact": q_dedup_incremental_exact,
@@ -2433,6 +2460,33 @@ def oracle_sql() -> dict[str, str]:
             ON blocked.host = array_to_string(
                  labels[CAST(i + 1 AS INT):CAST(len(labels) AS INT)], '.'))
     """
+    # --- host pagerank: link-graph CTEs composed with the unrolled
+    # fixed-point pagerank block (bit-identical BIGINT arithmetic).
+    from sigraph_spark.operators.pagerank import pagerank_oracle_sql as _pr2
+
+    sq["host_pagerank"] = r"""
+        WITH p AS (
+          SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.example.com/d/' || CAST(doc_id AS VARCHAR) AS url,
+                 '<html><body><p>' || coalesce(text, '')
+                 || '</p><a href="'
+                 || 'https://h' || CAST(((doc_id * 7 + 1) % 1000) % 7 AS VARCHAR)
+                 || '.example.com/d/' || CAST((doc_id * 7 + 1) % 1000 AS VARCHAR)
+                 || '">x</a> <a href='''
+                 || 'https://h' || CAST(((doc_id * 13 + 5) % 1000) % 7 AS VARCHAR)
+                 || '.example.com/d/' || CAST((doc_id * 13 + 5) % 1000 AS VARCHAR)
+                 || '''>y</a><a href=''/rel''>r</a></body></html>' AS html
+          FROM documents),
+        l AS (
+          SELECT url,
+                 unnest(regexp_extract_all(html, 'href=["'']([^"'']+)["'']', 1))
+                   AS target
+          FROM p),
+        lg AS (
+          SELECT split_part(split_part(url, '://', 2), '/', 1) AS src,
+                 split_part(split_part(target, '://', 2), '/', 1) AS dst
+          FROM l WHERE contains(target, '://')),
+    """ + _pr2("lg").lstrip()
     # --- WARC round trip: the oracle recomputes url/ts/bytes/fingerprint
     # straight from documents — equality proves the framing+parse path
     # preserved every payload byte. encode() is DuckDB's VARCHAR->BLOB
