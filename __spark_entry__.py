@@ -1024,6 +1024,37 @@ def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_quantiles(_docs(spark, sf_dir))
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier audit: confusion matrix of the stored lang column vs
+    the n-gram language-ID prediction — one narrow map + one tiny
+    algebraic aggregation."""
+    from sigraph_spark.operators.textstats import lang_id
+
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram in power-of-two buckets per language — the
+    corpus length profile chart; bucket = floor(log2(tokens)), zero-safe."""
+    from sigraph_spark.operators.textstats import whitespace_token_count
+
+    t = whitespace_token_count(F.col("text"))
+    bucket = F.when(t <= 0, F.lit(-1)).otherwise(
+        F.floor(F.log2(t.cast("double"))).cast("long")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 def q_doc_keyterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per doc: corpus-global df + WindowGroupLimit
     top-k; identical double arithmetic orders both engines the same."""
@@ -1600,6 +1631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "bigram_pmi": q_bigram_pmi,
         "doc_keyterms": q_doc_keyterms,
+        "lang_confusion": q_lang_confusion,
+        "length_histogram": q_length_histogram,
         "domain_quota": q_domain_quota,
         "pack_sequences": q_pack_sequences,
         "events_asof": q_events_asof,
@@ -2981,6 +3014,35 @@ def oracle_sql() -> dict[str, str]:
     """
     # --- domain stats over synthesized multi-host urls: lowercased host
     # by double substring_index, algebraic aggregates.
+    sq["lang_confusion"] = r"""
+        WITH s AS (
+          SELECT lang,
+            length(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it|was|for)\b')) AS s_en,
+            length(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ein|mit|auf|zu)\b')) AS s_de,
+            length(regexp_extract_all(lower(text), '\b(le|la|et|les|des|est|un|une|dans|que)\b')) AS s_fr,
+            length(regexp_extract_all(lower(text), '\b(el|la|de|que|los|una|por|con|para|las)\b')) AS s_es
+          FROM documents)
+        SELECT lang,
+               CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                    WHEN s_fr >= s_es THEN 'fr'
+                    ELSE 'es' END AS lang_pred,
+               CAST(count(*) AS BIGINT) AS n
+        FROM s GROUP BY 1, 2
+    """
+    sq["length_histogram"] = r"""
+        WITH t AS (
+          SELECT lang,
+                 CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                      ELSE length(string_split_regex(trim(text), '\s+')) END AS n_tok
+          FROM documents)
+        SELECT lang,
+               CASE WHEN n_tok <= 0 THEN -1
+                    ELSE CAST(floor(log2(n_tok)) AS BIGINT) END AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM t GROUP BY 1, 2
+    """
     sq["doc_keyterms"] = r"""
         WITH tt AS (
           SELECT doc_id, u AS term FROM (
