@@ -1024,6 +1024,56 @@ def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_quantiles(_docs(spark, sf_dir))
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-integrity audit: content hashes that appear in MORE THAN
+    ONE train/val/test split (exact duplicates straddling the split
+    boundary leak eval data into training). Composition of the split
+    assignment and exact dedup — one groupBy on the content hash."""
+    from sigraph_spark.operators.corpus import dataset_split
+    from sigraph_spark.operators.dedup import exact_dedup
+
+    # prefix-20 content key (the dedup_prefix device) so the fixture has
+    # real cross-split collisions — a 0-row audit proves nothing
+    d = dataset_split(
+        _docs(spark, sf_dir).withColumn("text", F.substring("text", 1, 20))
+    )
+    h = exact_dedup(d).select("doc_id", "content_hash")
+    return (
+        d.select("doc_id", "split")
+        .join(h, "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.size(F.collect_set("split")).cast("long").alias("n_splits"),
+            F.array_join(F.array_sort(F.collect_set("split")), ",").alias("splits"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )
+
+
+def q_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language adaptive quality gate: keep docs at or above their
+    language's MEDIAN composite quality score (the threshold adapts to
+    each language's score distribution instead of one global constant).
+    Exact percentile == quantile_cont parity is already pinned by the
+    corpus_quantiles gate; identical double comparisons on both sides."""
+    from sigraph_spark.operators.textstats import quality_features, quality_score
+
+    scored = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", *quality_features(F.col("text")))
+        .select("doc_id", "lang", quality_score())
+    )
+    med = scored.groupBy("lang").agg(
+        F.expr("percentile(quality_score, 0.5)").alias("med")
+    )
+    return (
+        scored.join(med, "lang")
+        .filter(F.col("quality_score") >= F.col("med"))
+        .select("doc_id", "lang", F.round("quality_score", 6).alias("quality_score"))
+    )
+
+
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier audit: confusion matrix of the stored lang column vs
     the n-gram language-ID prediction — one narrow map + one tiny
@@ -1632,6 +1682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_pmi": q_bigram_pmi,
         "doc_keyterms": q_doc_keyterms,
         "lang_confusion": q_lang_confusion,
+        "split_leakage": q_split_leakage,
+        "adaptive_quality": q_adaptive_quality,
         "length_histogram": q_length_histogram,
         "domain_quota": q_domain_quota,
         "pack_sequences": q_pack_sequences,
@@ -3014,6 +3066,49 @@ def oracle_sql() -> dict[str, str]:
     """
     # --- domain stats over synthesized multi-host urls: lowercased host
     # by double substring_index, algebraic aggregates.
+    sq["split_leakage"] = """
+        WITH b AS (
+          SELECT doc_id,
+                 CASE WHEN CAST((md5_number_upper('split:' || CAST(doc_id AS VARCHAR))
+                                 & 4294967295) % 100 AS BIGINT) < 80 THEN 'train'
+                      WHEN CAST((md5_number_upper('split:' || CAST(doc_id AS VARCHAR))
+                                 & 4294967295) % 100 AS BIGINT) < 90 THEN 'val'
+                      ELSE 'test' END AS split,
+                 sha256(coalesce(substr(text, 1, 20), '')) AS content_hash
+          FROM documents)
+        SELECT content_hash,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+               array_to_string(list_sort(list(DISTINCT split)), ',') AS splits
+        FROM b GROUP BY content_hash
+        HAVING count(DISTINCT split) > 1
+    """
+    sq["adaptive_quality"] = r"""
+        WITH feat AS (
+          SELECT doc_id, lang,
+                 CAST(length(text) AS DOUBLE) AS n_chars_text,
+                 CAST(length(regexp_extract_all(text, '[A-Za-z0-9_'']+')) AS DOUBLE) AS n_words,
+                 CAST(length(regexp_replace(text, '[^A-Za-z0-9_'']', '', 'g')) AS DOUBLE) AS word_chars,
+                 CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct,
+                 CAST(length(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS n_upper,
+                 CAST(length(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it|was|for)\b')) AS DOUBLE) AS n_stop
+          FROM documents),
+        q AS (
+          SELECT doc_id, lang,
+                 (CASE WHEN n_words >= 5
+                            AND word_chars / greatest(n_words, 1.0) >= 2.0
+                            AND word_chars / greatest(n_words, 1.0) <= 12.0
+                       THEN 1.0 ELSE 0.0 END)
+                 * (0.4 * least(n_stop / greatest(n_words, 1.0) * 5.0, 1.0)
+                    + 0.3 * greatest(0.0, 1.0 - n_punct / greatest(n_chars_text, 1.0) * 4.0)
+                    + 0.3 * greatest(0.0, 1.0 - n_upper / greatest(n_chars_text, 1.0) * 2.0))
+                   AS quality_score
+          FROM feat),
+        m AS (SELECT lang, quantile_cont(quality_score, 0.5) AS med FROM q GROUP BY lang)
+        SELECT q.doc_id, q.lang, round(q.quality_score, 6) AS quality_score
+        FROM q JOIN m ON m.lang = q.lang
+        WHERE q.quality_score >= m.med
+    """
     sq["lang_confusion"] = r"""
         WITH s AS (
           SELECT lang,
