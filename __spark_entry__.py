@@ -241,6 +241,38 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(e, seeds, rounds=3)
 
 
+def q_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row graph health summary: node/edge counts, density,
+    reciprocity (fraction of directed pairs with a reverse edge), and
+    self-loop count — the sanity panel printed after every build."""
+    e = _edges_ckpt(spark, sf_dir).select("src", "dst").distinct().localCheckpoint(
+        eager=False
+    )
+    nodes = (
+        e.select(F.col("src").alias("n"))
+        .unionAll(e.select(F.col("dst").alias("n")))
+        .distinct()
+        .count()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"]).count()
+    total = e.count()
+    loops = e.filter(F.col("src") == F.col("dst")).count()
+    raw = _events(spark, sf_dir).sparkSession.createDataFrame(
+        [(nodes, total, loops, recip)],
+        "n_nodes long, n_edges long, self_loops long, _recip long",
+    )
+    # ratios rounded Spark-side: F.round is HALF_UP like the SQL engines
+    # (python round() is banker's and can differ on exact .5 boundaries)
+    return raw.select(
+        "n_nodes", "n_edges", "self_loops",
+        F.round(F.col("_recip") / F.col("n_edges"), 6).alias("reciprocity"),
+        F.round(
+            F.col("n_edges") / (F.col("n_nodes") * (F.col("n_nodes") - 1)), 6
+        ).alias("density"),
+    )
+
+
 def q_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-component size profile — the cluster audit run after
     every near-dup/entity pass (a giant component usually means the
@@ -1627,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "node_features": q_node_features,
         "component_stats": q_component_stats,
+        "graph_metrics": q_graph_metrics,
         "label_propagation": q_label_propagation,
         "random_walks": q_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
@@ -1887,6 +1920,26 @@ def oracle_sql() -> dict[str, str]:
           WHERE n LIKE 'proc\\_%' ESCAPE '\\'),
         """
         + label_propagation_oracle_sql("edges", "lp_seeds", 3)
+    )
+    # --- one-row graph health panel
+    sq["graph_metrics"] = (
+        "WITH " + _EDGES_CTE
+        + """,
+        de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+        nn AS (SELECT count(*) AS n FROM (
+          SELECT DISTINCT x FROM (
+            SELECT src AS x FROM de UNION ALL SELECT dst FROM de))),
+        tot AS (SELECT count(*) AS t FROM de),
+        rc AS (SELECT count(*) AS r FROM de a
+               JOIN de b ON b.src = a.dst AND b.dst = a.src),
+        lp AS (SELECT count(*) AS l FROM de WHERE src = dst)
+        SELECT CAST(nn.n AS BIGINT) AS n_nodes,
+               CAST(tot.t AS BIGINT) AS n_edges,
+               CAST(lp.l AS BIGINT) AS self_loops,
+               round(rc.r / CAST(tot.t AS DOUBLE), 6) AS reciprocity,
+               round(tot.t / CAST(nn.n * (nn.n - 1) AS DOUBLE), 6) AS density
+        FROM nn, tot, rc, lp
+        """
     )
     # --- component size profile over the reachability closure
     sq["component_stats"] = (
