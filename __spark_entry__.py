@@ -1377,6 +1377,56 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: per user, first signup and first purchase
+    strictly after it; one row of funnel counts + conversion rate.
+    min-aggregations only — order-insensitive, exactly reproducible."""
+    ev = _events(spark, sf_dir)
+    first_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    converted = (
+        first_signup.join(purchases, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .select("user_id")
+        .distinct()
+    )
+    base = first_signup.agg(F.count(F.lit(1)).alias("n_signup_users")).crossJoin(
+        converted.agg(F.count(F.lit(1)).alias("n_converted"))
+    )
+    return base.select(
+        F.col("n_signup_users").cast("long"),
+        F.col("n_converted").cast("long"),
+        F.round(F.col("n_converted") / F.col("n_signup_users"), 6).alias("rate"),
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the Monday week of their
+    first event; n distinct users active at each later week offset.
+    Pure UTC second arithmetic — identical in both engines."""
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
+    return (
+        active.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                (F.unix_timestamp("wk") - F.unix_timestamp("cohort_week")) / 604800
+            ).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     dq = F.col("l_quantity").cast("decimal(18,4)")
@@ -1724,6 +1774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": q_events_interval_join,
         "events_windows": q_events_windows,
         "events_sessions": q_events_sessions,
+        "events_funnel": q_events_funnel,
+        "retention_cohorts": q_retention_cohorts,
         "tpch_q1": q_tpch_q1,
         "revenue_by_nation": q_revenue_by_nation,
         "orders_priority": q_orders_priority,
@@ -3360,6 +3412,35 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 6) AS sum_value
         FROM events
         GROUP BY 1, 2, 3
+    """
+    sq["events_funnel"] = """
+        WITH fs AS (
+          SELECT user_id, min(ts) AS signup_ts FROM events
+          WHERE event_type = 'signup' GROUP BY user_id),
+        conv AS (
+          SELECT DISTINCT fs.user_id FROM fs
+          JOIN events p ON p.user_id = fs.user_id
+           AND p.event_type = 'purchase' AND p.ts > fs.signup_ts),
+        a AS (SELECT count(*) AS n_signup_users FROM fs),
+        b AS (SELECT count(*) AS n_converted FROM conv)
+        SELECT CAST(a.n_signup_users AS BIGINT) AS n_signup_users,
+               CAST(b.n_converted AS BIGINT) AS n_converted,
+               round(b.n_converted / CAST(a.n_signup_users AS DOUBLE), 6) AS rate
+        FROM a, b
+    """
+    sq["retention_cohorts"] = """
+        WITH c AS (
+          SELECT user_id,
+                 CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+          FROM events GROUP BY user_id),
+        act AS (
+          SELECT DISTINCT e.user_id, c.cohort_week,
+                 CAST((epoch(date_trunc('week', e.ts))
+                       - epoch(c.cohort_week)) / 604800 AS BIGINT) AS week_offset
+          FROM events e JOIN c ON c.user_id = e.user_id)
+        SELECT cohort_week, week_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM act GROUP BY 1, 2
     """
     sq["events_sessions"] = """
         WITH g AS (
