@@ -1056,6 +1056,30 @@ def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_quantiles(_docs(spark, sf_dir))
 
 
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report: how many docs each source
+    contributes and what fraction are exact duplicates of an earlier doc
+    (corpus-wide canonical = min doc_id) — the table that tells you WHICH
+    feed to deprioritize. Prefix-20 content key for a non-trivial
+    fixture, same device as dedup_prefix."""
+    from sigraph_spark.operators.dedup import exact_dedup
+
+    d = _docs(spark, sf_dir).withColumn("text", F.substring("text", 1, 20))
+    dd = exact_dedup(d).select(
+        "doc_id", (F.col("doc_id") != F.col("canonical_id")).cast("long").alias("is_dup")
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(dd, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_dup").cast("long").alias("n_dups"),
+            F.round(F.sum("is_dup") / F.count(F.lit(1)), 6).alias("dup_rate"),
+        )
+    )
+
+
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-integrity audit: content hashes that appear in MORE THAN
     ONE train/val/test split (exact duplicates straddling the split
@@ -1766,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keyterms": q_doc_keyterms,
         "lang_confusion": q_lang_confusion,
         "split_leakage": q_split_leakage,
+        "dedup_rate_by_source": q_dedup_rate_by_source,
         "adaptive_quality": q_adaptive_quality,
         "length_histogram": q_length_histogram,
         "domain_quota": q_domain_quota,
@@ -3171,6 +3196,21 @@ def oracle_sql() -> dict[str, str]:
     """
     # --- domain stats over synthesized multi-host urls: lowercased host
     # by double substring_index, algebraic aggregates.
+    sq["dedup_rate_by_source"] = """
+        WITH d AS (
+          SELECT doc_id, source,
+                 sha256(coalesce(substr(text, 1, 20), '')) AS h
+          FROM documents),
+        c AS (SELECT doc_id, source,
+                     min(doc_id) OVER (PARTITION BY h) AS canon FROM d)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN doc_id <> canon THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dups,
+               round(sum(CASE WHEN doc_id <> canon THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+        FROM c GROUP BY source
+    """
     sq["split_leakage"] = """
         WITH b AS (
           SELECT doc_id,
