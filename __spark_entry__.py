@@ -1219,7 +1219,14 @@ def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     out = domain_quota(docs, per_host=25, quality_col="n_chars")
-    return out.select("doc_id", "host", "lang", "n_chars")
+    # domain_quota keeps its internal host column private; recompute the
+    # host label for the report projection.
+    host = F.substring_index(
+        F.substring_index(F.col("url"), "://", -1), "/", 1
+    )
+    return out.withColumn("host", host).select(
+        "doc_id", "host", "lang", "n_chars"
+    )
 
 
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2617,7 +2624,9 @@ def oracle_sql() -> dict[str, str]:
         s2 AS (
           SELECT doc_id, u,
                  split_part(u, '?', 1) AS base,
-                 CASE WHEN contains(u, '?') THEN split_part(u, '?', 2) END AS query
+                 CASE WHEN contains(u, '?')
+                      THEN substr(u, length(split_part(u, '?', 1)) + 2)
+                 END AS query
           FROM s1),
         s3 AS (
           SELECT doc_id, query,

@@ -603,12 +603,15 @@ def domain_quota(
         else [F.col(id_col).asc()]
     )
     host = F.substring_index(F.substring_index(F.col(url_col), "://", -1), "/", 1)
-    w = Window.partitionBy("host").orderBy(*order)
+    # collision-safe internal names, dropped before return: a bare 'host'
+    # would clobber (and leak into the output schema over) any caller
+    # column of the same name.
+    w = Window.partitionBy("_dq_host").orderBy(*order)
     return (
-        docs.withColumn("host", host)
-        .withColumn("host_rank", F.row_number().over(w))
-        .filter(F.col("host_rank") <= per_host)
-        .drop("host_rank")
+        docs.withColumn("_dq_host", host)
+        .withColumn("_dq_rank", F.row_number().over(w))
+        .filter(F.col("_dq_rank") <= per_host)
+        .drop("_dq_host", "_dq_rank")
     )
 
 

@@ -116,7 +116,11 @@ def shortest_paths(
 
     Deterministic: distances are unique minima, independent of partition
     order. Convergence: stops when a round yields no new nodes (one count
-    per round, on the frontier — the small side).
+    per round, on the frontier — the small side). If ``max_iter`` rounds
+    are exhausted first, the result is a PARTIAL distance table (nodes at
+    depth > max_iter are missing, not unreachable); pass a ``metrics``
+    dict and check ``metrics["converged"]`` to distinguish the cases on
+    high-eccentricity graphs.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
     dist = (
@@ -127,6 +131,7 @@ def shortest_paths(
     )
     frontier = dist
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         rounds += 1
         reached = (
@@ -139,11 +144,16 @@ def shortest_paths(
             eager=True
         )
         if new.limit(1).count() == 0:
+            converged = True
             break
         dist = dist.unionByName(new).localCheckpoint(eager=True)
         frontier = new
     if metrics is not None:
         metrics["rounds"] = rounds
+        # distinguish an emptied frontier (true BFS completion) from
+        # max_iter exhaustion: on truncation, distances are a PARTIAL
+        # lower-frontier — absent nodes are not necessarily unreachable.
+        metrics["converged"] = converged
     return dist.select(F.col("node").alias("node_id"), "distance")
 
 

@@ -87,9 +87,15 @@ def canonical_url(url: Column) -> Column:
     u = F.trim(url)
     # drop fragment
     u = F.substring_index(u, "#", 1)
-    # split off the query
+    # split off the query at the FIRST '?': the remainder is the whole
+    # query even when a param VALUE contains another '?' (url-valued
+    # params) — substring_index(u,'?',-1) would keep only the tail after
+    # the last '?' and silently drop leading params.
     base = F.substring_index(u, "?", 1)
-    query = F.when(u.contains("?"), F.substring_index(u, "?", -1))
+    query = F.when(
+        u.contains("?"),
+        F.substring(u, F.length(base) + 2, F.lit(1 << 20)),
+    )
     # lowercase scheme+host (everything before the path), keep path case
     scheme = F.lower(F.substring_index(base, "://", 1))
     rest = F.substring_index(base, "://", -1)

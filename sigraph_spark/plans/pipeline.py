@@ -270,7 +270,12 @@ def run_curation(
         m = read_manifest(os.path.join(workdir, stage_dir))
         return m["output_fingerprint"] if m else "missing"
 
-    fp = input_fingerprint or table_fingerprint(docs.select("doc_id"))
+    # fingerprint includes a cheap content proxy (text length + lang), not
+    # just doc_id: an in-place edit with unchanged ids must invalidate the
+    # resume chain, else c1-c6 silently replay stale manifests.
+    fp = input_fingerprint or table_fingerprint(
+        docs.select("doc_id", F.length("text").alias("_len"), "lang")
+    )
 
     def build_c1() -> DataFrame:
         n = normalize_text(docs)

@@ -40,6 +40,12 @@ _LEDGER = "_applied.json"
 
 
 def _applied(index_dir: str) -> set[int]:
+    # crash recovery for the two-rename swap in curate_batch: if we died
+    # between demoting the old index and promoting the new one, the '.old'
+    # copy is the only complete index — restore it before reading.
+    old = index_dir + ".old"
+    if not os.path.exists(index_dir) and os.path.exists(old):
+        os.replace(old, index_dir)
     p = os.path.join(index_dir, _LEDGER)
     if os.path.exists(p):
         with open(p) as f:
@@ -98,8 +104,17 @@ def curate_batch(
     new_index.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
     with open(os.path.join(tmp, _LEDGER), "w") as f:
         json.dump(sorted(applied | {int(batch_id)}), f)
-    shutil.rmtree(index_dir, ignore_errors=True)
+    # swap via two renames so there is NO window where the index (and its
+    # ledger of every previously applied batch) is absent from disk: a
+    # crash between the renames leaves either the old or the new index
+    # directory live, never neither — delete-then-rename would let a crash
+    # drop the whole ledger and re-admit every prior doc on restart.
+    old = index_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(index_dir):
+        os.replace(index_dir, old)
     os.replace(tmp, index_dir)
+    shutil.rmtree(old, ignore_errors=True)
 
     return {
         "input": batch.count(),

@@ -391,6 +391,20 @@ def test_domain_quota_without_quality_is_id_ordered(spark):
     assert got == [1, 2, 3]
 
 
+def test_domain_quota_preserves_schema_and_host_column(spark):
+    # the internal grouping column must not leak into the output schema,
+    # and a pre-existing 'host' column must survive untouched
+    from sigraph_spark.operators.corpus import domain_quota
+
+    docs = spark.createDataFrame(
+        [(1, "https://a.com/1", "keepme"), (2, "https://a.com/2", "metoo")],
+        "doc_id long, url string, host string",
+    )
+    out = domain_quota(docs, per_host=5)
+    assert out.columns == ["doc_id", "url", "host"]
+    assert {r["host"] for r in out.collect()} == {"keepme", "metoo"}
+
+
 def test_unigram_logprob_reference(spark):
     import math
 

@@ -106,6 +106,24 @@ def test_shortest_paths_chain_and_branch(spark):
     # d is at distance 2 via the shortcut, not 4 via the chain
     assert got["d"] == 2
     assert metrics["rounds"] >= 4
+    assert metrics["converged"] is True
+
+
+def test_shortest_paths_truncation_flagged(spark):
+    # max_iter exhausted before the frontier empties -> partial distances,
+    # converged=False so callers can't mistake depth>max_iter for unreachable
+    from sigraph_spark.operators.graphalgo import shortest_paths
+
+    chain = [(f"n{i}", f"n{i+1}") for i in range(6)]
+    e = spark.createDataFrame(chain, "src string, dst string")
+    seeds = spark.createDataFrame([("n0",)], "node_id string")
+    metrics = {}
+    got = {
+        r["node_id"]: r["distance"]
+        for r in shortest_paths(e, seeds, max_iter=3, metrics=metrics).collect()
+    }
+    assert metrics["converged"] is False and metrics["rounds"] == 3
+    assert got == {"n0": 0, "n1": 1, "n2": 2, "n3": 3}  # truncated at depth 3
 
 
 def test_shortest_paths_multi_source_min(spark):

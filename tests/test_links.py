@@ -73,6 +73,11 @@ def test_canonical_url_rules(spark):
         ("https://e.com/p?z=1", "https://e.com/p?z=1"),
         ("https://e.com/#top", "https://e.com/"),
         ("https://e.com:8080/x", "https://e.com:8080/x"),  # non-default port kept
+        # '?' inside a param value: query is everything after the FIRST '?'
+        (
+            "https://e.com/p?next=https://o.com/q?y=1&a=1",
+            "https://e.com/p?a=1&next=https://o.com/q?y=1",
+        ),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = [
