@@ -128,6 +128,25 @@ def q_trace_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_trace_contains(good)
 
 
+def q_trace_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded span-membership side table: distinct (unit, trace, span)
+    narrow rows replace the per-trace span_ids array, so a hot trace never
+    becomes one fat array cell; span_count on traces is derived from this
+    table under delta merges."""
+    from sigraph_spark.operators.graph import build_trace_spans
+
+    good, _ = _parsed(spark, sf_dir)
+    return build_trace_spans(good)
+
+
+def q_graph_merge_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged span membership after the half+delta(+replay) merge must equal
+    the full-recompute distinct set — the set-union semilattice proof for
+    the side table."""
+    m = _merged_tables(spark, sf_dir)
+    return m.trace_spans
+
+
 def q_rule_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sigraph_spark.operators.graph import build_rule_matches
 
@@ -1726,6 +1745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_edges": q_graph_edges,
         "graph_traces": q_graph_traces,
         "trace_contains": q_trace_contains,
+        "trace_spans": q_trace_spans,
+        "graph_merge_spans": q_graph_merge_spans,
         "rule_matches": q_rule_matches,
         "graph_merge_nodes": q_graph_merge_nodes,
         "graph_merge_edges": q_graph_merge_edges,
@@ -2211,6 +2232,12 @@ def oracle_sql() -> dict[str, str]:
         "WITH " + _EDGES_CTE
         + " SELECT unit_id, trace_id, node_id FROM containment"
     )
+    sq["trace_spans"] = (
+        "WITH " + SEVENTS_CTE
+        + " SELECT DISTINCT unit_id, trace_id, span_id FROM parsed"
+    )
+    # merge-twice == recompute-from-union for the span side table
+    sq["graph_merge_spans"] = sq["trace_spans"]
     sq["rule_matches"] = (
         "WITH " + SEVENTS_CTE
         + """

@@ -130,7 +130,8 @@ def main() -> None:
     base = build_graph(ev_all.filter(parity < 9))
     base = GraphTables(**{
         f: getattr(base, f).localCheckpoint(eager=True)
-        for f in ("nodes", "edges", "traces", "trace_contains", "rule_matches", "errors")
+        for f in ("nodes", "edges", "traces", "trace_contains", "trace_spans",
+                  "rule_matches", "errors")
     })  # existing graph (90% of events) materialized OUTSIDE the timing
     delta_events = ev_all.filter(parity == 9).localCheckpoint(eager=True)
 

@@ -41,12 +41,14 @@ from pyspark.sql import functions as F
 
 @dataclass
 class GraphTables:
-    """The five core tables of the behavioral KG (SURVEY.md §1.1)."""
+    """The core tables of the behavioral KG (SURVEY.md §1.1), plus the
+    bounded span-membership side table and the error side-channel."""
 
     nodes: DataFrame        # node_id, label, image, related_span_ids, related_trace_ids (+ image_ts/image_span merge keys)
     edges: DataFrame        # src, predicate, dst, start_time, weight (+ last_span_id merge key)
-    traces: DataFrame       # unit_id, trace_id, start_time, representative_process_name, span_count (+ rep_span_id/span_ids merge keys)
+    traces: DataFrame       # unit_id, trace_id, start_time, representative_process_name, span_count (+ rep_span_id merge key)
     trace_contains: DataFrame  # unit_id, trace_id, node_id
+    trace_spans: DataFrame     # unit_id, trace_id, span_id — bounded span membership (span_count = its per-trace cardinality)
     rule_matches: DataFrame    # rule_id, node_id
     errors: DataFrame       # original event row + error string (side output)
 
@@ -270,10 +272,14 @@ def build_traces(parsed: DataFrame) -> DataFrame:
 
     The representative is the min-(timestamp, span_id) event's process_name
     (deterministic tie-break; lexicographic min over structs is associative,
-    so delta merges recombine it exactly). ``span_ids`` (the distinct span
-    set) and ``rep_span_id`` ride along as MERGE KEYS: span_count =
-    size(span_ids) stays correct — and idempotent — under re-delivered
-    events, unlike a count(*) sum."""
+    so delta merges recombine it exactly). ``span_count`` is the DISTINCT
+    span cardinality — idempotent under re-delivered events, unlike a
+    count(*) sum; ``rep_span_id`` rides along as the representative MERGE
+    KEY. Span MEMBERSHIP deliberately does NOT live on this row: a hot
+    trace with 10^7 spans must not become one 10^7-element array cell (a
+    straggler/OOM in every downstream agg). It lives in the bucketed
+    ``build_trace_spans`` side table, from which delta merges re-derive
+    span_count exactly."""
     return (
         parsed.groupBy("unit_id", "trace_id")
         .agg(
@@ -284,17 +290,27 @@ def build_traces(parsed: DataFrame) -> DataFrame:
                     F.col("process_name").alias("pname"),
                 )
             ).alias("_rep"),
-            F.array_sort(F.collect_set("span_id")).alias("span_ids"),
+            F.count_distinct("span_id").cast("long").alias("span_count"),
         )
         .select(
             "unit_id", "trace_id",
             F.col("_rep.ts").alias("start_time"),
             F.col("_rep.pname").alias("representative_process_name"),
-            F.size("span_ids").cast("long").alias("span_count"),
+            "span_count",
             F.col("_rep.sid").alias("rep_span_id"),
-            "span_ids",
         )
     )
+
+
+def build_trace_spans(parsed: DataFrame) -> DataFrame:
+    """Distinct (unit_id, trace_id, span_id) span-membership side table —
+    the bounded replacement for a per-trace span_ids array. NARROW rows on
+    a uniform key: a 10^7-span trace is 10^7 rows spread across hash
+    partitions (algebraic distinct, map-side partials), never one fat row.
+    In production this is an Iceberg table bucketed on (unit_id, trace_id)
+    (plans/iceberg_sql.py) so the merge and the span_count re-derivation
+    are storage-partitioned joins."""
+    return parsed.select("unit_id", "trace_id", "span_id").distinct()
 
 
 def build_trace_contains(parsed: DataFrame) -> DataFrame:
@@ -367,6 +383,7 @@ def build_graph(events: DataFrame, check_label_conflicts: bool = False) -> Graph
         edges=build_edges(parsed),
         traces=build_traces(parsed),
         trace_contains=build_trace_contains(parsed),
+        trace_spans=build_trace_spans(parsed),
         rule_matches=build_rule_matches(parsed),
         errors=errors,
     )
@@ -435,11 +452,26 @@ def merge_edges(existing: DataFrame, delta: DataFrame) -> DataFrame:
     )
 
 
-def merge_traces(existing: DataFrame, delta: DataFrame) -> DataFrame:
+def merge_trace_spans(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Span-membership merge: union + distinct on the narrow
+    (unit_id, trace_id, span_id) rows — a semilattice set-union that is one
+    keyed shuffle with map-side partials (the parquet-local analog of the
+    Iceberg WHEN NOT MATCHED INSERT in plans/iceberg_sql.py). Idempotent:
+    re-applying a delta adds nothing."""
+    return existing.unionByName(delta).distinct()
+
+
+def merge_traces(
+    existing: DataFrame, delta: DataFrame, merged_spans: DataFrame
+) -> DataFrame:
     """Trace aggregates recombine exactly: the global min-(ts, span_id)
-    representative is the min over per-side minima; span_count recounts the
-    unioned distinct span set (idempotent under re-delivery)."""
-    return (
+    representative is the min over per-side minima; span_count is
+    RE-DERIVED from the already-merged span-membership side table
+    (``merge_trace_spans``), so it stays idempotent under re-delivery
+    WITHOUT carrying an unbounded span_ids array on the trace row. Both
+    aggregations and the final join share the (unit_id, trace_id) key, so
+    the join is co-partitioned — no extra shuffle."""
+    rep = (
         existing.unionByName(delta)
         .groupBy("unit_id", "trace_id")
         .agg(
@@ -449,19 +481,18 @@ def merge_traces(existing: DataFrame, delta: DataFrame) -> DataFrame:
                     F.col("rep_span_id").alias("sid"),
                     F.col("representative_process_name").alias("pname"),
                 )
-            ).alias("_rep"),
-            F.array_sort(
-                F.array_distinct(F.flatten(F.collect_list("span_ids")))
-            ).alias("span_ids"),
+            ).alias("_rep")
         )
-        .select(
-            "unit_id", "trace_id",
-            F.col("_rep.ts").alias("start_time"),
-            F.col("_rep.pname").alias("representative_process_name"),
-            F.size("span_ids").cast("long").alias("span_count"),
-            F.col("_rep.sid").alias("rep_span_id"),
-            "span_ids",
-        )
+    )
+    counts = merged_spans.groupBy("unit_id", "trace_id").agg(
+        F.count(F.lit(1)).cast("long").alias("span_count")
+    )
+    return rep.join(counts, ["unit_id", "trace_id"]).select(
+        "unit_id", "trace_id",
+        F.col("_rep.ts").alias("start_time"),
+        F.col("_rep.pname").alias("representative_process_name"),
+        "span_count",
+        F.col("_rep.sid").alias("rep_span_id"),
     )
 
 
@@ -472,13 +503,15 @@ def merge_graph_tables(existing: GraphTables, delta_events: DataFrame) -> GraphT
     shared stage functions, then merges each against the existing table
     with the §1.3 combiners above. Errors append (side channel)."""
     delta = build_graph(delta_events)
+    spans = merge_trace_spans(existing.trace_spans, delta.trace_spans)
     return GraphTables(
         nodes=merge_nodes(existing.nodes, delta.nodes),
         edges=merge_edges(existing.edges, delta.edges),
-        traces=merge_traces(existing.traces, delta.traces),
+        traces=merge_traces(existing.traces, delta.traces, spans),
         trace_contains=existing.trace_contains.unionByName(
             delta.trace_contains
         ).distinct(),
+        trace_spans=spans,
         rule_matches=existing.rule_matches.unionByName(
             delta.rule_matches
         ).distinct(),
@@ -585,6 +618,9 @@ def apply_debris(tables: GraphTables, debris: DataFrame) -> tuple[GraphTables, d
         trace_contains=tables.trace_contains.join(
             d_traces, ["unit_id", "trace_id"], "left_anti"
         ),
+        trace_spans=tables.trace_spans.join(
+            d_traces, ["unit_id", "trace_id"], "left_anti"
+        ),
         rule_matches=tables.rule_matches.join(d_nodes, "node_id", "left_anti"),
         errors=tables.errors,
     )
@@ -603,6 +639,7 @@ def apply_unit_flush(tables: GraphTables, unit_id: str) -> tuple[GraphTables, di
         edges=tables.edges,
         traces=unit_flush(tables.traces, unit_id),
         trace_contains=unit_flush(tables.trace_contains, unit_id),
+        trace_spans=unit_flush(tables.trace_spans, unit_id),
         rule_matches=tables.rule_matches,
         errors=tables.errors,
     )
@@ -612,8 +649,11 @@ def apply_unit_flush(tables: GraphTables, unit_id: str) -> tuple[GraphTables, di
 
 def _deletion_counters(before: GraphTables, after: GraphTables) -> dict:
     """A13 summary-counter deltas (reference keeps created/deleted counts
-    per entity type): rows deleted per table — five cheap count jobs."""
+    per entity type): rows deleted per table — one cheap count job each."""
     return {
         name: getattr(before, name).count() - getattr(after, name).count()
-        for name in ("nodes", "edges", "traces", "trace_contains", "rule_matches")
+        for name in (
+            "nodes", "edges", "traces", "trace_contains", "trace_spans",
+            "rule_matches",
+        )
     }

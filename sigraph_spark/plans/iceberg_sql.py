@@ -11,9 +11,12 @@ operators.graph.merge_* — §1.3 re-upsert semantics:
 * nodes:  list set-union re-sorted; image keeps the (image_ts, image_span)
   minimum non-null (keep-existing-unless-null, client.py:159-162);
 * edges:  last-writer-wins by (start_time, last_span_id) (client.py:221);
-* traces: span_ids set-union (span_count = its size — idempotent under
-  replay), representative = global min (start_time, rep_span_id);
-* trace_contains / rule_matches: insert-if-absent.
+* traces: representative = global min (start_time, rep_span_id);
+  span_count is RE-DERIVED from the trace_spans membership table (merged
+  first, insert-if-absent) — idempotent under replay with NO unbounded
+  span_ids array on the trace row (a 10^7-span trace stays 10^7 narrow
+  bucketed rows, never one fat array cell);
+* trace_contains / trace_spans / rule_matches: insert-if-absent.
 
 Partitioning: unit-scoped tables bucket on unit_id so unit flush
 (DELETE WHERE unit_id = ?) is partition-local; nodes/edges bucket on their
@@ -55,8 +58,17 @@ CREATE TABLE IF NOT EXISTS {DB}.traces (
   start_time TIMESTAMP,
   representative_process_name STRING,
   span_count BIGINT,
-  rep_span_id STRING,
-  span_ids ARRAY<STRING>)
+  rep_span_id STRING)
+USING iceberg
+PARTITIONED BY (bucket({_BUCKETS}, unit_id))""",
+    # span membership lives OFF the trace row (bounded state at 100x):
+    # bucketed on unit_id like the other unit-scoped tables, so the merge
+    # and the span_count re-derivation are partition-local per unit
+    "trace_spans": f"""\
+CREATE TABLE IF NOT EXISTS {DB}.trace_spans (
+  unit_id STRING NOT NULL,
+  trace_id STRING NOT NULL,
+  span_id STRING NOT NULL)
 USING iceberg
 PARTITIONED BY (bucket({_BUCKETS}, unit_id))""",
     "trace_contains": f"""\
@@ -114,13 +126,30 @@ WHEN MATCHED AND struct(s.start_time, s.last_span_id) > struct(t.start_time, t.l
     t.weight = s.weight,
     t.last_span_id = s.last_span_id
 WHEN NOT MATCHED THEN INSERT *""",
+    # MUST run before the traces merge: span_count is re-derived from the
+    # post-merge membership table
+    "trace_spans": f"""\
+MERGE INTO {DB}.trace_spans t
+USING trace_spans_delta s
+ON t.unit_id = s.unit_id AND t.trace_id = s.trace_id AND t.span_id = s.span_id
+WHEN NOT MATCHED THEN INSERT *""",
+    # source = delta rows joined to the ALREADY-MERGED span membership
+    # counts, so span_count is exact and replay-idempotent without any
+    # array column; the count agg and the join both key on
+    # (unit_id, trace_id) inside the same bucket(unit_id) layout
     "traces": f"""\
 MERGE INTO {DB}.traces t
-USING traces_delta s
+USING (
+  SELECT d.unit_id, d.trace_id, d.start_time,
+         d.representative_process_name, c.span_count, d.rep_span_id
+  FROM traces_delta d
+  JOIN (SELECT unit_id, trace_id, CAST(count(*) AS BIGINT) AS span_count
+        FROM {DB}.trace_spans GROUP BY unit_id, trace_id) c
+    ON c.unit_id = d.unit_id AND c.trace_id = d.trace_id
+) s
 ON t.unit_id = s.unit_id AND t.trace_id = s.trace_id
 WHEN MATCHED THEN UPDATE SET
-  t.span_ids = array_sort(array_union(t.span_ids, s.span_ids)),
-  t.span_count = size(array_sort(array_union(t.span_ids, s.span_ids))),
+  t.span_count = s.span_count,
   t.start_time = CASE WHEN {_REP_TAKE_S} THEN s.start_time ELSE t.start_time END,
   t.representative_process_name = CASE WHEN {_REP_TAKE_S} THEN s.representative_process_name ELSE t.representative_process_name END,
   t.rep_span_id = CASE WHEN {_REP_TAKE_S} THEN s.rep_span_id ELSE t.rep_span_id END
@@ -148,6 +177,7 @@ WHEN NOT MATCHED THEN INSERT *""",
 FLUSH_UNIT: dict[str, str] = {
     "traces": f"DELETE FROM {DB}.traces WHERE unit_id = :unit_id",
     "trace_contains": f"DELETE FROM {DB}.trace_contains WHERE unit_id = :unit_id",
+    "trace_spans": f"DELETE FROM {DB}.trace_spans WHERE unit_id = :unit_id",
 }
 
 

@@ -186,7 +186,8 @@ def test_adjacency_sorted(spark, tiny):
 def _tables_equal(a, b) -> bool:
     for x, y in [
         (a.nodes, b.nodes), (a.edges, b.edges), (a.traces, b.traces),
-        (a.trace_contains, b.trace_contains), (a.rule_matches, b.rule_matches),
+        (a.trace_contains, b.trace_contains), (a.trace_spans, b.trace_spans),
+        (a.rule_matches, b.rule_matches),
     ]:
         if x.exceptAll(y).count() + y.exceptAll(x).count() != 0:
             return False
@@ -256,6 +257,48 @@ def test_merge_reupsert_semantics(spark):
     assert t1[("u1", "t9")].span_count == 1
 
 
+def test_trace_span_state_bounded_under_skew(spark):
+    """One hot trace with 10^5 spans: span membership lives as narrow side-
+    table rows (never one 10^5-element array cell on the trace row), the
+    merged traces schema carries NO array column, the merge plan contains
+    no collect_* aggregate, and span_count stays exact + replay-idempotent."""
+    from pyspark.sql.types import ArrayType
+
+    from sigraph_spark.operators.graph import (
+        build_traces, build_trace_spans, merge_trace_spans, merge_traces,
+    )
+
+    n = 100_000
+    parsed = spark.range(n).select(
+        F.lit("u1").alias("unit_id"),
+        F.when(F.col("id") % 100 != 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("cold-"), (F.col("id") / 100).cast("long").cast("string")))
+        .alias("trace_id"),
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("span_id"),
+        F.timestamp_seconds(F.lit(1_600_000_000) + F.col("id")).alias("timestamp"),
+        F.lit("p.exe").alias("process_name"),
+    )
+    existing_ev = parsed.filter(F.col("id") % 2 == 0).drop("id")
+    delta_ev = parsed.filter(F.col("id") % 2 == 1).drop("id")
+
+    spans = merge_trace_spans(
+        build_trace_spans(existing_ev), build_trace_spans(delta_ev)
+    )
+    merged = merge_traces(
+        build_traces(existing_ev), build_traces(delta_ev), spans
+    )
+    # bounded per-row state: no array-typed column anywhere on the trace row
+    assert not any(isinstance(f.dataType, ArrayType) for f in merged.schema.fields)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan and "collect_list" not in plan
+    got = {r.trace_id: r.span_count for r in merged.collect() if r.trace_id == "hot"}
+    assert got["hot"] == n - n // 100
+    # replay idempotence: re-applying the delta changes nothing
+    spans2 = merge_trace_spans(spans, build_trace_spans(delta_ev))
+    again = merge_traces(merged, build_traces(delta_ev), spans2)
+    assert again.exceptAll(merged).count() + merged.exceptAll(again).count() == 0
+
+
 def test_label_conflict_error_channel(spark):
     """One node key under two labels must surface on the error channel
     (the reference fails loudly when an artifact key resolves to multiple
@@ -296,7 +339,8 @@ def test_apply_debris_detach_deletes(spark):
     debris = debris_candidates(g.traces, g.trace_contains, g.edges)
     new, counters = apply_debris(g, debris)
     assert counters == {
-        "nodes": 1, "edges": 0, "traces": 1, "trace_contains": 1, "rule_matches": 0,
+        "nodes": 1, "edges": 0, "traces": 1, "trace_contains": 1,
+        "trace_spans": 1, "rule_matches": 0,
     }
     assert not any(r.node_id == "ghost@FILE" for r in new.nodes.collect())
     assert not any(r.trace_id == "lone" for r in new.traces.collect())

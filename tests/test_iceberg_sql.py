@@ -19,6 +19,7 @@ def test_all_statements_parse(spark):
 def test_ddl_partitioning_pins_flush_and_colocation():
     assert "PARTITIONED BY (bucket(16, unit_id))" in DDL["traces"]
     assert "PARTITIONED BY (bucket(16, unit_id))" in DDL["trace_contains"]
+    assert "PARTITIONED BY (bucket(16, unit_id))" in DDL["trace_spans"]
     assert "PARTITIONED BY (bucket(16, node_id))" in DDL["nodes"]
     assert "PARTITIONED BY (bucket(16, src))" in DDL["edges"]
     for sql in DDL.values():
@@ -34,10 +35,17 @@ def test_merge_semantics_pinned():
         "WHEN MATCHED AND struct(s.start_time, s.last_span_id) > "
         "struct(t.start_time, t.last_span_id)" in MERGE["edges"]
     )
-    # traces: span set union drives the count (idempotent under replay)
-    assert "t.span_count = size(array_sort(array_union(t.span_ids, s.span_ids)))" in MERGE["traces"]
-    # containment / matches: insert-if-absent only
-    for k in ("trace_contains", "rule_matches"):
+    # traces: NO span array on the row — span_count re-derived from the
+    # already-merged trace_spans membership table (idempotent under replay
+    # with bounded per-row state)
+    assert "span_ids" not in DDL["traces"] and "span_ids" not in MERGE["traces"]
+    assert "FROM sigraph.trace_spans GROUP BY unit_id, trace_id" in MERGE["traces"]
+    assert "t.span_count = s.span_count" in MERGE["traces"]
+    # the membership merge must run BEFORE the traces merge
+    ks = list(MERGE)
+    assert ks.index("trace_spans") < ks.index("traces")
+    # containment / spans / matches: insert-if-absent only
+    for k in ("trace_contains", "trace_spans", "rule_matches"):
         assert "WHEN MATCHED" not in MERGE[k]
         assert "WHEN NOT MATCHED THEN INSERT *" in MERGE[k]
 
