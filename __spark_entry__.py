@@ -541,6 +541,41 @@ def q_sigma_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sigma_sysmon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sysmon logsource pipeline end-to-end (reference compiles every rule
+    through sigma.pipelines.sysmon before the backend, rule/session.py:
+    9,27-28): a process_creation rule gains EventID=1 and a
+    network_connection rule written in Sigma's GENERIC taxonomy
+    (dst_port) is renamed onto Sysmon's DestinationPort — both evaluated
+    in ONE scan via apply_sysmon_rules."""
+    from sigraph_spark.operators.sigma import apply_sysmon_rules
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        (F.col("event_id") % 30).cast("int").alias("EventID"),
+        F.concat(
+            F.lit("C:\\tools\\proc_"),
+            (F.col("user_id") % 7).cast("string"),
+            F.when(F.col("event_type") == "error", F.lit(".tmp")).otherwise(
+                F.lit(".exe")
+            ),
+        ).alias("Image"),
+        F.concat(F.lit("run --"), F.col("event_type")).alias("CommandLine"),
+        ((F.col("user_id") * 13) % 1024).cast("int").alias("DestinationPort"),
+    )
+    rules = [
+        {"id": "proc-click",
+         "logsource": {"product": "windows", "category": "process_creation"},
+         "detection": {"sel": {"Image|endswith": ".exe",
+                               "CommandLine|contains": "click"},
+                       "condition": "sel"}},
+        {"id": "net-c2",
+         "logsource": {"category": "network_connection"},
+         "detection": {"sel": {"dst_port": [443, 445]}, "condition": "sel"}},
+    ]
+    return apply_sysmon_rules(ev, rules, id_col="event_id")
+
+
 # --- text analysis ----------------------------------------------------------
 
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1774,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debris": q_debris,
         "sigma_filter": q_sigma_filter,
         "sigma_sequences": q_sigma_sequences,
+        "sigma_sysmon": q_sigma_sysmon,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -2391,6 +2427,25 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE event_type LIKE 'sign%'
         GROUP BY user_id
+    """
+    # sysmon pipeline: category -> EventID gate + generic-field rename,
+    # restated as plain predicates over the same synthesized columns
+    sq["sigma_sysmon"] = r"""
+        WITH s AS (
+          SELECT event_id,
+                 CAST(event_id % 30 AS INT) AS EventID,
+                 'C:\tools\proc_' || CAST(user_id % 7 AS VARCHAR) ||
+                   CASE WHEN event_type = 'error' THEN '.tmp' ELSE '.exe' END
+                   AS Image,
+                 'run --' || event_type AS CommandLine,
+                 CAST((user_id * 13) % 1024 AS INT) AS DestinationPort
+          FROM events)
+        SELECT event_id, 'proc-click' AS rule_id FROM s
+        WHERE EventID = 1 AND Image LIKE '%.exe'
+          AND contains(CommandLine, 'click')
+        UNION ALL
+        SELECT event_id, 'net-c2' AS rule_id FROM s
+        WHERE EventID = 3 AND DestinationPort IN (443, 445)
     """
     sq["text_tokens"] = r"""
         SELECT doc_id,

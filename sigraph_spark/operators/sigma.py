@@ -204,6 +204,145 @@ def apply_rules(
     )
 
 
+# ---------------------------------------------------------------------------
+# Sysmon logsource pipeline
+# ---------------------------------------------------------------------------
+# The reference compiles rules through the open-source pySigma sysmon
+# pipeline before the Lucene backend (``/root/reference/src/rule/
+# session.py:9,27-28``): a rule whose logsource names a sysmon taxonomy
+# category gains an EventID membership predicate and its generic field
+# names map onto Sysmon's schema. Without this layer a process_creation
+# rule would silently match ANY event whose fields happen to collide.
+# The tables below restate that public mapping (Microsoft Sysinternals
+# Sysmon event taxonomy + Sigma's generic network/dns field names) as
+# driver-side data; compilation stays pure-Column.
+
+SYSMON_CATEGORY_EVENT_IDS: dict[str, tuple[int, ...]] = {
+    "process_creation": (1,),
+    "file_change": (2,),
+    "network_connection": (3,),
+    "sysmon_status": (4, 16),
+    "process_termination": (5,),
+    "driver_load": (6,),
+    "image_load": (7,),
+    "create_remote_thread": (8,),
+    "raw_access_thread": (9,),
+    "process_access": (10,),
+    "file_event": (11,),
+    "registry_add": (12,),
+    "registry_delete": (12,),
+    "registry_set": (13,),
+    "registry_rename": (14,),
+    "registry_event": (12, 13, 14),
+    "create_stream_hash": (15,),
+    "pipe_created": (17, 18),
+    "wmi_event": (19, 20, 21),
+    "dns_query": (22,),
+    "file_delete": (23, 26),
+    "clipboard_capture": (24,),
+    "process_tampering": (25,),
+    "file_block_executable": (27,),
+    "file_block_shredding": (28,),
+    "file_executable_detected": (29,),
+    "sysmon_error": (255,),
+}
+
+# generic-taxonomy -> Sysmon field renames per category; Sysmon-native
+# names (Image, CommandLine, TargetObject, ...) pass through untouched
+SYSMON_FIELD_RENAMES: dict[str, dict[str, str]] = {
+    "network_connection": {
+        "src_ip": "SourceIp",
+        "src_port": "SourcePort",
+        "dst_ip": "DestinationIp",
+        "dst_port": "DestinationPort",
+        "dst_host": "DestinationHostname",
+    },
+    "dns_query": {
+        "query": "QueryName",
+        "answer": "QueryResults",
+    },
+}
+
+
+def _rename_selection(sel, renames: dict[str, str]):
+    """Apply field renames inside one selection (maps rename the key part
+    before any ``|modifier``; lists recurse)."""
+    if isinstance(sel, dict):
+        out = {}
+        for key, value in sel.items():
+            field, sep, mods = key.partition("|")
+            out[renames.get(field, field) + sep + mods] = value
+        return out
+    if isinstance(sel, list):
+        return [
+            _rename_selection(s, renames) if isinstance(s, (dict, list)) else s
+            for s in sel
+        ]
+    return sel
+
+
+def compile_sysmon_rule(
+    rule: dict,
+    field_prefix: str | None = None,
+    event_id_field: str = "EventID",
+) -> Column:
+    """Compile one rule THROUGH the sysmon logsource pipeline:
+
+    1. if ``rule['logsource']['category']`` is a sysmon taxonomy category,
+       rename its generic fields (SYSMON_FIELD_RENAMES) before detection
+       compilation, and
+    2. AND an ``EventID IN (...)`` predicate (SYSMON_CATEGORY_EVENT_IDS)
+       onto the compiled detection — the reference's
+       ``sysmon_pipeline()`` + backend composition as one Column.
+
+    Categories outside the taxonomy compile as plain detection (no
+    EventID constraint) — same pass-through the pipeline applies. The
+    EventID field honors ``field_prefix`` like every other field
+    (reference prefixes the whole query, rule/session.py:110-114)."""
+    category = (rule.get("logsource") or {}).get("category")
+    detection = rule["detection"]
+    renames = SYSMON_FIELD_RENAMES.get(category or "", {})
+    if renames:
+        detection = {
+            name: (sel if name == "condition" else _rename_selection(sel, renames))
+            for name, sel in detection.items()
+        }
+    base = compile_rule({**rule, "detection": detection}, field_prefix)
+    event_ids = SYSMON_CATEGORY_EVENT_IDS.get(category or "")
+    if not event_ids:
+        return base
+    ev_col = _field_col(event_id_field, field_prefix)
+    return ev_col.isin(*[F.lit(i) for i in event_ids]) & base
+
+
+def apply_sysmon_rules(
+    docs: DataFrame,
+    rules: list[dict],
+    field_prefix: str | None = None,
+    id_col: str = "doc_id",
+    event_id_field: str = "EventID",
+) -> DataFrame:
+    """One-pass multi-rule evaluation through the sysmon pipeline (the
+    sysmon twin of :func:`apply_rules`): (id, rule_id) hit rows, one scan
+    for all rules."""
+    hit_cols = [
+        F.when(
+            compile_sysmon_rule(r, field_prefix, event_id_field),
+            F.lit(r.get("id", f"rule-{i}")),
+        )
+        for i, r in enumerate(rules)
+    ]
+    return (
+        docs.select(F.col(id_col), F.array(*hit_cols).alias("_hits"))
+        .select(
+            id_col,
+            F.explode(F.filter(F.col("_hits"), lambda x: x.isNotNull())).alias(
+                "rule_id"
+            ),
+        )
+    )
+
+
 def parse_rules_yaml(texts: list[str]) -> list[dict]:
     """Parse Sigma YAML rule file contents (reference upload path,
     ``/root/reference/src/app/backend/v1/api.py:296-312`` /

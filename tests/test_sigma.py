@@ -70,3 +70,128 @@ def test_unknown_selection_raises(spark):
     rule = {"detection": {"sel": {"Image": "x"}, "condition": "nope"}}
     with pytest.raises(ValueError):
         compile_rule(rule)
+
+
+# ---------------------------------------------------------------------------
+# Sysmon logsource pipeline
+# ---------------------------------------------------------------------------
+
+def _sysmon_events(spark):
+    rows = [
+        # (id, EventID, Image, CommandLine, DestinationPort, DestinationIp)
+        (1, 1, r"C:\tools\mimikatz.exe", "mimikatz.exe privilege::debug", None, None),
+        (2, 11, r"C:\tools\mimikatz.exe", "mimikatz.exe privilege::debug", None, None),
+        (3, 3, "chrome.exe", None, 443, "10.0.0.5"),
+        (4, 3, "beacon.exe", None, 4444, "203.0.113.9"),
+        (5, 1, "beacon.exe", "beacon.exe -connect", 4444, None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, EventID int, Image string, CommandLine string, "
+        "DestinationPort int, DestinationIp string",
+    )
+
+
+def test_sysmon_rename_table_pinned():
+    # the driver-side mapping tables ARE the contract — pin the rows the
+    # fixtures (and any real rule replay) depend on
+    from sigraph_spark.operators.sigma import (
+        SYSMON_CATEGORY_EVENT_IDS, SYSMON_FIELD_RENAMES,
+    )
+
+    assert SYSMON_CATEGORY_EVENT_IDS["process_creation"] == (1,)
+    assert SYSMON_CATEGORY_EVENT_IDS["network_connection"] == (3,)
+    assert SYSMON_CATEGORY_EVENT_IDS["registry_event"] == (12, 13, 14)
+    assert SYSMON_CATEGORY_EVENT_IDS["wmi_event"] == (19, 20, 21)
+    assert SYSMON_CATEGORY_EVENT_IDS["file_delete"] == (23, 26)
+    assert SYSMON_FIELD_RENAMES["network_connection"]["dst_port"] == "DestinationPort"
+    assert SYSMON_FIELD_RENAMES["network_connection"]["dst_ip"] == "DestinationIp"
+    assert SYSMON_FIELD_RENAMES["dns_query"]["query"] == "QueryName"
+
+
+def test_sysmon_category_gates_event_id(spark):
+    # the same detection matches rows 1,2,5 without the pipeline; WITH the
+    # process_creation category only sysmon EventID 1 rows survive
+    from sigraph_spark.operators.sigma import compile_rule, compile_sysmon_rule
+
+    rule = {
+        "logsource": {"product": "windows", "category": "process_creation"},
+        "detection": {"sel": {"Image|endswith": ".exe",
+                              "CommandLine|contains": "mimikatz"},
+                      "condition": "sel"},
+    }
+    ev = _sysmon_events(spark)
+    bare = {r["doc_id"] for r in ev.filter(compile_rule(rule)).collect()}
+    piped = {r["doc_id"] for r in ev.filter(compile_sysmon_rule(rule)).collect()}
+    assert bare == {1, 2}
+    assert piped == {1}  # the EventID 11 (file_event) collision is excluded
+
+
+def test_sysmon_generic_field_renames(spark):
+    # a rule written in Sigma's generic network taxonomy (dst_port/dst_ip)
+    # compiles against Sysmon's PascalCase columns
+    from sigraph_spark.operators.sigma import compile_sysmon_rule
+
+    rule = {
+        "logsource": {"category": "network_connection"},
+        "detection": {"sel": {"dst_port": 4444}, "condition": "sel"},
+    }
+    got = {
+        r["doc_id"]
+        for r in _sysmon_events(spark).filter(compile_sysmon_rule(rule)).collect()
+    }
+    assert got == {4}  # doc 5 has port 4444 but EventID 1, not 3
+
+
+def test_sysmon_unknown_category_passthrough(spark):
+    # categories outside the sysmon taxonomy compile as plain detection
+    from sigraph_spark.operators.sigma import compile_sysmon_rule
+
+    rule = {
+        "logsource": {"category": "webserver"},
+        "detection": {"sel": {"Image|contains": "beacon"}, "condition": "sel"},
+    }
+    got = {
+        r["doc_id"]
+        for r in _sysmon_events(spark).filter(compile_sysmon_rule(rule)).collect()
+    }
+    assert got == {4, 5}
+
+
+def test_sysmon_field_prefix_composes(spark):
+    # EventID honors field_prefix exactly like detection fields (the
+    # reference prefixes the WHOLE query string, rule/session.py:110-114)
+    from sigraph_spark.operators.sigma import compile_sysmon_rule
+
+    ev = _sysmon_events(spark).select(
+        "doc_id",
+        F.struct(
+            F.struct("EventID", "Image", "CommandLine").alias("Metadata")
+        ).alias("raw_data"),
+    )
+    rule = {
+        "logsource": {"category": "process_creation"},
+        "detection": {"sel": {"CommandLine|contains": "mimikatz"},
+                      "condition": "sel"},
+    }
+    pred = compile_sysmon_rule(rule, field_prefix="raw_data.Metadata")
+    assert {r["doc_id"] for r in ev.filter(pred).collect()} == {1}
+
+
+def test_apply_sysmon_rules_one_pass(spark):
+    from sigraph_spark.operators.sigma import apply_sysmon_rules
+
+    rules = [
+        {"id": "proc-mimi",
+         "logsource": {"category": "process_creation"},
+         "detection": {"sel": {"CommandLine|contains": "mimikatz"},
+                       "condition": "sel"}},
+        {"id": "net-c2",
+         "logsource": {"category": "network_connection"},
+         "detection": {"sel": {"dst_port": [4444, 8443]}, "condition": "sel"}},
+    ]
+    got = {
+        (r["doc_id"], r["rule_id"])
+        for r in apply_sysmon_rules(_sysmon_events(spark), rules).collect()
+    }
+    assert got == {(1, "proc-mimi"), (4, "net-c2")}
