@@ -4,12 +4,13 @@ Stage layout (north_star):
 
 1. **Normalize** (exact unification, reference ``ai_agent.py:389-403``):
    lowercase + trim + defang ``[.]`` -> ``.`` — pure Column expressions.
-2. **Block** candidate near-duplicate pairs with MinHash-LSH over character
-   3-gram shingles (Spark ML ``MinHashLSH``; shingling itself is a Column
-   ``transform``/``sequence`` expression — no Python).
-3. **Score** candidates with TF-IDF cosine (``HashingTF`` + ``IDF`` +
-   ``Normalizer``; the dot product over the LSH-pruned pair set is an
-   Arrow-batched pandas UDF — the pair set is tiny relative to the corpus).
+2. **Block** candidate near-duplicate pairs with the repo's OWN banded
+   MinHash-LSH (``operators.dedup`` machinery) over character 3-gram
+   shingles — one shared, already-oracled implementation; no Spark-ML
+   fit/transform and no ML-internal hashing.
+3. **Score** candidates with TF-IDF cosine computed ENTIRELY JVM-side:
+   per-entity L2-normalized shingle-weight maps + ``map_zip_with``
+   dot product over the LSH-pruned pair set — zero Python in the path.
 4. **Canonicalize** with connected components over the match edges
    (alternating large-star/small-star contraction over DataFrames —
    GraphFrames-free, deterministic: the canonical id is the lexicographic
@@ -26,20 +27,8 @@ over triple instances.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-
-def _sparse_dot_batch(va: pd.Series, vb: pd.Series) -> pd.Series:
-    """Arrow-batched sparse-vector dot product (normalized inputs ->
-    cosine). The pair set is LSH-pruned, so this Python path sees only a
-    tiny fraction of the corpus."""
-    return pd.Series([float(x.dot(y)) for x, y in zip(va, vb)])
-
-
-def _sparse_dot_udf():
-    return F.pandas_udf(_sparse_dot_batch, "double")
 
 
 def normalize_entity(c: Column) -> Column:
@@ -88,58 +77,103 @@ def entity_vocab(triples: DataFrame) -> DataFrame:
 
 def candidate_pairs(
     entities: DataFrame,
-    jaccard_dist: float = 0.4,
-    num_hash_tables: int = 6,
-    num_features: int = 1 << 18,
-    seed: int = 42,
+    num_hashes: int = 32,
+    bands: int = 8,
+    rows: int = 4,
+    k: int = 3,
 ) -> DataFrame:
-    """MinHash-LSH blocking over char-3-gram shingles -> (a, b) candidate
-    pairs with a < b. Deterministic for a fixed seed."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    """MinHash-LSH blocking over char-k-gram shingles -> (a, b) candidate
+    pairs with a < b.
 
-    sh = entities.select("entity", char_shingles(F.col("entity")).alias("shingles"))
-    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=num_features)
-    feats = tf.transform(sh)
-    lsh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
-    )
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, jaccard_dist, distCol="jaccard_dist")
-    return (
-        pairs.select(
-            F.col("datasetA.entity").alias("a"),
-            F.col("datasetB.entity").alias("b"),
-            F.col("jaccard_dist"),
+    Built on the repo's own banded machinery (``operators.dedup``:
+    ``minhash_signature`` pure-Column aggregate + ``lsh_band_keys``) over
+    CHARACTER shingles instead of Spark ML's ``approxSimilarityJoin`` —
+    one shared, already-oracled implementation, no ML fit/transform pass,
+    fully deterministic hashing (crc32 + fixed coefficients). Banded
+    equi-self-join, never all-pairs: the 8x4 banding fires with high
+    probability above ~0.6 Jaccard — the TF-IDF cosine stage downstream
+    supplies precision."""
+    from sigraph_spark.operators.dedup import lsh_band_keys, minhash_signature
+
+    assert bands * rows <= num_hashes
+    hashes = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                char_shingles(F.col("entity"), k),
+                lambda s: F.crc32(s.cast("binary")),
+            )
         )
+    )
+    sig = entities.select(
+        "entity", minhash_signature(hashes, num_hashes).alias("sig")
+    )
+    banded = sig.select(
+        "entity", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
+    )
+    a = banded.select("bk", F.col("entity").alias("a"))
+    b = banded.select("bk", F.col("entity").alias("b"))
+    return (
+        a.join(b, "bk")
         .filter(F.col("a") < F.col("b"))
-        .dropDuplicates(["a", "b"])
+        .select("a", "b")
+        .distinct()
     )
 
 
 def tfidf_cosine_scores(
     entities: DataFrame,
     pairs: DataFrame,
-    num_features: int = 1 << 18,
+    k: int = 3,
 ) -> DataFrame:
-    """TF-IDF cosine over char-3-gram shingle counts for the LSH-pruned
-    pairs. Returns (a, b, cosine)."""
-    from pyspark.ml.feature import IDF, HashingTF, Normalizer
+    """TF-IDF cosine over char-k-gram shingles for the LSH-pruned pairs,
+    computed ENTIRELY JVM-side. Returns (a, b, cosine).
 
-    sh = entities.select("entity", char_shingles(F.col("entity")).alias("shingles"))
-    tf = HashingTF(inputCol="shingles", outputCol="tf", numFeatures=num_features)
-    tfed = tf.transform(sh)
-    idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tfed)
-    vecs = Normalizer(inputCol="tfidf", outputCol="norm", p=2.0).transform(
-        idf_model.transform(tfed)
+    Each entity becomes an L2-normalized ``map<shingle, weight>`` with
+    ``idf = ln((N+1)/(df+1)) + 1`` (smoothed, always positive; shingles
+    are distinct per entity so tf = 1); the pair dot product is
+    ``map_zip_with`` + ``aggregate`` — no Python UDF, no ML vector types,
+    and every step restatable in ANSI SQL for oracles. Entity strings are
+    short, so the per-row maps are tiny; the only shuffles are the two
+    keyed aggs and the pair join (LSH-pruned small side)."""
+    term = entities.select(
+        "entity", F.explode(char_shingles(F.col("entity"), k)).alias("sh")
     )
-    # sparse dot product via posexplode of the dense form would be wasteful;
-    # join both sides and compute with zip_with over sparse indices/values
-    # materialized as maps. The pair set is LSH-pruned, so this join is the
-    # cheap part; broadcast when small.
-    lhs = vecs.select(F.col("entity").alias("a"), F.col("norm").alias("va"))
-    rhs = vecs.select(F.col("entity").alias("b"), F.col("norm").alias("vb"))
-    joined = pairs.join(lhs, "a").join(rhs, "b")
-    return joined.select("a", "b", _sparse_dot_udf()("va", "vb").alias("cosine"))
+    dfreq = term.groupBy("sh").agg(F.count(F.lit(1)).cast("double").alias("_df"))
+    nrow = entities.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    weighted = (
+        term.join(dfreq, "sh")
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "entity", "sh",
+            (F.log((F.col("_n") + 1) / (F.col("_df") + 1)) + 1).alias("w"),
+        )
+    )
+    vecs = (
+        weighted.groupBy("entity")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("sh", "w")))
+            ).alias("m"),
+            F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_l2"),
+        )
+        .select(
+            "entity",
+            F.transform_values("m", lambda _, v: v / F.col("_l2")).alias("vm"),
+        )
+    )
+    lhs = vecs.select(F.col("entity").alias("a"), F.col("vm").alias("va"))
+    rhs = vecs.select(F.col("entity").alias("b"), F.col("vm").alias("vb"))
+    dot = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                "va", "vb",
+                lambda _, x, y: F.coalesce(x, F.lit(0.0)) * F.coalesce(y, F.lit(0.0)),
+            )
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return pairs.join(lhs, "a").join(rhs, "b").select("a", "b", dot.alias("cosine"))
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -279,7 +313,6 @@ def connected_components_propagation(
 def link_entities(
     triples: DataFrame,
     cosine_threshold: float = 0.85,
-    jaccard_dist: float = 0.4,
 ) -> DataFrame:
     """Full S3: triples -> (entity, canonical_id) mapping.
 
@@ -287,7 +320,7 @@ def link_entities(
     mapping is total over the vocabulary).
     """
     vocab = entity_vocab(triples).localCheckpoint(eager=True)
-    pairs = candidate_pairs(vocab, jaccard_dist=jaccard_dist)
+    pairs = candidate_pairs(vocab)
     scored = tfidf_cosine_scores(vocab, pairs)
     matches = scored.filter(F.col("cosine") >= cosine_threshold).select("a", "b")
     cc = connected_components(matches)

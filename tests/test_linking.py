@@ -98,8 +98,48 @@ def test_lsh_blocks_near_duplicate_entities(spark):
          ("emotet loader",), ("completely different",)],
         "entity string",
     )
-    pairs = {(r["a"], r["b"]) for r in candidate_pairs(ents, jaccard_dist=0.5).collect()}
+    pairs = {(r["a"], r["b"]) for r in candidate_pairs(ents).collect()}
     assert ("cobalt strike beacn", "cobalt strike beacon") in pairs
+    # unrelated strings are not blocked together (banding precision)
+    assert ("completely different", "emotet loader") not in pairs
+
+
+def test_tfidf_cosine_matches_reference_computation(spark):
+    """The JVM-side map-based cosine equals a straight numpy computation of
+    the same smoothed-idf formula on the same char-3-gram shingles."""
+    import math
+
+    from sigraph_spark.operators.linking import tfidf_cosine_scores
+
+    names = ["abcde", "abcdx", "zzzzz"]
+    ents = spark.createDataFrame([(n,) for n in names], "entity string")
+    pairs = spark.createDataFrame(
+        [("abcde", "abcdx"), ("abcde", "zzzzz")], "a string, b string"
+    )
+    got = {(r["a"], r["b"]): r["cosine"]
+           for r in tfidf_cosine_scores(ents, pairs).collect()}
+
+    def shingles(s):
+        return {s[i:i + 3] for i in range(len(s) - 2)}
+
+    sh = {n: shingles(n) for n in names}
+    n_ents = len(names)
+    df = {}
+    for s in set().union(*sh.values()):
+        df[s] = sum(1 for n in names if s in sh[n])
+
+    def vec(n):
+        return {s: math.log((n_ents + 1) / (df[s] + 1)) + 1 for s in sh[n]}
+
+    def cos(x, y):
+        vx, vy = vec(x), vec(y)
+        nx = math.sqrt(sum(v * v for v in vx.values()))
+        ny = math.sqrt(sum(v * v for v in vy.values()))
+        return sum(vx[s] * vy.get(s, 0.0) for s in vx) / (nx * ny)
+
+    assert abs(got[("abcde", "abcdx")] - cos("abcde", "abcdx")) < 1e-9
+    assert abs(got[("abcde", "zzzzz")] - cos("abcde", "zzzzz")) < 1e-9
+    assert got[("abcde", "zzzzz")] == 0.0
 
 
 def test_link_entities_merges_variants(spark):
