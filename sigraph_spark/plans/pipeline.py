@@ -97,6 +97,7 @@ def run_stage(
     build: Callable[[], DataFrame],
     input_fingerprint: str,
     partition_by: list[str] | None = None,
+    extra_manifest: dict | None = None,
 ) -> DataFrame:
     """Run (or resume) one checkpointed stage.
 
@@ -136,6 +137,10 @@ def run_stage(
         "wall_s": round(time.monotonic() - t0, 3),
         "schema": out.schema.simpleString(),
     }
+    if extra_manifest:
+        # read AFTER build() so decisions the builder records (e.g. the
+        # auto-salting sketch) land in the manifest
+        manifest.update(extra_manifest)
     with open(_manifest_path(tmp), "w") as f:
         json.dump(manifest, f, indent=1)
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -163,7 +168,7 @@ def run_pipeline(
     """
     from sigraph_spark.operators.extract import extract_pages
     from sigraph_spark.operators.linking import canonicalize_triples, link_entities
-    from sigraph_spark.operators.skew import salted_adjacency
+    from sigraph_spark.operators.skew import choose_salting, salted_adjacency
     from sigraph_spark.operators.triples import triples_from_docs
 
     def out_fp(stage_dir: str) -> str:
@@ -215,15 +220,27 @@ def run_pipeline(
         spark, "s4_edges", os.path.join(workdir, "s4_edges"), build_edges,
         fp_s1 + ":" + fp_s2 + ":" + fp_s3 + ":s4v1",
     )
+    # auto-salting: parameters come from the data (degree sketch), and the
+    # decision itself is recorded in the stage manifest for the audit trail
+    salting: dict = {}
+
+    def build_adjacency() -> DataFrame:
+        e = edges.select(
+            F.col("subj").alias("src"), "predicate",
+            F.col("obj").alias("dst"), "start_time", "weight",
+        )
+        salting.update(choose_salting(e))
+        return salted_adjacency(
+            e,
+            threshold_rows=salting["threshold_rows"],
+            salt_buckets=salting["salt_buckets"],
+        )
+
     adjacency = run_stage(
         spark, "s4_adjacency", os.path.join(workdir, "s4_adjacency"),
-        lambda: salted_adjacency(
-            edges.select(
-                F.col("subj").alias("src"), "predicate",
-                F.col("obj").alias("dst"), "start_time", "weight",
-            )
-        ),
-        out_fp("s4_edges") + ":s4adjv1",
+        build_adjacency,
+        out_fp("s4_edges") + ":s4adjv2",
+        extra_manifest={"salting": salting},
     )
     return {
         "docs": docs,

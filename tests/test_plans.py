@@ -70,6 +70,12 @@ def test_full_pipeline_runs_and_resumes(spark, tmp_path):
     assert m4["input_fingerprint"] == ":".join(
         [m1["output_fingerprint"], m2["output_fingerprint"], m3["output_fingerprint"]]
     ) + ":s4v1"
+    # the adjacency stage records its data-driven salting decision
+    madj = read_manifest(os.path.join(wd, "s4_adjacency"))
+    s = madj["salting"]
+    assert s["total_rows"] == n_edges
+    assert s["salt_buckets"] >= 1 and s["threshold_rows"] >= 1
+    assert len(s["top_degrees"]) >= 1 and "degree" in s["top_degrees"][0]
 
 
 def test_changed_upstream_output_invalidates_downstream(spark, tmp_path):

@@ -56,3 +56,30 @@ def test_top_degree_entities(spark):
     e = _edges(spark)
     top = top_degree_entities(e, n=1).collect()
     assert top[0]["entity"] == "hot"
+
+
+def test_choose_salting_decision(spark):
+    """Skewed input -> hot key detected, buckets sized to the head; uniform
+    input -> no salting (buckets=1). The decision dict is manifest-ready."""
+    from pyspark.sql import functions as F
+
+    from sigraph_spark.operators.skew import choose_salting
+
+    # 10_000 rows on one hot src, 100 cold srcs with 10 rows each
+    hot = spark.range(10_000).select(
+        F.lit("HOT").alias("src"), F.col("id").cast("string").alias("dst")
+    )
+    cold = spark.range(1_000).select(
+        F.concat(F.lit("c"), (F.col("id") % 100).cast("string")).alias("src"),
+        F.col("id").cast("string").alias("dst"),
+    )
+    d = choose_salting(hot.unionAll(cold), nominal_parallelism=8, floor_rows=256)
+    assert d["max_src_degree"] == 10_000
+    assert d["top_degrees"][0]["key"] == "HOT"
+    assert d["hot_key_count"] == 1
+    assert 2 <= d["salt_buckets"] <= 64
+    # buckets spread the head to ~target-size groups
+    assert 10_000 / d["salt_buckets"] <= 2 * d["target_rows_per_reducer"]
+
+    u = choose_salting(cold, nominal_parallelism=8, floor_rows=256)
+    assert u["salt_buckets"] == 1 and u["hot_key_count"] == 0
