@@ -5,9 +5,12 @@ typed metadata struct; the expensive decode/feature steps run as
 Arrow-batched functions over ``mapInPandas`` so one task processes a whole
 record batch without per-row Python overhead.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode kernels are deterministic fakes behind ``_decode_*`` seams — clearly
-marked, swappable, and unit-tested for the Spark-side contract that IS real:
+Uncompressed BMP images decode for REAL (pure Python + numpy,
+``decode_bmp``/``encode_bmp`` below) — image_features and resize_images
+run a genuine bytes -> pixels path for that format. Compressed codecs
+(PIL/ffmpeg/librosa) are NOT in this container, so those formats hit
+deterministic fakes behind the same ``_decode_*`` seams — clearly marked,
+swappable, and unit-tested for the Spark-side contract that IS real:
 schema, batch shape, partitioning, and null/size handling.
 
 Scale notes:
@@ -58,13 +61,103 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 _FEATURE_DIM = 16
 
 
+# ---------------------------------------------------------------------------
+# REAL codec: uncompressed BMP (pure Python + numpy, zero dependencies)
+# ---------------------------------------------------------------------------
+# BI_RGB 24/32-bit BMPs decode to actual pixels, so image_features /
+# resize_images exercise a genuine bytes -> pixels -> features path for at
+# least one real format. Compressed formats (JPEG/PNG/...) still hit the
+# declared stub fallback below (no codecs in this container).
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an uncompressed (BI_RGB) 24- or 32-bit BMP.
+
+    Returns ``(width, height, rgb)`` with ``rgb`` a row-major TOP-DOWN
+    bytes buffer of RGB triples (BMP stores BGR bottom-up with 4-byte row
+    padding unless height is negative). Raises ValueError for anything
+    that is not a supported BMP."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError("unsupported DIB header")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32) or width <= 0 or height == 0:
+        raise ValueError("unsupported BMP variant")
+    top_down = height < 0
+    h = abs(height)
+    nch = bpp // 8
+    row_bytes = ((width * nch + 3) // 4) * 4
+    if data_offset + row_bytes * h > len(payload):
+        raise ValueError("truncated BMP")
+
+    import numpy as np
+
+    raw = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * h, offset=data_offset
+    ).reshape(h, row_bytes)
+    px = raw[:, : width * nch].reshape(h, width, nch)
+    if not top_down:
+        px = px[::-1]
+    rgb = px[:, :, [2, 1, 0]]  # BGR(A) -> RGB, alpha dropped
+    return width, h, rgb.tobytes()
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode row-major top-down RGB triples as a 24-bit BI_RGB BMP
+    (bottom-up, 4-byte row padding) — the round-trip twin of
+    :func:`decode_bmp`, also used to synthesize test fixtures."""
+    import struct
+
+    import numpy as np
+
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    bgr = px[::-1, :, [2, 1, 0]]  # top-down RGB -> bottom-up BGR
+    row_bytes = ((width * 3 + 3) // 4) * 4
+    rows = np.zeros((height, row_bytes), dtype=np.uint8)
+    rows[:, : width * 3] = bgr.reshape(height, width * 3)
+    body = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + body
+
+
+def _bmp_features(width: int, height: int, rgb: bytes) -> list[float]:
+    """Real pixel features for decoded BMPs: [mean R, mean G, mean B,
+    mean luma] + a 12-bin luma histogram, all normalized to [0, 1]."""
+    import numpy as np
+
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3).astype(np.float64)
+    means = px.mean(axis=0) / 255.0
+    luma = px @ np.array([0.299, 0.587, 0.114])
+    hist, _ = np.histogram(luma, bins=_FEATURE_DIM - 4, range=(0.0, 256.0))
+    return [
+        float(means[0]), float(means[1]), float(means[2]),
+        float(luma.mean() / 255.0),
+        *(hist / max(len(luma), 1)).astype(float).tolist(),
+    ]
+
+
 def _decode_image_features(payload: bytes | None) -> list[float]:
-    """STUB DECODE (no image libs in this container): deterministic fake
-    features — a 16-bin byte histogram of the payload, normalized. Swap in
-    a real decoder (PIL -> resize -> model) here; the Spark plumbing around
-    it is unchanged. Raises nothing; null/empty -> zeros."""
+    """Image feature kernel. BMP payloads take the REAL decode path
+    (``decode_bmp`` -> pixel statistics). Everything else is the declared
+    STUB fallback (no PIL/ffmpeg in this container): a deterministic
+    16-bin byte histogram. Raises nothing; null/empty -> zeros."""
     if not payload:
         return [0.0] * _FEATURE_DIM
+    if payload[:2] == b"BM":
+        try:
+            return _bmp_features(*decode_bmp(payload))
+        except ValueError:
+            pass  # malformed/unsupported BMP -> stub fallback
     hist = [0] * _FEATURE_DIM
     for byte in payload:
         hist[byte % _FEATURE_DIM] += 1
@@ -169,8 +262,20 @@ def _decode_audio_features(payload: bytes | None, duration_ms: int | None, windo
 
 
 def _decode_resize(payload: bytes | None, w: int, h: int) -> bytes:
-    """STUB RESIZE: deterministic fake — truncate/pad the payload to w*h/64
-    bytes (a real decoder would decode -> resample -> re-encode)."""
+    """Resize kernel. BMP payloads take the REAL path: decode ->
+    nearest-neighbor resample -> re-encode as 24-bit BMP. Other formats
+    keep the declared STUB (truncate/pad to w*h/64 bytes)."""
+    if payload and payload[:2] == b"BM":
+        try:
+            sw, sh, rgb = decode_bmp(payload)
+            import numpy as np
+
+            px = np.frombuffer(rgb, dtype=np.uint8).reshape(sh, sw, 3)
+            ys = (np.arange(h) * sh) // h
+            xs = (np.arange(w) * sw) // w
+            return encode_bmp(w, h, px[ys][:, xs].tobytes())
+        except ValueError:
+            pass
     size = max(1, (w * h) // 64)
     body = (payload or b"")[:size]
     return body + b"\x00" * (size - len(body))
