@@ -259,3 +259,50 @@ def gen_pages(spark: SparkSession, sf: float = 0.001, parts: int | None = None) 
         F.lit(None).cast("string").alias("text"),
         F.lit("en").alias("lang"),
     )
+
+
+def gen_pages_zipf(
+    spark: SparkSession,
+    sf: float = 0.001,
+    hot_frac: float = 0.3,
+    parts: int | None = None,
+    obj_pool: int | None = 997,
+) -> DataFrame:
+    """Zipfian head-entity variant of :func:`gen_pages`: ~``hot_frac`` of
+    pages additionally mention ONE fixed hot entity (the north-star
+    "high-degree URL/entity in ~30% of pages" case).
+
+    ``obj_pool`` bounds the hot entity's object vocabulary (default a
+    ~1000-member pool): the soak then isolates FREQUENCY skew — one
+    subject carrying 30% of all triple instances — from vocabulary
+    explosion. Pass ``obj_pool=None`` for a per-page-unique object, which
+    additionally stresses LSH blocking with a giant templated entity
+    family (the case that motivated candidate_pairs' hot-bucket guard).
+
+    Built by injecting an extra behavior sentence into the base page HTML
+    (a literal string replace on the single ``</p>`` closing the content
+    div), so everything stays deterministic and the uniform/zipf corpora
+    differ ONLY in the head entity — stage-time ratios between the two
+    isolate the cost of skew."""
+    base = gen_pages(spark, sf, parts)
+    i = F.substring_index(F.col("url"), "/", -1).cast("long")
+    is_hot = (portable_hash(i, 97) % 1000) < int(hot_frac * 1000)
+    obj_i = i if obj_pool is None else i % obj_pool
+    hot_sentence = F.concat(
+        F.lit("HotBot executed C:\\hot\\payload_"),
+        obj_i.cast("string"),
+        F.lit(".exe."),
+    )
+    html_s = F.decode(F.col("html"), "UTF-8")
+    injected = F.replace(
+        html_s,
+        F.lit("</p>"),
+        F.concat(F.lit("\n"), hot_sentence, F.lit("</p>")),
+    )
+    return base.select(
+        "url", "warc_ts",
+        F.encode(
+            F.when(is_hot, injected).otherwise(html_s), "UTF-8"
+        ).alias("html"),
+        "text", "lang",
+    )

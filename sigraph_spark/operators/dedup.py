@@ -154,7 +154,9 @@ def lsh_band_keys(sig: Column, bands: int = 16, rows: int = 4) -> Column:
     )
 
 
-def _minhash_batch_factory(k: int, num_hashes: int, family: str = "crc32"):
+def _minhash_batch_factory(
+    k: int, num_hashes: int, family: str = "crc32", shingle: str = "word"
+):
     """Arrow-batched MinHash signatures, numpy-vectorized, computing the
     EXACT same family as ``minhash_signature`` over ``shingle_hashes``
     (``(a_i*h+b_i) mod p``, a_i=2i+1, b_i=i*i+1) — the two formulations are
@@ -162,7 +164,10 @@ def _minhash_batch_factory(k: int, num_hashes: int, family: str = "crc32"):
     pure-Column form's 64-wide zip_with tree exceeds janino's 64KB method
     limit and drops to interpreted eval; the numpy kernel is one
     (shingles x 64) outer op. ``family``: "crc32" (default) or the
-    engine-portable "md5" (see ``hash32_md5_le``)."""
+    engine-portable "md5" (see ``hash32_md5_le``). ``shingle``: "word"
+    (lowercased word k-grams, the document path) or "char" (raw char
+    k-grams mirroring ``linking.char_shingles`` — the entity path; the
+    input is already normalized there)."""
     import hashlib
     import zlib
 
@@ -179,17 +184,23 @@ def _minhash_batch_factory(k: int, num_hashes: int, family: str = "crc32"):
     B = np.arange(num_hashes, dtype=np.uint64) ** 2 + 1
     P = np.uint64(MERSENNE_P)
 
+    def shingles_of(t: str) -> set[str]:
+        if shingle == "char":
+            t = t or ""
+            if len(t) < k:
+                return {t}
+            return {t[i:i + k] for i in range(len(t) - k + 1)}
+        words = (t or "").lower().strip().split()
+        if len(words) < k:
+            return {" ".join(words)}
+        return {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
+
     def batch(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            words = (t or "").lower().strip().split()
-            if len(words) < k:
-                shingles = {" ".join(words)}
-            else:
-                shingles = {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
+            sh = shingles_of(t)
             hs = np.fromiter(
-                (hash_one(s) for s in shingles),
-                dtype=np.uint64, count=len(shingles),
+                (hash_one(s) for s in sh), dtype=np.uint64, count=len(sh)
             )
             if len(hs) == 0:
                 out.append([MERSENNE_P] * num_hashes)
@@ -201,8 +212,15 @@ def _minhash_batch_factory(k: int, num_hashes: int, family: str = "crc32"):
     return batch
 
 
-def minhash_signature_udf(k: int = 3, num_hashes: int = 64, family: str = "crc32"):
-    return F.pandas_udf(_minhash_batch_factory(k, num_hashes, family), "array<long>")
+def minhash_signature_udf(
+    k: int = 3,
+    num_hashes: int = 64,
+    family: str = "crc32",
+    shingle: str = "word",
+):
+    return F.pandas_udf(
+        _minhash_batch_factory(k, num_hashes, family, shingle), "array<long>"
+    )
 
 
 def minhash_candidates(

@@ -81,6 +81,7 @@ def candidate_pairs(
     bands: int = 8,
     rows: int = 4,
     k: int = 3,
+    max_bucket: int = 8,
 ) -> DataFrame:
     """MinHash-LSH blocking over char-k-gram shingles -> (a, b) candidate
     pairs with a < b.
@@ -92,32 +93,60 @@ def candidate_pairs(
     fully deterministic hashing (crc32 + fixed coefficients). Banded
     equi-self-join, never all-pairs: the 8x4 banding fires with high
     probability above ~0.6 Jaccard — the TF-IDF cosine stage downstream
-    supplies precision."""
-    from sigraph_spark.operators.dedup import lsh_band_keys, minhash_signature
+    supplies precision.
+
+    HOT-BUCKET GUARD (``max_bucket``): a corpus with one templated entity
+    family (e.g. ``payload_<n>.exe`` across 30% of pages — the bench_skew
+    head-entity soak) collapses thousands of entities into the SAME band
+    buckets, and the all-pairs self-join goes quadratic (measured 11x
+    pipeline regression at sf0.05). Buckets larger than ``max_bucket``
+    instead emit STAR pairs to the bucket's minimum entity — O(n) per
+    bucket, and connected components still merges any genuine cluster
+    through its hub (the cosine stage keeps precision per pair). The cap
+    defaults tight (8): the bench_skew profile showed the templated family
+    also spreading across thousands of MID-size buckets whose within-
+    bucket all-pairs summed to millions; genuine near-dups almost always
+    co-occur in a small bucket too, and capped buckets keep hub
+    connectivity.
+
+    Signatures run through the same Arrow numpy kernel as document dedup
+    (``minhash_signature_udf`` with char shingles) — the pure-Column
+    aggregate is interpreted (janino width limit) and measured ~5x slower
+    at 90k entities."""
+    from sigraph_spark.operators.dedup import (
+        lsh_band_keys, minhash_signature_udf,
+    )
 
     assert bands * rows <= num_hashes
-    hashes = F.array_sort(
-        F.array_distinct(
-            F.transform(
-                char_shingles(F.col("entity"), k),
-                lambda s: F.crc32(s.cast("binary")),
-            )
-        )
-    )
     sig = entities.select(
-        "entity", minhash_signature(hashes, num_hashes).alias("sig")
+        "entity",
+        minhash_signature_udf(k, num_hashes, "crc32", shingle="char")(
+            F.col("entity")
+        ).alias("sig"),
     )
     banded = sig.select(
         "entity", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
     )
-    a = banded.select("bk", F.col("entity").alias("a"))
-    b = banded.select("bk", F.col("entity").alias("b"))
-    return (
-        a.join(b, "bk")
+    sizes = banded.groupBy("bk").agg(F.count(F.lit(1)).alias("_n"))
+    small = banded.join(
+        sizes.filter(F.col("_n") <= max_bucket).select("bk"), "bk"
+    )
+    pairs_small = (
+        small.select("bk", F.col("entity").alias("a"))
+        .join(small.select("bk", F.col("entity").alias("b")), "bk")
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
-        .distinct()
     )
+    big = banded.join(
+        sizes.filter(F.col("_n") > max_bucket).select("bk"), "bk"
+    )
+    hubs = big.groupBy("bk").agg(F.min("entity").alias("a"))
+    pairs_big = (
+        big.join(hubs, "bk")
+        .filter(F.col("entity") > F.col("a"))
+        .select("a", F.col("entity").alias("b"))
+    )
+    return pairs_small.unionAll(pairs_big).distinct()
 
 
 def tfidf_cosine_scores(

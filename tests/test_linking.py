@@ -104,6 +104,38 @@ def test_lsh_blocks_near_duplicate_entities(spark):
     assert ("completely different", "emotet loader") not in pairs
 
 
+def test_hot_bucket_guard_caps_pair_explosion(spark):
+    """A templated entity family (payload_<n>.exe x 500) collapses into the
+    same LSH band buckets; the guard must emit O(n) star pairs, not the
+    ~125k all-pairs — while genuine cluster connectivity survives (every
+    member reachable from the bucket hub for connected components)."""
+    from pyspark.sql import functions as F
+
+    from sigraph_spark.operators.linking import candidate_pairs
+
+    n = 500
+    fam = spark.range(n).select(
+        F.concat(
+            F.lit("c:\\hot\\payload_"), F.col("id").cast("string"), F.lit(".exe")
+        ).alias("entity")
+    )
+    pairs = candidate_pairs(fam, max_bucket=8)
+    m = pairs.count()
+    # each banded row contributes at most (max_bucket - 1) small-bucket
+    # partners or one hub pair: LINEAR in n, far below ~n^2/2 all-pairs
+    assert m <= 8 * n * 7
+    assert m < n * (n - 1) / 4
+    assert m >= n - 1  # connectivity: at least a spanning structure
+    # near-complete coverage: the cap must not strand the family (a member
+    # whose bands are ALL singleton buckets legitimately has no candidates
+    # — it keeps itself as canonical in link_entities)
+    members = {
+        r["e"]
+        for r in pairs.select(F.explode(F.array("a", "b")).alias("e")).collect()
+    }
+    assert len(members) >= n * 0.95
+
+
 def test_tfidf_cosine_matches_reference_computation(spark):
     """The JVM-side map-based cosine equals a straight numpy computation of
     the same smoothed-idf formula on the same char-3-gram shingles."""
