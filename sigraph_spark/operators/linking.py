@@ -351,7 +351,15 @@ def link_entities(
     vocab = entity_vocab(triples).localCheckpoint(eager=True)
     pairs = candidate_pairs(vocab)
     scored = tfidf_cosine_scores(vocab, pairs)
-    matches = scored.filter(F.col("cosine") >= cosine_threshold).select("a", "b")
+    matches = (
+        scored.filter(F.col("cosine") >= cosine_threshold)
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    # clean-corpus fast path: no verified near-duplicates means identity
+    # mapping — skip the CC round trips (each round is several driver jobs)
+    if matches.limit(1).count() == 0:
+        return vocab.select("entity", F.col("entity").alias("canonical_id"))
     cc = connected_components(matches)
     return (
         vocab.join(cc, "entity", "left")
