@@ -1618,6 +1618,33 @@ def q_pipeline_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental entity linking over TWO crawl deltas (the 10^12-doc
+    production path: a recrawl never re-links the corpus — only unseen
+    entities are signed, probed against the stored band index, scored in
+    the stored idf space, and appended with frozen history). On this
+    corpus the vocabulary has no near-dup merges (same fact the
+    pipeline_edges oracle relies on), so the total mapping equals the
+    identity over the normalized vocabulary — which the oracle restates
+    directly; merge behavior itself is pytest-pinned."""
+    from sigraph_spark.corpus import gen_pages
+    from sigraph_spark.operators.extract import extract_pages
+    from sigraph_spark.operators.linking import (
+        empty_link_state, incremental_link_entities,
+    )
+    from sigraph_spark.operators.triples import triples_from_docs
+
+    pages = gen_pages(spark, sf=0.01)
+    docs = extract_pages(pages).select("url", "warc_ts", "text")
+    triples = triples_from_docs(docs)
+    parity = F.pmod(F.xxhash64("url"), F.lit(2))
+    _, state = incremental_link_entities(
+        triples.filter(parity == 0), empty_link_state(spark)
+    )
+    mapping, _ = incremental_link_entities(triples.filter(parity == 1), state)
+    return mapping
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HARD oracle: gen_media payloads are deterministic ASCII
     ('MEDIA{id}' + 'x'*((id%7+1)*100)) and the stub decoder is a byte%16
@@ -1870,6 +1897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_priority": q_orders_priority,
         "triples_extract": q_triples_extract,
         "pipeline_edges": q_pipeline_edges,
+        "link_incremental": q_link_incremental,
         "media_features": q_media_features,
         "trace_sequences": q_trace_sequences,
         "unit_flush": q_unit_flush,
@@ -3685,6 +3713,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT subj, predicate, obj, CAST(start_off AS BIGINT) AS start_off,
                url AS provenance_url, CAST(weight AS BIGINT) AS weight
         FROM ranked WHERE rn = 1
+        """
+    )
+    # incremental linking total mapping == identity over the normalized
+    # vocabulary on this corpus (no near-dup merges fire — the same
+    # verified fact the pipeline_edges oracle rests on)
+    sq["link_incremental"] = (
+        "WITH " + _pages_triples_cte()
+        + """,
+        vocab AS (
+          SELECT replace(lower(trim(actor)), '[.]', '.') AS entity
+          FROM stepped
+          UNION
+          SELECT replace(lower(trim(object)), '[.]', '.') FROM stepped)
+        SELECT entity, entity AS canonical_id FROM vocab WHERE entity <> ''
         """
     )
     sq["provenance_export"] = (

@@ -75,6 +75,33 @@ def entity_vocab(triples: DataFrame) -> DataFrame:
     return ents
 
 
+def entity_band_index(
+    entities: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    rows: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """(entity, bk) LSH band keys over char-k-gram MinHash signatures —
+    the blocking index. Shared by the full path (``candidate_pairs``) and
+    the incremental path (the STORED index the crawl delta probes, so the
+    corpus is never re-signed). Arrow numpy kernel, deterministic."""
+    from sigraph_spark.operators.dedup import (
+        lsh_band_keys, minhash_signature_udf,
+    )
+
+    assert bands * rows <= num_hashes
+    sig = entities.select(
+        "entity",
+        minhash_signature_udf(k, num_hashes, "crc32", shingle="char")(
+            F.col("entity")
+        ).alias("sig"),
+    )
+    return sig.select(
+        "entity", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
+    )
+
+
 def candidate_pairs(
     entities: DataFrame,
     num_hashes: int = 32,
@@ -113,20 +140,7 @@ def candidate_pairs(
     (``minhash_signature_udf`` with char shingles) — the pure-Column
     aggregate is interpreted (janino width limit) and measured ~5x slower
     at 90k entities."""
-    from sigraph_spark.operators.dedup import (
-        lsh_band_keys, minhash_signature_udf,
-    )
-
-    assert bands * rows <= num_hashes
-    sig = entities.select(
-        "entity",
-        minhash_signature_udf(k, num_hashes, "crc32", shingle="char")(
-            F.col("entity")
-        ).alias("sig"),
-    )
-    banded = sig.select(
-        "entity", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
-    )
+    banded = entity_band_index(entities, num_hashes, bands, rows, k)
     sizes = banded.groupBy("bk").agg(F.count(F.lit(1)).alias("_n"))
     small = banded.join(
         sizes.filter(F.col("_n") <= max_bucket).select("bk"), "bk"
@@ -169,12 +183,36 @@ def tfidf_cosine_scores(
     )
     dfreq = term.groupBy("sh").agg(F.count(F.lit(1)).cast("double").alias("_df"))
     nrow = entities.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    return _cosine_with_df(entities, pairs, dfreq, nrow, k)
+
+
+def _cosine_with_df(
+    entities: DataFrame,
+    pairs: DataFrame,
+    dfreq: DataFrame,
+    nrow: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """Cosine core with EXPLICIT document-frequency statistics: ``dfreq``
+    is (sh, _df double) and ``nrow`` a one-row (_n double) frame. The
+    incremental path feeds the STORED corpus-wide stats here so delta
+    scoring uses the same idf space as a full recompute; shingles unseen
+    in dfreq default df=0 (maximum idf — correct for brand-new tokens)."""
+    term = entities.select(
+        "entity", F.explode(char_shingles(F.col("entity"), k)).alias("sh")
+    )
     weighted = (
-        term.join(dfreq, "sh")
+        term.join(dfreq, "sh", "left")
         .crossJoin(F.broadcast(nrow))
         .select(
             "entity", "sh",
-            (F.log((F.col("_n") + 1) / (F.col("_df") + 1)) + 1).alias("w"),
+            (
+                F.log(
+                    (F.col("_n") + 1)
+                    / (F.coalesce(F.col("_df"), F.lit(0.0)) + 1)
+                )
+                + 1
+            ).alias("w"),
         )
     )
     vecs = (
@@ -405,3 +443,189 @@ def canonicalize_triples(
         .withColumn("obj", F.coalesce("obj", "_no"))
         .drop("_na", "_no")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental entity linking (crawl-delta vs stored state)
+# ---------------------------------------------------------------------------
+# At 10^12 documents a recrawl delta must NOT re-link the whole corpus.
+# The stored state is three tables + one scalar, all mergeable:
+#   mapping    (entity, canonical_id)  — total over every entity seen;
+#   band_index (entity, bk)           — the LSH blocking index (bucketed
+#                                        on bk in production, like the
+#                                        dedup minhash_index);
+#   shingle_df (sh, _df)              — corpus-wide document frequencies
+#                                        so delta cosine scoring uses the
+#                                        SAME idf space as a full run;
+#   n_entities                         — seen-vocabulary size.
+# A delta signs ONLY its unseen entities, probes the stored index for
+# new-vs-corpus candidates, self-blocks for new-vs-new, scores both with
+# the stored df stats, and extends the mapping. FROZEN-HISTORY semantics:
+# existing canonical assignments never change — a new entity bridging two
+# old clusters joins the smaller canonical id but does NOT retro-merge
+# them (production runs a periodic full re-link for that; same contract
+# as the reference's per-event MERGE which also never rewrites history).
+
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass
+class LinkState:
+    """Persistent incremental-linking state (see module comment above)."""
+
+    mapping: DataFrame
+    band_index: DataFrame
+    shingle_df: DataFrame
+    n_entities: int
+
+
+def empty_link_state(spark) -> LinkState:
+    return LinkState(
+        mapping=spark.createDataFrame([], "entity string, canonical_id string"),
+        band_index=spark.createDataFrame([], "entity string, bk string"),
+        shingle_df=spark.createDataFrame([], "sh string, _df double"),
+        n_entities=0,
+    )
+
+
+def incremental_link_entities(
+    delta_triples: DataFrame,
+    state: LinkState,
+    cosine_threshold: float = 0.85,
+    k: int = 3,
+    max_bucket: int = 8,
+) -> tuple[DataFrame, LinkState]:
+    """Fold one crawl delta into the linking state.
+
+    Returns ``(mapping_total, new_state)`` where ``mapping_total`` covers
+    every entity seen so far (old rows byte-identical — frozen history).
+    Cost is O(delta): the corpus is never re-signed, never re-scored; the
+    only corpus-side work is the band-index probe join (storage-
+    partitioned on bk in production) and the df-stat union."""
+    spark = delta_triples.sparkSession
+    delta_vocab = entity_vocab(delta_triples).localCheckpoint(eager=True)
+    new = delta_vocab.join(
+        state.mapping.select("entity"), "entity", "left_anti"
+    ).localCheckpoint(eager=True)
+
+    # updated df statistics (union + sum — algebraic, mergeable)
+    new_term = new.select(
+        "entity", F.explode(char_shingles(F.col("entity"), k)).alias("sh")
+    )
+    new_df = new_term.groupBy("sh").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    df_total = (
+        state.shingle_df.unionByName(new_df)
+        .groupBy("sh")
+        .agg(F.sum("_df").alias("_df"))
+        .localCheckpoint(eager=True)
+    )
+    n_total = state.n_entities + new.count()
+    nrow = spark.createDataFrame([(float(n_total),)], "_n double")
+
+    # blocking: new-vs-new (guarded self-block) + new-vs-corpus (probe the
+    # stored index; oversized corpus buckets are capped to the bucket-min
+    # representative, mirroring candidate_pairs' hot-bucket guard)
+    new_bands = entity_band_index(new, k=k).localCheckpoint(eager=True)
+    pairs_nn = candidate_pairs(new, k=k, max_bucket=max_bucket)
+    old_sizes = state.band_index.groupBy("bk").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    old_small = state.band_index.join(
+        old_sizes.filter(F.col("_n") <= max_bucket).select("bk"), "bk"
+    )
+    old_hubs = (
+        state.band_index.join(
+            old_sizes.filter(F.col("_n") > max_bucket).select("bk"), "bk"
+        )
+        .groupBy("bk")
+        .agg(F.min("entity").alias("entity"))
+    )
+    old_side = old_small.unionByName(old_hubs.select("entity", "bk"))
+    pairs_no = (
+        new_bands.withColumnRenamed("entity", "n_ent")
+        .join(old_side.withColumnRenamed("entity", "o_ent"), "bk")
+        .select(
+            F.least("n_ent", "o_ent").alias("a"),
+            F.greatest("n_ent", "o_ent").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    pairs = pairs_nn.unionByName(pairs_no).distinct().localCheckpoint(eager=True)
+
+    # score with the GLOBAL df space; endpoints = new ∪ touched old
+    endpoints = (
+        pairs.select(F.col("a").alias("entity"))
+        .unionAll(pairs.select(F.col("b").alias("entity")))
+        .distinct()
+    )
+    scored = _cosine_with_df(endpoints, pairs, df_total, nrow, k)
+    matches = (
+        scored.filter(F.col("cosine") >= cosine_threshold)
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+
+    if matches.limit(1).count() == 0:
+        new_mapping = new.select(
+            "entity", F.col("entity").alias("canonical_id")
+        )
+    else:
+        # rewrite OLD endpoints onto their frozen canonicals, then CC over
+        # the delta's match graph; old canonicals act as anchor labels
+        m = state.mapping
+        ca = m.select(
+            F.col("entity").alias("a"), F.col("canonical_id").alias("_ca")
+        )
+        cb = m.select(
+            F.col("entity").alias("b"), F.col("canonical_id").alias("_cb")
+        )
+        edges = (
+            matches.join(ca, "a", "left")
+            .join(cb, "b", "left")
+            .select(
+                F.coalesce("_ca", F.col("a")).alias("a"),
+                F.coalesce("_cb", F.col("b")).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+        )
+        cc = connected_components(edges)
+        # frozen history: a component containing an EXISTING canonical is
+        # labeled by the minimum such anchor, never by a lexicographically
+        # smaller NEW entity — otherwise the old cluster and its new
+        # member would end up under different canonicals
+        anchors = state.mapping.select(
+            F.col("canonical_id").alias("entity")
+        ).distinct()
+        anchor_min = (
+            cc.join(anchors, "entity")
+            .groupBy("canonical_id")
+            .agg(F.min("entity").alias("_anchor"))
+        )
+        cc_resolved = cc.join(anchor_min, "canonical_id", "left").select(
+            "entity",
+            F.coalesce("_anchor", F.col("canonical_id")).alias("canonical_id"),
+        )
+        new_mapping = (
+            new.join(cc_resolved, "entity", "left")
+            .select(
+                "entity",
+                F.coalesce(F.col("canonical_id"), F.col("entity")).alias(
+                    "canonical_id"
+                ),
+            )
+        )
+
+    mapping_total = state.mapping.unionByName(new_mapping).localCheckpoint(
+        eager=True
+    )
+    new_state = LinkState(
+        mapping=mapping_total,
+        band_index=state.band_index.unionByName(new_bands).localCheckpoint(
+            eager=True
+        ),
+        shingle_df=df_total,
+        n_entities=n_total,
+    )
+    return mapping_total, new_state

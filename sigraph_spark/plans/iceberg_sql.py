@@ -220,5 +220,47 @@ WHEN NOT MATCHED THEN
   VALUES (s.doc_id, s.text, s.lang, s.batch_id)"""
 
 
+# --- incremental entity-linking state (operators/linking.py LinkState) ---
+# mapping is FROZEN history (insert-if-absent — a canonical never
+# rewrites); the band index buckets on bk so the delta probe join is
+# storage-partitioned like minhash_index; shingle_df merges by summation
+# (algebraic, so deltas fold in any order).
+DDL["entity_mapping"] = f"""\
+CREATE TABLE IF NOT EXISTS {DB}.entity_mapping (
+  entity STRING NOT NULL,
+  canonical_id STRING NOT NULL)
+USING iceberg
+PARTITIONED BY (bucket(64, entity))"""
+DDL["entity_band_index"] = f"""\
+CREATE TABLE IF NOT EXISTS {DB}.entity_band_index (
+  entity STRING NOT NULL,
+  bk STRING NOT NULL)
+USING iceberg
+PARTITIONED BY (bucket(256, bk))"""
+DDL["entity_shingle_df"] = f"""\
+CREATE TABLE IF NOT EXISTS {DB}.entity_shingle_df (
+  sh STRING NOT NULL,
+  _df DOUBLE NOT NULL)
+USING iceberg
+PARTITIONED BY (bucket(64, sh))"""
+
+MERGE["entity_mapping"] = f"""\
+MERGE INTO {DB}.entity_mapping t
+USING entity_mapping_delta s
+ON t.entity = s.entity
+WHEN NOT MATCHED THEN INSERT *"""
+MERGE["entity_band_index"] = f"""\
+MERGE INTO {DB}.entity_band_index t
+USING entity_band_index_delta s
+ON t.entity = s.entity AND t.bk = s.bk
+WHEN NOT MATCHED THEN INSERT *"""
+MERGE["entity_shingle_df"] = f"""\
+MERGE INTO {DB}.entity_shingle_df t
+USING entity_shingle_df_delta s
+ON t.sh = s.sh
+WHEN MATCHED THEN UPDATE SET t._df = t._df + s._df
+WHEN NOT MATCHED THEN INSERT *"""
+
+
 def all_statements() -> list[str]:
     return [*DDL.values(), *MERGE.values(), *FLUSH_UNIT.values()]

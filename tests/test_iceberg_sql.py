@@ -96,3 +96,13 @@ def test_minhash_index_binding_pinned():
     assert "PARTITIONED BY (bucket(256, bk))" in DDL["minhash_index"]
     assert "WHEN NOT MATCHED THEN INSERT *" in MERGE["minhash_index"]
     assert "WHEN MATCHED" not in MERGE["minhash_index"]
+
+
+def test_linking_state_bindings_pinned():
+    """Incremental-linking state tables: mapping is frozen history
+    (insert-if-absent), the band index buckets on bk (probe join storage-
+    partitioned), shingle_df merges by summation."""
+    assert "WHEN NOT MATCHED THEN INSERT *" in MERGE["entity_mapping"]
+    assert "WHEN MATCHED" not in MERGE["entity_mapping"]
+    assert "PARTITIONED BY (bucket(256, bk))" in DDL["entity_band_index"]
+    assert "t._df = t._df + s._df" in MERGE["entity_shingle_df"]

@@ -222,3 +222,92 @@ def test_canonicalize_no_forced_broadcast(spark):
     a = canonicalize_triples(triples, mapping).collect()
     b = canonicalize_triples(triples, mapping, broadcast_max_rows=10).collect()
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Incremental linking (crawl-delta vs stored state)
+# ---------------------------------------------------------------------------
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        [("u", a, "verb", o) for a, o in rows],
+        "url string, actor string, verb string, object string",
+    )
+
+
+def test_incremental_from_empty_matches_full(spark):
+    """One delta folded into empty state == the full link_entities run,
+    on a fixture where near-dup merging actually fires."""
+    from sigraph_spark.operators.linking import (
+        empty_link_state, incremental_link_entities, link_entities,
+    )
+
+    triples = _triples(spark, [
+        ("cobalt strike beacon", "evil.example.com"),
+        ("cobalt strike beacn", "evil.example.com"),
+        ("emotet loader", "c:\\tmp\\a.exe"),
+    ])
+    full = {r["entity"]: r["canonical_id"]
+            for r in link_entities(triples).collect()}
+    inc, state = incremental_link_entities(
+        triples, empty_link_state(spark)
+    )
+    got = {r["entity"]: r["canonical_id"] for r in inc.collect()}
+    assert got == full
+    # the near-dup pair really merged (else the fixture proves nothing)
+    assert got["cobalt strike beacn"] == got["cobalt strike beacon"]
+    assert state.n_entities == len(full)
+
+
+def test_incremental_delta_joins_existing_canonical(spark):
+    """A later crawl's variant of a known entity adopts the FROZEN
+    canonical id; earlier mapping rows are byte-identical (history never
+    rewrites); state grows by exactly the new entities."""
+    from sigraph_spark.operators.linking import (
+        empty_link_state, incremental_link_entities,
+    )
+
+    d1 = _triples(spark, [
+        ("cobalt strike beacon", "evil.example.com"),
+        ("emotet loader", "c:\\tmp\\a.exe"),
+    ])
+    m1, s1 = incremental_link_entities(d1, empty_link_state(spark))
+    base = {r["entity"]: r["canonical_id"] for r in m1.collect()}
+    n_bands_1 = s1.band_index.count()
+
+    d2 = _triples(spark, [
+        ("cobalt strike beacn", "evil.example.com"),   # variant + known obj
+        ("qakbot dropper", "d:\\x\\b.exe"),            # brand new
+    ])
+    m2, s2 = incremental_link_entities(d2, s1)
+    got = {r["entity"]: r["canonical_id"] for r in m2.collect()}
+    # frozen history: every delta-1 row unchanged
+    assert all(got[e] == c for e, c in base.items())
+    # the variant joined the EXISTING canonical cluster
+    assert got["cobalt strike beacn"] == base["cobalt strike beacon"]
+    # the genuinely new entity keeps itself
+    assert got["qakbot dropper"] == "qakbot dropper"
+    # O(delta): index grew by exactly the new entities' band keys
+    new_entities = set(got) - set(base)
+    assert s2.band_index.count() == n_bands_1 + 8 * len(new_entities)
+    assert s2.n_entities == len(got)
+
+
+def test_incremental_skips_reprocessing_known_entities(spark):
+    """Re-delivering already-known entities is a no-op on the state (the
+    corpus is never re-signed: band index and df stats unchanged)."""
+    from sigraph_spark.operators.linking import (
+        empty_link_state, incremental_link_entities,
+    )
+
+    d1 = _triples(spark, [("emotet loader", "c:\\tmp\\a.exe")])
+    m1, s1 = incremental_link_entities(d1, empty_link_state(spark))
+    m2, s2 = incremental_link_entities(d1, s1)  # same delta again
+    assert sorted(map(tuple, m2.collect())) == sorted(map(tuple, m1.collect()))
+    assert s2.band_index.count() == s1.band_index.count()
+    assert s2.n_entities == s1.n_entities
+    assert (
+        s2.shingle_df.exceptAll(s1.shingle_df).count()
+        + s1.shingle_df.exceptAll(s2.shingle_df).count()
+        == 0
+    )
