@@ -1,0 +1,104 @@
+"""Continuous-crawl append path: apply_crawl_delta folds page deltas into
+persistent state — globally consistent canonicalization, cumulative edge
+weights, replay no-ops, atomic versioned commits."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from sigraph_spark.corpus import gen_pages
+from sigraph_spark.plans.incremental import (
+    apply_crawl_delta, crawl_state_tables,
+)
+
+
+def test_two_deltas_accumulate_and_replay_noops(spark, tmp_path):
+    wd = str(tmp_path / "crawl")
+    os.makedirs(wd)
+    pages = gen_pages(spark, sf=0.001).localCheckpoint(eager=True)
+    parity = F.pmod(F.xxhash64("url"), F.lit(2))
+    d1 = pages.filter(parity == 0).localCheckpoint(eager=True)
+    d2 = pages.filter(parity == 1).localCheckpoint(eager=True)
+
+    r1 = apply_crawl_delta(spark, d1, wd, "seg-001")
+    assert r1["version"] == 1 and r1["edges_total"] > 0
+    edges_after_1 = {
+        (r["subj"], r["predicate"], r["obj"]): r["weight"]
+        for r in crawl_state_tables(spark, wd)["edges"].collect()
+    }
+
+    # replay the SAME delta id: no-op, state byte-identical
+    assert apply_crawl_delta(spark, d1, wd, "seg-001") is None
+    st = json.load(open(os.path.join(wd, "_state.json")))
+    assert st["version"] == 1 and st["applied"] == ["seg-001"]
+
+    r2 = apply_crawl_delta(spark, d2, wd, "seg-002")
+    assert r2["version"] == 2
+    tables = crawl_state_tables(spark, wd)
+    edges_after_2 = {
+        (r["subj"], r["predicate"], r["obj"]): r["weight"]
+        for r in tables["edges"].collect()
+    }
+    # cumulative: every delta-1 edge survives with weight >= before
+    assert all(edges_after_2[k] >= w for k, w in edges_after_1.items())
+    assert r2["entities_total"] >= r1["entities_total"]
+    # superseded version dir GC'd, current one live
+    assert not os.path.exists(os.path.join(wd, "v1"))
+    assert os.path.exists(os.path.join(wd, "v2", "edges"))
+
+    # the full-corpus batch pipeline over d1+d2 yields the same edge KEY
+    # set (weights too: each url contributes once in both paths)
+    from sigraph_spark.operators.extract import extract_pages
+    from sigraph_spark.operators.linking import (
+        canonicalize_triples, link_entities,
+    )
+    from sigraph_spark.operators.triples import triples_from_docs
+
+    docs = extract_pages(pages).select("url", "warc_ts", "text")
+    tr = triples_from_docs(docs)
+    canon = canonicalize_triples(tr, link_entities(tr))
+    full = {
+        (r["subj"], r["verb"], r["obj"]): r["n"]
+        for r in canon.groupBy("subj", "verb", "obj")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(edges_after_2) == set(full)
+    assert edges_after_2 == {k: full[k] for k in full}
+
+
+def test_cross_delta_variant_adopts_frozen_canonical(spark, tmp_path):
+    """An entity variant arriving in a LATER delta canonicalizes onto the
+    stored cluster — the edges of both deltas meet under one subject."""
+    wd = str(tmp_path / "crawl2")
+    os.makedirs(wd)
+
+    def pages_of(url, body):
+        html = f"<html><body><p>{body}</p></body></html>"
+        return spark.createDataFrame(
+            [(url, None, bytearray(html.encode()), None, "en")],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        ).withColumn("warc_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+
+    apply_crawl_delta(
+        spark,
+        pages_of("https://a.example/1",
+                 "InternationalBusinessLoader executed C:\\x\\a.exe."),
+        wd, "d1",
+    )
+    apply_crawl_delta(
+        spark,
+        pages_of("https://a.example/2",
+                 "InternationalBusinesssLoader executed C:\\x\\b.exe."),
+        wd, "d2",
+    )
+    tables = crawl_state_tables(spark, wd)
+    mapping = {r["entity"]: r["canonical_id"] for r in tables["mapping"].collect()}
+    # the delta-2 variant adopted delta-1's frozen canonical
+    assert mapping["internationalbusinesssloader"] == mapping["internationalbusinessloader"] == "internationalbusinessloader"
+    subs = {r["subj"] for r in tables["edges"].collect()}
+    # both deltas' edges share the single frozen canonical subject
+    assert {s for s in subs if "internationalbusiness" in s} == {"internationalbusinessloader"}

@@ -195,3 +195,39 @@ def test_apply_sysmon_rules_one_pass(spark):
         for r in apply_sysmon_rules(_sysmon_events(spark), rules).collect()
     }
     assert got == {(1, "proc-mimi"), (4, "net-c2")}
+
+
+def test_sysmon_yaml_rule_end_to_end(spark):
+    """Real-shaped Sigma YAML through the full path: parse_rules_yaml ->
+    compile_sysmon_rule -> filter (the reference's upload -> sysmon
+    pipeline -> backend flow as one batch predicate)."""
+    from sigraph_spark.operators.sigma import (
+        compile_sysmon_rule, parse_rules_yaml,
+    )
+
+    yaml_text = """
+title: Suspicious Mimikatz Execution
+id: r-yaml-1
+status: test
+logsource:
+  product: windows
+  category: process_creation
+detection:
+  sel_img:
+    Image|endswith: '\\mimikatz.exe'
+  sel_cmd:
+    CommandLine|contains:
+      - 'privilege::debug'
+      - 'sekurlsa::'
+  condition: sel_img and sel_cmd
+level: high
+"""
+    rules = parse_rules_yaml([yaml_text])
+    assert len(rules) == 1 and rules[0]["id"] == "r-yaml-1"
+    got = {
+        r["doc_id"]
+        for r in _sysmon_events(spark)
+        .filter(compile_sysmon_rule(rules[0]))
+        .collect()
+    }
+    assert got == {1}  # EventID gate excludes the file_event collision (2)
