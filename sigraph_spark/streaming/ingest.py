@@ -10,7 +10,11 @@ merge semantics (and tests) are shared, not re-implemented:
   in the reference to reproduce;
 * each micro-batch runs extract -> triples -> an upsert into the edge
   table keyed (subj, predicate, obj): props are last-writer-wins by
-  (warc_ts, url), weight sums per-batch counts;
+  (warc_ts, url), weight sums per-batch counts. Entity canonicalization
+  here is BATCH-LOCAL (each micro-batch links its own vocabulary) — the
+  latency-first choice; for globally consistent canonicals across deltas
+  use the batch append path ``plans/incremental.apply_crawl_delta``,
+  which carries persistent frozen-history linking state;
 * exactly-once = checkpointLocation (offset tracking) + an IDEMPOTENT
   sink with an applied-batch ledger, so a crash between table commit and
   the streaming checkpoint re-delivers the same batch_id and the sink

@@ -109,6 +109,36 @@ def main() -> int:
         forbid=("BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"),
     )
 
+    # entity-linking blocking + scoring: signatures via ONE ArrowEvalPython
+    # (the shared numpy MinHash kernel); band join + map-based cosine are
+    # plain equi-joins/aggregates — no cartesian, no nested loop, no
+    # row-at-a-time python anywhere in the S3 path
+    from sigraph_spark.operators.linking import (
+        candidate_pairs, entity_vocab, tfidf_cosine_scores,
+    )
+    from sigraph_spark.operators.triples import triples_from_docs
+    from sigraph_spark.operators.extract import extract_pages
+    from sigraph_spark.corpus import gen_pages
+
+    _docs = extract_pages(gen_pages(spark, sf=0.001)).select(
+        "url", "warc_ts", "text"
+    )
+    _vocab = entity_vocab(triples_from_docs(_docs)).localCheckpoint(eager=True)
+    _pairs = candidate_pairs(_vocab)
+    check(
+        "linking_blocking",
+        _pairs,
+        want=("ArrowEvalPython",),
+        forbid=("BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
+    # (the scorer's only nested-loop is the sanctioned ONE-ROW broadcast
+    # of the vocabulary count — so only python eval is forbidden here)
+    check(
+        "linking_cosine",
+        tfidf_cosine_scores(_vocab, _pairs.localCheckpoint(eager=True)),
+        forbid=("BatchEvalPython", "ArrowEvalPython"),
+    )
+
     # pagerank: pure integer Column arithmetic — zero Python eval of any
     # kind in the iterative loop
     check(
