@@ -42,17 +42,33 @@ _TAG_RE = re.compile(r"<[^>]+>")
 _SPACES_RE = re.compile(r"[ \t\r\f\v ]+")
 
 
-def strip_html(html_bytes: bytes | bytearray | None) -> str:
+# Crawl-grade input bounds (both DOCUMENTED output-affecting only for
+# pathological pages — every golden/real page is far below them):
+# * MAX_HTML_BYTES caps per-page input so one multi-hundred-MB page cannot
+#   inflate an Arrow batch (maxRecordsPerBatch pages x cap bounds executor
+#   memory) — the same truncation every production crawl extractor applies;
+# * MAX_DROP_PASSES bounds the nested-dropped-container fixpoint loop so an
+#   adversarial <div><script><script>... nesting bomb terminates in
+#   O(cap x bytes) instead of unbounded passes.
+MAX_HTML_BYTES = 8 << 20
+MAX_DROP_PASSES = 10
+
+
+def strip_html(
+    html_bytes: bytes | bytearray | None,
+    max_html_bytes: int = MAX_HTML_BYTES,
+) -> str:
     """Extract main text from HTML bytes. Pure and deterministic."""
     if html_bytes is None:
         return ""
-    raw = bytes(html_bytes).decode("utf-8", errors="replace")
+    raw = bytes(html_bytes)[:max_html_bytes].decode("utf-8", errors="replace")
     s = _COMMENT_RE.sub(" ", raw)
-    # repeated pass handles (non-pathological) nesting of dropped containers
-    prev = None
-    while prev != s:
-        prev = s
-        s = _DROP_RE.sub(" ", s)
+    # bounded repeated pass handles nesting of dropped containers
+    for _ in range(MAX_DROP_PASSES):
+        new = _DROP_RE.sub(" ", s)
+        if new == s:
+            break
+        s = new
     s = _BLOCK_RE.sub("\n", s)
     s = _TAG_RE.sub(" ", s)
     s = _htmllib.unescape(s)

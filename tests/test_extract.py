@@ -67,3 +67,31 @@ def test_no_row_udf_in_plan(spark):
     plan = extract_pages(pages)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_strip_html_input_cap_and_nesting_bomb():
+    """Crawl-grade bounds: a giant page truncates at MAX_HTML_BYTES
+    deterministically, and a deep nested-dropped-container bomb terminates
+    in bounded passes instead of looping per nesting level."""
+    import time
+
+    from sigraph_spark.operators.extract import (
+        MAX_HTML_BYTES, strip_html,
+    )
+
+    # giant page: body beyond the cap is dropped, prefix text survives
+    giant = (
+        b"<html><body><p>head marker</p>" + b"x" * (MAX_HTML_BYTES + 1000)
+    )
+    out = strip_html(giant)
+    assert "head marker" in out
+    assert len(out) <= MAX_HTML_BYTES
+    # pure + deterministic under the cap: same bytes -> same text
+    assert strip_html(giant) == out
+
+    # nesting bomb: 5k nested <script> layers — bounded passes, fast exit
+    bomb = b"<p>before</p>" + b"<script>" * 5000 + b"payload" + b"</script>" * 5000
+    t0 = time.monotonic()
+    out2 = strip_html(bomb)
+    assert time.monotonic() - t0 < 10
+    assert "before" in out2
