@@ -471,12 +471,22 @@ from dataclasses import dataclass as _dataclass
 
 @_dataclass
 class LinkState:
-    """Persistent incremental-linking state (see module comment above)."""
+    """Persistent incremental-linking state (see module comment above).
+
+    The ``delta_*`` fields are set by :func:`incremental_link_entities` on
+    the RETURNED state only: the per-delta appendables an O(delta) sink
+    persists instead of rewriting the totals — ``delta_mapping`` /
+    ``delta_bands`` are the new entities' rows (mapping and band index
+    are append-only under frozen history), ``delta_df`` the df-count
+    INCREMENTS (totals = sum of increments per shingle)."""
 
     mapping: DataFrame
     band_index: DataFrame
     shingle_df: DataFrame
     n_entities: int
+    delta_mapping: DataFrame | None = None
+    delta_bands: DataFrame | None = None
+    delta_df: DataFrame | None = None
 
 
 def empty_link_state(spark) -> LinkState:
@@ -617,6 +627,7 @@ def incremental_link_entities(
             )
         )
 
+    new_mapping = new_mapping.localCheckpoint(eager=True)
     mapping_total = state.mapping.unionByName(new_mapping).localCheckpoint(
         eager=True
     )
@@ -627,5 +638,8 @@ def incremental_link_entities(
         ),
         shingle_df=df_total,
         n_entities=n_total,
+        delta_mapping=new_mapping,
+        delta_bands=new_bands,
+        delta_df=new_df.localCheckpoint(eager=True),
     )
     return mapping_total, new_state

@@ -1,5 +1,5 @@
 """Continuous-crawl incremental pipeline: fold page DELTAS into persistent
-graph state without recomputing the corpus.
+graph state without recomputing — or rewriting — the corpus.
 
 ``run_pipeline`` (plans/pipeline.py) is the full-recompute path with
 per-stage resume; this module is the APPEND path a 10^12-document crawl
@@ -10,15 +10,25 @@ entities are signed/scored, history frozen), and merged into the
 cumulative canonical edge table with the same last-writer-wins + weight-sum
 combiners as the streaming sink.
 
-Durability contract (same device as streaming/ingest.py): every state
-table writes as a new VERSIONED directory, then ONE atomic rename of
-``_state.json`` — which carries the applied-delta ledger — makes
-everything live together. A crash before the swap leaves the old state
-fully intact (orphan version dirs are garbage-collected on the next
-apply); a redelivered delta no-ops on the ledger, so weights can never
-double-count. In production each table is an Iceberg MERGE INTO
-(plans/iceberg_sql.py: edges, entity_mapping, entity_band_index,
-entity_shingle_df) with the delta fingerprint as a snapshot property.
+The runnable parquet binding is O(delta) per apply, mirroring the
+production Iceberg MERGEs (plans/iceberg_sql.py):
+
+* ``mapping`` / ``band_index`` are APPEND-ONLY under frozen history —
+  each delta adds one immutable part directory of the NEW entities' rows;
+  nothing is ever rewritten (Iceberg twin: insert-if-absent MERGE);
+* ``shingle_df`` appends per-delta count INCREMENTS; the read view sums
+  per shingle, and parts compact into one when they exceed
+  ``COMPACT_PARTS`` (amortized; Iceberg twin: ``_df = t._df + s._df``);
+* ``edges`` uses the versioned hash-bucket scheme of streaming/ingest.py:
+  a delta rewrites ONLY the buckets its triples touch; untouched bucket
+  files are never rewritten.
+
+Durability: all new part/bucket directories land first, then ONE atomic
+rename of ``_state.json`` — which carries the applied-delta ledger —
+makes everything live together. A crash before the swap leaves the old
+state fully intact (orphan dirs are garbage-collected on the next apply);
+a redelivered delta no-ops on the ledger, so weights can never
+double-count.
 """
 
 from __future__ import annotations
@@ -31,6 +41,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _STATE = "_state.json"
+N_EDGE_BUCKETS = 16
+COMPACT_PARTS = 32
 
 
 def _read_state(workdir: str) -> dict:
@@ -38,21 +50,50 @@ def _read_state(workdir: str) -> dict:
     if os.path.exists(p):
         with open(p) as f:
             return json.load(f)
-    return {"applied": [], "version": 0, "n_entities": 0, "tables": {}}
-
-
-def _load(spark: SparkSession, workdir: str, st: dict, name: str) -> DataFrame | None:
-    rel = st["tables"].get(name)
-    return spark.read.parquet(os.path.join(workdir, rel)) if rel else None
-
-
-def crawl_state_tables(spark: SparkSession, workdir: str) -> dict[str, DataFrame | None]:
-    """Current committed state: {edges, mapping, band_index, shingle_df}."""
-    st = _read_state(workdir)
     return {
-        name: _load(spark, workdir, st, name)
-        for name in ("edges", "mapping", "band_index", "shingle_df")
+        "applied": [],
+        "version": 0,
+        "n_entities": 0,
+        "parts": {"mapping": [], "band_index": [], "shingle_df": []},
+        "edge_buckets": {},
     }
+
+
+def _read_parts(
+    spark: SparkSession, workdir: str, st: dict, name: str
+) -> DataFrame | None:
+    rels = st["parts"][name]
+    if not rels:
+        return None
+    return spark.read.parquet(*[os.path.join(workdir, r) for r in rels])
+
+
+def crawl_state_tables(
+    spark: SparkSession, workdir: str
+) -> dict[str, DataFrame | None]:
+    """Current committed state: {edges, mapping, band_index, shingle_df}.
+    shingle_df sums its appended increments; edges unions the live bucket
+    versions."""
+    st = _read_state(workdir)
+    out: dict[str, DataFrame | None] = {
+        "mapping": _read_parts(spark, workdir, st, "mapping"),
+        "band_index": _read_parts(spark, workdir, st, "band_index"),
+    }
+    df = _read_parts(spark, workdir, st, "shingle_df")
+    out["shingle_df"] = (
+        df.groupBy("sh").agg(F.sum("_df").alias("_df")) if df is not None else None
+    )
+    bucket_rels = sorted(st["edge_buckets"].values())
+    out["edges"] = (
+        spark.read.parquet(*[os.path.join(workdir, r) for r in bucket_rels])
+        if bucket_rels
+        else None
+    )
+    return out
+
+
+def _edge_bucket_col():
+    return F.pmod(F.xxhash64("subj", "predicate", "obj"), F.lit(N_EDGE_BUCKETS))
 
 
 def _merge_edges(existing: DataFrame | None, delta: DataFrame) -> DataFrame:
@@ -73,6 +114,36 @@ def _merge_edges(existing: DataFrame | None, delta: DataFrame) -> DataFrame:
             F.col("_wsum").alias("weight"),
         )
     )
+
+
+def _gc(workdir: str, st: dict) -> None:
+    """Remove version dirs/subpaths no longer referenced by the committed
+    state (superseded edge buckets, compacted-away parts, crash orphans).
+    Single-writer discipline."""
+    live = {os.path.normpath(r) for rels in st["parts"].values() for r in rels}
+    live |= {os.path.normpath(r) for r in st["edge_buckets"].values()}
+    for vname in os.listdir(workdir):
+        vdir = os.path.join(workdir, vname)
+        if not (vname.startswith("v") and os.path.isdir(vdir)):
+            continue
+        for sub in os.listdir(vdir):
+            subp = os.path.join(vdir, sub)
+            rel = os.path.normpath(os.path.join(vname, sub))
+            if not os.path.isdir(subp):
+                continue
+            if sub.startswith("edges"):
+                # edges dir contains _bucket=K children
+                for b in os.listdir(subp):
+                    brel = os.path.normpath(os.path.join(rel, b))
+                    bp = os.path.join(subp, b)
+                    if os.path.isdir(bp) and brel not in live:
+                        shutil.rmtree(bp, ignore_errors=True)
+                if not any(n.startswith("_bucket=") for n in os.listdir(subp)):
+                    shutil.rmtree(subp, ignore_errors=True)
+            elif rel not in live:
+                shutil.rmtree(subp, ignore_errors=True)
+        if not os.listdir(vdir):
+            shutil.rmtree(vdir, ignore_errors=True)
 
 
 def apply_crawl_delta(
@@ -99,13 +170,16 @@ def apply_crawl_delta(
     docs = extract_pages(delta_pages).select("url", "warc_ts", "text")
     triples = triples_from_docs(docs).localCheckpoint(eager=True)
 
+    stored = crawl_state_tables(spark, workdir)
+    empty = empty_link_state(spark)
     prev = LinkState(
-        mapping=_load(spark, workdir, st, "mapping")
-        or empty_link_state(spark).mapping,
-        band_index=_load(spark, workdir, st, "band_index")
-        or empty_link_state(spark).band_index,
-        shingle_df=_load(spark, workdir, st, "shingle_df")
-        or empty_link_state(spark).shingle_df,
+        mapping=stored["mapping"] if stored["mapping"] is not None else empty.mapping,
+        band_index=stored["band_index"]
+        if stored["band_index"] is not None
+        else empty.band_index,
+        shingle_df=stored["shingle_df"]
+        if stored["shingle_df"] is not None
+        else empty.shingle_df,
         n_entities=st["n_entities"],
     )
     mapping_total, new_state = incremental_link_entities(triples, prev)
@@ -125,49 +199,79 @@ def apply_crawl_delta(
             F.col("_lw.url").alias("provenance_url"),
             "weight",
         )
+        .withColumn("_bucket", _edge_bucket_col())
+        .localCheckpoint(eager=True)
     )
-    edges_total = _merge_edges(_load(spark, workdir, st, "edges"), edge_delta)
 
-    # versioned write + single atomic _state.json swap
     ver = st["version"] + 1
-    new_tables = {}
+    vname = f"v{ver}"
+    shutil.rmtree(os.path.join(workdir, vname), ignore_errors=True)  # crashed try
+
+    # 1) append-only linking parts: ONLY the delta rows are written
+    new_parts = {k: list(v) for k, v in st["parts"].items()}
     for name, df in (
-        ("edges", edges_total),
-        ("mapping", new_state.mapping),
-        ("band_index", new_state.band_index),
-        ("shingle_df", new_state.shingle_df),
+        ("mapping", new_state.delta_mapping),
+        ("band_index", new_state.delta_bands),
+        ("shingle_df", new_state.delta_df),
     ):
-        rel = os.path.join(f"v{ver}", name)
+        rel = os.path.join(vname, name)
         df.write.mode("overwrite").parquet(os.path.join(workdir, rel))
-        new_tables[name] = rel
+        new_parts[name].append(rel)
+        # amortized compaction: fold the accumulated parts into one
+        if len(new_parts[name]) > COMPACT_PARTS:
+            total = spark.read.parquet(
+                *[os.path.join(workdir, r) for r in new_parts[name]]
+            )
+            if name == "shingle_df":
+                total = total.groupBy("sh").agg(F.sum("_df").alias("_df"))
+            crel = os.path.join(vname, name + "_compact")
+            total.write.mode("overwrite").parquet(os.path.join(workdir, crel))
+            new_parts[name] = [crel]
+
+    # 2) bucketed edge merge: only delta-touched buckets rewrite
+    touched = sorted(
+        r["_bucket"] for r in edge_delta.select("_bucket").distinct().collect()
+    )
+    new_buckets = dict(st["edge_buckets"])
+    if touched:
+        existing_paths = [
+            os.path.join(workdir, st["edge_buckets"][str(b)])
+            for b in touched
+            if str(b) in st["edge_buckets"]
+        ]
+        existing = (
+            spark.read.parquet(*existing_paths) if existing_paths else None
+        )
+        merged = _merge_edges(existing, edge_delta.drop("_bucket"))
+        edir = os.path.join(workdir, vname, "edges")
+        merged.withColumn("_bucket", _edge_bucket_col()).write.partitionBy(
+            "_bucket"
+        ).mode("overwrite").parquet(edir)
+        for b in touched:
+            new_buckets[str(b)] = os.path.join(vname, "edges", f"_bucket={b}")
+
+    # 3) THE commit: one atomic state swap (ledger + all references)
     new_st = {
         "applied": sorted({*st["applied"], delta_id}),
         "version": ver,
         "n_entities": new_state.n_entities,
-        "tables": new_tables,
+        "parts": new_parts,
+        "edge_buckets": new_buckets,
     }
     tmp = os.path.join(workdir, _STATE + ".tmp")
     with open(tmp, "w") as f:
         json.dump(new_st, f, indent=1)
     os.replace(tmp, os.path.join(workdir, _STATE))
-    # GC superseded / orphaned version dirs (single-writer discipline)
-    for vname in os.listdir(workdir):
-        if (
-            vname.startswith("v")
-            and vname != f"v{ver}"
-            and os.path.isdir(os.path.join(workdir, vname))
-        ):
-            shutil.rmtree(os.path.join(workdir, vname), ignore_errors=True)
+    _gc(workdir, new_st)
 
-    # report counts come from the freshly COMMITTED parquet — re-evaluating
-    # the lazy edges_total plan here would re-read the GC'd old version
+    final = crawl_state_tables(spark, workdir)
     return {
         "delta_id": delta_id,
         "version": ver,
         "pages": delta_pages.count(),
         "triples": triples.count(),
         "entities_total": new_state.n_entities,
-        "edges_total": spark.read.parquet(
-            os.path.join(workdir, new_tables["edges"])
-        ).count(),
+        "edges_total": final["edges"].count() if final["edges"] is not None else 0,
+        "touched_buckets": len(touched),
+        "parts": {k: len(v) for k, v in new_parts.items()},
     }

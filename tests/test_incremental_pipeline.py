@@ -1,6 +1,7 @@
 """Continuous-crawl append path: apply_crawl_delta folds page deltas into
-persistent state — globally consistent canonicalization, cumulative edge
-weights, replay no-ops, atomic versioned commits."""
+persistent O(delta) state — globally consistent canonicalization,
+cumulative edge weights, append-only linking parts, bucketed edge
+rewrites, replay no-ops, atomic manifest commits."""
 
 from __future__ import annotations
 
@@ -13,6 +14,15 @@ from sigraph_spark.corpus import gen_pages
 from sigraph_spark.plans.incremental import (
     apply_crawl_delta, crawl_state_tables,
 )
+
+
+def _files_of(path: str) -> dict[str, tuple[int, float]]:
+    return {
+        n: (os.path.getsize(os.path.join(path, n)),
+            os.path.getmtime(os.path.join(path, n)))
+        for n in sorted(os.listdir(path))
+        if not n.startswith(("_", "."))
+    }
 
 
 def test_two_deltas_accumulate_and_replay_noops(spark, tmp_path):
@@ -29,8 +39,11 @@ def test_two_deltas_accumulate_and_replay_noops(spark, tmp_path):
         (r["subj"], r["predicate"], r["obj"]): r["weight"]
         for r in crawl_state_tables(spark, wd)["edges"].collect()
     }
+    st1 = json.load(open(os.path.join(wd, "_state.json")))
+    mapping_part_1 = st1["parts"]["mapping"][0]
+    part1_files = _files_of(os.path.join(wd, mapping_part_1))
 
-    # replay the SAME delta id: no-op, state byte-identical
+    # replay the SAME delta id: no-op, state untouched
     assert apply_crawl_delta(spark, d1, wd, "seg-001") is None
     st = json.load(open(os.path.join(wd, "_state.json")))
     assert st["version"] == 1 and st["applied"] == ["seg-001"]
@@ -45,9 +58,13 @@ def test_two_deltas_accumulate_and_replay_noops(spark, tmp_path):
     # cumulative: every delta-1 edge survives with weight >= before
     assert all(edges_after_2[k] >= w for k, w in edges_after_1.items())
     assert r2["entities_total"] >= r1["entities_total"]
-    # superseded version dir GC'd, current one live
-    assert not os.path.exists(os.path.join(wd, "v1"))
-    assert os.path.exists(os.path.join(wd, "v2", "edges"))
+
+    # O(delta) contract: delta-1's mapping part is APPEND-ONLY — the same
+    # files, byte-for-byte untouched, after delta 2
+    st2 = json.load(open(os.path.join(wd, "_state.json")))
+    assert st2["parts"]["mapping"][0] == mapping_part_1
+    assert _files_of(os.path.join(wd, mapping_part_1)) == part1_files
+    assert len(st2["parts"]["mapping"]) == 2  # one appended part per delta
 
     # the full-corpus batch pipeline over d1+d2 yields the same edge KEY
     # set (weights too: each url contributes once in both paths)
@@ -68,6 +85,37 @@ def test_two_deltas_accumulate_and_replay_noops(spark, tmp_path):
     }
     assert set(edges_after_2) == set(full)
     assert edges_after_2 == {k: full[k] for k in full}
+
+
+def test_untouched_edge_buckets_not_rewritten(spark, tmp_path):
+    """A tiny second delta rewrites ONLY the edge buckets it touches;
+    every other bucket keeps its exact files (size+mtime)."""
+    wd = str(tmp_path / "crawl_buckets")
+    os.makedirs(wd)
+    pages = gen_pages(spark, sf=0.001).localCheckpoint(eager=True)
+    apply_crawl_delta(spark, pages, wd, "big")
+    st1 = json.load(open(os.path.join(wd, "_state.json")))
+    assert len(st1["edge_buckets"]) > 1
+    before = {
+        b: _files_of(os.path.join(wd, rel))
+        for b, rel in st1["edge_buckets"].items()
+    }
+
+    r = apply_crawl_delta(spark, pages.limit(2), wd, "tiny")
+    assert r["touched_buckets"] < len(st1["edge_buckets"])
+    st2 = json.load(open(os.path.join(wd, "_state.json")))
+    untouched = {
+        b for b in st1["edge_buckets"]
+        if st2["edge_buckets"][b] == st1["edge_buckets"][b]
+    }
+    touched = set(st1["edge_buckets"]) - untouched
+    assert touched and untouched
+    for b in untouched:
+        assert _files_of(os.path.join(wd, st2["edge_buckets"][b])) == before[b]
+    for b in touched:
+        assert st2["edge_buckets"][b].startswith("v2/")
+        # superseded bucket dir GC'd after the atomic swap
+        assert not os.path.exists(os.path.join(wd, st1["edge_buckets"][b]))
 
 
 def test_cross_delta_variant_adopts_frozen_canonical(spark, tmp_path):
@@ -102,3 +150,39 @@ def test_cross_delta_variant_adopts_frozen_canonical(spark, tmp_path):
     subs = {r["subj"] for r in tables["edges"].collect()}
     # both deltas' edges share the single frozen canonical subject
     assert {s for s in subs if "internationalbusiness" in s} == {"internationalbusinessloader"}
+
+
+def test_shingle_df_parts_compact(spark, tmp_path):
+    """Past COMPACT_PARTS appended increments, parts fold into one and the
+    summed totals are preserved."""
+    import sigraph_spark.plans.incremental as inc
+
+    wd = str(tmp_path / "crawl3")
+    os.makedirs(wd)
+
+    def pages_of(i):
+        html = f"<html><body><p>Emotet dropped C:\\x\\f{i}.dll on the host.</p></body></html>"
+        return spark.createDataFrame(
+            [(f"https://h.example/{i}", None, bytearray(html.encode()), None, "en")],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        ).withColumn("warc_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+
+    old = inc.COMPACT_PARTS
+    inc.COMPACT_PARTS = 3
+    try:
+        for i in range(5):
+            apply_crawl_delta(spark, pages_of(i), wd, f"d{i}")
+        st = json.load(open(os.path.join(wd, "_state.json")))
+        # compaction triggered at least once: parts never exceed the cap+1
+        assert len(st["parts"]["shingle_df"]) <= inc.COMPACT_PARTS + 1
+        df = {
+            r["sh"]: r["_df"]
+            for r in crawl_state_tables(spark, wd)["shingle_df"].collect()
+        }
+        # df counts DISTINCT ENTITIES per shingle: 'emotet' is new only in
+        # delta 0 (df=1), while every delta contributes one new
+        # 'c:\x\f<i>.dll' object sharing the dll shingles (summed df=5)
+        assert df["emo"] == 1.0
+        assert df["dll"] == 5.0 and df[".dl"] == 5.0
+    finally:
+        inc.COMPACT_PARTS = old
