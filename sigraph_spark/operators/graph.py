@@ -309,8 +309,17 @@ def build_trace_spans(parsed: DataFrame) -> DataFrame:
     partitions (algebraic distinct, map-side partials), never one fat row.
     In production this is an Iceberg table bucketed on (unit_id, trace_id)
     (plans/iceberg_sql.py) so the merge and the span_count re-derivation
-    are storage-partitioned joins."""
-    return parsed.select("unit_id", "trace_id", "span_id").distinct()
+    are storage-partitioned joins.
+
+    NULL span_ids are excluded — matching both the ``span_id NOT NULL``
+    production DDL and ``build_traces``' count_distinct (which skips
+    NULLs), so merge-path ``count(*)`` over this table always equals the
+    full-rebuild span_count."""
+    return (
+        parsed.filter(F.col("span_id").isNotNull())
+        .select("unit_id", "trace_id", "span_id")
+        .distinct()
+    )
 
 
 def build_trace_contains(parsed: DataFrame) -> DataFrame:
@@ -487,11 +496,14 @@ def merge_traces(
     counts = merged_spans.groupBy("unit_id", "trace_id").agg(
         F.count(F.lit(1)).cast("long").alias("span_count")
     )
-    return rep.join(counts, ["unit_id", "trace_id"]).select(
+    # LEFT join + coalesce(0): a trace whose span_ids were all NULL has no
+    # membership rows (build_trace_spans drops NULLs, as does the rebuild's
+    # count_distinct) but must keep its trace row with span_count = 0
+    return rep.join(counts, ["unit_id", "trace_id"], "left").select(
         "unit_id", "trace_id",
         F.col("_rep.ts").alias("start_time"),
         F.col("_rep.pname").alias("representative_process_name"),
-        "span_count",
+        F.coalesce("span_count", F.lit(0)).cast("long").alias("span_count"),
         F.col("_rep.sid").alias("rep_span_id"),
     )
 

@@ -109,9 +109,12 @@ def candidate_pairs(
     rows: int = 4,
     k: int = 3,
     max_bucket: int = 8,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH blocking over char-k-gram shingles -> (a, b) candidate
-    pairs with a < b.
+    pairs with a < b. Pass ``banded`` (an ``entity_band_index`` frame) to
+    reuse already-computed signatures — the incremental path signs its
+    delta exactly once.
 
     Built on the repo's own banded machinery (``operators.dedup``:
     ``minhash_signature`` pure-Column aggregate + ``lsh_band_keys``) over
@@ -140,7 +143,8 @@ def candidate_pairs(
     (``minhash_signature_udf`` with char shingles) — the pure-Column
     aggregate is interpreted (janino width limit) and measured ~5x slower
     at 90k entities."""
-    banded = entity_band_index(entities, num_hashes, bands, rows, k)
+    if banded is None:
+        banded = entity_band_index(entities, num_hashes, bands, rows, k)
     sizes = banded.groupBy("bk").agg(F.count(F.lit(1)).alias("_n"))
     small = banded.join(
         sizes.filter(F.col("_n") <= max_bucket).select("bk"), "bk"
@@ -538,7 +542,8 @@ def incremental_link_entities(
     # stored index; oversized corpus buckets are capped to the bucket-min
     # representative, mirroring candidate_pairs' hot-bucket guard)
     new_bands = entity_band_index(new, k=k).localCheckpoint(eager=True)
-    pairs_nn = candidate_pairs(new, k=k, max_bucket=max_bucket)
+    # reuse the checkpointed bands: the delta is signed exactly ONCE
+    pairs_nn = candidate_pairs(new, k=k, max_bucket=max_bucket, banded=new_bands)
     old_sizes = state.band_index.groupBy("bk").agg(
         F.count(F.lit(1)).alias("_n")
     )

@@ -239,6 +239,9 @@ SYSMON_CATEGORY_EVENT_IDS: dict[str, tuple[int, ...]] = {
     "wmi_event": (19, 20, 21),
     "dns_query": (22,),
     "file_delete": (23, 26),
+    # Sigma's documented taxonomy name for Sysmon EID 24 is
+    # clipboard_change; the capture spelling is kept as an alias
+    "clipboard_change": (24,),
     "clipboard_capture": (24,),
     "process_tampering": (25,),
     "file_block_executable": (27,),

@@ -164,6 +164,10 @@ def apply_crawl_delta(
     from sigraph_spark.operators.triples import triples_from_docs
 
     st = _read_state(workdir)
+    # GC BEFORE the ledger check: crash orphans from an interrupted apply
+    # must be collected even when every subsequent invocation is a replay
+    if os.path.isdir(workdir):
+        _gc(workdir, st)
     if delta_id in st["applied"]:
         return None
 
@@ -233,6 +237,7 @@ def apply_crawl_delta(
         r["_bucket"] for r in edge_delta.select("_bucket").distinct().collect()
     )
     new_buckets = dict(st["edge_buckets"])
+    bucket_rows = dict(st.get("edge_bucket_rows", {}))
     if touched:
         existing_paths = [
             os.path.join(workdir, st["edge_buckets"][str(b)])
@@ -242,11 +247,17 @@ def apply_crawl_delta(
         existing = (
             spark.read.parquet(*existing_paths) if existing_paths else None
         )
-        merged = _merge_edges(existing, edge_delta.drop("_bucket"))
+        merged = _merge_edges(existing, edge_delta.drop("_bucket")).withColumn(
+            "_bucket", _edge_bucket_col()
+        ).localCheckpoint(eager=True)
         edir = os.path.join(workdir, vname, "edges")
-        merged.withColumn("_bucket", _edge_bucket_col()).write.partitionBy(
-            "_bucket"
-        ).mode("overwrite").parquet(edir)
+        merged.write.partitionBy("_bucket").mode("overwrite").parquet(edir)
+        # per-bucket row counts ride in the state so the report's
+        # edges_total stays O(touched), never a full-table scan
+        for r in merged.groupBy("_bucket").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect():
+            bucket_rows[str(r["_bucket"])] = int(r["n"])
         for b in touched:
             new_buckets[str(b)] = os.path.join(vname, "edges", f"_bucket={b}")
 
@@ -257,6 +268,7 @@ def apply_crawl_delta(
         "n_entities": new_state.n_entities,
         "parts": new_parts,
         "edge_buckets": new_buckets,
+        "edge_bucket_rows": bucket_rows,
     }
     tmp = os.path.join(workdir, _STATE + ".tmp")
     with open(tmp, "w") as f:
@@ -264,14 +276,15 @@ def apply_crawl_delta(
     os.replace(tmp, os.path.join(workdir, _STATE))
     _gc(workdir, new_st)
 
-    final = crawl_state_tables(spark, workdir)
     return {
         "delta_id": delta_id,
         "version": ver,
         "pages": delta_pages.count(),
         "triples": triples.count(),
         "entities_total": new_state.n_entities,
-        "edges_total": final["edges"].count() if final["edges"] is not None else 0,
+        # summed from the per-bucket counts in the state — O(buckets), no
+        # full-table scan in the report path
+        "edges_total": sum(bucket_rows.values()),
         "touched_buckets": len(touched),
         "parts": {k: len(v) for k, v in new_parts.items()},
     }

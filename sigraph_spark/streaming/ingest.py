@@ -133,6 +133,10 @@ def apply_pages_batch(batch: DataFrame, batch_id: int, edges_dir: str) -> bool:
 
     spark = batch.sparkSession
     man = _read_manifest(edges_dir)
+    # GC BEFORE the ledger check so crash orphans are collected even when
+    # the stream is only re-delivering already-applied batches
+    if os.path.isdir(edges_dir):
+        _gc_unreferenced(edges_dir, man)
     if int(batch_id) in set(man["applied"]):
         return False
 

@@ -103,6 +103,9 @@ def test_sysmon_rename_table_pinned():
     assert SYSMON_CATEGORY_EVENT_IDS["network_connection"] == (3,)
     assert SYSMON_CATEGORY_EVENT_IDS["registry_event"] == (12, 13, 14)
     assert SYSMON_CATEGORY_EVENT_IDS["wmi_event"] == (19, 20, 21)
+    # Sigma taxonomy name + legacy alias both gate on EID 24
+    assert SYSMON_CATEGORY_EVENT_IDS["clipboard_change"] == (24,)
+    assert SYSMON_CATEGORY_EVENT_IDS["clipboard_capture"] == (24,)
     assert SYSMON_CATEGORY_EVENT_IDS["file_delete"] == (23, 26)
     assert SYSMON_FIELD_RENAMES["network_connection"]["dst_port"] == "DestinationPort"
     assert SYSMON_FIELD_RENAMES["network_connection"]["dst_ip"] == "DestinationIp"

@@ -62,7 +62,9 @@ def main() -> int:
         # (html decode/inject/encode for the zipf legs) must not be
         # charged to s1, and reading a parquet crawl table is the real
         # production shape anyway
-        pages_dir = os.path.join(root, f"pages_{variant}")
+        # cache key includes the scale factor: re-running at a different sf
+        # must regenerate, not silently reuse the previous run's corpus
+        pages_dir = os.path.join(root, f"pages_{variant}_sf{vsf}")
         if not os.path.exists(pages_dir):
             gen(spark, vsf).write.mode("overwrite").parquet(pages_dir)
         pages = spark.read.parquet(pages_dir)
