@@ -1063,6 +1063,25 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture upsampling: source A repeats 2.3 epochs (2 full
+    copies + hash-fraction third), B exactly 1, C drops — the per-source
+    epoch recipe of an LLM data mixture, zero shuffle."""
+    from sigraph_spark.operators.corpus import mixture_epochs
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.element_at(
+            F.array(F.lit("wiki"), F.lit("cc"), F.lit("forum")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("source"),
+    )
+    out = mixture_epochs(
+        docs, {"wiki": 2.3, "cc": 1.0, "forum": 0.0}, default_epochs=1.0
+    )
+    return out.select("doc_id", "source", "epoch")
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Email/IPv4/digit-run masking. The corpus has no organic PII, so the
     gate seeds deterministic synthetic PII per doc first; the oracle
@@ -1865,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "dataset_split": q_dataset_split,
         "stratified_sample": q_stratified_sample,
+        "mixture_epochs": q_mixture_epochs,
         "pii_redact": q_pii_redact,
         "text_repetition": q_text_repetition,
         "corpus_vocab": q_corpus_vocab,
@@ -3163,6 +3183,28 @@ def oracle_sql() -> dict[str, str]:
           FROM documents)
         SELECT doc_id, lang, bucket FROM b
         WHERE bucket < CASE WHEN lang = 'en' THEN 200 ELSE 500 END
+    """
+    # mixture upsampling: n_copies = floor(e) + (md5 bucket < frac permille);
+    # unnest(range(n)) expands the per-copy epoch index
+    sq["mixture_epochs"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 ['wiki', 'cc', 'forum'][(doc_id % 3 + 1)] AS source
+          FROM documents),
+        w AS (
+          SELECT doc_id, source,
+                 CASE source WHEN 'wiki' THEN 2300 WHEN 'cc' THEN 1000
+                      WHEN 'forum' THEN 0 ELSE 1000 END AS e,
+                 CAST((md5_number_upper('mix:' || CAST(doc_id AS VARCHAR))
+                       & 4294967295) % 1000 AS BIGINT) AS bucket
+          FROM d),
+        n AS (
+          SELECT doc_id, source,
+                 (e // 1000) + CASE WHEN bucket < e % 1000 THEN 1 ELSE 0 END
+                   AS n_copies
+          FROM w)
+        SELECT doc_id, source, unnest(range(n_copies)) AS epoch
+        FROM n WHERE n_copies > 0
     """
     sq["pii_redact"] = r"""
         WITH seeded AS (

@@ -91,6 +91,46 @@ def stratified_sample(
     )
 
 
+def mixture_epochs(
+    docs: DataFrame,
+    epochs_by_source: dict[str, float],
+    default_epochs: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-mixture construction with UPSAMPLING: repeat each source's
+    documents by a (possibly fractional) epoch weight — the "2 epochs of
+    wiki, 0.3 of common-crawl" recipe every LLM data mixture specifies.
+
+    Each doc gets ``floor(e)`` full copies plus one extra for the
+    deterministic md5-hash fraction of docs covering ``frac(e)`` (exact in
+    expectation per source; permille resolution). Output adds an
+    ``epoch`` column (0-based copy index) so downstream shuffling can
+    spread the copies. Weight 0 drops the source. A narrow map + explode:
+    zero shuffle at any scale, and fully restatable in SQL for oracles
+    (the fractional weights are fixed to permille so float arithmetic
+    cannot drift across engines)."""
+    e: Column = F.lit(int(round(default_epochs * 1000)))
+    for value, epochs in sorted(epochs_by_source.items()):
+        e = F.when(
+            F.col(source_col) == value, F.lit(int(round(epochs * 1000)))
+        ).otherwise(e)
+    base = (e / 1000).cast("int")
+    frac_permille = e - base * 1000
+    bucket = (
+        hash32_md5_le(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))) % 1000
+    )
+    n_copies = (base + (bucket < frac_permille).cast("int")).alias("_n")
+    return (
+        docs.withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .select(
+            "*", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("epoch")
+        )
+        .drop("_n")
+    )
+
+
 def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Mask emails, IPv4 addresses, and 7+-digit runs in ``text_col``
     (in that order — the IP pattern must not see digits already consumed

@@ -474,3 +474,43 @@ def test_doc_keyterms_tfidf_ordering(spark):
     assert abs(got[2][0][2] - round(2 * math.log(3), 6)) < 1e-6
     # zero-idf terms score 0 but still rank when nothing better exists
     assert got[3][0][1] == "filler"
+
+
+def test_mixture_epochs_upsampling(spark):
+    from sigraph_spark.operators.corpus import mixture_epochs
+
+    n = 2000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "wiki").otherwise("cc").alias("source"),
+    )
+    out = mixture_epochs(docs, {"wiki": 2.5, "cc": 0.0}).cache()
+    rows = out.collect()
+    # cc dropped entirely
+    assert all(r["source"] == "wiki" for r in rows)
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    # every wiki doc appears 2 or 3 times with contiguous epoch indices
+    counts = []
+    for d, eps in per_doc.items():
+        assert sorted(eps) == list(range(len(eps)))
+        assert len(eps) in (2, 3)
+        counts.append(len(eps))
+    assert len(per_doc) == n // 2  # no wiki doc lost
+    mean = sum(counts) / len(counts)
+    assert 2.4 < mean < 2.6  # ~2.5 epochs in expectation
+    # deterministic: same input -> identical expansion
+    again = mixture_epochs(docs, {"wiki": 2.5, "cc": 0.0})
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+
+
+def test_mixture_epochs_default_weight(spark):
+    from sigraph_spark.operators.corpus import mixture_epochs
+
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "doc_id long, source string"
+    )
+    out = mixture_epochs(docs, {"x": 3.0})  # y takes default 1.0
+    got = sorted((r["doc_id"], r["epoch"]) for r in out.collect())
+    assert got == [(1, 0), (1, 1), (1, 2), (2, 0)]
