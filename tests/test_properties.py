@@ -197,3 +197,86 @@ def test_negative_samples_count_bounds(spark, edges):
         if vocab[h32(f"{c}|{ctx}|{s}") % len(vocab)] != ctx
     )
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# Trace-span merge semilattice: random-split merge == full rebuild
+# ---------------------------------------------------------------------------
+
+_span_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # unit
+        st.integers(min_value=0, max_value=3),    # trace
+        st.integers(min_value=0, max_value=15),   # span
+        st.integers(min_value=0, max_value=50),   # ts offset
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(events=_span_events, split_bits=st.integers(min_value=0, max_value=2**30))
+@settings(**_SETTINGS)
+def test_trace_merge_any_split_equals_rebuild(spark, events, split_bits):
+    """For ANY event multiset and ANY 2-way split (including re-delivered
+    overlap via duplicated rows), merging the halves' trace tables through
+    the span side table equals the full rebuild — the semilattice contract
+    the production MERGE relies on."""
+    import datetime as dt
+
+    from sigraph_spark.operators.graph import (
+        build_trace_spans, build_traces, merge_trace_spans, merge_traces,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (f"u{u}", f"t{t}", f"s{s}", base + dt.timedelta(seconds=ts), f"p{s % 3}.exe")
+        for (u, t, s, ts) in events
+    ]
+    schema = ("unit_id string, trace_id string, span_id string, "
+              "timestamp timestamp, process_name string")
+    full = spark.createDataFrame(rows, schema)
+    mask = [bool((split_bits >> (i % 30)) & 1) for i in range(len(rows))]
+    left = [r for r, m in zip(rows, mask) if m]
+    right = [r for r, m in zip(rows, mask) if not m]
+    # overlap: re-deliver the first row on both sides when both non-empty
+    if left and right:
+        right = right + [left[0]]
+    if not left or not right:
+        left, right = rows, rows  # degenerate split -> full re-delivery
+    l_df = spark.createDataFrame(left, schema)
+    r_df = spark.createDataFrame(right, schema)
+
+    spans = merge_trace_spans(build_trace_spans(l_df), build_trace_spans(r_df))
+    merged = merge_traces(build_traces(l_df), build_traces(r_df), spans)
+    rebuild = build_traces(full)
+    diff = merged.exceptAll(rebuild).count() + rebuild.exceptAll(merged).count()
+    assert diff == 0
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=500), min_size=1,
+                 max_size=40, unique=True),
+    permille=st.integers(min_value=0, max_value=3000),
+)
+@settings(**_SETTINGS)
+def test_mixture_epochs_copy_count_formula(spark, ids, permille):
+    """Every doc's copy count equals floor(e) + (md5 bucket < frac) exactly
+    — recomputed off-engine with hashlib."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from sigraph_spark.operators.corpus import mixture_epochs
+
+    docs = spark.createDataFrame(
+        [(i, "s") for i in ids], "doc_id long, source string"
+    )
+    out = mixture_epochs(docs, {"s": permille / 1000}).groupBy("doc_id").count()
+    got = {r["doc_id"]: r["count"] for r in out.collect()}
+    for i in ids:
+        b = int.from_bytes(
+            hashlib.md5(f"mix:{i}".encode()).digest()[:4], "little"
+        ) % 1000
+        want = permille // 1000 + (1 if b < permille % 1000 else 0)
+        assert got.get(i, 0) == want
