@@ -52,6 +52,10 @@ def main(argv: list[str] | None = None) -> int:
         shuffle_partitions=args.shuffle_partitions,
     )
     spark.sparkContext.setLogLevel("WARN")
+    if args.pages and args.synthetic_sf is not None:
+        # silently preferring one source would burn the delta-id in the
+        # ledger against the wrong data — refuse ambiguous invocations
+        ap.error("--pages and --synthetic-sf are mutually exclusive")
     if args.synthetic_sf is not None:
         from sigraph_spark.corpus import gen_pages
 

@@ -39,6 +39,16 @@ _BLOCK_RE = re.compile(
     re.IGNORECASE,
 )
 _TAG_RE = re.compile(r"<[^>]+>")
+# an UNCLOSED raw-text element opener (malformed page, or the closer cut
+# off by the MAX_HTML_BYTES truncation / left by the pass cap): its body
+# is code, never document text — drop to end-of-string. Only script/style
+# qualify: the structural containers' contents are markup that the tag
+# strip handles, and sloppy pages legitimately leave e.g. <head> unclosed
+# (dropping to EOS there would delete the whole document).
+_UNCLOSED_RE = re.compile(
+    r"<(script|style)\b[^>]*>.*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _SPACES_RE = re.compile(r"[ \t\r\f\v ]+")
 
 
@@ -69,6 +79,10 @@ def strip_html(
         if new == s:
             break
         s = new
+    # any surviving opener is unclosed (truncated by the byte cap, deeper
+    # than the pass cap, or just malformed) — drop it to end-of-string so
+    # raw script/style bodies can never leak into the corpus as text
+    s = _UNCLOSED_RE.sub(" ", s)
     s = _BLOCK_RE.sub("\n", s)
     s = _TAG_RE.sub(" ", s)
     s = _htmllib.unescape(s)

@@ -41,8 +41,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _STATE = "_state.json"
-N_EDGE_BUCKETS = 16
 COMPACT_PARTS = 32
+
+# the edge combiner, bucket hash, and bucket count are SHARED with the
+# streaming sink — one definition, so the "same semilattice combiner"
+# contract between the two incremental paths is structural, not parallel
+# copies that could drift
+from sigraph_spark.streaming.ingest import (  # noqa: E402
+    N_BUCKETS as N_EDGE_BUCKETS,
+    _bucket_col as _edge_bucket_col,
+    _merge_edges,
+)
 
 
 def _read_state(workdir: str) -> dict:
@@ -90,30 +99,6 @@ def crawl_state_tables(
         else None
     )
     return out
-
-
-def _edge_bucket_col():
-    return F.pmod(F.xxhash64("subj", "predicate", "obj"), F.lit(N_EDGE_BUCKETS))
-
-
-def _merge_edges(existing: DataFrame | None, delta: DataFrame) -> DataFrame:
-    """Same semilattice combiner as streaming/ingest.py: last-writer props
-    by (start_time, url), weight sums across distinct deltas (the ledger
-    guarantees at-most-once per delta)."""
-    all_rows = delta if existing is None else existing.unionByName(delta)
-    return (
-        all_rows.groupBy("subj", "predicate", "obj")
-        .agg(
-            F.max(F.struct("start_time", "provenance_url", "weight")).alias("_m"),
-            F.sum("weight").alias("_wsum"),
-        )
-        .select(
-            "subj", "predicate", "obj",
-            F.col("_m.start_time").alias("start_time"),
-            F.col("_m.provenance_url").alias("provenance_url"),
-            F.col("_wsum").alias("weight"),
-        )
-    )
 
 
 def _gc(workdir: str, st: dict) -> None:

@@ -95,3 +95,28 @@ def test_strip_html_input_cap_and_nesting_bomb():
     out2 = strip_html(bomb)
     assert time.monotonic() - t0 < 10
     assert "before" in out2
+
+
+def test_strip_html_unclosed_script_never_leaks_code():
+    """An unclosed <script>/<style> (malformed page, or the closer cut off
+    by the byte cap) must drop to end-of-string — raw code can never enter
+    the corpus as text. Structural containers (e.g. sloppy unclosed
+    <head>) do NOT drop to EOS: browsers auto-close them."""
+    from sigraph_spark.operators.extract import MAX_HTML_BYTES, strip_html
+
+    out = strip_html(b"<p>keep me</p><script>var secret = 1;")
+    assert "keep me" in out and "secret" not in out
+
+    out2 = strip_html(b"<p>text</p><style>.x{color:red}")
+    assert "text" in out2 and "color" not in out2
+
+    # the truncation case: closer beyond the cap
+    page = (
+        b"<p>intro</p><script>" + b"j" * MAX_HTML_BYTES + b"</script><p>tail</p>"
+    )
+    out3 = strip_html(page)
+    assert "intro" in out3 and "jjj" not in out3
+
+    # sloppy-but-common unclosed <head> keeps the document body
+    out4 = strip_html(b"<head><title>t</title><body><p>body text</p></body>")
+    assert "body text" in out4

@@ -63,9 +63,11 @@ def main() -> int:
         # charged to s1, and reading a parquet crawl table is the real
         # production shape anyway
         # cache key includes the scale factor: re-running at a different sf
-        # must regenerate, not silently reuse the previous run's corpus
+        # must regenerate, not silently reuse the previous run's corpus;
+        # the _SUCCESS marker guards against a partially-written dir from
+        # an interrupted generation
         pages_dir = os.path.join(root, f"pages_{variant}_sf{vsf}")
-        if not os.path.exists(pages_dir):
+        if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
             gen(spark, vsf).write.mode("overwrite").parquet(pages_dir)
         pages = spark.read.parquet(pages_dir)
         t0 = time.monotonic()
