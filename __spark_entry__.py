@@ -1082,6 +1082,31 @@ def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "epoch")
 
 
+def q_drop_common_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate-line removal: two seeded template lines
+    (one on every doc, one on every 7th) cross the min_docs=50 document-
+    frequency bar and are dropped; the per-doc unique line survives. The
+    common set broadcasts — the corpus never shuffles."""
+    from sigraph_spark.operators.corpus import drop_common_lines
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nAll rights reserved."),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("\nSubscribe to our newsletter!"),
+            ).otherwise(F.lit("")),
+            F.lit("\nRef code "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return drop_common_lines(d, min_docs=50).select(
+        "doc_id", "text", "n_lines_dropped"
+    )
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Email/IPv4/digit-run masking. The corpus has no organic PII, so the
     gate seeds deterministic synthetic PII per doc first; the oracle
@@ -1885,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "stratified_sample": q_stratified_sample,
         "mixture_epochs": q_mixture_epochs,
+        "drop_common_lines": q_drop_common_lines,
         "pii_redact": q_pii_redact,
         "text_repetition": q_text_repetition,
         "corpus_vocab": q_corpus_vocab,
@@ -3183,6 +3209,37 @@ def oracle_sql() -> dict[str, str]:
           FROM documents)
         SELECT doc_id, lang, bucket FROM b
         WHERE bucket < CASE WHEN lang = 'en' THEN 200 ELSE 500 END
+    """
+    # boilerplate-line removal: per-line doc frequencies via aligned
+    # unnest/generate_subscripts; rebuild = ordered string_agg with a
+    # common-set filter (coalesce covers the all-dropped doc)
+    sq["drop_common_lines"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 text || chr(10) || 'All rights reserved.'
+                      || CASE WHEN doc_id % 7 = 0
+                              THEN chr(10) || 'Subscribe to our newsletter!'
+                              ELSE '' END
+                      || chr(10) || 'Ref code ' || CAST(doc_id AS VARCHAR)
+                   AS text
+          FROM documents),
+        x AS (
+          SELECT doc_id,
+                 unnest(string_split(text, chr(10))) AS line,
+                 generate_subscripts(string_split(text, chr(10)), 1) AS pos
+          FROM d),
+        common AS (
+          SELECT line FROM (
+            SELECT DISTINCT doc_id, line FROM x WHERE trim(line) <> '')
+          GROUP BY line HAVING count(*) >= 50)
+        SELECT doc_id,
+               coalesce(
+                 string_agg(line, chr(10) ORDER BY pos)
+                   FILTER (WHERE line NOT IN (SELECT line FROM common)),
+                 '') AS text,
+               CAST(count(*) FILTER (WHERE line IN (SELECT line FROM common))
+                    AS BIGINT) AS n_lines_dropped
+        FROM x GROUP BY doc_id
     """
     # mixture upsampling: n_copies = floor(e) + (md5 bucket < frac permille);
     # unnest(range(n)) expands the per-copy epoch index

@@ -91,6 +91,67 @@ def stratified_sample(
     )
 
 
+def drop_common_lines(
+    docs: DataFrame,
+    min_docs: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style cross-document boilerplate removal at LINE granularity:
+    a (non-blank) line appearing in >= ``min_docs`` DISTINCT documents is
+    boilerplate (cookie banners, "all rights reserved", nav crumbs) and is
+    dropped from every document; order of the surviving lines is
+    preserved. Returns (id, text, n_lines_dropped).
+
+    Complementary to the n-gram span machinery in
+    ``operators/contamination.py``: spans catch fuzzy repetition inside
+    prose, lines catch the exact templated furniture web extraction
+    leaves behind.
+
+    Scale shape: per-line document frequencies are one algebraic count
+    (map-side partials absorb the hot boilerplate head), and the common
+    set — small by construction — broadcasts back for the drop, so the
+    corpus itself is never shuffled; reassembly is a groupBy on the doc
+    id (uniform key)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(t, "\n")).alias("_pos", "_line"),
+    )
+    common = (
+        lines.filter(F.trim("_line") != "")
+        .select("_id", "_line")
+        .distinct()
+        .groupBy("_line")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("_line")
+    )
+    marked = lines.join(
+        F.broadcast(common.withColumn("_drop", F.lit(True))), "_line", "left"
+    )
+    rebuilt = marked.groupBy("_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_drop").isNull(),
+                            F.struct("_pos", "_line"),
+                        )
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+        ).alias(text_col),
+        F.sum(F.col("_drop").isNotNull().cast("long")).alias("n_lines_dropped"),
+    )
+    return rebuilt.select(
+        F.col("_id").alias(id_col), text_col, "n_lines_dropped"
+    )
+
+
 def mixture_epochs(
     docs: DataFrame,
     epochs_by_source: dict[str, float],

@@ -514,3 +514,46 @@ def test_mixture_epochs_default_weight(spark):
     out = mixture_epochs(docs, {"x": 3.0})  # y takes default 1.0
     got = sorted((r["doc_id"], r["epoch"]) for r in out.collect())
     assert got == [(1, 0), (1, 1), (1, 2), (2, 0)]
+
+
+def test_drop_common_lines(spark):
+    from sigraph_spark.operators.corpus import drop_common_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha\nAll rights reserved.\nmore text"),
+            (2, "different body\nAll rights reserved."),
+            (3, "All rights reserved.\nsolo line"),
+            (4, "All rights reserved."),              # all lines dropped
+            (5, "no boilerplate at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["text"], r["n_lines_dropped"])
+           for r in drop_common_lines(docs, min_docs=3).collect()}
+    assert out[1] == ("unique alpha\nmore text", 1)
+    assert out[2] == ("different body", 1)
+    assert out[3] == ("solo line", 1)
+    assert out[4] == ("", 1)
+    assert out[5] == ("no boilerplate at all", 0)
+
+
+def test_drop_common_lines_counts_docs_not_occurrences(spark):
+    # a line repeated many times WITHIN one doc counts once toward df
+    from sigraph_spark.operators.corpus import drop_common_lines
+
+    docs = spark.createDataFrame(
+        [(1, "spam\nspam\nspam\nspam"), (2, "other")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"]
+           for r in drop_common_lines(docs, min_docs=2).collect()}
+    assert out[1] == "spam\nspam\nspam\nspam"  # df=1 < 2: kept
+    # blank lines are never treated as boilerplate
+    docs2 = spark.createDataFrame(
+        [(1, "a\n\nb"), (2, "c\n\nd"), (3, "e\n\nf")],
+        "doc_id long, text string",
+    )
+    out2 = {r["doc_id"]: r["text"]
+            for r in drop_common_lines(docs2, min_docs=2).collect()}
+    assert out2[1] == "a\n\nb"
