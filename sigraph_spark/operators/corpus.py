@@ -110,25 +110,28 @@ def drop_common_lines(
 
     Scale shape: per-line document frequencies are one algebraic count
     (map-side partials absorb the hot boilerplate head), and the common
-    set — small by construction — broadcasts back for the drop, so the
-    corpus itself is never shuffled; reassembly is a groupBy on the doc
-    id (uniform key)."""
+    set broadcasts back as 64-BIT LINE HASHES (8 bytes/line, so even
+    millions of boilerplate lines stay broadcastable at corpus scale —
+    a false drop needs an xxhash64 collision with a common line,
+    ~n_common/2^64 per distinct line, negligible); the corpus itself is
+    never shuffled, and reassembly is a groupBy on the doc id (uniform
+    key)."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     lines = docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(t, "\n")).alias("_pos", "_line"),
-    )
+    ).withColumn("_lh", F.xxhash64("_line"))
     common = (
         lines.filter(F.trim("_line") != "")
-        .select("_id", "_line")
+        .select("_id", "_lh")
         .distinct()
-        .groupBy("_line")
+        .groupBy("_lh")
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") >= min_docs)
-        .select("_line")
+        .select("_lh")
     )
     marked = lines.join(
-        F.broadcast(common.withColumn("_drop", F.lit(True))), "_line", "left"
+        F.broadcast(common.withColumn("_drop", F.lit(True))), "_lh", "left"
     )
     rebuilt = marked.groupBy("_id").agg(
         F.concat_ws(
