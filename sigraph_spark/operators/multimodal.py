@@ -5,13 +5,16 @@ typed metadata struct; the expensive decode/feature steps run as
 Arrow-batched functions over ``mapInPandas`` so one task processes a whole
 record batch without per-row Python overhead.
 
-Uncompressed BMP images decode for REAL (pure Python + numpy,
-``decode_bmp``/``encode_bmp`` below) — image_features and resize_images
-run a genuine bytes -> pixels path for that format. Compressed codecs
-(PIL/ffmpeg/librosa) are NOT in this container, so those formats hit
-deterministic fakes behind the same ``_decode_*`` seams — clearly marked,
-swappable, and unit-tested for the Spark-side contract that IS real:
-schema, batch shape, partitioning, and null/size handling.
+Two image formats decode for REAL (pure Python + stdlib + numpy):
+uncompressed BMP (``decode_bmp``/``encode_bmp``) and — the compressed
+path — PNG (``decode_png``/``encode_png``: zlib-inflated IDAT, all five
+scanline filters incl. Paeth, gray/RGB/RGBA at bit depth 8).
+image_features and resize_images run a genuine bytes -> pixels path for
+both. Remaining codecs (JPEG/ffmpeg/librosa) are NOT in this container,
+so those formats hit deterministic fakes behind the same ``_decode_*``
+seams — clearly marked, swappable, and unit-tested for the Spark-side
+contract that IS real: schema, batch shape, partitioning, and null/size
+handling.
 
 Scale notes:
 * binary payloads are only materialized inside the mapInPandas stage; all
@@ -130,9 +133,187 @@ def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
     return header + body
 
 
-def _bmp_features(width: int, height: int, rgb: bytes) -> list[float]:
-    """Real pixel features for decoded BMPs: [mean R, mean G, mean B,
-    mean luma] + a 12-bin luma histogram, all normalized to [0, 1]."""
+# ---------------------------------------------------------------------------
+# REAL codec #2: PNG (pure Python: stdlib zlib inflate + numpy unfiltering)
+# ---------------------------------------------------------------------------
+# The genuinely-compressed format path: IDAT chunks are zlib streams of
+# filtered scanlines. Supported: bit depth 8, color types 0 (gray),
+# 2 (RGB), 6 (RGBA), interlace 0 — the overwhelmingly common web shapes.
+# All five scanline filters (None/Sub/Up/Average/Paeth) decode; Sub and Up
+# are vectorized with numpy, Average/Paeth fall back to the per-byte
+# recurrence the spec defines (they are sequential by construction).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(payload: bytes):
+    """Yield (chunk_type, data) pairs; raises ValueError on truncation."""
+    import struct
+
+    pos = 8
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        data_start = pos + 8
+        if data_start + length + 4 > len(payload):
+            raise ValueError("truncated PNG chunk")
+        yield ctype, payload[data_start : data_start + length]
+        pos = data_start + length + 4  # skip CRC
+        if ctype == b"IEND":
+            return
+    raise ValueError("missing IEND")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §6.6): nearest of left/up/up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter_scanlines(raw: bytes, width: int, height: int, nch: int):
+    """Reverse the per-row PNG filters -> (height, width*nch) uint8."""
+    import numpy as np
+
+    stride = width * nch
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    rows = np.frombuffer(raw, dtype=np.uint8, count=height * (stride + 1))
+    rows = rows.reshape(height, stride + 1)
+    filters = rows[:, 0]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        ft = int(filters[y])
+        cur = rows[y, 1:].astype(np.int64)
+        if ft == 0:  # None
+            rec = cur
+        elif ft == 1:  # Sub: x += left(x) -> per-channel-offset cumsum
+            rec = cur.copy()
+            for ch in range(nch):
+                rec[ch::nch] = np.cumsum(cur[ch::nch])
+        elif ft == 2:  # Up
+            rec = cur + prev
+        elif ft == 3:  # Average: sequential on left
+            rec = cur.copy()
+            for i in range(stride):
+                left = rec[i - nch] & 0xFF if i >= nch else 0
+                rec[i] = cur[i] + ((left + int(prev[i] & 0xFF)) >> 1)
+        elif ft == 4:  # Paeth: sequential on left/up-left
+            rec = cur.copy()
+            for i in range(stride):
+                a = rec[i - nch] & 0xFF if i >= nch else 0
+                b = int(prev[i] & 0xFF)
+                c = int(prev[i - nch] & 0xFF) if i >= nch else 0
+                rec[i] = cur[i] + _paeth(a, b, c)
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+        rec &= 0xFF
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a PNG (bit depth 8; gray/RGB/RGBA; no interlace).
+
+    Returns ``(width, height, rgb)`` with ``rgb`` row-major top-down RGB
+    triples (gray replicated to 3 channels, alpha dropped). Raises
+    ValueError for unsupported or malformed input."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    width = height = nch = -1
+    idat = bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("unsupported PNG variant")
+            nch = {0: 1, 2: 3, 6: 4}.get(color, -1)
+            if nch < 0 or width <= 0 or height <= 0:
+                raise ValueError("unsupported PNG color type")
+        elif ctype == b"IDAT":
+            idat += data
+    if width < 0 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # corrupt deflate stream -> uniform error type
+        raise ValueError(f"bad PNG IDAT stream: {exc}") from exc
+    px = _unfilter_scanlines(raw, width, height, nch).reshape(height, width, nch)
+    if nch == 1:
+        px = np.repeat(px, 3, axis=2)
+    elif nch == 4:
+        px = px[:, :, :3]
+    return width, height, px.tobytes()
+
+
+def encode_png(width: int, height: int, rgb: bytes, filter_type: int = 0) -> bytes:
+    """Encode top-down RGB triples as an 8-bit RGB PNG. ``filter_type``
+    selects the per-row filter (0-4) so tests can exercise every decode
+    branch; the filtered bytes are derived by inverting the same spec
+    recurrences :func:`decode_png` reverses."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    stride = width * 3
+    nch = 3
+    lines = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        rec = px[y].reshape(stride).astype(np.int64)
+        if filter_type == 0:
+            filt = rec
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(nch, dtype=np.int64), rec[:-nch]])
+            filt = rec - left
+        elif filter_type == 2:
+            filt = rec - prev
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(nch, dtype=np.int64), rec[:-nch]])
+            filt = rec - ((left + prev) >> 1)
+        elif filter_type == 4:
+            filt = rec.copy()
+            for i in range(stride):
+                a = int(rec[i - nch]) if i >= nch else 0
+                b = int(prev[i])
+                c = int(prev[i - nch]) if i >= nch else 0
+                filt[i] = rec[i] - _paeth(a, b, c)
+        else:
+            raise ValueError("filter_type must be 0-4")
+        lines.append(filter_type)
+        lines += (filt & 0xFF).astype(np.uint8).tobytes()
+        prev = rec
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _pixel_features(width: int, height: int, rgb: bytes) -> list[float]:
+    """Real pixel features for decoded images (BMP/PNG): [mean R, mean G,
+    mean B, mean luma] + a 12-bin luma histogram, all normalized to [0, 1]."""
     import numpy as np
 
     px = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3).astype(np.float64)
@@ -147,17 +328,23 @@ def _bmp_features(width: int, height: int, rgb: bytes) -> list[float]:
 
 
 def _decode_image_features(payload: bytes | None) -> list[float]:
-    """Image feature kernel. BMP payloads take the REAL decode path
-    (``decode_bmp`` -> pixel statistics). Everything else is the declared
-    STUB fallback (no PIL/ffmpeg in this container): a deterministic
-    16-bin byte histogram. Raises nothing; null/empty -> zeros."""
+    """Image feature kernel. BMP and PNG payloads take the REAL decode
+    paths (``decode_bmp``/``decode_png`` -> pixel statistics). Everything
+    else is the declared STUB fallback (no PIL/ffmpeg in this container):
+    a deterministic 16-bin byte histogram. Raises nothing; null/empty ->
+    zeros."""
     if not payload:
         return [0.0] * _FEATURE_DIM
     if payload[:2] == b"BM":
         try:
-            return _bmp_features(*decode_bmp(payload))
+            return _pixel_features(*decode_bmp(payload))
         except ValueError:
             pass  # malformed/unsupported BMP -> stub fallback
+    elif payload[:8] == _PNG_SIG:
+        try:
+            return _pixel_features(*decode_png(payload))
+        except ValueError:
+            pass  # malformed/unsupported PNG -> stub fallback
     hist = [0] * _FEATURE_DIM
     for byte in payload:
         hist[byte % _FEATURE_DIM] += 1
@@ -262,18 +449,20 @@ def _decode_audio_features(payload: bytes | None, duration_ms: int | None, windo
 
 
 def _decode_resize(payload: bytes | None, w: int, h: int) -> bytes:
-    """Resize kernel. BMP payloads take the REAL path: decode ->
-    nearest-neighbor resample -> re-encode as 24-bit BMP. Other formats
-    keep the declared STUB (truncate/pad to w*h/64 bytes)."""
-    if payload and payload[:2] == b"BM":
+    """Resize kernel. BMP and PNG payloads take the REAL path: decode ->
+    nearest-neighbor resample -> re-encode in the SAME format. Other
+    formats keep the declared STUB (truncate/pad to w*h/64 bytes)."""
+    if payload and (payload[:2] == b"BM" or payload[:8] == _PNG_SIG):
+        is_png = payload[:8] == _PNG_SIG
         try:
-            sw, sh, rgb = decode_bmp(payload)
+            sw, sh, rgb = (decode_png if is_png else decode_bmp)(payload)
             import numpy as np
 
             px = np.frombuffer(rgb, dtype=np.uint8).reshape(sh, sw, 3)
             ys = (np.arange(h) * sh) // h
             xs = (np.arange(w) * sw) // w
-            return encode_bmp(w, h, px[ys][:, xs].tobytes())
+            resized = px[ys][:, xs].tobytes()
+            return (encode_png if is_png else encode_bmp)(w, h, resized)
         except ValueError:
             pass
     size = max(1, (w * h) // 64)
