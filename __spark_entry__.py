@@ -1284,6 +1284,65 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: 12 merge rounds over the
+    corpus word counts. One full-corpus shuffle, then every round runs on
+    the cached distinct-word table (JVM literal-replace merges on the
+    double-separator encoding — greedy-exact, zero per-row Python). The
+    oracle unrolls the identical 12 rounds as materialized DuckDB CTEs,
+    so training is hash-verified round for round."""
+    from sigraph_spark.operators.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), num_merges=12)
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 12 BPE merges, then encode every document with them: per-doc
+    word count, BPE token count, and distinct-token count. Encoding is
+    the chained-literal-replace JVM path (bpe_encode); the Arrow
+    rank-priority path (bpe_encode_arrow, the 32k-merge scale variant) is
+    pinned equal by tests/test_bpe.py."""
+    from sigraph_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train(docs, num_merges=12).collect()
+    enc = bpe_encode(docs, merges)
+    words = enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size("tokens")).alias("n_tokens"),
+    )
+    dist = (
+        enc.select("doc_id", F.explode("tokens").alias("tok"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("tok").alias("n_distinct_tokens"))
+    )
+    return words.join(dist, "doc_id").select(
+        "doc_id", "n_words", "n_tokens", "n_distinct_tokens"
+    )
+
+
+def q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (RE2-safe marker-insert + split device; no
+    lookbehind): one narrow generate, no shuffle. The synthetic corpus
+    has no punctuation, so (text_normalize precedent) every 7th doc is
+    seeded with a multi-sentence prefix — period/bang/question enders,
+    single/double-space and newline separators — so the split, the
+    1-based stable ids and the trim all actually fire."""
+    from sigraph_spark.operators.corpus import split_sentences
+
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit("First one. Second!  Third?\nFourth. "),
+                F.coalesce(F.col("text"), F.lit("")),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return split_sentences(d)
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace/control-char/curly-quote normalization chain — one
     narrow JVM regex map; the oracle runs the identical chain."""
@@ -1923,6 +1982,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "text_normalize": q_text_normalize,
         "unigram_logprob": q_unigram_logprob,
+        "bpe_merges": q_bpe_merges,
+        "bpe_tokens": q_bpe_tokens,
+        "sentences": q_sentences,
         "bigram_pmi": q_bigram_pmi,
         "doc_keyterms": q_doc_keyterms,
         "lang_confusion": q_lang_confusion,
@@ -2061,6 +2123,87 @@ def _lsh_bucket_sql(vec_expr: str, dim: int, bits: int, offset: int) -> str:
             f" THEN {1 << i} ELSE 0 END)"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+def _bpe_oracle_ctes(num_merges: int) -> str:
+    """Unrolled BPE-training CTE chain for the DuckDB oracle: w0 = word
+    counts in the double-separator delimited encoding, then per round k a
+    pair-count (p{k}), a deterministic argmax (b{k}: cnt DESC, lhs, rhs)
+    and the literal-replace merge (w{k}). ``AS MATERIALIZED`` is
+    load-bearing: DuckDB inlines plain CTEs, which re-evaluates the
+    chained rounds exponentially."""
+    sep, sep2, end = "\x1f", "\x1f\x1f", "\x1e"
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             '{sep2}' || regexp_replace(word, '(.)', '\\1{sep2}', 'g')
+               || '{end}{sep2}' AS delim
+      FROM (SELECT unnest(string_split_regex(lower(coalesce(text, '')),
+                                             '[^a-z0-9]+')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY word)"""
+    ]
+    for k in range(1, num_merges + 1):
+        ctes.append(
+            f"""p{k} AS MATERIALIZED (
+      SELECT syms[i] AS lhs, syms[i+1] AS rhs, sum(freq) AS cnt
+      FROM (SELECT unnest(range(1, len(syms))) AS i, syms, freq
+            FROM (SELECT list_filter(string_split(delim, '{sep2}'),
+                                     s -> s <> '') AS syms, freq
+                  FROM w{k-1})
+            WHERE len(syms) >= 2)
+      GROUP BY lhs, rhs)"""
+        )
+        ctes.append(
+            f"b{k} AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p{k}"
+            " ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+        )
+        ctes.append(
+            f"""w{k} AS MATERIALIZED (
+      SELECT word,
+             replace(delim, '{sep}' || lhs || '{sep2}' || rhs || '{sep}',
+                     '{sep}' || lhs || rhs || '{sep}') AS delim, freq
+      FROM w{k-1} CROSS JOIN b{k})"""
+        )
+    return ",\n".join(ctes)
+
+
+def _bpe_merges_oracle(num_merges: int) -> str:
+    end = "\x1e"
+    finals = [
+        f"SELECT CAST({k} AS INT) AS rank, replace(lhs, '{end}', '</w>') AS lhs,"
+        f" replace(rhs, '{end}', '</w>') AS rhs, CAST(cnt AS BIGINT) AS freq"
+        f" FROM b{k}"
+        for k in range(1, num_merges + 1)
+    ]
+    return "WITH " + _bpe_oracle_ctes(num_merges) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+def _bpe_tokens_oracle(num_merges: int) -> str:
+    sep2 = "\x1f\x1f"
+    return (
+        "WITH " + _bpe_oracle_ctes(num_merges) + f""",
+    occ AS MATERIALIZED (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(coalesce(text, '')),
+                                                 '[^a-z0-9]+')) AS word
+        FROM documents)
+      WHERE word <> ''),
+    tok AS MATERIALIZED (
+      SELECT occ.doc_id,
+             list_filter(string_split(w{num_merges}.delim, '{sep2}'),
+                         s -> s <> '') AS syms
+      FROM occ JOIN w{num_merges} ON w{num_merges}.word = occ.word),
+    agg1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                    CAST(sum(len(syms)) AS BIGINT) AS n_tokens
+             FROM tok GROUP BY doc_id),
+    toks AS (SELECT doc_id, unnest(syms) AS tk FROM tok),
+    agg2 AS (SELECT doc_id, CAST(count(DISTINCT tk) AS BIGINT)
+                    AS n_distinct_tokens
+             FROM toks GROUP BY doc_id)
+    SELECT agg1.doc_id, n_words, n_tokens, n_distinct_tokens
+    FROM agg1 JOIN agg2 USING (doc_id)"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3862,4 +4005,26 @@ def oracle_sql() -> dict[str, str]:
     sq["graph_merge_nodes"] = sq["graph_nodes"]
     sq["graph_merge_edges"] = sq["graph_edges"]
     sq["graph_merge_traces"] = sq["graph_traces"]
+    sq["bpe_merges"] = _bpe_merges_oracle(12)
+    sq["bpe_tokens"] = _bpe_tokens_oracle(12)
+    sq["sentences"] = r"""
+        WITH s AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN 'First one. Second!  Third?' || chr(10)
+                           || 'Fourth. ' || coalesce(text, '')
+                      ELSE coalesce(text, '') END AS t
+          FROM documents),
+        d AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(t, '([.!?])\s+',
+                                             '\1' || chr(29),
+                                             'g'), chr(29)) AS parts
+          FROM s),
+        i AS (SELECT doc_id, unnest(range(1, len(parts) + 1)) AS sid, parts
+              FROM d)
+        SELECT doc_id, CAST(sid AS INTEGER) AS sentence_id,
+               trim(parts[sid]) AS sentence
+        FROM i WHERE trim(parts[sid]) <> ''
+    """
     return sq

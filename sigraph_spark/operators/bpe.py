@@ -1,0 +1,318 @@
+"""Distributed BPE tokenizer training + encoding.
+
+The training-data pipeline's tokenizer stage: learn a byte-pair-encoding
+merge table over the corpus (Sennrich-style greedy BPE on word counts),
+then encode documents with it. The reference repo tokenizes provenance
+strings with a fixed scheme (``src/parser`` splitters); this module is
+the corpus-scale generalization a 100 TB training pipeline needs.
+
+Algorithm (classic BPE, word-count formulation):
+
+1. ONE full-corpus pass: lowercase, split on non-alphanumerics, count
+   distinct words. Everything after runs on the distinct-word table
+   (~10^7 rows even at 100 TB -- tiny next to the corpus).
+2. Each round: count adjacent symbol pairs weighted by word frequency,
+   take the globally most frequent pair (ties: lexicographic smallest),
+   merge every greedy left-to-right occurrence, repeat.
+
+Spark-first representation -- the whole hot path is JVM string functions
+(zero Python in any per-row loop): a word's symbol sequence is one
+delimited string with DOUBLE separators, ``<SS>l<SS>o<SS>w<SS><END><SS>``
+where ``<SS>`` is two U+001F chars and ``<END>`` (U+001E) is the
+end-of-word symbol. Merging pair (l, r) is then the LITERAL replace
+
+    <S>l<SS>r<S>  ->  <S>lr<S>        (<S> = one U+001F)
+
+Because every boundary holds TWO separators and one match consumes
+exactly ONE from each flank, adjacent merge sites share no characters,
+so the engine's standard non-overlapping left-to-right replace performs
+EXACTLY the greedy left-to-right BPE merge -- including the
+``aaaa -> (aa)(aa)`` overlap case that a single-separator encoding gets
+wrong. The same trick makes the DuckDB oracle a plain unrolled
+``replace`` chain, so training is hash-verifiable round for round.
+
+Scale notes (100 TB / 10^12 docs):
+* The corpus is touched ONCE (word-count shuffle, partial aggregation
+  map-side). All ``num_merges`` rounds run over the cached distinct-word
+  table; per-round cost is a small shuffle + a 1-row collect.
+* Rounds are inherently sequential (each needs a global argmax) -- that
+  is BPE's data dependency, not a Spark artifact. ``localCheckpoint``
+  every ``checkpoint_every`` rounds truncates the otherwise
+  O(num_merges)-deep lineage.
+* Encoding: ``bpe_encode`` chains literal replaces (JVM codegen) -- right
+  for small merge tables; ``bpe_encode_arrow`` is the 32k-merge scale
+  path (Arrow-batched pandas UDF, rank-priority merging with a
+  per-batch unique-word cache), pinned equal to the replace path by
+  tests/test_bpe.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SEP = "\x1f"          # U+001F unit separator: never occurs in [a-z0-9] words
+SEP2 = SEP + SEP      # double boundary -> greedy-exact literal replace
+END = "\x1e"          # U+001E end-of-word symbol
+END_PRINT = "</w>"    # printable rendering of END in emitted tables
+
+__all__ = [
+    "bpe_word_counts",
+    "bpe_train",
+    "bpe_encode",
+    "bpe_encode_arrow",
+    "word_delim",
+    "merge_pair",
+]
+
+
+def bpe_word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the corpus: lowercase, split on non-alphanumeric
+    runs. The single full-corpus shuffle of BPE training; partial
+    aggregation (map-side combine) keeps it one pass."""
+    words = docs.select(
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9]+")
+        ).alias("word")
+    )
+    return (
+        words.filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def word_delim(word: Column) -> Column:
+    """Double-separator delimited symbol string for ``word`` (see module
+    docstring): ``<SS>c1<SS>c2...<SS><END><SS>``."""
+    return F.concat(
+        F.lit(SEP2),
+        F.regexp_replace(word, "(.)", "$1" + SEP2),
+        F.lit(END + SEP2),
+    )
+
+
+def merge_pair(delim: Column, lhs: str, rhs: str) -> Column:
+    """Greedy left-to-right merge of one (lhs, rhs) pair via literal
+    replace on the double-separator representation."""
+    return F.replace(
+        delim,
+        F.lit(SEP + lhs + SEP2 + rhs + SEP),
+        F.lit(SEP + lhs + rhs + SEP),
+    )
+
+
+def _symbols(delim_col: str) -> Column:
+    """Symbol array from the delimited string (drops empty edges)."""
+    return F.expr(f"filter(split({delim_col}, '{SEP2}'), s -> s <> '')")
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """(lhs, rhs, cnt): adjacent symbol pairs weighted by word freq.
+    Every position counts (overlap included), matching get-stats BPE."""
+    return (
+        vocab.select(F.col("freq"), _symbols("delim").alias("syms"))
+        # fully-merged words (1 symbol) have no pairs; also keeps ANSI
+        # sequence(1, size-1) from descending to [1, 0] and over-indexing
+        .filter(F.expr("size(syms) >= 2"))
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(syms[i-1] AS lhs, syms[i] AS rhs))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 12,
+    min_freq: int = 1,
+    checkpoint_every: int = 16,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Train ``num_merges`` BPE merges; returns the merge table
+    ``(rank int, lhs, rhs, freq long)`` with the end-of-word symbol
+    rendered as ``</w>``. Deterministic: ties break on (lhs, rhs)
+    binary-ascending, matching the DuckDB oracle's ORDER BY.
+
+    Driver-coordinated loop (the global argmax per round is BPE's own
+    sequential dependency); all per-row work stays in JVM codegen."""
+    spark = docs.sparkSession
+    vocab = bpe_word_counts(docs, text_col)
+    if min_freq > 1:
+        vocab = vocab.filter(F.col("freq") >= min_freq)
+    vocab = vocab.select(word_delim(F.col("word")).alias("delim"), "freq")
+    # The whole loop runs over this table -- pin it in memory once.
+    vocab = vocab.localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str, int]] = []
+    for rnd in range(num_merges):
+        best = (
+            _pair_counts(vocab)
+            .orderBy(F.col("cnt").desc(), F.col("lhs").asc(), F.col("rhs").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # vocabulary fully merged -- nothing adjacent remains
+        lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], int(best[0]["cnt"])
+        merges.append((lhs, rhs, cnt))
+        vocab = vocab.withColumn("delim", merge_pair(F.col("delim"), lhs, rhs))
+        if (rnd + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    if metrics is not None:
+        metrics["rounds"] = len(merges)
+        metrics["exhausted"] = len(merges) < num_merges
+
+    rows = [
+        (i + 1, l.replace(END, END_PRINT), r.replace(END, END_PRINT), c)
+        for i, (l, r, c) in enumerate(merges)
+    ]
+    return spark.createDataFrame(rows, "rank int, lhs string, rhs string, freq long")
+
+
+def _raw_merges(merges: Iterable) -> list[tuple[str, str]]:
+    """Normalize a merge table (rows / tuples, printable or raw END) to
+    raw (lhs, rhs) pairs in rank order."""
+    out = []
+    for m in merges:
+        if hasattr(m, "asDict"):  # pyspark Row (tuple subclass -- by name)
+            d = m.asDict()
+            lhs, rhs = d["lhs"], d["rhs"]
+        elif isinstance(m, dict):
+            lhs, rhs = m["lhs"], m["rhs"]
+        else:
+            lhs, rhs = m[0], m[1]
+        out.append((lhs.replace(END_PRINT, END), rhs.replace(END_PRINT, END)))
+    return out
+
+
+def _word_tokens_col(word: Column, merges: Sequence[tuple[str, str]]) -> Column:
+    """Array of printable BPE tokens for one word: delimited form, the
+    merge chain (nested literal replaces -- JVM whole-stage codegen),
+    split back to symbols."""
+    delim = functools.reduce(
+        lambda col, m: merge_pair(col, m[0], m[1]), merges, word_delim(word)
+    )
+    syms = F.filter(F.split(delim, SEP2), lambda s: s != F.lit(""))
+    return F.transform(syms, lambda s: F.replace(s, F.lit(END), F.lit(END_PRINT)))
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: Iterable,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize ``text_col`` with a trained merge table (rank order ==
+    application order; for BPE this equals rank-priority merging, since a
+    pair's constituent symbols are always produced by strictly earlier
+    merges). Returns one row per word occurrence:
+    ``(id, word_pos, word, tokens array<string>)``.
+
+    Chained-literal-replace path: right up to a few hundred merges (the
+    chain is JVM codegen). For 32k-entry production tables use
+    :func:`bpe_encode_arrow` -- same output, Arrow-batched."""
+    pairs = _raw_merges(merges)
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9]+")
+        ).alias("word_pos", "word"),
+    ).filter(F.col("word") != "")
+    return words.select(
+        id_col,
+        "word_pos",
+        "word",
+        _word_tokens_col(F.col("word"), pairs).alias("tokens"),
+    )
+
+
+def bpe_encode_arrow(
+    docs: DataFrame,
+    merges: Iterable,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scale path for large merge tables: Arrow-batched ``mapInPandas``
+    doing rank-priority BPE (merge the lowest-rank adjacent pair until
+    none applies -- provably equal to sequential rank-order application)
+    with a per-batch unique-word cache. Output schema and values are
+    pinned equal to :func:`bpe_encode` by tests/test_bpe.py."""
+    import re
+
+    pairs = _raw_merges(merges)
+    rank = {p: i for i, p in enumerate(pairs)}
+    id_field = docs.schema[id_col]
+    out_schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, word_pos int,"
+        " word string, tokens array<string>"
+    )
+    split_re = re.compile(r"[^a-z0-9]+")
+
+    def _encode_word(word: str) -> list[str]:
+        syms = list(word) + [END]
+        while len(syms) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(syms) - 1):
+                r = rank.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            # merge EVERY greedy occurrence of the winning pair, left to
+            # right, exactly like one round of the replace chain
+            l, r_ = pairs[best_rank]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r_:
+                    out.append(l + r_)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return [s.replace(END, END_PRINT) for s in syms]
+
+    def _batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            cache: dict[str, list[str]] = {}
+            ids, poss, ws, toks = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                text = "" if text is None else str(text)
+                pos = -1
+                for w in split_re.split(text.lower()):
+                    pos += 1  # posexplode counts empty splits too
+                    if not w:
+                        continue
+                    t = cache.get(w)
+                    if t is None:
+                        t = cache[w] = _encode_word(w)
+                    ids.append(doc_id)
+                    poss.append(pos)
+                    ws.append(w)
+                    toks.append(t)
+            # explicit dtypes: an all-empty batch must not default to
+            # float64 columns (Arrow can't cast those to list<string>)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=object),
+                    "word_pos": pd.Series(poss, dtype="int64"),
+                    "word": pd.Series(ws, dtype=object),
+                    "tokens": pd.Series(toks, dtype=object),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(_batches, out_schema)

@@ -864,3 +864,34 @@ def doc_keyterms(
             F.round("s", 6).alias("score"),
         )
     )
+
+
+def split_sentences(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence segmentation: ``(id, sentence_id, sentence)``, one row per
+    non-empty sentence, ``sentence_id`` = 1-based position among the raw
+    split parts (stable even when empties are dropped).
+
+    RE2-compatible device (the oracle engine has no lookbehind): insert a
+    U+001D group separator after every sentence-final punctuation run
+    (``([.!?])\\s+``), then split on it — both engines' regexp_replace is
+    global and left-to-right, so the split points agree byte for byte.
+    Narrow map + generate: no shuffle, scales linearly with the corpus.
+    """
+    marked = F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")), r"([.!?])\s+", "$1\x1d"
+    )
+    return (
+        docs.select(
+            F.col(id_col), F.posexplode(F.split(marked, "\x1d")).alias("pos", "raw")
+        )
+        .select(
+            id_col,
+            (F.col("pos") + 1).alias("sentence_id"),
+            F.trim(F.col("raw")).alias("sentence"),
+        )
+        .filter(F.col("sentence") != "")
+    )

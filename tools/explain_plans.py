@@ -190,6 +190,30 @@ def main() -> int:
                 "BroadcastNestedLoopJoin"),
     )
 
+    # BPE: the per-round pair count and the encode replace-chain are pure
+    # JVM (literal replaces + higher-order functions) — python would put
+    # an Arrow hop inside a num_merges-deep driver loop
+    from pyspark.sql import functions as F
+
+    from sigraph_spark.operators.bpe import bpe_encode, bpe_word_counts
+    from sigraph_spark.operators.bpe import _pair_counts, word_delim
+
+    _docs_df = E._docs(spark, sf_dir)
+    _vocab = bpe_word_counts(_docs_df).select(
+        word_delim(F.col("word")).alias("delim"), "freq"
+    )
+    check(
+        "bpe_pair_counts",
+        _pair_counts(_vocab),
+        want=("partial_sum",),  # map-side combine before the pair shuffle
+        forbid=("BatchEvalPython", "ArrowEvalPython"),
+    )
+    check(
+        "bpe_encode_chain",
+        bpe_encode(_docs_df, [("e", "r"), ("e", "\x1e"), ("o", "w")]),
+        forbid=("BatchEvalPython", "ArrowEvalPython", "Exchange"),
+    )
+
     # codegen-size regression guard: the provenance parse once silently
     # exceeded the JVM's 64 KB generated-method limit (1.7 MB of code from
     # alias re-inlining), falling back to interpreted eval at a 6x cost.
