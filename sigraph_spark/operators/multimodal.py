@@ -5,16 +5,18 @@ typed metadata struct; the expensive decode/feature steps run as
 Arrow-batched functions over ``mapInPandas`` so one task processes a whole
 record batch without per-row Python overhead.
 
-Two image formats decode for REAL (pure Python + stdlib + numpy):
-uncompressed BMP (``decode_bmp``/``encode_bmp``) and — the compressed
-path — PNG (``decode_png``/``encode_png``: zlib-inflated IDAT, all five
-scanline filters incl. Paeth, gray/RGB/RGBA at bit depth 8).
-image_features and resize_images run a genuine bytes -> pixels path for
-both. Remaining codecs (JPEG/ffmpeg/librosa) are NOT in this container,
-so those formats hit deterministic fakes behind the same ``_decode_*``
-seams — clearly marked, swappable, and unit-tested for the Spark-side
-contract that IS real: schema, batch shape, partitioning, and null/size
-handling.
+Three formats decode for REAL (pure Python + stdlib + numpy):
+uncompressed BMP (``decode_bmp``/``encode_bmp``), PNG — the compressed
+image path (``decode_png``/``encode_png``: zlib-inflated IDAT, all five
+scanline filters incl. Paeth, gray/RGB/RGBA at bit depth 8) — and
+RIFF/WAVE PCM audio (``decode_wav``/``encode_wav``: 8/16/32-bit, any
+channel count, stdlib ``wave``). image_features/resize_images run a
+genuine bytes -> pixels path, audio_features a genuine bytes ->
+waveform -> windowed-RMS path. Remaining codecs (JPEG/mp3/ffmpeg) are
+NOT in this container, so those formats hit deterministic fakes behind
+the same ``_decode_*`` seams — clearly marked, swappable, and
+unit-tested for the Spark-side contract that IS real: schema, batch
+shape, partitioning, and null/size handling.
 
 Scale notes:
 * binary payloads are only materialized inside the mapInPandas stage; all
@@ -432,12 +434,106 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# REAL codec #3: WAV / PCM audio (stdlib `wave` + numpy, zero dependencies)
+# ---------------------------------------------------------------------------
+# RIFF/WAVE PCM (8/16/32-bit, any channel count) decodes to actual
+# samples, so audio_features exercises a genuine bytes -> waveform ->
+# windowed-RMS path. Compressed audio (mp3/ogg/aac) still hits the
+# declared stub fallback (no codecs in this container).
+
+def decode_wav(payload: bytes) -> tuple[int, "object"]:
+    """Decode a PCM WAV: returns ``(sample_rate, mono float64 array in
+    [-1, 1])`` (channels averaged). Raises ValueError on non-PCM or
+    malformed input."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload)) as wf:
+            rate = wf.getframerate()
+            nch = wf.getnchannels()
+            width = wf.getsampwidth()
+            frames = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError) as exc:
+        raise ValueError(f"bad WAV: {exc}") from exc
+    if width == 1:  # 8-bit PCM is unsigned, midpoint 128
+        x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if nch > 1:
+        x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    return rate, x
+
+
+def encode_wav(rate: int, samples, width: int = 2, channels: int = 1) -> bytes:
+    """Encode mono float samples in [-1, 1] as PCM WAV (test fixture
+    path; ``channels`` > 1 duplicates the mono signal)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    if width == 1:
+        data = (np.clip(x, -1, 1) * 127 + 128).astype(np.uint8)
+    elif width == 2:
+        data = (np.clip(x, -1, 1) * 32767).astype("<i2")
+    elif width == 4:
+        data = (np.clip(x, -1, 1) * 2147483647).astype("<i4")
+    else:
+        raise ValueError("width must be 1, 2 or 4")
+    if channels > 1:
+        data = np.repeat(data, channels)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(width)
+        wf.setframerate(rate)
+        wf.writeframes(data.tobytes())
+    return buf.getvalue()
+
+
+def _wav_features(rate: int, mono, window_ms: int) -> tuple[int, list[float]]:
+    """Real windowed features: per-window RMS energy over actual samples
+    (same output contract as the stub: n_windows + _FEATURE_DIM-padded
+    energies in [0, 1])."""
+    import numpy as np
+
+    spw = max(1, int(rate * window_ms / 1000))
+    n_windows = max(1, -(-len(mono) // spw))  # ceil
+    energies = []
+    for w in range(min(n_windows, _FEATURE_DIM)):
+        chunk = mono[w * spw : (w + 1) * spw]
+        if len(chunk) == 0:
+            energies.append(0.0)
+        else:
+            energies.append(float(min(1.0, np.sqrt(np.mean(chunk**2)))))
+    energies += [0.0] * (_FEATURE_DIM - len(energies))
+    return n_windows, energies
+
+
 def _decode_audio_features(payload: bytes | None, duration_ms: int | None, window_ms: int) -> tuple[int, list[float]]:
-    """STUB DECODE (no audio libs in this container): deterministic fake —
-    per-window mean byte value over equal payload slices ("energy"),
-    padded/truncated to _FEATURE_DIM. Swap in librosa/torchaudio here."""
+    """Audio feature kernel. RIFF/WAVE PCM payloads take the REAL decode
+    path (``decode_wav`` -> windowed RMS; window count from the actual
+    sample rate, ignoring the metadata duration). Everything else is the
+    declared STUB fallback (no mp3/ogg codecs in this container):
+    per-window mean byte value over equal payload slices, padded to
+    _FEATURE_DIM. Raises nothing; null/empty -> zeros."""
     if not payload:
         return 0, [0.0] * _FEATURE_DIM
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        try:
+            rate, mono = decode_wav(payload)
+            return _wav_features(rate, mono, max(window_ms, 1))
+        except ValueError:
+            pass  # malformed/non-PCM WAV -> stub fallback
     n_windows = max(1, int((duration_ms or 1000) // max(window_ms, 1)))
     step = max(1, len(payload) // n_windows)
     energies = []

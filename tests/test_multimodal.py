@@ -276,3 +276,79 @@ def test_non_bmp_payloads_keep_stub_behavior(spark):
     for b in payload:
         hist[b % 16] += 1
     assert feats == [h / len(payload) for h in hist]
+
+
+# ---------------------------------------------------------------------------
+# Real WAV/PCM codec path (stdlib wave + numpy)
+# ---------------------------------------------------------------------------
+
+def test_wav_roundtrip_widths():
+    import numpy as np
+
+    from sigraph_spark.operators.multimodal import decode_wav, encode_wav
+
+    t = np.arange(800) / 8000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    # 8-bit: half-step 1/256 + encode(127)/decode(128) scale asymmetry
+    for width, tol in [(1, 2e-2), (2, 1e-4), (4, 1e-8)]:
+        rate, mono = decode_wav(encode_wav(8000, sig, width=width))
+        assert rate == 8000 and len(mono) == 800
+        assert float(np.abs(mono - sig).max()) < tol
+
+
+def test_wav_stereo_downmix():
+    import numpy as np
+
+    from sigraph_spark.operators.multimodal import decode_wav, encode_wav
+
+    sig = np.linspace(-0.9, 0.9, 64)
+    rate, mono = decode_wav(encode_wav(16000, sig, width=2, channels=2))
+    # both channels carry the same signal -> downmix reproduces it
+    assert rate == 16000 and len(mono) == 64
+    assert float(np.abs(mono - sig).max()) < 1e-3
+
+
+def test_wav_windowed_rms_features(spark):
+    """A 2-second WAV at known amplitudes: window RMS must equal the
+    analytic sine RMS (a/sqrt(2)) per second, and n_windows must come
+    from the REAL sample rate, not the metadata duration."""
+    import numpy as np
+
+    from sigraph_spark.operators.multimodal import audio_features, encode_wav
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    loud = 0.8 * np.sin(2 * np.pi * 100 * t)
+    quiet = 0.2 * np.sin(2 * np.pi * 100 * t)
+    wav = encode_wav(rate, np.concatenate([loud, quiet]), width=2)
+    df = spark.createDataFrame(
+        [("a", bytearray(wav), (99999,))],
+        "media_id string, payload binary, meta struct<duration_ms:long>",
+    )
+    row = audio_features(df, window_ms=1000).collect()[0]
+    assert row["n_windows"] == 2  # real duration, NOT meta's 99999ms
+    feats = row["feature"]
+    assert abs(feats[0] - 0.8 / np.sqrt(2)) < 1e-3
+    assert abs(feats[1] - 0.2 / np.sqrt(2)) < 1e-3
+    assert all(f == 0.0 for f in feats[2:])
+
+
+def test_non_wav_audio_keeps_stub_behavior():
+    from sigraph_spark.operators.multimodal import _decode_audio_features
+
+    payload = b"NOTAWAVE" + bytes(range(64))
+    n, feats = _decode_audio_features(payload, 4000, 1000)
+    assert n == 4  # stub: duration_ms // window_ms
+    assert len(feats) == 16
+
+
+def test_truncated_wav_falls_back_to_stub():
+    from sigraph_spark.operators.multimodal import (
+        _decode_audio_features,
+        encode_wav,
+    )
+
+    wav = encode_wav(8000, [0.1] * 100, width=2)
+    broken = wav[:20]  # RIFF/WAVE magic intact, fmt chunk truncated
+    n, feats = _decode_audio_features(broken, 2000, 1000)
+    assert n == 2 and len(feats) == 16  # stub path, no raise
