@@ -1902,6 +1902,127 @@ def q_ivf_topk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based corpus filter: distill a high-precision seed rule into
+    a full-vocabulary linear classifier (the CCNet/FineWeb bootstrap:
+    label confident docs with a cheap rule, exclude the ambiguous band,
+    train a hashed-bag-of-words head that then scores everything).
+
+    Teacher here: sign of count('join') - count('scan') where the counts
+    differ by > 2 (the ambiguous band is excluded so a real margin
+    exists). Training is the full-batch INTEGER perceptron (12 rounds,
+    dim=256) — all-BIGINT arithmetic makes it partition-order invariant
+    and bit-identical to the unrolled-CTE oracle: the fixed-point-
+    PageRank device applied to distributed ML. Converges to training
+    accuracy 1.0 at both sf0.01 and sf0.1, with the learned weight mass
+    exactly on the join/scan buckets. Returns (doc_id, score, pred,
+    label) over the training subset."""
+    from sigraph_spark.operators.classifier import train_quality_classifier
+
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    diff = F.size(F.filter(toks, lambda t: t == F.lit("join"))) - F.size(
+        F.filter(toks, lambda t: t == F.lit("scan"))
+    )
+    seed = docs.withColumn("_diff", diff).filter(F.abs(F.col("_diff")) > 2)
+    out = train_quality_classifier(
+        seed,
+        F.when(F.col("_diff") > 0, F.lit(1)).otherwise(F.lit(-1)),
+        dim=256,
+        rounds=12,
+    )
+    return out.select(
+        "doc_id",
+        F.col("score").cast("long").alias("score"),
+        F.col("pred").cast("int").alias("pred"),
+        F.col("label").cast("long").alias("label"),
+    ).orderBy("doc_id")
+
+
+def _quality_classifier_oracle() -> str:
+    """DuckDB twin of q_quality_classifier: identical seed-rule teacher
+    (list_filter counts, ambiguous band excluded), identical feature
+    hash (md5_number_upper little-endian-uint32 family), the 12 training
+    rounds unrolled as MATERIALIZED CTEs (margin -> misclassified ->
+    bucket delta -> weight fold), all-integer so it matches bit-for-bit."""
+    ctes = [
+        r"""seed AS MATERIALIZED (
+          SELECT doc_id, text,
+                 len(list_filter(w, t -> t = 'join'))
+                   - len(list_filter(w, t -> t = 'scan')) AS d
+          FROM (SELECT doc_id, text,
+                       list_filter(string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\s+'),
+                           t -> t <> '') AS w
+                FROM documents)
+          WHERE abs(len(list_filter(w, t -> t = 'join'))
+                    - len(list_filter(w, t -> t = 'scan'))) > 2)""",
+        """lbl AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN d > 0 THEN 1 ELSE -1 END AS BIGINT) AS y
+          FROM seed)""",
+        r"""tok AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(coalesce(text, ''))),
+                        '\s+')) AS token
+          FROM seed)""",
+        """fc AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST((md5_number_upper('feat:' || token) & 4294967295) % 256
+                      AS BIGINT) AS bucket,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM tok WHERE token <> '' GROUP BY 1, 2
+          UNION ALL
+          SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM lbl)""",
+        """w0 AS (SELECT CAST(NULL AS BIGINT) AS bucket,
+                         CAST(NULL AS BIGINT) AS w WHERE FALSE)""",
+    ]
+    rounds = 12
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""m{r} AS MATERIALIZED (
+          SELECT f.doc_id, sum(coalesce(w.w, 0) * f.cnt) AS margin
+          FROM fc f LEFT JOIN w{r - 1} w ON f.bucket = w.bucket
+          GROUP BY f.doc_id)"""
+        )
+        ctes.append(
+            f"""u{r} AS MATERIALIZED (
+          SELECT f.bucket, sum(l.y * f.cnt) AS dw
+          FROM fc f
+          JOIN lbl l ON l.doc_id = f.doc_id
+          JOIN m{r} m ON m.doc_id = f.doc_id
+          WHERE l.y * m.margin <= 0
+          GROUP BY f.bucket)"""
+        )
+        ctes.append(
+            f"""w{r} AS MATERIALIZED (
+          SELECT coalesce(w.bucket, u.bucket) AS bucket,
+                 coalesce(w.w, 0) + coalesce(u.dw, 0) AS w
+          FROM w{r - 1} w FULL OUTER JOIN u{r} u ON w.bucket = u.bucket)"""
+        )
+    ctes.append(
+        f"""mf AS (
+          SELECT f.doc_id, sum(coalesce(w.w, 0) * f.cnt) AS score
+          FROM fc f LEFT JOIN w{rounds} w ON f.bucket = w.bucket
+          GROUP BY f.doc_id)"""
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + """
+        SELECT l.doc_id,
+               CAST(mf.score AS BIGINT) AS score,
+               CAST(CASE WHEN mf.score > 0 THEN 1 ELSE -1 END AS INT) AS pred,
+               l.y AS label
+        FROM lbl l JOIN mf ON mf.doc_id = l.doc_id
+        ORDER BY l.doc_id
+    """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "provenance_parse": q_provenance_parse,
@@ -1970,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "mixture_epochs": q_mixture_epochs,
         "drop_common_lines": q_drop_common_lines,
+        "quality_classifier": q_quality_classifier,
         "pii_redact": q_pii_redact,
         "text_repetition": q_text_repetition,
         "corpus_vocab": q_corpus_vocab,
@@ -4027,4 +4149,5 @@ def oracle_sql() -> dict[str, str]:
                trim(parts[sid]) AS sentence
         FROM i WHERE trim(parts[sid]) <> ''
     """
+    sq["quality_classifier"] = _quality_classifier_oracle()
     return sq

@@ -214,6 +214,23 @@ def main() -> int:
         forbid=("BatchEvalPython", "ArrowEvalPython", "Exchange"),
     )
 
+    # classifier inference: the O(dim) weight table must BROADCAST onto
+    # the sparse feature table (scoring 10^12 docs = one shuffle-by-id
+    # job), and the whole path stays JVM-side.
+    from sigraph_spark.operators.classifier import (
+        classifier_score,
+        hashed_features,
+    )
+
+    _feats = hashed_features(_docs_df, dim=256)
+    _w = spark.createDataFrame([(-1, 1), (3, 2)], "bucket long, w long")
+    check(
+        "classifier_score",
+        classifier_score(_feats, _docs_df.select("doc_id"), _w),
+        want=("BroadcastHashJoin",),
+        forbid=("BatchEvalPython", "ArrowEvalPython"),
+    )
+
     # codegen-size regression guard: the provenance parse once silently
     # exceeded the JVM's 64 KB generated-method limit (1.7 MB of code from
     # alias re-inlining), falling back to interpreted eval at a 6x cost.
