@@ -1284,6 +1284,25 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM, CCNet train/score shape
+    (Wenzek et al. 2020): train the model on one corpus split
+    (doc_id % 5 != 0 — the "trusted" corpus standing in for their
+    Wikipedia/KenLM), score the other split; low mean log-probability
+    flags out-of-distribution text. One bigram-count shuffle to train;
+    scoring is three left hash joins of the exploded corpus against
+    vocabulary-sized model tables (AQE-broadcastable) + one per-doc agg.
+    The oracle reproduces the KN counts and smoothing arithmetic
+    operation-for-operation."""
+    from sigraph_spark.operators.corpus import bigram_lm_logprob
+
+    docs = _docs(spark, sf_dir)
+    return bigram_lm_logprob(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+    )
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training: 12 merge rounds over the
     corpus word counts. One full-corpus shuffle, then every round runs on
@@ -2104,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "text_normalize": q_text_normalize,
         "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_lm,
         "bpe_merges": q_bpe_merges,
         "bpe_tokens": q_bpe_tokens,
         "sentences": q_sentences,
@@ -3829,6 +3849,49 @@ def oracle_sql() -> dict[str, str]:
                round(avg(ln(f.tf) - ln(n.n)), 6) AS mean_logprob
         FROM tt JOIN f ON f.token = tt.token CROSS JOIN n
         GROUP BY tt.doc_id
+    """
+    sq["bigram_logprob"] = r"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(
+                     lower(trim(coalesce(text, ''))), '\s+'),
+                     t -> t <> '') AS ws
+          FROM documents),
+        bg AS (
+          SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+          FROM w CROSS JOIN UNNEST(range(1, len(ws))) AS t(i)),
+        c12 AS (
+          SELECT w1, w2, count(*) AS c12
+          FROM bg WHERE doc_id % 5 <> 0 GROUP BY w1, w2),
+        hist AS (
+          SELECT w1, sum(c12) AS c1, count(*) AS n_follow
+          FROM c12 GROUP BY w1),
+        cont AS (SELECT w2, count(*) AS n_prec FROM c12 GROUP BY w2),
+        sc AS (SELECT (SELECT count(*) FROM c12) AS t_types,
+                      (SELECT count(*) FROM cont) AS v_cont),
+        s AS (
+          SELECT b.doc_id,
+                 ln(CASE WHEN h.c1 IS NOT NULL THEN
+                      greatest(CAST(coalesce(c.c12, 0) AS DOUBLE) - 0.75, 0.0)
+                        / CAST(h.c1 AS DOUBLE)
+                      + 0.75 * CAST(h.n_follow AS DOUBLE)
+                        / CAST(h.c1 AS DOUBLE)
+                        * ((CAST(coalesce(p.n_prec, 0) AS DOUBLE) + 1.0)
+                           / (CAST(sc.t_types AS DOUBLE)
+                              + CAST(sc.v_cont AS DOUBLE) + 1.0))
+                    ELSE (CAST(coalesce(p.n_prec, 0) AS DOUBLE) + 1.0)
+                         / (CAST(sc.t_types AS DOUBLE)
+                            + CAST(sc.v_cont AS DOUBLE) + 1.0)
+                    END) AS lp
+          FROM bg b
+          LEFT JOIN c12 c ON c.w1 = b.w1 AND c.w2 = b.w2
+          LEFT JOIN hist h ON h.w1 = b.w1
+          LEFT JOIN cont p ON p.w2 = b.w2
+          CROSS JOIN sc
+          WHERE b.doc_id % 5 = 0)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(lp), 6) AS mean_logprob
+        FROM s GROUP BY doc_id
     """
     sq["text_normalize"] = r"""
         WITH d AS (

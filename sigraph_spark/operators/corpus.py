@@ -895,3 +895,129 @@ def split_sentences(
         )
         .filter(F.col("sentence") != "")
     )
+
+
+def _word_array(text_col: str) -> Column:
+    """Non-empty lowercase whitespace tokens as an array column."""
+    ws = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    return F.filter(ws, lambda x: x != "")
+
+
+def _bigram_pairs(text_col: str) -> Column:
+    """Adjacent ``struct(w1, w2)`` pairs over the non-empty tokens (the
+    scoring unit of a bigram LM) via the zip-shift device (same as the
+    MinHash shingles): zip the array against itself shifted by one —
+    pure JVM array arithmetic, zero shuffle, empty for <2 tokens."""
+    ws = _word_array(text_col)
+    n1 = F.greatest(F.size(ws) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(ws, 1, n1),
+        F.slice(ws, 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
+def bigram_lm_train(docs: DataFrame, text_col: str = "text") -> dict:
+    """Train an interpolated Kneser-Ney bigram language model from a
+    reference corpus — the CCNet device (Wenzek et al. 2020): train once
+    on a trusted corpus (their Wikipedia/KenLM), then score every crawled
+    page; low log-probability == out-of-distribution text (gibberish,
+    SEO spam, wrong language) and gets filtered or bucketed.
+
+    Returns the model as four small DataFrames (the persistable artifact
+    — at 100 TB you train this once per snapshot and reuse it):
+
+    * ``bigrams``      — ``(w1, w2, c12)`` observed-pair counts,
+    * ``history``      — ``(w1, c1, n_follow)`` per-history total count
+      and distinct-follower count (the KN backoff weight numerator),
+    * ``continuation`` — ``(w2, n_prec)`` distinct-predecessor counts
+      (the KN continuation distribution),
+    * ``scalars``      — one row ``(t_types, v_cont)``: total distinct
+      bigram types and continuation-vocabulary size.
+
+    One bigram-count shuffle (uniform word-pair keys; algebraic counts
+    absorb the Zipf head map-side) plus two re-aggregations of the
+    already-tiny count table. No UDFs anywhere.
+    """
+    pairs = (
+        docs.select(F.explode(_bigram_pairs(text_col)).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    hist = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n_follow")
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n_prec"))
+    scalars = c12.agg(F.count(F.lit(1)).alias("t_types")).crossJoin(
+        cont.agg(F.count(F.lit(1)).alias("v_cont"))
+    )
+    return {"bigrams": c12, "history": hist, "continuation": cont, "scalars": scalars}
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Score documents under a trained KN bigram model (see
+    ``bigram_lm_train``). Per scored bigram ``(w1, w2)``:
+
+    * seen history:   ``P = max(c12 - D, 0)/c1  +  D * n_follow/c1 * Pc(w2)``
+    * unseen history: ``P = Pc(w2)``
+
+    with the add-one-smoothed continuation distribution
+    ``Pc(w2) = (n_prec + 1) / (t_types + v_cont + 1)`` so unseen words
+    get the implicit-UNK mass ``1/(t_types + v_cont + 1)`` and every
+    probability is strictly positive — the log never diverges.
+
+    Three left hash joins of the exploded corpus against the model
+    tables (model side is vocabulary-sized — Zipf-bounded, orders of
+    magnitude smaller than a 100 TB corpus, so AQE broadcasts it when it
+    fits; the corpus side never shuffles) plus one per-doc aggregation.
+    Returns ``(doc_id, n_bigrams, mean_logprob)`` (natural log, 6dp);
+    docs with fewer than two tokens emit no row.
+    """
+    d = F.lit(float(discount))
+    sbg = docs.select(
+        F.col(id_col), F.explode(_bigram_pairs(text_col)).alias("bg")
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    j = (
+        sbg.join(model["bigrams"], ["w1", "w2"], "left")
+        .join(model["history"], ["w1"], "left")
+        .join(model["continuation"], ["w2"], "left")
+        .crossJoin(F.broadcast(model["scalars"]))
+    )
+    pc = (F.coalesce(F.col("n_prec"), F.lit(0)).cast("double") + F.lit(1.0)) / (
+        F.col("t_types").cast("double") + F.col("v_cont").cast("double") + F.lit(1.0)
+    )
+    c1 = F.col("c1").cast("double")
+    seen = F.greatest(
+        F.coalesce(F.col("c12"), F.lit(0)).cast("double") - d, F.lit(0.0)
+    ) / c1 + d * F.col("n_follow").cast("double") / c1 * pc
+    prob = F.when(F.col("c1").isNotNull(), seen).otherwise(pc)
+    return (
+        j.select(id_col, F.log(prob).alias("lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("mean_logprob"),
+        )
+    )
+
+
+def bigram_lm_logprob(
+    docs: DataFrame,
+    train_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Train-on-A, score-B composition of ``bigram_lm_train`` +
+    ``bigram_lm_score`` — the CCNet perplexity-filter shape (reference
+    quality signals: sigraph has no LM layer; this generalizes its
+    rule-based filters to distribution-based ones for web-scale text)."""
+    return bigram_lm_score(
+        docs, bigram_lm_train(train_docs, text_col), id_col, text_col, discount
+    )
