@@ -1487,6 +1487,54 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(_docs(spark, sf_dir), ["join", "hash", "vector"])
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-sharded inverted index materialization (the Lucene/ES
+    layout): (term, shard) posting rows with per-shard df/cf and
+    doc_id-ordered postings, shard = portable md5 hash of doc_id % 4 so
+    a stopword's postings split into bounded arrays instead of one
+    unbounded per-term row. min_df=2 prunes the global singleton tail.
+    Postings serialize as 'doc:tf;...' for the gate hash."""
+    from sigraph_spark.operators.index import build_inverted_index
+
+    idx = build_inverted_index(_docs(spark, sf_dir), n_shards=4, min_df=2)
+    return idx.select(
+        "term",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("df_shard").cast("long").alias("df_shard"),
+        F.col("cf_shard").cast("long").alias("cf_shard"),
+        F.array_join(
+            F.transform(
+                "postings",
+                lambda p: F.concat_ws(":", p["doc_id"], p["tf"].cast("string")),
+            ),
+            ";",
+        ).alias("postings_str"),
+    )
+
+
+def q_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-backed top-k retrieval: BM25 scored purely from stored
+    postings + the doc-norms side table — the corpus is never re-read at
+    query time. Disjunctive 3-term query, deterministic two-stage salted
+    top-20 (score desc, doc_id asc). Arithmetic is identical to the
+    corpus-side `bm25_scores` (pinned in tests), so the oracle computes
+    the same scores directly."""
+    from sigraph_spark.operators.index import (
+        build_inverted_index,
+        doc_norms,
+        search_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return search_index(
+        build_inverted_index(docs, n_shards=4),
+        doc_norms(docs),
+        ["join", "hash", "vector"],
+        mode="or",
+        k=20,
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-then-chunk sequence packing at ctx=512. The Spark side is a
     distributed two-stage prefix sum (banded cumsum + per-band base
@@ -2116,6 +2164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab": q_corpus_vocab,
         "corpus_quantiles": q_corpus_quantiles,
         "bm25_scores": q_bm25,
+        "inverted_index": q_inverted_index,
+        "index_search": q_index_search,
         "corpus_rollup": q_corpus_rollup,
         "range_join": q_range_join,
         "sample_k_per_group": q_sample_k_per_group,
@@ -3696,6 +3746,64 @@ def oracle_sql() -> dict[str, str]:
                ), 4) AS bm25
         FROM hits JOIN dfr USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
         GROUP BY doc_id
+    """
+    sq["inverted_index"] = r"""
+        WITH tok AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 unnest(list_filter(string_split_regex(
+                     lower(trim(coalesce(text, ''))), '\s+'),
+                     t -> t <> '')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        idx AS (
+          SELECT term,
+                 CAST((md5_number_upper('shard:' || doc_id) & 4294967295) % 4
+                      AS BIGINT) AS shard,
+                 doc_id, tf
+          FROM tf),
+        rows_ AS (
+          SELECT term, shard,
+                 CAST(count(*) AS BIGINT) AS df_shard,
+                 CAST(sum(tf) AS BIGINT) AS cf_shard,
+                 string_agg(doc_id || ':' || tf, ';' ORDER BY doc_id)
+                   AS postings_str
+          FROM idx GROUP BY term, shard),
+        keep AS (SELECT term FROM rows_ GROUP BY term
+                 HAVING sum(df_shard) >= 2)
+        SELECT r.term, r.shard, r.df_shard, r.cf_shard, r.postings_str
+        FROM rows_ r JOIN keep k ON k.term = r.term
+    """
+    sq["index_search"] = r"""
+        WITH toks AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS w
+          FROM documents),
+        stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 avg(len(w)) AS avgdl FROM toks),
+        dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM toks),
+        hits AS (
+          SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf FROM (
+            SELECT doc_id, unnest(w) AS t FROM toks)
+          WHERE t IN ('join', 'hash', 'vector')
+          GROUP BY doc_id, t),
+        dfr AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM hits GROUP BY t),
+        scored AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_terms,
+                 round(sum(
+                   ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                 ), 4) AS bm25
+          FROM hits JOIN dfr USING (t) JOIN dl USING (doc_id)
+          CROSS JOIN stats
+          GROUP BY doc_id)
+        SELECT doc_id, n_terms, bm25,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                    AS BIGINT) AS rank
+        FROM scored
+        QUALIFY rank <= 20
     """
     # --- domain stats over synthesized multi-host urls: lowercased host
     # by double substring_index, algebraic aggregates.
