@@ -225,6 +225,18 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(co)
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural link prediction over the KG edge table (KG-completion
+    primitive): for every non-adjacent pair with ≥2 common neighbors,
+    common-neighbor count, Adamic-Adar, and Jaccard. One adjacency
+    self-join on the wedge center (hub-cappable via max_center_degree at
+    web scale; exact here), broadcast degree lookups, one anti-join
+    against the existing edge set. Floats at 6dp."""
+    from sigraph_spark.operators.graphalgo import link_prediction
+
+    return link_prediction(_edges_ckpt(spark, sf_dir), min_cn=2)
+
+
 def q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff between two versions of the edge table (built from
     two overlapping event subsets, so added/removed/changed all occur):
@@ -2110,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_diff": q_graph_diff,
         "components": q_components,
         "triangles": q_triangles,
+        "link_prediction": q_link_prediction,
         "shortest_paths": q_shortest_paths,
         "kcore": q_kcore,
         "node_features": q_node_features,
@@ -2440,6 +2453,40 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT b FROM tri
           UNION ALL SELECT c FROM tri)
         GROUP BY node
+        """
+    )
+    # --- link prediction: wedge join restated relationally; AA weight
+    # from the center's degree; anti-join removes existing edges.
+    sq["link_prediction"] = (
+        "WITH " + _EDGES_CTE
+        + """,
+        lp_und AS (
+          SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y
+          FROM edges WHERE src <> dst),
+        lp_adj AS (
+          SELECT x AS n, y AS nb FROM lp_und
+          UNION ALL SELECT y, x FROM lp_und),
+        lp_deg AS (SELECT n, count(*) AS d FROM lp_adj GROUP BY n),
+        lp_pair AS (
+          SELECT a.nb AS u, b.nb AS v,
+                 count(*) AS cn,
+                 sum(1.0 / ln(d.d)) AS aa
+          FROM lp_adj a
+          JOIN lp_adj b ON a.n = b.n AND a.nb < b.nb
+          JOIN lp_deg d ON d.n = a.n
+          GROUP BY a.nb, b.nb
+          HAVING count(*) >= 2),
+        lp_new AS (
+          SELECT p.u, p.v, p.cn, p.aa FROM lp_pair p
+          WHERE NOT EXISTS (
+            SELECT 1 FROM lp_und e WHERE e.x = p.u AND e.y = p.v))
+        SELECT n.u, n.v, CAST(n.cn AS BIGINT) AS cn,
+               round(n.aa, 6) AS adamic_adar,
+               round(CAST(n.cn AS DOUBLE) / (du.d + dv.d - n.cn), 6)
+                 AS jaccard
+        FROM lp_new n
+        JOIN lp_deg du ON du.n = n.u
+        JOIN lp_deg dv ON dv.n = n.v
         """
     )
     # --- connected components: star contraction's fixpoint must equal the

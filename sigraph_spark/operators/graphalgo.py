@@ -394,3 +394,86 @@ def label_propagation_oracle_sql(
         )
     return ",\n".join(parts) + f"""
         SELECT node AS node_id, label FROM lp_l{rounds}"""
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_cn: int = 1,
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Structural link-prediction scores over the undirected KG — the
+    KG-completion primitive (which missing edges does the topology
+    suggest?). For every non-adjacent pair (u, v) with at least
+    ``min_cn`` common neighbors:
+
+    * ``cn``      — common-neighbor count |Γ(u) ∩ Γ(v)|,
+    * ``jaccard`` — cn / |Γ(u) ∪ Γ(v)| = cn / (deg(u)+deg(v)−cn),
+    * ``adamic_adar`` — Σ_{w ∈ Γ(u)∩Γ(v)} 1/ln(deg(w))
+      (Adamic & Adar 2003; a shared *rare* neighbor is stronger
+      evidence than a shared hub — deg(w) ≥ 2 over wedges, so the log
+      never hits zero).
+
+    Returns ``(u, v, cn, adamic_adar, jaccard)`` with u < v, floats at
+    6dp (the per-pair sum spans few centers — reorderings stay far
+    inside the rounding grid).
+
+    Scale shape: one self-join of the adjacency on the wedge center —
+    a degree-d center emits d(d-1)/2 candidate pairs, so the Zipf head
+    is the hot spot. ``max_center_degree`` applies the standard hub cap
+    (drop centers above the threshold BEFORE the join; a 10^6-degree
+    boilerplate hub contributes ≤ 1/ln(10^6) ≈ 0.07 per pair while
+    costing 10^12 wedges — at web scale you always cap). The remaining
+    joins are broadcast-able degree lookups plus one anti-join against
+    the existing edge set.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("x"),
+            F.greatest(F.col(src), F.col(dst)).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    adj = und.select(F.col("x").alias("n"), F.col("y").alias("nb")).unionAll(
+        und.select(F.col("y").alias("n"), F.col("x").alias("nb"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    centers = adj.join(deg, "n")
+    if max_center_degree is not None:
+        centers = centers.filter(F.col("d") <= max_center_degree)
+    w1 = centers.select("n", F.col("nb").alias("u"), "d")
+    w2 = adj.select("n", F.col("nb").alias("v"))
+    pair = (
+        w1.join(w2, "n")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(F.lit(1.0) / F.log(F.col("d").cast("double"))).alias("aa"),
+        )
+        .filter(F.col("cn") >= min_cn)
+    )
+    new_pairs = pair.join(
+        und,
+        (pair["u"] == und["x"]) & (pair["v"] == und["y"]),
+        "left_anti",
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    return (
+        new_pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            F.col("cn").cast("long").alias("cn"),
+            F.round("aa", 6).alias("adamic_adar"),
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("cn")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
