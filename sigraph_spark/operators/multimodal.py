@@ -5,18 +5,21 @@ typed metadata struct; the expensive decode/feature steps run as
 Arrow-batched functions over ``mapInPandas`` so one task processes a whole
 record batch without per-row Python overhead.
 
-Three formats decode for REAL (pure Python + stdlib + numpy):
-uncompressed BMP (``decode_bmp``/``encode_bmp``), PNG — the compressed
-image path (``decode_png``/``encode_png``: zlib-inflated IDAT, all five
-scanline filters incl. Paeth, gray/RGB/RGBA at bit depth 8) — and
-RIFF/WAVE PCM audio (``decode_wav``/``encode_wav``: 8/16/32-bit, any
-channel count, stdlib ``wave``). image_features/resize_images run a
-genuine bytes -> pixels path, audio_features a genuine bytes ->
-waveform -> windowed-RMS path. Remaining codecs (JPEG/mp3/ffmpeg) are
-NOT in this container, so those formats hit deterministic fakes behind
-the same ``_decode_*`` seams — clearly marked, swappable, and
-unit-tested for the Spark-side contract that IS real: schema, batch
-shape, partitioning, and null/size handling.
+Four formats decode for REAL (pure Python + stdlib + numpy):
+uncompressed BMP (``decode_bmp``/``encode_bmp``), PNG
+(``decode_png``/``encode_png``: zlib-inflated IDAT, all five scanline
+filters incl. Paeth, gray/RGB/RGBA at bit depth 8), GIF
+(``decode_gif``/``encode_gif``: full LZW state machine with variable
+code width, clear/end codes and table-full handling; global/local color
+tables; interlace) and RIFF/WAVE PCM audio (``decode_wav``/
+``encode_wav``: 8/16/32-bit, any channel count, stdlib ``wave``).
+image_features/resize_images run a genuine bytes -> pixels path,
+audio_features a genuine bytes -> waveform -> windowed-RMS path.
+Remaining codecs (JPEG/mp3/ffmpeg) are NOT in this container, so those
+formats hit deterministic fakes behind the same ``_decode_*`` seams —
+clearly marked, swappable, and unit-tested for the Spark-side contract
+that IS real: schema, batch shape, partitioning, and null/size
+handling.
 
 Scale notes:
 * binary payloads are only materialized inside the mapInPandas stage; all
@@ -313,6 +316,245 @@ def encode_png(width: int, height: int, rgb: bytes, filter_type: int = 0) -> byt
     )
 
 
+# ---------------------------------------------------------------------------
+# REAL codec: GIF (LZW-compressed, palette-indexed) — pure Python
+# ---------------------------------------------------------------------------
+# Decodes the FIRST image frame of a GIF87a/GIF89a: global or local color
+# table, interlaced or sequential, full LZW state machine (variable code
+# width 3..12 bits, clear/end codes, deferred-clear handling when the
+# table fills). The encoder emits a real LZW stream (deterministic
+# lexicographic palette), so round-trips exercise both directions; decode
+# correctness is additionally pinned against a hand-packed code stream
+# built independently of the encoder (tests/test_multimodal_gif.py).
+
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # interlace (start, step)
+
+
+def _gif_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate GIF data sub-blocks starting at ``pos``; returns
+    (data, position after the block terminator)."""
+    out = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated GIF sub-blocks")
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            return bytes(out), pos
+        if pos + n > len(payload):
+            raise ValueError("truncated GIF sub-block")
+        out += payload[pos : pos + n]
+        pos += n
+
+
+def _lzw_decode(min_code_size: int, data: bytes, npix: int) -> bytes:
+    """GIF-flavor LZW: LSB-first variable-width codes, clear/end codes,
+    code width grows when the table reaches 2^width (cap 12); table adds
+    stop at 4096 until a clear arrives."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError("bad LZW min code size")
+    clear = 1 << min_code_size
+    end = clear + 1
+    literals = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(literals)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = list(literals)
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                if len(out) < npix:
+                    raise ValueError("LZW ended short of pixel count")
+                return bytes(out[:npix])
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("bad LZW code")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+            if len(out) >= npix:
+                return bytes(out[:npix])  # tolerate missing end code
+    raise ValueError("truncated LZW stream")
+
+
+def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    """Inverse of :func:`_lzw_decode` (same width-growth schedule: bump
+    after the add that makes next_code == 2^width + 1; clear+reset when
+    the table fills)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+    code_size = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(clear)}
+
+    emit(clear)
+    table = fresh()
+    next_code = end + 1
+    w = b""
+    for px in indices:
+        if px >= clear:
+            raise ValueError("pixel index outside palette")
+        wc = w + bytes([px])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear)
+            table = fresh()
+            next_code = end + 1
+            code_size = min_code_size + 1
+        w = bytes([px])
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode the first frame of a GIF87a/GIF89a.
+
+    Returns ``(width, height, rgb)`` — the FRAME's dimensions, row-major
+    top-down RGB triples through the active (local-over-global) color
+    table; interlaced frames are deinterlaced. Extensions are skipped.
+    Raises ValueError for malformed/unsupported input (the decode seams
+    fall back to the stub histogram)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in _GIF_SIGS:
+        raise ValueError("not a GIF")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("truncated GIF global color table")
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label byte + sub-blocks
+            _, pos = _gif_subblocks(payload, pos + 2)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        if pos + 10 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
+        _, _, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
+        ipacked = payload[pos + 9]
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(payload):
+                raise ValueError("truncated GIF local color table")
+            pal = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame has no color table")
+        if iw <= 0 or ih <= 0:
+            raise ValueError("empty GIF frame")
+        min_code = payload[pos]
+        data, pos = _gif_subblocks(payload, pos + 1)
+        idx = np.frombuffer(_lzw_decode(min_code, data, iw * ih), dtype=np.uint8)
+        rows = idx.reshape(ih, iw)
+        if ipacked & 0x40:  # interlaced: rows arrive in pass order
+            order = [y for start, step in _GIF_PASSES for y in range(start, ih, step)]
+            deinter = np.empty_like(rows)
+            deinter[order] = rows
+            rows = deinter
+        colors = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+        if int(rows.max(initial=0)) >= len(colors):
+            raise ValueError("GIF pixel index outside color table")
+        return iw, ih, colors[rows.reshape(-1)].tobytes()
+    raise ValueError("GIF has no image data")
+
+
+def encode_gif(
+    width: int, height: int, rgb: bytes, interlace: bool = False
+) -> bytes:
+    """Encode top-down RGB triples as a single-frame GIF89a with a real
+    LZW stream. The palette is the image's distinct colors in
+    lexicographic order (deterministic); requires ≤256 distinct colors
+    (quantization is out of scope — callers resample, never invent
+    colors)."""
+    import struct
+
+    import numpy as np
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
+    colors, inverse = np.unique(px, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("more than 256 distinct colors")
+    k = max(1, int(len(colors) - 1).bit_length())  # GCT size = 2^k entries
+    min_code = max(2, k)
+    pal = colors.tobytes() + b"\x00" * (3 * ((1 << k) - len(colors)))
+    idx = inverse.astype(np.uint8).reshape(height, width)
+    if interlace:
+        order = [y for start, step in _GIF_PASSES for y in range(start, height, step)]
+        idx = idx[order]
+    stream = _lzw_encode(min_code, idx.reshape(-1).tobytes())
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HH", width, height)
+    out.append(0x80 | 0x70 | (k - 1))  # GCT present, max color resolution
+    out += b"\x00\x00"  # background index, aspect ratio
+    out += pal
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+    out.append(0x40 if interlace else 0x00)
+    out.append(min_code)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def _pixel_features(width: int, height: int, rgb: bytes) -> list[float]:
     """Real pixel features for decoded images (BMP/PNG): [mean R, mean G,
     mean B, mean luma] + a 12-bin luma histogram, all normalized to [0, 1]."""
@@ -347,6 +589,11 @@ def _decode_image_features(payload: bytes | None) -> list[float]:
             return _pixel_features(*decode_png(payload))
         except ValueError:
             pass  # malformed/unsupported PNG -> stub fallback
+    elif payload[:6] in _GIF_SIGS:
+        try:
+            return _pixel_features(*decode_gif(payload))
+        except ValueError:
+            pass  # malformed GIF -> stub fallback
     hist = [0] * _FEATURE_DIM
     for byte in payload:
         hist[byte % _FEATURE_DIM] += 1
@@ -545,20 +792,29 @@ def _decode_audio_features(payload: bytes | None, duration_ms: int | None, windo
 
 
 def _decode_resize(payload: bytes | None, w: int, h: int) -> bytes:
-    """Resize kernel. BMP and PNG payloads take the REAL path: decode ->
-    nearest-neighbor resample -> re-encode in the SAME format. Other
-    formats keep the declared STUB (truncate/pad to w*h/64 bytes)."""
-    if payload and (payload[:2] == b"BM" or payload[:8] == _PNG_SIG):
-        is_png = payload[:8] == _PNG_SIG
+    """Resize kernel. BMP, PNG, and GIF payloads take the REAL path:
+    decode -> nearest-neighbor resample -> re-encode in the SAME format
+    (nearest-neighbor never invents colors, so the GIF palette bound
+    holds). Other formats keep the declared STUB (truncate/pad to
+    w*h/64 bytes)."""
+    codec = None
+    if payload:
+        if payload[:2] == b"BM":
+            codec = (decode_bmp, encode_bmp)
+        elif payload[:8] == _PNG_SIG:
+            codec = (decode_png, encode_png)
+        elif payload[:6] in _GIF_SIGS:
+            codec = (decode_gif, encode_gif)
+    if codec is not None:
         try:
-            sw, sh, rgb = (decode_png if is_png else decode_bmp)(payload)
+            sw, sh, rgb = codec[0](payload)
             import numpy as np
 
             px = np.frombuffer(rgb, dtype=np.uint8).reshape(sh, sw, 3)
             ys = (np.arange(h) * sh) // h
             xs = (np.arange(w) * sw) // w
             resized = px[ys][:, xs].tobytes()
-            return (encode_png if is_png else encode_bmp)(w, h, resized)
+            return codec[1](w, h, resized)
         except ValueError:
             pass
     size = max(1, (w * h) // 64)
