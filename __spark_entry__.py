@@ -237,6 +237,24 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction(_edges_ckpt(spark, sf_dir), min_cn=2)
 
 
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (FW-BW-Trim coloring, Orzan) of a
+    deterministically sparsified KG: forward-oriented edges (src < dst)
+    plus LAUNCH back-edges — the full KG is one giant SCC (every READ/
+    WRITE pair is mutual), so the sparsification yields the
+    discriminating bow-tie shape (one cyclic core + tendril singletons)
+    that actually exercises trim, coloring, and the backward sweep. The
+    oracle is ground-truth mutual reachability via a recursive closure:
+    scc_id(v) = min over {v} ∪ {u : u↔v}."""
+    from sigraph_spark.operators.graphalgo import strongly_connected_components
+
+    edges = _edges_ckpt(spark, sf_dir)
+    sub = edges.filter(
+        (F.col("src") < F.col("dst")) | (F.col("predicate") == "LAUNCH")
+    )
+    return strongly_connected_components(sub)
+
+
 def q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff between two versions of the edge table (built from
     two overlapping event subsets, so added/removed/changed all occur):
@@ -2123,6 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components": q_components,
         "triangles": q_triangles,
         "link_prediction": q_link_prediction,
+        "scc": q_scc,
         "shortest_paths": q_shortest_paths,
         "kcore": q_kcore,
         "node_features": q_node_features,
@@ -2487,6 +2506,29 @@ def oracle_sql() -> dict[str, str]:
         FROM lp_new n
         JOIN lp_deg du ON du.n = n.u
         JOIN lp_deg dv ON dv.n = n.v
+        """
+    )
+    # --- SCC: mutual-reachability ground truth over the sparsified
+    # relation (forward-oriented + LAUNCH back-edges).
+    sq["scc"] = (
+        "WITH RECURSIVE " + _EDGES_CTE
+        + """,
+        scc_e AS (
+          SELECT DISTINCT src AS u, dst AS v FROM edges
+          WHERE src <> dst AND (src < dst OR predicate = 'LAUNCH')),
+        scc_n AS (SELECT u AS n FROM scc_e UNION SELECT v FROM scc_e),
+        scc_reach(a, b) AS (
+          SELECT u, v FROM scc_e
+          UNION
+          SELECT r.a, e.v FROM scc_reach r JOIN scc_e e ON e.u = r.b),
+        scc_mutual AS (
+          SELECT r1.a AS x, r1.b AS y
+          FROM scc_reach r1 JOIN scc_reach r2
+            ON r1.a = r2.b AND r1.b = r2.a)
+        SELECT n.n AS node_id,
+               least(n.n, coalesce(min(m.x), n.n)) AS scc_id
+        FROM scc_n n LEFT JOIN scc_mutual m ON m.y = n.n
+        GROUP BY n.n
         """
     )
     # --- connected components: star contraction's fixpoint must equal the

@@ -477,3 +477,146 @@ def link_prediction(
             ).alias("jaccard"),
         )
     )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_peel: int = 12,
+    max_prop: int = 60,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Strongly connected components of the DIRECTED edge relation:
+    ``(node_id, scc_id)`` with ``scc_id`` = min node id in the component
+    (deterministic). The directed complement to ``linking``'s undirected
+    CC — for a KG it separates genuine cyclic entity clusters (mutual
+    provenance) from the DAG bulk.
+
+    Algorithm: FW-BW-Trim with coloring (Orzan; McLendon et al.):
+
+    * **Trim** peels trivial SCCs — nodes lacking in- or out-edges
+      within the remaining subgraph — iteratively (kills DAG chains
+      that would otherwise cost one peel round per node).
+    * **Color**: forward min-label propagation to fixpoint; ``c(v)`` =
+      min id among remaining nodes that reach v. Each color class has
+      one root (the node equal to its color).
+    * **Backward sweep**: from all roots at once, walk reversed edges
+      restricted to the root's own color class; everything reached is
+      exactly the root's SCC (mutual reachability through the root).
+    * Remove finished SCCs, repeat.
+
+    Every step is a frontier-style equi-join on node keys (uniform after
+    hash partitioning); per-round frontiers are localCheckpointed to cut
+    lineage. At 100 TB the edge table should be bucketed on both
+    endpoints so the repeated joins are storage-partitioned. Rounds are
+    data-dependent: pass ``metrics`` and check ``metrics['converged']``
+    — on truncation the unassigned remainder is NOT emitted (absent
+    rows, never wrong labels).
+    """
+    e_all = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    remaining = (
+        e_all.select(F.col("u").alias("node"))
+        .unionByName(e_all.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    assigned = None
+    converged = False
+    peels = 0
+
+    def _acc(base: DataFrame | None, extra: DataFrame) -> DataFrame:
+        return extra if base is None else base.unionByName(extra)
+
+    for _ in range(max_peel):
+        if remaining.limit(1).count() == 0:
+            converged = True
+            break
+        # --- trim loop: peel nodes without both in- and out-edges -----
+        while True:
+            e_rem = (
+                e_all.join(remaining.withColumnRenamed("node", "u"), "u", "left_semi")
+                .join(remaining.withColumnRenamed("node", "v"), "v", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            has_out = e_rem.select(F.col("u").alias("node")).distinct()
+            has_in = e_rem.select(F.col("v").alias("node")).distinct()
+            nontrivial = has_out.join(has_in, "node", "left_semi")
+            trivial = remaining.join(nontrivial, "node", "left_anti").localCheckpoint(
+                eager=True
+            )
+            if trivial.limit(1).count() == 0:
+                break
+            assigned = _acc(
+                assigned, trivial.select("node", F.col("node").alias("scc_id"))
+            )
+            remaining = remaining.join(trivial, "node", "left_anti").localCheckpoint(
+                eager=True
+            )
+        if remaining.limit(1).count() == 0:
+            converged = True
+            break
+        peels += 1  # counts FW-BW phases; trim-only resolution costs none
+        # --- forward min-label coloring to fixpoint -------------------
+        color = remaining.select("node", F.col("node").alias("color")).localCheckpoint(
+            eager=True
+        )
+        for _ in range(max_prop):
+            pushed = (
+                color.join(e_rem, color.node == e_rem.u)
+                .select(F.col("v").alias("node"), "color")
+            )
+            newc = (
+                color.unionByName(pushed)
+                .groupBy("node")
+                .agg(F.min("color").alias("color"))
+                .localCheckpoint(eager=True)
+            )
+            moved = (
+                newc.alias("n")
+                .join(color.alias("o"), "node")
+                .filter(F.col("n.color") != F.col("o.color"))
+                .limit(1)
+                .count()
+            )
+            color = newc
+            if moved == 0:
+                break
+        # --- backward sweep from roots within color classes -----------
+        member = color.filter(F.col("node") == F.col("color")).localCheckpoint(
+            eager=True
+        )
+        frontier = member
+        while True:
+            cand = (
+                frontier.join(e_rem, frontier.node == e_rem.v)
+                .select(F.col("u").alias("node"), "color")
+            )
+            same = cand.join(color, ["node", "color"], "left_semi")
+            new = same.distinct().join(member, "node", "left_anti").localCheckpoint(
+                eager=True
+            )
+            if new.limit(1).count() == 0:
+                break
+            member = member.unionByName(new).localCheckpoint(eager=True)
+            frontier = new
+        assigned = _acc(assigned, member.select("node", F.col("color").alias("scc_id")))
+        remaining = remaining.join(member, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+    else:
+        converged = remaining.limit(1).count() == 0
+    if metrics is not None:
+        metrics["peels"] = peels
+        metrics["converged"] = converged
+    out = assigned
+    if out is None:
+        out = e_all.sparkSession.createDataFrame(
+            [], "node string, scc_id string"
+        )
+    return out.select(F.col("node").alias("node_id"), "scc_id")
