@@ -698,6 +698,18 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment C(A→B)=|A∩B|/|A| over a doc
+    subset — the partial-overlap near-dup case (page quoted inside a
+    longer page) that symmetric Jaccard misses. Shingle-key self-join
+    (never all-pairs), per-pair count, both directed scores at 6dp;
+    pairs kept where either direction ≥ 0.5 (full corpus — the dup
+    clusters the %10 subset misses are exactly the containment cases)."""
+    from sigraph_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir), min_containment=0.5)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination: train docs flagged when they share any
     3-gram with the (deterministic doc_id % 37 == 0) eval slice. The eval
@@ -2167,6 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_prefix": q_dedup_prefix,
         "ngram_jaccard": q_ngram_jaccard,
+        "containment_pairs": q_containment,
         "decontaminate": q_decontaminate,
         "dup_spans": q_dup_spans,
         "remove_dup_spans": q_remove_dup_spans,
@@ -3048,6 +3061,33 @@ def oracle_sql() -> dict[str, str]:
         FROM inter
         JOIN cnt ca ON ca.doc_id = inter.a
         JOIN cnt cb ON cb.doc_id = inter.b
+    """
+    sq["containment_pairs"] = r"""
+        WITH d AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+                        ELSE w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+                             || ' ' || w[CAST(i AS INT) + 2] END AS s
+            FROM d, UNNEST(range(1, greatest(len(w) - 1, 2))) AS t(i))
+          WHERE s IS NOT NULL),
+        cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+        SELECT inter.a, inter.b,
+               CAST(inter.i AS BIGINT) AS n_common,
+               round(CAST(inter.i AS DOUBLE) / ca.c, 6) AS containment_ab,
+               round(CAST(inter.i AS DOUBLE) / cb.c, 6) AS containment_ba
+        FROM inter
+        JOIN cnt ca ON ca.doc_id = inter.a
+        JOIN cnt cb ON cb.doc_id = inter.b
+        WHERE greatest(round(CAST(inter.i AS DOUBLE) / ca.c, 6),
+                       round(CAST(inter.i AS DOUBLE) / cb.c, 6)) >= 0.5
     """
     # --- shared distinct-3-gram CTE for the contamination family (same
     # short-doc fallback as the Spark _word_shingles construction)

@@ -660,3 +660,72 @@ def dedup_keeplist(
         )
     )
     return out.withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_containment: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate detection: shingle containment
+    ``C(A→B) = |A ∩ B| / |A|`` (Broder's containment, the companion to
+    resemblance/Jaccard). Catches the partial-overlap cases symmetric
+    Jaccard misses — a short page quoted wholesale inside a long one
+    scores C≈1 one way while Jaccard stays low. Standard curation use:
+    drop the contained (smaller) side, keep the superset document.
+
+    Returns one row per unordered candidate pair ``(a, b)`` (a < b) with
+    ``n_common`` shared k-shingles and both directed scores
+    (``containment_ab`` = fraction of a's shingles also in b, 6dp),
+    keeping pairs where EITHER direction ≥ ``min_containment``.
+
+    Scale shape: one shingle explode + self-equi-join on the shingle key
+    (never all-pairs — only docs sharing a shingle meet), per-pair count
+    agg, broadcast-able size lookups. The Zipf-head risk is boilerplate
+    shingles shared by everything: ``max_shingle_df`` drops shingles in
+    more than that many docs from PAIR GENERATION (denominators keep the
+    full set — scores become lower bounds; the standard stop-shingle
+    prune, same device as the LSH hot-bucket guard). Exact when None.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_word_shingles(F.col(text_col), k)).alias("s"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    pair_sh = sh
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("s")
+        )
+        pair_sh = sh.join(keep, "s", "left_semi")
+    a = pair_sh.select(F.col("id").alias("a"), "s")
+    b = pair_sh.select(F.col("id").alias("b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("id").alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("b"), F.col("n").alias("nb"))
+    scored = (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(F.col("n_common") / F.col("na"), 6).alias("containment_ab"),
+            F.round(F.col("n_common") / F.col("nb"), 6).alias("containment_ba"),
+        )
+    )
+    return scored.filter(
+        F.greatest(F.col("containment_ab"), F.col("containment_ba"))
+        >= F.lit(float(min_containment))
+    )
