@@ -594,6 +594,13 @@ def _decode_image_features(payload: bytes | None) -> list[float]:
             return _pixel_features(*decode_gif(payload))
         except ValueError:
             pass  # malformed GIF -> stub fallback
+    elif payload[:2] == b"\xff\xd8":
+        try:
+            from sigraph_spark.operators.jpeg import decode_jpeg
+
+            return _pixel_features(*decode_jpeg(payload))
+        except ValueError:
+            pass  # progressive/malformed JPEG -> stub fallback
     hist = [0] * _FEATURE_DIM
     for byte in payload:
         hist[byte % _FEATURE_DIM] += 1
@@ -805,6 +812,10 @@ def _decode_resize(payload: bytes | None, w: int, h: int) -> bytes:
             codec = (decode_png, encode_png)
         elif payload[:6] in _GIF_SIGS:
             codec = (decode_gif, encode_gif)
+        elif payload[:2] == b"\xff\xd8":
+            from sigraph_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+            codec = (decode_jpeg, encode_jpeg)
     if codec is not None:
         try:
             sw, sh, rgb = codec[0](payload)
