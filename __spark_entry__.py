@@ -1577,6 +1577,18 @@ def q_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derandomized Efraimidis-Spirakis weighted sampling without
+    replacement: key = u^(1/w) with u from the portable md5 hash, top-50
+    by (key desc, doc_id) — the corpus-mixture primitive where two runs
+    must pick identical subsets. Weights (doc_id % 7) + 1."""
+    from sigraph_spark.operators.corpus import weighted_sample
+
+    docs = _docs(spark, sf_dir)
+    out = weighted_sample(docs, (F.col("doc_id") % 7 + 1).cast("double"), 50)
+    return out.select("doc_id", "sample_key")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-then-chunk sequence packing at ctx=512. The Spark side is a
     distributed two-stage prefix sum (banded cumsum + per-band base
@@ -2201,6 +2213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "dataset_split": q_dataset_split,
         "stratified_sample": q_stratified_sample,
+        "weighted_sample": q_weighted_sample,
         "mixture_epochs": q_mixture_epochs,
         "drop_common_lines": q_drop_common_lines,
         "quality_classifier": q_quality_classifier,
@@ -4129,6 +4142,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
                round(avg(lp), 6) AS mean_logprob
         FROM s GROUP BY doc_id
+    """
+    sq["weighted_sample"] = r"""
+        WITH keyed AS (
+          SELECT doc_id,
+                 round(pow(
+                   (CAST((md5_number_upper('ws:' || CAST(doc_id AS VARCHAR))
+                          & 4294967295) AS DOUBLE) + 1.0) / 4294967296.0,
+                   1.0 / CAST(doc_id % 7 + 1 AS DOUBLE)), 6) AS sample_key
+          FROM documents)
+        SELECT doc_id, sample_key
+        FROM keyed
+        QUALIFY row_number() OVER (ORDER BY sample_key DESC, doc_id ASC) <= 50
     """
     sq["text_normalize"] = r"""
         WITH d AS (

@@ -1021,3 +1021,54 @@ def bigram_lm_logprob(
     return bigram_lm_score(
         docs, bigram_lm_train(train_docs, text_col), id_col, text_col, discount
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "ws",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, derandomized — the
+    Efraimidis–Spirakis A-Res scheme (2006): per row draw u ∈ (0, 1],
+    key = u^(1/w), keep the k largest keys; inclusion probabilities are
+    exactly those of sequential weighted draws. Here u is not random but
+    the portable md5 hash of (salt, id), so the "sample" is a pure
+    function of the data — rerunnable, resumable, cross-engine
+    reproducible (the corpus-mixture requirement: two pipeline runs must
+    pick identical subsets). Vary ``salt`` for independent replicates.
+
+    Zero-/negative-weight rows are excluded (they would win ties via
+    pow(u, inf) artifacts rather than sampling semantics). Keys are
+    rounded to 6dp with id tie-break so ordering is stable across
+    engines; top-k runs two-stage salted (no whole-corpus single-task
+    sort). Returns the sampled rows + their ``sample_key``.
+    """
+    w = weight_col if isinstance(weight_col, Column) else F.col(weight_col)
+    u = (
+        hash32_md5_le(
+            F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967296.0)
+    keyed = (
+        docs.filter(w.cast("double") > 0)
+        .withColumn("sample_key", F.round(F.pow(u, F.lit(1.0) / w.cast("double")), 6))
+    )
+    shard = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(32))
+    w1 = Window.partitionBy("_shard").orderBy(
+        F.col("sample_key").desc(), F.col(id_col).asc()
+    )
+    local = (
+        keyed.withColumn("_shard", shard)
+        .withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= k)
+        .drop("_r", "_shard")
+    )
+    w2 = Window.orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+    return (
+        local.withColumn("_r", F.row_number().over(w2))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
