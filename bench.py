@@ -203,6 +203,26 @@ def main() -> None:
     timed("ann_bruteforce", lambda: brute_force_topk(emb, q, k=10).count())
     timed("ann_lsh", lambda: lsh_topk(emb, q, dim=64, k=10, bits=8).count())
 
+    # --- inverted index + index-backed retrieval --------------------------------
+    from sigraph_spark.operators.index import (
+        build_inverted_index, doc_norms, search_index,
+    )
+
+    def run_index() -> int:
+        idx = build_inverted_index(docs_tbl, n_shards=max(cpus // 4, 4))
+        n = idx.count()
+        top = search_index(
+            idx, doc_norms(docs_tbl), ["join", "hash", "vector"], mode="or", k=20
+        )
+        return n + top.count()
+
+    timed("index_retrieval", run_index)
+
+    # --- KG completion: structural link prediction ------------------------------
+    from sigraph_spark.operators.graphalgo import link_prediction
+
+    timed("kg_completion", lambda: link_prediction(edges_pr, min_cn=2).count())
+
     # --- text profiling ---------------------------------------------------------
     from sigraph_spark.operators.textstats import text_profile
 
