@@ -255,6 +255,26 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(sub)
 
 
+def q_condensation_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation DAG of the sparsified KG (same relation as the scc
+    gate) + longest-path topological layering: (scc node, level). The
+    scheduling view — components at one level are mutually unordered.
+    Oracle: recursive longest-path-into-node over the ground-truth
+    mutual-reachability condensation."""
+    from sigraph_spark.operators.graphalgo import (
+        condensation,
+        strongly_connected_components,
+        topo_levels,
+    )
+
+    edges = _edges_ckpt(spark, sf_dir)
+    sub = edges.filter(
+        (F.col("src") < F.col("dst")) | (F.col("predicate") == "LAUNCH")
+    )
+    scc = strongly_connected_components(sub)
+    return topo_levels(condensation(sub, scc))
+
+
 def q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff between two versions of the edge table (built from
     two overlapping event subsets, so added/removed/changed all occur):
@@ -2166,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "link_prediction": q_link_prediction,
         "scc": q_scc,
+        "condensation_levels": q_condensation_levels,
         "shortest_paths": q_shortest_paths,
         "kcore": q_kcore,
         "node_features": q_node_features,
@@ -2555,6 +2576,42 @@ def oracle_sql() -> dict[str, str]:
                least(n.n, coalesce(min(m.x), n.n)) AS scc_id
         FROM scc_n n LEFT JOIN scc_mutual m ON m.y = n.n
         GROUP BY n.n
+        """
+    )
+    # --- condensation + topo levels: longest path into each contracted
+    # component over the ground-truth condensation DAG.
+    sq["condensation_levels"] = (
+        "WITH RECURSIVE " + _EDGES_CTE
+        + """,
+        scc_e AS (
+          SELECT DISTINCT src AS u, dst AS v FROM edges
+          WHERE src <> dst AND (src < dst OR predicate = 'LAUNCH')),
+        scc_n AS (SELECT u AS n FROM scc_e UNION SELECT v FROM scc_e),
+        scc_reach(a, b) AS (
+          SELECT u, v FROM scc_e
+          UNION
+          SELECT r.a, e.v FROM scc_reach r JOIN scc_e e ON e.u = r.b),
+        scc_mutual AS (
+          SELECT r1.a AS x, r1.b AS y
+          FROM scc_reach r1 JOIN scc_reach r2
+            ON r1.a = r2.b AND r1.b = r2.a),
+        scc_map AS (
+          SELECT n.n, least(n.n, coalesce(min(m.x), n.n)) AS scc_id
+          FROM scc_n n LEFT JOIN scc_mutual m ON m.y = n.n
+          GROUP BY n.n),
+        dag AS (
+          SELECT DISTINCT ms.scc_id AS u, md.scc_id AS v
+          FROM scc_e e
+          JOIN scc_map ms ON ms.n = e.u
+          JOIN scc_map md ON md.n = e.v
+          WHERE ms.scc_id <> md.scc_id),
+        dag_n AS (SELECT u AS node FROM dag UNION SELECT v FROM dag),
+        paths(node, l) AS (
+          SELECT node, 0 FROM dag_n
+          UNION
+          SELECT d.v, p.l + 1 FROM paths p JOIN dag d ON d.u = p.node)
+        SELECT node AS node_id, CAST(max(l) AS BIGINT) AS level
+        FROM paths GROUP BY node
         """
     )
     # --- connected components: star contraction's fixpoint must equal the

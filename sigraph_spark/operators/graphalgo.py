@@ -620,3 +620,81 @@ def strongly_connected_components(
             [], "node string, scc_id string"
         )
     return out.select(F.col("node").alias("node_id"), "scc_id")
+
+
+def condensation(
+    edges: DataFrame,
+    scc: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Contract each SCC to one node: the condensation DAG. ``scc`` is
+    the ``(node_id, scc_id)`` mapping from
+    :func:`strongly_connected_components`. Returns distinct
+    ``(src_scc, dst_scc)`` pairs with src_scc != dst_scc — acyclic by
+    construction. Two broadcast-able mapping joins + one distinct."""
+    m_src = scc.select(F.col("node_id").alias("_u"), F.col("scc_id").alias("src_scc"))
+    m_dst = scc.select(F.col("node_id").alias("_v"), F.col("scc_id").alias("dst_scc"))
+    return (
+        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+        .join(m_src, "_u")
+        .join(m_dst, "_v")
+        .filter(F.col("src_scc") != F.col("dst_scc"))
+        .select("src_scc", "dst_scc")
+        .distinct()
+    )
+
+
+def topo_levels(
+    dag: DataFrame,
+    src: str = "src_scc",
+    dst: str = "dst_scc",
+    max_iter: int = 100,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Longest-path layering of a DAG: ``(node_id, level)`` with sources
+    at level 0 and ``level(v) = 1 + max(level(u) : u→v)`` — the standard
+    scheduling/critical-path view (nodes at the same level are mutually
+    unordered and can process in parallel). Fixpoint of a frontier-free
+    max-propagation: each round one equi-join + max-agg; rounds = DAG
+    depth. Raises ValueError if ``max_iter`` rounds don't converge — on
+    a true DAG that means depth > max_iter; on a cyclic input levels
+    would diverge, so failing loudly beats looping forever."""
+    e = dag.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    lvl = nodes.withColumn("level", F.lit(0).cast("long")).localCheckpoint(eager=True)
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        pushed = (
+            lvl.join(e, lvl.node == e.u)
+            .select(F.col("v").alias("node"), (F.col("level") + 1).alias("level"))
+        )
+        newl = (
+            lvl.unionByName(pushed)
+            .groupBy("node")
+            .agg(F.max("level").alias("level"))
+            .localCheckpoint(eager=True)
+        )
+        moved = (
+            newl.alias("n")
+            .join(lvl.alias("o"), "node")
+            .filter(F.col("n.level") != F.col("o.level"))
+            .limit(1)
+            .count()
+        )
+        lvl = newl
+        if moved == 0:
+            if metrics is not None:
+                metrics["rounds"] = rounds
+                metrics["converged"] = True
+            return lvl.select(F.col("node").alias("node_id"), "level")
+    raise ValueError(
+        f"topo_levels did not converge in {max_iter} rounds "
+        "(cyclic input or depth > max_iter)"
+    )
