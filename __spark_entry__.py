@@ -275,6 +275,38 @@ def q_condensation_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topo_levels(condensation(sub, scc))
 
 
+def q_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style conjunctive pattern over the KG edge table (the
+    generalization of the reference's one-Cypher-per-endpoint query
+    surface, src/db/query/*.py): a two-step LAUNCH chain whose endpoint is
+    also the object of a LOAD from a different node. Three filtered scans
+    (constant predicate pushed down) hash-joined on the shared variables;
+    the oracle restates the same conjunction as SQL self-joins."""
+    from sigraph_spark.operators.bgp import match_bgp
+
+    return match_bgp(
+        _edges_ckpt(spark, sf_dir),
+        [("?a", "LAUNCH", "?x"), ("?x", "LAUNCH", "?y"), ("?b", "LOAD", "?y")],
+        where=[F.col("a") != F.col("b")],
+        distinct=True,
+    )
+
+
+def q_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BGP with a SPARQL OPTIONAL arm: every LAUNCH edge, left-extended by
+    the child's CONNECT targets (NULL where the child never connects —
+    exactly the 'processes that did NOT phone home' listing the reference
+    cannot express without a second endpoint)."""
+    from sigraph_spark.operators.bgp import match_bgp
+
+    return match_bgp(
+        _edges_ckpt(spark, sf_dir),
+        [("?p", "LAUNCH", "?c")],
+        optional=[("?c", "CONNECT", "?ip")],
+        distinct=True,
+    )
+
+
 def q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff between two versions of the edge table (built from
     two overlapping event subsets, so added/removed/changed all occur):
@@ -2187,6 +2219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "scc": q_scc,
         "condensation_levels": q_condensation_levels,
+        "bgp_match": q_bgp_match,
+        "bgp_optional": q_bgp_optional,
         "shortest_paths": q_shortest_paths,
         "kcore": q_kcore,
         "node_features": q_node_features,
@@ -2553,6 +2587,27 @@ def oracle_sql() -> dict[str, str]:
         FROM lp_new n
         JOIN lp_deg du ON du.n = n.u
         JOIN lp_deg dv ON dv.n = n.v
+        """
+    )
+    # --- BGP: the conjunction restated as SQL self-joins (each pattern
+    # one filtered alias of the edge relation, joined on shared vars).
+    sq["bgp_match"] = (
+        "WITH " + _EDGES_CTE
+        + """
+        SELECT DISTINCT e1.src AS a, e1.dst AS x, e2.dst AS y, e3.src AS b
+        FROM edges e1
+        JOIN edges e2 ON e2.src = e1.dst AND e2.predicate = 'LAUNCH'
+        JOIN edges e3 ON e3.dst = e2.dst AND e3.predicate = 'LOAD'
+        WHERE e1.predicate = 'LAUNCH' AND e1.src <> e3.src
+        """
+    )
+    sq["bgp_optional"] = (
+        "WITH " + _EDGES_CTE
+        + """
+        SELECT DISTINCT e1.src AS p, e1.dst AS c, e2.dst AS ip
+        FROM edges e1
+        LEFT JOIN edges e2 ON e2.src = e1.dst AND e2.predicate = 'CONNECT'
+        WHERE e1.predicate = 'LAUNCH'
         """
     )
     # --- SCC: mutual-reachability ground truth over the sparsified
