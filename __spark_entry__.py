@@ -307,6 +307,27 @@ def q_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rdf_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Triples export of the KG edge table (W3C interchange — the sink
+    the reference's Neo4j-captive graph lacks): 3 lines per edge (relation
+    triple + weight/startTime attribute triples on the statement IRI). The
+    node-id charset here is IRI-safe so the oracle is plain concat; the
+    escaping chains themselves are pytest-pinned on hostile strings."""
+    from sigraph_spark.operators.rdf import to_ntriples
+
+    return to_ntriples(_edges_ckpt(spark, sf_dir))
+
+
+def q_rdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip identity: parse(export(edges)) == edges — the oracle is
+    the unexported edge relation itself, so any drift in either direction
+    (encoding, regex parse, statement-IRI join, timestamp format) breaks
+    the hash."""
+    from sigraph_spark.operators.rdf import edges_from_ntriples, to_ntriples
+
+    return edges_from_ntriples(to_ntriples(_edges_ckpt(spark, sf_dir)))
+
+
 def q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff between two versions of the edge table (built from
     two overlapping event subsets, so added/removed/changed all occur):
@@ -2221,6 +2242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condensation_levels": q_condensation_levels,
         "bgp_match": q_bgp_match,
         "bgp_optional": q_bgp_optional,
+        "rdf_export": q_rdf_export,
+        "rdf_roundtrip": q_rdf_roundtrip,
         "shortest_paths": q_shortest_paths,
         "kcore": q_kcore,
         "node_features": q_node_features,
@@ -2609,6 +2632,32 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN edges e2 ON e2.src = e1.dst AND e2.predicate = 'CONNECT'
         WHERE e1.predicate = 'LAUNCH'
         """
+    )
+    # --- RDF: export lines restated as concat (this corpus's ids are
+    # IRI-safe, so escaping is the identity — pytest pins hostile cases);
+    # round-trip oracle is the edge relation itself.
+    sq["rdf_export"] = (
+        "WITH " + _EDGES_CTE
+        + """
+        SELECT '<http://kg.local/node/' || src || '> <http://kg.local/rel/'
+               || predicate || '> <http://kg.local/node/' || dst || '> .' AS line
+        FROM edges
+        UNION ALL
+        SELECT '<http://kg.local/edge/' || src || '/' || predicate || '/' || dst
+               || '> <http://kg.local/prop/weight> "' || weight
+               || '"^^<http://www.w3.org/2001/XMLSchema#long> .'
+        FROM edges
+        UNION ALL
+        SELECT '<http://kg.local/edge/' || src || '/' || predicate || '/' || dst
+               || '> <http://kg.local/prop/startTime> "'
+               || strftime(start_time, '%Y-%m-%dT%H:%M:%S.%f')
+               || '"^^<http://www.w3.org/2001/XMLSchema#dateTime> .'
+        FROM edges
+        """
+    )
+    sq["rdf_roundtrip"] = (
+        "WITH " + _EDGES_CTE
+        + " SELECT src, predicate, dst, start_time, weight FROM edges"
     )
     # --- SCC: mutual-reachability ground truth over the sparsified
     # relation (forward-oriented + LAUNCH back-edges).
