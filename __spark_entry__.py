@@ -307,6 +307,56 @@ def q_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _edge_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-dedup directed edge observations (the build_edges input relation
+    — mirrors the oracle CTE's ``edges0``): every event's (src, predicate,
+    dst, start_time, weight, span_id), direction-flipped."""
+    good, _ = _parsed(spark, sf_dir)
+    wp = good.filter(F.col("parent_id").isNotNull())
+    return wp.select(
+        F.when(F.col("actor_type") == "READ_RECV", F.col("node_id"))
+        .otherwise(F.col("parent_id")).alias("src"),
+        F.col("action").alias("predicate"),
+        F.when(F.col("actor_type") == "READ_RECV", F.col("parent_id"))
+        .otherwise(F.col("node_id")).alias("dst"),
+        F.col("timestamp").alias("start_time"),
+        F.col("weight").cast("long").alias("weight"),
+        "span_id",
+    )
+
+
+def q_edge_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 compaction of the edge observation stream: one row per maximal
+    run of identical weight per (src, predicate, dst), with exclusive
+    [valid_from, valid_to) bounds — the temporal answer the reference's
+    SET-overwrite graph (client.py:221) cannot give. Oracle restates the
+    gaps-and-islands windows in SQL."""
+    from sigraph_spark.operators.history import scd2_compact
+
+    return scd2_compact(
+        _edge_observations(spark, sf_dir),
+        ["src", "predicate", "dst"],
+        "start_time",
+        ["weight"],
+        tiebreak=["span_id"],
+    )
+
+
+def q_edge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot read of the SCD2 edge history at a fixed mid-corpus
+    timestamp (pure pushed-down filter over the history table)."""
+    from sigraph_spark.operators.history import as_of, scd2_compact
+
+    h = scd2_compact(
+        _edge_observations(spark, sf_dir),
+        ["src", "predicate", "dst"],
+        "start_time",
+        ["weight"],
+        tiebreak=["span_id"],
+    )
+    return as_of(h, "2024-01-15 00:00:00")
+
+
 def q_rdf_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-Triples export of the KG edge table (W3C interchange — the sink
     the reference's Neo4j-captive graph lacks): 3 lines per edge (relation
@@ -2244,6 +2294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_optional": q_bgp_optional,
         "rdf_export": q_rdf_export,
         "rdf_roundtrip": q_rdf_roundtrip,
+        "edge_history": q_edge_history,
+        "edge_asof": q_edge_asof,
         "shortest_paths": q_shortest_paths,
         "kcore": q_kcore,
         "node_features": q_node_features,
@@ -2631,6 +2683,49 @@ def oracle_sql() -> dict[str, str]:
         FROM edges e1
         LEFT JOIN edges e2 ON e2.src = e1.dst AND e2.predicate = 'CONNECT'
         WHERE e1.predicate = 'LAUNCH'
+        """
+    )
+    # --- SCD2 history: gaps-and-islands over edges0 (weight is never NULL
+    # here, so lag-IS-DISTINCT-FROM matches Spark's struct eqNullSafe
+    # change flag on first rows too).
+    _hist_ctes = """,
+    h_marked AS (
+      SELECT src, predicate, dst, start_time, weight, span_id,
+             CASE WHEN lag(weight) OVER (
+                    PARTITION BY src, predicate, dst
+                    ORDER BY start_time, span_id)
+                  IS DISTINCT FROM weight THEN 1 ELSE 0 END AS chg
+      FROM edges0),
+    h_isl AS (
+      SELECT *, sum(chg) OVER (
+               PARTITION BY src, predicate, dst
+               ORDER BY start_time, span_id
+               ROWS UNBOUNDED PRECEDING) AS isl
+      FROM h_marked),
+    h_runs AS (
+      SELECT src, predicate, dst, isl,
+             min(weight) AS weight,
+             min(start_time) AS valid_from,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM h_isl GROUP BY src, predicate, dst, isl),
+    h_final AS (
+      SELECT src, predicate, dst, weight, valid_from,
+             lead(valid_from) OVER (
+               PARTITION BY src, predicate, dst ORDER BY isl) AS valid_to,
+             n_obs
+      FROM h_runs)
+    """
+    sq["edge_history"] = (
+        "WITH " + _EDGES_CTE + _hist_ctes
+        + " SELECT src, predicate, dst, weight, valid_from, valid_to, n_obs"
+          " FROM h_final"
+    )
+    sq["edge_asof"] = (
+        "WITH " + _EDGES_CTE + _hist_ctes
+        + """
+        SELECT src, predicate, dst, weight, valid_from FROM h_final
+        WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+          AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
         """
     )
     # --- RDF: export lines restated as concat (this corpus's ids are
