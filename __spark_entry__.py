@@ -919,6 +919,57 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_link_graph(extract_links(pages))
 
 
+def _anchor_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages with deterministic anchor elements for the anchor-prior gates:
+    per doc, an ambiguous 'Entity K' anchor (every 4th doc points the same
+    surface form at a different target — the P(entity|mention) mass split)
+    plus an unambiguous 'topic K' anchor in single quotes."""
+    d = _docs(spark, sf_dir)
+    ent = F.col("doc_id") % 37
+    amb = F.when(F.col("doc_id") % 4 == 0, ent + 100).otherwise(ent)
+    href1 = F.concat(F.lit("https://e"), ent % 5, F.lit(".wiki.org/page/"), amb)
+    href2 = F.concat(F.lit("https://t.wiki.org/t/"), F.col("doc_id") % 11)
+    html = F.concat(
+        F.lit('<html><p><a href="'), href1, F.lit('">Entity '), ent,
+        F.lit("</a> <a rel='nofollow' href='"), href2, F.lit("'>topic "),
+        F.col("doc_id") % 11, F.lit("</a></p></html>"),
+    )
+    return d.select(
+        F.concat(F.lit("https://src.org/d/"), F.col("doc_id")).alias("url"),
+        html.alias("html"),
+    )
+
+
+def q_anchor_priors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text commonness dictionary P(target | surface form) from the
+    corpus's own hyperlinks (Milne-Witten prior — the statistical
+    entity-linking companion to the MinHash/TF-IDF linker). Spark runs the
+    real regex extraction + normalization; the oracle restates the
+    synthesized anchors arithmetically and re-derives the distribution."""
+    from sigraph_spark.operators.links import anchor_priors, extract_anchors
+
+    return anchor_priors(extract_anchors(_anchor_pages(spark, sf_dir)))
+
+
+def q_anchor_link_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mention resolution through the rank-1 anchor prior: mentions drawn
+    from a wider id space than the dictionary (ids >= 37 must abstain with
+    NULL entity, not drop). Broadcast join — the mention table never
+    shuffles."""
+    from sigraph_spark.operators.links import (
+        anchor_priors, extract_anchors, link_mentions,
+    )
+
+    pri = anchor_priors(extract_anchors(_anchor_pages(spark, sf_dir)))
+    d = _docs(spark, sf_dir)
+    mention = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("Entity ")).otherwise(F.lit("entity ")),
+        F.col("doc_id") % 41,
+    )
+    mentions = d.select(F.col("doc_id"), mention.alias("mention"))
+    return link_mentions(mentions, pri)
+
+
 def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization over synthesized messy aliases (case, default
     ports, fragments, tracking params, trailing slash) — one JVM string
@@ -2296,6 +2347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_roundtrip": q_rdf_roundtrip,
         "edge_history": q_edge_history,
         "edge_asof": q_edge_asof,
+        "anchor_priors": q_anchor_priors,
+        "anchor_link_mentions": q_anchor_link_mentions,
         "shortest_paths": q_shortest_paths,
         "kcore": q_kcore,
         "node_features": q_node_features,
@@ -2683,6 +2736,48 @@ def oracle_sql() -> dict[str, str]:
         FROM edges e1
         LEFT JOIN edges e2 ON e2.src = e1.dst AND e2.predicate = 'CONNECT'
         WHERE e1.predicate = 'LAUNCH'
+        """
+    )
+    # --- anchor priors: the synthesized anchors restated arithmetically
+    # (Spark runs the real regex + normalization; targets here are already
+    # canonical so canonical_url is the identity).
+    _anchor_ctes = """
+    anchor_obs AS (
+      SELECT 'entity ' || CAST(doc_id % 37 AS VARCHAR) AS anchor,
+             'https://e' || CAST((doc_id % 37) % 5 AS VARCHAR)
+               || '.wiki.org/page/'
+               || CAST(CASE WHEN doc_id % 4 = 0 THEN doc_id % 37 + 100
+                            ELSE doc_id % 37 END AS VARCHAR) AS target
+      FROM documents
+      UNION ALL
+      SELECT 'topic ' || CAST(doc_id % 11 AS VARCHAR),
+             'https://t.wiki.org/t/' || CAST(doc_id % 11 AS VARCHAR)
+      FROM documents),
+    anchor_counted AS (
+      SELECT anchor, target, CAST(count(*) AS BIGINT) AS n
+      FROM anchor_obs GROUP BY anchor, target),
+    anchor_pri AS (
+      SELECT anchor, target, n,
+             CAST(sum(n) OVER (PARTITION BY anchor) AS BIGINT) AS total,
+             round(n * 1.0 / sum(n) OVER (PARTITION BY anchor), 6) AS p,
+             row_number() OVER (
+               PARTITION BY anchor ORDER BY n DESC, target ASC) AS rank
+      FROM anchor_counted)
+    """
+    sq["anchor_priors"] = (
+        "WITH " + _anchor_ctes
+        + " SELECT anchor, target, n, total, p, rank FROM anchor_pri"
+    )
+    sq["anchor_link_mentions"] = (
+        "WITH " + _anchor_ctes
+        + """
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 3 = 0 THEN 'Entity ' ELSE 'entity ' END
+                 || CAST(d.doc_id % 41 AS VARCHAR) AS mention,
+               t.target AS entity, t.p AS confidence
+        FROM documents d
+        LEFT JOIN (SELECT * FROM anchor_pri WHERE rank = 1) t
+          ON t.anchor = 'entity ' || CAST(d.doc_id % 41 AS VARCHAR)
         """
     )
     # --- SCD2 history: gaps-and-islands over edges0 (weight is never NULL

@@ -18,7 +18,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HREF_RE = r"""href=["']([^"']+)["']"""
@@ -162,3 +162,86 @@ def blocklist_filter(
         .distinct()
     )
     return docs.join(hit, url_col, "left_anti")
+
+
+# --- anchor-text entity priors -------------------------------------------
+
+# one <a> element: href + its text content (first text run, tag-free)
+ANCHOR_RE = r"""<a[^>]*href=["']([^"']+)["'][^>]*>([^<]*)</a>"""
+
+
+def extract_anchors(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """One row per anchor element: ``(url, target, anchor)``.
+
+    Two JVM ``regexp_extract_all`` passes over the same pattern (href
+    group, text group) zipped positionally — regex engines return groups
+    of the same match in order, so the zip is exact. Narrow map, no UDF.
+    """
+    src = pages.schema[html_col].dataType.typeName()
+    html = (
+        F.decode(F.col(html_col), "UTF-8") if src == "binary" else F.col(html_col)
+    )
+    pair = F.explode(
+        F.arrays_zip(
+            F.regexp_extract_all(html, F.lit(ANCHOR_RE), 1).alias("target"),
+            F.regexp_extract_all(html, F.lit(ANCHOR_RE), 2).alias("anchor"),
+        )
+    )
+    return pages.select(F.col(url_col).alias("url"), pair.alias("_a")).select(
+        "url", F.col("_a.target").alias("target"), F.col("_a.anchor").alias("anchor")
+    )
+
+
+def anchor_priors(anchors: DataFrame, min_count: int = 1) -> DataFrame:
+    """Wikipedia-style commonness dictionary from anchor statistics:
+    for each normalized surface form, the distribution over link targets —
+    ``(anchor, target, n, total, p, rank)``, rank 1 = most-linked target.
+
+    This is the classic entity-linking prior P(entity | mention) (Milne &
+    Witten, "Learning to link with Wikipedia", CIKM'08) built from the
+    corpus's own hyperlinks — the statistical companion to the
+    MinHash/TF-IDF string-similarity linking in operators/linking.py.
+
+    Scale: the (anchor, target) count is algebraic (map-side partial agg
+    absorbs hot anchors like 'here'); the per-anchor total and rank are
+    windows over the already-reduced dictionary — rows per anchor =
+    distinct targets, not raw link volume, so the window partition is
+    bounded. Deterministic tie-break: count desc, target asc.
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col("anchor"))), r"\s+", " ")
+    counted = (
+        anchors.filter(F.col("target").contains("://"))
+        .select(norm.alias("anchor"), canonical_url(F.col("target")).alias("target"))
+        .filter(F.col("anchor") != "")
+        .groupBy("anchor", "target")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    w = Window.partitionBy("anchor")
+    wr = w.orderBy(F.col("n").desc(), F.col("target").asc())
+    return counted.select(
+        "anchor", "target", "n",
+        F.sum("n").over(w).cast("long").alias("total"),
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("p"),
+        F.row_number().over(wr).alias("rank"),
+    )
+
+
+def link_mentions(
+    mentions: DataFrame, priors: DataFrame, mention_col: str = "mention"
+) -> DataFrame:
+    """Resolve mention strings to their most-likely entity via the anchor
+    dictionary (rank-1 prior), keeping the confidence. The dictionary is
+    the small side at any corpus scale (bounded by surface-form vocabulary,
+    not document count) — broadcast, so the mention table never shuffles.
+    Unresolvable mentions keep NULL target (left join): an explicit
+    abstain, not a silent drop."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(mention_col))), r"\s+", " ")
+    top = priors.filter(F.col("rank") == 1).select(
+        F.col("anchor"), F.col("target").alias("entity"), F.col("p").alias("confidence")
+    )
+    return mentions.withColumn("_k", norm).join(
+        F.broadcast(top), F.col("_k") == F.col("anchor"), "left"
+    ).drop("_k", "anchor")

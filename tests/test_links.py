@@ -118,3 +118,70 @@ def test_blocklist_filter_exact_and_parent_suffix(spark):
     )
     kept = sorted(r["doc_id"] for r in blocklist_filter(docs, blocked).collect())
     assert kept == [1, 5, 6]
+
+
+# --- anchor-text entity priors -------------------------------------------
+
+ANCHOR_HTML = (
+    '<html><a href="https://en.wiki/Apple_Inc">Apple</a>'
+    "<a href='https://en.wiki/Apple_Inc'>  APPLE  </a>"
+    '<a class="x" href="https://en.wiki/Apple_(fruit)">apple</a>'
+    '<a href="https://en.wiki/Banana">banana</a>'
+    '<a href="/rel">apple</a>'  # relative: dropped from priors
+    '<a href="https://en.wiki/Empty"></a>'  # empty anchor: dropped
+    "</html>"
+)
+
+
+def _anchor_pages(spark):
+    return spark.createDataFrame(
+        [("https://src.org/p", ANCHOR_HTML)], "url string, html string"
+    )
+
+
+def test_extract_anchors_pairs_href_with_text(spark):
+    from sigraph_spark.operators.links import extract_anchors
+
+    got = {
+        (r["target"], r["anchor"])
+        for r in extract_anchors(_anchor_pages(spark)).collect()
+    }
+    assert ("https://en.wiki/Apple_Inc", "Apple") in got
+    assert ("https://en.wiki/Apple_(fruit)", "apple") in got
+    assert ("/rel", "apple") in got
+    assert ("https://en.wiki/Empty", "") in got
+
+
+def test_anchor_priors_distribution_and_rank(spark):
+    from sigraph_spark.operators.links import anchor_priors, extract_anchors
+
+    pri = anchor_priors(extract_anchors(_anchor_pages(spark)))
+    rows = {
+        (r["anchor"], r["target"]): (r["n"], r["total"], r["p"], r["rank"])
+        for r in pri.collect()
+    }
+    # case/whitespace folded: 'apple' has 2 observations of Apple_Inc, 1 of fruit
+    assert rows[("apple", "https://en.wiki/Apple_Inc")] == (2, 3, 0.666667, 1)
+    assert rows[("apple", "https://en.wiki/Apple_(fruit)")] == (1, 3, 0.333333, 2)
+    assert rows[("banana", "https://en.wiki/Banana")][3] == 1
+    # relative + empty anchors never enter the dictionary
+    assert all(a != "" for a, _ in rows)
+
+
+def test_link_mentions_broadcast_topk(spark):
+    from sigraph_spark.operators.links import (
+        anchor_priors, extract_anchors, link_mentions,
+    )
+
+    pri = anchor_priors(extract_anchors(_anchor_pages(spark)))
+    mentions = spark.createDataFrame(
+        [("doc1", " Apple "), ("doc2", "banana"), ("doc3", "unknown thing")],
+        "doc_id string, mention string",
+    )
+    out = {r["doc_id"]: (r["entity"], r["confidence"]) for r in
+           link_mentions(mentions, pri).collect()}
+    assert out["doc1"] == ("https://en.wiki/Apple_Inc", 0.666667)
+    assert out["doc2"][0] == "https://en.wiki/Banana"
+    assert out["doc3"] == (None, None)  # abstain, not drop
+    plan = link_mentions(mentions, pri)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
