@@ -378,6 +378,24 @@ def q_rdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges_from_ntriples(to_ntriples(_edges_ckpt(spark, sf_dir)))
 
 
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded at the process nodes: relevance-to-
+    the-pivot-set ranking (the analyst's 'expand from these processes'
+    primitive), exact fixed-point BIGINT vs the unrolled-CTE oracle —
+    bit-identical, including the exact 0 rows for nodes unreachable from
+    the seeds."""
+    from sigraph_spark.operators.pagerank import personalized_pagerank
+
+    edges = _edges_ckpt(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node").startswith("proc_"))
+    return personalized_pagerank(edges, seeds)
+
+
 def q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff between two versions of the edge table (built from
     two overlapping event subsets, so added/removed/changed all occur):
@@ -2349,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_asof": q_edge_asof,
         "anchor_priors": q_anchor_priors,
         "anchor_link_mentions": q_anchor_link_mentions,
+        "ppr": q_ppr,
         "shortest_paths": q_shortest_paths,
         "kcore": q_kcore,
         "node_features": q_node_features,
@@ -3118,6 +3137,12 @@ def oracle_sql() -> dict[str, str]:
 
     sq["pagerank"] = (
         "WITH " + _EDGES_CTE + "," + pagerank_oracle_sql("edges")
+    )
+    from sigraph_spark.operators.pagerank import ppr_oracle_sql
+
+    sq["ppr"] = (
+        "WITH " + _EDGES_CTE + ","
+        + ppr_oracle_sql("edges", "starts_with(node, 'proc_')")
     )
     sq["graph_traces"] = (
         "WITH " + SEVENTS_CTE

@@ -150,3 +150,125 @@ pr_r{i} AS (
 SELECT node, rank_fp, round(rank_fp / {SCALE}.0, 6) AS rank FROM {prev}
 """
     return sql
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping_pct: int = 85,
+    iterations: int = 5,
+) -> DataFrame:
+    """Personalized PageRank: the teleport term restarts at the seed set
+    instead of uniformly — rank becomes *relevance to the seeds*, the
+    standard KG primitive for entity relatedness / recommendation /
+    expanding an analyst's pivot set (here: "what is most reachable from
+    these processes").
+
+    Same fixed-point BIGINT design as :func:`pagerank` (exactly
+    associative, bit-identical across engines and partitionings); seeds
+    share the initial mass and the (1-d) restart equally. Non-seed nodes
+    with no inbound mass stay at exactly 0 — PPR is sparse, and the zero
+    rows ARE meaningful output (unreachable from the seeds). One shuffle
+    per round; the seed marker rides the node list as a broadcast-size
+    column, adding no extra exchange.
+    """
+    e = edges.select(
+        F.col(src).cast("string").alias("src"),
+        F.col(dst).cast("string").alias("dst"),
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seed = seeds.select(
+        F.col(seeds.columns[0]).cast("string").alias("node")
+    ).distinct().join(nodes, "node")  # seeds outside the graph carry no mass
+    ns = seed.count()
+    if ns == 0:
+        raise ValueError("personalized_pagerank needs at least one seed in the graph")
+    marked = nodes.join(
+        seed.withColumn("_is_seed", F.lit(True)), "node", "left"
+    ).select("node", F.coalesce("_is_seed", F.lit(False)).alias("_is_seed"))
+    teleport = F.when(
+        F.col("_is_seed"), F.lit(((100 - damping_pct) * SCALE) // (100 * ns))
+    ).otherwise(F.lit(0)).cast("long")
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = marked.select(
+        "node",
+        F.when(F.col("_is_seed"), F.lit(SCALE // ns))
+        .otherwise(F.lit(0)).cast("long").alias("rank_fp"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("node"), F.expr("rank_fp DIV deg").alias("c"))
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            marked.join(summed, "node", "left")
+            .select(
+                "node",
+                (
+                    teleport
+                    + F.expr(f"({damping_pct} * coalesce(s, 0)) DIV 100")
+                ).cast("long").alias("rank_fp"),
+            )
+        )
+    return ranks.select(
+        "node", "rank_fp",
+        F.round(F.col("rank_fp") / F.lit(SCALE), 6).alias("rank"),
+    )
+
+
+def ppr_oracle_sql(
+    edges_rel: str,
+    seed_where: str,
+    damping_pct: int = 85,
+    iterations: int = 5,
+) -> str:
+    """Unrolled-CTE restatement of ``personalized_pagerank`` (exact BIGINT
+    match). ``seed_where`` is a SQL predicate over ``node`` selecting the
+    seed set from the graph's node list (mirrors the join-with-nodes seed
+    filtering on the Spark side)."""
+    d = damping_pct
+    sql = f"""
+ppr_e AS (SELECT DISTINCT CAST(src AS VARCHAR) AS src, CAST(dst AS VARCHAR) AS dst FROM {edges_rel}),
+ppr_nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM ppr_e UNION ALL SELECT dst FROM ppr_e)),
+ppr_seed AS (SELECT node FROM ppr_nodes WHERE {seed_where}),
+ppr_ns AS (SELECT count(*) AS ns FROM ppr_seed),
+ppr_outdeg AS (SELECT src, count(*) AS deg FROM ppr_e GROUP BY src),
+ppr_r0 AS (
+  SELECT n.node,
+         CAST(CASE WHEN s.node IS NOT NULL THEN {SCALE} // ppr_ns.ns ELSE 0 END AS BIGINT) AS rank_fp
+  FROM ppr_nodes n CROSS JOIN ppr_ns
+  LEFT JOIN ppr_seed s ON n.node = s.node)
+"""
+    prev = "ppr_r0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+ppr_c{i} AS (
+  SELECT ppr_e.dst AS node, sum(r.rank_fp // o.deg) AS s
+  FROM ppr_e JOIN {prev} r ON ppr_e.src = r.node
+  JOIN ppr_outdeg o ON ppr_e.src = o.src
+  GROUP BY ppr_e.dst),
+ppr_r{i} AS (
+  SELECT n.node,
+         CAST(CASE WHEN sd.node IS NOT NULL
+                   THEN ((100 - {d}) * {SCALE}) // (100 * ppr_ns.ns)
+                   ELSE 0 END
+              + ({d} * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank_fp
+  FROM ppr_nodes n CROSS JOIN ppr_ns
+  LEFT JOIN ppr_seed sd ON n.node = sd.node
+  LEFT JOIN ppr_c{i} c ON n.node = c.node)
+"""
+        prev = f"ppr_r{i}"
+    sql += f"""
+SELECT node, rank_fp, round(rank_fp / {SCALE}.0, 6) AS rank FROM {prev}
+"""
+    return sql

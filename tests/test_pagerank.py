@@ -75,3 +75,53 @@ def test_pagerank_ranking_is_sane(spark):
     assert got["d"] == min(got.values())
     assert got["d"] == (15 * SCALE) // (100 * 4)
     assert min(got["a"], got["c"]) > got["b"] > got["d"]
+
+
+# --- personalized PageRank -------------------------------------------------
+
+def test_ppr_hand_computed_chain(spark):
+    from sigraph_spark.operators.pagerank import SCALE, personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = {
+        r["node"]: r["rank_fp"]
+        for r in personalized_pagerank(edges, seeds, iterations=2).collect()
+    }
+    # ns=1: r0 = {a: S, b: 0, c: 0}; teleport(a) = 0.15*S
+    # iter1: a=0.15S, b=0.85S, c=0
+    # iter2: a=0.15S, b=0.85*0.15S, c=0.85*0.85S
+    assert out["a"] == (15 * SCALE) // 100
+    assert out["b"] == (85 * ((15 * SCALE) // 100)) // 100
+    assert out["c"] == (85 * ((85 * SCALE) // 100)) // 100
+
+
+def test_ppr_unreachable_stays_exactly_zero(spark):
+    from sigraph_spark.operators.pagerank import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("x", "y")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = {r["node"]: r["rank_fp"] for r in
+           personalized_pagerank(edges, seeds).collect()}
+    assert out["x"] == 0 and out["y"] == 0
+    assert out["a"] > 0 and out["b"] > 0
+
+
+def test_ppr_foreign_seeds_filtered_and_empty_raises(spark):
+    import pytest as _pytest
+
+    from sigraph_spark.operators.pagerank import personalized_pagerank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    # seed outside the graph is ignored; 'a' still carries all mass
+    seeds = spark.createDataFrame([("a",), ("zzz",)], "node string")
+    out = {r["node"]: r["rank_fp"] for r in
+           personalized_pagerank(edges, seeds, iterations=1).collect()}
+    assert out["a"] > 0
+    only_foreign = spark.createDataFrame([("zzz",)], "node string")
+    with _pytest.raises(ValueError):
+        personalized_pagerank(edges, only_foreign)
