@@ -2061,6 +2061,24 @@ def q_link_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapping
 
 
+def q_predicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation-synonym clustering over the webtext triples: predicates
+    whose object sets overlap (integer-exact Jaccard >= 0.2) collapse to a
+    canonical relation via star-contraction CC; singletons map to
+    themselves. Pinned sf=0.01 like the other triple gates so the oracle
+    constant matches regardless of sf_dir."""
+    from sigraph_spark.corpus import gen_pages
+    from sigraph_spark.operators.extract import extract_pages
+    from sigraph_spark.operators.linking import predicate_clusters
+    from sigraph_spark.operators.triples import triples_from_docs
+
+    pages = gen_pages(spark, sf=0.01)
+    docs = extract_pages(pages).select("url", "text")
+    return predicate_clusters(
+        triples_from_docs(docs), "verb", "object", min_jaccard_pct=20
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HARD oracle: gen_media payloads are deterministic ASCII
     ('MEDIA{id}' + 'x'*((id%7+1)*100)) and the stub decoder is a byte%16
@@ -2368,6 +2386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_priors": q_anchor_priors,
         "anchor_link_mentions": q_anchor_link_mentions,
         "ppr": q_ppr,
+        "predicate_clusters": q_predicate_clusters,
         "shortest_paths": q_shortest_paths,
         "kcore": q_kcore,
         "node_features": q_node_features,
@@ -4757,6 +4776,38 @@ def oracle_sql() -> dict[str, str]:
     sq["triples_extract"] = (
         "WITH " + _pages_triples_cte()
         + " SELECT url, step, actor, verb, object, context FROM stepped"
+    )
+    # --- predicate clustering: integer-exact Jaccard gate + recursive
+    # transitive closure to the component minimum (ground truth for the
+    # star-contraction CC), singletons preserved by the left join.
+    sq["predicate_clusters"] = (
+        "WITH RECURSIVE " + _pages_triples_cte()
+        + """,
+        pc_sig AS (SELECT DISTINCT verb AS p, object AS o FROM stepped),
+        pc_sz AS (
+          SELECT p, CAST(count(*) AS BIGINT) AS n_objects
+          FROM pc_sig GROUP BY p),
+        pc_inter AS (
+          SELECT a.p AS p1, b.p AS p2, count(*) AS i
+          FROM pc_sig a JOIN pc_sig b ON a.o = b.o AND a.p < b.p
+          GROUP BY a.p, b.p),
+        pc_sim AS (
+          SELECT p1, p2 FROM pc_inter
+          JOIN pc_sz s1 ON s1.p = p1
+          JOIN pc_sz s2 ON s2.p = p2
+          WHERE 100 * i >= 20 * (s1.n_objects + s2.n_objects - i)),
+        pc_und AS (
+          SELECT p1 AS x, p2 AS y FROM pc_sim
+          UNION SELECT p2, p1 FROM pc_sim),
+        pc_reach AS (
+          SELECT x, x AS r FROM (SELECT DISTINCT x FROM pc_und)
+          UNION
+          SELECT u.y, r.r FROM pc_reach r JOIN pc_und u ON u.x = r.x),
+        pc_canon AS (SELECT x AS p, min(r) AS canonical FROM pc_reach GROUP BY x)
+        SELECT s.p AS predicate, coalesce(c.canonical, s.p) AS canonical,
+               s.n_objects
+        FROM pc_sz s LEFT JOIN pc_canon c ON c.p = s.p
+        """
     )
     from sigraph_spark.corpus import portable_hash_sql
     sq["pipeline_edges"] = (

@@ -648,3 +648,78 @@ def incremental_link_entities(
         delta_df=new_df.localCheckpoint(eager=True),
     )
     return mapping_total, new_state
+
+
+def predicate_clusters(
+    triples: DataFrame,
+    pred_col: str = "verb",
+    obj_col: str = "object",
+    min_jaccard_pct: int = 20,
+) -> DataFrame:
+    """Distributional predicate canonicalization: cluster predicates whose
+    *object sets* overlap (Jaccard >= ``min_jaccard_pct``/100) and map each
+    to its cluster minimum — the relation-synonym step of KG construction
+    (OpenIE verbs like ``http_request``/``fetch`` that hit the same
+    object vocabulary collapse to one canonical relation), the predicate
+    counterpart of the entity canonicalization above.
+
+    Mechanics: distinct (predicate, object) signatures; pair overlap via a
+    self-join on the object (inverted-index style — never all predicate
+    pairs, only pairs sharing >= 1 object); the Jaccard gate in EXACT
+    integer arithmetic (``100*|A∩B| >= pct*|A∪B|``, bit-identical across
+    engines); similar-pair edges closed into clusters with the large-star/
+    small-star :func:`connected_components`; singletons map to themselves.
+
+    Scale: the object self-join is the only superlinear step and its key
+    is the object — a hot object (stopword-ish argument) fans out
+    |preds-with-that-object|^2, which is bounded by the predicate
+    vocabulary, not the corpus. Signature dedup and the intersection
+    count are algebraic aggs with map-side combine.
+    """
+    sig = triples.select(
+        F.col(pred_col).alias("p"), F.col(obj_col).alias("o")
+    ).distinct()
+    sz = sig.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n_objects"))
+    inter = (
+        sig.select(F.col("p").alias("p1"), "o")
+        .join(sig.select(F.col("p").alias("p2"), "o"), "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("_i"))
+    )
+    sim = (
+        inter.join(sz.select(F.col("p").alias("p1"), F.col("n_objects").alias("_s1")), "p1")
+        .join(sz.select(F.col("p").alias("p2"), F.col("n_objects").alias("_s2")), "p2")
+        .filter(
+            100 * F.col("_i")
+            >= min_jaccard_pct * (F.col("_s1") + F.col("_s2") - F.col("_i"))
+        )
+        .select("p1", "p2")
+    )
+    cc = connected_components(sim, "p1", "p2")
+    return (
+        sz.join(cc, sz["p"] == cc["entity"], "left")
+        .select(
+            F.col("p").alias("predicate"),
+            F.coalesce("canonical_id", F.col("p")).alias("canonical"),
+            "n_objects",
+        )
+    )
+
+
+def canonicalize_predicates(
+    edges: DataFrame, mapping: DataFrame, pred_col: str = "predicate"
+) -> DataFrame:
+    """Apply a predicate-cluster mapping to an edge table (broadcast join —
+    the mapping is bounded by the predicate vocabulary; the edge table
+    never shuffles). Unmapped predicates pass through unchanged."""
+    m = F.broadcast(
+        mapping.select(
+            F.col("predicate").alias("_pc_p"), F.col("canonical").alias("_pc_c")
+        )
+    )
+    return (
+        edges.join(m, edges[pred_col] == F.col("_pc_p"), "left")
+        .withColumn(pred_col, F.coalesce("_pc_c", F.col(pred_col)))
+        .drop("_pc_p", "_pc_c")
+    )

@@ -311,3 +311,53 @@ def test_incremental_skips_reprocessing_known_entities(spark):
         + s1.shingle_df.exceptAll(s2.shingle_df).count()
         == 0
     )
+
+
+# --- predicate canonicalization -------------------------------------------
+
+def test_predicate_clusters_merge_and_singletons(spark):
+    from sigraph_spark.operators.linking import predicate_clusters
+
+    rows = [
+        ("fetch", o) for o in ("a", "b", "c")
+    ] + [
+        ("http_get", o) for o in ("a", "b", "d")
+    ] + [
+        ("encrypt", "z"),
+    ]
+    t = spark.createDataFrame(rows, "verb string, object string")
+    out = {r["predicate"]: r["canonical"] for r in
+           predicate_clusters(t, min_jaccard_pct=20).collect()}
+    # |{a,b}| / |{a,b,c,d}| = 0.5 >= 0.2 -> merged to the min name
+    assert out == {"fetch": "fetch", "http_get": "fetch", "encrypt": "encrypt"}
+
+
+def test_predicate_clusters_integer_boundary(spark):
+    from sigraph_spark.operators.linking import predicate_clusters
+
+    # jaccard exactly 1/5 = pct 20: 100*1 >= 20*5 holds -> merged
+    rows = [("p1", o) for o in ("a", "b", "c")] + [("p2", o) for o in ("a", "x", "y")]
+    t = spark.createDataFrame(rows, "verb string, object string")
+    out = {r["predicate"]: r["canonical"] for r in
+           predicate_clusters(t, min_jaccard_pct=20).collect()}
+    assert out == {"p1": "p1", "p2": "p1"}
+    out21 = {r["predicate"]: r["canonical"] for r in
+             predicate_clusters(t, min_jaccard_pct=21).collect()}
+    assert out21 == {"p1": "p1", "p2": "p2"}
+
+
+def test_canonicalize_predicates_broadcast_passthrough(spark):
+    from sigraph_spark.operators.linking import canonicalize_predicates
+
+    edges = spark.createDataFrame(
+        [("s1", "http_get", "o1"), ("s2", "unseen", "o2")],
+        "subj string, predicate string, obj string",
+    )
+    mapping = spark.createDataFrame(
+        [("http_get", "fetch")], "predicate string, canonical string"
+    )
+    out = canonicalize_predicates(edges, mapping)
+    got = {(r["subj"], r["predicate"]) for r in out.collect()}
+    assert got == {("s1", "fetch"), ("s2", "unseen")}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
