@@ -2079,6 +2079,72 @@ def q_predicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _webtext_triples(spark: SparkSession) -> DataFrame:
+    """Shared triples-at-sf0.01 input for the fusion/ontology gates."""
+    from sigraph_spark.corpus import gen_pages
+    from sigraph_spark.operators.extract import extract_pages
+    from sigraph_spark.operators.triples import triples_from_docs
+
+    pages = gen_pages(spark, sf=0.01)
+    return triples_from_docs(extract_pages(pages).select("url", "text"))
+
+
+def _webtext_claims(spark: SparkSession) -> DataFrame:
+    """Claims table for the fusion gates: triples + deterministic
+    extractor noise. Pages with i % 10 == 0 report an UPPER-cased object
+    for the 'create'/'launch' verbs (a noisy segment-0 extractor), and
+    source = crawl segment 'seg-{i%5}' — so every (actor, create/launch)
+    fact has a genuine 2-object conflict for fusion to resolve and the
+    clean object holds the source majority."""
+    t = _webtext_triples(spark)
+    i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    noisy = ((i % 10) == 0) & F.col("verb").isin("create", "launch")
+    return t.select(
+        "actor",
+        "verb",
+        F.when(noisy, F.upper("object")).otherwise(F.col("object")).alias("object"),
+        F.concat(F.lit("seg-"), (i % 5).cast("string")).alias("source"),
+    )
+
+
+def q_predicate_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema induction: per-predicate cardinality profile + functional
+    flag over the noisy claims (create/launch lose functionality, the
+    other 20 verbs keep it)."""
+    from sigraph_spark.operators.fusion import predicate_cardinality
+
+    return predicate_cardinality(_webtext_claims(spark))
+
+
+def q_functional_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint check: subjects with >1 distinct object for declared
+    functional predicates — exactly the noise-injected create/launch
+    facts, with the conflicting objects '|'-joined sorted."""
+    from sigraph_spark.operators.fusion import functional_violations
+
+    return functional_violations(
+        _webtext_claims(spark), functional_preds=["create", "launch"]
+    )
+
+
+def q_triple_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-round source-weighted truth fusion: the noisy segment's
+    uppercase variants lose both the majority vote and the weighted
+    re-vote; fused objects equal the clean extraction."""
+    from sigraph_spark.operators.fusion import fuse_triples
+
+    return fuse_triples(_webtext_claims(spark))
+
+
+def q_entity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional entity typing over raw triples: modal predicate
+    (corpus-frequency weighted, lexicographic ties) + exact usage
+    counts per actor."""
+    from sigraph_spark.operators.fusion import entity_type_signature
+
+    return entity_type_signature(_webtext_triples(spark))
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HARD oracle: gen_media payloads are deterministic ASCII
     ('MEDIA{id}' + 'x'*((id%7+1)*100)) and the stub decoder is a byte%16
@@ -2387,6 +2453,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_link_mentions": q_anchor_link_mentions,
         "ppr": q_ppr,
         "predicate_clusters": q_predicate_clusters,
+        "predicate_cardinality": q_predicate_cardinality,
+        "functional_violations": q_functional_violations,
+        "triple_fusion": q_triple_fusion,
+        "entity_types": q_entity_types,
         "shortest_paths": q_shortest_paths,
         "kcore": q_kcore,
         "node_features": q_node_features,
@@ -4807,6 +4877,102 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.p AS predicate, coalesce(c.canonical, s.p) AS canonical,
                s.n_objects
         FROM pc_sz s LEFT JOIN pc_canon c ON c.p = s.p
+        """
+    )
+    # --- fusion / ontology gates: shared noisy-claims CTE (must mirror
+    # _webtext_claims exactly — i%10==0 pages upper-case the object for
+    # create/launch; source = crawl segment i%5).
+    _CLAIMS_CTE = """,
+    claims AS (
+      SELECT actor, verb,
+             CASE WHEN i % 10 = 0 AND verb IN ('create', 'launch')
+                  THEN upper(object) ELSE object END AS object,
+             'seg-' || CAST(i % 5 AS VARCHAR) AS source
+      FROM stepped)
+    """
+    sq["predicate_cardinality"] = (
+        "WITH " + _pages_triples_cte() + _CLAIMS_CTE
+        + """,
+        pc_so AS (SELECT DISTINCT verb AS predicate, actor AS s, object AS o
+                  FROM claims)
+        SELECT predicate,
+               CAST(count(DISTINCT s) AS BIGINT) AS n_subjects,
+               CAST(count(*) AS BIGINT) AS n_so_pairs,
+               CAST(count(DISTINCT o) AS BIGINT) AS n_objects,
+               count(*) = count(DISTINCT s) AS is_functional
+        FROM pc_so GROUP BY predicate
+        """
+    )
+    sq["functional_violations"] = (
+        "WITH " + _pages_triples_cte() + _CLAIMS_CTE
+        + """,
+        fv_so AS (SELECT DISTINCT actor AS subject, verb AS predicate,
+                         object AS o
+                  FROM claims WHERE verb IN ('create', 'launch'))
+        SELECT subject, predicate,
+               CAST(count(*) AS BIGINT) AS n_objects,
+               string_agg(o, '|' ORDER BY o) AS objects
+        FROM fv_so GROUP BY subject, predicate HAVING count(*) > 1
+        """
+    )
+    sq["triple_fusion"] = (
+        "WITH " + _pages_triples_cte() + _CLAIMS_CTE
+        + """,
+        tf_c AS (SELECT DISTINCT actor AS subject, verb AS predicate,
+                        object, source FROM claims),
+        tf_votes AS (
+          SELECT subject, predicate, object,
+                 CAST(count(*) AS BIGINT) AS votes
+          FROM tf_c GROUP BY subject, predicate, object),
+        tf_w0 AS (
+          SELECT subject, predicate, object AS win0 FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY subject, predicate
+              ORDER BY votes DESC, object) AS rn
+            FROM tf_votes) WHERE rn = 1),
+        tf_scores AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS score
+          FROM tf_c c JOIN tf_w0 w
+            ON c.subject = w.subject AND c.predicate = w.predicate
+           AND c.object = w.win0
+          GROUP BY source),
+        tf_weighted AS (
+          SELECT subject, predicate, object,
+                 CAST(sum(coalesce(score, 0)) AS BIGINT) AS weight
+          FROM tf_c LEFT JOIN tf_scores USING (source)
+          GROUP BY subject, predicate, object)
+        SELECT subject, predicate, object AS fused_object, votes, weight,
+               n_objects
+        FROM (
+          SELECT w.subject, w.predicate, w.object, v.votes, w.weight,
+                 row_number() OVER (
+                   PARTITION BY w.subject, w.predicate
+                   ORDER BY w.weight DESC, w.object) AS rn,
+                 CAST(count(*) OVER (
+                   PARTITION BY w.subject, w.predicate) AS BIGINT)
+                   AS n_objects
+          FROM tf_weighted w
+          JOIN tf_votes v USING (subject, predicate, object))
+        WHERE rn = 1
+        """
+    )
+    sq["entity_types"] = (
+        "WITH " + _pages_triples_cte()
+        + """,
+        et_c AS (
+          SELECT actor AS entity, verb AS p,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(DISTINCT object) AS BIGINT) AS nobj
+          FROM stepped GROUP BY actor, verb)
+        SELECT entity,
+               max(CASE WHEN rn = 1 THEN p END) AS type_pred,
+               CAST(sum(n) AS BIGINT) AS n_claims,
+               CAST(count(*) AS BIGINT) AS n_predicates,
+               CAST(sum(nobj) AS BIGINT) AS n_objects
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY entity ORDER BY n DESC, p) AS rn
+              FROM et_c)
+        GROUP BY entity
         """
     )
     from sigraph_spark.corpus import portable_hash_sql

@@ -1,0 +1,249 @@
+"""KG fusion & ontology induction over extracted triples.
+
+After extraction (``operators/triples.py``) and canonicalization
+(``operators/linking.py``), a web-scale KG build must reconcile CLAIMS —
+the same (subject, predicate) asserted with different objects by
+different sources — and induce lightweight schema facts (which
+predicates are functional, what an entity's type signature looks like).
+The reference keeps a single-writer Neo4j upsert path
+(/root/reference/src/graph/session.py) where conflicts are resolved by
+last-writer-wins; at 10^12 documents conflicts are data, not races, so
+we resolve them with source-weighted voting (the Knowledge-Vault /
+TruthFinder family, simplified to a fixed two-round integer-exact form
+so the result is bit-identical across engines and replay-stable).
+
+Scale notes (100 TB): every operator here is an algebraic aggregation
+over (subject, predicate[, object]) keys — map-side combine applies,
+and no step is superlinear in the corpus. The source-reliability table
+is bounded by the number of SOURCES (hosts / crawl segments), so the
+round-two re-vote joins it back with an explicit broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def predicate_cardinality(
+    triples: DataFrame,
+    subj_col: str = "actor",
+    pred_col: str = "verb",
+    obj_col: str = "object",
+) -> DataFrame:
+    """Per-predicate cardinality profile: how many subjects use the
+    predicate, how many distinct (subject, object) pairs and distinct
+    objects it has, and whether it is FUNCTIONAL on this corpus (every
+    subject has exactly one object — ``n_so_pairs == n_subjects``).
+
+    This is the schema-induction step that feeds
+    :func:`functional_violations`: instead of hand-declaring an
+    ontology, detect predicates that behave functionally and then flag
+    the subjects that break the pattern.
+
+    One distinct + one groupBy — both shuffle on the predicate-ish keys
+    with partial aggregation; counts are exact integers (no approx
+    sketches) so the output is engine-portable.
+    """
+    so = triples.select(
+        F.col(pred_col).alias("predicate"),
+        F.col(subj_col).alias("s"),
+        F.col(obj_col).alias("o"),
+    ).distinct()
+    return (
+        so.groupBy("predicate")
+        .agg(
+            F.countDistinct("s").alias("n_subjects"),
+            F.count(F.lit(1)).cast("long").alias("n_so_pairs"),
+            F.countDistinct("o").alias("n_objects"),
+        )
+        .withColumn(
+            "is_functional", (F.col("n_so_pairs") == F.col("n_subjects"))
+        )
+    )
+
+
+def functional_violations(
+    triples: DataFrame,
+    functional_preds: list[str] | None = None,
+    subj_col: str = "actor",
+    pred_col: str = "verb",
+    obj_col: str = "object",
+    max_objects: int = 20,
+) -> DataFrame:
+    """Subjects that violate a functional-predicate constraint: more
+    than one distinct object for a predicate declared (or induced)
+    functional. Output one row per (subject, predicate) violation with
+    the object count and a '|'-joined sorted sample of the conflicting
+    objects (capped at ``max_objects`` — the cap keeps a pathological
+    hot subject from producing an unbounded row, the same bounded-state
+    rule as the trace span side table in ``operators/graph.py``).
+
+    ``functional_preds=None`` induces the constraint set from the data:
+    predicates where at least 90% of subjects have exactly one object
+    (integer gate ``10*n_one >= 9*n_subjects``) AND at least one
+    subject breaks it. The induced set is bounded by the predicate
+    vocabulary and broadcast into the filter.
+    """
+    base = triples.select(
+        F.col(subj_col).alias("subject"),
+        F.col(pred_col).alias("predicate"),
+        F.col(obj_col).alias("o"),
+    ).distinct()
+    if functional_preds is not None:
+        scoped = base.filter(F.col("predicate").isin(list(functional_preds)))
+    else:
+        per_subj = base.groupBy("predicate", "subject").agg(
+            F.count(F.lit(1)).cast("long").alias("_n")
+        )
+        induced = (
+            per_subj.groupBy("predicate")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("_subs"),
+                F.sum((F.col("_n") == 1).cast("long")).alias("_one"),
+            )
+            .filter(
+                (10 * F.col("_one") >= 9 * F.col("_subs"))
+                & (F.col("_one") < F.col("_subs"))
+            )
+            .select("predicate")
+        )
+        scoped = base.join(F.broadcast(induced), "predicate")
+    return (
+        scoped.groupBy("subject", "predicate")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_objects"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_set("o")), 1, max_objects), "|"
+            ).alias("objects"),
+        )
+        .filter(F.col("n_objects") > 1)
+    )
+
+
+def entity_type_signature(
+    triples: DataFrame,
+    subj_col: str = "actor",
+    pred_col: str = "verb",
+    obj_col: str = "object",
+) -> DataFrame:
+    """Distributional entity typing: an entity's "type" is the predicate
+    it most often appears with as subject (ties broken lexicographically
+    — deterministic), plus exact usage counts. The predicate-signature
+    dual of :func:`linking.predicate_clusters`: there predicates were
+    typed by their object sets, here entities are typed by their
+    predicate distribution (Schmitz-style OpenIE schema induction).
+
+    Two algebraic aggs + one top-1 window per entity; the window key is
+    the entity so skew is bounded by the predicate vocabulary per
+    entity, not corpus size.
+    """
+    counts = (
+        triples.select(
+            F.col(subj_col).alias("entity"),
+            F.col(pred_col).alias("p"),
+            F.col(obj_col).alias("o"),
+        )
+        .groupBy("entity", "p")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.countDistinct("o").alias("_no"),
+        )
+    )
+    w = Window.partitionBy("entity").orderBy(F.desc("_n"), F.asc("p"))
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .groupBy("entity")
+        .agg(
+            F.max(F.when(F.col("_rn") == 1, F.col("p"))).alias("type_pred"),
+            F.sum("_n").alias("n_claims"),
+            F.count(F.lit(1)).cast("long").alias("n_predicates"),
+            F.sum("_no").alias("n_objects"),
+        )
+    )
+
+
+def fuse_triples(
+    claims: DataFrame,
+    subj_col: str = "actor",
+    pred_col: str = "verb",
+    obj_col: str = "object",
+    src_col: str = "source",
+) -> DataFrame:
+    """Two-round source-weighted truth fusion over conflicting claims.
+
+    Input: one row per (subject, predicate, object, source) claim (extra
+    columns ignored). Where sources disagree on the object of a
+    (subject, predicate), resolve deterministically:
+
+    * **Round 0 — majority vote.** Votes per object = distinct sources
+      claiming it; the round-0 winner is the max-vote object (ties to
+      the lexicographically smallest object).
+    * **Source reliability.** A source's score is the NUMBER of its
+      claims that agree with a round-0 winner — an integer, which keeps
+      round 1 exact (TruthFinder's fractional trust would make the
+      result depend on float summation order across engines).
+    * **Round 1 — weighted re-vote.** Each claim votes with its
+      source's score; the fused object is the max-weight object (ties
+      to min object).
+
+    Output: (subject, predicate, fused_object, votes, weight,
+    n_objects). ``n_objects`` > 1 marks the rows fusion actually had to
+    resolve.
+
+    Scale: claims dedup + two grouped votes, all algebraic with map-side
+    combine on (subject, predicate[, object]); the reliability table has
+    one row per SOURCE (hosts / crawl segments — bounded), broadcast
+    back for the re-vote, so the claim table shuffles only on its
+    natural keys and never on the source.
+    """
+    c = claims.select(
+        F.col(subj_col).alias("subject"),
+        F.col(pred_col).alias("predicate"),
+        F.col(obj_col).alias("object"),
+        F.col(src_col).alias("source"),
+    ).distinct()
+    votes = c.groupBy("subject", "predicate", "object").agg(
+        F.count(F.lit(1)).cast("long").alias("votes")
+    )
+    w0 = Window.partitionBy("subject", "predicate").orderBy(
+        F.desc("votes"), F.asc("object")
+    )
+    winner0 = (
+        votes.withColumn("_rn", F.row_number().over(w0))
+        .filter(F.col("_rn") == 1)
+        .select("subject", "predicate", F.col("object").alias("_win0"))
+    )
+    scores = (
+        c.join(winner0, ["subject", "predicate"])
+        .filter(F.col("object") == F.col("_win0"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("_score"))
+    )
+    weighted = (
+        c.join(F.broadcast(scores), "source", "left")
+        .groupBy("subject", "predicate", "object")
+        .agg(F.sum(F.coalesce("_score", F.lit(0))).alias("weight"))
+    )
+    w1 = Window.partitionBy("subject", "predicate").orderBy(
+        F.desc("weight"), F.asc("object")
+    )
+    return (
+        weighted.join(votes, ["subject", "predicate", "object"])
+        .withColumn("_rn", F.row_number().over(w1))
+        .withColumn(
+            "n_objects",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("subject", "predicate")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "subject",
+            "predicate",
+            F.col("object").alias("fused_object"),
+            "votes",
+            "weight",
+            F.col("n_objects").cast("long").alias("n_objects"),
+        )
+    )

@@ -1,0 +1,122 @@
+"""KG fusion & ontology induction (operators/fusion.py)."""
+
+from conftest import spark  # noqa: F401
+
+from sigraph_spark.operators.fusion import (
+    entity_type_signature,
+    functional_violations,
+    fuse_triples,
+    predicate_cardinality,
+)
+
+TRIPLES = "actor string, verb string, object string"
+
+
+def test_predicate_cardinality_flags_functional(spark):
+    rows = [
+        # 'born_in' is functional here: every subject one object
+        ("a", "born_in", "x"), ("b", "born_in", "y"), ("a", "born_in", "x"),
+        # 'visited' is not: subject a has two objects
+        ("a", "visited", "x"), ("a", "visited", "y"), ("b", "visited", "z"),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES)
+    out = {r["predicate"]: r for r in predicate_cardinality(t).collect()}
+    assert out["born_in"]["is_functional"] is True
+    assert out["born_in"]["n_subjects"] == 2
+    assert out["born_in"]["n_so_pairs"] == 2
+    assert out["visited"]["is_functional"] is False
+    assert out["visited"]["n_so_pairs"] == 3
+    assert out["visited"]["n_objects"] == 3
+
+
+def test_functional_violations_declared(spark):
+    rows = [
+        ("a", "born_in", "x"), ("a", "born_in", "y"), ("b", "born_in", "z"),
+        ("a", "visited", "x"), ("a", "visited", "y"),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES)
+    out = functional_violations(t, functional_preds=["born_in"]).collect()
+    assert len(out) == 1
+    assert out[0]["subject"] == "a"
+    assert out[0]["n_objects"] == 2
+    assert out[0]["objects"] == "x|y"
+
+
+def test_functional_violations_induced_90pct(spark):
+    # 10 subjects use 'id_of'; exactly one breaks it -> 9/10 >= 90% induced
+    rows = [(f"s{i}", "id_of", f"v{i}") for i in range(10)]
+    rows.append(("s0", "id_of", "other"))
+    # 'tags' is 50% multi-valued -> NOT induced as functional
+    rows += [("s0", "tags", "t1"), ("s0", "tags", "t2"), ("s1", "tags", "t3")]
+    t = spark.createDataFrame(rows, TRIPLES)
+    out = functional_violations(t).collect()
+    assert {(r["subject"], r["predicate"]) for r in out} == {("s0", "id_of")}
+
+
+def test_functional_violations_caps_object_sample(spark):
+    rows = [("s", "p", f"o{i:03d}") for i in range(30)]
+    t = spark.createDataFrame(rows, TRIPLES)
+    out = functional_violations(t, functional_preds=["p"], max_objects=5).collect()
+    assert out[0]["n_objects"] == 30
+    assert out[0]["objects"] == "o000|o001|o002|o003|o004"
+
+
+def test_entity_type_signature_modal_tiebreak(spark):
+    rows = [
+        ("e", "alpha", "o1"), ("e", "alpha", "o2"),
+        ("e", "beta", "o3"), ("e", "beta", "o4"),  # tie 2-2 -> 'alpha'
+        ("f", "gamma", "o5"),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES)
+    out = {r["entity"]: r for r in entity_type_signature(t).collect()}
+    assert out["e"]["type_pred"] == "alpha"
+    assert out["e"]["n_claims"] == 4
+    assert out["e"]["n_predicates"] == 2
+    assert out["f"]["type_pred"] == "gamma"
+
+
+def test_fuse_triples_weighted_revote_overrides_majority(spark):
+    # (s,p): objects x (sources A,B) vs y (sources C,D) tie 2-2 ->
+    # round-0 winner x (lexicographic). A and B also agree with winners
+    # elsewhere, so round 1 keeps x with a strictly larger weight.
+    rows = [
+        ("s", "p", "x", "A"), ("s", "p", "x", "B"),
+        ("s", "p", "y", "C"), ("s", "p", "y", "D"),
+        ("t", "q", "z", "A"), ("t", "q", "z", "B"),
+    ]
+    c = spark.createDataFrame(rows, TRIPLES + ", source string")
+    out = {(r["subject"], r["predicate"]): r for r in fuse_triples(c).collect()}
+    fused = out[("s", "p")]
+    assert fused["fused_object"] == "x"
+    assert fused["votes"] == 2
+    assert fused["n_objects"] == 2
+    # A,B each score 2 (agree on both winners); C,D score 0 -> weight 4
+    assert fused["weight"] == 4
+    assert out[("t", "q")]["fused_object"] == "z"
+    assert out[("t", "q")]["n_objects"] == 1
+
+
+def test_fuse_triples_reliable_minority_wins_round_two(spark):
+    # Majority of one-off sources say 'bad'; two sources consistent with
+    # winners elsewhere say 'good'. Round 0 picks 'bad' (3 votes vs 2)
+    # but round 1 weights flip it: good = score(A)+score(B), where A,B
+    # earn credit from 4 uncontested facts each.
+    rows = [("s", "p", "good", "A"), ("s", "p", "good", "B")]
+    rows += [("s", "p", "bad", src) for src in ("C", "D", "E")]
+    for i in range(4):
+        rows += [(f"u{i}", "q", f"v{i}", "A"), (f"u{i}", "q", f"v{i}", "B")]
+    c = spark.createDataFrame(rows, TRIPLES + ", source string")
+    out = {(r["subject"], r["predicate"]): r for r in fuse_triples(c).collect()}
+    fused = out[("s", "p")]
+    # A,B score 4 each (uncontested facts; their 'good' lost round 0);
+    # C,D,E score 1 each -> good weight 8 > bad weight 3.
+    assert fused["fused_object"] == "good"
+    assert fused["weight"] == 8
+    assert fused["votes"] == 2
+
+
+def test_fuse_triples_broadcasts_source_scores(spark):
+    rows = [("s", "p", "x", "A"), ("s", "p", "y", "B")]
+    c = spark.createDataFrame(rows, TRIPLES + ", source string")
+    plan = fuse_triples(c)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
