@@ -145,6 +145,13 @@ def candidate_pairs(
     at 90k entities."""
     if banded is None:
         banded = entity_band_index(entities, num_hashes, bands, rows, k)
+    # materialize the blocking index ONCE: four branches consume it
+    # (sizes/small/big/hubs) and without a boundary each would re-run the
+    # Arrow signature UDF and re-shuffle, and the composed plan crosses
+    # the codegen cliff (measured 30s first call / 3x steady-state at
+    # sf0.1 vs 1.3s with the boundary). O(vocab x bands) rows — the same
+    # bound as the stored incremental index.
+    banded = banded.localCheckpoint(eager=True)
     sizes = banded.groupBy("bk").agg(F.count(F.lit(1)).alias("_n"))
     small = banded.join(
         sizes.filter(F.col("_n") <= max_bucket).select("bk"), "bk"
@@ -232,6 +239,12 @@ def _cosine_with_df(
             F.transform_values("m", lambda _, v: v / F.col("_l2")).alias("vm"),
         )
     )
+    # materialize the normalized vectors ONCE: they join as BOTH pair
+    # sides, and the unmaterialized form recomputes the idf agg + map
+    # build per side (and inflates the composed linking plan past the
+    # whole-stage-codegen size cliff). O(vocab) rows of short-string
+    # shingle maps.
+    vecs = vecs.localCheckpoint(eager=True)
     lhs = vecs.select(F.col("entity").alias("a"), F.col("vm").alias("va"))
     rhs = vecs.select(F.col("entity").alias("b"), F.col("vm").alias("vb"))
     dot = F.aggregate(
