@@ -124,12 +124,24 @@ def main() -> int:
         "url", "warc_ts", "text"
     )
     _vocab = entity_vocab(triples_from_docs(_docs)).localCheckpoint(eager=True)
+    # the signature UDF is asserted on the band-index plan (it runs ONCE,
+    # before the stage-boundary checkpoint); the pairs plan downstream of
+    # the checkpoint must contain no Python eval or product join at all
+    from sigraph_spark.operators.linking import entity_band_index
+    check(
+        "linking_band_index",
+        entity_band_index(_vocab),
+        want=("ArrowEvalPython",),
+        forbid=("BatchEvalPython",),
+    )
     _pairs = candidate_pairs(_vocab)
     check(
         "linking_blocking",
         _pairs,
-        want=("ArrowEvalPython",),
-        forbid=("BatchEvalPython", "CartesianProduct", "BroadcastNestedLoopJoin"),
+        forbid=(
+            "BatchEvalPython", "ArrowEvalPython",
+            "CartesianProduct", "BroadcastNestedLoopJoin",
+        ),
     )
     # (the scorer's only nested-loop is the sanctioned ONE-ROW broadcast
     # of the vocabulary count — so only python eval is forbidden here)
