@@ -2145,6 +2145,22 @@ def q_entity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_type_signature(_webtext_triples(spark))
 
 
+def q_entity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-card summarization: top-3 rarest facts per subject with
+    deterministic (fact_subjects, predicate, object) ordering."""
+    from sigraph_spark.operators.fusion import entity_summary
+
+    return entity_summary(_webtext_triples(spark), top_k=3)
+
+
+def q_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level entity co-occurrence pairs (count >= 2) with exact
+    per-side document frequencies — the relation-discovery table."""
+    from sigraph_spark.operators.fusion import entity_cooccurrence
+
+    return entity_cooccurrence(_webtext_triples(spark), min_count=2)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HARD oracle: gen_media payloads are deterministic ASCII
     ('MEDIA{id}' + 'x'*((id%7+1)*100)) and the stub decoder is a byte%16
@@ -2457,6 +2473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "functional_violations": q_functional_violations,
         "triple_fusion": q_triple_fusion,
         "entity_types": q_entity_types,
+        "entity_summary": q_entity_summary,
+        "entity_cooccurrence": q_entity_cooccurrence,
         "shortest_paths": q_shortest_paths,
         "kcore": q_kcore,
         "node_features": q_node_features,
@@ -4954,6 +4972,42 @@ def oracle_sql() -> dict[str, str]:
           FROM tf_weighted w
           JOIN tf_votes v USING (subject, predicate, object))
         WHERE rn = 1
+        """
+    )
+    sq["entity_summary"] = (
+        "WITH " + _pages_triples_cte()
+        + """,
+        es_f AS (SELECT DISTINCT actor AS subject, verb AS predicate,
+                        object FROM stepped),
+        es_fr AS (SELECT predicate, object,
+                         CAST(count(*) AS BIGINT) AS fact_subjects
+                  FROM es_f GROUP BY predicate, object)
+        SELECT subject, rank, predicate, object, fact_subjects FROM (
+          SELECT f.subject, f.predicate, f.object, fr.fact_subjects,
+                 CAST(row_number() OVER (
+                   PARTITION BY f.subject
+                   ORDER BY fr.fact_subjects, f.predicate, f.object)
+                   AS INT) AS rank
+          FROM es_f f JOIN es_fr fr USING (predicate, object))
+        WHERE rank <= 3
+        """
+    )
+    sq["entity_cooccurrence"] = (
+        "WITH " + _pages_triples_cte()
+        + """,
+        co_m AS (SELECT DISTINCT url AS doc, actor AS e FROM stepped
+                 UNION SELECT DISTINCT url, object FROM stepped),
+        co_df AS (SELECT e, CAST(count(*) AS BIGINT) AS df
+                  FROM co_m GROUP BY e),
+        co_p AS (SELECT m1.e AS a, m2.e AS b,
+                        CAST(count(*) AS BIGINT) AS co_count
+                 FROM co_m m1 JOIN co_m m2
+                   ON m1.doc = m2.doc AND m1.e < m2.e
+                 GROUP BY m1.e, m2.e HAVING count(*) >= 2)
+        SELECT a, b, co_count, da.df AS df_a, db.df AS df_b
+        FROM co_p
+        JOIN co_df da ON da.e = a
+        JOIN co_df db ON db.e = b
         """
     )
     sq["entity_types"] = (

@@ -163,6 +163,92 @@ def entity_type_signature(
     )
 
 
+def entity_summary(
+    triples: DataFrame,
+    subj_col: str = "actor",
+    pred_col: str = "verb",
+    obj_col: str = "object",
+    top_k: int = 3,
+) -> DataFrame:
+    """Entity-card summarization: the ``top_k`` most INFORMATIVE facts
+    per subject, where a fact's informativeness is the global rarity of
+    its (predicate, object) value — facts shared by fewer subjects rank
+    first (the LinkSum/RELIN family's frequency signal, kept exact-
+    integer). Ties break lexicographically on (predicate, object) so the
+    summary is deterministic.
+
+    Scale: one distinct + one algebraic fact-frequency agg + one
+    ``top_k`` window per subject. The window key is the subject, so the
+    per-partition state is the subject's own fact list — WindowGroupLimit
+    pushes the top-k below the shuffle (same shape as the graph_edges
+    last-writer dedup, PLANS.txt).
+    """
+    facts = triples.select(
+        F.col(subj_col).alias("subject"),
+        F.col(pred_col).alias("predicate"),
+        F.col(obj_col).alias("object"),
+    ).distinct()
+    freq = facts.groupBy("predicate", "object").agg(
+        F.count(F.lit(1)).cast("long").alias("fact_subjects")
+    )
+    w = Window.partitionBy("subject").orderBy(
+        F.asc("fact_subjects"), F.asc("predicate"), F.asc("object")
+    )
+    return (
+        facts.join(freq, ["predicate", "object"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("subject", "rank", "predicate", "object", "fact_subjects")
+    )
+
+
+def entity_cooccurrence(
+    triples: DataFrame,
+    doc_col: str = "url",
+    subj_col: str = "actor",
+    obj_col: str = "object",
+    min_count: int = 2,
+) -> DataFrame:
+    """Document-level entity co-occurrence mining — the relation-
+    DISCOVERY precursor to typed triple extraction: entities that keep
+    appearing in the same pages are related even when no pattern rule
+    fires. Output one row per unordered entity pair (a < b) with the
+    co-occurrence count and each side's document frequency (the exact
+    integers from which any association score — PMI, lift, Jaccard —
+    derives; scoring is left to the caller so the table stays
+    engine-portable).
+
+    Scale: the per-document entity set is bounded by page length, so the
+    within-document pair self-join fans out |entities/doc|^2 per page —
+    independent of corpus size (contrast an entity-keyed join, which
+    would square the HEAD entity's document list). The pair count and
+    doc frequencies are algebraic aggs with map-side combine.
+    """
+    mentions = (
+        triples.select(F.col(doc_col).alias("doc"), F.col(subj_col).alias("e"))
+        .unionAll(
+            triples.select(F.col(doc_col).alias("doc"), F.col(obj_col).alias("e"))
+        )
+        .distinct()
+    )
+    dfreq = mentions.groupBy("e").agg(
+        F.count(F.lit(1)).cast("long").alias("_df")
+    )
+    pairs = (
+        mentions.select("doc", F.col("e").alias("a"))
+        .join(mentions.select("doc", F.col("e").alias("b")), "doc")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("co_count"))
+        .filter(F.col("co_count") >= min_count)
+    )
+    return (
+        pairs.join(dfreq.select(F.col("e").alias("a"), F.col("_df").alias("df_a")), "a")
+        .join(dfreq.select(F.col("e").alias("b"), F.col("_df").alias("df_b")), "b")
+        .select("a", "b", "co_count", "df_a", "df_b")
+    )
+
+
 def fuse_triples(
     claims: DataFrame,
     subj_col: str = "actor",

@@ -75,6 +75,42 @@ def test_entity_type_signature_modal_tiebreak(spark):
     assert out["f"]["type_pred"] == "gamma"
 
 
+def test_entity_summary_rarity_rank_and_ties(spark):
+    from sigraph_spark.operators.fusion import entity_summary
+
+    rows = [
+        # (p,common) shared by 3 subjects; (p,rare) by 1; (q,mid) by 2
+        ("a", "p", "common"), ("b", "p", "common"), ("c", "p", "common"),
+        ("a", "p", "rare"),
+        ("a", "q", "mid"), ("b", "q", "mid"),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES)
+    out = {(r["subject"], r["rank"]): (r["predicate"], r["object"], r["fact_subjects"])
+           for r in entity_summary(t, top_k=2).collect()}
+    assert out[("a", 1)] == ("p", "rare", 1)
+    assert out[("a", 2)] == ("q", "mid", 2)
+    assert out[("b", 1)] == ("q", "mid", 2)
+    assert out[("b", 2)] == ("p", "common", 3)
+    assert out[("c", 1)] == ("p", "common", 3)
+    assert ("c", 2) not in out
+
+
+def test_entity_cooccurrence_counts_and_threshold(spark):
+    from sigraph_spark.operators.fusion import entity_cooccurrence
+
+    rows = [
+        ("d1", "x", "y"), ("d2", "x", "y"),          # x,y co-occur twice
+        ("d3", "x", "z"),                              # x,z once -> filtered
+        ("d1", "y", "x"),                              # same doc, no double count
+    ]
+    t = spark.createDataFrame(rows, "url string, actor string, object string")
+    out = entity_cooccurrence(t, min_count=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["a"], r["b"], r["co_count"]) == ("x", "y", 2)
+    assert r["df_a"] == 3 and r["df_b"] == 2
+
+
 def test_fuse_triples_weighted_revote_overrides_majority(spark):
     # (s,p): objects x (sources A,B) vs y (sources C,D) tie 2-2 ->
     # round-0 winner x (lexicographic). A and B also agree with winners
