@@ -2161,6 +2161,15 @@ def q_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_cooccurrence(_webtext_triples(spark), min_count=2)
 
 
+def q_literal_typing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-literal dictionary over the webtext triple objects: extract,
+    classify (url/registry/winpath/unc/cve/sha256/ipv4/file/domain) and
+    canonicalize (lower + re-fang, ip strips :port) with exact counts."""
+    from sigraph_spark.operators.literals import typed_literals
+
+    return typed_literals(_webtext_triples(spark))
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HARD oracle: gen_media payloads are deterministic ASCII
     ('MEDIA{id}' + 'x'*((id%7+1)*100)) and the stub decoder is a byte%16
@@ -2475,6 +2484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_types": q_entity_types,
         "entity_summary": q_entity_summary,
         "entity_cooccurrence": q_entity_cooccurrence,
+        "literal_typing": q_literal_typing,
         "shortest_paths": q_shortest_paths,
         "kcore": q_kcore,
         "node_features": q_node_features,
@@ -5008,6 +5018,34 @@ def oracle_sql() -> dict[str, str]:
         FROM co_p
         JOIN co_df da ON da.e = a
         JOIN co_df db ON db.e = b
+        """
+    )
+    # --- typed-literal dictionary: the CASE chain is GENERATED from the
+    # same LITERAL_PATTERNS constant the Spark operator uses (single
+    # source of truth; patterns restricted to the Java/RE2-identical
+    # regex subset).
+    from sigraph_spark.operators.literals import LITERAL_PATTERNS
+    _lt_case = "CASE " + " ".join(
+        f"WHEN regexp_matches(_c, '{pat}') THEN '{lt}'"
+        for lt, pat in LITERAL_PATTERNS
+    ) + " ELSE NULL END"
+    sq["literal_typing"] = (
+        "WITH " + _pages_triples_cte()
+        + f""",
+        lt_tok AS (
+          SELECT url AS _doc, t AS _t
+          FROM stepped, UNNEST(regexp_split_to_array(object, '[\\s,]+')) AS u(t)
+          WHERE t <> ''),
+        lt_c AS (SELECT _doc, replace(lower(_t), '[.]', '.') AS _c
+                 FROM lt_tok),
+        lt_ty AS (SELECT _doc, _c, {_lt_case} AS littype FROM lt_c)
+        SELECT littype,
+               CASE WHEN littype = 'ipv4' AND contains(_c, ':')
+                    THEN split_part(_c, ':', 1) ELSE _c END AS canonical,
+               CAST(count(*) AS BIGINT) AS n_mentions,
+               CAST(count(DISTINCT _doc) AS BIGINT) AS n_docs
+        FROM lt_ty WHERE littype IS NOT NULL
+        GROUP BY littype, canonical
         """
     )
     sq["entity_types"] = (
