@@ -2136,6 +2136,25 @@ def q_triple_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuse_triples(_webtext_claims(spark))
 
 
+def q_triple_fusion_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental fusion: the claims fold in as two OVERLAPPING crawl
+    deltas (segments 0-2 and 2-4) through the merge_claims semilattice;
+    fusing the merged state must equal the from-scratch fuse — same
+    oracle as `triple_fusion`."""
+    from sigraph_spark.operators.fusion import fuse_triples, merge_claims
+
+    claims = _webtext_claims(spark).select(
+        F.col("actor").alias("subject"),
+        F.col("verb").alias("predicate"),
+        "object",
+        "source",
+    )
+    d1 = claims.filter(F.col("source").isin("seg-0", "seg-1", "seg-2"))
+    d2 = claims.filter(F.col("source").isin("seg-2", "seg-3", "seg-4"))
+    merged = merge_claims(merge_claims(None, d1), d2)
+    return fuse_triples(merged, "subject", "predicate", "object", "source")
+
+
 def q_entity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributional entity typing over raw triples: modal predicate
     (corpus-frequency weighted, lexicographic ties) + exact usage
@@ -2481,6 +2500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predicate_cardinality": q_predicate_cardinality,
         "functional_violations": q_functional_violations,
         "triple_fusion": q_triple_fusion,
+        "triple_fusion_merge": q_triple_fusion_merge,
         "entity_types": q_entity_types,
         "entity_summary": q_entity_summary,
         "entity_cooccurrence": q_entity_cooccurrence,
@@ -4984,6 +5004,8 @@ def oracle_sql() -> dict[str, str]:
         WHERE rn = 1
         """
     )
+    # incremental fusion must reproduce the from-scratch fuse exactly
+    sq["triple_fusion_merge"] = sq["triple_fusion"]
     sq["entity_summary"] = (
         "WITH " + _pages_triples_cte()
         + """,

@@ -249,6 +249,28 @@ def entity_cooccurrence(
     )
 
 
+def merge_claims(state: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """Incremental claims state: distinct union over (subject, predicate,
+    object, source). A set union is the textbook semilattice (idempotent,
+    commutative, associative — same contract as the graph delta-merge
+    combiners in ``operators/graph.py``), so crawl deltas fold in any
+    order, replays are no-ops, and :func:`fuse_triples` over the merged
+    state equals a from-scratch fuse over all claims (votes and source
+    reliability derive from the SET, never from per-delta counts that
+    a replay would double).
+
+    Scale: the state is the deduplicated claim set — bounded by distinct
+    facts x sources, not by corpus size; the union dedups with one
+    shuffle on the full key (bucketed by the same key as the production
+    MERGE INTO would be).
+    """
+    cols = ["subject", "predicate", "object", "source"]
+    d = delta.select(*cols)
+    if state is None:
+        return d.distinct()
+    return state.select(*cols).unionByName(d).distinct()
+
+
 def fuse_triples(
     claims: DataFrame,
     subj_col: str = "actor",

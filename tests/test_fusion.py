@@ -151,6 +151,31 @@ def test_fuse_triples_reliable_minority_wins_round_two(spark):
     assert fused["votes"] == 2
 
 
+def test_merge_claims_semilattice_and_fuse_parity(spark):
+    from sigraph_spark.operators.fusion import fuse_triples, merge_claims
+
+    schema = "subject string, predicate string, object string, source string"
+    full_rows = [
+        ("s", "p", "x", "A"), ("s", "p", "x", "B"), ("s", "p", "y", "C"),
+        ("t", "q", "z", "A"),
+    ]
+    full = spark.createDataFrame(full_rows, schema)
+    # overlapping deltas: the shared row must not double-vote
+    d1 = spark.createDataFrame(full_rows[:3], schema)
+    d2 = spark.createDataFrame(full_rows[2:], schema)
+    merged = merge_claims(merge_claims(None, d1), d2)
+    assert merged.count() == 4
+    # replay is a no-op
+    assert merge_claims(merged, d2).count() == 4
+    # commutes
+    other = merge_claims(merge_claims(None, d2), d1)
+    assert merged.exceptAll(other).count() == 0
+    # fuse over merged state == fuse from scratch
+    a = fuse_triples(merged, "subject", "predicate", "object", "source")
+    b = fuse_triples(full, "subject", "predicate", "object", "source")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_fuse_triples_broadcasts_source_scores(spark):
     rows = [("s", "p", "x", "A"), ("s", "p", "y", "B")]
     c = spark.createDataFrame(rows, TRIPLES + ", source string")
