@@ -2155,6 +2155,24 @@ def q_triple_fusion_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuse_triples(merged, "subject", "predicate", "object", "source")
 
 
+def q_inverse_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse/symmetric relation induction over the webtext triples plus
+    a deterministic inverse injection (even pages assert the reversed
+    'exfiltrated_by' for every 'exfiltrate' fact) — the induced pair must
+    surface under the integer-exact mirror-Jaccard gate."""
+    from sigraph_spark.operators.fusion import inverse_predicates
+
+    t = _webtext_triples(spark)
+    i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    inv = t.filter(((i % 2) == 0) & (F.col("verb") == "exfiltrate")).select(
+        F.col("object").alias("actor"),
+        F.lit("exfiltrated_by").alias("verb"),
+        F.col("actor").alias("object"),
+    )
+    base = t.select("actor", "verb", "object").unionByName(inv)
+    return inverse_predicates(base, min_overlap_pct=30)
+
+
 def q_entity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributional entity typing over raw triples: modal predicate
     (corpus-frequency weighted, lexicographic ties) + exact usage
@@ -2505,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_summary": q_entity_summary,
         "entity_cooccurrence": q_entity_cooccurrence,
         "literal_typing": q_literal_typing,
+        "inverse_predicates": q_inverse_predicates,
         "shortest_paths": q_shortest_paths,
         "kcore": q_kcore,
         "node_features": q_node_features,
@@ -5006,6 +5025,32 @@ def oracle_sql() -> dict[str, str]:
     )
     # incremental fusion must reproduce the from-scratch fuse exactly
     sq["triple_fusion_merge"] = sq["triple_fusion"]
+    sq["inverse_predicates"] = (
+        "WITH " + _pages_triples_cte()
+        + """,
+        ip_base AS (
+          SELECT actor, verb, object FROM stepped
+          UNION ALL
+          SELECT object, 'exfiltrated_by', actor FROM stepped
+          WHERE i % 2 = 0 AND verb = 'exfiltrate'),
+        ip_sig AS (SELECT DISTINCT actor AS s, verb AS p, object AS o
+                   FROM ip_base),
+        ip_sz AS (SELECT p, CAST(count(*) AS BIGINT) AS n_pairs
+                  FROM ip_sig GROUP BY p),
+        ip_i AS (
+          SELECT a.p AS p1, b.p AS p2,
+                 CAST(count(*) AS BIGINT) AS n_mirrored
+          FROM ip_sig a JOIN ip_sig b
+            ON a.s = b.o AND a.o = b.s AND a.p <= b.p
+          GROUP BY a.p, b.p)
+        SELECT p1, p2, n_mirrored,
+               s1.n_pairs AS n_p1, s2.n_pairs AS n_p2
+        FROM ip_i
+        JOIN ip_sz s1 ON s1.p = p1
+        JOIN ip_sz s2 ON s2.p = p2
+        WHERE 100 * n_mirrored >= 30 * (s1.n_pairs + s2.n_pairs - n_mirrored)
+        """
+    )
     sq["entity_summary"] = (
         "WITH " + _pages_triples_cte()
         + """,

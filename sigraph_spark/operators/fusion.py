@@ -249,6 +249,60 @@ def entity_cooccurrence(
     )
 
 
+def inverse_predicates(
+    triples: DataFrame,
+    subj_col: str = "actor",
+    pred_col: str = "verb",
+    obj_col: str = "object",
+    min_overlap_pct: int = 50,
+) -> DataFrame:
+    """Inverse/symmetric relation induction: predicate pairs (p1 <= p2)
+    whose (subject, object) pair sets mirror each other — ``(s, p1, o)``
+    co-occurring with ``(o, p2, s)`` — under an integer-exact Jaccard
+    gate (``100*|P1 ∩ rev(P2)| >= pct*|P1 ∪ rev(P2)|``). ``p1 == p2``
+    rows are SYMMETRIC predicates (their own inverse). The third
+    ontology-induction signal next to :func:`predicate_cardinality`
+    (functionality) and ``linking.predicate_clusters`` (synonymy) —
+    inverse pairs let the KG store one canonical direction and derive
+    the other at query time.
+
+    Scale: pair-signature dedup is algebraic; the overlap count is an
+    inverted-index equi-join on the (s, o) pair key — only predicate
+    pairs sharing at least one mirrored instance meet, never the
+    predicate cross product. Fan-out per pair key is bounded by the
+    predicate vocabulary.
+    """
+    sig = triples.select(
+        F.col(subj_col).alias("s"),
+        F.col(pred_col).alias("p"),
+        F.col(obj_col).alias("o"),
+    ).distinct()
+    sz = sig.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    rev = sig.select(
+        F.col("o").alias("s"), F.col("p").alias("p2"), F.col("s").alias("o")
+    )
+    inter = (
+        sig.join(rev, ["s", "o"])
+        .filter(F.col("p") <= F.col("p2"))
+        .groupBy(F.col("p").alias("p1"), "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_mirrored"))
+    )
+    return (
+        inter.join(
+            sz.select(F.col("p").alias("p1"), F.col("n_pairs").alias("n_p1")), "p1"
+        )
+        .join(
+            sz.select(F.col("p").alias("p2"), F.col("n_pairs").alias("n_p2")), "p2"
+        )
+        .filter(
+            100 * F.col("n_mirrored")
+            >= min_overlap_pct
+            * (F.col("n_p1") + F.col("n_p2") - F.col("n_mirrored"))
+        )
+        .select("p1", "p2", "n_mirrored", "n_p1", "n_p2")
+    )
+
+
 def merge_claims(state: DataFrame | None, delta: DataFrame) -> DataFrame:
     """Incremental claims state: distinct union over (subject, predicate,
     object, source). A set union is the textbook semilattice (idempotent,

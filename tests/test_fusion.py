@@ -151,6 +151,41 @@ def test_fuse_triples_reliable_minority_wins_round_two(spark):
     assert fused["votes"] == 2
 
 
+def test_inverse_predicates_detects_inverse_and_symmetric(spark):
+    from sigraph_spark.operators.fusion import inverse_predicates
+
+    rows = [
+        # parent_of / child_of are exact inverses (2 mirrored pairs)
+        ("a", "parent_of", "b"), ("b", "child_of", "a"),
+        ("c", "parent_of", "d"), ("d", "child_of", "c"),
+        # peer_with is symmetric
+        ("x", "peer_with", "y"), ("y", "peer_with", "x"),
+        # unrelated has no mirror
+        ("a", "owns", "z"),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES)
+    out = {(r["p1"], r["p2"]): (r["n_mirrored"], r["n_p1"], r["n_p2"])
+           for r in inverse_predicates(t, min_overlap_pct=50).collect()}
+    assert out[("child_of", "parent_of")] == (2, 2, 2)
+    assert out[("peer_with", "peer_with")] == (2, 2, 2)
+    assert not any("owns" in k for k in out)
+
+
+def test_inverse_predicates_threshold_boundary(spark):
+    from sigraph_spark.operators.fusion import inverse_predicates
+
+    # 1 mirrored of p:2, q:2 -> jaccard 1/3; pct 33 passes (100 >= 99),
+    # pct 34 fails
+    rows = [
+        ("a", "p", "b"), ("b", "q", "a"),
+        ("c", "p", "d"), ("e", "q", "f"),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES)
+    got33 = inverse_predicates(t, min_overlap_pct=33).count()
+    got34 = inverse_predicates(t, min_overlap_pct=34).count()
+    assert (got33, got34) == (1, 0)
+
+
 def test_merge_claims_semilattice_and_fuse_parity(spark):
     from sigraph_spark.operators.fusion import fuse_triples, merge_claims
 
