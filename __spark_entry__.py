@@ -2173,6 +2173,21 @@ def q_inverse_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverse_predicates(base, min_overlap_pct=30)
 
 
+def q_predicate_subsumption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy induction: even pages also assert the generalized
+    'network_request' for every 'http_request' fact; the containment
+    gate must induce http_request ⊑ network_request."""
+    from sigraph_spark.operators.fusion import predicate_subsumption
+
+    t = _webtext_triples(spark)
+    i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    gen = t.filter(((i % 2) == 0) & (F.col("verb") == "http_request")).select(
+        "actor", F.lit("network_request").alias("verb"), "object"
+    )
+    base = t.select("actor", "verb", "object").unionByName(gen)
+    return predicate_subsumption(base, min_containment_pct=90)
+
+
 def q_entity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributional entity typing over raw triples: modal predicate
     (corpus-frequency weighted, lexicographic ties) + exact usage
@@ -2524,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_cooccurrence": q_entity_cooccurrence,
         "literal_typing": q_literal_typing,
         "inverse_predicates": q_inverse_predicates,
+        "predicate_subsumption": q_predicate_subsumption,
         "shortest_paths": q_shortest_paths,
         "kcore": q_kcore,
         "node_features": q_node_features,
@@ -5049,6 +5065,33 @@ def oracle_sql() -> dict[str, str]:
         JOIN ip_sz s1 ON s1.p = p1
         JOIN ip_sz s2 ON s2.p = p2
         WHERE 100 * n_mirrored >= 30 * (s1.n_pairs + s2.n_pairs - n_mirrored)
+        """
+    )
+    sq["predicate_subsumption"] = (
+        "WITH " + _pages_triples_cte()
+        + """,
+        ps_base AS (
+          SELECT actor, verb, object FROM stepped
+          UNION ALL
+          SELECT actor, 'network_request', object FROM stepped
+          WHERE i % 2 = 0 AND verb = 'http_request'),
+        ps_sig AS (SELECT DISTINCT actor AS s, verb AS p, object AS o
+                   FROM ps_base),
+        ps_sz AS (SELECT p, CAST(count(*) AS BIGINT) AS n_pairs
+                  FROM ps_sig GROUP BY p),
+        ps_i AS (
+          SELECT a.p AS narrow, b.p AS broad,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM ps_sig a JOIN ps_sig b
+            ON a.s = b.s AND a.o = b.o AND a.p <> b.p
+          GROUP BY a.p, b.p)
+        SELECT narrow, broad, n_shared,
+               sn.n_pairs AS n_narrow, sb.n_pairs AS n_broad
+        FROM ps_i
+        JOIN ps_sz sn ON sn.p = narrow
+        JOIN ps_sz sb ON sb.p = broad
+        WHERE sn.n_pairs < sb.n_pairs
+          AND 100 * n_shared >= 90 * sn.n_pairs
         """
     )
     sq["entity_summary"] = (

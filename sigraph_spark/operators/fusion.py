@@ -303,6 +303,61 @@ def inverse_predicates(
     )
 
 
+def predicate_subsumption(
+    triples: DataFrame,
+    subj_col: str = "actor",
+    pred_col: str = "verb",
+    obj_col: str = "object",
+    min_containment_pct: int = 90,
+) -> DataFrame:
+    """Predicate-hierarchy induction: (narrow, broad) pairs where the
+    narrow predicate's (subject, object) pair set is (almost) CONTAINED
+    in the broad one's — ``100*|P_n ∩ P_b| >= pct*|P_n|`` with
+    ``|P_n| <= |P_b|`` (asymmetric containment, the same device as the
+    dedup module's shingle-containment near-dup, here over instance
+    pairs: "every http_get fact is also asserted as network_request" =>
+    http_get ⊑ network_request). Completes the ontology-induction
+    quartet: synonymy (``linking.predicate_clusters``), functionality
+    (:func:`predicate_cardinality`), inversion
+    (:func:`inverse_predicates`), and hierarchy. Strict
+    ``|P_n| < |P_b|`` keeps the direction well-defined and excludes
+    equal-size mutual containment — that is synonymy, which belongs to
+    the clusterer.
+
+    Scale: one signature dedup + the inverted-index equi-join on the
+    (s, o) instance key — only predicate pairs sharing an instance meet.
+    """
+    sig = triples.select(
+        F.col(subj_col).alias("s"),
+        F.col(pred_col).alias("p"),
+        F.col(obj_col).alias("o"),
+    ).distinct()
+    sz = sig.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    inter = (
+        sig.join(
+            sig.select("s", F.col("p").alias("p2"), "o"), ["s", "o"]
+        )
+        .filter(F.col("p") != F.col("p2"))
+        .groupBy(F.col("p").alias("narrow"), F.col("p2").alias("broad"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        inter.join(
+            sz.select(F.col("p").alias("narrow"), F.col("n_pairs").alias("n_narrow")),
+            "narrow",
+        )
+        .join(
+            sz.select(F.col("p").alias("broad"), F.col("n_pairs").alias("n_broad")),
+            "broad",
+        )
+        .filter(
+            (F.col("n_narrow") < F.col("n_broad"))
+            & (100 * F.col("n_shared") >= min_containment_pct * F.col("n_narrow"))
+        )
+        .select("narrow", "broad", "n_shared", "n_narrow", "n_broad")
+    )
+
+
 def merge_claims(state: DataFrame | None, delta: DataFrame) -> DataFrame:
     """Incremental claims state: distinct union over (subject, predicate,
     object, source). A set union is the textbook semilattice (idempotent,

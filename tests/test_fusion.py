@@ -186,6 +186,39 @@ def test_inverse_predicates_threshold_boundary(spark):
     assert (got33, got34) == (1, 0)
 
 
+def test_predicate_subsumption_direction_and_exclusions(spark):
+    from sigraph_spark.operators.fusion import predicate_subsumption
+
+    rows = [
+        # http_get's 2 pairs are both also network_request facts (which
+        # has a third) -> http_get ⊑ network_request
+        ("a", "http_get", "u1"), ("a", "network_request", "u1"),
+        ("b", "http_get", "u2"), ("b", "network_request", "u2"),
+        ("c", "network_request", "u3"),
+        # equal-size mutual containment (synonyms) excluded
+        ("d", "syn1", "v"), ("d", "syn2", "v"),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES)
+    out = {(r["narrow"], r["broad"]): (r["n_shared"], r["n_narrow"], r["n_broad"])
+           for r in predicate_subsumption(t).collect()}
+    assert out == {("http_get", "network_request"): (2, 2, 3)}
+
+
+def test_predicate_subsumption_threshold(spark):
+    from sigraph_spark.operators.fusion import predicate_subsumption
+
+    # 9 of narrow's 10 pairs shared -> 90% passes at pct=90, not at 91
+    rows = []
+    for i in range(10):
+        rows.append((f"s{i}", "narrow", f"o{i}"))
+        if i < 9:
+            rows.append((f"s{i}", "broad", f"o{i}"))
+    rows += [(f"x{i}", "broad", f"y{i}") for i in range(5)]
+    t = spark.createDataFrame(rows, TRIPLES)
+    assert predicate_subsumption(t, min_containment_pct=90).count() == 1
+    assert predicate_subsumption(t, min_containment_pct=91).count() == 0
+
+
 def test_merge_claims_semilattice_and_fuse_parity(spark):
     from sigraph_spark.operators.fusion import fuse_triples, merge_claims
 
