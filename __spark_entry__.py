@@ -2188,6 +2188,18 @@ def q_predicate_subsumption(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predicate_subsumption(base, min_containment_pct=90)
 
 
+def q_edge_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge lineage panel over the webtext triples: exact mention and
+    doc counts plus a rank-filtered (bounded) 3-doc sample per edge."""
+    from sigraph_spark.operators.fusion import edge_provenance
+
+    return edge_provenance(
+        _webtext_triples(spark),
+        subj_col="actor", pred_col="verb", obj_col="object",
+        doc_col="url", max_samples=3,
+    )
+
+
 def q_entity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributional entity typing over raw triples: modal predicate
     (corpus-frequency weighted, lexicographic ties) + exact usage
@@ -2540,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "literal_typing": q_literal_typing,
         "inverse_predicates": q_inverse_predicates,
         "predicate_subsumption": q_predicate_subsumption,
+        "edge_provenance": q_edge_provenance,
         "shortest_paths": q_shortest_paths,
         "kcore": q_kcore,
         "node_features": q_node_features,
@@ -5092,6 +5105,31 @@ def oracle_sql() -> dict[str, str]:
         JOIN ps_sz sb ON sb.p = broad
         WHERE sn.n_pairs < sb.n_pairs
           AND 100 * n_shared >= 90 * sn.n_pairs
+        """
+    )
+    sq["edge_provenance"] = (
+        "WITH " + _pages_triples_cte()
+        + """,
+        ep_counts AS (
+          SELECT actor AS subject, verb AS predicate, object,
+                 CAST(count(*) AS BIGINT) AS n_mentions,
+                 CAST(count(DISTINCT url) AS BIGINT) AS n_docs
+          FROM stepped GROUP BY actor, verb, object),
+        ep_d AS (SELECT DISTINCT actor AS subject, verb AS predicate,
+                        object, url FROM stepped),
+        ep_s AS (
+          SELECT subject, predicate, object,
+                 string_agg(url, '|' ORDER BY url) AS sample_docs
+          FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY subject, predicate, object ORDER BY url) AS rn
+            FROM ep_d) WHERE rn <= 3
+          GROUP BY subject, predicate, object)
+        SELECT c.subject, c.predicate, c.object, c.n_mentions, c.n_docs,
+               s.sample_docs
+        FROM ep_counts c JOIN ep_s s
+          ON c.subject = s.subject AND c.predicate = s.predicate
+         AND c.object = s.object
         """
     )
     sq["entity_summary"] = (

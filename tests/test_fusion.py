@@ -244,6 +244,43 @@ def test_merge_claims_semilattice_and_fuse_parity(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_edge_provenance_counts_sample_and_timestamps(spark):
+    import datetime
+
+    from sigraph_spark.operators.fusion import edge_provenance
+
+    ts = lambda d: datetime.datetime(2026, 1, d)  # noqa: E731
+    rows = [
+        ("s", "p", "o", "d2", ts(2)),
+        ("s", "p", "o", "d1", ts(1)),
+        ("s", "p", "o", "d1", ts(3)),  # same doc mentioned twice
+        ("s", "p", "o", "d4", ts(4)),
+        ("s", "p", "o", "d3", ts(5)),
+        ("t", "q", "u", "d9", ts(9)),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, verb string, obj string, url string, warc_ts timestamp"
+    )
+    out = {(r["subject"], r["predicate"], r["object"]): r
+           for r in edge_provenance(t, ts_col="warc_ts", max_samples=3).collect()}
+    e = out[("s", "p", "o")]
+    assert e["n_mentions"] == 5 and e["n_docs"] == 4
+    # first 3 distinct docs in doc order, never more than max_samples
+    assert e["sample_docs"] == "d1|d2|d3"
+    assert (e["first_seen"], e["last_seen"]) == (ts(1), ts(5))
+    assert out[("t", "q", "u")]["sample_docs"] == "d9"
+
+
+def test_edge_provenance_plan_has_window_group_limit(spark):
+    from sigraph_spark.operators.fusion import edge_provenance
+
+    t = spark.createDataFrame(
+        [("s", "p", "o", "d1")], "subj string, verb string, obj string, url string"
+    )
+    plan = edge_provenance(t)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
 def test_fuse_triples_broadcasts_source_scores(spark):
     rows = [("s", "p", "x", "A"), ("s", "p", "y", "B")]
     c = spark.createDataFrame(rows, TRIPLES + ", source string")
