@@ -2067,15 +2067,10 @@ def q_predicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical relation via star-contraction CC; singletons map to
     themselves. Pinned sf=0.01 like the other triple gates so the oracle
     constant matches regardless of sf_dir."""
-    from sigraph_spark.corpus import gen_pages
-    from sigraph_spark.operators.extract import extract_pages
     from sigraph_spark.operators.linking import predicate_clusters
-    from sigraph_spark.operators.triples import triples_from_docs
 
-    pages = gen_pages(spark, sf=0.01)
-    docs = extract_pages(pages).select("url", "text")
     return predicate_clusters(
-        triples_from_docs(docs), "verb", "object", min_jaccard_pct=20
+        _webtext_triples(spark), "verb", "object", min_jaccard_pct=20
     )
 
 
@@ -5004,11 +4999,20 @@ def oracle_sql() -> dict[str, str]:
         + """,
         fv_so AS (SELECT DISTINCT actor AS subject, verb AS predicate,
                          object AS o
-                  FROM claims WHERE verb IN ('create', 'launch'))
-        SELECT subject, predicate,
-               CAST(count(*) AS BIGINT) AS n_objects,
-               string_agg(o, '|' ORDER BY o) AS objects
-        FROM fv_so GROUP BY subject, predicate HAVING count(*) > 1
+                  FROM claims WHERE verb IN ('create', 'launch')),
+        fv_counts AS (
+          SELECT subject, predicate, CAST(count(*) AS BIGINT) AS n_objects
+          FROM fv_so GROUP BY subject, predicate HAVING count(*) > 1),
+        fv_sample AS (
+          SELECT subject, predicate,
+                 string_agg(o, '|' ORDER BY o) AS objects
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY subject, predicate ORDER BY o) AS rn
+                FROM fv_so) WHERE rn <= 20
+          GROUP BY subject, predicate)
+        SELECT c.subject, c.predicate, c.n_objects, s.objects
+        FROM fv_counts c JOIN fv_sample s
+          ON c.subject = s.subject AND c.predicate = s.predicate
         """
     )
     sq["triple_fusion"] = (

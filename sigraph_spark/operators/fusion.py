@@ -109,15 +109,24 @@ def functional_violations(
             .select("predicate")
         )
         scoped = base.join(F.broadcast(induced), "predicate")
+    counts = scoped.groupBy("subject", "predicate").agg(
+        F.count(F.lit(1)).cast("long").alias("n_objects")
+    )
+    # the conflicting-object sample is rank-FILTERED before collection
+    # (WindowGroupLimit — top-k below the shuffle), not collect-then-
+    # slice: no row ever holds more than max_objects values even for a
+    # pathological hot subject
+    w = Window.partitionBy("subject", "predicate").orderBy("o")
+    sample = (
+        scoped.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_objects)
+        .groupBy("subject", "predicate")
+        .agg(F.array_join(F.array_sort(F.collect_list("o")), "|").alias("objects"))
+    )
     return (
-        scoped.groupBy("subject", "predicate")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_objects"),
-            F.array_join(
-                F.slice(F.array_sort(F.collect_set("o")), 1, max_objects), "|"
-            ).alias("objects"),
-        )
-        .filter(F.col("n_objects") > 1)
+        counts.filter(F.col("n_objects") > 1)
+        .join(sample, ["subject", "predicate"])
+        .select("subject", "predicate", "n_objects", "objects")
     )
 
 

@@ -144,14 +144,19 @@ def candidate_pairs(
     aggregate is interpreted (janino width limit) and measured ~5x slower
     at 90k entities."""
     if banded is None:
-        banded = entity_band_index(entities, num_hashes, bands, rows, k)
-    # materialize the blocking index ONCE: four branches consume it
-    # (sizes/small/big/hubs) and without a boundary each would re-run the
-    # Arrow signature UDF and re-shuffle, and the composed plan crosses
-    # the codegen cliff (measured 30s first call / 3x steady-state at
-    # sf0.1 vs 1.3s with the boundary). O(vocab x bands) rows — the same
-    # bound as the stored incremental index.
-    banded = banded.localCheckpoint(eager=True)
+        # materialize the internally built index ONCE: four branches
+        # consume it (sizes/small/big/hubs) and without a boundary each
+        # would re-run the Arrow signature UDF and re-shuffle, and the
+        # composed plan crosses the codegen cliff (measured 30s first
+        # call / 3x steady-state at sf0.1 vs 1.3s with the boundary).
+        # O(vocab x bands) rows — the same bound as the stored
+        # incremental index. A caller-passed `banded` is already
+        # materialized (the incremental path checkpoints its delta
+        # index) — re-checkpointing it would double it in block-manager
+        # memory.
+        banded = entity_band_index(
+            entities, num_hashes, bands, rows, k
+        ).localCheckpoint(eager=True)
     sizes = banded.groupBy("bk").agg(F.count(F.lit(1)).alias("_n"))
     small = banded.join(
         sizes.filter(F.col("_n") <= max_bucket).select("bk"), "bk"

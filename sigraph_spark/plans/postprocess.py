@@ -38,7 +38,13 @@ def claim_source(url_col: str = "url", segments: int | None = None):
     ``trailing-integer % segments`` crawl segments for synthetic corpora
     whose urls share one host."""
     if segments is None:
-        return F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+        # hostless/malformed urls attribute to ONE explicit bucket: a NULL
+        # source would never match fuse_triples' reliability join (zero
+        # round-1 weight) while still counting as a phantom round-0 voter
+        return F.coalesce(
+            F.lower(F.parse_url(F.col(url_col), F.lit("HOST"))),
+            F.lit("(unattributed)"),
+        )
     i = F.regexp_extract(url_col, "([0-9]+)$", 1).cast("long")
     return F.concat(F.lit("seg-"), (i % segments).cast("string"))
 
@@ -60,11 +66,15 @@ def run_kg_post(
         m = read_manifest(os.path.join(workdir, stage_dir))
         return m["output_fingerprint"] if m else "missing"
 
-    # content proxy over the triple identity columns — an in-place object
-    # edit with unchanged urls must invalidate the chain
+    # full content fingerprint over the columns the stages consume — any
+    # in-place edit (actor, verb, or object, even same-length) must
+    # invalidate the chain
     fp = input_fingerprint or table_fingerprint(
-        triples.select("url", "step", "verb", F.length("object").alias("_l"))
+        triples.select("url", "step", "actor", "verb", "object")
     )
+    # stage parameters fold into the stage keys (the k5 pattern): a
+    # --segments change must recompute k1 even on identical triples
+    fp_k1 = fp + f":seg{segments}"
 
     def build_claims() -> DataFrame:
         return (
@@ -79,7 +89,7 @@ def run_kg_post(
 
     claims = run_stage(
         spark, "k1_claims", os.path.join(workdir, "k1_claims"),
-        build_claims, fp,
+        build_claims, fp_k1,
     )
     claims_fp = out_fp("k1_claims")
 

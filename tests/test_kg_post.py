@@ -54,9 +54,11 @@ def test_kg_post_invalidation_on_content_edit(spark, tmp_path):
     wd = str(tmp_path / "kgpost2")
     _run(spark, wd, t)
     fp1 = json.load(open(os.path.join(wd, "k1_claims", "_manifest.json")))
-    # in-place object edit, same urls/steps: chain must invalidate
+    # in-place SAME-LENGTH object edit, same urls/steps: chain must
+    # invalidate (a length proxy would miss this)
     edited = [list(r) for r in ROWS]
-    edited[0][4] = "renamed-longer.exe"
+    assert len("q.exe") == len(edited[0][4])
+    edited[0][4] = "q.exe"
     t2 = spark.createDataFrame([tuple(r) for r in edited], TRIPLES)
     _run(spark, wd, t2)
     fp2 = json.load(open(os.path.join(wd, "k1_claims", "_manifest.json")))
