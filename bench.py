@@ -98,6 +98,33 @@ def main() -> None:
     extras["triples"] = n_triples
     extras["triples_per_sec"] = round(n_triples / timings["kg_pipeline"], 1)
 
+    # --- KG fusion & ontology layer over the extracted triples ----------------
+    from sigraph_spark.operators.fusion import (
+        entity_summary, fuse_triples, inverse_predicates,
+        predicate_subsumption,
+    )
+    from sigraph_spark.plans.postprocess import claim_source
+
+    bench_triples = triples_from_docs(
+        extract_pages(pages).select("url", "text")
+    ).localCheckpoint(eager=True)
+
+    def run_fusion() -> int:
+        claims = bench_triples.select(
+            F.col("actor").alias("subject"),
+            F.col("verb").alias("predicate"),
+            "object",
+            claim_source("url", segments=5).alias("source"),
+        )
+        return (
+            fuse_triples(claims, "subject", "predicate", "object", "source").count()
+            + inverse_predicates(bench_triples).count()
+            + predicate_subsumption(bench_triples).count()
+            + entity_summary(bench_triples).count()
+        )
+
+    timed("kg_fusion", run_fusion)
+
     # --- graph construction from events --------------------------------------
     from sigraph_spark.sources.events_map import sigraph_events
 
