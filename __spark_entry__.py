@@ -2195,6 +2195,14 @@ def q_edge_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_predicate_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range induction: modal object literal type per predicate with
+    exact distribution counts."""
+    from sigraph_spark.operators.literals import predicate_ranges
+
+    return predicate_ranges(_webtext_triples(spark))
+
+
 def q_entity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributional entity typing over raw triples: modal predicate
     (corpus-frequency weighted, lexicographic ties) + exact usage
@@ -2548,6 +2556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverse_predicates": q_inverse_predicates,
         "predicate_subsumption": q_predicate_subsumption,
         "edge_provenance": q_edge_provenance,
+        "predicate_ranges": q_predicate_ranges,
         "shortest_paths": q_shortest_paths,
         "kcore": q_kcore,
         "node_features": q_node_features,
@@ -5177,10 +5186,13 @@ def oracle_sql() -> dict[str, str]:
     # source of truth; patterns restricted to the Java/RE2-identical
     # regex subset).
     from sigraph_spark.operators.literals import LITERAL_PATTERNS
-    _lt_case = "CASE " + " ".join(
-        f"WHEN regexp_matches(_c, '{pat}') THEN '{lt}'"
-        for lt, pat in LITERAL_PATTERNS
-    ) + " ELSE NULL END"
+    def _lt_case_for(expr: str) -> str:
+        return "CASE " + " ".join(
+            f"WHEN regexp_matches({expr}, '{pat}') THEN '{lt}'"
+            for lt, pat in LITERAL_PATTERNS
+        ) + " ELSE NULL END"
+
+    _lt_case = _lt_case_for("_c")
     sq["literal_typing"] = (
         "WITH " + _pages_triples_cte()
         + f""",
@@ -5198,6 +5210,33 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT _doc) AS BIGINT) AS n_docs
         FROM lt_ty WHERE littype IS NOT NULL
         GROUP BY littype, canonical
+        """
+    )
+    _pr_case = _lt_case_for("replace(lower(t), '[.]', '.')")
+    sq["predicate_ranges"] = (
+        "WITH " + _pages_triples_cte()
+        + f""",
+        pr_t AS (
+          SELECT verb AS predicate,
+                 coalesce(
+                   (list_filter(
+                      list_transform(
+                        regexp_split_to_array(object, '[\\s,]+'),
+                        t -> {_pr_case}),
+                      x -> x IS NOT NULL))[1],
+                   'untyped') AS littype
+          FROM stepped),
+        pr_c AS (SELECT predicate, littype,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM pr_t GROUP BY predicate, littype)
+        SELECT predicate,
+               max(CASE WHEN rn = 1 THEN littype END) AS range_type,
+               CAST(sum(n) AS BIGINT) AS n_objects,
+               CAST(count(*) AS BIGINT) AS n_types
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY predicate ORDER BY n DESC, littype) AS rn
+              FROM pr_c)
+        GROUP BY predicate
         """
     )
     sq["entity_types"] = (

@@ -21,7 +21,7 @@ No joins, no Python; the dictionary output is vocabulary-sized.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # (type, pattern) in PRIORITY order — first match wins. Anchored full-token
@@ -57,6 +57,50 @@ def canonical_token(token: Column) -> Column:
     IoCs unify with their live spelling, same rule as
     ``linking.normalize_entity``)."""
     return F.replace(F.lower(token), F.lit("[.]"), F.lit("."))
+
+
+def object_literal_type(obj: Column) -> Column:
+    """The type of an object PHRASE: the leftmost typed token's class
+    ('untyped' when no token classifies). Higher-order functions keep it
+    one JVM expression — transform(canonicalize+classify) then the first
+    non-null — no explode, no shuffle."""
+    types = F.transform(
+        F.split(obj, _TOKEN_SPLIT),
+        lambda t: classify_literal(canonical_token(t)),
+    )
+    first = F.filter(types, lambda x: x.isNotNull())
+    # F.get is NULL-safe out of bounds (element_at RAISES under ANSI mode)
+    return F.coalesce(F.get(first, 0), F.lit("untyped"))
+
+
+def predicate_ranges(
+    triples: DataFrame,
+    pred_col: str = "verb",
+    obj_col: str = "object",
+) -> DataFrame:
+    """Range induction — the typed-schema half the ontology quartet
+    leaves open: for each predicate, the modal object literal type
+    (``exfiltrate -> domain``, ``create -> winpath``; deterministic
+    lexicographic ties) plus the exact per-type distribution counts a
+    schema curator audits. One narrow type map + two algebraic aggs +
+    a top-1 window keyed by the predicate (vocabulary-sized)."""
+    typed = triples.select(
+        F.col(pred_col).alias("predicate"),
+        object_literal_type(F.col(obj_col)).alias("littype"),
+    )
+    counts = typed.groupBy("predicate", "littype").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("predicate").orderBy(F.desc("n"), F.asc("littype"))
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .groupBy("predicate")
+        .agg(
+            F.max(F.when(F.col("_rn") == 1, F.col("littype"))).alias("range_type"),
+            F.sum("n").alias("n_objects"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+        )
+    )
 
 
 def typed_literals(

@@ -45,6 +45,25 @@ def test_typed_literals_classification(spark):
     assert not any(c in ("to", "60", "silently") for _, c in out)
 
 
+def test_predicate_ranges_modal_type(spark):
+    from sigraph_spark.operators.literals import predicate_ranges
+
+    rows = [
+        ("d1", "a", "exfiltrate", "to evil.example quietly"),
+        ("d2", "a", "exfiltrate", "to drop.other.example fast"),
+        ("d3", "a", "exfiltrate", "something untyped"),
+        ("d4", "a", "create", "C:\\tmp\\a.exe then C:\\tmp\\b.exe"),
+        # leftmost typed token wins within a phrase: url before domain
+        ("d5", "a", "fetch", "http://x.example/a grabbed from y.example"),
+    ]
+    t = spark.createDataFrame(rows, SCHEMA)
+    out = {r["predicate"]: (r["range_type"], r["n_objects"], r["n_types"])
+           for r in predicate_ranges(t).collect()}
+    assert out["exfiltrate"] == ("domain", 3, 2)
+    assert out["create"] == ("winpath", 1, 1)
+    assert out["fetch"] == ("url", 1, 1)
+
+
 def test_typed_literals_priority_and_counts(spark):
     # url beats domain/file; counts aggregate across docs and mentions
     rows = [
