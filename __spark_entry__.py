@@ -2203,6 +2203,14 @@ def q_predicate_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predicate_ranges(_webtext_triples(spark))
 
 
+def q_predicate_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate schema report: cardinality profile + functional
+    flag + induced range type in one table."""
+    from sigraph_spark.operators.fusion import predicate_schema
+
+    return predicate_schema(_webtext_triples(spark))
+
+
 def q_entity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributional entity typing over raw triples: modal predicate
     (corpus-frequency weighted, lexicographic ties) + exact usage
@@ -2557,6 +2565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predicate_subsumption": q_predicate_subsumption,
         "edge_provenance": q_edge_provenance,
         "predicate_ranges": q_predicate_ranges,
+        "predicate_schema": q_predicate_schema,
         "shortest_paths": q_shortest_paths,
         "kcore": q_kcore,
         "node_features": q_node_features,
@@ -5237,6 +5246,43 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY predicate ORDER BY n DESC, littype) AS rn
               FROM pr_c)
         GROUP BY predicate
+        """
+    )
+    sq["predicate_schema"] = (
+        "WITH " + _pages_triples_cte()
+        + f""",
+        psch_so AS (SELECT DISTINCT verb AS predicate, actor AS s,
+                           object AS o FROM stepped),
+        psch_card AS (
+          SELECT predicate,
+                 CAST(count(DISTINCT s) AS BIGINT) AS n_subjects,
+                 CAST(count(*) AS BIGINT) AS n_so_pairs,
+                 CAST(count(DISTINCT o) AS BIGINT) AS n_objects,
+                 count(*) = count(DISTINCT s) AS is_functional
+          FROM psch_so GROUP BY predicate),
+        psch_t AS (
+          SELECT verb AS predicate,
+                 coalesce(
+                   (list_filter(
+                      list_transform(
+                        regexp_split_to_array(object, '[\\s,]+'),
+                        t -> {_pr_case}),
+                      x -> x IS NOT NULL))[1],
+                   'untyped') AS littype
+          FROM stepped),
+        psch_c AS (SELECT predicate, littype,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM psch_t GROUP BY predicate, littype),
+        psch_r AS (
+          SELECT predicate,
+                 max(CASE WHEN rn = 1 THEN littype END) AS range_type
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY predicate ORDER BY n DESC, littype) AS rn
+                FROM psch_c)
+          GROUP BY predicate)
+        SELECT c.predicate, c.n_subjects, c.n_so_pairs, c.n_objects,
+               c.is_functional, r.range_type
+        FROM psch_card c JOIN psch_r r ON c.predicate = r.predicate
         """
     )
     sq["entity_types"] = (

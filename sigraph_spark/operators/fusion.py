@@ -258,6 +258,27 @@ def entity_cooccurrence(
     )
 
 
+def predicate_schema(
+    triples: DataFrame,
+    subj_col: str = "actor",
+    pred_col: str = "verb",
+    obj_col: str = "object",
+) -> DataFrame:
+    """The per-predicate schema report — cardinality profile + induced
+    range type in one table, the artifact a schema curator reads:
+    (predicate, n_subjects, n_so_pairs, n_objects, is_functional,
+    range_type). A join of two vocabulary-sized induction outputs; both
+    sides aggregate from the same triple scan.
+    """
+    from sigraph_spark.operators.literals import predicate_ranges
+
+    card = predicate_cardinality(triples, subj_col, pred_col, obj_col)
+    rng = predicate_ranges(triples, pred_col, obj_col).select(
+        "predicate", "range_type"
+    )
+    return card.join(rng, "predicate")
+
+
 def inverse_predicates(
     triples: DataFrame,
     subj_col: str = "actor",

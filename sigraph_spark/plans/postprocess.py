@@ -13,7 +13,9 @@ a downstream consumer reads —
                    set INDUCED from the data (90% single-object rule);
   k4 literals    — typed-literal dictionary
                    (``operators/literals.typed_literals``);
-  k5 summary     — entity cards (top-k rarest facts per subject).
+  k5 summary     — entity cards (top-k rarest facts per subject);
+  k6 schema      — per-predicate schema report (cardinality +
+                   functional flag + induced range type).
 
 Same checkpoint/manifest machinery as ``run_pipeline``/``run_curation``:
 chained fingerprints, atomic rename commits, stage-level resume. k2-k5
@@ -59,6 +61,7 @@ def run_kg_post(
 ) -> dict[str, DataFrame]:
     from sigraph_spark.operators.fusion import (
         entity_summary, functional_violations, fuse_triples,
+        predicate_schema,
     )
     from sigraph_spark.operators.literals import typed_literals
 
@@ -118,10 +121,18 @@ def run_kg_post(
         ),
         claims_fp + f":k{top_k}",
     )
+    schema = run_stage(
+        spark, "k6_schema", os.path.join(workdir, "k6_schema"),
+        lambda: predicate_schema(
+            claims, subj_col="subject", pred_col="predicate", obj_col="object"
+        ),
+        claims_fp,
+    )
     return {
         "claims": claims,
         "fused": fused,
         "violations": violations,
         "literals": literals,
         "summary": summary,
+        "schema": schema,
     }

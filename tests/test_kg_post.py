@@ -40,6 +40,12 @@ def test_kg_post_stages_and_resume(spark, tmp_path):
     lits = {(r["littype"], r["canonical"])
             for r in tables["literals"].collect()}
     assert ("file", "f.exe") in lits and ("url", "http://c.example/h.php") in lits
+    # schema report: create is non-functional (x has 2 objects) with a
+    # file range; launch is functional with a url range
+    sch = {r["predicate"]: (r["is_functional"], r["range_type"])
+           for r in tables["schema"].collect()}
+    assert sch["create"] == (False, "file")
+    assert sch["launch"] == (True, "url")
 
     # resume: manifests unchanged, second run returns identical counts
     m_before = json.load(open(os.path.join(wd, "k2_fused", "_manifest.json")))
