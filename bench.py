@@ -26,10 +26,27 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
+def _host_probe() -> float:
+    """Fixed single-thread CPU calibration (3x 2000^2 float64 matmul):
+    this sandbox's hypervisor shows 2-3x invisible run-to-run contention
+    (load average stays ~1 while wall times triple), so every bench line
+    carries the probe — readers normalize stage times across runs by it.
+    Measured range on this box: ~1.5s (quiet) to ~3s (contended)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.random((2000, 2000))
+    t0 = time.monotonic()
+    for _ in range(3):
+        a = a @ a / 1e3
+    return round(time.monotonic() - t0, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    host_probe_s = _host_probe()
 
     from pyspark.sql import functions as F
 
@@ -54,7 +71,7 @@ def main() -> None:
     )
     warm.select(F.sum(F.length("t"))).collect()
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     def timed(name: str, fn):
         # the sandbox host shows 2-3x run-to-run noise: keep the per-stage
@@ -296,6 +313,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cpus": cpus,
+        "host_probe_s": host_probe_s,
         **extras,
     }))
     spark.stop()
