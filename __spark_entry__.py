@@ -2211,6 +2211,44 @@ def q_predicate_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predicate_schema(_webtext_triples(spark))
 
 
+def q_range_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape validation against the induced schema: every 50th page
+    injects a winpath object for 'dns_query' (naturally all-domain, so
+    consensus stays 88% >= 80% and each injected object violates)."""
+    from sigraph_spark.operators.literals import range_violations
+
+    t = _webtext_triples(spark).select("verb", "object")
+    inj = (
+        spark.range(0, 10_000)
+        .filter((F.col("id") % 50) == 0)
+        .select(
+            F.lit("dns_query").alias("verb"),
+            F.concat(
+                F.lit("c:\\noise\\dq_"), F.col("id"), F.lit(".dat")
+            ).alias("object"),
+        )
+    )
+    return range_violations(t.unionByName(inj), min_share_pct=80)
+
+
+def q_fusion_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaned-KG materialization: the noisy claims rewritten onto the
+    fused truth — losing objects (the uppercase injected variants)
+    dropped, uncontested rows untouched."""
+    from sigraph_spark.operators.fusion import apply_fusion, fuse_triples
+
+    claims = _webtext_claims(spark).select(
+        F.col("actor").alias("subject"),
+        F.col("verb").alias("predicate"),
+        F.col("object").alias("object"),
+        "source",
+    ).distinct()
+    fused = fuse_triples(claims, "subject", "predicate", "object", "source")
+    return apply_fusion(
+        claims, fused, subj_col="subject", pred_col="predicate", obj_col="object"
+    )
+
+
 def q_entity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributional entity typing over raw triples: modal predicate
     (corpus-frequency weighted, lexicographic ties) + exact usage
@@ -2566,6 +2604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_provenance": q_edge_provenance,
         "predicate_ranges": q_predicate_ranges,
         "predicate_schema": q_predicate_schema,
+        "range_violations": q_range_violations,
+        "fusion_apply": q_fusion_apply,
         "shortest_paths": q_shortest_paths,
         "kcore": q_kcore,
         "node_features": q_node_features,
@@ -5283,6 +5323,80 @@ def oracle_sql() -> dict[str, str]:
         SELECT c.predicate, c.n_subjects, c.n_so_pairs, c.n_objects,
                c.is_functional, r.range_type
         FROM psch_card c JOIN psch_r r ON c.predicate = r.predicate
+        """
+    )
+    sq["range_violations"] = (
+        "WITH " + _pages_triples_cte()
+        + f""",
+        rv_base AS (
+          SELECT verb, object FROM stepped
+          UNION ALL
+          SELECT 'dns_query',
+                 'c:\\noise\\dq_' || CAST(i AS VARCHAR) || '.dat'
+          FROM pg WHERE i % 50 = 0),
+        rv_t AS (
+          SELECT verb AS predicate, object,
+                 coalesce(
+                   (list_filter(
+                      list_transform(
+                        regexp_split_to_array(object, '[\\s,]+'),
+                        t -> {_pr_case}),
+                      x -> x IS NOT NULL))[1],
+                   'untyped') AS littype
+          FROM rv_base),
+        rv_c AS (SELECT predicate, littype,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM rv_t GROUP BY predicate, littype),
+        rv_k AS (
+          SELECT predicate, littype AS expected_type FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY predicate ORDER BY n DESC, littype) AS rn,
+                   sum(n) OVER (PARTITION BY predicate) AS tot
+            FROM rv_c)
+          WHERE rn = 1 AND littype <> 'untyped' AND 100 * n >= 80 * tot)
+        SELECT t.predicate, k.expected_type, t.littype AS actual_type,
+               t.object, CAST(count(*) AS BIGINT) AS n_mentions
+        FROM rv_t t JOIN rv_k k ON t.predicate = k.predicate
+        WHERE t.littype <> k.expected_type
+        GROUP BY t.predicate, k.expected_type, t.littype, t.object
+        """
+    )
+    sq["fusion_apply"] = (
+        "WITH " + _pages_triples_cte() + _CLAIMS_CTE
+        + """,
+        fa_c AS (SELECT DISTINCT actor AS subject, verb AS predicate,
+                        object, source FROM claims),
+        fa_votes AS (
+          SELECT subject, predicate, object,
+                 CAST(count(*) AS BIGINT) AS votes
+          FROM fa_c GROUP BY subject, predicate, object),
+        fa_w0 AS (
+          SELECT subject, predicate, object AS win0 FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY subject, predicate
+              ORDER BY votes DESC, object) AS rn
+            FROM fa_votes) WHERE rn = 1),
+        fa_scores AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS score
+          FROM fa_c c JOIN fa_w0 w
+            ON c.subject = w.subject AND c.predicate = w.predicate
+           AND c.object = w.win0
+          GROUP BY source),
+        fa_weighted AS (
+          SELECT subject, predicate, object,
+                 CAST(sum(coalesce(score, 0)) AS BIGINT) AS weight
+          FROM fa_c LEFT JOIN fa_scores USING (source)
+          GROUP BY subject, predicate, object),
+        fa_win AS (
+          SELECT subject, predicate, object AS fused_object FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY subject, predicate
+              ORDER BY weight DESC, object) AS rn
+            FROM fa_weighted) WHERE rn = 1)
+        SELECT c.subject, c.predicate, c.object, c.source
+        FROM fa_c c LEFT JOIN fa_win w
+          ON c.subject = w.subject AND c.predicate = w.predicate
+        WHERE w.fused_object IS NULL OR c.object = w.fused_object
         """
     )
     sq["entity_types"] = (

@@ -388,6 +388,42 @@ def predicate_subsumption(
     )
 
 
+def apply_fusion(
+    edges: DataFrame,
+    fused: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "predicate",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Rewrite an edge table onto the fused truth: edges whose object
+    lost the vote are DROPPED (their fact survives through the winning
+    row), everything else passes through unchanged. The cleaned-KG
+    materialization step after :func:`fuse_triples` — a consumer reads
+    one object per (subject, predicate) contested fact.
+
+    The fused table has one row per (subject, predicate) — claim-
+    vocabulary-sized, broadcast — so the edge table never shuffles:
+    one broadcast hash join + filter.
+    """
+    winners = F.broadcast(
+        fused.select(
+            F.col("subject").alias("_af_s"),
+            F.col("predicate").alias("_af_p"),
+            F.col("fused_object").alias("_af_o"),
+        )
+    )
+    return (
+        edges.join(
+            winners,
+            (edges[subj_col] == F.col("_af_s"))
+            & (edges[pred_col] == F.col("_af_p")),
+            "left",
+        )
+        .filter(F.col("_af_o").isNull() | (edges[obj_col] == F.col("_af_o")))
+        .drop("_af_s", "_af_p", "_af_o")
+    )
+
+
 def merge_claims(state: DataFrame | None, delta: DataFrame) -> DataFrame:
     """Incremental claims state: distinct union over (subject, predicate,
     object, source). A set union is the textbook semilattice (idempotent,

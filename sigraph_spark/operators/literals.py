@@ -103,6 +103,55 @@ def predicate_ranges(
     )
 
 
+def range_violations(
+    triples: DataFrame,
+    pred_col: str = "verb",
+    obj_col: str = "object",
+    min_share_pct: int = 80,
+) -> DataFrame:
+    """SHACL-style shape validation against the INDUCED schema: triples
+    whose object literal type disagrees with the predicate's dominant
+    range. A predicate constrains its range only when one type holds at
+    least ``min_share_pct`` of its objects (integer gate ``100*n_modal >=
+    pct*n_total``) and that type is not 'untyped' — low-consensus or
+    untyped predicates assert nothing. Output one row per violating
+    (predicate, object) with the expected/actual types and exact counts.
+
+    Scale: the constraint table is vocabulary-sized and broadcast; the
+    corpus pays one narrow type map + one hash join — no extra shuffle.
+    """
+    typed = triples.select(
+        F.col(pred_col).alias("predicate"),
+        F.col(obj_col).alias("object"),
+        object_literal_type(F.col(obj_col)).alias("littype"),
+    )
+    counts = typed.groupBy("predicate", "littype").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("predicate").orderBy(F.desc("n"), F.asc("littype"))
+    constraints = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_tot", F.sum("n").over(Window.partitionBy("predicate"))
+        )
+        .filter(
+            (F.col("_rn") == 1)
+            & (F.col("littype") != "untyped")
+            & (100 * F.col("n") >= min_share_pct * F.col("_tot"))
+        )
+        .select("predicate", F.col("littype").alias("expected_type"))
+    )
+    return (
+        typed.join(F.broadcast(constraints), "predicate")
+        .filter(F.col("littype") != F.col("expected_type"))
+        .groupBy(
+            "predicate", "expected_type",
+            F.col("littype").alias("actual_type"), "object",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_mentions"))
+    )
+
+
 def typed_literals(
     triples: DataFrame,
     obj_col: str = "object",

@@ -281,6 +281,51 @@ def test_edge_provenance_plan_has_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_apply_fusion_drops_losing_objects_only(spark):
+    from sigraph_spark.operators.fusion import apply_fusion
+
+    edges = spark.createDataFrame(
+        [
+            ("s", "p", "good", 3), ("s", "p", "bad", 1),  # contested
+            ("t", "q", "z", 2),                             # uncontested, fused
+            ("u", "r", "w", 5),                             # not in fused at all
+        ],
+        "subj string, predicate string, obj string, weight int",
+    )
+    fused = spark.createDataFrame(
+        [("s", "p", "good"), ("t", "q", "z")],
+        "subject string, predicate string, fused_object string",
+    )
+    out = apply_fusion(edges, fused)
+    got = {(r["subj"], r["predicate"], r["obj"], r["weight"])
+           for r in out.collect()}
+    assert got == {("s", "p", "good", 3), ("t", "q", "z", 2), ("u", "r", "w", 5)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_range_violations_consensus_gate(spark):
+    from sigraph_spark.operators.literals import range_violations
+
+    rows = (
+        # 'fetch': 4 of 5 objects are urls (80% -> constrained); the odd
+        # winpath one violates
+        [("d", "a", "fetch", f"http://x.example/{i}") for i in range(4)]
+        + [("d", "a", "fetch", "C:\\tmp\\odd.dat")]
+        # 'say': 50/50 split -> no constraint, no violations
+        + [("d", "a", "say", "http://y.example/1"), ("d", "a", "say", "hello there")]
+    )
+    t = spark.createDataFrame(rows, "url string, actor string, verb string, object string")
+    out = range_violations(t, min_share_pct=80).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["predicate"], r["expected_type"], r["actual_type"]) == (
+        "fetch", "url", "winpath")
+    assert r["n_mentions"] == 1
+    # raising the consensus bar above 80% drops the constraint
+    assert range_violations(t, min_share_pct=81).count() == 0
+
+
 def test_fuse_triples_broadcasts_source_scores(spark):
     rows = [("s", "p", "x", "A"), ("s", "p", "y", "B")]
     c = spark.createDataFrame(rows, TRIPLES + ", source string")
