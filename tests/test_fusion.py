@@ -111,6 +111,25 @@ def test_entity_cooccurrence_counts_and_threshold(spark):
     assert r["df_a"] == 3 and r["df_b"] == 2
 
 
+def test_predicate_schema_joins_cardinality_and_range(spark):
+    from sigraph_spark.operators.fusion import predicate_schema
+
+    rows = [
+        ("a", "fetch", "http://x.example/1"),
+        ("a", "fetch", "http://x.example/2"),  # a has 2 objects -> non-functional
+        ("b", "fetch", "http://y.example/1"),
+        ("a", "born_in", "paris france"),
+        ("b", "born_in", "lyon france"),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES)
+    out = {r["predicate"]: r for r in predicate_schema(t).collect()}
+    f = out["fetch"]
+    assert (f["n_subjects"], f["n_so_pairs"], f["is_functional"]) == (2, 3, False)
+    assert f["range_type"] == "url"
+    b = out["born_in"]
+    assert (b["is_functional"], b["range_type"]) == (True, "untyped")
+
+
 def test_fuse_triples_weighted_revote_overrides_majority(spark):
     # (s,p): objects x (sources A,B) vs y (sources C,D) tie 2-2 ->
     # round-0 winner x (lexicographic). A and B also agree with winners
