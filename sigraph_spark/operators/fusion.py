@@ -394,6 +394,7 @@ def apply_fusion(
     subj_col: str = "subj",
     pred_col: str = "predicate",
     obj_col: str = "obj",
+    broadcast_winners: bool | None = None,
 ) -> DataFrame:
     """Rewrite an edge table onto the fused truth: edges whose object
     lost the vote are DROPPED (their fact survives through the winning
@@ -401,17 +402,20 @@ def apply_fusion(
     materialization step after :func:`fuse_triples` — a consumer reads
     one object per (subject, predicate) contested fact.
 
-    The fused table has one row per (subject, predicate) — claim-
-    vocabulary-sized, broadcast — so the edge table never shuffles:
-    one broadcast hash join + filter.
+    The fused table has one row per distinct (subject, predicate) FACT —
+    that scales with the KG itself, not the vocabulary, so the default
+    gives the join NO hint and lets AQE broadcast iff the built side is
+    actually small (the ``canonicalize_triples`` rule). Pass
+    ``broadcast_winners=True`` only for a known-small fused table (one
+    unit's facts, a delta); then the edge table never shuffles at all.
     """
-    winners = F.broadcast(
-        fused.select(
-            F.col("subject").alias("_af_s"),
-            F.col("predicate").alias("_af_p"),
-            F.col("fused_object").alias("_af_o"),
-        )
+    winners = fused.select(
+        F.col("subject").alias("_af_s"),
+        F.col("predicate").alias("_af_p"),
+        F.col("fused_object").alias("_af_o"),
     )
+    if broadcast_winners:
+        winners = F.broadcast(winners)
     return (
         edges.join(
             winners,
@@ -506,6 +510,7 @@ def fuse_triples(
     pred_col: str = "verb",
     obj_col: str = "object",
     src_col: str = "source",
+    broadcast_scores: bool = True,
 ) -> DataFrame:
     """Two-round source-weighted truth fusion over conflicting claims.
 
@@ -530,9 +535,13 @@ def fuse_triples(
 
     Scale: claims dedup + two grouped votes, all algebraic with map-side
     combine on (subject, predicate[, object]); the reliability table has
-    one row per SOURCE (hosts / crawl segments — bounded), broadcast
-    back for the re-vote, so the claim table shuffles only on its
-    natural keys and never on the source.
+    one row per SOURCE. With segment/feed-level sources that is tiny —
+    keep the default explicit broadcast. With HOST-level sources on a
+    web corpus it reaches ~10^8 rows (gigabytes): pass
+    ``broadcast_scores=False`` and the join gets no hint — AQE picks
+    broadcast iff the built side is actually small, else both sides
+    shuffle on the source key. Either way the claim table never
+    shuffles on anything but its natural keys.
     """
     c = claims.select(
         F.col(subj_col).alias("subject"),
@@ -557,8 +566,10 @@ def fuse_triples(
         .groupBy("source")
         .agg(F.count(F.lit(1)).cast("long").alias("_score"))
     )
+    if broadcast_scores:
+        scores = F.broadcast(scores)
     weighted = (
-        c.join(F.broadcast(scores), "source", "left")
+        c.join(scores, "source", "left")
         .groupBy("subject", "predicate", "object")
         .agg(F.sum(F.coalesce("_score", F.lit(0))).alias("weight"))
     )

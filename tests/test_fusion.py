@@ -315,12 +315,16 @@ def test_apply_fusion_drops_losing_objects_only(spark):
         [("s", "p", "good"), ("t", "q", "z")],
         "subject string, predicate string, fused_object string",
     )
-    out = apply_fusion(edges, fused)
+    out = apply_fusion(edges, fused, broadcast_winners=True)
     got = {(r["subj"], r["predicate"], r["obj"], r["weight"])
            for r in out.collect()}
     assert got == {("s", "p", "good", 3), ("t", "q", "z", 2), ("u", "r", "w", 5)}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+    # default: no forced hint — winners scale with the KG, AQE decides
+    noforce = apply_fusion(edges, fused)
+    assert {(r["subj"], r["obj"]) for r in noforce.collect()} == {
+        ("s", "good"), ("t", "z"), ("u", "w")}
 
 
 def test_range_violations_consensus_gate(spark):
