@@ -151,6 +151,40 @@ def main() -> int:
         forbid=("BatchEvalPython", "ArrowEvalPython"),
     )
 
+    # KG fusion family: votes/windows/joins are all relational — zero
+    # Python eval, no product joins anywhere; the lineage panel's doc
+    # sample must keep its rank filter pushed down (WindowGroupLimit),
+    # never a collect-then-slice
+    from sigraph_spark.operators.fusion import edge_provenance, fuse_triples
+    from sigraph_spark.operators.literals import predicate_ranges
+
+    _triples = triples_from_docs(_docs).localCheckpoint(eager=True)
+    _claims = _triples.selectExpr(
+        "actor AS subject", "verb AS predicate", "object",
+        "substr(url, 1, 30) AS source",
+    )
+    check(
+        "fusion_vote",
+        fuse_triples(_claims, "subject", "predicate", "object", "source"),
+        forbid=(
+            "BatchEvalPython", "ArrowEvalPython",
+            "CartesianProduct", "BroadcastNestedLoopJoin",
+        ),
+    )
+    check(
+        "edge_provenance",
+        edge_provenance(_triples, subj_col="actor", pred_col="verb",
+                        obj_col="object"),
+        want=("WindowGroupLimit",),
+        forbid=("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"),
+    )
+    # range induction runs entirely in JVM higher-order functions
+    check(
+        "predicate_ranges",
+        predicate_ranges(_triples),
+        forbid=("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"),
+    )
+
     # pagerank: pure integer Column arithmetic — zero Python eval of any
     # kind in the iterative loop
     check(
