@@ -402,14 +402,29 @@ def connected_components_propagation(
 def link_entities(
     triples: DataFrame,
     cosine_threshold: float = 0.85,
+    small_vocab_max: int = 1024,
 ) -> DataFrame:
     """Full S3: triples -> (entity, canonical_id) mapping.
 
     Entities with no near-duplicate keep themselves as canonical id (the
     mapping is total over the vocabulary).
+
+    Cost-based blocking choice (the broadcast-threshold pattern): a
+    vocabulary of at most ``small_vocab_max`` entities skips the MinHash
+    sketch entirely — all pairs (<= ~0.5M at the default cap) go
+    straight to the exact cosine, which SUPERSETS LSH recall and saves
+    the signature UDF + banding jobs (~4s of fixed cost per run at
+    bench scale). The guarded tiny cross join is sanctioned the same
+    way as the scorer's one-row broadcast; beyond the cap the banded
+    path keeps pair generation near-linear.
     """
     vocab = entity_vocab(triples).localCheckpoint(eager=True)
-    pairs = candidate_pairs(vocab)
+    if vocab.limit(small_vocab_max + 1).count() <= small_vocab_max:
+        a = vocab.select(F.col("entity").alias("a"))
+        b = vocab.select(F.col("entity").alias("b"))
+        pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    else:
+        pairs = candidate_pairs(vocab)
     scored = tfidf_cosine_scores(vocab, pairs)
     matches = (
         scored.filter(F.col("cosine") >= cosine_threshold)
