@@ -261,6 +261,48 @@ ON t.sh = s.sh
 WHEN MATCHED THEN UPDATE SET t._df = t._df + s._df
 WHEN NOT MATCHED THEN INSERT *"""
 
+# KG-fusion state (plans/postprocess.py k1 + streaming/fusion.py): the
+# claim set is a set-union semilattice, which maps EXACTLY onto
+# insert-if-absent MERGE — a replayed delta matches every row and
+# changes nothing, so Iceberg-level idempotency equals the operator's.
+DDL["kg_claims"] = f"""\
+CREATE TABLE IF NOT EXISTS {DB}.kg_claims (
+  subject STRING NOT NULL,
+  predicate STRING NOT NULL,
+  object STRING NOT NULL,
+  source STRING NOT NULL)
+USING iceberg
+PARTITIONED BY (bucket(64, subject))"""
+# fused truth is DERIVED from the claim state: winners upsert on the
+# (subject, predicate) fact key — recomputed rows replace stale winners,
+# facts absent from the recompute never linger because the fuse is run
+# over the FULL merged state (not a delta)
+DDL["kg_fused"] = f"""\
+CREATE TABLE IF NOT EXISTS {DB}.kg_fused (
+  subject STRING NOT NULL,
+  predicate STRING NOT NULL,
+  fused_object STRING NOT NULL,
+  votes BIGINT NOT NULL,
+  weight BIGINT NOT NULL,
+  n_objects BIGINT NOT NULL)
+USING iceberg
+PARTITIONED BY (bucket(64, subject))"""
+
+MERGE["kg_claims"] = f"""\
+MERGE INTO {DB}.kg_claims t
+USING kg_claims_delta s
+ON t.subject = s.subject AND t.predicate = s.predicate
+   AND t.object = s.object AND t.source = s.source
+WHEN NOT MATCHED THEN INSERT *"""
+MERGE["kg_fused"] = f"""\
+MERGE INTO {DB}.kg_fused t
+USING kg_fused_recompute s
+ON t.subject = s.subject AND t.predicate = s.predicate
+WHEN MATCHED THEN UPDATE SET
+  t.fused_object = s.fused_object, t.votes = s.votes,
+  t.weight = s.weight, t.n_objects = s.n_objects
+WHEN NOT MATCHED THEN INSERT *"""
+
 
 def all_statements() -> list[str]:
     return [*DDL.values(), *MERGE.values(), *FLUSH_UNIT.values()]

@@ -106,3 +106,16 @@ def test_linking_state_bindings_pinned():
     assert "WHEN MATCHED" not in MERGE["entity_mapping"]
     assert "PARTITIONED BY (bucket(256, bk))" in DDL["entity_band_index"]
     assert "t._df = t._df + s._df" in MERGE["entity_shingle_df"]
+
+
+def test_fusion_state_bindings_pinned():
+    """KG-fusion state: the claim set is a set-union semilattice ->
+    insert-if-absent on the FULL claim tuple (replay = no-op at the
+    MERGE level too); the fused table upserts recomputed winners on the
+    fact key."""
+    assert "WHEN NOT MATCHED THEN INSERT *" in MERGE["kg_claims"]
+    assert "WHEN MATCHED" not in MERGE["kg_claims"]
+    assert "t.source = s.source" in MERGE["kg_claims"]
+    assert "PARTITIONED BY (bucket(64, subject))" in DDL["kg_claims"]
+    assert "t.fused_object = s.fused_object" in MERGE["kg_fused"]
+    assert "ON t.subject = s.subject AND t.predicate = s.predicate" in MERGE["kg_fused"]
