@@ -280,3 +280,68 @@ def test_mixture_epochs_copy_count_formula(spark, ids, permille):
         ) % 1000
         want = permille // 1000 + (1 if b < permille % 1000 else 0)
         assert got.get(i, 0) == want
+
+
+# --- fusion invariants ------------------------------------------------------
+
+_claims = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2"]),
+        st.sampled_from(["p1", "p2"]),
+        st.sampled_from(["oa", "ob", "oc"]),
+        st.sampled_from(["A", "B", "C", "D"]),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _fuse_py(claims):
+    """Python reference of the exact two-round integer vote."""
+    cs = sorted(set(claims))
+    votes: dict = {}
+    for s, p, o, src in cs:
+        votes[(s, p, o)] = votes.get((s, p, o), 0) + 1
+    win0 = {}
+    for (s, p, o), v in votes.items():
+        k = (s, p)
+        if k not in win0 or (-v, o) < (-votes[(s, p, win0[k])], win0[k]):
+            win0[k] = o
+    score: dict = {}
+    for s, p, o, src in cs:
+        if win0[(s, p)] == o:
+            score[src] = score.get(src, 0) + 1
+    weight: dict = {}
+    for s, p, o, src in cs:
+        weight[(s, p, o)] = weight.get((s, p, o), 0) + score.get(src, 0)
+    out = {}
+    for (s, p, o), w in weight.items():
+        k = (s, p)
+        if k not in out or (-w, o) < (-weight[(s, p, out[k])], out[k]):
+            out[k] = o
+    return {(s, p): (o, votes[(s, p, o)], weight[(s, p, o)])
+            for (s, p), o in out.items()}
+
+
+@given(claims=_claims, cut=st.integers(min_value=0, max_value=20))
+@settings(**_SETTINGS)
+def test_fusion_matches_reference_and_merge_is_split_invariant(
+    spark, claims, cut
+):
+    from sigraph_spark.operators.fusion import fuse_triples, merge_claims
+
+    schema = "subject string, predicate string, object string, source string"
+    cut = min(cut, len(claims))
+    full = spark.createDataFrame(claims, schema)
+    # arbitrary overlapping split folded through the semilattice
+    d1 = spark.createDataFrame(claims[:cut] or claims[:1], schema)
+    d2 = spark.createDataFrame(claims[cut:] or claims[-1:], schema)
+    merged = merge_claims(merge_claims(None, d1), d2)
+    got = {
+        (r["subject"], r["predicate"]): (
+            r["fused_object"], r["votes"], r["weight"])
+        for r in fuse_triples(
+            merged, "subject", "predicate", "object", "source"
+        ).collect()
+    }
+    assert got == _fuse_py(claims)
