@@ -190,6 +190,19 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_edges_ckpt(spark, sf_dir))
 
 
+def q_pagerank_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-start PageRank (crawl-delta analytics): ranks computed on the
+    base subgraph (predicate <> 'write') resume for 3 rounds over the
+    full edge set — both phases exact fixed-point, so the two-phase
+    unrolled-CTE oracle is bit-identical."""
+    from sigraph_spark.operators.pagerank import pagerank, pagerank_resume
+
+    edges = _edges_ckpt(spark, sf_dir)
+    base = edges.filter(F.col("predicate") != "write")
+    prior = pagerank(base, iterations=5).select("node", "rank_fp")
+    return pagerank_resume(edges, prior.localCheckpoint(eager=True), iterations=3)
+
+
 def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HARD oracle for the large-star/small-star connected components
     (SURVEY §4-custom-1): canonical id = component minimum, verified
@@ -2575,6 +2588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjacency": q_adjacency,
         "degree_table": q_degree_table,
         "pagerank": q_pagerank,
+        "pagerank_resume": q_pagerank_resume,
         "graph_diff": q_graph_diff,
         "components": q_components,
         "triangles": q_triangles,
@@ -3375,6 +3389,21 @@ def oracle_sql() -> dict[str, str]:
 
     sq["pagerank"] = (
         "WITH " + _EDGES_CTE + "," + pagerank_oracle_sql("edges")
+    )
+    # warm-start: phase 1 (cold, 5 rounds) over the base subgraph, phase 2
+    # (3 rounds) over the FULL graph initialized from phase 1's ranks —
+    # both phases the same exact integer recurrence, composed via CTE
+    # prefixes (pb_ cold, pw_ warm).
+    sq["pagerank_resume"] = (
+        "WITH " + _EDGES_CTE + ","
+        + "base_e AS (SELECT src, dst FROM edges WHERE predicate <> 'write'),"
+        + pagerank_oracle_sql(
+            "base_e", prefix="pb_", iterations=5, final_select=False
+        )
+        + ","
+        + pagerank_oracle_sql(
+            "edges", prefix="pw_", iterations=3, init_rel="pb_r5"
+        )
     )
     from sigraph_spark.operators.pagerank import ppr_oracle_sql
 

@@ -104,49 +104,147 @@ def pagerank(
     )
 
 
+def pagerank_resume(
+    edges: DataFrame,
+    prior_ranks: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping_pct: int = 85,
+    iterations: int = 3,
+) -> DataFrame:
+    """Warm-start PageRank for the continuous-crawl path: instead of
+    recomputing centrality from scratch after a delta folds new edges
+    into the KG, resume from the STORED ranks (``prior_ranks`` with
+    columns node, rank_fp) and run ``iterations`` more rounds over the
+    updated edge set. Nodes new to the graph initialize at the uniform
+    share SCALE // N (current N). Power iteration contracts from ANY
+    starting vector, so a warm start needs far fewer rounds to reach
+    ranking-stable values than a cold one — the standard incremental-
+    analytics trade on evolving graphs.
+
+    Same fixed-point BIGINT arithmetic as :func:`pagerank` — given the
+    same inputs and round count the result is bit-identical across
+    engines and partitionings, so the oracle replays both phases
+    exactly. One shuffle per round, degrees computed once.
+    """
+    e = edges.select(
+        F.col(src).cast("string").alias("src"),
+        F.col(dst).cast("string").alias("dst"),
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("rank_fp"),
+            F.lit(0.0).alias("rank"),
+        )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    teleport = ((100 - damping_pct) * SCALE) // (100 * n)
+    ranks = (
+        nodes.join(prior_ranks.select("node", "rank_fp"), "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("rank_fp"), F.lit(SCALE // n))
+            .cast("long")
+            .alias("rank_fp"),
+        )
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_fp DIV deg").alias("c"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(f"({damping_pct} * coalesce(s, 0)) DIV 100")
+                ).cast("long").alias("rank_fp"),
+            )
+        )
+    return ranks.select(
+        "node",
+        "rank_fp",
+        F.round(F.col("rank_fp") / F.lit(SCALE), 6).alias("rank"),
+    )
+
+
 def pagerank_oracle_sql(
     edges_rel: str,
     n_nodes_known: int | None = None,
     damping_pct: int = 85,
     iterations: int = 5,
+    prefix: str = "pr_",
+    init_rel: str | None = None,
+    final_select: bool = True,
 ) -> str:
     """The unrolled-CTE SQL restatement of ``pagerank`` for an external
     engine (DuckDB): same fixed-point arithmetic, so the match is exact,
     not approximate. ``edges_rel`` must be a relation (or CTE name) with
-    string columns src, dst."""
+    string columns src, dst.
+
+    ``prefix`` namespaces the CTEs so TWO instances compose into one
+    WITH-list (the warm-start oracle chains a cold phase into a resumed
+    phase); ``init_rel`` (node, rank_fp) seeds r0 — nodes absent from it
+    start at SCALE // N, mirroring :func:`pagerank_resume`; with
+    ``final_select=False`` the block ends after the last rank CTE
+    (named ``{prefix}r{iterations}``) so a caller can keep composing."""
     d = damping_pct
-    # pr_-prefixed CTE names so the block composes into WITH-lists that
+    p = prefix
+    # {p}-prefixed CTE names so the block composes into WITH-lists that
     # already define e.g. `nodes` (the graph-edge CTEs in the gate oracles).
     # The node list is DISTINCT-over-UNION-ALL, not a bare `A UNION B`:
     # under a composed WITH RECURSIVE list DuckDB treats a top-level UNION
     # CTE as anchor/step and the dedup silently degrades to UNION ALL
     # (observed: duplicated rank rows + inflated sums in node_features).
     sql = f"""
-pr_e AS (SELECT DISTINCT CAST(src AS VARCHAR) AS src, CAST(dst AS VARCHAR) AS dst FROM {edges_rel}),
-pr_nodes AS (
+{p}e AS (SELECT DISTINCT CAST(src AS VARCHAR) AS src, CAST(dst AS VARCHAR) AS dst FROM {edges_rel}),
+{p}nodes AS (
   SELECT DISTINCT node FROM (
-    SELECT src AS node FROM pr_e UNION ALL SELECT dst FROM pr_e)),
-pr_nn AS (SELECT count(*) AS n FROM pr_nodes),
-pr_outdeg AS (SELECT src, count(*) AS deg FROM pr_e GROUP BY src),
-pr_r0 AS (SELECT node, CAST({SCALE} // n AS BIGINT) AS rank_fp FROM pr_nodes, pr_nn)
+    SELECT src AS node FROM {p}e UNION ALL SELECT dst FROM {p}e)),
+{p}nn AS (SELECT count(*) AS n FROM {p}nodes),
+{p}outdeg AS (SELECT src, count(*) AS deg FROM {p}e GROUP BY src),
 """
-    prev = "pr_r0"
+    if init_rel is None:
+        sql += f"""{p}r0 AS (SELECT node, CAST({SCALE} // n AS BIGINT) AS rank_fp FROM {p}nodes, {p}nn)
+"""
+    else:
+        sql += f"""{p}r0 AS (
+  SELECT n.node,
+         CAST(coalesce(i.rank_fp, {SCALE} // nn.n) AS BIGINT) AS rank_fp
+  FROM {p}nodes n CROSS JOIN {p}nn nn
+  LEFT JOIN {init_rel} i ON n.node = i.node)
+"""
+    prev = f"{p}r0"
     for i in range(1, iterations + 1):
         sql += f""",
-pr_c{i} AS (
-  SELECT pr_e.dst AS node, sum(r.rank_fp // o.deg) AS s
-  FROM pr_e JOIN {prev} r ON pr_e.src = r.node
-  JOIN pr_outdeg o ON pr_e.src = o.src
-  GROUP BY pr_e.dst),
-pr_r{i} AS (
-  SELECT pr_nodes.node,
-         CAST(((100 - {d}) * {SCALE}) // (100 * pr_nn.n)
-              + ({d} * coalesce(pr_c{i}.s, 0)) // 100 AS BIGINT) AS rank_fp
-  FROM pr_nodes CROSS JOIN pr_nn
-  LEFT JOIN pr_c{i} ON pr_nodes.node = pr_c{i}.node)
+{p}c{i} AS (
+  SELECT {p}e.dst AS node, sum(r.rank_fp // o.deg) AS s
+  FROM {p}e JOIN {prev} r ON {p}e.src = r.node
+  JOIN {p}outdeg o ON {p}e.src = o.src
+  GROUP BY {p}e.dst),
+{p}r{i} AS (
+  SELECT {p}nodes.node,
+         CAST(((100 - {d}) * {SCALE}) // (100 * {p}nn.n)
+              + ({d} * coalesce({p}c{i}.s, 0)) // 100 AS BIGINT) AS rank_fp
+  FROM {p}nodes CROSS JOIN {p}nn
+  LEFT JOIN {p}c{i} ON {p}nodes.node = {p}c{i}.node)
 """
-        prev = f"pr_r{i}"
-    sql += f"""
+        prev = f"{p}r{i}"
+    if final_select:
+        sql += f"""
 SELECT node, rank_fp, round(rank_fp / {SCALE}.0, 6) AS rank FROM {prev}
 """
     return sql

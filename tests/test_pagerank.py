@@ -125,3 +125,36 @@ def test_ppr_foreign_seeds_filtered_and_empty_raises(spark):
     only_foreign = spark.createDataFrame([("zzz",)], "node string")
     with _pytest.raises(ValueError):
         personalized_pagerank(edges, only_foreign)
+
+
+# --- warm-start resume ------------------------------------------------------
+
+def test_resume_on_unchanged_graph_equals_longer_cold_run(spark):
+    from sigraph_spark.operators.pagerank import pagerank, pagerank_resume
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "src string, dst string",
+    )
+    prior = pagerank(e, iterations=5).select("node", "rank_fp")
+    resumed = {r["node"]: r["rank_fp"]
+               for r in pagerank_resume(e, prior, iterations=3).collect()}
+    cold = {r["node"]: r["rank_fp"]
+            for r in pagerank(e, iterations=8).collect()}
+    assert resumed == cold  # bit-identical: warm rounds ARE rounds 6-8
+
+
+def test_resume_initializes_new_nodes_at_uniform_share(spark):
+    from sigraph_spark.operators.pagerank import SCALE, pagerank, pagerank_resume
+
+    base = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    prior = pagerank(base, iterations=5).select("node", "rank_fp")
+    # delta adds node c; with 0 extra iterations the init is observable
+    full = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c")], "src string, dst string"
+    )
+    init = {r["node"]: r["rank_fp"]
+            for r in pagerank_resume(full, prior, iterations=0).collect()}
+    got_prior = {r["node"]: r["rank_fp"] for r in prior.collect()}
+    assert init["a"] == got_prior["a"] and init["b"] == got_prior["b"]
+    assert init["c"] == SCALE // 3
