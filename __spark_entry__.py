@@ -216,6 +216,25 @@ def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(e)
 
 
+def q_components_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CC: stored mapping (star forest) from the base
+    subgraph (predicate <> 'write') + the 'write' delta edges — must
+    equal the full-recompute closure, which is the oracle."""
+    from sigraph_spark.operators.linking import (
+        connected_components, connected_components_resume,
+    )
+
+    edges = _edges_ckpt(spark, sf_dir)
+    base = edges.filter(F.col("predicate") != "write").select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    delta = edges.filter(F.col("predicate") == "write").select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    prior = connected_components(base).localCheckpoint(eager=True)
+    return connected_components_resume(prior, delta)
+
+
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the trace co-occurrence graph
     (nodes sharing a trace — the triangle-dense companion to degree/
@@ -2591,6 +2610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_resume": q_pagerank_resume,
         "graph_diff": q_graph_diff,
         "components": q_components,
+        "components_resume": q_components_resume,
         "triangles": q_triangles,
         "link_prediction": q_link_prediction,
         "scc": q_scc,
@@ -3195,6 +3215,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT x AS entity, min(r) AS canonical_id FROM reach GROUP BY x
         """
     )
+    # star edges preserve connectivity exactly, so the incremental path's
+    # ground truth IS the full-recompute closure
+    sq["components_resume"] = sq["components"]
     # --- label propagation: fixed 3 rounds of deterministic majority vote
     from sigraph_spark.operators.graphalgo import label_propagation_oracle_sql
 

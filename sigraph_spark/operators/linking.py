@@ -357,6 +357,34 @@ def connected_components(
     return children.unionByName(roots).distinct()
 
 
+def connected_components_resume(
+    prior: DataFrame,
+    delta_edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 50,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Incremental connected components for the crawl-delta path: fold
+    NEW edges into a stored (entity, canonical_id) mapping without
+    re-reading the historical edge set. The stored mapping IS a star
+    forest, and star edges preserve the connectivity relation exactly —
+    so CC over (star forest ∪ delta) equals CC over (all past edges ∪
+    delta), at O(|mapping| + |delta|) instead of O(all edges ever seen).
+    Canonical ids stay the component minimum (the global minimum rides
+    the star forest), so untouched components keep their ids — the
+    frozen-history property the incremental linking state relies on.
+    """
+    star = (
+        prior.filter(F.col("entity") != F.col("canonical_id"))
+        .select(F.col("entity").alias("u"), F.col("canonical_id").alias("v"))
+    )
+    d = delta_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    return connected_components(
+        star.unionByName(d), "u", "v", max_iter=max_iter, metrics=metrics
+    )
+
+
 def connected_components_propagation(
     edges: DataFrame,
     src: str = "a",

@@ -313,6 +313,27 @@ def test_incremental_skips_reprocessing_known_entities(spark):
     )
 
 
+def test_connected_components_resume_equals_full_recompute(spark):
+    from sigraph_spark.operators.linking import (
+        connected_components, connected_components_resume,
+    )
+
+    base = [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q")]
+    # delta merges two old components, extends one, adds a new one
+    delta = [("c", "x"), ("q", "r"), ("m", "n")]
+    bdf = spark.createDataFrame(base, "a string, b string")
+    ddf = spark.createDataFrame(delta, "a string, b string")
+    full = spark.createDataFrame(base + delta, "a string, b string")
+    prior = connected_components(bdf)
+    resumed = {(r["entity"], r["canonical_id"])
+               for r in connected_components_resume(prior, ddf).collect()}
+    recomputed = {(r["entity"], r["canonical_id"])
+                  for r in connected_components(full).collect()}
+    assert resumed == recomputed
+    # untouched component keeps its canonical id (frozen history)
+    assert ("q", "p") in resumed or ("r", "p") in resumed
+
+
 # --- predicate canonicalization -------------------------------------------
 
 def test_predicate_clusters_merge_and_singletons(spark):
