@@ -324,6 +324,19 @@ def q_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_path_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 property path ``?p LAUNCH+/CONNECT ?ip``: transitive
+    launch descent composed with a final CONNECT hop — "every address
+    anything in this process tree talks to", the reference's var-length
+    Cypher MATCH generalized. Closure = bounded frontier iteration with
+    anti-join novelty; the oracle is a recursive CTE."""
+    from sigraph_spark.operators.bgp import match_path
+
+    return match_path(
+        _edges_ckpt(spark, sf_dir), "?p", "LAUNCH+/CONNECT", "?ip"
+    ).distinct()
+
+
 def q_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BGP with a SPARQL OPTIONAL arm: every LAUNCH edge, left-extended by
     the child's CONNECT targets (NULL where the child never connects —
@@ -461,6 +474,15 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("node"), F.col("n").alias("label")
     )
     return label_propagation(e, seeds, rounds=3)
+
+
+def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unseeded community detection: 4 rounds of deterministic
+    synchronous LPA (self-vote damped, lexicographic ties) over the
+    event graph. The oracle unrolls the identical rounds."""
+    from sigraph_spark.operators.graphalgo import communities_lpa
+
+    return communities_lpa(_edges_ckpt(spark, sf_dir), rounds=4)
 
 
 def q_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1671,6 +1693,39 @@ def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distant_supervision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distant supervision (Mintz-style): KG facts matched back onto
+    corpus sentences that mention both endpoints as contiguous token
+    runs — the KG -> relation-extractor training-set bridge. Blocked on
+    the entity's first token; the oracle is the INDEPENDENT naive
+    formulation (padded substring search over every sentence x fact)."""
+    from sigraph_spark.operators.distant import distant_supervision
+
+    facts = spark.createDataFrame(
+        _DS_FACTS, "subj string, predicate string, obj string"
+    )
+    return distant_supervision(_docs(spark, sf_dir), facts)
+
+
+_DS_FACTS = [
+    ("hash value", "phrase_with", "table"),
+    ("query", "cooccurs", "window"),
+    ("spark", "cooccurs", "merge"),
+    ("customer", "cooccurs", "order"),
+    ("big vector", "phrase_with", "scan"),
+]
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable mergeable HyperLogLog distinct-count sketch: per-source
+    estimated distinct doc_ids (p=8). Register arithmetic is the
+    engine-exact md5 family + integer leading-zero device; the oracle
+    replays registers AND the estimator branches at 6dp."""
+    from sigraph_spark.operators.sketches import hll_distinct
+
+    return hll_distinct(_docs(spark, sf_dir), ["source"], "doc_id", p=8)
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host corpus profile over synthesized multi-host URLs
     (host{doc_id % 50}.example.com — deterministic in both engines). Host
@@ -2290,6 +2345,31 @@ def q_entity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_type_signature(_webtext_triples(spark))
 
 
+def q_transe_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed KG-embedding training (TransE, Bordes et al. 2013)
+    with exact BIGINT subgradient descent: deterministic md5 init,
+    lexicographic-rank negative draws, integer margin test — the oracle
+    unrolls the identical 3 training rounds and matches bit-for-bit."""
+    from sigraph_spark.operators.transe import transe_train
+
+    t = _webtext_triples(spark).select(
+        F.col("actor").alias("subj"),
+        F.col("verb").alias("predicate"),
+        F.col("object").alias("obj"),
+    )
+    return transe_train(t, dim=4, rounds=3)
+
+
+def q_schema_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-level schema summary: the instance KG contracted onto the
+    induced entity types (modal subject predicate; object-only entities
+    are LITERAL leaves) with exact edge/instance counts per
+    (subj_type, predicate, obj_type)."""
+    from sigraph_spark.operators.fusion import schema_graph
+
+    return schema_graph(_webtext_triples(spark))
+
+
 def q_entity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-card summarization: top-3 rarest facts per subject with
     deterministic (fact_subjects, predicate, object) ordering."""
@@ -2617,6 +2697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condensation_levels": q_condensation_levels,
         "bgp_match": q_bgp_match,
         "bgp_optional": q_bgp_optional,
+        "path_query": q_path_query,
         "rdf_export": q_rdf_export,
         "rdf_roundtrip": q_rdf_roundtrip,
         "edge_history": q_edge_history,
@@ -2630,6 +2711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triple_fusion": q_triple_fusion,
         "triple_fusion_merge": q_triple_fusion_merge,
         "entity_types": q_entity_types,
+        "schema_graph": q_schema_graph,
+        "transe_embeddings": q_transe_embeddings,
         "entity_summary": q_entity_summary,
         "entity_cooccurrence": q_entity_cooccurrence,
         "literal_typing": q_literal_typing,
@@ -2646,6 +2729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_stats": q_component_stats,
         "graph_metrics": q_graph_metrics,
         "label_propagation": q_label_propagation,
+        "communities": q_communities,
         "random_walks": q_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
         "negative_samples": q_negative_samples,
@@ -2703,6 +2787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_k_per_group": q_sample_k_per_group,
         "chunk_documents": q_chunk_documents,
         "domain_stats": q_domain_stats,
+        "hll_distinct": q_hll_distinct,
+        "distant_supervision": q_distant_supervision,
         "text_normalize": q_text_normalize,
         "unigram_logprob": q_unigram_logprob,
         "bigram_logprob": q_bigram_lm,
@@ -3020,6 +3106,19 @@ def oracle_sql() -> dict[str, str]:
         WHERE e1.predicate = 'LAUNCH' AND e1.src <> e3.src
         """
     )
+    sq["path_query"] = (
+        "WITH RECURSIVE " + _EDGES_CTE
+        + """,
+        pp(a, b) AS (
+          SELECT DISTINCT src, dst FROM edges WHERE predicate = 'LAUNCH'
+          UNION
+          SELECT p.a, e.dst FROM pp p
+          JOIN edges e ON e.src = p.b AND e.predicate = 'LAUNCH')
+        SELECT DISTINCT p.a AS p, e.dst AS ip
+        FROM pp p JOIN edges e
+          ON e.src = p.b AND e.predicate = 'CONNECT'
+        """
+    )
     sq["bgp_optional"] = (
         "WITH " + _EDGES_CTE
         + """
@@ -3230,6 +3329,12 @@ def oracle_sql() -> dict[str, str]:
           WHERE n LIKE 'proc\\_%' ESCAPE '\\'),
         """
         + label_propagation_oracle_sql("edges", "lp_seeds", 3)
+    )
+    # --- unseeded community detection: 4 unrolled LPA rounds
+    from sigraph_spark.operators.graphalgo import communities_oracle_sql
+
+    sq["communities"] = (
+        "WITH " + _EDGES_CTE + ",\n" + communities_oracle_sql("edges", 4)
     )
     # --- one-row graph health panel
     sq["graph_metrics"] = (
@@ -4857,6 +4962,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, host, lang, CAST(n_chars AS BIGINT) AS n_chars
         FROM r WHERE rn <= 25
     """
+    from sigraph_spark.operators.sketches import hll_oracle_sql
+    sq["hll_distinct"] = "WITH " + hll_oracle_sql(
+        "documents", ["source AS source"], "doc_id", p=8
+    )
+    # distant supervision: the ORACLE is the independent naive
+    # formulation — every sentence x fact probed by padded substring
+    # search (no anchor blocking), so it checks the blocking path's
+    # completeness, not just its arithmetic
+    _ds_vals = ", ".join(
+        "('{}', '{}', '{}')".format(*f) for f in _DS_FACTS
+    )
+    sq["distant_supervision"] = f"""
+        WITH f(subj, predicate, obj) AS (VALUES {_ds_vals}),
+        ds_d AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(coalesce(text, ''),
+                                             '([.!?])\\s+',
+                                             '\\1' || chr(29), 'g'),
+                              chr(29)) AS parts
+          FROM documents),
+        ds_i AS (SELECT doc_id, unnest(range(1, len(parts) + 1)) AS sid,
+                        parts
+                 FROM ds_d),
+        ds_s AS (
+          SELECT doc_id, CAST(sid AS INTEGER) AS sentence_id,
+                 trim(parts[sid]) AS sentence
+          FROM ds_i WHERE trim(parts[sid]) <> ''),
+        ds_h AS (
+          SELECT *, ' ' || array_to_string(
+                   list_filter(string_split_regex(trim(sentence), '\\s+'),
+                               x -> x <> ''), ' ') || ' ' AS hay
+          FROM ds_s)
+        SELECT DISTINCT doc_id, sentence_id, sentence, subj, predicate, obj
+        FROM ds_h JOIN f
+          ON strpos(hay, ' ' || subj || ' ') > 0
+         AND strpos(hay, ' ' || obj || ' ') > 0
+    """
     sq["domain_stats"] = r"""
         WITH d AS (
           SELECT 'https://HOST' || CAST(doc_id % 50 AS VARCHAR)
@@ -5468,6 +5610,38 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY entity ORDER BY n DESC, p) AS rn
               FROM et_c)
         GROUP BY entity
+        """
+    )
+    from sigraph_spark.operators.transe import transe_oracle_sql
+    sq["transe_embeddings"] = (
+        "WITH " + _pages_triples_cte()
+        + """,
+        te_in AS (SELECT actor AS s, verb AS p, object AS o FROM stepped),
+        """
+        + transe_oracle_sql("te_in", dim=4, rounds=3)
+    )
+    sq["schema_graph"] = (
+        "WITH " + _pages_triples_cte()
+        + """,
+        sg_c AS (
+          SELECT actor AS entity, verb AS p, count(*) AS n
+          FROM stepped GROUP BY actor, verb),
+        sg_types AS (
+          SELECT entity, max(CASE WHEN rn = 1 THEN p END) AS type_pred
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY entity ORDER BY n DESC, p) AS rn
+                FROM sg_c)
+          GROUP BY entity)
+        SELECT st.type_pred AS subj_type,
+               t.verb AS predicate,
+               coalesce(ot.type_pred, 'LITERAL') AS obj_type,
+               CAST(count(*) AS BIGINT) AS n_edges,
+               CAST(count(DISTINCT t.actor) AS BIGINT) AS n_subjects,
+               CAST(count(DISTINCT t.object) AS BIGINT) AS n_objects
+        FROM stepped t
+        JOIN sg_types st ON t.actor = st.entity
+        LEFT JOIN sg_types ot ON t.object = ot.entity
+        GROUP BY 1, 2, 3
         """
     )
     from sigraph_spark.corpus import portable_hash_sql

@@ -267,6 +267,42 @@ def main() -> None:
 
     timed("kg_completion", lambda: link_prediction(edges_pr, min_cn=2).count())
 
+    # --- KG embeddings: TransE exact-integer training ----------------------------
+    from sigraph_spark.operators.transe import transe_train
+
+    bench_facts = bench_triples.select(
+        F.col("actor").alias("subj"),
+        F.col("verb").alias("predicate"),
+        F.col("object").alias("obj"),
+    )
+    timed(
+        "kg_embedding",
+        lambda: transe_train(bench_facts, dim=8, rounds=2).count(),
+    )
+
+    # --- community detection over the event graph --------------------------------
+    from sigraph_spark.operators.graphalgo import communities_lpa
+
+    timed("communities", lambda: communities_lpa(edges_pr, rounds=3).count())
+
+    # --- distant supervision: KG facts -> relation-extraction training set -------
+    from sigraph_spark.operators.distant import distant_supervision
+
+    ds_docs = extract_pages(pages).select("url", "text").localCheckpoint(eager=True)
+    timed(
+        "distant_supervision",
+        lambda: distant_supervision(ds_docs, bench_facts, id_col="url").count(),
+    )
+
+    # --- mergeable sketches: per-source HLL distinct ------------------------------
+    from sigraph_spark.operators.sketches import hll_distinct
+
+    timed(
+        "sketches",
+        lambda: hll_distinct(docs_tbl, ["lang"], "text", p=12).count()
+        + hll_distinct(docs_tbl, ["source"], "doc_id", p=12).count(),
+    )
+
     # --- text profiling ---------------------------------------------------------
     from sigraph_spark.operators.textstats import text_profile
 

@@ -156,3 +156,195 @@ def match_bgp(
     for cond in where:
         out = out.filter(F.expr(cond) if isinstance(cond, str) else cond)
     return out.distinct() if distinct else out
+
+
+# --- SPARQL property paths -------------------------------------------------
+#
+# Grammar (SPARQL 1.1 §9):   alt  := seq ('|' seq)*
+#                            seq  := post ('/' post)*
+#                            post := atom ('+' | '*' | '?')*
+#                            atom := '^' atom | '(' alt ')' | PREDICATE
+#
+# Every expression evaluates to a DISTINCT (a, b) pair relation, composed
+# bottom-up: predicates are filtered scans (constant pushed down),
+# sequence is a hash join on the middle node, alternation a distinct
+# union, inverse a column swap, and +/* the bounded-depth transitive
+# closure (iterative frontier join with anti-join novelty — the
+# related_traces device; each round's work is O(frontier x out-edges),
+# never the full closure re-derived). Zero-length paths (* and ?) bind
+# every node OF THE EDGE TABLE, per SPARQL's graph-term semantics.
+
+
+class _PathParser:
+    def __init__(self, s: str):
+        self.s = s
+        self.i = 0
+
+    def _peek(self) -> str:
+        while self.i < len(self.s) and self.s[self.i].isspace():
+            self.i += 1
+        return self.s[self.i] if self.i < len(self.s) else ""
+
+    def parse(self):
+        node = self._alt()
+        if self._peek():
+            raise ValueError(f"trailing input at {self.i}: {self.s[self.i:]!r}")
+        return node
+
+    def _alt(self):
+        parts = [self._seq()]
+        while self._peek() == "|":
+            self.i += 1
+            parts.append(self._seq())
+        return parts[0] if len(parts) == 1 else ("alt", parts)
+
+    def _seq(self):
+        parts = [self._post()]
+        while self._peek() == "/":
+            self.i += 1
+            parts.append(self._post())
+        return parts[0] if len(parts) == 1 else ("seq", parts)
+
+    def _post(self):
+        node = self._atom()
+        while self._peek() and self._peek() in "+*?":
+            node = ({"+": "plus", "*": "star", "?": "opt"}[self._peek()], node)
+            self.i += 1
+        return node
+
+    def _atom(self):
+        c = self._peek()
+        if c == "^":
+            self.i += 1
+            return ("inv", self._atom())
+        if c == "(":
+            self.i += 1
+            node = self._alt()
+            if self._peek() != ")":
+                raise ValueError(f"unbalanced '(' at {self.i}")
+            self.i += 1
+            return node
+        j = self.i
+        while j < len(self.s) and (self.s[j].isalnum() or self.s[j] in "_-."):
+            j += 1
+        if j == self.i:
+            raise ValueError(f"expected predicate at {self.i} in {self.s!r}")
+        name, self.i = self.s[self.i : j], j
+        return ("pred", name)
+
+
+def _path_closure(pairs: DataFrame, max_depth: int) -> DataFrame:
+    reach = pairs.distinct().localCheckpoint(eager=True)
+    base = reach
+    frontier = reach
+    for _ in range(max_depth - 1):
+        nxt = (
+            frontier.alias("f")
+            .join(base.alias("p"), F.col("f.b") == F.col("p.a"))
+            .select(F.col("f.a").alias("a"), F.col("p.b").alias("b"))
+            .distinct()
+            .join(reach, ["a", "b"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        reach = reach.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return reach
+
+
+def eval_path(edges: DataFrame, path: str, max_depth: int = 20) -> DataFrame:
+    """Evaluate a property-path expression to its DISTINCT ``(a, b)``
+    endpoint-pair relation over an ``(src, predicate, dst)`` edge table.
+    ``max_depth`` bounds +/* expansion (graph-diameter steps; SPARQL
+    engines bound closure the same way in practice)."""
+    nodes = None
+
+    def all_nodes() -> DataFrame:
+        nonlocal nodes
+        if nodes is None:
+            nodes = (
+                edges.select(F.col("src").alias("a"))
+                .unionByName(edges.select(F.col("dst").alias("a")))
+                .distinct()
+                .select("a", F.col("a").alias("b"))
+                .localCheckpoint(eager=False)
+            )
+        return nodes
+
+    def ev(node) -> DataFrame:
+        kind = node[0]
+        if kind == "pred":
+            return (
+                edges.filter(F.col("predicate") == node[1])
+                .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+                .distinct()
+            )
+        if kind == "inv":
+            return ev(node[1]).select(
+                F.col("b").alias("a"), F.col("a").alias("b")
+            )
+        if kind == "alt":
+            out = ev(node[1][0])
+            for part in node[1][1:]:
+                out = out.unionByName(ev(part))
+            return out.distinct()
+        if kind == "seq":
+            out = ev(node[1][0])
+            for part in node[1][1:]:
+                right = ev(part)
+                out = (
+                    out.alias("l")
+                    .join(right.alias("r"), F.col("l.b") == F.col("r.a"))
+                    .select(F.col("l.a").alias("a"), F.col("r.b").alias("b"))
+                    .distinct()
+                )
+            return out
+        if kind == "plus":
+            return _path_closure(ev(node[1]), max_depth)
+        if kind == "star":
+            return (
+                _path_closure(ev(node[1]), max_depth)
+                .unionByName(all_nodes())
+                .distinct()
+            )
+        if kind == "opt":
+            return ev(node[1]).unionByName(all_nodes()).distinct()
+        raise AssertionError(f"unknown node {node!r}")
+
+    return ev(_PathParser(path).parse())
+
+
+def match_path(
+    edges: DataFrame,
+    subject: str,
+    path: str,
+    object_: str,
+    max_depth: int = 20,
+) -> DataFrame:
+    """One path pattern ``subject path object``: terms follow the BGP
+    convention (``?name`` variable, else constant). Returns one column
+    per distinct variable; a repeated variable (``?x path ?x``) keeps
+    only cyclic bindings; two constants return the 0/1-row existence
+    relation (column ``matched``)."""
+    pairs = eval_path(edges, path, max_depth)
+    s_var, o_var = _is_var(subject), _is_var(object_)
+    if not s_var:
+        pairs = pairs.filter(F.col("a") == subject)
+    if not o_var:
+        pairs = pairs.filter(F.col("b") == object_)
+    if s_var and o_var:
+        if subject == object_:
+            return (
+                pairs.filter(F.col("a") == F.col("b"))
+                .select(F.col("a").alias(subject[1:]))
+                .distinct()
+            )
+        return pairs.select(
+            F.col("a").alias(subject[1:]), F.col("b").alias(object_[1:])
+        )
+    if s_var:
+        return pairs.select(F.col("a").alias(subject[1:])).distinct()
+    if o_var:
+        return pairs.select(F.col("b").alias(object_[1:])).distinct()
+    return pairs.limit(1).select(F.lit(True).alias("matched"))

@@ -595,3 +595,63 @@ def fuse_triples(
             F.col("n_objects").cast("long").alias("n_objects"),
         )
     )
+
+
+def schema_graph(
+    triples: DataFrame,
+    subj_col: str = "actor",
+    pred_col: str = "verb",
+    obj_col: str = "object",
+    literal_type: str = "LITERAL",
+) -> DataFrame:
+    """Type-level schema summary graph (graph summarization by inferred
+    type): contract the instance KG onto the induced entity types of
+    :func:`entity_type_signature` and report, per
+    ``(subj_type, predicate, obj_type)``, exact edge/instance counts.
+    This is the "what does the graph look like" panel a KG builder ships
+    next to the instance tables (the type-level dual of the reference's
+    per-label node counters, /root/reference/src/graph/session.py
+    summary counters) and the input to schema drift diffs between crawl
+    snapshots.
+
+    Entities that never appear as subjects have no predicate
+    distribution to type them — in an OpenIE graph those are
+    literal-like leaves, reported as ``literal_type``.
+
+    Scale: the typing pass is the entity_type_signature shape (algebraic
+    agg + per-entity top-1 window, skew bounded by the per-entity
+    predicate vocabulary). The two type joins key on the entity id —
+    plain hash joins that AQE may broadcast when the type table fits —
+    and the final rollup output is bounded by |types| x |predicates| x
+    |types|, tiny at any corpus size.
+    """
+    t = triples.select(
+        F.col(subj_col).alias("_s"),
+        F.col(pred_col).alias("_p"),
+        F.col(obj_col).alias("_o"),
+    )
+    types = entity_type_signature(t, "_s", "_p", "_o").select(
+        "entity", "type_pred"
+    )
+    typed = (
+        t.join(types.withColumnRenamed("entity", "_s")
+               .withColumnRenamed("type_pred", "subj_type"), "_s")
+        .join(
+            types.withColumnRenamed("entity", "_o")
+            .withColumnRenamed("type_pred", "_ot"),
+            "_o",
+            "left",
+        )
+        .select(
+            "subj_type",
+            F.col("_p").alias("predicate"),
+            F.coalesce("_ot", F.lit(literal_type)).alias("obj_type"),
+            "_s",
+            "_o",
+        )
+    )
+    return typed.groupBy("subj_type", "predicate", "obj_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.countDistinct("_s").alias("n_subjects"),
+        F.countDistinct("_o").alias("n_objects"),
+    )

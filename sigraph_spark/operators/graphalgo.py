@@ -698,3 +698,94 @@ def topo_levels(
         f"topo_levels did not converge in {max_iter} rounds "
         "(cyclic input or depth > max_iter)"
     )
+
+
+def communities_lpa(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Unseeded community detection: synchronous label propagation
+    (Raghavan et al. 2007) made deterministic. Every node starts in its
+    own community (label = its id); each round a node adopts the
+    MAJORITY label among its neighbors PLUS one self-vote for its
+    current label (ties -> lexicographic minimum). The self-vote damps
+    the classic synchronous-LPA oscillation on bipartite structures and
+    makes singletons stable; the deterministic tie-break makes the
+    result partition-order invariant, so the oracle can unroll the
+    identical rounds in SQL and hash-match.
+
+    Fixed ``rounds`` (the pagerank contract): near-linear work per round
+    — one neighbor join on uniform node keys + one algebraic count that
+    absorbs hub fan-in map-side + one min-struct argmax. LPA converges
+    in a handful of rounds on real graphs; callers needing a residual
+    diff two runs. Returns ``(node_id, community)`` for every node with
+    at least one edge; community ids are representative node ids (the
+    dense-rank renumbering is the caller's presentation concern).
+    """
+    und = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .unionAll(edges.select(F.col(dst).alias("x"), F.col(src).alias("y")))
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        und.select(F.col("x").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(rounds):
+        nb = und.join(labels, und.y == labels.node).select(
+            F.col("x"), F.col("label")
+        )
+        votes = (
+            nb.unionAll(labels.select(F.col("node").alias("x"), "label"))
+            .groupBy("x", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.groupBy("x")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label"))
+                ).alias("m")
+            )
+            .select(F.col("x").alias("node"), F.col("m.label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(F.col("node").alias("node_id"), F.col("label").alias("community"))
+
+
+def communities_oracle_sql(edges_cte: str, rounds: int) -> str:
+    """Unrolled-round SQL restatement of :func:`communities_lpa` over a
+    relation (src, dst). Same self-vote + (count DESC, label ASC)
+    tie-break, so the match is exact."""
+    parts = [
+        f"""cm_und AS MATERIALIZED (
+          SELECT DISTINCT x, y FROM (
+            SELECT src AS x, dst AS y FROM {edges_cte}
+            UNION ALL SELECT dst, src FROM {edges_cte})
+          WHERE x <> y),
+        cm_l0 AS MATERIALIZED (
+          SELECT DISTINCT x AS node, x AS label FROM cm_und)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""cm_l{t} AS MATERIALIZED (
+              SELECT node, label FROM (
+                SELECT x AS node, label,
+                       row_number() OVER (
+                         PARTITION BY x
+                         ORDER BY count(*) DESC, label ASC) AS rn
+                FROM (
+                  SELECT u.x, l.label
+                  FROM cm_und u JOIN cm_l{t - 1} l ON l.node = u.y
+                  UNION ALL
+                  SELECT node AS x, label FROM cm_l{t - 1})
+                GROUP BY x, label)
+              WHERE rn = 1)"""
+        )
+    return ",\n".join(parts) + f"""
+        SELECT node AS node_id, label AS community FROM cm_l{rounds}"""

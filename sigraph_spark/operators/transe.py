@@ -1,0 +1,324 @@
+"""Distributed KG-embedding training: TransE with exact integer SGD.
+
+Bordes et al. 2013: score(s, p, o) = ||h_s + r_p - t_o||_1 — facts are
+translations in embedding space. This is the learned counterpart to the
+structural link prediction in ``graphalgo.link_prediction`` and the
+model KG-completion pipelines train over the edge tables this repo
+builds; the full-batch variant here is to embeddings what
+``operators/classifier.py`` is to classification: distributed ML whose
+every arithmetic step is BIGINT-exact, so the result is
+partition-order invariant, bit-identical across engines, and
+hash-verifiable by an unrolled-CTE DuckDB oracle (the fixed-point
+PageRank device applied to representation learning).
+
+Deviations from the paper, all forced by exactness and all documented:
+
+* **Full-batch deterministic subgradient descent**, not minibatch SGD —
+  each round aggregates every violated fact's L1 subgradient per
+  (entity, dim) with an integer sum (exactly associative).
+* **No L2 entity renormalization** (it needs sqrt). With the small
+  fixed learning rate and bounded rounds, magnitudes stay bounded;
+  the embedding layout is pinned by tests (margin-violation count
+  falls, true tails outrank corrupted ones).
+* **Deterministic corruption**: each fact's negative tail per round is
+  the entity at index md5(s|p|o|round) mod |E| in the lexicographic
+  entity vocabulary (the banded two-stage rank of
+  ``walks.negative_samples`` — no single-task global window). A draw
+  colliding with the true tail makes the positive and negative
+  subgradients cancel exactly (a no-op, not a bias), so no rejection
+  step is needed — keeping the oracle branch-free.
+
+Scale notes (10^12-triple KG): embeddings live in LONG format
+(kind, id, k, v) — k < dim, v BIGINT fixed-point (SCALE micro-units).
+Per round: four hash joins keyed on entity/relation ids (uniform keys;
+the relation table is vocabulary-sized and broadcastable), one
+per-fact distance agg, one per-(entity, dim) gradient agg — all
+algebraic, so map-side combine absorbs hub entities; no step is
+superlinear. ANSI-mode overflow headroom: |v| grows by at most
+lr * violations_touching(id) per round — with lr = 2e4 micro-units an
+entity would need ~10^14 violated facts PER ROUND to overflow BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sigraph_spark.operators.dedup import hash32_md5_le
+
+SCALE = 10**6
+
+
+def _sign(c: Column) -> Column:
+    """Integer sign as an explicit CASE (mirrored verbatim in SQL)."""
+    return (
+        F.when(c > 0, F.lit(1)).when(c < 0, F.lit(-1)).otherwise(F.lit(0))
+    ).cast("long")
+
+
+def _init_v(kind: str, id_col: Column, k_col: Column) -> Column:
+    """Deterministic init in [-SCALE, SCALE]: portable md5 of
+    kind|id|dim. Non-negative hash, so ``%`` agrees across engines."""
+    h = hash32_md5_le(
+        F.concat_ws("|", F.lit(kind), id_col, k_col.cast("string"))
+    )
+    return (h % F.lit(2 * SCALE + 1) - F.lit(SCALE)).cast("long")
+
+
+def _banded_rank(ids: DataFrame, col: str) -> DataFrame:
+    """Exact lexicographic dense rank without a global single-task
+    window (the negative_samples device): per-band row_number + the
+    broadcast running band base."""
+    vocab = ids.withColumn("_b", F.substring(F.col(col), 1, 3))
+    w_in = Window.partitionBy("_b").orderBy(col)
+    local = vocab.withColumn("_local", F.row_number().over(w_in) - 1)
+    w_band = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        vocab.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn("_base", F.coalesce(F.sum("_cnt").over(w_band), F.lit(0)))
+        .select("_b", "_base")
+    )
+    return local.join(F.broadcast(bases), "_b").select(
+        col, (F.col("_local") + F.col("_base")).alias("rank")
+    )
+
+
+def transe_train(
+    facts: DataFrame,
+    dim: int = 8,
+    rounds: int = 3,
+    lr: int = 20_000,
+    margin: int = SCALE,
+    subj_col: str = "subj",
+    pred_col: str = "predicate",
+    obj_col: str = "obj",
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Train TransE over distinct (subj, predicate, obj) facts; returns
+    the embedding table ``(kind, id, k, v)`` with kind 'e' (entities)
+    or 'r' (relations), k in [0, dim), v in SCALE micro-units.
+
+    ``lr`` and ``margin`` are in micro-units (defaults: 0.02 and 1.0).
+    ``metrics['violations']``, when a dict is passed, records the
+    per-round violated-fact counts (the training curve) — one extra
+    count action per round.
+    """
+    f = facts.select(
+        F.col(subj_col).alias("s"),
+        F.col(pred_col).alias("p"),
+        F.col(obj_col).alias("o"),
+    ).distinct().localCheckpoint(eager=False)
+    ents = (
+        f.select(F.col("s").alias("id"))
+        .unionByName(f.select(F.col("o").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    rels = f.select(F.col("p").alias("id")).distinct()
+    ranked = _banded_rank(ents, "id").withColumnRenamed("id", "_neg_id")
+    n_ent = ents.count()
+    ks = F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("k")
+    ent = ents.select("id", ks).select(
+        "id", "k", _init_v("e", F.col("id"), F.col("k")).alias("v")
+    )
+    rel = rels.select("id", ks).select(
+        "id", "k", _init_v("r", F.col("id"), F.col("k")).alias("v")
+    )
+    for rnd in range(1, rounds + 1):
+        neg_rank = hash32_md5_le(
+            F.concat_ws("|", F.col("s"), F.col("p"), F.col("o"),
+                        F.lit(str(rnd)))
+        ) % F.lit(n_ent)
+        fr = f.withColumn("rank", neg_rank).join(ranked, "rank").select(
+            "s", "p", "o", F.col("_neg_id").alias("neg")
+        )
+        j = (
+            fr.join(
+                ent.select(F.col("id").alias("s"), "k", F.col("v").alias("hs")),
+                "s",
+            )
+            .join(
+                rel.select(F.col("id").alias("p"), "k", F.col("v").alias("vr")),
+                ["p", "k"],
+            )
+            .join(
+                ent.select(F.col("id").alias("o"), "k", F.col("v").alias("vt")),
+                ["o", "k"],
+            )
+            .join(
+                ent.select(F.col("id").alias("neg"), "k", F.col("v").alias("vn")),
+                ["neg", "k"],
+            )
+            .select(
+                "s", "p", "o", "neg", "k",
+                (F.col("hs") + F.col("vr") - F.col("vt")).alias("dp"),
+                (F.col("hs") + F.col("vr") - F.col("vn")).alias("dn"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        dist = j.groupBy("s", "p", "o", "neg").agg(
+            F.sum(F.abs(F.col("dp"))).alias("Dp"),
+            F.sum(F.abs(F.col("dn"))).alias("Dn"),
+        )
+        viol = dist.filter(F.col("Dp") + F.lit(margin) - F.col("Dn") > 0).select(
+            "s", "p", "o", "neg"
+        )
+        if metrics is not None:
+            metrics.setdefault("violations", []).append(viol.count())
+        g = j.join(viol, ["s", "p", "o", "neg"]).select(
+            "s", "p", "o", "neg", "k",
+            _sign(F.col("dp")).alias("gp"),
+            _sign(F.col("dn")).alias("gn"),
+        )
+        ent_upd = (
+            g.select(F.col("s").alias("id"), "k",
+                     (F.lit(-lr) * (F.col("gp") - F.col("gn"))).alias("d"))
+            .unionByName(g.select(F.col("o").alias("id"), "k",
+                                  (F.lit(lr) * F.col("gp")).alias("d")))
+            .unionByName(g.select(F.col("neg").alias("id"), "k",
+                                  (F.lit(-lr) * F.col("gn")).alias("d")))
+            .groupBy("id", "k")
+            .agg(F.sum("d").alias("d"))
+        )
+        rel_upd = (
+            g.select(F.col("p").alias("id"), "k",
+                     (F.lit(-lr) * (F.col("gp") - F.col("gn"))).alias("d"))
+            .groupBy("id", "k")
+            .agg(F.sum("d").alias("d"))
+        )
+        ent = (
+            ent.join(ent_upd, ["id", "k"], "left")
+            .select("id", "k",
+                    (F.col("v") + F.coalesce("d", F.lit(0))).alias("v"))
+            .localCheckpoint(eager=False)
+        )
+        rel = (
+            rel.join(rel_upd, ["id", "k"], "left")
+            .select("id", "k",
+                    (F.col("v") + F.coalesce("d", F.lit(0))).alias("v"))
+            .localCheckpoint(eager=False)
+        )
+    return ent.select(F.lit("e").alias("kind"), "id", "k", "v").unionByName(
+        rel.select(F.lit("r").alias("kind"), "id", "k", "v")
+    )
+
+
+def transe_score(
+    emb: DataFrame,
+    cands: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "predicate",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """L1 TransE distance for candidate triples (lower = more
+    plausible): ``(subj, predicate, obj, dist_fp)``. Three hash joins
+    + one per-candidate agg; candidates whose entities/relations were
+    unseen in training drop out (inner joins — scoring an open-world
+    id has no defined embedding)."""
+    e = emb.filter(F.col("kind") == "e").select("id", "k", "v")
+    r = emb.filter(F.col("kind") == "r").select("id", "k", "v")
+    c = cands.select(
+        F.col(subj_col).alias("s"),
+        F.col(pred_col).alias("p"),
+        F.col(obj_col).alias("o"),
+    ).distinct()
+    j = (
+        c.join(e.select(F.col("id").alias("s"), "k", F.col("v").alias("hs")), "s")
+        .join(r.select(F.col("id").alias("p"), "k", F.col("v").alias("vr")),
+              ["p", "k"])
+        .join(e.select(F.col("id").alias("o"), "k", F.col("v").alias("vt")),
+              ["o", "k"])
+    )
+    return j.groupBy("s", "p", "o").agg(
+        F.sum(F.abs(F.col("hs") + F.col("vr") - F.col("vt"))).alias("dist_fp")
+    ).select(
+        F.col("s").alias(subj_col),
+        F.col("p").alias(pred_col),
+        F.col("o").alias(obj_col),
+        "dist_fp",
+    )
+
+
+def transe_oracle_sql(
+    facts_rel: str,
+    dim: int,
+    rounds: int,
+    lr: int = 20_000,
+    margin: int = SCALE,
+) -> str:
+    """Unrolled-round DuckDB restatement of :func:`transe_train` over a
+    relation (s, p, o): identical md5 init, identical lexicographic
+    negative draw, identical integer subgradient arithmetic — the match
+    is bit-exact. Rounds are MATERIALIZED (the classifier-oracle
+    device) so DuckDB doesn't re-derive round t for every reference."""
+    parts = [f"""te_f AS MATERIALIZED (
+          SELECT DISTINCT s, p, o FROM {facts_rel}),
+        te_ents AS MATERIALIZED (
+          SELECT DISTINCT id FROM (
+            SELECT s AS id FROM te_f UNION ALL SELECT o FROM te_f)),
+        te_rank AS MATERIALIZED (
+          SELECT id AS neg_id, row_number() OVER (ORDER BY id) - 1 AS rank
+          FROM te_ents),
+        te_nent AS (SELECT count(*) AS n FROM te_ents),
+        te_ks AS (SELECT unnest(range(0, {dim})) AS k),
+        te_e0 AS MATERIALIZED (
+          SELECT id, CAST(k AS INT) AS k,
+                 CAST(md5_number_upper('e' || '|' || id || '|' || CAST(k AS VARCHAR))
+                       & 4294967295 AS BIGINT) % {2 * SCALE + 1} - {SCALE} AS v
+          FROM te_ents CROSS JOIN te_ks),
+        te_rels AS (SELECT DISTINCT p AS id FROM te_f),
+        te_r0 AS MATERIALIZED (
+          SELECT id, CAST(k AS INT) AS k,
+                 CAST(md5_number_upper('r' || '|' || id || '|' || CAST(k AS VARCHAR))
+                       & 4294967295 AS BIGINT) % {2 * SCALE + 1} - {SCALE} AS v
+          FROM te_rels CROSS JOIN te_ks)"""]
+    for t in range(1, rounds + 1):
+        prev_e, prev_r = f"te_e{t - 1}", f"te_r{t - 1}"
+        parts.append(f"""te_fr{t} AS MATERIALIZED (
+          SELECT f.s, f.p, f.o, rk.neg_id AS neg
+          FROM te_f f CROSS JOIN te_nent
+          JOIN te_rank rk ON rk.rank =
+            CAST(md5_number_upper(f.s || '|' || f.p || '|' || f.o || '|' || '{t}')
+                 & 4294967295 AS BIGINT) % te_nent.n),
+        te_j{t} AS MATERIALIZED (
+          SELECT fr.s, fr.p, fr.o, fr.neg, es.k,
+                 es.v + rp.v - et.v AS dp,
+                 es.v + rp.v - en.v AS dn
+          FROM te_fr{t} fr
+          JOIN {prev_e} es ON es.id = fr.s
+          JOIN {prev_r} rp ON rp.id = fr.p AND rp.k = es.k
+          JOIN {prev_e} et ON et.id = fr.o AND et.k = es.k
+          JOIN {prev_e} en ON en.id = fr.neg AND en.k = es.k),
+        te_v{t} AS MATERIALIZED (
+          SELECT s, p, o, neg FROM (
+            SELECT s, p, o, neg, sum(abs(dp)) AS Dp, sum(abs(dn)) AS Dn
+            FROM te_j{t} GROUP BY s, p, o, neg)
+          WHERE Dp + {margin} - Dn > 0),
+        te_g{t} AS MATERIALIZED (
+          SELECT j.s, j.p, j.o, j.neg, j.k,
+                 CASE WHEN j.dp > 0 THEN 1 WHEN j.dp < 0 THEN -1 ELSE 0 END AS gp,
+                 CASE WHEN j.dn > 0 THEN 1 WHEN j.dn < 0 THEN -1 ELSE 0 END AS gn
+          FROM te_j{t} j JOIN te_v{t} v
+            ON j.s = v.s AND j.p = v.p AND j.o = v.o AND j.neg = v.neg),
+        te_eu{t} AS MATERIALIZED (
+          SELECT id, k, sum(d) AS d FROM (
+            SELECT s AS id, k, CAST(-{lr} * (gp - gn) AS BIGINT) AS d FROM te_g{t}
+            UNION ALL
+            SELECT o, k, CAST({lr} * gp AS BIGINT) FROM te_g{t}
+            UNION ALL
+            SELECT neg, k, CAST(-{lr} * gn AS BIGINT) FROM te_g{t})
+          GROUP BY id, k),
+        te_e{t} AS MATERIALIZED (
+          SELECT e.id, e.k, CAST(e.v + coalesce(u.d, 0) AS BIGINT) AS v
+          FROM {prev_e} e LEFT JOIN te_eu{t} u ON e.id = u.id AND e.k = u.k),
+        te_ru{t} AS MATERIALIZED (
+          SELECT p AS id, k, sum(CAST(-{lr} * (gp - gn) AS BIGINT)) AS d
+          FROM te_g{t} GROUP BY p, k),
+        te_r{t} AS MATERIALIZED (
+          SELECT r.id, r.k, CAST(r.v + coalesce(u.d, 0) AS BIGINT) AS v
+          FROM {prev_r} r LEFT JOIN te_ru{t} u ON r.id = u.id AND r.k = u.k)""")
+    return ",\n".join(parts) + f"""
+        SELECT 'e' AS kind, id, k, v FROM te_e{rounds}
+        UNION ALL
+        SELECT 'r' AS kind, id, k, v FROM te_r{rounds}"""

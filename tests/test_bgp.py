@@ -90,3 +90,90 @@ def test_greedy_order_starts_most_bound():
 def test_empty_patterns_rejected(edges):
     with pytest.raises(ValueError):
         match_bgp(edges, [])
+
+
+# --- property paths --------------------------------------------------------
+
+PATH_EDGES = [
+    ("a", "L", "b"), ("b", "L", "c"), ("c", "L", "d"),
+    ("b", "C", "ip1"), ("d", "C", "ip2"),
+    ("x", "C", "ip1"), ("a", "M", "x"),
+]
+
+
+def _pairs(spark, path, edges=PATH_EDGES, max_depth=20):
+    from sigraph_spark.operators.bgp import eval_path
+
+    df = spark.createDataFrame(edges, "src string, predicate string, dst string")
+    return {tuple(r) for r in eval_path(df, path, max_depth).collect()}
+
+
+def test_path_plain_and_inverse(spark):
+    assert _pairs(spark, "C") == {("b", "ip1"), ("d", "ip2"), ("x", "ip1")}
+    assert _pairs(spark, "^C") == {("ip1", "b"), ("ip2", "d"), ("ip1", "x")}
+
+
+def test_path_sequence_and_alternation(spark):
+    assert _pairs(spark, "L/C") == {("a", "ip1"), ("c", "ip2")}
+    assert _pairs(spark, "M|C") == {
+        ("a", "x"), ("b", "ip1"), ("d", "ip2"), ("x", "ip1")}
+
+
+def test_path_plus_closure(spark):
+    assert _pairs(spark, "L+") == {
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d")}
+
+
+def test_path_star_includes_identity(spark):
+    got = _pairs(spark, "L*")
+    all_nodes = {n for e in PATH_EDGES for n in (e[0], e[2])}
+    assert got == _pairs(spark, "L+") | {(n, n) for n in all_nodes}
+
+
+def test_path_opt_and_grouping(spark):
+    # (L/L)? : zero-or-one double hop
+    got = _pairs(spark, "(L/L)?")
+    all_nodes = {n for e in PATH_EDGES for n in (e[0], e[2])}
+    assert got == {("a", "c"), ("b", "d")} | {(n, n) for n in all_nodes}
+
+
+def test_path_composed_closure_then_hop(spark):
+    # the gate shape: transitive L descent then one C hop
+    assert _pairs(spark, "L+/C") == {
+        ("a", "ip1"), ("a", "ip2"), ("b", "ip2"), ("c", "ip2")}
+
+
+def test_path_max_depth_bounds_closure(spark):
+    assert _pairs(spark, "L+", max_depth=1) == {
+        ("a", "b"), ("b", "c"), ("c", "d")}
+    assert _pairs(spark, "L+", max_depth=2) == {
+        ("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("b", "d")}
+
+
+def test_match_path_bindings(spark):
+    from sigraph_spark.operators.bgp import match_path
+
+    df = spark.createDataFrame(
+        PATH_EDGES, "src string, predicate string, dst string")
+    # constant subject
+    got = {r["ip"] for r in match_path(df, "a", "L+/C", "?ip").collect()}
+    assert got == {"ip1", "ip2"}
+    # constant object
+    got = {r["p"] for r in match_path(df, "?p", "C", "ip1").collect()}
+    assert got == {"b", "x"}
+    # two constants -> existence
+    assert match_path(df, "a", "L+", "d").collect()[0]["matched"] is True
+    assert match_path(df, "a", "L+", "ip1").count() == 0
+    # repeated variable -> cycles only (none in this DAG)
+    assert match_path(df, "?x", "L+", "?x").count() == 0
+
+
+def test_path_parser_errors(spark):
+    import pytest as _pytest
+    from sigraph_spark.operators.bgp import eval_path
+
+    df = spark.createDataFrame(PATH_EDGES, "src string, predicate string, dst string")
+    for bad in ("L/", "(L", "L)", "", "|L"):
+        with _pytest.raises(ValueError):
+            eval_path(df, bad)

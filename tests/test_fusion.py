@@ -354,3 +354,30 @@ def test_fuse_triples_broadcasts_source_scores(spark):
     c = spark.createDataFrame(rows, TRIPLES + ", source string")
     plan = fuse_triples(c)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_schema_graph_types_and_literal_leaves(spark):
+    from sigraph_spark.operators.fusion import schema_graph
+
+    rows = [
+        # proc.exe's modal predicate: 'spawn' (2 vs 1) -> type 'spawn'
+        ("proc.exe", "spawn", "child.exe"),
+        ("proc.exe", "spawn", "other.exe"),
+        ("proc.exe", "write", "c:\\f.txt"),
+        # child.exe appears as subject once -> type 'connect'
+        ("child.exe", "connect", "1.2.3.4"),
+    ]
+    t = spark.createDataFrame(rows, TRIPLES)
+    out = {
+        (r["subj_type"], r["predicate"], r["obj_type"]): (
+            r["n_edges"], r["n_subjects"], r["n_objects"]
+        )
+        for r in schema_graph(t).collect()
+    }
+    # typed object: child.exe is itself typed 'connect'
+    assert out[("spawn", "spawn", "connect")] == (1, 1, 1)
+    # untyped objects fall to LITERAL leaves
+    assert out[("spawn", "spawn", "LITERAL")] == (1, 1, 1)
+    assert out[("spawn", "write", "LITERAL")] == (1, 1, 1)
+    assert out[("connect", "connect", "LITERAL")] == (1, 1, 1)
+    assert sum(v[0] for v in out.values()) == len(rows)

@@ -272,3 +272,63 @@ def test_label_propagation_tie_breaks_lexicographically(spark):
     )
     got = {r["node_id"]: r["label"] for r in label_propagation(e, seeds, rounds=1).collect()}
     assert got["m"] == "A"  # 1-1 tie -> lexicographic minimum
+
+
+def _lpa_python(edges, rounds):
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((s, d)); und.add((d, s))
+    nodes = {x for x, _ in und}
+    labels = {n: n for n in nodes}
+    for _ in range(rounds):
+        votes = {}
+        for x, y in und:
+            votes.setdefault(x, {}).setdefault(labels[y], 0)
+        for x, y in und:
+            votes[x][labels[y]] += 1
+        for n in nodes:  # self-vote
+            votes.setdefault(n, {}).setdefault(labels[n], 0)
+            votes[n][labels[n]] += 1
+        labels = {
+            n: min(v.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            for n, v in votes.items()
+        }
+    return labels
+
+
+def test_communities_two_cliques_bridge(spark):
+    from sigraph_spark.operators.graphalgo import communities_lpa
+
+    # two 4-cliques joined by one bridge edge: LPA should find 2 communities
+    clique1 = [(f"a{i}", f"a{j}") for i in range(4) for j in range(i + 1, 4)]
+    clique2 = [(f"b{i}", f"b{j}") for i in range(4) for j in range(i + 1, 4)]
+    edges = clique1 + clique2 + [("a0", "b0")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["node_id"]: r["community"] for r in communities_lpa(df, rounds=4).collect()}
+    ref = _lpa_python(edges, 4)
+    assert out == ref
+    # the two cliques land in different communities
+    assert len({out[f"a{i}"] for i in range(1, 4)}) == 1
+    assert len({out[f"b{i}"] for i in range(1, 4)}) == 1
+    assert out["a1"] != out["b1"]
+
+
+def test_communities_partition_invariance(spark):
+    from sigraph_spark.operators.graphalgo import communities_lpa
+
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 40}") for i in range(120)]
+    df1 = spark.createDataFrame(edges, "src string, dst string").repartition(1)
+    df8 = spark.createDataFrame(edges, "src string, dst string").repartition(8)
+    r1 = sorted(map(tuple, communities_lpa(df1, rounds=3).collect()))
+    r8 = sorted(map(tuple, communities_lpa(df8, rounds=3).collect()))
+    assert r1 == r8 == sorted(_lpa_python(edges, 3).items())
+
+
+def test_communities_singleton_pair_stable(spark):
+    from sigraph_spark.operators.graphalgo import communities_lpa
+
+    # a single edge: both nodes adopt min(label) and stay there
+    df = spark.createDataFrame([("x", "y")], "src string, dst string")
+    out = {r["node_id"]: r["community"] for r in communities_lpa(df, rounds=5).collect()}
+    assert out == {"x": "x", "y": "x"}

@@ -1,0 +1,149 @@
+"""TransE exact-integer training: python-reference parity, partition
+invariance, learning signal, scoring semantics."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from sigraph_spark.operators.transe import (
+    SCALE, transe_score, transe_train,
+)
+
+FACTS = "subj string, predicate string, obj string"
+
+
+def _h32(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "little")
+
+
+def _transe_python(facts, dim, rounds, lr=20_000, margin=SCALE):
+    facts = sorted(set(facts))
+    ents = sorted({s for s, _, _ in facts} | {o for _, _, o in facts})
+    rels = sorted({p for _, p, _ in facts})
+    rank = {i: e for i, e in enumerate(ents)}
+    e = {(x, k): _h32(f"e|{x}|{k}") % (2 * SCALE + 1) - SCALE
+         for x in ents for k in range(dim)}
+    r = {(x, k): _h32(f"r|{x}|{k}") % (2 * SCALE + 1) - SCALE
+         for x in rels for k in range(dim)}
+    sign = lambda v: 1 if v > 0 else (-1 if v < 0 else 0)
+    viol_counts = []
+    for t in range(1, rounds + 1):
+        eu: dict = {}
+        ru: dict = {}
+        n_viol = 0
+        for s, p, o in facts:
+            neg = rank[_h32(f"{s}|{p}|{o}|{t}") % len(ents)]
+            dp = [e[(s, k)] + r[(p, k)] - e[(o, k)] for k in range(dim)]
+            dn = [e[(s, k)] + r[(p, k)] - e[(neg, k)] for k in range(dim)]
+            if sum(map(abs, dp)) + margin - sum(map(abs, dn)) > 0:
+                n_viol += 1
+                for k in range(dim):
+                    gp, gn = sign(dp[k]), sign(dn[k])
+                    eu[(s, k)] = eu.get((s, k), 0) - lr * (gp - gn)
+                    ru[(p, k)] = ru.get((p, k), 0) - lr * (gp - gn)
+                    eu[(o, k)] = eu.get((o, k), 0) + lr * gp
+                    eu[(neg, k)] = eu.get((neg, k), 0) - lr * gn
+        viol_counts.append(n_viol)
+        for key, d in eu.items():
+            e[key] += d
+        for key, d in ru.items():
+            r[key] += d
+    out = {("e", x, k): v for (x, k), v in e.items()}
+    out.update({("r", x, k): v for (x, k), v in r.items()})
+    return out, viol_counts
+
+
+TINY = [
+    ("a", "likes", "b"), ("b", "likes", "c"), ("c", "likes", "a"),
+    ("a", "hates", "d"), ("d", "likes", "e"), ("e", "hates", "b"),
+    ("b", "hates", "e"), ("c", "hates", "d"),
+]
+
+
+def test_train_matches_python_reference(spark):
+    metrics: dict = {}
+    got = {
+        (r["kind"], r["id"], r["k"]): r["v"]
+        for r in transe_train(
+            spark.createDataFrame(TINY, FACTS), dim=4, rounds=3,
+            metrics=metrics,
+        ).collect()
+    }
+    ref, viols = _transe_python(TINY, dim=4, rounds=3)
+    assert got == ref
+    assert metrics["violations"] == viols
+
+
+def test_partition_invariance(spark):
+    df1 = spark.createDataFrame(TINY, FACTS).repartition(1)
+    df7 = spark.createDataFrame(TINY, FACTS).repartition(7)
+    r1 = sorted(map(tuple, transe_train(df1, dim=3, rounds=2).collect()))
+    r7 = sorted(map(tuple, transe_train(df7, dim=3, rounds=2).collect()))
+    assert r1 == r7
+
+
+def test_training_learns_true_tails(spark):
+    # a clean 1-1 relation: after training, the true tail should score
+    # (strictly) better than the average corrupted tail for most heads
+    facts = [(f"h{i}", "maps_to", f"t{i}") for i in range(12)]
+    df = spark.createDataFrame(facts, FACTS)
+    metrics: dict = {}
+    emb = transe_train(
+        df, dim=8, rounds=8, lr=100_000, metrics=metrics
+    ).cache()
+    # the violation curve falls as training converges (not necessarily
+    # monotonically — margin violations can transiently rise)
+    v = metrics["violations"]
+    assert v[-1] < v[0]
+    true_d = {
+        (r["subj"], r["obj"]): r["dist_fp"]
+        for r in transe_score(emb, df).collect()
+    }
+    # corrupted candidates: every head x every tail
+    cands = [(f"h{i}", "maps_to", f"t{j}") for i in range(12) for j in range(12)]
+    all_d = {
+        (r["subj"], r["obj"]): r["dist_fp"]
+        for r in transe_score(
+            emb, spark.createDataFrame(cands, FACTS)
+        ).collect()
+    }
+    wins = 0
+    for i in range(12):
+        mine = all_d[(f"h{i}", f"t{i}")]
+        others = [all_d[(f"h{i}", f"t{j}")] for j in range(12) if j != i]
+        if mine < sum(others) / len(others):
+            wins += 1
+    assert wins >= 10  # true tail beats the average corruption
+
+
+def test_score_drops_unseen_ids(spark):
+    emb = transe_train(spark.createDataFrame(TINY, FACTS), dim=3, rounds=1)
+    cands = spark.createDataFrame(
+        [("a", "likes", "b"), ("zz", "likes", "b"), ("a", "unknown_rel", "b")],
+        FACTS,
+    )
+    got = {(r["subj"], r["predicate"]) for r in transe_score(emb, cands).collect()}
+    assert got == {("a", "likes")}
+
+
+def test_colliding_negative_is_exact_noop(spark):
+    # a fact whose drawn negative equals its true tail must leave the
+    # embeddings unchanged vs the same fact being skipped entirely:
+    # engineered by a single-entity graph (the only draw IS the tail)
+    facts = [("x", "self", "x")]
+    emb = {
+        (r["kind"], r["id"], r["k"]): r["v"]
+        for r in transe_train(
+            spark.createDataFrame(facts, FACTS), dim=4, rounds=2
+        ).collect()
+    }
+    ref, _ = _transe_python(facts, dim=4, rounds=2)
+    assert emb == ref
+    # dp == dn -> no violation possible beyond margin cancellation:
+    # updates for s/p cancel (gp-gn = 0) and t gets +gp + -gn = 0
+    # direct check: all values equal their deterministic init
+    for (kind, x, k), v in ref.items():
+        h = _h32(f"{kind}|{x}|{k}") % (2 * SCALE + 1) - SCALE
+        assert v == h
