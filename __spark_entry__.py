@@ -476,6 +476,16 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(e, seeds, rounds=3)
 
 
+def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall (Boldi-Vigna): per-node neighborhood-function
+    estimates at radii 1..3 via mergeable per-node HLL registers —
+    r edge-joins for ALL sources at once instead of per-source BFS.
+    The oracle unrolls the identical max-merge rounds and estimator."""
+    from sigraph_spark.operators.graphalgo import hyperball
+
+    return hyperball(_edges_ckpt(spark, sf_dir), p=6, radii=3)
+
+
 def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unseeded community detection: 4 rounds of deterministic
     synchronous LPA (self-vote damped, lexicographic ties) over the
@@ -1716,6 +1726,21 @@ _DS_FACTS = [
 ]
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters: per-key frequency estimates from
+    O(d*w) mergeable counter state (w=64 forces real collisions, so
+    the min-over-rows estimator is exercised, not just the sums).
+    Fully integer — the oracle matches bit-for-bit."""
+    from sigraph_spark.operators.sketches import cms_estimate, cms_sketch
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "hh_key",
+        F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string")),
+    )
+    cms = cms_sketch(docs, "hh_key", w=64, d=3)
+    return cms_estimate(cms, docs.select("hh_key"), "hh_key", w=64, d=3)
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable mergeable HyperLogLog distinct-count sketch: per-source
     estimated distinct doc_ids (p=8). Register arithmetic is the
@@ -2360,6 +2385,29 @@ def q_transe_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transe_train(t, dim=4, rounds=3)
 
 
+def q_transe_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-start TransE for the continuous-crawl path: 2 cold rounds
+    over 90% of the facts (stored embeddings), then 2 resumed rounds
+    over the full fact set — delta entities md5-init, draw sequence
+    continues at round 3. The oracle composes two prefix-namespaced
+    unrolled phases; resume on unchanged facts is bit-identical to the
+    longer cold run (test-pinned)."""
+    from sigraph_spark.operators.dedup import hash32_md5_le
+    from sigraph_spark.operators.transe import transe_train
+
+    t = _webtext_triples(spark).select(
+        F.col("actor").alias("subj"),
+        F.col("verb").alias("predicate"),
+        F.col("object").alias("obj"),
+    )
+    h = hash32_md5_le(F.concat_ws("|", "subj", "predicate", "obj"))
+    base = t.filter(h % 10 != 0)
+    emb1 = transe_train(base, dim=4, rounds=2)
+    return transe_train(
+        t, dim=4, rounds=2, init_emb=emb1, round_offset=2
+    )
+
+
 def q_schema_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-level schema summary: the instance KG contracted onto the
     induced entity types (modal subject predicate; object-only entities
@@ -2713,6 +2761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_types": q_entity_types,
         "schema_graph": q_schema_graph,
         "transe_embeddings": q_transe_embeddings,
+        "transe_resume": q_transe_resume,
         "entity_summary": q_entity_summary,
         "entity_cooccurrence": q_entity_cooccurrence,
         "literal_typing": q_literal_typing,
@@ -2730,6 +2779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_metrics": q_graph_metrics,
         "label_propagation": q_label_propagation,
         "communities": q_communities,
+        "hyperball": q_hyperball,
         "random_walks": q_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
         "negative_samples": q_negative_samples,
@@ -2788,6 +2838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "domain_stats": q_domain_stats,
         "hll_distinct": q_hll_distinct,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "distant_supervision": q_distant_supervision,
         "text_normalize": q_text_normalize,
         "unigram_logprob": q_unigram_logprob,
@@ -3329,6 +3380,12 @@ def oracle_sql() -> dict[str, str]:
           WHERE n LIKE 'proc\\_%' ESCAPE '\\'),
         """
         + label_propagation_oracle_sql("edges", "lp_seeds", 3)
+    )
+    # --- HyperBall: 3 unrolled register max-merge rounds + estimator
+    from sigraph_spark.operators.graphalgo import hyperball_oracle_sql
+
+    sq["hyperball"] = (
+        "WITH " + _EDGES_CTE + ",\n" + hyperball_oracle_sql("edges", 6, 3)
     )
     # --- unseeded community detection: 4 unrolled LPA rounds
     from sigraph_spark.operators.graphalgo import communities_oracle_sql
@@ -4962,9 +5019,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, host, lang, CAST(n_chars AS BIGINT) AS n_chars
         FROM r WHERE rn <= 25
     """
-    from sigraph_spark.operators.sketches import hll_oracle_sql
+    from sigraph_spark.operators.sketches import cms_oracle_sql, hll_oracle_sql
     sq["hll_distinct"] = "WITH " + hll_oracle_sql(
         "documents", ["source AS source"], "doc_id", p=8
+    )
+    _hh_rel = (
+        "(SELECT 'h' || CAST(doc_id % 37 AS VARCHAR) AS hh_key FROM documents)"
+    )
+    sq["cms_heavy_hitters"] = "WITH " + cms_oracle_sql(
+        _hh_rel, "hh_key", _hh_rel, "hh_key", w=64, d=3
     )
     # distant supervision: the ORACLE is the independent naive
     # formulation — every sentence x fact probed by padded substring
@@ -5619,6 +5682,32 @@ def oracle_sql() -> dict[str, str]:
         te_in AS (SELECT actor AS s, verb AS p, object AS o FROM stepped),
         """
         + transe_oracle_sql("te_in", dim=4, rounds=3)
+    )
+    sq["transe_resume"] = (
+        "WITH " + _pages_triples_cte()
+        + """,
+        tr_all AS (SELECT actor AS s, verb AS p, object AS o FROM stepped),
+        tr_base AS (
+          SELECT s, p, o FROM tr_all
+          WHERE CAST(md5_number_upper(s || '|' || p || '|' || o)
+                     & 4294967295 AS BIGINT) % 10 <> 0),
+        """
+        + transe_oracle_sql(
+            "tr_base", dim=4, rounds=2, prefix="tc_", final_select=False
+        )
+        + """,
+        tr_prior AS (
+          SELECT 'e' AS kind, id, k, v FROM tc_e2
+          UNION ALL SELECT 'r', id, k, v FROM tc_r2),
+        """
+        + transe_oracle_sql(
+            "tr_all", dim=4, rounds=2, prefix="tw_",
+            init_rel="tr_prior", round_offset=2, final_select=False,
+        )
+        + """
+        SELECT 'e' AS kind, id, k, v FROM tw_e2
+        UNION ALL SELECT 'r', id, k, v FROM tw_r2
+        """
     )
     sq["schema_graph"] = (
         "WITH " + _pages_triples_cte()

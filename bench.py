@@ -294,14 +294,26 @@ def main() -> None:
         lambda: distant_supervision(ds_docs, bench_facts, id_col="url").count(),
     )
 
-    # --- mergeable sketches: per-source HLL distinct ------------------------------
-    from sigraph_spark.operators.sketches import hll_distinct
-
-    timed(
-        "sketches",
-        lambda: hll_distinct(docs_tbl, ["lang"], "text", p=12).count()
-        + hll_distinct(docs_tbl, ["source"], "doc_id", p=12).count(),
+    # --- mergeable sketches: per-source HLL distinct + CMS heavy hitters ---------
+    from sigraph_spark.operators.sketches import (
+        cms_estimate, cms_sketch, hll_distinct,
     )
+
+    def run_sketches() -> int:
+        n = hll_distinct(docs_tbl, ["lang"], "text", p=12).count()
+        n += hll_distinct(docs_tbl, ["source"], "doc_id", p=12).count()
+        cms = cms_sketch(docs_tbl, "source", w=1024, d=4)
+        n += cms_estimate(
+            cms, docs_tbl.select("source"), "source", w=1024, d=4
+        ).count()
+        return n
+
+    timed("sketches", run_sketches)
+
+    # --- HyperBall: all-sources neighborhood function over the event graph -------
+    from sigraph_spark.operators.graphalgo import hyperball
+
+    timed("hyperball", lambda: hyperball(edges_pr, p=8, radii=3).count())
 
     # --- text profiling ---------------------------------------------------------
     from sigraph_spark.operators.textstats import text_profile

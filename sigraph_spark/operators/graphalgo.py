@@ -789,3 +789,115 @@ def communities_oracle_sql(edges_cte: str, rounds: int) -> str:
         )
     return ",\n".join(parts) + f"""
         SELECT node AS node_id, label AS community FROM cm_l{rounds}"""
+
+
+def hyperball(
+    edges: DataFrame,
+    p: int = 8,
+    radii: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): the per-node neighborhood
+    function — |{u : dist(v, u) <= r}| for every node and radius — via
+    per-node HLL sketches, the algorithm that computed distance
+    distributions on 10^11-edge web graphs. Exact per-source BFS is
+    O(V * E); HyperBall keeps ONE mergeable register set per node
+    (m = 2^p counters) and max-merges neighbors' sketches each round,
+    so radius r costs r edge-joins total for ALL sources at once.
+    Downstream: closeness/harmonic centrality, effective diameter, the
+    reference's "blast radius" panels at sizes where exact BFS per
+    node is off the table.
+
+    Register arithmetic is the portable integer HLL of
+    ``operators/sketches.py`` (md5 family, max-merge semilattice), so
+    every round is partition-order invariant and the unrolled oracle
+    matches the registers AND the estimates exactly. Per round: one
+    edge join + one algebraic (node, reg) max — hub fan-in collapses
+    map-side; state is |V| * m rows, independent of radius.
+
+    Returns ``(node, r, n_registers, estimate)`` for r in 1..radii,
+    estimate ≈ |ball(node, r)| (ball includes the node itself;
+    following OUT-edges).
+    """
+    from sigraph_spark.operators.sketches import hll_estimate, hll_rho
+
+    e = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("x").alias("node"))
+        .unionByName(e.select(F.col("y").alias("node")))
+        .distinct()
+    )
+    idx, rho = hll_rho(F.col("node"), p)
+    regs = nodes.select(
+        "node", idx.alias("reg"), rho.alias("rho")
+    ).localCheckpoint(eager=False)
+    out = None
+    for t in range(1, radii + 1):
+        contrib = (
+            e.join(regs.withColumnRenamed("node", "y"), "y")
+            .select(F.col("x").alias("node"), "reg", "rho")
+        )
+        regs = (
+            regs.unionByName(contrib)
+            .groupBy("node", "reg")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint(eager=False)
+        )
+        est = hll_estimate(regs, ["node"], p).select(
+            "node", F.lit(t).alias("r"), "n_registers", "estimate"
+        )
+        out = est if out is None else out.unionByName(est)
+    return out
+
+
+def hyperball_oracle_sql(edges_cte: str, p: int, radii: int) -> str:
+    """Unrolled-round DuckDB restatement of :func:`hyperball`: identical
+    register init, max-merge rounds, and estimator branches."""
+    from sigraph_spark.operators.sketches import (
+        _alpha, hll_hash_sql, hll_rho_sql,
+    )
+
+    reg, rho = hll_rho_sql("node", p)
+    m = 1 << p
+    am2, lim, fm = repr(_alpha(m) * m * m), repr(2.5 * m), repr(float(m))
+    parts = [
+        f"""hb_e AS MATERIALIZED (
+          SELECT DISTINCT src AS x, dst AS y FROM {edges_cte}),
+        hb_nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT x AS node FROM hb_e UNION ALL SELECT y FROM hb_e)),
+        hb_s0 AS MATERIALIZED (
+          SELECT node, {reg} AS reg, {rho} AS rho FROM (
+            SELECT node, {hll_hash_sql("node")} AS h FROM hb_nodes))"""
+    ]
+    selects = []
+    for t in range(1, radii + 1):
+        parts.append(
+            f"""hb_s{t} AS MATERIALIZED (
+              SELECT node, reg, max(rho) AS rho FROM (
+                SELECT e.x AS node, r.reg, r.rho
+                FROM hb_e e JOIN hb_s{t - 1} r ON r.node = e.y
+                UNION ALL
+                SELECT node, reg, rho FROM hb_s{t - 1})
+              GROUP BY node, reg)"""
+        )
+        parts.append(
+            f"""hb_a{t} AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS n_registers,
+                     sum(power(0.5, rho)) + ({m} - count(*)) AS s,
+                     {m} - count(*) AS zeros
+              FROM hb_s{t} GROUP BY node)"""
+        )
+        selects.append(
+            f"""SELECT node, {t} AS r, n_registers,
+               round(CASE WHEN {am2} / s <= {lim} AND zeros > 0
+                     THEN {fm} * ln({fm} / zeros)
+                     ELSE {am2} / s END, 6) AS estimate
+            FROM hb_a{t}"""
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)

@@ -161,6 +161,58 @@ def hll_python_reference(values, p: int = 12) -> float:
     return round(raw, 6)
 
 
+def hll_rho_sql(value_expr: str, p: int) -> tuple[str, str]:
+    """(reg_expr, rho_expr) SQL fragments over a column expression —
+    the exact DuckDB restatement of :func:`hll_rho` (needs an ``h``
+    column bound to the 32-bit hash of the value; see callers)."""
+    w = 32 - p
+    reg = f"CAST(h >> {w} AS INT)"
+    rho = (
+        f"CAST(CASE WHEN (h & {(1 << w) - 1}) = 0 THEN {w + 1} "
+        f"ELSE {w} + 1 - length(ltrim(bin(CAST(h & {(1 << w) - 1} AS UINTEGER)), '0')) "
+        f"END AS INT)"
+    )
+    _ = value_expr  # the hash column is built by the caller
+    return reg, rho
+
+
+def hll_hash_sql(value_expr: str) -> str:
+    """The portable 32-bit hash in DuckDB (matches hash32_md5_le)."""
+    return (
+        f"CAST(md5_number_upper(CAST({value_expr} AS VARCHAR))"
+        f" & 4294967295 AS BIGINT)"
+    )
+
+
+def hll_estimator_sql(
+    regs_rel: str,
+    keys: list[str],
+    p: int,
+    prefix: str,
+    extra_select: str = "",
+) -> str:
+    """Estimator fragment over a register relation (keys..., reg, rho):
+    one agg CTE ``{prefix}agg`` plus the branch-for-branch estimate
+    SELECT (same dyadic-sum + ln discipline as :func:`hll_estimate`).
+    ``extra_select`` appends literal columns (e.g. a radius tag)."""
+    m = 1 << p
+    alpha = _alpha(m)
+    ks = ", ".join(keys)
+    return f"""
+{prefix}agg AS (
+  SELECT {ks}, CAST(count(*) AS BIGINT) AS n_registers,
+         sum(power(0.5, rho)) + ({m} - count(*)) AS s,
+         {m} - count(*) AS zeros
+  FROM {regs_rel} GROUP BY {ks})
+SELECT {ks}, n_registers,
+       round(CASE WHEN {alpha * m * m!r} / s <= {2.5 * m!r}
+                   AND zeros > 0
+             THEN {float(m)!r} * ln({float(m)!r} / zeros)
+             ELSE {alpha * m * m!r} / s END, 6) AS estimate{extra_select}
+FROM {prefix}agg
+"""
+
+
 def hll_oracle_sql(
     rel: str,
     key_exprs: list[str],
@@ -172,33 +224,139 @@ def hll_oracle_sql(
     0xffffffff), identical integer rho device (bin + ltrim), identical
     estimator branches. ``key_exprs`` are (expr AS name) pairs rendered
     by the caller as plain select-list items of ``rel``."""
-    w = 32 - p
-    m = 1 << p
-    alpha = _alpha(m)
-    keys = ", ".join(k.split(" AS ")[-1].strip() for k in key_exprs)
+    keys = [k.split(" AS ")[-1].strip() for k in key_exprs]
     key_sel = ", ".join(key_exprs)
+    reg, rho = hll_rho_sql(value_expr, p)
     return f"""
 {prefix}h AS (
-  SELECT {key_sel},
-         CAST(md5_number_upper(CAST({value_expr} AS VARCHAR)) & 4294967295 AS BIGINT) AS h
+  SELECT {key_sel}, {hll_hash_sql(value_expr)} AS h
   FROM {rel}),
 {prefix}rho AS (
-  SELECT {keys}, CAST(h >> {w} AS INT) AS reg,
-         CAST(CASE WHEN (h & {(1 << w) - 1}) = 0 THEN {w + 1}
-              ELSE {w} + 1 - length(ltrim(bin(CAST(h & {(1 << w) - 1} AS UINTEGER)), '0'))
-         END AS INT) AS rho
+  SELECT {", ".join(keys)}, {reg} AS reg, {rho} AS rho
   FROM {prefix}h),
 {prefix}regs AS (
-  SELECT {keys}, reg, max(rho) AS rho FROM {prefix}rho GROUP BY {keys}, reg),
-{prefix}agg AS (
-  SELECT {keys}, CAST(count(*) AS BIGINT) AS n_registers,
-         sum(power(0.5, rho)) + ({m} - count(*)) AS s,
-         {m} - count(*) AS zeros
-  FROM {prefix}regs GROUP BY {keys})
-SELECT {keys}, n_registers,
-       round(CASE WHEN {alpha * m * m!r} / s <= {2.5 * m!r}
-                   AND zeros > 0
-             THEN {float(m)!r} * ln({float(m)!r} / zeros)
-             ELSE {alpha * m * m!r} / s END, 6) AS estimate
-FROM {prefix}agg
+  SELECT {", ".join(keys)}, reg, max(rho) AS rho
+  FROM {prefix}rho GROUP BY {", ".join(keys)}, reg),
+{hll_estimator_sql(prefix + "regs", keys, p, prefix)}
+"""
+
+
+# --- Count-Min sketch -------------------------------------------------------
+
+
+def cms_sketch(
+    df: DataFrame,
+    key_col: str,
+    w: int = 1024,
+    d: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of per-key counts
+    (or ``weight_col`` sums): the persistable register table
+    ``(j, cell, total)`` — d hash rows x w counters, total BIGINT.
+
+    The frequency dual of the HLL register table: state is O(d * w)
+    regardless of key cardinality, merge across crawl snapshots is a
+    plain per-cell SUM (commutative/associative — replay caveat: unlike
+    the HLL max it is NOT idempotent, so the streaming path must dedup
+    batches via the applied-batch ledger first), and estimates
+    overcount but never undercount. At 10^12 rows this is how "which
+    hosts/entities are hot" stays answerable without materializing the
+    full key distribution — the sketch feeds ``skew.choose_salting``'s
+    threshold decision with a bounded-size input. Fully integer, so
+    the oracle matches bit-for-bit (no float discipline needed at all).
+
+    One algebraic aggregation: rows explode to d (j, cell) pairs
+    map-side (narrow), then one (j, cell) sum absorbs any hot key —
+    the hot key IS one cell per row j.
+    """
+    if d > 8:
+        raise ValueError("d > 8 buys nothing — raise w instead")
+    wt = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    rows = df.select(
+        F.col(key_col).cast("string").alias("_k"), wt.alias("_w")
+    )
+    out = None
+    for j in range(d):
+        cell = hash32_md5_le(
+            F.concat_ws("|", F.lit(str(j)), F.col("_k"))
+        ) % F.lit(w)
+        part = rows.select(
+            F.lit(j).alias("j"), cell.alias("cell"), F.col("_w")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.groupBy("j", "cell").agg(F.sum("_w").alias("total"))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two sketches of the SAME (w, d) geometry: per-cell sum."""
+    return (
+        a.unionByName(b).groupBy("j", "cell").agg(F.sum("total").alias("total"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    w: int = 1024,
+    d: int = 4,
+) -> DataFrame:
+    """Point estimates for a candidate key table: est(key) = min over
+    the d rows of the key's cell counter — >= the true count always,
+    == it when the key collides with nothing heavier. d broadcast-side
+    lookups (the sketch is O(d*w) rows, always the small side)."""
+    k = keys.select(F.col(key_col).cast("string").alias("key")).distinct()
+    probes = None
+    for j in range(d):
+        cell = hash32_md5_le(
+            F.concat_ws("|", F.lit(str(j)), F.col("key"))
+        ) % F.lit(w)
+        part = k.select("key", F.lit(j).alias("j"), cell.alias("cell"))
+        probes = part if probes is None else probes.unionByName(part)
+    return (
+        probes.join(F.broadcast(cms), ["j", "cell"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("total", F.lit(0))).alias("est"))
+    )
+
+
+def cms_oracle_sql(
+    rel: str,
+    key_expr: str,
+    keys_rel: str,
+    keys_expr: str,
+    w: int = 1024,
+    d: int = 4,
+    weight_expr: str = "1",
+    prefix: str = "cms_",
+) -> str:
+    """DuckDB restatement of sketch-then-estimate: identical md5 cells,
+    identical integer sums and min — bit-exact."""
+    P = prefix
+    cell = (
+        lambda j, key: f"CAST(md5_number_upper('{j}' || '|' || {key})"
+        f" & 4294967295 AS BIGINT) % {w}"
+    )
+    sketch_parts = "\nUNION ALL\n".join(
+        f"SELECT {j} AS j, {cell(j, key_expr)} AS cell,"
+        f" CAST({weight_expr} AS BIGINT) AS w_ FROM {rel}"
+        for j in range(d)
+    )
+    probe_parts = "\nUNION ALL\n".join(
+        f"SELECT key, {j} AS j, {cell(j, 'key')} AS cell FROM {P}keys"
+        for j in range(d)
+    )
+    return f"""
+{P}rows AS ({sketch_parts}),
+{P}sk AS (SELECT j, cell, sum(w_) AS total FROM {P}rows GROUP BY j, cell),
+{P}keys AS (SELECT DISTINCT CAST({keys_expr} AS VARCHAR) AS key FROM {keys_rel}),
+{P}probes AS ({probe_parts})
+SELECT p.key, CAST(min(coalesce(s.total, 0)) AS BIGINT) AS est
+FROM {P}probes p LEFT JOIN {P}sk s ON p.j = s.j AND p.cell = s.cell
+GROUP BY p.key
 """

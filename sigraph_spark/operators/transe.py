@@ -94,6 +94,8 @@ def transe_train(
     pred_col: str = "predicate",
     obj_col: str = "obj",
     metrics: dict | None = None,
+    init_emb: DataFrame | None = None,
+    round_offset: int = 0,
 ) -> DataFrame:
     """Train TransE over distinct (subj, predicate, obj) facts; returns
     the embedding table ``(kind, id, k, v)`` with kind 'e' (entities)
@@ -103,6 +105,16 @@ def transe_train(
     ``metrics['violations']``, when a dict is passed, records the
     per-round violated-fact counts (the training curve) — one extra
     count action per round.
+
+    **Warm start** (the continuous-crawl path): pass the STORED
+    embedding table as ``init_emb`` and the number of rounds it was
+    trained for as ``round_offset`` — ids present in it resume from
+    their stored vectors, ids new to the graph (the delta's entities)
+    get the deterministic md5 init, and negative draws continue the
+    round sequence at ``round_offset + 1``. On an UNCHANGED fact set,
+    resume(k more rounds) is BIT-IDENTICAL to the longer cold run
+    (test-pinned, the :func:`pagerank_resume` contract) — so embeddings
+    are incremental state, not a per-snapshot recompute.
     """
     f = facts.select(
         F.col(subj_col).alias("s"),
@@ -125,7 +137,20 @@ def transe_train(
     rel = rels.select("id", ks).select(
         "id", "k", _init_v("r", F.col("id"), F.col("k")).alias("v")
     )
-    for rnd in range(1, rounds + 1):
+    if init_emb is not None:
+        prior_e = init_emb.filter(F.col("kind") == "e").select(
+            "id", "k", F.col("v").alias("_pv")
+        )
+        prior_r = init_emb.filter(F.col("kind") == "r").select(
+            "id", "k", F.col("v").alias("_pv")
+        )
+        ent = ent.join(prior_e, ["id", "k"], "left").select(
+            "id", "k", F.coalesce("_pv", "v").alias("v")
+        )
+        rel = rel.join(prior_r, ["id", "k"], "left").select(
+            "id", "k", F.coalesce("_pv", "v").alias("v")
+        )
+    for rnd in range(round_offset + 1, round_offset + rounds + 1):
         neg_rank = hash32_md5_le(
             F.concat_ws("|", F.col("s"), F.col("p"), F.col("o"),
                         F.lit(str(rnd)))
@@ -246,79 +271,104 @@ def transe_oracle_sql(
     rounds: int,
     lr: int = 20_000,
     margin: int = SCALE,
+    prefix: str = "te_",
+    init_rel: str | None = None,
+    round_offset: int = 0,
+    final_select: bool = True,
 ) -> str:
     """Unrolled-round DuckDB restatement of :func:`transe_train` over a
     relation (s, p, o): identical md5 init, identical lexicographic
     negative draw, identical integer subgradient arithmetic — the match
     is bit-exact. Rounds are MATERIALIZED (the classifier-oracle
-    device) so DuckDB doesn't re-derive round t for every reference."""
-    parts = [f"""te_f AS MATERIALIZED (
-          SELECT DISTINCT s, p, o FROM {facts_rel}),
-        te_ents AS MATERIALIZED (
-          SELECT DISTINCT id FROM (
-            SELECT s AS id FROM te_f UNION ALL SELECT o FROM te_f)),
-        te_rank AS MATERIALIZED (
-          SELECT id AS neg_id, row_number() OVER (ORDER BY id) - 1 AS rank
-          FROM te_ents),
-        te_nent AS (SELECT count(*) AS n FROM te_ents),
-        te_ks AS (SELECT unnest(range(0, {dim})) AS k),
-        te_e0 AS MATERIALIZED (
-          SELECT id, CAST(k AS INT) AS k,
+    device) so DuckDB doesn't re-derive round t for every reference.
+
+    ``prefix`` namespaces the CTEs so two instances compose into one
+    WITH-list (the warm-start oracle chains a cold phase into a resumed
+    phase); ``init_rel`` (kind, id, k, v) seeds round 0 — ids absent
+    from it fall back to the md5 init, mirroring ``init_emb``;
+    ``round_offset`` shifts the negative-draw round numbers; with
+    ``final_select=False`` the block ends after the last embedding CTEs
+    ``{prefix}e{rounds}`` / ``{prefix}r{rounds}`` so a caller keeps
+    composing."""
+    P = prefix
+    init_e = f"""SELECT id, CAST(k AS INT) AS k,
                  CAST(md5_number_upper('e' || '|' || id || '|' || CAST(k AS VARCHAR))
                        & 4294967295 AS BIGINT) % {2 * SCALE + 1} - {SCALE} AS v
-          FROM te_ents CROSS JOIN te_ks),
-        te_rels AS (SELECT DISTINCT p AS id FROM te_f),
-        te_r0 AS MATERIALIZED (
-          SELECT id, CAST(k AS INT) AS k,
+          FROM {P}ents CROSS JOIN {P}ks"""
+    init_r = f"""SELECT id, CAST(k AS INT) AS k,
                  CAST(md5_number_upper('r' || '|' || id || '|' || CAST(k AS VARCHAR))
                        & 4294967295 AS BIGINT) % {2 * SCALE + 1} - {SCALE} AS v
-          FROM te_rels CROSS JOIN te_ks)"""]
+          FROM {P}rels CROSS JOIN {P}ks"""
+    if init_rel is not None:
+        init_e = f"""SELECT d.id, d.k, CAST(coalesce(i.v, d.v) AS BIGINT) AS v
+          FROM ({init_e}) d
+          LEFT JOIN {init_rel} i ON i.kind = 'e' AND i.id = d.id AND i.k = d.k"""
+        init_r = f"""SELECT d.id, d.k, CAST(coalesce(i.v, d.v) AS BIGINT) AS v
+          FROM ({init_r}) d
+          LEFT JOIN {init_rel} i ON i.kind = 'r' AND i.id = d.id AND i.k = d.k"""
+    parts = [f"""{P}f AS MATERIALIZED (
+          SELECT DISTINCT s, p, o FROM {facts_rel}),
+        {P}ents AS MATERIALIZED (
+          SELECT DISTINCT id FROM (
+            SELECT s AS id FROM {P}f UNION ALL SELECT o FROM {P}f)),
+        {P}rank AS MATERIALIZED (
+          SELECT id AS neg_id, row_number() OVER (ORDER BY id) - 1 AS rank
+          FROM {P}ents),
+        {P}nent AS (SELECT count(*) AS n FROM {P}ents),
+        {P}ks AS (SELECT unnest(range(0, {dim})) AS k),
+        {P}rels AS (SELECT DISTINCT p AS id FROM {P}f),
+        {P}e0 AS MATERIALIZED ({init_e}),
+        {P}r0 AS MATERIALIZED ({init_r})"""]
     for t in range(1, rounds + 1):
-        prev_e, prev_r = f"te_e{t - 1}", f"te_r{t - 1}"
-        parts.append(f"""te_fr{t} AS MATERIALIZED (
+        prev_e, prev_r = f"{P}e{t - 1}", f"{P}r{t - 1}"
+        draw = round_offset + t
+        parts.append(f"""{P}fr{t} AS MATERIALIZED (
           SELECT f.s, f.p, f.o, rk.neg_id AS neg
-          FROM te_f f CROSS JOIN te_nent
-          JOIN te_rank rk ON rk.rank =
-            CAST(md5_number_upper(f.s || '|' || f.p || '|' || f.o || '|' || '{t}')
-                 & 4294967295 AS BIGINT) % te_nent.n),
-        te_j{t} AS MATERIALIZED (
+          FROM {P}f f CROSS JOIN {P}nent
+          JOIN {P}rank rk ON rk.rank =
+            CAST(md5_number_upper(f.s || '|' || f.p || '|' || f.o || '|' || '{draw}')
+                 & 4294967295 AS BIGINT) % {P}nent.n),
+        {P}j{t} AS MATERIALIZED (
           SELECT fr.s, fr.p, fr.o, fr.neg, es.k,
                  es.v + rp.v - et.v AS dp,
                  es.v + rp.v - en.v AS dn
-          FROM te_fr{t} fr
+          FROM {P}fr{t} fr
           JOIN {prev_e} es ON es.id = fr.s
           JOIN {prev_r} rp ON rp.id = fr.p AND rp.k = es.k
           JOIN {prev_e} et ON et.id = fr.o AND et.k = es.k
           JOIN {prev_e} en ON en.id = fr.neg AND en.k = es.k),
-        te_v{t} AS MATERIALIZED (
+        {P}v{t} AS MATERIALIZED (
           SELECT s, p, o, neg FROM (
             SELECT s, p, o, neg, sum(abs(dp)) AS Dp, sum(abs(dn)) AS Dn
-            FROM te_j{t} GROUP BY s, p, o, neg)
+            FROM {P}j{t} GROUP BY s, p, o, neg)
           WHERE Dp + {margin} - Dn > 0),
-        te_g{t} AS MATERIALIZED (
+        {P}g{t} AS MATERIALIZED (
           SELECT j.s, j.p, j.o, j.neg, j.k,
                  CASE WHEN j.dp > 0 THEN 1 WHEN j.dp < 0 THEN -1 ELSE 0 END AS gp,
                  CASE WHEN j.dn > 0 THEN 1 WHEN j.dn < 0 THEN -1 ELSE 0 END AS gn
-          FROM te_j{t} j JOIN te_v{t} v
+          FROM {P}j{t} j JOIN {P}v{t} v
             ON j.s = v.s AND j.p = v.p AND j.o = v.o AND j.neg = v.neg),
-        te_eu{t} AS MATERIALIZED (
+        {P}eu{t} AS MATERIALIZED (
           SELECT id, k, sum(d) AS d FROM (
-            SELECT s AS id, k, CAST(-{lr} * (gp - gn) AS BIGINT) AS d FROM te_g{t}
+            SELECT s AS id, k, CAST(-{lr} * (gp - gn) AS BIGINT) AS d FROM {P}g{t}
             UNION ALL
-            SELECT o, k, CAST({lr} * gp AS BIGINT) FROM te_g{t}
+            SELECT o, k, CAST({lr} * gp AS BIGINT) FROM {P}g{t}
             UNION ALL
-            SELECT neg, k, CAST(-{lr} * gn AS BIGINT) FROM te_g{t})
+            SELECT neg, k, CAST(-{lr} * gn AS BIGINT) FROM {P}g{t})
           GROUP BY id, k),
-        te_e{t} AS MATERIALIZED (
+        {P}e{t} AS MATERIALIZED (
           SELECT e.id, e.k, CAST(e.v + coalesce(u.d, 0) AS BIGINT) AS v
-          FROM {prev_e} e LEFT JOIN te_eu{t} u ON e.id = u.id AND e.k = u.k),
-        te_ru{t} AS MATERIALIZED (
+          FROM {prev_e} e LEFT JOIN {P}eu{t} u ON e.id = u.id AND e.k = u.k),
+        {P}ru{t} AS MATERIALIZED (
           SELECT p AS id, k, sum(CAST(-{lr} * (gp - gn) AS BIGINT)) AS d
-          FROM te_g{t} GROUP BY p, k),
-        te_r{t} AS MATERIALIZED (
+          FROM {P}g{t} GROUP BY p, k),
+        {P}r{t} AS MATERIALIZED (
           SELECT r.id, r.k, CAST(r.v + coalesce(u.d, 0) AS BIGINT) AS v
-          FROM {prev_r} r LEFT JOIN te_ru{t} u ON r.id = u.id AND r.k = u.k)""")
-    return ",\n".join(parts) + f"""
-        SELECT 'e' AS kind, id, k, v FROM te_e{rounds}
+          FROM {prev_r} r LEFT JOIN {P}ru{t} u ON r.id = u.id AND r.k = u.k)""")
+    sql = ",\n".join(parts)
+    if final_select:
+        sql += f"""
+        SELECT 'e' AS kind, id, k, v FROM {P}e{rounds}
         UNION ALL
-        SELECT 'r' AS kind, id, k, v FROM te_r{rounds}"""
+        SELECT 'r' AS kind, id, k, v FROM {P}r{rounds}"""
+    return sql

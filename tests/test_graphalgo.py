@@ -332,3 +332,83 @@ def test_communities_singleton_pair_stable(spark):
     df = spark.createDataFrame([("x", "y")], "src string, dst string")
     out = {r["node_id"]: r["community"] for r in communities_lpa(df, rounds=5).collect()}
     assert out == {"x": "x", "y": "x"}
+
+
+def _hyperball_python(edges, p, radii):
+    import hashlib
+    import math
+
+    from sigraph_spark.operators.sketches import _alpha
+
+    def h32(s):
+        return int.from_bytes(
+            hashlib.md5(str(s).encode()).digest()[:4], "little")
+
+    def sketch_one(v):
+        w = 32 - p
+        h = h32(v)
+        val = h & ((1 << w) - 1)
+        rho = (w + 1) if val == 0 else w + 1 - val.bit_length()
+        return {h >> w: rho}
+
+    def est(regs):
+        m = 1 << p
+        s = sum(2.0 ** -r for r in regs.values()) + (m - len(regs))
+        raw = _alpha(m) * m * m / s
+        zeros = m - len(regs)
+        if raw <= 2.5 * m and zeros > 0:
+            return round(m * math.log(m / zeros), 6)
+        return round(raw, 6)
+
+    nodes = sorted({n for e in edges for n in e})
+    regs = {n: sketch_one(n) for n in nodes}
+    out = []
+    for t in range(1, radii + 1):
+        regs = {
+            n: {
+                k: max(
+                    [regs[n].get(k, 0)]
+                    + [regs[y].get(k, 0) for x, y in edges if x == n]
+                )
+                for k in set(regs[n])
+                | {k for x, y in edges if x == n for k in regs[y]}
+            }
+            for n in nodes
+        }
+        out += [(n, t, len(regs[n]), est(regs[n])) for n in nodes]
+    return sorted(out)
+
+
+def test_hyperball_matches_python_reference(spark):
+    from sigraph_spark.operators.graphalgo import hyperball
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "e"), ("e", "d"),
+             ("d", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = sorted(map(tuple, hyperball(df, p=6, radii=3).collect()))
+    assert got == _hyperball_python(edges, 6, 3)
+
+
+def test_hyperball_ball_growth_on_chain(spark):
+    from sigraph_spark.operators.graphalgo import hyperball
+
+    # directed chain: ball(n0, r) holds min(r+1, remaining) nodes; at
+    # p=12 and tiny cardinalities the HLL estimate is near-exact
+    edges = [(f"n{i}", f"n{i+1}") for i in range(6)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {(r["node"], r["r"]): r["estimate"]
+           for r in hyperball(df, p=12, radii=3).collect()}
+    for r in (1, 2, 3):
+        assert abs(out[("n0", r)] - (r + 1)) < 0.2
+    # the sink's ball never grows
+    assert abs(out[("n6", 3)] - 1) < 0.05
+
+
+def test_hyperball_partition_invariance(spark):
+    from sigraph_spark.operators.graphalgo import hyperball
+
+    edges = [(f"v{i}", f"v{(i * 5 + 2) % 23}") for i in range(60)]
+    d1 = spark.createDataFrame(edges, "src string, dst string").repartition(1)
+    d8 = spark.createDataFrame(edges, "src string, dst string").repartition(8)
+    assert sorted(map(tuple, hyperball(d1, p=6, radii=2).collect())) == \
+        sorted(map(tuple, hyperball(d8, p=6, radii=2).collect()))

@@ -96,3 +96,121 @@ def test_multi_key_sketch(spark):
 def test_p_bounds(spark):
     with pytest.raises(ValueError):
         hll_registers(_values_df(spark, 10), ["k"], "v", p=3)
+
+
+# --- Count-Min sketch --------------------------------------------------------
+
+
+def _cms_python(values, w, d, weights=None):
+    cells: dict = {}
+    for i, v in enumerate(values):
+        wt = 1 if weights is None else weights[i]
+        for j in range(d):
+            h = int.from_bytes(
+                hashlib.md5(f"{j}|{v}".encode()).digest()[:4], "little"
+            ) % w
+            cells[(j, h)] = cells.get((j, h), 0) + wt
+    return cells
+
+
+def _cms_est_python(cells, key, w, d):
+    return min(
+        cells.get(
+            (j, int.from_bytes(
+                hashlib.md5(f"{j}|{key}".encode()).digest()[:4], "little"
+            ) % w),
+            0,
+        )
+        for j in range(d)
+    )
+
+
+def test_cms_cells_match_python_reference(spark):
+    from sigraph_spark.operators.sketches import cms_sketch
+
+    vals = [f"k{i % 7}" for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "key string")
+    got = {(r["j"], r["cell"]): r["total"]
+           for r in cms_sketch(df, "key", w=32, d=3).collect()}
+    assert got == _cms_python(vals, 32, 3)
+
+
+def test_cms_estimate_overestimates_never_undercounts(spark):
+    from sigraph_spark.operators.sketches import cms_estimate, cms_sketch
+
+    # heavy skew + narrow width -> collisions guaranteed
+    vals = ["hot"] * 500 + [f"cold{i}" for i in range(100)]
+    df = spark.createDataFrame([(v,) for v in vals], "key string")
+    cms = cms_sketch(df, "key", w=16, d=3)
+    est = {r["key"]: r["est"]
+           for r in cms_estimate(cms, df, "key", w=16, d=3).collect()}
+    import collections
+    true = collections.Counter(vals)
+    cells = _cms_python(vals, 16, 3)
+    for k, t in true.items():
+        assert est[k] >= t
+        assert est[k] == _cms_est_python(cells, k, 16, 3)
+    # the hot key dominates every cell it touches -> exact for it
+    assert est["hot"] == 500 or est["hot"] > 500
+
+
+def test_cms_exact_when_wide(spark):
+    from sigraph_spark.operators.sketches import cms_estimate, cms_sketch
+
+    vals = [f"k{i % 5}" for i in range(100)]
+    df = spark.createDataFrame([(v,) for v in vals], "key string")
+    cms = cms_sketch(df, "key", w=65536, d=4)
+    est = {r["key"]: r["est"]
+           for r in cms_estimate(cms, df, "key", w=65536, d=4).collect()}
+    assert est == {f"k{i}": 20 for i in range(5)}
+
+
+def test_cms_merge_equals_union_sketch(spark):
+    from sigraph_spark.operators.sketches import cms_merge, cms_sketch
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 300).select(
+        F.concat(F.lit("k"), (F.col("id") % 9)).alias("key"), "id"
+    )
+    a = df.filter(F.col("id") % 5 < 2).drop("id")
+    b = df.filter(F.col("id") % 5 >= 2).drop("id")
+    df = df.drop("id")
+    sa, sb = cms_sketch(a, "key", w=32, d=2), cms_sketch(b, "key", w=32, d=2)
+    merged = {(r["j"], r["cell"]): r["total"]
+              for r in cms_merge(sa, sb).collect()}
+    full = {(r["j"], r["cell"]): r["total"]
+            for r in cms_sketch(df, "key", w=32, d=2).collect()}
+    assert merged == full
+
+
+def test_cms_weighted_and_partition_invariant(spark):
+    from pyspark.sql import functions as F
+    from sigraph_spark.operators.sketches import cms_estimate, cms_sketch
+
+    df = spark.range(0, 500).select(
+        F.concat(F.lit("k"), (F.col("id") % 11)).alias("key"),
+        (F.col("id") % 3 + 1).alias("w"),
+    )
+    outs = []
+    for parts in (1, 8):
+        cms = cms_sketch(df.repartition(parts), "key", w=4096, d=3,
+                         weight_col="w")
+        outs.append(sorted(map(tuple, cms_estimate(
+            cms, df.select("key"), "key", w=4096, d=3).collect())))
+    assert outs[0] == outs[1]
+    # exact at this width: compare against the true weighted sums
+    import collections
+    true = collections.Counter()
+    for i in range(500):
+        true[f"k{i % 11}"] += i % 3 + 1
+    assert dict(outs[0]) == dict(true)
+
+
+def test_cms_depth_bound(spark):
+    import pytest as _pytest
+    from sigraph_spark.operators.sketches import cms_sketch
+
+    df = spark.createDataFrame([("a",)], "key string")
+    with _pytest.raises(ValueError):
+        cms_sketch(df, "key", d=9)

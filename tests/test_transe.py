@@ -147,3 +147,64 @@ def test_colliding_negative_is_exact_noop(spark):
     for (kind, x, k), v in ref.items():
         h = _h32(f"{kind}|{x}|{k}") % (2 * SCALE + 1) - SCALE
         assert v == h
+
+
+DELTA = [("d", "likes", "e2"), ("e2", "hates", "b")]
+
+
+def test_resume_matches_python_reference_with_delta(spark):
+    # cold phase on TINY, resume phase on TINY+DELTA with continued draws
+    def train_py(facts, dim, rounds, init=None, offset=0, lr=20_000):
+        facts = sorted(set(facts))
+        ents = sorted({s for s, _, _ in facts} | {o for _, _, o in facts})
+        rels = sorted({p for _, p, _ in facts})
+        rank = {i: e for i, e in enumerate(ents)}
+        e = {(x, k): (init[("e", x, k)] if init and ("e", x, k) in init
+                      else _h32(f"e|{x}|{k}") % (2 * SCALE + 1) - SCALE)
+             for x in ents for k in range(dim)}
+        r = {(x, k): (init[("r", x, k)] if init and ("r", x, k) in init
+                      else _h32(f"r|{x}|{k}") % (2 * SCALE + 1) - SCALE)
+             for x in rels for k in range(dim)}
+        sign = lambda v: 1 if v > 0 else (-1 if v < 0 else 0)
+        for t in range(offset + 1, offset + rounds + 1):
+            eu, ru = {}, {}
+            for s, p, o in facts:
+                neg = rank[_h32(f"{s}|{p}|{o}|{t}") % len(ents)]
+                dp = [e[(s, k)] + r[(p, k)] - e[(o, k)] for k in range(dim)]
+                dn = [e[(s, k)] + r[(p, k)] - e[(neg, k)] for k in range(dim)]
+                if sum(map(abs, dp)) + SCALE - sum(map(abs, dn)) > 0:
+                    for k in range(dim):
+                        gp, gn = sign(dp[k]), sign(dn[k])
+                        eu[(s, k)] = eu.get((s, k), 0) - lr * (gp - gn)
+                        ru[(p, k)] = ru.get((p, k), 0) - lr * (gp - gn)
+                        eu[(o, k)] = eu.get((o, k), 0) + lr * gp
+                        eu[(neg, k)] = eu.get((neg, k), 0) - lr * gn
+            for key, d in eu.items():
+                e[key] += d
+            for key, d in ru.items():
+                r[key] += d
+        out = {("e", x, k): v for (x, k), v in e.items()}
+        out.update({("r", x, k): v for (x, k), v in r.items()})
+        return out
+
+    base_df = spark.createDataFrame(TINY, FACTS)
+    all_df = spark.createDataFrame(TINY + DELTA, FACTS)
+    emb1 = transe_train(base_df, dim=3, rounds=2)
+    got = {
+        (r["kind"], r["id"], r["k"]): r["v"]
+        for r in transe_train(
+            all_df, dim=3, rounds=2, init_emb=emb1, round_offset=2
+        ).collect()
+    }
+    emb1_py = train_py(TINY, 3, 2)
+    assert got == train_py(TINY + DELTA, 3, 2, init=emb1_py, offset=2)
+
+
+def test_resume_on_unchanged_facts_is_bit_identical_to_cold_run(spark):
+    df = spark.createDataFrame(TINY, FACTS)
+    cold = sorted(map(tuple, transe_train(df, dim=3, rounds=4).collect()))
+    emb1 = transe_train(df, dim=3, rounds=2)
+    warm = sorted(map(tuple, transe_train(
+        df, dim=3, rounds=2, init_emb=emb1, round_offset=2
+    ).collect()))
+    assert warm == cold

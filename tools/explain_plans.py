@@ -277,6 +277,109 @@ def main() -> int:
         forbid=("BatchEvalPython", "ArrowEvalPython"),
     )
 
+    # HLL sketch: one algebraic max agg — registers must partial-aggregate
+    # map-side (the property that bounds the shuffle by sketch size, not
+    # corpus size) and the whole path stays JVM-side.
+    from sigraph_spark.operators.sketches import hll_distinct, hll_registers
+
+    check(
+        "hll_registers",
+        hll_registers(_docs_df, ["lang"], "text", p=8),
+        want=("partial_max",),
+        forbid=("BatchEvalPython", "ArrowEvalPython"),
+    )
+    check(
+        "hll_estimate",
+        hll_distinct(_docs_df, ["lang"], "text", p=8),
+        forbid=("BatchEvalPython", "ArrowEvalPython"),
+    )
+
+    # distant supervision: anchor-blocked containment join — hash joins
+    # only, never a sentence x fact product, zero Python.
+    from sigraph_spark.operators.distant import distant_supervision
+
+    _facts_df = spark.createDataFrame(
+        [("hash value", "phrase_with", "table"), ("query", "cooccurs", "window")],
+        "subj string, predicate string, obj string",
+    )
+    check(
+        "distant_supervision",
+        distant_supervision(_docs_df, _facts_df),
+        forbid=(
+            "BatchEvalPython", "ArrowEvalPython",
+            "CartesianProduct", "BroadcastNestedLoopJoin",
+        ),
+    )
+
+    # TransE: training and scoring are equi-joins on entity/relation ids
+    # plus algebraic aggs — zero Python, no product joins anywhere.
+    from sigraph_spark.operators.transe import transe_score, transe_train
+
+    _tiny_facts = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c"), ("c", "q", "a")],
+        "subj string, predicate string, obj string",
+    )
+    _emb = transe_train(_tiny_facts, dim=2, rounds=1)
+    check(
+        "transe_train",
+        _emb,
+        forbid=("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"),
+    )
+    check(
+        "transe_score",
+        transe_score(_emb, _tiny_facts),
+        forbid=(
+            "BatchEvalPython", "ArrowEvalPython",
+            "CartesianProduct", "BroadcastNestedLoopJoin",
+        ),
+    )
+
+    # property paths: sequence composition = hash join on the middle
+    # node; communities: per-round neighbor join + algebraic vote count.
+    from sigraph_spark.operators.bgp import eval_path
+    from sigraph_spark.operators.graphalgo import communities_lpa
+
+    _pedges = spark.createDataFrame(
+        [("a", "L", "b"), ("b", "C", "c")],
+        "src string, predicate string, dst string",
+    )
+    check(
+        "path_sequence",
+        eval_path(_pedges, "L/C"),
+        forbid=(
+            "BatchEvalPython", "ArrowEvalPython",
+            "CartesianProduct", "BroadcastNestedLoopJoin",
+        ),
+    )
+    check(
+        "communities_round",
+        communities_lpa(_pedges.select("src", "dst"), rounds=1),
+        forbid=("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"),
+    )
+
+    # CMS + HyperBall: algebraic sketch aggs; the CMS probe join must
+    # BROADCAST (the sketch is O(d*w) rows, always the small side).
+    from sigraph_spark.operators.sketches import cms_estimate, cms_sketch
+
+    _cms = cms_sketch(_docs_df, "source", w=256, d=3)
+    check(
+        "cms_estimate",
+        cms_estimate(_cms, _docs_df.select("source"), "source", w=256, d=3),
+        want=("BroadcastHashJoin",),
+        forbid=("BatchEvalPython", "ArrowEvalPython"),
+    )
+    from sigraph_spark.operators.graphalgo import hyperball
+
+    # (the register max-merge sits behind the per-round checkpoint; its
+    # map-side combine is the hll_registers partial_max check above —
+    # here the visible estimator agg must still partial-aggregate)
+    check(
+        "hyperball_round",
+        hyperball(_pedges.select("src", "dst"), p=6, radii=1),
+        want=("partial_sum",),
+        forbid=("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"),
+    )
+
     # codegen-size regression guard: the provenance parse once silently
     # exceeded the JVM's 64 KB generated-method limit (1.7 MB of code from
     # alias re-inlining), falling back to interpreted eval at a 6x cost.
