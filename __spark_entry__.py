@@ -476,6 +476,18 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(e, seeds, rounds=3)
 
 
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA community partition — exact BIGINT
+    numerator q_num = 4m^2*Q (one float division at the very end), so
+    the quality score itself is engine-exact and replay-stable."""
+    from sigraph_spark.operators.graphalgo import (
+        communities_lpa, modularity,
+    )
+
+    e = _edges_ckpt(spark, sf_dir)
+    return modularity(e, communities_lpa(e, rounds=4))
+
+
 def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperBall (Boldi-Vigna): per-node neighborhood-function
     estimates at radii 1..3 via mergeable per-node HLL registers —
@@ -2385,6 +2397,27 @@ def q_transe_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transe_train(t, dim=4, rounds=3)
 
 
+def q_kg_completion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-completion evaluation protocol (filtered ranking): every ~5th
+    fact becomes a probe; its true tail is ranked among all trained
+    entities by exact-integer TransE distance with known facts filtered
+    out. The oracle composes the training CTEs with the ranking SQL."""
+    from sigraph_spark.operators.dedup import hash32_md5_le
+    from sigraph_spark.operators.transe import (
+        transe_rank_tails, transe_train,
+    )
+
+    t = _webtext_triples(spark).select(
+        F.col("actor").alias("subj"),
+        F.col("verb").alias("predicate"),
+        F.col("object").alias("obj"),
+    )
+    emb = transe_train(t, dim=4, rounds=3)
+    h = hash32_md5_le(F.concat_ws("|", "subj", "predicate", "obj"))
+    probes = t.distinct().filter(h % 5 == 0)
+    return transe_rank_tails(emb, probes, filter_facts=t)
+
+
 def q_transe_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warm-start TransE for the continuous-crawl path: 2 cold rounds
     over 90% of the facts (stored embeddings), then 2 resumed rounds
@@ -2762,6 +2795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_graph": q_schema_graph,
         "transe_embeddings": q_transe_embeddings,
         "transe_resume": q_transe_resume,
+        "kg_completion_eval": q_kg_completion_eval,
         "entity_summary": q_entity_summary,
         "entity_cooccurrence": q_entity_cooccurrence,
         "literal_typing": q_literal_typing,
@@ -2780,6 +2814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "communities": q_communities,
         "hyperball": q_hyperball,
+        "modularity": q_modularity,
         "random_walks": q_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
         "negative_samples": q_negative_samples,
@@ -3392,6 +3427,41 @@ def oracle_sql() -> dict[str, str]:
 
     sq["communities"] = (
         "WITH " + _EDGES_CTE + ",\n" + communities_oracle_sql("edges", 4)
+    )
+    # --- modularity of that partition: exact-integer numerator
+    sq["modularity"] = (
+        "WITH " + _EDGES_CTE + ",\n"
+        + communities_oracle_sql("edges", 4, final_select=False)
+        + """,
+        md_und AS (
+          SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y
+          FROM edges WHERE src <> dst),
+        md_lab AS (
+          SELECT u.x, u.y, ax.label AS cx, ay.label AS cy
+          FROM md_und u
+          JOIN cm_l4 ax ON ax.node = u.x
+          JOIN cm_l4 ay ON ay.node = u.y),
+        md_e AS (
+          SELECT cx AS c, CAST(count(*) AS BIGINT) AS e_in
+          FROM md_lab WHERE cx = cy GROUP BY cx),
+        md_d AS (
+          SELECT c, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT cx AS c FROM md_lab
+            UNION ALL SELECT cy FROM md_lab)
+          GROUP BY c),
+        md_pc AS (
+          SELECT md_d.c, coalesce(md_e.e_in, 0) AS e_in, md_d.d
+          FROM md_d LEFT JOIN md_e ON md_d.c = md_e.c),
+        md_m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM md_und),
+        md_s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_communities,
+                 sum(e_in) AS se, sum(d * d) AS sd2
+          FROM md_pc)
+        SELECT m AS m_edges, n_communities,
+               CAST(4 * m * se - sd2 AS BIGINT) AS q_num,
+               round((4 * m * se - sd2) / (4.0 * m * m), 6) AS q
+        FROM md_m CROSS JOIN md_s
+        """
     )
     # --- one-row graph health panel
     sq["graph_metrics"] = (
@@ -5682,6 +5752,43 @@ def oracle_sql() -> dict[str, str]:
         te_in AS (SELECT actor AS s, verb AS p, object AS o FROM stepped),
         """
         + transe_oracle_sql("te_in", dim=4, rounds=3)
+    )
+    sq["kg_completion_eval"] = (
+        "WITH " + _pages_triples_cte()
+        + """,
+        te_in AS (SELECT actor AS s, verb AS p, object AS o FROM stepped),
+        """
+        + transe_oracle_sql("te_in", dim=4, rounds=3, final_select=False)
+        + """,
+        ev_q AS (
+          SELECT DISTINCT s, p, o FROM te_in
+          WHERE CAST(md5_number_upper(s || '|' || p || '|' || o)
+                     & 4294967295 AS BIGINT) % 5 = 0),
+        ev_c AS (
+          SELECT q.s, q.p, q.o, e.id AS cand
+          FROM ev_q q CROSS JOIN (SELECT DISTINCT id FROM te_e3) e),
+        ev_f AS (
+          SELECT c.* FROM ev_c c
+          WHERE c.cand = c.o OR NOT EXISTS (
+            SELECT 1 FROM te_f f
+            WHERE f.s = c.s AND f.p = c.p AND f.o = c.cand)),
+        ev_d AS (
+          SELECT c.s, c.p, c.o, c.cand,
+                 sum(abs(es.v + rp.v - et.v)) AS d
+          FROM ev_f c
+          JOIN te_e3 es ON es.id = c.s
+          JOIN te_r3 rp ON rp.id = c.p AND rp.k = es.k
+          JOIN te_e3 et ON et.id = c.cand AND et.k = es.k
+          GROUP BY c.s, c.p, c.o, c.cand),
+        ev_t AS (SELECT s, p, o, d AS d_true FROM ev_d WHERE cand = o)
+        SELECT d.s AS subj, d.p AS predicate, d.o AS obj,
+               CAST(1 + sum(CASE WHEN d.d < t.d_true
+                                 OR (d.d = t.d_true AND d.cand < d.o)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS rank
+        FROM ev_d d
+        JOIN ev_t t ON d.s = t.s AND d.p = t.p AND d.o = t.o
+        GROUP BY d.s, d.p, d.o
+        """
     )
     sq["transe_resume"] = (
         "WITH " + _pages_triples_cte()

@@ -758,10 +758,13 @@ def communities_lpa(
     return labels.select(F.col("node").alias("node_id"), F.col("label").alias("community"))
 
 
-def communities_oracle_sql(edges_cte: str, rounds: int) -> str:
+def communities_oracle_sql(
+    edges_cte: str, rounds: int, final_select: bool = True
+) -> str:
     """Unrolled-round SQL restatement of :func:`communities_lpa` over a
     relation (src, dst). Same self-vote + (count DESC, label ASC)
-    tie-break, so the match is exact."""
+    tie-break, so the match is exact. ``final_select=False`` ends after
+    the last label CTE ``cm_l{rounds}`` for composition."""
     parts = [
         f"""cm_und AS MATERIALIZED (
           SELECT DISTINCT x, y FROM (
@@ -787,8 +790,11 @@ def communities_oracle_sql(edges_cte: str, rounds: int) -> str:
                 GROUP BY x, label)
               WHERE rn = 1)"""
         )
-    return ",\n".join(parts) + f"""
+    sql = ",\n".join(parts)
+    if final_select:
+        sql += f"""
         SELECT node AS node_id, label AS community FROM cm_l{rounds}"""
+    return sql
 
 
 def hyperball(
@@ -901,3 +907,81 @@ def hyperball_oracle_sql(edges_cte: str, p: int, radii: int) -> str:
             FROM hb_a{t}"""
         )
     return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def modularity(
+    edges: DataFrame,
+    assignment: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Newman modularity Q of a community assignment over the
+    undirected graph — the standard "is this partition better than
+    chance" score for :func:`communities_lpa` output. One row:
+    ``(m_edges, n_communities, q_num, q)`` where
+    ``q_num = 4*m^2*Q = sum_c (4*m*e_c - d_c^2)`` is EXACT BIGINT
+    (e_c = intra-community edges, d_c = total degree of c) and
+    ``q = q_num / (4*m^2)`` rounded to 6dp. Keeping the numerator
+    integer makes the score partition-order invariant and
+    engine-exact — the float division happens once at the end.
+
+    ``assignment`` needs columns (node_id, community). Work: one edge
+    join onto the assignment (x2), one degree agg, one community agg —
+    all algebraic.
+    """
+    und = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("x"), F.greatest("x", "y").alias("y")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = assignment.select(
+        F.col(assignment.columns[0]).alias("node"),
+        F.col(assignment.columns[1]).alias("c"),
+    )
+    lab = (
+        und.join(a.withColumnRenamed("node", "x"), "x")
+        .withColumnRenamed("c", "cx")
+        .join(
+            a.withColumnRenamed("node", "y").withColumnRenamed("c", "cy"),
+            "y",
+        )
+    )
+    # intra-community edge counts per community
+    e_c = (
+        lab.filter(F.col("cx") == F.col("cy"))
+        .groupBy(F.col("cx").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    # community degree: each undirected edge adds 1 to both endpoints
+    deg = (
+        lab.select(F.col("cx").alias("c"))
+        .unionAll(lab.select(F.col("cy").alias("c")))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    per_c = deg.join(e_c, "c", "left").select(
+        "c", F.coalesce("e_in", F.lit(0)).alias("e_in"), "d"
+    )
+    stats = und.agg(F.count(F.lit(1)).cast("long").alias("m")).crossJoin(
+        per_c.agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.sum("e_in").alias("_se"),
+            F.sum(F.col("d") * F.col("d")).alias("_sd2"),
+        )
+    )
+    return stats.select(
+        F.col("m").alias("m_edges"),
+        "n_communities",
+        (F.lit(4) * F.col("m") * F.col("_se") - F.col("_sd2"))
+        .cast("long")
+        .alias("q_num"),
+        F.round(
+            (F.lit(4) * F.col("m") * F.col("_se") - F.col("_sd2"))
+            / (F.lit(4.0) * F.col("m") * F.col("m")),
+            6,
+        ).alias("q"),
+    )

@@ -372,3 +372,103 @@ def transe_oracle_sql(
         UNION ALL
         SELECT 'r' AS kind, id, k, v FROM {P}r{rounds}"""
     return sql
+
+
+def transe_rank_tails(
+    emb: DataFrame,
+    queries: DataFrame,
+    filter_facts: DataFrame | None = None,
+    subj_col: str = "subj",
+    pred_col: str = "predicate",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """KG-completion evaluation (the Bordes et al. protocol): for each
+    query fact, rank its TRUE tail among all trained entities by TransE
+    distance — ``(subj, predicate, obj, rank)``, rank 1 = best.
+    ``filter_facts`` enables the standard FILTERED setting: candidate
+    tails that form a known true fact (other than the query itself) are
+    excluded, so a model isn't penalized for ranking another correct
+    answer above the probe.
+
+    Deterministic: distances are exact BIGINT; ties break by candidate
+    id, so rank = 1 + #candidates strictly closer + #equal-and-smaller.
+    Cost is |queries| x |entities| candidate rows (x dim inside the
+    distance agg) — the standard eval cost; keep the query set
+    eval-sized, this is not the bulk-inference path
+    (:func:`transe_score` is).
+    """
+    e = emb.filter(F.col("kind") == "e").select("id", "k", "v")
+    r = emb.filter(F.col("kind") == "r").select("id", "k", "v")
+    q = queries.select(
+        F.col(subj_col).alias("s"),
+        F.col(pred_col).alias("p"),
+        F.col(obj_col).alias("o"),
+    ).distinct()
+    ents = e.select(F.col("id").alias("cand")).distinct()
+    cands = q.crossJoin(ents)
+    if filter_facts is not None:
+        ff = filter_facts.select(
+            F.col(subj_col).alias("s"),
+            F.col(pred_col).alias("p"),
+            F.col(obj_col).alias("cand"),
+        ).distinct()
+        known = cands.join(ff, ["s", "p", "cand"], "left_semi").filter(
+            F.col("cand") != F.col("o")
+        )
+        cands = cands.exceptAll(known)
+    dists = (
+        cands.join(
+            e.select(F.col("id").alias("s"), "k", F.col("v").alias("hs")), "s"
+        )
+        .join(r.select(F.col("id").alias("p"), "k", F.col("v").alias("vr")),
+              ["p", "k"])
+        .join(
+            e.select(F.col("id").alias("cand"), "k", F.col("v").alias("vt")),
+            ["cand", "k"],
+        )
+        .groupBy("s", "p", "o", "cand")
+        .agg(F.sum(F.abs(F.col("hs") + F.col("vr") - F.col("vt"))).alias("d"))
+    )
+    true_d = dists.filter(F.col("cand") == F.col("o")).select(
+        "s", "p", "o", F.col("d").alias("d_true")
+    )
+    return (
+        dists.join(true_d, ["s", "p", "o"])
+        .groupBy("s", "p", "o")
+        .agg(
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        (F.col("d") < F.col("d_true"))
+                        | (
+                            (F.col("d") == F.col("d_true"))
+                            & (F.col("cand") < F.col("o"))
+                        ),
+                        1,
+                    ).otherwise(0)
+                )
+            ).cast("long").alias("rank")
+        )
+        .select(
+            F.col("s").alias(subj_col),
+            F.col("p").alias(pred_col),
+            F.col("o").alias(obj_col),
+            "rank",
+        )
+    )
+
+
+def transe_eval_summary(ranks: DataFrame, k: int = 10) -> DataFrame:
+    """One-row MRR / Hits@1 / Hits@k panel over a rank table. MRR is
+    the only float (sum of 1/rank, rounded 6dp); hit counts are exact."""
+    return ranks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.avg(F.lit(1.0) / F.col("rank")), 6).alias("mrr"),
+        F.sum(F.when(F.col("rank") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("hits1"),
+        F.sum(F.when(F.col("rank") <= k, 1).otherwise(0))
+        .cast("long")
+        .alias(f"hits{k}"),
+    )

@@ -412,3 +412,47 @@ def test_hyperball_partition_invariance(spark):
     d8 = spark.createDataFrame(edges, "src string, dst string").repartition(8)
     assert sorted(map(tuple, hyperball(d1, p=6, radii=2).collect())) == \
         sorted(map(tuple, hyperball(d8, p=6, radii=2).collect()))
+
+
+def test_modularity_two_cliques_vs_random_partition(spark):
+    from sigraph_spark.operators.graphalgo import communities_lpa, modularity
+
+    clique1 = [(f"a{i}", f"a{j}") for i in range(4) for j in range(i + 1, 4)]
+    clique2 = [(f"b{i}", f"b{j}") for i in range(4) for j in range(i + 1, 4)]
+    edges = clique1 + clique2 + [("a0", "b0")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    # hand computation on the FIXED clique partition: m=13, e_in=6 each,
+    # community degrees 13 each -> q_num = 4*13*12 - 2*169 = 286
+    fixed = spark.createDataFrame(
+        [(f"a{i}", "A") for i in range(4)] + [(f"b{i}", "B") for i in range(4)],
+        "node_id string, community string",
+    )
+    [row] = modularity(df, fixed).collect()
+    assert row["m_edges"] == 13
+    assert row["n_communities"] == 2
+    assert row["q_num"] == 4 * 13 * 12 - 2 * 169
+    assert row["q"] == round(row["q_num"] / (4.0 * 13 * 13), 6)
+    # the LPA partition scores at least as well as it (it finds the
+    # cliques up to bridge-node placement)
+    part = communities_lpa(df, rounds=4)
+    [lrow] = modularity(df, part).collect()
+    assert lrow["q_num"] >= 0.8 * row["q_num"]
+    # a random-ish everyone-separate partition scores worse
+    singletons = df.selectExpr("src AS node_id", "src AS community").unionByName(
+        df.selectExpr("dst AS node_id", "dst AS community")
+    ).distinct()
+    [srow] = modularity(df, singletons).collect()
+    assert srow["q_num"] < row["q_num"]
+
+
+def test_modularity_single_community_is_zero(spark):
+    from sigraph_spark.operators.graphalgo import modularity
+
+    edges = [("x", "y"), ("y", "z"), ("z", "x")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    one = df.selectExpr("src AS node_id", "'c' AS community").unionByName(
+        df.selectExpr("dst AS node_id", "'c' AS community")
+    ).distinct()
+    [row] = modularity(df, one).collect()
+    # all edges internal: Q = 1 - 1 = 0 exactly
+    assert row["q_num"] == 0 and row["q"] == 0.0

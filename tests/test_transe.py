@@ -208,3 +208,43 @@ def test_resume_on_unchanged_facts_is_bit_identical_to_cold_run(spark):
         df, dim=3, rounds=2, init_emb=emb1, round_offset=2
     ).collect()))
     assert warm == cold
+
+
+def test_rank_tails_and_summary(spark):
+    from sigraph_spark.operators.transe import (
+        transe_eval_summary, transe_rank_tails,
+    )
+
+    df = spark.createDataFrame(TINY, FACTS)
+    emb = transe_train(df, dim=4, rounds=3).cache()
+    ranks = transe_rank_tails(emb, df, filter_facts=df).cache()
+    got = {(r["subj"], r["predicate"], r["obj"]): r["rank"]
+           for r in ranks.collect()}
+    # one rank per distinct fact; ranks within [1, n_entities]
+    assert set(got) == set(TINY)
+    n_ents = len({s for s, _, _ in TINY} | {o for _, _, o in TINY})
+    assert all(1 <= v <= n_ents for v in got.values())
+    [s] = transe_eval_summary(ranks, k=3).collect()
+    assert s["n_queries"] == len(TINY)
+    assert s["hits1"] <= s["hits3"] <= s["n_queries"]
+    assert s["mrr"] == round(
+        sum(1.0 / v for v in got.values()) / len(got), 6)
+
+
+def test_filtered_ranking_excludes_known_tails(spark):
+    from sigraph_spark.operators.transe import transe_rank_tails
+
+    # s has TWO true tails; in the filtered setting, ranking (s,p,o1)
+    # must not count o2 as a competitor (and vice versa)
+    facts = [("s", "p", "o1"), ("s", "p", "o2"), ("x", "q", "y")]
+    df = spark.createDataFrame(facts, FACTS)
+    emb = transe_train(df, dim=4, rounds=2).cache()
+    raw = {r["obj"]: r["rank"] for r in transe_rank_tails(
+        emb, df.filter(F.col("subj") == "s")).collect()}
+    filt = {r["obj"]: r["rank"] for r in transe_rank_tails(
+        emb, df.filter(F.col("subj") == "s"), filter_facts=df).collect()}
+    # filtering can only improve (or keep) a probe's rank
+    assert filt["o1"] <= raw["o1"] and filt["o2"] <= raw["o2"]
+    # and the two probes can't both be blocked by each other anymore:
+    # total filtered competitors = n_entities - 1 (the other true tail)
+    assert max(filt.values()) <= max(raw.values())
