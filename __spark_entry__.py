@@ -2751,6 +2751,80 @@ def _quality_classifier_oracle() -> str:
     )
 
 
+def _webtext_chain_facts(spark: SparkSession) -> DataFrame:
+    """Triples + a deterministic 2-hop composition signal for the AMIE
+    chain-rule gates. Per page i the crawl graph asserts
+    ``(crawler-{i%50}, links_to, host-{i%97})`` and
+    ``(host-{i%97}, hosted_in, cc-{(i%97)%13})``; the composed head
+    ``(crawler, reaches, cc)`` is asserted only for pairs with even
+    portable-hash parity — so the rule
+    links_to ∧ hosted_in ⇒ reaches is mineable at ~50% confidence
+    (650 distinct body pairs) and the odd half is forward-chainable.
+    The extraction triples ride along as mining noise."""
+    from sigraph_spark.corpus import gen_pages
+    from sigraph_spark.operators.dedup import hash32_md5_le
+
+    t = _webtext_triples(spark).select("actor", "verb", "object")
+    i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    pages = gen_pages(spark, sf=0.01).select(i.alias("i"))
+    src = F.concat(F.lit("crawler-"), (F.col("i") % 50).cast("string"))
+    mid = F.concat(F.lit("host-"), (F.col("i") % 97).cast("string"))
+    cc = F.concat(F.lit("cc-"), ((F.col("i") % 97) % 13).cast("string"))
+    links = pages.select(
+        src.alias("actor"), F.lit("links_to").alias("verb"), mid.alias("object")
+    )
+    hosted = pages.select(
+        mid.alias("actor"), F.lit("hosted_in").alias("verb"), cc.alias("object")
+    )
+    head = pages.select(
+        src.alias("actor"), F.lit("reaches").alias("verb"), cc.alias("object")
+    ).filter(hash32_md5_le(F.concat_ws("|", "actor", "object")) % 2 == 0)
+    return t.unionByName(links).unionByName(hosted).unionByName(head)
+
+
+def q_chain_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMIE-style length-2 Horn rule mining (support / std-confidence /
+    PCA-confidence denominators, all exact BIGINT) over the webtext KG
+    plus the injected composition signal — the planted rule
+    network_connect ∧ resolves_to ⇒ reaches_ip must surface."""
+    from sigraph_spark.operators.rulemine import mine_chain_rules
+
+    return mine_chain_rules(
+        _webtext_chain_facts(spark),
+        subj_col="actor",
+        pred_col="verb",
+        obj_col="object",
+        min_support=3,
+        min_conf_pct=30,
+    ).select("p1", "p2", "head", "support", "n_body", "n_pca", "n_head")
+
+
+def q_chain_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward chaining: mined rules at PCA-confidence ≥40% fire over
+    their body groundings and emit only NOVEL head triples (the
+    odd-parity reaches_ip half), each tagged with its best deriving
+    rule and integer confidence percent."""
+    from sigraph_spark.operators.rulemine import infer_chain, mine_chain_rules
+
+    facts = _webtext_chain_facts(spark)
+    rules = mine_chain_rules(
+        facts,
+        subj_col="actor",
+        pred_col="verb",
+        obj_col="object",
+        min_support=3,
+        min_conf_pct=30,
+    )
+    return infer_chain(
+        facts,
+        rules,
+        subj_col="actor",
+        pred_col="verb",
+        obj_col="object",
+        min_pca_conf_pct=40,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "provenance_parse": q_provenance_parse,
@@ -2801,6 +2875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "literal_typing": q_literal_typing,
         "inverse_predicates": q_inverse_predicates,
         "predicate_subsumption": q_predicate_subsumption,
+        "chain_rules": q_chain_rules,
+        "chain_inference": q_chain_inference,
         "edge_provenance": q_edge_provenance,
         "predicate_ranges": q_predicate_ranges,
         "predicate_schema": q_predicate_schema,
@@ -5494,6 +5570,93 @@ def oracle_sql() -> dict[str, str]:
         JOIN ps_sz sb ON sb.p = broad
         WHERE sn.n_pairs < sb.n_pairs
           AND 100 * n_shared >= 90 * sn.n_pairs
+        """
+    )
+    # Shared CTE chain for the AMIE rule-mining gates: webtext triples +
+    # the injected 2-hop composition signal (parity via the portable
+    # md5_number_upper & 0xffffffff == hash32_md5_le family), then the
+    # full mining algorithm — hot-mid guard, distinct chain groundings,
+    # support / body / PCA / head denominators as exact BIGINTs.
+    _chain_ctes = """,
+        cr_pg AS (
+          SELECT 'crawler-' || CAST(i % 50 AS VARCHAR) AS src,
+                 'host-' || CAST(i % 97 AS VARCHAR) AS mid,
+                 'cc-' || CAST((i % 97) % 13 AS VARCHAR) AS cc
+          FROM pg),
+        cr_base AS (
+          SELECT actor, verb, object FROM stepped
+          UNION ALL SELECT src, 'links_to', mid FROM cr_pg
+          UNION ALL SELECT mid, 'hosted_in', cc FROM cr_pg
+          UNION ALL SELECT src, 'reaches', cc FROM cr_pg
+          WHERE (md5_number_upper(src || '|' || cc)
+                 & 4294967295) % 2 = 0),
+        cr_sig AS (SELECT DISTINCT actor AS s, verb AS p, object AS o
+                   FROM cr_base),
+        cr_out AS (SELECT s AS z, CAST(count(*) AS BIGINT) AS n_out
+                   FROM cr_sig GROUP BY s),
+        cr_in AS (SELECT o AS z, CAST(count(*) AS BIGINT) AS n_in
+                  FROM cr_sig GROUP BY o),
+        cr_hot AS (SELECT z FROM cr_in JOIN cr_out USING (z)
+                   WHERE n_in > 10000 OR n_out > 10000),
+        cr_bodies AS (
+          SELECT DISTINCT a.p AS p1, b.p AS p2, a.s AS x, b.o AS y
+          FROM cr_sig a JOIN cr_sig b ON a.o = b.s
+          WHERE a.o NOT IN (SELECT z FROM cr_hot)),
+        cr_nb AS (SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_body
+                  FROM cr_bodies GROUP BY p1, p2),
+        cr_sup AS (
+          SELECT b.p1, b.p2, h.p AS head,
+                 CAST(count(*) AS BIGINT) AS support
+          FROM cr_bodies b JOIN cr_sig h ON h.s = b.x AND h.o = b.y
+          GROUP BY b.p1, b.p2, h.p),
+        cr_cand AS (
+          SELECT * FROM cr_sup JOIN cr_nb USING (p1, p2)
+          WHERE support >= 3 AND 100 * support >= 30 * n_body),
+        cr_hs AS (SELECT DISTINCT p AS head, s AS x FROM cr_sig),
+        cr_pca AS (
+          SELECT b.p1, b.p2, c.head, CAST(count(*) AS BIGINT) AS n_pca
+          FROM cr_bodies b
+          JOIN (SELECT DISTINCT p1, p2, head FROM cr_cand) c
+            USING (p1, p2)
+          JOIN cr_hs hs ON hs.head = c.head AND hs.x = b.x
+          GROUP BY b.p1, b.p2, c.head),
+        cr_nh AS (SELECT p AS head, CAST(count(*) AS BIGINT) AS n_head
+                  FROM cr_sig GROUP BY p)"""
+    sq["chain_rules"] = (
+        "WITH " + _pages_triples_cte()
+        + _chain_ctes
+        + """
+        SELECT p1, p2, head, support, n_body, n_pca, n_head
+        FROM cr_cand
+        JOIN cr_pca USING (p1, p2, head)
+        JOIN cr_nh USING (head)
+        """
+    )
+    sq["chain_inference"] = (
+        "WITH " + _pages_triples_cte()
+        + _chain_ctes
+        + """,
+        cr_keep AS (
+          SELECT c.p1, c.p2, c.head,
+                 (100 * c.support) // p.n_pca AS conf_pct
+          FROM cr_cand c JOIN cr_pca p USING (p1, p2, head)
+          WHERE 100 * c.support >= 40 * p.n_pca),
+        cr_der AS (
+          SELECT b.x, k.head, b.y, k.p1, k.p2, k.conf_pct
+          FROM cr_bodies b JOIN cr_keep k USING (p1, p2)),
+        cr_best AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY x, head, y
+                   ORDER BY conf_pct DESC, p1, p2) AS rn,
+                 CAST(count(*) OVER (PARTITION BY x, head, y)
+                      AS BIGINT) AS n_rules
+          FROM cr_der)
+        SELECT x AS actor, head AS verb, y AS object, n_rules,
+               p1 AS rule_p1, p2 AS rule_p2, conf_pct
+        FROM cr_best
+        WHERE rn = 1 AND NOT EXISTS (
+          SELECT 1 FROM cr_sig s
+          WHERE s.s = x AND s.p = head AND s.o = y)
         """
     )
     sq["edge_provenance"] = (
