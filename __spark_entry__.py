@@ -2799,6 +2799,63 @@ def q_chain_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p1", "p2", "head", "support", "n_body", "n_pca", "n_head")
 
 
+def _webtext_chase_facts(spark: SparkSession) -> DataFrame:
+    """Chain facts + a third (region) level so materialization needs a
+    second round: ``(cc, in_region, region-{cc%4})`` for every country
+    node, and even-parity ``(crawler, reaches_region, region)`` heads —
+    the mined rule reaches ∧ in_region ⇒ reaches_region then fires over
+    round-1-DERIVED reaches facts in round 2."""
+    from sigraph_spark.corpus import gen_pages
+    from sigraph_spark.operators.dedup import hash32_md5_le
+
+    i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    pages = gen_pages(spark, sf=0.01).select(i.alias("i"))
+    src = F.concat(F.lit("crawler-"), (F.col("i") % 50).cast("string"))
+    cc = F.concat(F.lit("cc-"), ((F.col("i") % 97) % 13).cast("string"))
+    rg = F.concat(
+        F.lit("region-"), (((F.col("i") % 97) % 13) % 4).cast("string")
+    )
+    in_region = pages.select(
+        cc.alias("actor"), F.lit("in_region").alias("verb"), rg.alias("object")
+    )
+    head2 = pages.select(
+        src.alias("actor"),
+        F.lit("reaches_region").alias("verb"),
+        rg.alias("object"),
+    ).filter(hash32_md5_le(F.concat_ws("|", "actor", "object")) % 2 == 0)
+    return (
+        _webtext_chain_facts(spark).unionByName(in_region).unionByName(head2)
+    )
+
+
+def q_rule_chase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datalog-style materialization: mined rules forward-chain for
+    exactly 2 rounds (semi-naive delta grounding); round-2 facts exist
+    only because round 1 derived the odd-parity reaches edges — the
+    oracle re-derives both rounds by naive full regrounding, pinning
+    the semi-naive == naive equivalence on real data."""
+    from sigraph_spark.operators.rulemine import chase, mine_chain_rules
+
+    facts = _webtext_chase_facts(spark)
+    rules = mine_chain_rules(
+        facts,
+        subj_col="actor",
+        pred_col="verb",
+        obj_col="object",
+        min_support=3,
+        min_conf_pct=30,
+    )
+    return chase(
+        facts,
+        rules,
+        subj_col="actor",
+        pred_col="verb",
+        obj_col="object",
+        min_pca_conf_pct=40,
+        max_rounds=2,
+    ).filter(F.col("round") >= 1)
+
+
 def q_chain_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward chaining: mined rules at PCA-confidence ≥40% fire over
     their body groundings and emit only NOVEL head triples (the
@@ -2877,6 +2934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predicate_subsumption": q_predicate_subsumption,
         "chain_rules": q_chain_rules,
         "chain_inference": q_chain_inference,
+        "rule_chase": q_rule_chase,
         "edge_provenance": q_edge_provenance,
         "predicate_ranges": q_predicate_ranges,
         "predicate_schema": q_predicate_schema,
@@ -5577,11 +5635,15 @@ def oracle_sql() -> dict[str, str]:
     # md5_number_upper & 0xffffffff == hash32_md5_le family), then the
     # full mining algorithm — hot-mid guard, distinct chain groundings,
     # support / body / PCA / head denominators as exact BIGINTs.
-    _chain_ctes = """,
+    # `extra` lets the chase gate extend the asserted base with the
+    # region level while the mining algebra stays shared.
+    def _chain_mining_ctes(extra: str = "") -> str:
+        return """,
         cr_pg AS (
           SELECT 'crawler-' || CAST(i % 50 AS VARCHAR) AS src,
                  'host-' || CAST(i % 97 AS VARCHAR) AS mid,
-                 'cc-' || CAST((i % 97) % 13 AS VARCHAR) AS cc
+                 'cc-' || CAST((i % 97) % 13 AS VARCHAR) AS cc,
+                 'region-' || CAST(((i % 97) % 13) % 4 AS VARCHAR) AS rg
           FROM pg),
         cr_base AS (
           SELECT actor, verb, object FROM stepped
@@ -5589,7 +5651,7 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT mid, 'hosted_in', cc FROM cr_pg
           UNION ALL SELECT src, 'reaches', cc FROM cr_pg
           WHERE (md5_number_upper(src || '|' || cc)
-                 & 4294967295) % 2 = 0),
+                 & 4294967295) % 2 = 0""" + extra + """),
         cr_sig AS (SELECT DISTINCT actor AS s, verb AS p, object AS o
                    FROM cr_base),
         cr_out AS (SELECT s AS z, CAST(count(*) AS BIGINT) AS n_out
@@ -5622,9 +5684,10 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY b.p1, b.p2, c.head),
         cr_nh AS (SELECT p AS head, CAST(count(*) AS BIGINT) AS n_head
                   FROM cr_sig GROUP BY p)"""
+
     sq["chain_rules"] = (
         "WITH " + _pages_triples_cte()
-        + _chain_ctes
+        + _chain_mining_ctes()
         + """
         SELECT p1, p2, head, support, n_body, n_pca, n_head
         FROM cr_cand
@@ -5634,7 +5697,7 @@ def oracle_sql() -> dict[str, str]:
     )
     sq["chain_inference"] = (
         "WITH " + _pages_triples_cte()
-        + _chain_ctes
+        + _chain_mining_ctes()
         + """,
         cr_keep AS (
           SELECT c.p1, c.p2, c.head,
@@ -5657,6 +5720,52 @@ def oracle_sql() -> dict[str, str]:
         WHERE rn = 1 AND NOT EXISTS (
           SELECT 1 FROM cr_sig s
           WHERE s.s = x AND s.p = head AND s.o = y)
+        """
+    )
+    sq["rule_chase"] = (
+        "WITH " + _pages_triples_cte()
+        + _chain_mining_ctes(
+            """
+          UNION ALL SELECT cc, 'in_region', rg FROM cr_pg
+          UNION ALL SELECT src, 'reaches_region', rg FROM cr_pg
+          WHERE (md5_number_upper(src || '|' || rg)
+                 & 4294967295) % 2 = 0"""
+        )
+        + """,
+        ch_keep AS (
+          SELECT DISTINCT p1, p2, head
+          FROM cr_cand JOIN cr_pca USING (p1, p2, head)
+          WHERE 100 * support >= 40 * n_pca),
+        ch_d1 AS (
+          SELECT DISTINCT b.x AS s, k.head AS p, b.y AS o
+          FROM cr_bodies b JOIN ch_keep k USING (p1, p2)
+          WHERE NOT EXISTS (
+            SELECT 1 FROM cr_sig t
+            WHERE t.s = b.x AND t.p = k.head AND t.o = b.y)),
+        ch_sig1 AS (
+          SELECT s, p, o FROM cr_sig
+          UNION SELECT s, p, o FROM ch_d1),
+        ch_out1 AS (SELECT s AS z, CAST(count(*) AS BIGINT) AS n_out
+                    FROM ch_sig1 GROUP BY s),
+        ch_in1 AS (SELECT o AS z, CAST(count(*) AS BIGINT) AS n_in
+                   FROM ch_sig1 GROUP BY o),
+        ch_hot1 AS (SELECT z FROM ch_in1 JOIN ch_out1 USING (z)
+                    WHERE n_in > 10000 OR n_out > 10000),
+        ch_b2 AS (
+          SELECT DISTINCT a.p AS p1, b.p AS p2, a.s AS x, b.o AS y
+          FROM ch_sig1 a JOIN ch_sig1 b ON a.o = b.s
+          WHERE a.o NOT IN (SELECT z FROM ch_hot1)),
+        ch_d2 AS (
+          SELECT DISTINCT b.x AS s, k.head AS p, b.y AS o
+          FROM ch_b2 b JOIN ch_keep k USING (p1, p2)
+          WHERE NOT EXISTS (
+            SELECT 1 FROM ch_sig1 t
+            WHERE t.s = b.x AND t.p = k.head AND t.o = b.y))
+        SELECT s AS actor, p AS verb, o AS object, CAST(1 AS INT) AS round
+        FROM ch_d1
+        UNION ALL
+        SELECT s AS actor, p AS verb, o AS object, CAST(2 AS INT) AS round
+        FROM ch_d2
         """
     )
     sq["edge_provenance"] = (

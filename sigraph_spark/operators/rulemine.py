@@ -174,6 +174,120 @@ def mine_chain_rules(
     )
 
 
+def chase(
+    facts: DataFrame,
+    rules: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "predicate",
+    obj_col: str = "obj",
+    min_pca_conf_pct: int = 50,
+    max_mid_degree: int = 10_000,
+    max_rounds: int = 5,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Datalog-style materialization: forward-chain the mined rules to
+    fixpoint (or ``max_rounds``), returning the saturated KG as
+    ``(subj, predicate, obj, round)`` where ``round`` is the iteration
+    the fact FIRST appeared (0 = asserted in the input).
+
+    Rules stay FIXED (mined once on the asserted KG — the standard
+    materialization contract); only the fact set grows. Evaluation is
+    SEMI-NAIVE: after the first round, bodies are grounded only where
+    at least one hop comes from the previous round's delta
+    (``delta x all  UNION  all x delta``), so per-round work is
+    O(delta-adjacent chains), never a full re-derivation — the same
+    delta-driven shape as ``plans/incremental.py``'s crawl appends.
+    Each round's delta is deduplicated against everything known via one
+    anti-join on the triple key and checkpointed, keeping lineage flat.
+
+    The hot-mid degree guard is re-evaluated on the CURRENT fact set
+    each round (degrees only grow, so the hot set only grows — the
+    semi-naive and naive groundings stay equivalent under it).
+
+    ``metrics`` (optional) records ``rounds`` (per-round new-fact
+    counts) and ``converged`` — mirroring the ``graphalgo`` loop
+    contract, so callers can distinguish a fixpoint from a
+    ``max_rounds`` truncation.
+    """
+    keep = (
+        rules.filter(
+            100 * F.col("support") >= min_pca_conf_pct * F.col("n_pca")
+        )
+        .select("p1", "p2", "head")
+        .distinct()
+    )
+    sig = _signature(facts, subj_col, pred_col, obj_col)
+    current = sig.withColumn("round", F.lit(0)).localCheckpoint(eager=True)
+    delta = current
+    rounds: list[int] = []
+    converged = False
+    for r in range(1, max_rounds + 1):
+        cur_sig = current.select("s", "p", "o")
+        out_deg = cur_sig.groupBy(F.col("s").alias("z")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_out")
+        )
+        in_deg = cur_sig.groupBy(F.col("o").alias("z")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_in")
+        )
+        hot = (
+            in_deg.join(out_deg, "z")
+            .filter(
+                (F.col("n_in") > max_mid_degree)
+                | (F.col("n_out") > max_mid_degree)
+            )
+            .select("z")
+        )
+
+        def hop_l(df: DataFrame) -> DataFrame:
+            return df.select(
+                F.col("s").alias("x"), F.col("p").alias("p1"), F.col("o").alias("z")
+            ).join(hot, "z", "left_anti")
+
+        def hop_r(df: DataFrame) -> DataFrame:
+            return df.select(
+                F.col("s").alias("z"), F.col("p").alias("p2"), F.col("o").alias("y")
+            )
+
+        d_sig = delta.select("s", "p", "o")
+        if r == 1:
+            bodies = hop_l(cur_sig).join(hop_r(cur_sig), "z")
+        else:
+            bodies = hop_l(d_sig).join(hop_r(cur_sig), "z").unionByName(
+                hop_l(cur_sig).join(hop_r(d_sig), "z")
+            )
+        derived = (
+            bodies.select("p1", "p2", "x", "y")
+            .join(F.broadcast(keep), ["p1", "p2"])
+            .select(
+                F.col("x").alias("s"),
+                F.col("head").alias("p"),
+                F.col("y").alias("o"),
+            )
+            .distinct()
+        )
+        new = (
+            derived.join(current.select("s", "p", "o"), ["s", "p", "o"], "left_anti")
+            .withColumn("round", F.lit(r))
+            .localCheckpoint(eager=True)
+        )
+        n_new = new.count()
+        rounds.append(n_new)
+        if n_new == 0:
+            converged = True
+            break
+        current = current.unionByName(new).localCheckpoint(eager=True)
+        delta = new
+    if metrics is not None:
+        metrics["rounds"] = rounds
+        metrics["converged"] = converged
+    return current.select(
+        F.col("s").alias(subj_col),
+        F.col("p").alias(pred_col),
+        F.col("o").alias(obj_col),
+        "round",
+    )
+
+
 def infer_chain(
     facts: DataFrame,
     rules: DataFrame,

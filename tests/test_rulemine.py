@@ -193,6 +193,65 @@ def test_infer_best_rule_tiebreak(spark):
     assert (r["rule_p1"], r["rule_p2"]) == ("born_in", "city_in")
 
 
+def _path_facts(spark):
+    return _df(
+        spark,
+        [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"), ("d", "p", "e")],
+    )
+
+
+def _trans_rule(spark):
+    return spark.createDataFrame(
+        [("p", "p", "p", 1, 1)],
+        "p1 string, p2 string, head string, support long, n_pca long",
+    )
+
+
+def test_chase_transitive_closure(spark):
+    from sigraph_spark.operators.rulemine import chase
+
+    metrics: dict = {}
+    out = {
+        (r["subj"], r["obj"]): r["round"]
+        for r in chase(
+            _path_facts(spark), _trans_rule(spark), metrics=metrics
+        ).collect()
+    }
+    # path a->b->c->d->e saturates to the full closure; a pair at
+    # distance d lands in round ceil(log2(d)).
+    chain = "abcde"
+    assert set(out) == {
+        (chain[i], chain[j]) for i in range(5) for j in range(i + 1, 5)
+    }
+    assert out[("a", "b")] == 0 and out[("a", "c")] == 1
+    assert out[("a", "d")] == 2 and out[("a", "e")] == 2
+    assert metrics["rounds"] == [3, 3, 0]
+    assert metrics["converged"] is True
+
+
+def test_chase_truncation_flagged(spark):
+    from sigraph_spark.operators.rulemine import chase
+
+    metrics: dict = {}
+    out = chase(
+        _path_facts(spark), _trans_rule(spark), max_rounds=1, metrics=metrics
+    )
+    assert out.filter("round = 1").count() == 3
+    assert metrics["rounds"] == [3]
+    assert metrics["converged"] is False
+
+
+def test_chase_pca_gate_blocks_weak_rules(spark):
+    from sigraph_spark.operators.rulemine import chase
+
+    weak = spark.createDataFrame(
+        [("p", "p", "p", 1, 3)],  # 33% PCA confidence < 50% threshold
+        "p1 string, p2 string, head string, support long, n_pca long",
+    )
+    out = chase(_path_facts(spark), weak)
+    assert out.filter("round > 0").count() == 0
+
+
 def test_partition_invariance(spark):
     facts = _df(spark, FIXTURE)
     base = _collect_rules(mine_chain_rules(facts, min_support=1, min_conf_pct=0))
