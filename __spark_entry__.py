@@ -423,6 +423,40 @@ def q_rdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges_from_ntriples(to_ntriples(_edges_ckpt(spark, sf_dir)))
 
 
+def q_neo4j_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neo4j bulk-import rendering of the node table: the reference's
+    MERGE-per-node write path (graph_client/client.py:160-169) recast as
+    ``neo4j-admin database import`` CSV shards — RFC-4180 quoting,
+    ``;``-joined array properties, one narrow map. The oracle restates
+    every quoting rule in ANSI SQL over the shared nodes CTE."""
+    from sigraph_spark.operators.graph import build_nodes
+    from sigraph_spark.operators.neo4j_csv import nodes_csv
+
+    good, _ = _parsed(spark, sf_dir)
+    return nodes_csv(build_nodes(good))
+
+
+def q_neo4j_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neo4j bulk-import rendering of the edge table (client.py:215-224's
+    three-way MERGE collapsed to one :START_ID/:END_ID/:TYPE importer row
+    with weight/start_time properties)."""
+    from sigraph_spark.operators.neo4j_csv import rels_csv
+
+    return rels_csv(_edges_ckpt(spark, sf_dir))
+
+
+def q_opensearch_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenSearch ``_bulk`` NDJSON bodies for the raw event stream — the
+    reference's streaming_bulk action+SyslogModel source pair
+    (db_session.py:65, db_model.py:111-119) rendered as data, one
+    action+source row per event, deterministic _id for idempotent retry.
+    The oracle rebuilds both JSON lines byte-for-byte in SQL."""
+    from sigraph_spark.operators.opensearch_bulk import bulk_index_lines
+    from sigraph_spark.sources.events_map import sigraph_events
+
+    return bulk_index_lines(sigraph_events(_events(spark, sf_dir)))
+
+
 def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank seeded at the process nodes: relevance-to-
     the-pivot-set ranking (the analyst's 'expand from these processes'
@@ -2912,6 +2946,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_query": q_path_query,
         "rdf_export": q_rdf_export,
         "rdf_roundtrip": q_rdf_roundtrip,
+        "neo4j_nodes": q_neo4j_nodes,
+        "neo4j_rels": q_neo4j_rels,
+        "opensearch_bulk": q_opensearch_bulk,
         "edge_history": q_edge_history,
         "edge_asof": q_edge_asof,
         "anchor_priors": q_anchor_priors,
@@ -3459,6 +3496,80 @@ def oracle_sql() -> dict[str, str]:
         "WITH " + _EDGES_CTE
         + " SELECT src, predicate, dst, start_time, weight FROM edges"
     )
+    # --- Neo4j bulk-import CSV: every quoting rule restated — RFC-4180
+    # quote doubling per field, ';'-joined arrays with per-element
+    # escaping, NULL -> empty field, ISO microsecond timestamps.
+    sq["neo4j_nodes"] = (
+        "WITH " + _EDGES_CTE
+        + """
+        SELECT '"' || replace(node_id, '"', '""')
+            || '","' || replace(label, '"', '""')
+            || '","' || coalesce(replace(image, '"', '""'), '')
+            || '","' || array_to_string(
+                 list_transform(related_span_ids, x -> replace(x, '"', '""')), ';')
+            || '","' || array_to_string(
+                 list_transform(related_trace_ids, x -> replace(x, '"', '""')), ';')
+            || '"' AS line
+        FROM nodes
+        """
+    )
+    sq["neo4j_rels"] = (
+        "WITH " + _EDGES_CTE
+        + """
+        SELECT '"' || replace(src, '"', '""')
+            || '","' || replace(dst, '"', '""')
+            || '","' || replace(predicate, '"', '""')
+            || '","' || CAST(weight AS VARCHAR)
+            || '","' || strftime(start_time, '%Y-%m-%dT%H:%M:%S.%f')
+            || '"' AS line
+        FROM edges
+        """
+    )
+    # --- OpenSearch _bulk NDJSON: action line + SyslogModel source line,
+    # byte-for-byte (fixed field order, JSON null for absent parent
+    # fields, rule_ids as a JSON array, nested raw_data object).
+    sq["opensearch_bulk"] = """
+        WITH be AS (
+          SELECT 'span-' || CAST(event_id AS VARCHAR) AS span_id,
+                 'u-' || CAST(user_id % 5 AS VARCHAR) AS unit_id,
+                 'tr-' || CAST(user_id % 25 AS VARCHAR) AS trace_id,
+                 strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS tss,
+                 CASE WHEN event_id % 20 = 0 THEN
+                   '["rule-' || CAST(event_id % 4 AS VARCHAR)
+                   || '","rule-' || CAST(event_id % 6 AS VARCHAR) || '"]'
+                 ELSE 'null' END AS rules_json,
+                 CASE WHEN event_id % 97 = 0 THEN 'invalid'
+                 ELSE 'a@' || CAST(user_id % 40 AS VARCHAR) || '@'
+                   || CASE event_type WHEN 'click' THEN 'FILE'
+                        WHEN 'view' THEN 'REGISTRY' WHEN 'signup' THEN 'PROCESS'
+                        WHEN 'purchase' THEN 'NETWORK' ELSE 'MODULE' END
+                   || '@'
+                   || CASE event_type WHEN 'click' THEN 'CREATE'
+                        WHEN 'view' THEN 'REG_SET' WHEN 'signup' THEN 'LAUNCH'
+                        WHEN 'purchase' THEN 'CONNECT' ELSE 'LOAD' END
+                   || '@'
+                   || CASE event_id % 3 WHEN 0 THEN 'READ_RECV'
+                        WHEN 1 THEN 'WRITE_SEND' ELSE 'NOT_ACTOR' END
+                 END AS sysprov,
+                 CASE WHEN event_id % 5 <> 0 THEN
+                   '"proc_' || CAST(user_id % 7 AS VARCHAR) || '.exe"'
+                 ELSE 'null' END AS pname_json,
+                 CASE WHEN event_id % 5 <> 0 THEN
+                   '"span-p-' || CAST(user_id % 7 AS VARCHAR) || '"'
+                 ELSE 'null' END AS pspan_json,
+                 CAST(event_id % 9 + 1 AS VARCHAR) AS w
+          FROM events)
+        SELECT '{"index":{"_index":"syslog","_id":"' || span_id || '"}}'
+            || chr(10)
+            || '{"unit_id":"' || unit_id || '","span_id":"' || span_id
+            || '","trace_id":"' || trace_id || '","timestamp":"' || tss
+            || '","tactics":null,"rule_ids":' || rules_json
+            || ',"raw_data":{"system_provenance":"' || sysprov
+            || '","process_name":' || pname_json
+            || ',"parent_span_id":' || pspan_json
+            || ',"weight":' || w || '}}' AS line
+        FROM be
+        """
     # --- SCC: mutual-reachability ground truth over the sparsified
     # relation (forward-oriented + LAUNCH back-edges).
     sq["scc"] = (
