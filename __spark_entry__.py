@@ -19,7 +19,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sigraph_spark.sources.events_map import SEVENTS_CTE, sigraph_events
@@ -455,6 +455,37 @@ def q_opensearch_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sigraph_spark.sources.events_map import sigraph_events
 
     return bulk_index_lines(sigraph_events(_events(spark, sf_dir)))
+
+
+def q_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias-chain resolution (301/rel=canonical) by Wyllie pointer
+    doubling over a synthesized alias graph on the corpus urls: chains of
+    up to 12 hops toward each 13-multiple, 13-cycles at 91-multiples,
+    conflicting declarations at 17-multiples. The oracle re-walks every
+    chain step-by-step with a recursive CTE (terminal / capped-min /
+    cycle-min semantics included) — so log-round doubling == linear walk
+    is what the hash pins."""
+    from sigraph_spark.corpus import gen_pages
+    from sigraph_spark.operators.links import resolve_redirects
+
+    i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long").alias("i")
+    pages = gen_pages(spark, sf=0.01).select(i)
+
+    def u(c) -> Column:
+        return F.concat(F.lit("https://example.org/report/"), c.cast("string"))
+
+    chain = pages.filter(F.col("i") % 13 != 0).select(
+        u(F.col("i")).alias("src"), u(F.col("i") - 1).alias("dst")
+    )
+    cyc = pages.filter(F.col("i") % 91 == 0).select(
+        u(F.col("i")).alias("src"), u(F.col("i") + 12).alias("dst")
+    )
+    conf = pages.filter((F.col("i") % 17 == 0) & (F.col("i") % 13 != 0)).select(
+        u(F.col("i")).alias("src"), u(F.col("i") + 1).alias("dst")
+    )
+    return resolve_redirects(
+        chain.unionByName(cyc).unionByName(conf), max_steps=16
+    )
 
 
 def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2949,6 +2980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neo4j_nodes": q_neo4j_nodes,
         "neo4j_rels": q_neo4j_rels,
         "opensearch_bulk": q_opensearch_bulk,
+        "redirect_resolution": q_redirect_resolution,
         "edge_history": q_edge_history,
         "edge_asof": q_edge_asof,
         "anchor_priors": q_anchor_priors,
@@ -3569,6 +3601,40 @@ def oracle_sql() -> dict[str, str]:
             || ',"parent_span_id":' || pspan_json
             || ',"weight":' || w || '}}' AS line
         FROM be
+        """
+    # --- redirect resolution: the oracle performs the NAIVE step-by-step
+    # walk (recursive CTE, one row per step) with the same semantics the
+    # doubling implementation guarantees — stop at a terminal, cap at 16
+    # steps, non-terminating walks resolve to min of visited successors.
+    sq["redirect_resolution"] = """
+        WITH RECURSIVE al AS (
+          SELECT 'https://example.org/report/' || CAST(i AS VARCHAR) AS src,
+                 'https://example.org/report/' || CAST(i - 1 AS VARCHAR) AS dst
+          FROM range(0, 10000) t(i) WHERE i % 13 <> 0
+          UNION ALL
+          SELECT 'https://example.org/report/' || CAST(i AS VARCHAR),
+                 'https://example.org/report/' || CAST(i + 12 AS VARCHAR)
+          FROM range(0, 10000) t(i) WHERE i % 91 = 0
+          UNION ALL
+          SELECT 'https://example.org/report/' || CAST(i AS VARCHAR),
+                 'https://example.org/report/' || CAST(i + 1 AS VARCHAR)
+          FROM range(0, 10000) t(i) WHERE i % 17 = 0 AND i % 13 <> 0),
+        nxt0 AS (SELECT src AS x, min(dst) AS y FROM al GROUP BY src),
+        nxt AS (
+          SELECT n.x, n.y, d.x IS NULL AS term
+          FROM nxt0 n LEFT JOIN nxt0 d ON n.y = d.x),
+        walk(x, cur, m, step, done) AS (
+          SELECT x, y, y, 1, term FROM nxt
+          UNION ALL
+          SELECT w.x, n.y, least(w.m, n.y), w.step + 1, n.term
+          FROM walk w JOIN nxt n ON n.x = w.cur
+          WHERE NOT w.done AND w.step < 16),
+        fin AS (
+          SELECT x, cur, m, done,
+                 row_number() OVER (PARTITION BY x ORDER BY step DESC) AS rn
+          FROM walk)
+        SELECT x AS url, CASE WHEN done THEN cur ELSE m END AS resolved
+        FROM fin WHERE rn = 1
         """
     # --- SCC: mutual-reachability ground truth over the sparsified
     # relation (forward-oriented + LAUNCH back-edges).

@@ -245,3 +245,108 @@ def link_mentions(
     return mentions.withColumn("_k", norm).join(
         F.broadcast(top), F.col("_k") == F.col("anchor"), "left"
     ).drop("_k", "anchor")
+
+
+# --- redirect / rel=canonical alias-chain resolution ----------------------
+
+# <link ... rel="canonical" ... href="..."> (either attribute order)
+CANONICAL_RE = (
+    r"""<link\s+(?:[^>]*\s)?rel=["']canonical["']\s[^>]*href=["']([^"']+)["']"""
+    r"""|<link\s+(?:[^>]*\s)?href=["']([^"']+)["']\s[^>]*rel=["']canonical["']"""
+)
+
+
+def extract_canonical_aliases(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """``(src, dst)`` alias edges from ``<link rel="canonical">`` tags —
+    the page's own declaration that it is a duplicate of ``dst``. Narrow
+    regex map (both attribute orders), self-aliases dropped. Together with
+    the crawler's 301 map this is the input to ``resolve_redirects``."""
+    src = pages.schema[html_col].dataType.typeName()
+    html = (
+        F.decode(F.col(html_col), "UTF-8") if src == "binary" else F.col(html_col)
+    )
+    hit = F.explode(
+        F.arrays_zip(
+            F.regexp_extract_all(html, F.lit(CANONICAL_RE), 1).alias("a"),
+            F.regexp_extract_all(html, F.lit(CANONICAL_RE), 2).alias("b"),
+        )
+    )
+    return (
+        pages.select(F.col(url_col).alias("src"), hit.alias("_h"))
+        .select(
+            "src",
+            F.when(F.col("_h.a") != "", F.col("_h.a")).otherwise(F.col("_h.b")).alias("dst"),
+        )
+        .filter(F.col("dst") != F.col("src"))
+    )
+
+
+def resolve_redirects(
+    aliases: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_steps: int = 16,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Resolve redirect / rel=canonical alias chains to their terminal url:
+    ``(url, resolved)``, one row per url with an outgoing alias.
+
+    Web crawls accumulate alias chains (http->https->www->final) and the
+    KG must key every per-url aggregate on ONE representative or the same
+    page fans into aliases (same failure mode ``canonical_url`` fixes for
+    syntactic variants; this handles the *declared* ones). Semantics:
+
+    * conflicting declarations (one src, several dsts) collapse to the
+      lexicographic min dst FIRST — deterministic on any partitioning;
+    * ``resolved(u)`` = the walk's terminal (a url with no outgoing alias)
+      if reached within ``max_steps`` pointer steps;
+    * non-terminating walks (cycles, or chains longer than ``max_steps``)
+      resolve to the MIN url among the walk's first ``max_steps``
+      successors — deterministic, and for every url ON a cycle this is
+      the cycle's min member, so cycle members agree on one canonical.
+
+    Implementation is Wyllie pointer doubling: ``log2(max_steps)``
+    rounds, each ONE self-equi-join of the O(|aliases|) pointer table
+    composing (reach, running-min, terminal-found) pairs — never a
+    row-at-a-time walk, never O(chain) rounds. ``metrics['unterminated']``
+    counts walks that hit the cap (cycle members land here by design).
+    """
+    import math
+
+    rounds = max(0, math.ceil(math.log2(max_steps)))
+    nxt = (
+        aliases.groupBy(F.col(src_col).alias("x"))
+        .agg(F.min(dst_col).alias("y"))
+    )
+    dom = nxt.select(F.col("x").alias("_d"))
+    ptr = (
+        nxt.join(dom, nxt["y"] == dom["_d"], "left")
+        .select(
+            "x", "y", F.col("y").alias("m"), F.col("_d").isNull().alias("done")
+        )
+    )
+    for _ in range(rounds):
+        a = ptr.alias("a")
+        b = ptr.select(
+            F.col("x").alias("_bx"), F.col("y").alias("_by"),
+            F.col("m").alias("_bm"), F.col("done").alias("_bdone"),
+        )
+        ptr = (
+            a.join(b, F.col("a.y") == F.col("_bx"), "left")
+            .select(
+                F.col("a.x").alias("x"),
+                F.when(F.col("a.done"), F.col("a.y")).otherwise(F.col("_by")).alias("y"),
+                F.when(F.col("a.done"), F.col("a.m"))
+                .otherwise(F.least(F.col("a.m"), F.col("_bm"))).alias("m"),
+                (F.col("a.done") | F.col("_bdone")).alias("done"),
+            )
+        )
+    if metrics is not None:
+        ptr = ptr.localCheckpoint(eager=True)
+        metrics["unterminated"] = ptr.filter(~F.col("done")).count()
+    return ptr.select(
+        F.col("x").alias("url"),
+        F.when(F.col("done"), F.col("y")).otherwise(F.col("m")).alias("resolved"),
+    )

@@ -185,3 +185,75 @@ def test_link_mentions_broadcast_topk(spark):
     assert out["doc3"] == (None, None)  # abstain, not drop
     plan = link_mentions(mentions, pri)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def _aliases(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def test_resolve_redirects_chain_and_terminal(spark):
+    from sigraph_spark.operators.links import resolve_redirects
+
+    out = {r["url"]: r["resolved"] for r in resolve_redirects(
+        _aliases(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    ).collect()}
+    assert out == {"a": "d", "b": "d", "c": "d"}
+
+
+def test_resolve_redirects_cycle_members_agree(spark):
+    from sigraph_spark.operators.links import resolve_redirects
+
+    m: dict = {}
+    out = {r["url"]: r["resolved"] for r in resolve_redirects(
+        _aliases(spark, [("p", "q"), ("q", "r"), ("r", "p"), ("t", "p")]),
+        metrics=m,
+    ).collect()}
+    # every cycle member resolves to the cycle's min url; the tail node
+    # joins them (its successor set IS the cycle here)
+    assert out == {"p": "p", "q": "p", "r": "p", "t": "p"}
+    assert m["unterminated"] == 4
+
+
+def test_resolve_redirects_conflict_takes_min_dst(spark):
+    from sigraph_spark.operators.links import resolve_redirects
+
+    out = {r["url"]: r["resolved"] for r in resolve_redirects(
+        _aliases(spark, [("k", "z"), ("k", "b"), ("b", "d")])
+    ).collect()}
+    assert out["k"] == "d"  # min(b, z) = b, then b -> d
+
+
+def test_resolve_redirects_long_chain_capped(spark):
+    from sigraph_spark.operators.links import resolve_redirects
+
+    # chain n0 -> n1 -> ... -> n9 with zero-padded names; cap at 4 steps:
+    # walks that don't reach the terminal resolve to min of first 4
+    # successors (their immediate next, names ascending)
+    rows = [(f"n{i}", f"n{i+1}") for i in range(9)]
+    m: dict = {}
+    out = {r["url"]: r["resolved"] for r in resolve_redirects(
+        _aliases(spark, rows), max_steps=4, metrics=m
+    ).collect()}
+    assert out["n5"] == "n9"  # 4 steps away exactly
+    assert out["n0"] == "n1"  # capped: min(n1..n4)
+    assert m["unterminated"] == 5
+    full = {r["url"]: r["resolved"] for r in resolve_redirects(
+        _aliases(spark, rows), max_steps=16
+    ).collect()}
+    assert all(v == "n9" for v in full.values())
+
+
+def test_extract_canonical_aliases_both_attr_orders(spark):
+    from sigraph_spark.operators.links import extract_canonical_aliases
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", '<link rel="canonical" href="https://x/canon">'),
+            ("u2", "<link href='https://x/canon2' rel='canonical'>"),
+            ("u3", '<link rel="stylesheet" href="https://x/style.css">'),
+            ("https://x/self", '<link rel="canonical" href="https://x/self">'),
+        ],
+        "url string, html string",
+    )
+    out = {r["src"]: r["dst"] for r in extract_canonical_aliases(pages).collect()}
+    assert out == {"u1": "https://x/canon", "u2": "https://x/canon2"}
