@@ -488,6 +488,67 @@ def q_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-table fact extraction: pages carry synthesized ``<table>``
+    markup (variable row counts, ragged rows, empty subjects/objects,
+    ``<b>``-wrapped cells, a 2-col key/value table on every 4th page, a
+    header-only decoy on every 7th) — the operator PARSES the html while
+    the oracle emits the planted facts arithmetically, so the full
+    header-alignment semantics chain is what the hash pins."""
+    from sigraph_spark.corpus import gen_pages
+    from sigraph_spark.operators.htmltables import table_triples
+
+    i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    pages = gen_pages(spark, sf=0.01).select("url", i.alias("i"))
+
+    def rowhtml(k: Column) -> Column:
+        s = (F.col("i") * 3 + k) % 97
+        subj = F.when((F.col("i") * 3 + k) % 31 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("srv-"), s.cast("string"))
+        )
+        subj = F.when(
+            k == 0, F.concat(F.lit("<b>"), subj, F.lit("</b>"))
+        ).otherwise(subj)
+        cpu = ((F.col("i") + k) % 16).cast("string")
+        osname = (
+            F.when((F.col("i") + k) % 3 == 0, "linux")
+            .when((F.col("i") + k) % 3 == 1, "windows")
+            .otherwise("")
+        )
+        oscell = F.when((F.col("i") + k) % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("<td>"), osname, F.lit("</td>"))
+        )
+        return F.concat(
+            F.lit("<tr><td>"), subj, F.lit("</td><td>"), cpu,
+            F.lit("</td>"), oscell, F.lit("</tr>"),
+        )
+
+    rows = F.concat_ws(
+        "", F.transform(F.sequence(F.lit(0), (F.col("i") % 3).cast("int")), rowhtml)
+    )
+    kv = F.when(
+        F.col("i") % 4 == 0,
+        F.concat(
+            F.lit(
+                "<table><tr><td>key</td><td>value</td></tr>"
+                "<tr><th>owner</th><td>team-"
+            ),
+            (F.col("i") % 11).cast("string"),
+            F.lit("</td></tr></table>"),
+        ),
+    ).otherwise(F.lit(""))
+    decoy = F.when(
+        F.col("i") % 7 == 0,
+        F.lit("<table><tr><th>only</th><th>header</th></tr></table>"),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><body><p>filler "), F.col("i").cast("string"),
+        F.lit("</p><table><tr><th>host</th><th>cpu</th><th>os</th></tr>"),
+        rows, F.lit("</table>"), kv, decoy, F.lit("</body></html>"),
+    )
+    return table_triples(pages.select("url", html.alias("html")))
+
+
 def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank seeded at the process nodes: relevance-to-
     the-pivot-set ranking (the analyst's 'expand from these processes'
@@ -2981,6 +3042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neo4j_rels": q_neo4j_rels,
         "opensearch_bulk": q_opensearch_bulk,
         "redirect_resolution": q_redirect_resolution,
+        "table_triples": q_table_triples,
         "edge_history": q_edge_history,
         "edge_asof": q_edge_asof,
         "anchor_priors": q_anchor_priors,
@@ -3635,6 +3697,35 @@ def oracle_sql() -> dict[str, str]:
           FROM walk)
         SELECT x AS url, CASE WHEN done THEN cur ELSE m END AS resolved
         FROM fin WHERE rn = 1
+        """
+    # --- web-table extraction: the oracle NEVER parses html — it emits
+    # the planted facts arithmetically (subject blanks, ragged os cells,
+    # the kv table on 4-multiples), so the Spark side's regex/explode/
+    # header-zip chain is verified end-to-end.
+    sq["table_triples"] = """
+        WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 10000)),
+        rk AS (
+          SELECT i, CAST(k AS BIGINT) AS k
+          FROM pg, UNNEST(range(0, 3)) t(k) WHERE k <= i % 3),
+        base AS (
+          SELECT 'https://example.org/report/' || CAST(i AS VARCHAR) AS url,
+                 CASE WHEN (i * 3 + k) % 31 = 0 THEN NULL
+                      ELSE 'srv-' || CAST((i * 3 + k) % 97 AS VARCHAR) END AS subj,
+                 CAST((i + k) % 16 AS VARCHAR) AS cpu,
+                 CASE (i + k) % 3 WHEN 0 THEN 'linux' WHEN 1 THEN 'windows' END AS os,
+                 ((i + k) % 5 <> 0) AS has_os
+          FROM rk)
+        SELECT url, CAST(0 AS INT) AS table_idx, subj,
+               'cpu' AS predicate, cpu AS obj
+        FROM base WHERE subj IS NOT NULL
+        UNION ALL
+        SELECT url, CAST(0 AS INT), subj, 'os', os
+        FROM base WHERE subj IS NOT NULL AND has_os AND os IS NOT NULL
+        UNION ALL
+        SELECT 'https://example.org/report/' || CAST(i AS VARCHAR),
+               CAST(1 AS INT), 'owner', 'value',
+               'team-' || CAST(i % 11 AS VARCHAR)
+        FROM pg WHERE i % 4 = 0
         """
     # --- SCC: mutual-reachability ground truth over the sparsified
     # relation (forward-oriented + LAUNCH back-edges).
