@@ -549,6 +549,79 @@ def q_table_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_triples(pages.select("url", html.alias("html")))
 
 
+def _hearst_corpus(spark: SparkSession) -> DataFrame:
+    """Planted Hearst-pattern corpus over the standard urls: every page
+    carries a such_as sentence with a 3-item coordinated list; 3/4/5/7
+    multiples add or_other / including / such_np_as / 2-word-NP variants;
+    9- and 11-multiples plant OPPOSITE-direction kind->kind claims (the
+    taxonomy direction vote); page 4242 plants a singleton pair (the
+    min_support drop). Lists are bounded by closed-class words exactly as
+    real prose is — the regexes parse, the oracle emits arithmetic."""
+    from sigraph_spark.corpus import gen_pages
+
+    i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    pages = gen_pages(spark, sf=0.01).select("url", i.alias("i"))
+    I = F.col("i")
+
+    def l(n: Column) -> Column:
+        return F.char(F.lit(97) + (n % 26))
+
+    s1 = F.concat(
+        F.lit("kind"), l(I), F.lit(" such as item"), l(2 * I),
+        F.lit(", item"), l(2 * I + 1), F.lit(" and item"), l(2 * I + 2),
+        F.lit(" are seen."),
+    )
+    s2 = F.when(I % 3 == 0, F.concat(
+        F.lit(" big kind"), l(I + 1), F.lit(" such as item"), l(5 * I),
+        F.lit(" are near."),
+    )).otherwise(F.lit(""))
+    s3 = F.when(I % 4 == 0, F.concat(
+        F.lit(" item"), l(7 * I), F.lit(", item"), l(7 * I + 3),
+        F.lit(" or other kind"), l(I + 2), F.lit(" exist here."),
+    )).otherwise(F.lit(""))
+    s4 = F.when(I % 5 == 0, F.concat(
+        F.lit(" kind"), l(I + 3), F.lit(", including item"), l(11 * I),
+        F.lit(" and item"), l(11 * I + 5), F.lit(" are known."),
+    )).otherwise(F.lit(""))
+    s5 = F.when(I % 7 == 0, F.concat(
+        F.lit(" such kind"), l(I + 5), F.lit(" as item"), l(13 * I),
+        F.lit(" are rare."),
+    )).otherwise(F.lit(""))
+    s6 = F.when(I % 9 == 0, F.concat(
+        F.lit(" kind"), l(I), F.lit(" such as kind"), l(I + 4),
+        F.lit(" are common."),
+    )).otherwise(F.lit(""))
+    s7 = F.when(I % 11 == 0, F.concat(
+        F.lit(" kind"), l(I + 4), F.lit(" such as kind"), l(I),
+        F.lit(" are common."),
+    )).otherwise(F.lit(""))
+    s8 = F.when(
+        I == 4242, F.lit(" gemsy such as itemzz are odd.")
+    ).otherwise(F.lit(""))
+    return pages.select(
+        "url", F.concat(s1, s2, s3, s4, s5, s6, s7, s8).alias("text")
+    )
+
+
+def q_hearst_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hearst IS-A extraction (COLING'92 patterns) over the planted
+    corpus — the regex/list-split/explode chain vs the oracle's direct
+    arithmetic enumeration of what was planted."""
+    from sigraph_spark.operators.hearst import hearst_pairs
+
+    return hearst_pairs(_hearst_corpus(spark))
+
+
+def q_taxonomy_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level taxonomy induction: aggregate pair evidence,
+    min_support gate (drops the planted singleton), reciprocal direction
+    vote (the 9-multiples beat the 11-multiples on every kind->kind
+    letter pair)."""
+    from sigraph_spark.operators.hearst import hearst_pairs, taxonomy_edges
+
+    return taxonomy_edges(hearst_pairs(_hearst_corpus(spark)), min_support=2)
+
+
 def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank seeded at the process nodes: relevance-to-
     the-pivot-set ranking (the analyst's 'expand from these processes'
@@ -3043,6 +3116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opensearch_bulk": q_opensearch_bulk,
         "redirect_resolution": q_redirect_resolution,
         "table_triples": q_table_triples,
+        "hearst_pairs": q_hearst_pairs,
+        "taxonomy_induction": q_taxonomy_induction,
         "edge_history": q_edge_history,
         "edge_asof": q_edge_asof,
         "anchor_priors": q_anchor_priors,
@@ -3727,6 +3802,63 @@ def oracle_sql() -> dict[str, str]:
                'team-' || CAST(i % 11 AS VARCHAR)
         FROM pg WHERE i % 4 = 0
         """
+    # --- Hearst extraction: the oracle enumerates the PLANTED pairs
+    # arithmetically (it never runs a regex), so the pattern inventory,
+    # the closed-class NP guard, and the list splitting are all pinned.
+    _hearst_pairs_ctes = """
+        pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 10000)),
+        u AS (SELECT i, 'https://example.org/report/' || CAST(i AS VARCHAR) AS url
+              FROM pg),
+        hp AS (
+          SELECT url, 'item' || chr(97 + CAST((2 * i + o) % 26 AS INT)) AS hypo,
+                 'kind' || chr(97 + CAST(i % 26 AS INT)) AS hyper,
+                 'such_as' AS pattern
+          FROM u, UNNEST([0, 1, 2]) t(o)
+          UNION ALL
+          SELECT url, 'item' || chr(97 + CAST((5 * i) % 26 AS INT)),
+                 'big kind' || chr(97 + CAST((i + 1) % 26 AS INT)), 'such_as'
+          FROM u WHERE i % 3 = 0
+          UNION ALL
+          SELECT url, 'item' || chr(97 + CAST((7 * i + o) % 26 AS INT)),
+                 'kind' || chr(97 + CAST((i + 2) % 26 AS INT)), 'or_other'
+          FROM u, UNNEST([0, 3]) t(o) WHERE i % 4 = 0
+          UNION ALL
+          SELECT url, 'item' || chr(97 + CAST((11 * i + o) % 26 AS INT)),
+                 'kind' || chr(97 + CAST((i + 3) % 26 AS INT)), 'including'
+          FROM u, UNNEST([0, 5]) t(o) WHERE i % 5 = 0
+          UNION ALL
+          SELECT url, 'item' || chr(97 + CAST((13 * i) % 26 AS INT)),
+                 'kind' || chr(97 + CAST((i + 5) % 26 AS INT)), 'such_np_as'
+          FROM u WHERE i % 7 = 0
+          UNION ALL
+          SELECT url, 'kind' || chr(97 + CAST((i + 4) % 26 AS INT)),
+                 'kind' || chr(97 + CAST(i % 26 AS INT)), 'such_as'
+          FROM u WHERE i % 9 = 0
+          UNION ALL
+          SELECT url, 'kind' || chr(97 + CAST(i % 26 AS INT)),
+                 'kind' || chr(97 + CAST((i + 4) % 26 AS INT)), 'such_as'
+          FROM u WHERE i % 11 = 0
+          UNION ALL
+          SELECT url, 'itemzz', 'gemsy', 'such_as' FROM u WHERE i = 4242)
+        """
+    sq["hearst_pairs"] = (
+        "WITH " + _hearst_pairs_ctes
+        + " SELECT url, hypo, hyper, pattern FROM hp"
+    )
+    sq["taxonomy_induction"] = (
+        "WITH " + _hearst_pairs_ctes
+        + """,
+        agg AS (
+          SELECT hypo, hyper, CAST(count(*) AS BIGINT) AS n_mentions,
+                 CAST(count(DISTINCT pattern) AS BIGINT) AS n_patterns
+          FROM hp GROUP BY hypo, hyper)
+        SELECT a.hypo, a.hyper, a.n_mentions, a.n_patterns
+        FROM agg a LEFT JOIN agg r ON a.hypo = r.hyper AND a.hyper = r.hypo
+        WHERE a.n_mentions >= 2
+          AND (r.hypo IS NULL OR a.n_mentions > r.n_mentions
+               OR (a.n_mentions = r.n_mentions AND a.hypo < a.hyper))
+        """
+    )
     # --- SCC: mutual-reachability ground truth over the sparsified
     # relation (forward-oriented + LAUNCH back-edges).
     sq["scc"] = (

@@ -1,0 +1,132 @@
+"""Hearst-pattern IS-A extraction and taxonomy induction.
+
+The type hierarchy a webtext KG needs (``animal`` -> ``dog``) is latent in
+lexico-syntactic patterns — "X such as Y", "Y and other X" (Hearst,
+COLING'92). This module extracts those (hyponym, hypernym) pairs with pure
+regex projections and induces taxonomy edges by corpus-level voting; it is
+the type-level counterpart of the instance-level extractors
+(``operators/triples.py`` sentences, ``operators/htmltables.py`` tables)
+and feeds the same fusion/ontology layer (``operators/fusion.py``).
+
+Pattern inventory (all over lowercased text; NP = 1-2 lowercase words,
+lists = comma/and/or coordinated NPs):
+
+    such_as     NP such as LIST            hyper=NP, hypos=LIST
+    such_np_as  such NP as LIST            hyper=NP, hypos=LIST
+    including   NP, including LIST         hyper=NP, hypos=LIST
+    especially  NP, especially LIST        hyper=NP, hypos=LIST
+    and_other   LIST and other NP          hypos=LIST, hyper=NP
+    or_other    LIST or other NP           hypos=LIST, hyper=NP
+
+Scale design: extraction is a NARROW map (``regexp_extract_all`` over the
+text + bounded explodes — match arrays live within one document); the only
+shuffle is the algebraic (hypo, hyper) count, whose map-side partial agg
+absorbs Zipfian pattern heads. Taxonomy induction adds one self-join on the
+REDUCED pair table (bounded by type vocabulary, not corpus size) to settle
+reciprocal directions. Zero UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# an NP word is any lowercase token EXCEPT closed-class words — without
+# the guard a 2-word NP eats "cats and" (truncating the list capture) or
+# the verb after the list ("saws were"). Working over raw text instead of
+# POS-chunked NPs, a closed-class stoplist is the standard approximation
+# (coordinators, copulas/auxiliaries, determiners, prepositions).
+_STOP = (
+    "and|or|is|are|was|were|be|been|being|has|have|had|do|does|did|will|"
+    "would|can|could|may|might|shall|should|must|the|a|an|this|that|these|"
+    "those|of|in|on|at|to|for|with|by|from|as|other|such|including|"
+    "especially|it|its|they|them"
+)
+_W = rf"(?!(?:{_STOP})\b)[a-z]+"
+_NP = rf"{_W}(?: {_W})?"
+_LIST = rf"{_NP}(?:, {_NP})*(?:,? (?:and|or) {_NP})?"
+
+# (pattern name, regex, group of hyper, group of hypo-list)
+HEARST_PATTERNS: tuple[tuple[str, str, int, int], ...] = (
+    ("such_as", rf"({_NP}) such as ({_LIST})", 1, 2),
+    ("such_np_as", rf"such ({_NP}) as ({_LIST})", 1, 2),
+    ("including", rf"({_NP}), including ({_LIST})", 1, 2),
+    ("especially", rf"({_NP}), especially ({_LIST})", 1, 2),
+    # trailing hypernym is a SINGLE head word — a 2-word NP here would
+    # greedily eat the following verb ("other metals shine")
+    ("and_other", rf"({_LIST}) and other ({_W})", 2, 1),
+    ("or_other", rf"({_LIST}) or other ({_W})", 2, 1),
+)
+
+_SPLIT_LIST = r",? (?:and|or) |, "
+
+
+def hearst_pairs(
+    docs: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """One row per extracted pair: ``(url, hypo, hyper, pattern)``.
+
+    Every pattern is applied to the lowercased text independently
+    (``regexp_extract_all`` -> zip hyper/list matches positionally -> split
+    the coordinated list -> explode), so one sentence can feed several
+    patterns — corpus-level voting in ``taxonomy_edges`` sorts that out.
+    """
+    text = F.lower(F.col(text_col))
+    outs = []
+    for name, rx, g_hyper, g_list in HEARST_PATTERNS:
+        pair = F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all(text, F.lit(rx), g_hyper).alias("hyper"),
+                F.regexp_extract_all(text, F.lit(rx), g_list).alias("hypos"),
+            )
+        )
+        outs.append(
+            docs.select(F.col(url_col).alias("url"), pair.alias("_m"))
+            .select(
+                "url",
+                F.col("_m.hyper").alias("hyper"),
+                F.explode(F.split(F.col("_m.hypos"), _SPLIT_LIST)).alias("hypo"),
+            )
+            .filter((F.col("hypo") != "") & (F.col("hypo") != F.col("hyper")))
+            .select("url", "hypo", "hyper", F.lit(name).alias("pattern"))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def taxonomy_edges(pairs: DataFrame, min_support: int = 2) -> DataFrame:
+    """Corpus-level taxonomy induction: aggregate pair evidence and settle
+    direction conflicts — ``(hypo, hyper, n_mentions, n_patterns)``.
+
+    A pair survives when it has >= ``min_support`` mentions AND beats its
+    reciprocal (more mentions; lexicographically smaller hypo on an exact
+    tie — deterministic on any partitioning). The self-join runs on the
+    aggregated pair table (type-vocabulary sized), not the mention
+    stream.
+    """
+    agg = pairs.groupBy("hypo", "hyper").agg(
+        F.count(F.lit(1)).cast("long").alias("n_mentions"),
+        F.countDistinct("pattern").cast("long").alias("n_patterns"),
+    )
+    rev = agg.select(
+        F.col("hyper").alias("hypo"),
+        F.col("hypo").alias("hyper"),
+        F.col("n_mentions").alias("_rev_n"),
+    )
+    return (
+        agg.join(rev, ["hypo", "hyper"], "left")
+        .filter(
+            (F.col("n_mentions") >= min_support)
+            & (
+                F.col("_rev_n").isNull()
+                | (F.col("n_mentions") > F.col("_rev_n"))
+                | (
+                    (F.col("n_mentions") == F.col("_rev_n"))
+                    & (F.col("hypo") < F.col("hyper"))
+                )
+            )
+        )
+        .select("hypo", "hyper", "n_mentions", "n_patterns")
+    )
