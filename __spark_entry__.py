@@ -622,6 +622,56 @@ def q_taxonomy_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return taxonomy_edges(hearst_pairs(_hearst_corpus(spark)), min_support=2)
 
 
+def q_text_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passim-style aligned-span text reuse over a planted corpus: page m
+    shares run R_m (5 + 2 + m%4 tokens; 13-multiples plant a 5-token run
+    that falls below min_run) with page m+1, wrapped in per-page-unique
+    filler at arithmetic offsets. The oracle enumerates the expected
+    (pair, offsets, run length) spans directly — k-gram indexing, df-cut,
+    diagonal grouping and islands-splitting are all pinned."""
+    from sigraph_spark.corpus import gen_pages
+    from sigraph_spark.operators.textreuse import reuse_spans
+
+    i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    pages = gen_pages(spark, sf=0.01).select("url", i.alias("i"))
+    I = F.col("i")
+    empty = F.expr("CAST(array() AS array<string>)")
+
+    def run_len(m: Column) -> Column:
+        return F.lit(5) + F.when(m % 13 == 0, F.lit(0)).otherwise(
+            (F.lit(2) + m % 4).cast("int")
+        )
+
+    def filler(seg: str, count: Column) -> Column:
+        return F.when(
+            count >= 1,
+            F.transform(
+                F.sequence(F.lit(1), count.cast("int")),
+                lambda j: F.concat(
+                    F.lit("f"), I.cast("string"), F.lit(seg), j.cast("string")
+                ),
+            ),
+        ).otherwise(empty)
+
+    def run(m: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), (run_len(m) - 1).cast("int")),
+            lambda t: F.concat(
+                F.lit("s"), m.cast("string"), F.lit("x"), t.cast("string")
+            ),
+        )
+
+    tokens = F.concat(
+        filler("a", (I % 7).cast("int")),
+        F.when(I >= 1, run(I - 1)).otherwise(empty),
+        filler("b", (F.lit(2) + I % 3).cast("int")),
+        F.when(I <= 9998, run(I)).otherwise(empty),
+        filler("c", F.lit(3)),
+    )
+    docs = pages.select("url", F.array_join(tokens, " ").alias("text"))
+    return reuse_spans(docs, k=5, min_run=3, max_gram_df=8)
+
+
 def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank seeded at the process nodes: relevance-to-
     the-pivot-set ranking (the analyst's 'expand from these processes'
@@ -3118,6 +3168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_triples": q_table_triples,
         "hearst_pairs": q_hearst_pairs,
         "taxonomy_induction": q_taxonomy_induction,
+        "text_reuse": q_text_reuse,
         "edge_history": q_edge_history,
         "edge_asof": q_edge_asof,
         "anchor_priors": q_anchor_priors,
@@ -3859,6 +3910,32 @@ def oracle_sql() -> dict[str, str]:
                OR (a.n_mentions = r.n_mentions AND a.hypo < a.hyper))
         """
     )
+    # --- text reuse: arithmetic enumeration of the planted spans. The
+    # a-side offset A = leading filler + previous run + middle filler;
+    # doc_a/doc_b order is LEXICOGRAPHIC on urls (report/100 < report/99),
+    # mirrored by the CASE swap.
+    sq["text_reuse"] = """
+        WITH pg AS (SELECT CAST(range AS BIGINT) AS m FROM range(0, 9999)),
+        q AS (
+          SELECT 'https://example.org/report/' || CAST(m AS VARCHAR) AS u1,
+                 'https://example.org/report/' || CAST(m + 1 AS VARCHAR) AS u2,
+                 CAST(m % 7 AS INT)
+                   + CASE WHEN m >= 1 THEN
+                       5 + CASE WHEN (m - 1) % 13 = 0 THEN 0
+                                ELSE 2 + CAST((m - 1) % 4 AS INT) END
+                     ELSE 0 END
+                   + 2 + CAST(m % 3 AS INT) AS a_pos,
+                 CAST((m + 1) % 7 AS INT) AS b_pos,
+                 3 + CAST(m % 4 AS INT) AS n_grams
+          FROM pg WHERE m % 13 <> 0)
+        SELECT CASE WHEN u2 < u1 THEN u2 ELSE u1 END AS doc_a,
+               CASE WHEN u2 < u1 THEN u1 ELSE u2 END AS doc_b,
+               CAST(CASE WHEN u2 < u1 THEN b_pos ELSE a_pos END AS INT) AS start_a,
+               CAST(CASE WHEN u2 < u1 THEN a_pos ELSE b_pos END AS INT) AS start_b,
+               CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(n_grams + 4 AS BIGINT) AS len_tokens
+        FROM q
+        """
     # --- SCC: mutual-reachability ground truth over the sparsified
     # relation (forward-oriented + LAUNCH back-edges).
     sq["scc"] = (
