@@ -465,11 +465,19 @@ def q_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain step-by-step with a recursive CTE (terminal / capped-min /
     cycle-min semantics included) — so log-round doubling == linear walk
     is what the hash pins."""
-    from sigraph_spark.corpus import gen_pages
     from sigraph_spark.operators.links import resolve_redirects
 
+    return resolve_redirects(_webtext_alias_graph(spark), max_steps=16)
+
+
+def _webtext_alias_graph(spark: SparkSession, sf: float = 0.01) -> DataFrame:
+    """Synthesized redirect/canonical alias edges over the corpus urls:
+    chains toward 13-multiples, 13-cycles at 91-multiples, conflicting
+    declarations at 17-multiples. Gate pins sf=0.01; bench scales it."""
+    from sigraph_spark.corpus import gen_pages
+
     i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long").alias("i")
-    pages = gen_pages(spark, sf=0.01).select(i)
+    pages = gen_pages(spark, sf=sf).select(i)
 
     def u(c) -> Column:
         return F.concat(F.lit("https://example.org/report/"), c.cast("string"))
@@ -483,23 +491,19 @@ def q_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     conf = pages.filter((F.col("i") % 17 == 0) & (F.col("i") % 13 != 0)).select(
         u(F.col("i")).alias("src"), u(F.col("i") + 1).alias("dst")
     )
-    return resolve_redirects(
-        chain.unionByName(cyc).unionByName(conf), max_steps=16
-    )
+    return chain.unionByName(cyc).unionByName(conf)
 
 
-def q_table_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Web-table fact extraction: pages carry synthesized ``<table>``
-    markup (variable row counts, ragged rows, empty subjects/objects,
-    ``<b>``-wrapped cells, a 2-col key/value table on every 4th page, a
-    header-only decoy on every 7th) — the operator PARSES the html while
-    the oracle emits the planted facts arithmetically, so the full
-    header-alignment semantics chain is what the hash pins."""
+def _webtext_table_pages(spark: SparkSession, sf: float = 0.01) -> DataFrame:
+    """Pages carrying synthesized ``<table>`` markup (variable row counts,
+    ragged rows, empty subjects/objects, ``<b>``-wrapped cells, a 2-col
+    key/value table on every 4th page, a header-only decoy on every 7th).
+    Gate pins sf=0.01 (the oracle enumerates the plant arithmetically);
+    bench.py scales the same corpus by sf."""
     from sigraph_spark.corpus import gen_pages
-    from sigraph_spark.operators.htmltables import table_triples
 
     i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
-    pages = gen_pages(spark, sf=0.01).select("url", i.alias("i"))
+    pages = gen_pages(spark, sf=sf).select("url", i.alias("i"))
 
     def rowhtml(k: Column) -> Column:
         s = (F.col("i") * 3 + k) % 97
@@ -546,10 +550,19 @@ def q_table_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</p><table><tr><th>host</th><th>cpu</th><th>os</th></tr>"),
         rows, F.lit("</table>"), kv, decoy, F.lit("</body></html>"),
     )
-    return table_triples(pages.select("url", html.alias("html")))
+    return pages.select("url", html.alias("html"))
 
 
-def _hearst_corpus(spark: SparkSession) -> DataFrame:
+def q_table_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-table fact extraction: the operator PARSES the synthesized
+    table markup while the oracle emits the planted facts arithmetically,
+    so the full header-alignment semantics chain is what the hash pins."""
+    from sigraph_spark.operators.htmltables import table_triples
+
+    return table_triples(_webtext_table_pages(spark))
+
+
+def _hearst_corpus(spark: SparkSession, sf: float = 0.01) -> DataFrame:
     """Planted Hearst-pattern corpus over the standard urls: every page
     carries a such_as sentence with a 3-item coordinated list; 3/4/5/7
     multiples add or_other / including / such_np_as / 2-word-NP variants;
@@ -560,7 +573,7 @@ def _hearst_corpus(spark: SparkSession) -> DataFrame:
     from sigraph_spark.corpus import gen_pages
 
     i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
-    pages = gen_pages(spark, sf=0.01).select("url", i.alias("i"))
+    pages = gen_pages(spark, sf=sf).select("url", i.alias("i"))
     I = F.col("i")
 
     def l(n: Column) -> Column:
@@ -629,11 +642,21 @@ def q_text_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     filler at arithmetic offsets. The oracle enumerates the expected
     (pair, offsets, run length) spans directly — k-gram indexing, df-cut,
     diagonal grouping and islands-splitting are all pinned."""
-    from sigraph_spark.corpus import gen_pages
     from sigraph_spark.operators.textreuse import reuse_spans
 
+    return reuse_spans(
+        _webtext_reuse_docs(spark), k=5, min_run=3, max_gram_df=8
+    )
+
+
+def _webtext_reuse_docs(spark: SparkSession, sf: float = 0.01) -> DataFrame:
+    """Planted text-reuse corpus (shared runs between neighbor pages
+    inside page-unique filler). Gate pins sf=0.01; bench scales it."""
+    from sigraph_spark.corpus import gen_pages, pages_count
+
+    n = pages_count(sf)
     i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
-    pages = gen_pages(spark, sf=0.01).select("url", i.alias("i"))
+    pages = gen_pages(spark, sf=sf).select("url", i.alias("i"))
     I = F.col("i")
     empty = F.expr("CAST(array() AS array<string>)")
 
@@ -665,11 +688,10 @@ def q_text_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         filler("a", (I % 7).cast("int")),
         F.when(I >= 1, run(I - 1)).otherwise(empty),
         filler("b", (F.lit(2) + I % 3).cast("int")),
-        F.when(I <= 9998, run(I)).otherwise(empty),
+        F.when(I <= n - 2, run(I)).otherwise(empty),
         filler("c", F.lit(3)),
     )
-    docs = pages.select("url", F.array_join(tokens, " ").alias("text"))
-    return reuse_spans(docs, k=5, min_run=3, max_gram_df=8)
+    return pages.select("url", F.array_join(tokens, " ").alias("text"))
 
 
 def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:

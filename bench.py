@@ -353,6 +353,52 @@ def main() -> None:
 
     timed("contamination", run_contamination)
 
+    # --- webtext KG extraction family (tables / taxonomy / reuse / aliases) ----
+    import __spark_entry__ as entrymod
+
+    from sigraph_spark.operators.hearst import hearst_pairs, taxonomy_edges
+    from sigraph_spark.operators.htmltables import table_triples
+    from sigraph_spark.operators.links import resolve_redirects
+    from sigraph_spark.operators.textreuse import reuse_spans
+
+    table_pages = entrymod._webtext_table_pages(spark, sf=sf).localCheckpoint(True)
+    hearst_docs = entrymod._hearst_corpus(spark, sf=sf).localCheckpoint(True)
+    reuse_docs = entrymod._webtext_reuse_docs(spark, sf=sf).localCheckpoint(True)
+    alias_edges = entrymod._webtext_alias_graph(spark, sf=sf).localCheckpoint(True)
+
+    def run_webtext() -> int:
+        return (
+            table_triples(table_pages).count()
+            + taxonomy_edges(hearst_pairs(hearst_docs)).count()
+            + reuse_spans(reuse_docs, k=5, min_run=3, max_gram_df=8).count()
+            + resolve_redirects(alias_edges, max_steps=16).count()
+        )
+
+    timed("webtext_kg", run_webtext)
+
+    # --- sink rendering (Neo4j bulk CSV + OpenSearch _bulk NDJSON) --------------
+    # inputs pre-materialized: the stage times the RENDER projections only
+    from sigraph_spark.operators.graph import build_nodes
+    from sigraph_spark.operators.neo4j_csv import nodes_csv, rels_csv
+    from sigraph_spark.operators.opensearch_bulk import bulk_index_lines
+
+    bnodes = build_nodes(good_pr).localCheckpoint(eager=True)
+    edges_full = build_edges(good_pr).localCheckpoint(eager=True)
+    sev = ev_all.localCheckpoint(eager=True)
+
+    def _drain(df) -> int:
+        # force every output byte to materialize (sum of line lengths)
+        return int(df.agg(F.sum(F.length("line"))).collect()[0][0])
+
+    def run_sinks() -> int:
+        return (
+            _drain(nodes_csv(bnodes))
+            + _drain(rels_csv(edges_full))
+            + _drain(bulk_index_lines(sev))
+        )
+
+    timed("sink_render", run_sinks)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "kg_pipeline_e2e+operators",
