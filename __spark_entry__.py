@@ -694,6 +694,16 @@ def _webtext_reuse_docs(spark: SparkSession, sf: float = 0.01) -> DataFrame:
     return pages.select("url", F.array_join(tokens, " ").alias("text"))
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg JACM'99) over the event KG in
+    exact L1-normalized BIGINT fixed-point — bit-identical to the
+    unrolled-CTE oracle, including the integer floor divisions of every
+    normalization."""
+    from sigraph_spark.operators.graphalgo import hits
+
+    return hits(_edges_ckpt(spark, sf_dir), rounds=4)
+
+
 def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank seeded at the process nodes: relevance-to-
     the-pivot-set ranking (the analyst's 'expand from these processes'
@@ -3191,6 +3201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hearst_pairs": q_hearst_pairs,
         "taxonomy_induction": q_taxonomy_induction,
         "text_reuse": q_text_reuse,
+        "hits": q_hits,
         "edge_history": q_edge_history,
         "edge_asof": q_edge_asof,
         "anchor_priors": q_anchor_priors,
@@ -4277,6 +4288,14 @@ def oracle_sql() -> dict[str, str]:
 
     sq["pagerank"] = (
         "WITH " + _EDGES_CTE + "," + pagerank_oracle_sql("edges")
+    )
+    # --- HITS: L1-normalized exact-integer mutual reinforcement, 4
+    # unrolled rounds — bit-exact including every floor division.
+    from sigraph_spark.operators.graphalgo import hits_oracle_sql
+
+    sq["hits"] = (
+        "WITH " + _EDGES_CTE + "," + hits_oracle_sql("edges")
+        + " SELECT node, auth_fp, hub_fp, auth, hub FROM hits_out"
     )
     # warm-start: phase 1 (cold, 5 rounds) over the base subgraph, phase 2
     # (3 rounds) over the FULL graph initialized from phase 1's ranks —

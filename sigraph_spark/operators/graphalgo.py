@@ -985,3 +985,156 @@ def modularity(
             6,
         ).alias("q"),
     )
+
+
+# --- HITS hubs & authorities (Kleinberg, JACM'99) --------------------------
+
+HITS_SCALE = 10**9
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """HITS hubs/authorities over distinct (src, dst) pairs:
+    ``(node, auth_fp, hub_fp, auth, hub)``.
+
+    Same exactness contract as :func:`sigraph_spark.operators.pagerank.
+    pagerank`: all mutual-reinforcement arithmetic is BIGINT fixed-point
+    (``HITS_SCALE`` units), so results are partition-order invariant and
+    bit-identical across engines. Kleinberg's L2 normalization is replaced
+    by L1 (scores sum to HITS_SCALE) — rankings are identical under any
+    positive rescaling, and L1 keeps every step in exact integer division
+    (the DuckDB gate oracle reproduces it with ``//``). HITS_SCALE = 10^9
+    bounds the per-step product: raw sums <= HITS_SCALE, so
+    raw * HITS_SCALE <= 10^18 < 2^63 (ANSI mode would raise on overflow,
+    loudly, not wrap).
+
+    One shuffle per half-step (edge join on the moving side + algebraic
+    sum); the L1 total is a single-row aggregate broadcast into the
+    normalization projection. Fixed ``rounds``, no convergence polling —
+    the pagerank precedent, same reasoning.
+    """
+    e = edges.select(
+        F.col(src).cast("string").alias("src"),
+        F.col(dst).cast("string").alias("dst"),
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("auth_fp"),
+            F.lit(0).cast("long").alias("hub_fp"),
+            F.lit(0.0).alias("auth"), F.lit(0.0).alias("hub"),
+        )
+    # per-half-round lineage truncation: the normalization subtree embeds
+    # the full prior lineage twice (raw + its total), so an un-checkpointed
+    # loop hands Catalyst an exponentially growing plan (measured: 115s of
+    # pure planning for a 6-edge graph at rounds=4) — same device as the
+    # chase/shortest_paths loops
+    nodes = nodes.localCheckpoint(eager=True)
+    e = e.localCheckpoint(eager=True)
+    hub = nodes.select("node", F.lit(HITS_SCALE // n).cast("long").alias("fp"))
+    auth = None
+    for _ in range(rounds):
+        araw = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("fp").alias("raw"))
+        )
+        auth = _l1_normalize(nodes, araw).localCheckpoint(eager=True)
+        hraw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("fp").alias("raw"))
+        )
+        hub = _l1_normalize(nodes, hraw).localCheckpoint(eager=True)
+    return (
+        nodes.join(auth.withColumnRenamed("fp", "auth_fp"), "node", "left")
+        .join(hub.withColumnRenamed("fp", "hub_fp"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("auth_fp", F.lit(0)).cast("long").alias("auth_fp"),
+            F.coalesce("hub_fp", F.lit(0)).cast("long").alias("hub_fp"),
+        )
+        .select(
+            "node", "auth_fp", "hub_fp",
+            F.round(F.col("auth_fp") / F.lit(HITS_SCALE), 6).alias("auth"),
+            F.round(F.col("hub_fp") / F.lit(HITS_SCALE), 6).alias("hub"),
+        )
+    )
+
+
+def _l1_normalize(nodes: DataFrame, raw: DataFrame) -> DataFrame:
+    """(node, raw) -> (node, fp) with sum(fp) ~= HITS_SCALE in exact
+    integer division; zero vector stays zero (S=0 guard)."""
+    total = raw.agg(F.sum("raw").alias("_s"))
+    return (
+        nodes.join(raw, "node", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "node",
+            F.when(
+                F.col("_s") > 0,
+                F.expr(f"(coalesce(raw, 0) * {HITS_SCALE}) DIV _s"),
+            ).otherwise(F.lit(0)).cast("long").alias("fp"),
+        )
+    )
+
+
+def hits_oracle_sql(
+    edges_rel: str, n_nodes: int | None = None, rounds: int = 4
+) -> str:
+    """Unrolled-CTE ANSI restatement of :func:`hits` (exact integer
+    parity). ``edges_rel``: relation with string src, dst. Returns CTE
+    text ending with a ``hits_out`` relation (node, auth_fp, hub_fp,
+    auth, hub). ``n_nodes``: exact node count as a literal, or None to
+    derive it with a scalar subquery."""
+    S = HITS_SCALE
+    n_expr = str(n_nodes) if n_nodes else "(SELECT count(*) FROM ht_n)"
+    parts = [f"""
+        ht_e AS (SELECT DISTINCT src, dst FROM {edges_rel}),
+        ht_n AS (SELECT src AS node FROM ht_e UNION SELECT dst FROM ht_e),
+        ht_h0 AS MATERIALIZED (SELECT node, CAST({S} // {n_expr} AS BIGINT) AS fp FROM ht_n)"""]
+    h_prev = "ht_h0"
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+        ht_ar{r} AS MATERIALIZED (
+          SELECT e.dst AS node, CAST(sum(h.fp) AS BIGINT) AS raw
+          FROM ht_e e JOIN {h_prev} h ON h.node = e.src GROUP BY e.dst),
+        ht_as{r} AS MATERIALIZED (SELECT CAST(sum(raw) AS BIGINT) AS s FROM ht_ar{r}),
+        ht_a{r} AS MATERIALIZED (
+          SELECT n.node,
+                 CASE WHEN t.s > 0
+                      THEN (coalesce(r.raw, 0) * {S}) // t.s
+                      ELSE 0 END AS fp
+          FROM ht_n n LEFT JOIN ht_ar{r} r ON n.node = r.node, ht_as{r} t),
+        ht_hr{r} AS MATERIALIZED (
+          SELECT e.src AS node, CAST(sum(a.fp) AS BIGINT) AS raw
+          FROM ht_e e JOIN ht_a{r} a ON a.node = e.dst GROUP BY e.src),
+        ht_hs{r} AS MATERIALIZED (SELECT CAST(sum(raw) AS BIGINT) AS s FROM ht_hr{r}),
+        ht_h{r} AS MATERIALIZED (
+          SELECT n.node,
+                 CASE WHEN t.s > 0
+                      THEN (coalesce(r.raw, 0) * {S}) // t.s
+                      ELSE 0 END AS fp
+          FROM ht_n n LEFT JOIN ht_hr{r} r ON n.node = r.node, ht_hs{r} t)""")
+        h_prev = f"ht_h{r}"
+    parts.append(f"""
+        hits_out AS (
+          SELECT n.node,
+                 CAST(coalesce(a.fp, 0) AS BIGINT) AS auth_fp,
+                 CAST(coalesce(h.fp, 0) AS BIGINT) AS hub_fp,
+                 round(coalesce(a.fp, 0) / {S}.0, 6) AS auth,
+                 round(coalesce(h.fp, 0) / {S}.0, 6) AS hub
+          FROM ht_n n
+          LEFT JOIN ht_a{rounds} a ON n.node = a.node
+          LEFT JOIN ht_h{rounds} h ON n.node = h.node)""")
+    return ",".join(parts)

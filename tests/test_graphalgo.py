@@ -456,3 +456,79 @@ def test_modularity_single_community_is_zero(spark):
     [row] = modularity(df, one).collect()
     # all edges internal: Q = 1 - 1 = 0 exactly
     assert row["q_num"] == 0 and row["q"] == 0.0
+
+
+# --- HITS -------------------------------------------------------------------
+
+def _hits_python(edges, rounds=4):
+    S = 10**9
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    e = sorted(set(edges))
+    hub = {x: S // len(nodes) for x in nodes}
+    auth = {x: 0 for x in nodes}
+
+    def norm(raw):
+        s = sum(raw.values())
+        return {x: (raw.get(x, 0) * S) // s if s > 0 else 0 for x in nodes}
+
+    for _ in range(rounds):
+        araw = {}
+        for u, v in e:
+            araw[v] = araw.get(v, 0) + hub[u]
+        auth = norm(araw)
+        hraw = {}
+        for u, v in e:
+            hraw[u] = hraw.get(u, 0) + auth[v]
+        hub = norm(hraw)
+    return {x: (auth[x], hub[x]) for x in nodes}
+
+
+def test_hits_python_reference_parity(spark):
+    from sigraph_spark.operators.graphalgo import hits
+
+    edges = [("h1", "a1"), ("h1", "a2"), ("h2", "a1"), ("a1", "h2"),
+             ("h2", "a3"), ("a3", "a1"), ("h1", "a1")]  # dup collapses
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: (r["auth_fp"], r["hub_fp"]) for r in hits(df).collect()}
+    assert got == _hits_python(edges)
+
+
+def test_hits_star_ranking(spark):
+    from sigraph_spark.operators.graphalgo import hits
+
+    df = spark.createDataFrame(
+        [("h1", "a1"), ("h1", "a2"), ("h2", "a1")], "src string, dst string"
+    )
+    out = {r["node"]: r for r in hits(df).collect()}
+    assert out["a1"]["auth_fp"] > out["a2"]["auth_fp"]  # a1 cited by both
+    assert out["h1"]["hub_fp"] > out["h2"]["hub_fp"]  # h1 links more/better
+    assert out["a1"]["hub_fp"] == 0 and out["h1"]["auth_fp"] == 0
+
+
+def test_hits_partition_invariance(spark):
+    from sigraph_spark.operators.graphalgo import hits
+
+    edges = [(f"n{i % 7}", f"n{(i * 3) % 11}") for i in range(60)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = {tuple(r) for r in hits(df.repartition(1)).collect()}
+    b = {tuple(r) for r in hits(df.repartition(16)).collect()}
+    assert a == b
+
+
+def test_hits_oracle_sql_matches(spark):
+    import duckdb
+
+    from sigraph_spark.operators.graphalgo import hits, hits_oracle_sql
+
+    edges = [(f"x{i % 5}", f"x{(i * 2 + 1) % 9}") for i in range(30)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    spark_rows = {tuple(r) for r in hits(df).collect()}
+    n = len({u for u, _ in edges} | {v for _, v in edges})
+    vals = ", ".join(f"('{u}', '{v}')" for u, v in edges)
+    sql = (
+        "WITH base(src, dst) AS (VALUES " + vals + "),"
+        + hits_oracle_sql("base", n)
+        + " SELECT node, auth_fp, hub_fp, auth, hub FROM hits_out"
+    )
+    duck_rows = {tuple(r) for r in duckdb.sql(sql).fetchall()}
+    assert spark_rows == duck_rows
