@@ -46,16 +46,19 @@ _W = rf"(?!(?:{_STOP})\b)[a-z]+"
 _NP = rf"{_W}(?: {_W})?"
 _LIST = rf"{_NP}(?:, {_NP})*(?:,? (?:and|or) {_NP})?"
 
-# (pattern name, regex, group of hyper, group of hypo-list)
-HEARST_PATTERNS: tuple[tuple[str, str, int, int], ...] = (
-    ("such_as", rf"({_NP}) such as ({_LIST})", 1, 2),
-    ("such_np_as", rf"such ({_NP}) as ({_LIST})", 1, 2),
-    ("including", rf"({_NP}), including ({_LIST})", 1, 2),
-    ("especially", rf"({_NP}), especially ({_LIST})", 1, 2),
+# (pattern name, regex, group of hyper, group of hypo-list, literal guard)
+# the guard is a fixed substring the regex REQUIRES — a cheap contains()
+# prefilter that skips the regex scan on the (vast) majority of documents
+# that cannot match the pattern at all
+HEARST_PATTERNS: tuple[tuple[str, str, int, int, str], ...] = (
+    ("such_as", rf"({_NP}) such as ({_LIST})", 1, 2, " such as "),
+    ("such_np_as", rf"such ({_NP}) as ({_LIST})", 1, 2, "such "),
+    ("including", rf"({_NP}), including ({_LIST})", 1, 2, ", including "),
+    ("especially", rf"({_NP}), especially ({_LIST})", 1, 2, ", especially "),
     # trailing hypernym is a SINGLE head word — a 2-word NP here would
     # greedily eat the following verb ("other metals shine")
-    ("and_other", rf"({_LIST}) and other ({_W})", 2, 1),
-    ("or_other", rf"({_LIST}) or other ({_W})", 2, 1),
+    ("and_other", rf"({_LIST}) and other ({_W})", 2, 1, " and other "),
+    ("or_other", rf"({_LIST}) or other ({_W})", 2, 1, " or other "),
 )
 
 _SPLIT_LIST = r",? (?:and|or) |, "
@@ -73,7 +76,7 @@ def hearst_pairs(
     """
     text = F.lower(F.col(text_col))
     outs = []
-    for name, rx, g_hyper, g_list in HEARST_PATTERNS:
+    for name, rx, g_hyper, g_list, guard in HEARST_PATTERNS:
         pair = F.explode(
             F.arrays_zip(
                 F.regexp_extract_all(text, F.lit(rx), g_hyper).alias("hyper"),
@@ -81,7 +84,8 @@ def hearst_pairs(
             )
         )
         outs.append(
-            docs.select(F.col(url_col).alias("url"), pair.alias("_m"))
+            docs.filter(text.contains(guard))
+            .select(F.col(url_col).alias("url"), pair.alias("_m"))
             .select(
                 "url",
                 F.col("_m.hyper").alias("hyper"),

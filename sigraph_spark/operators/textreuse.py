@@ -65,7 +65,12 @@ def reuse_spans(
     ``n_grams`` = matching k-gram run length (>= ``min_run``),
     ``len_tokens = n_grams + k - 1`` = shared passage length in tokens.
     """
-    idx = kgram_index(docs, doc_col, text_col, k)
+    # the index feeds three consumers (df-count, both join legs): a lazy
+    # localCheckpoint materializes the split+hash narrow map ONCE instead
+    # of re-tokenizing the corpus per consumer (the in-session analog of
+    # persisting the k-gram index table, which is how a 100 TB run would
+    # store it anyway)
+    idx = kgram_index(docs, doc_col, text_col, k).localCheckpoint(eager=False)
     df_counts = idx.groupBy("gram").agg(
         F.countDistinct("doc_id").alias("_df")
     )
