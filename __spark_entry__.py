@@ -704,6 +704,56 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(_edges_ckpt(spark, sf_dir), rounds=4)
 
 
+def _multi_extractor_claims(spark: SparkSession, sf: float = 0.01) -> DataFrame:
+    """Claims from FOUR extractor views, extractor-tagged: sentence
+    triples, web-table facts, a degraded 'ocr' copy of the table view
+    (uppercases os objects on 9-multiples — the planted cross-source
+    conflict), and Hearst is_a pairs."""
+    from sigraph_spark.operators.hearst import hearst_pairs
+    from sigraph_spark.operators.htmltables import table_triples
+
+    sent = _webtext_triples(spark).select(
+        F.col("actor").alias("subject"),
+        F.col("verb").alias("predicate"),
+        "object",
+        F.lit("sentence").alias("source"),
+    )
+    tab = table_triples(_webtext_table_pages(spark, sf=sf))
+    i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    tabc = tab.select(
+        F.col("subj").alias("subject"), "predicate",
+        F.col("obj").alias("object"), F.lit("table").alias("source"),
+    )
+    ocr = tab.select(
+        F.col("subj").alias("subject"), "predicate",
+        F.when(
+            (i % 9 == 0) & (F.col("predicate") == "os"), F.upper("obj")
+        ).otherwise(F.col("obj")).alias("object"),
+        F.lit("ocr").alias("source"),
+    )
+    hear = hearst_pairs(_hearst_corpus(spark, sf=sf)).select(
+        F.col("hypo").alias("subject"),
+        F.lit("is_a").alias("predicate"),
+        F.col("hyper").alias("object"),
+        F.lit("hearst").alias("source"),
+    ).distinct()
+    return sent.unionByName(tabc).unionByName(ocr).unionByName(hear)
+
+
+def q_multi_extractor_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multi-extractor KG assembly: four extractor views
+    (sentence / table / degraded-ocr / hearst) unioned as source-tagged
+    claims and resolved by two-round source-weighted fusion — the
+    composition the webtext plan (plans/webtext.py) materializes with
+    manifests; the oracle re-derives every view arithmetically and
+    restates the fusion algebra."""
+    from sigraph_spark.operators.fusion import fuse_triples
+
+    return fuse_triples(
+        _multi_extractor_claims(spark), "subject", "predicate", "object", "source"
+    )
+
+
 def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank seeded at the process nodes: relevance-to-
     the-pivot-set ranking (the analyst's 'expand from these processes'
@@ -3202,6 +3252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "taxonomy_induction": q_taxonomy_induction,
         "text_reuse": q_text_reuse,
         "hits": q_hits,
+        "multi_extractor_fusion": q_multi_extractor_fusion,
         "edge_history": q_edge_history,
         "edge_asof": q_edge_asof,
         "anchor_priors": q_anchor_priors,
@@ -3860,37 +3911,41 @@ def oracle_sql() -> dict[str, str]:
     # --- web-table extraction: the oracle NEVER parses html — it emits
     # the planted facts arithmetically (subject blanks, ragged os cells,
     # the kv table on 4-multiples), so the Spark side's regex/explode/
-    # header-zip chain is verified end-to-end.
-    sq["table_triples"] = """
-        WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 10000)),
-        rk AS (
+    # header-zip chain is verified end-to-end. Shared with the
+    # multi-extractor fusion gate (both build on the caller's `pg`).
+    _PG_CTE = "pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 10000))"
+    _TT_CTES = """
+        tt_rk AS (
           SELECT i, CAST(k AS BIGINT) AS k
           FROM pg, UNNEST(range(0, 3)) t(k) WHERE k <= i % 3),
-        base AS (
-          SELECT 'https://example.org/report/' || CAST(i AS VARCHAR) AS url,
+        tt_base AS (
+          SELECT i, 'https://example.org/report/' || CAST(i AS VARCHAR) AS url,
                  CASE WHEN (i * 3 + k) % 31 = 0 THEN NULL
                       ELSE 'srv-' || CAST((i * 3 + k) % 97 AS VARCHAR) END AS subj,
                  CAST((i + k) % 16 AS VARCHAR) AS cpu,
                  CASE (i + k) % 3 WHEN 0 THEN 'linux' WHEN 1 THEN 'windows' END AS os,
                  ((i + k) % 5 <> 0) AS has_os
-          FROM rk)
-        SELECT url, CAST(0 AS INT) AS table_idx, subj,
-               'cpu' AS predicate, cpu AS obj
-        FROM base WHERE subj IS NOT NULL
-        UNION ALL
-        SELECT url, CAST(0 AS INT), subj, 'os', os
-        FROM base WHERE subj IS NOT NULL AND has_os AND os IS NOT NULL
-        UNION ALL
-        SELECT 'https://example.org/report/' || CAST(i AS VARCHAR),
-               CAST(1 AS INT), 'owner', 'value',
-               'team-' || CAST(i % 11 AS VARCHAR)
-        FROM pg WHERE i % 4 = 0
-        """
+          FROM tt_rk),
+        tt AS (
+          SELECT i, url, CAST(0 AS INT) AS table_idx, subj,
+                 'cpu' AS predicate, cpu AS obj
+          FROM tt_base WHERE subj IS NOT NULL
+          UNION ALL
+          SELECT i, url, CAST(0 AS INT), subj, 'os', os
+          FROM tt_base WHERE subj IS NOT NULL AND has_os AND os IS NOT NULL
+          UNION ALL
+          SELECT i, 'https://example.org/report/' || CAST(i AS VARCHAR),
+                 CAST(1 AS INT), 'owner', 'value',
+                 'team-' || CAST(i % 11 AS VARCHAR)
+          FROM pg WHERE i % 4 = 0)"""
+    sq["table_triples"] = (
+        "WITH " + _PG_CTE + "," + _TT_CTES
+        + " SELECT url, table_idx, subj, predicate, obj FROM tt"
+    )
     # --- Hearst extraction: the oracle enumerates the PLANTED pairs
     # arithmetically (it never runs a regex), so the pattern inventory,
     # the closed-class NP guard, and the list splitting are all pinned.
     _hearst_pairs_ctes = """
-        pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 10000)),
         u AS (SELECT i, 'https://example.org/report/' || CAST(i AS VARCHAR) AS url
               FROM pg),
         hp AS (
@@ -3926,11 +3981,11 @@ def oracle_sql() -> dict[str, str]:
           SELECT url, 'itemzz', 'gemsy', 'such_as' FROM u WHERE i = 4242)
         """
     sq["hearst_pairs"] = (
-        "WITH " + _hearst_pairs_ctes
+        "WITH " + _PG_CTE + "," + _hearst_pairs_ctes
         + " SELECT url, hypo, hyper, pattern FROM hp"
     )
     sq["taxonomy_induction"] = (
-        "WITH " + _hearst_pairs_ctes
+        "WITH " + _PG_CTE + "," + _hearst_pairs_ctes
         + """,
         agg AS (
           SELECT hypo, hyper, CAST(count(*) AS BIGINT) AS n_mentions,
@@ -6052,11 +6107,13 @@ def oracle_sql() -> dict[str, str]:
           ON c.subject = s.subject AND c.predicate = s.predicate
         """
     )
-    sq["triple_fusion"] = (
-        "WITH " + _pages_triples_cte() + _CLAIMS_CTE
-        + """,
-        tf_c AS (SELECT DISTINCT actor AS subject, verb AS predicate,
-                        object, source FROM claims),
+    # two-round source-weighted fusion restated once, over any claims
+    # relation with (subject, predicate, object, source) columns — shared
+    # by the segment-fusion gates and the multi-extractor gate
+    def _fusion_body_sql(claims_rel: str) -> str:
+        return f""",
+        tf_c AS (SELECT DISTINCT subject, predicate, object, source
+                 FROM {claims_rel}),
         tf_votes AS (
           SELECT subject, predicate, object,
                  CAST(count(*) AS BIGINT) AS votes
@@ -6092,9 +6149,40 @@ def oracle_sql() -> dict[str, str]:
           JOIN tf_votes v USING (subject, predicate, object))
         WHERE rn = 1
         """
+
+    sq["triple_fusion"] = (
+        "WITH " + _pages_triples_cte() + _CLAIMS_CTE
+        + """,
+        seg_claims AS (SELECT actor AS subject, verb AS predicate,
+                              object, source FROM claims)"""
+        + _fusion_body_sql("seg_claims")
     )
     # incremental fusion must reproduce the from-scratch fuse exactly
     sq["triple_fusion_merge"] = sq["triple_fusion"]
+    # --- multi-extractor fusion: sentence + table + noisy-ocr + hearst
+    # claims unioned with extractor-tagged sources, fused by the same
+    # two-round algebra — the planted ocr uppercase variants lose to the
+    # table source's reliability.
+    sq["multi_extractor_fusion"] = (
+        "WITH " + _pages_triples_cte() + "," + _TT_CTES + ","
+        + _hearst_pairs_ctes
+        + """,
+        mx_claims AS (
+          SELECT actor AS subject, verb AS predicate, object,
+                 'sentence' AS source
+          FROM stepped
+          UNION ALL
+          SELECT subj, predicate, obj, 'table' FROM tt
+          UNION ALL
+          SELECT subj, predicate,
+                 CASE WHEN i % 9 = 0 AND predicate = 'os'
+                      THEN upper(obj) ELSE obj END,
+                 'ocr'
+          FROM tt
+          UNION ALL
+          SELECT DISTINCT hypo, 'is_a', hyper, 'hearst' FROM hp)"""
+        + _fusion_body_sql("mx_claims")
+    )
     sq["inverse_predicates"] = (
         "WITH " + _pages_triples_cte()
         + """,

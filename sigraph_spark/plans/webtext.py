@@ -1,0 +1,114 @@
+"""Webtext multi-extractor KG plan: one pages table in, one fused KG out.
+
+Composes the webtext extractor family over the SAME pages input —
+sentence-level triples (``operators/triples.py``), web-table facts
+(``operators/htmltables.py``), Hearst is_a pairs (``operators/hearst.py``)
+— into an extractor-tagged claims table and resolves cross-extractor
+conflicts with two-round source-weighted fusion (``operators/fusion.py``).
+This is the "many noisy views -> one KG" assembly step every webtext KG
+builder runs (NELL / Knowledge Vault shape: extractors vote, fusion
+arbitrates), expressed as checkpointed ``run_stage`` stages with chained
+fingerprints so a new crawl or a changed extractor recomputes exactly the
+affected suffix.
+
+Stage graph::
+
+    pages ── w1_docs (html -> text)
+       \\            ├── w2_sent  (sentence triples -> claims 'sentence')
+        \\           └── w4_hearst (is_a pairs      -> claims 'hearst')
+         └── w3_tables (html tables -> claims 'table')
+    w2+w3+w4 ── w5_claims (union, distinct) ── w6_fused
+
+The fusion algebra itself is hash-proven by the ``multi_extractor_fusion``
+gate; this module adds the materialized, resumable composition.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sigraph_spark.plans.pipeline import (
+    read_manifest, run_stage, table_fingerprint,
+)
+
+
+def run_webtext_kg(
+    spark: SparkSession,
+    pages: DataFrame,
+    workdir: str,
+    input_fingerprint: str | None = None,
+) -> dict[str, DataFrame]:
+    """pages(url, warc_ts, html, ...) -> {docs, sent_claims, table_claims,
+    hearst_claims, claims, fused}. Every stage resumes from its manifest.
+    """
+    from sigraph_spark.operators.extract import extract_pages
+    from sigraph_spark.operators.fusion import fuse_triples
+    from sigraph_spark.operators.hearst import hearst_pairs
+    from sigraph_spark.operators.htmltables import table_triples
+    from sigraph_spark.operators.triples import triples_from_docs
+
+    def out_fp(stage_dir: str) -> str:
+        m = read_manifest(os.path.join(workdir, stage_dir))
+        return m["output_fingerprint"] if m else "missing"
+
+    fp = input_fingerprint or table_fingerprint(
+        pages.select("url", "warc_ts", F.length("html").alias("n"))
+    )
+    docs = run_stage(
+        spark, "w1_docs", os.path.join(workdir, "w1_docs"),
+        lambda: extract_pages(pages).select("url", "warc_ts", "text"),
+        fp + ":w1v1",
+    )
+    fp_docs = out_fp("w1_docs")
+
+    def claims_shape(df, subj, pred, obj, source: str) -> DataFrame:
+        return df.select(
+            F.col(subj).alias("subject"),
+            F.col(pred).alias("predicate"),
+            F.col(obj).alias("object"),
+            F.lit(source).alias("source"),
+        )
+
+    sent = run_stage(
+        spark, "w2_sent", os.path.join(workdir, "w2_sent"),
+        lambda: claims_shape(
+            triples_from_docs(docs), "actor", "verb", "object", "sentence"
+        ),
+        fp_docs + ":w2v1",
+    )
+    tables = run_stage(
+        spark, "w3_tables", os.path.join(workdir, "w3_tables"),
+        lambda: claims_shape(
+            table_triples(pages), "subj", "predicate", "obj", "table"
+        ),
+        fp + ":w3v1",
+    )
+    hearst = run_stage(
+        spark, "w4_hearst", os.path.join(workdir, "w4_hearst"),
+        lambda: claims_shape(
+            hearst_pairs(docs).withColumn("p", F.lit("is_a")),
+            "hypo", "p", "hyper", "hearst",
+        ),
+        fp_docs + ":w4v1",
+    )
+    fp_views = ":".join(out_fp(d) for d in ("w2_sent", "w3_tables", "w4_hearst"))
+    claims = run_stage(
+        spark, "w5_claims", os.path.join(workdir, "w5_claims"),
+        lambda: sent.unionByName(tables).unionByName(hearst).distinct(),
+        fp_views + ":w5v1",
+    )
+    fp_claims = out_fp("w5_claims")
+    fused = run_stage(
+        spark, "w6_fused", os.path.join(workdir, "w6_fused"),
+        lambda: fuse_triples(
+            claims, "subject", "predicate", "object", "source"
+        ),
+        fp_claims + ":w6v1",
+    )
+    return {
+        "docs": docs, "sent_claims": sent, "table_claims": tables,
+        "hearst_claims": hearst, "claims": claims, "fused": fused,
+    }

@@ -1,0 +1,56 @@
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sigraph_spark.plans.webtext import run_webtext_kg
+
+
+def _pages(spark):
+    from jobs.run_webtext_kg import synthetic_webtext_pages
+
+    return synthetic_webtext_pages(spark, 0.0001)  # 64 pages
+
+
+def _manifest(workdir, stage):
+    with open(os.path.join(workdir, stage, "_manifest.json")) as fh:
+        return json.load(fh)
+
+
+def test_webtext_plan_all_views_fire_and_fuse(spark, tmp_path):
+    wd = str(tmp_path / "wk")
+    out = run_webtext_kg(spark, _pages(spark), wd, input_fingerprint="t:v1")
+    by_source = {
+        r["source"] for r in out["claims"].select("source").distinct().collect()
+    }
+    assert by_source == {"sentence", "table", "hearst"}
+    fused = out["fused"]
+    assert fused.count() > 0
+    # cross-page table conflicts exist (same srv-N, different os) and fuse
+    # resolves them deterministically
+    assert fused.filter("n_objects > 1").count() > 0
+    assert set(fused.columns) == {
+        "subject", "predicate", "fused_object", "votes", "weight", "n_objects",
+    }
+
+
+def test_webtext_plan_resumes_and_invalidates(spark, tmp_path):
+    wd = str(tmp_path / "wk2")
+    pages = _pages(spark)
+    run_webtext_kg(spark, pages, wd, input_fingerprint="t:v1")
+    m1 = {s: _manifest(wd, s) for s in
+          ("w1_docs", "w2_sent", "w3_tables", "w4_hearst", "w5_claims", "w6_fused")}
+    # resume: same fingerprint -> every stage skipped (manifests untouched)
+    run_webtext_kg(spark, pages, wd, input_fingerprint="t:v1")
+    m2 = {s: _manifest(wd, s) for s in m1}
+    assert m1 == m2
+    # changed input fingerprint -> w1/w3 recompute; chained fingerprints
+    # keep the downstream stable ONLY if upstream outputs are identical
+    run_webtext_kg(spark, pages, wd, input_fingerprint="t:v2")
+    m3 = _manifest(wd, "w1_docs")
+    assert m3["input_fingerprint"].startswith("t:v2")
+    # identical content -> identical output fingerprint -> w2 resumed as-is
+    assert _manifest(wd, "w2_sent") == m1["w2_sent"]
