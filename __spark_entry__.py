@@ -754,6 +754,20 @@ def q_multi_extractor_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sparql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textual SPARQL SELECT end-to-end: parse -> BGP join ordering ->
+    property-path closure -> FILTER -> DISTINCT projection, against a
+    recursive-CTE oracle (the query-language surface over the same KG
+    the hand-built bgp/path gates cover)."""
+    from sigraph_spark.operators.bgp import select_sparql
+
+    q = (
+        "SELECT DISTINCT ?a ?c WHERE { ?a LAUNCH ?b . ?b CONNECT+ ?c . "
+        "FILTER(?a != ?c) }"
+    )
+    return select_sparql(_edges_ckpt(spark, sf_dir), q)
+
+
 def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank seeded at the process nodes: relevance-to-
     the-pivot-set ranking (the analyst's 'expand from these processes'
@@ -3253,6 +3267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_reuse": q_text_reuse,
         "hits": q_hits,
         "multi_extractor_fusion": q_multi_extractor_fusion,
+        "sparql_select": q_sparql_select,
         "edge_history": q_edge_history,
         "edge_asof": q_edge_asof,
         "anchor_priors": q_anchor_priors,
@@ -4351,6 +4366,23 @@ def oracle_sql() -> dict[str, str]:
     sq["hits"] = (
         "WITH " + _EDGES_CTE + "," + hits_oracle_sql("edges")
         + " SELECT node, auth_fp, hub_fp, auth, hub FROM hits_out"
+    )
+    # --- SPARQL SELECT: LAUNCH hop into the CONNECT+ closure with the
+    # inequality filter — recursive CTE restatement.
+    sq["sparql_select"] = (
+        "WITH RECURSIVE " + _EDGES_CTE
+        + """,
+        sqp_c AS (SELECT src AS a, dst AS b FROM edges
+                  WHERE predicate = 'CONNECT'),
+        sqp_clo AS (
+          SELECT a, b FROM sqp_c
+          UNION
+          SELECT c.a, p.b FROM sqp_clo c JOIN sqp_c p ON p.a = c.b),
+        sqp_l AS (SELECT src, dst FROM edges WHERE predicate = 'LAUNCH')
+        SELECT DISTINCT l.src AS a, k.b AS c
+        FROM sqp_l l JOIN sqp_clo k ON k.a = l.dst
+        WHERE l.src <> k.b
+        """
     )
     # warm-start: phase 1 (cold, 5 rounds) over the base subgraph, phase 2
     # (3 rounds) over the FULL graph initialized from phase 1's ranks —

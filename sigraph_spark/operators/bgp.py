@@ -348,3 +348,157 @@ def match_path(
     if o_var:
         return pairs.select(F.col("b").alias(object_[1:])).distinct()
     return pairs.limit(1).select(F.lit(True).alias("matched"))
+
+
+# --- SPARQL SELECT (textual subset) ----------------------------------------
+#
+# Grammar (the ad-hoc-query slice of SPARQL 1.1 SELECT):
+#
+#   query  := SELECT DISTINCT? (?v+ | *) WHERE { block } modifier*
+#   block  := stmt (. stmt)* .?
+#   stmt   := triple | OPTIONAL { triple (. triple)* } | FILTER( expr )
+#   triple := term pred term      pred := bare predicate | property path
+#   term   := ?var | constant (bare or 'quoted')
+#   modifier := ORDER BY (?v | ASC(?v) | DESC(?v))+ | LIMIT n
+#
+# Triples whose predicate contains a path operator (/ | ^ + * ? parens)
+# evaluate through eval_path's bounded closure; plain triples compile via
+# match_bgp's join-ordered conjunction; FILTER expressions translate
+# ?var -> column, && -> AND, || -> OR, != as-is (Spark SQL accepts it).
+
+def _translate_filter(expr: str) -> str:
+    import re as _re
+
+    out = expr.replace("&&", " AND ").replace("||", " OR ")
+    return _re.sub(r"\?([A-Za-z_]\w*)", r"`\1`", out)
+
+
+def select_sparql(edges: DataFrame, query: str, max_depth: int = 20) -> DataFrame:
+    """Evaluate a textual SPARQL SELECT (subset above) over the edge
+    table. Returns the projected variables as columns, honoring DISTINCT
+    / FILTER / OPTIONAL / property paths / ORDER BY / LIMIT."""
+    import re as _re
+
+    m = _re.match(
+        r"\s*SELECT\s+(DISTINCT\s+)?(.*?)\s+WHERE\s*\{(.*)\}\s*(.*)$",
+        query, _re.IGNORECASE | _re.DOTALL,
+    )
+    if not m:
+        raise ValueError("unsupported SPARQL shape (need SELECT ... WHERE {...})")
+    distinct = bool(m.group(1))
+    proj_txt, body, tail = m.group(2).strip(), m.group(3), m.group(4)
+
+    # --- body: lift FILTER(...) spans (balanced-paren scan) and
+    # OPTIONAL { ... } blocks out of the text FIRST — predicates may
+    # legally contain parens (path groups), so token-level paren
+    # handling cannot distinguish them. Then statements split on
+    # whitespace-delimited '.' and triples on whitespace.
+    stmts: list[tuple[str, object]] = []  # (kind, payload)
+    filters: list[str] = []
+    optional_triples: list[tuple[str, str, str]] = []
+
+    def _term(t: str) -> str:
+        return t[1:-1] if t.startswith("'") and t.endswith("'") else t
+
+    def _take_triples(txt: str, sink: list) -> None:
+        for stmt in _re.split(r"\.(?:\s+|\s*$)", txt):
+            terms = stmt.split()
+            if not terms:
+                continue
+            if len(terms) != 3:
+                raise ValueError(f"triple needs 3 terms, got {terms!r}")
+            sink.append(tuple(_term(t) for t in terms))
+
+    pos = 0
+    plain_txt: list[str] = []
+    while pos < len(body):
+        mm = _re.search(r"\b(FILTER\s*\(|OPTIONAL\s*\{)", body[pos:], _re.IGNORECASE)
+        if not mm:
+            plain_txt.append(body[pos:])
+            break
+        plain_txt.append(body[pos:pos + mm.start()])
+        kw_end = pos + mm.end()
+        if mm.group(1).upper().startswith("FILTER"):
+            depth, j = 1, kw_end
+            while depth:
+                if j >= len(body):
+                    raise ValueError("unbalanced FILTER parentheses")
+                if body[j] == "(":
+                    depth += 1
+                elif body[j] == ")":
+                    depth -= 1
+                j += 1
+            filters.append(body[kw_end:j - 1].strip())
+        else:
+            j = body.index("}", kw_end) + 1
+            _take_triples(body[kw_end:j - 1], optional_triples)
+        pos = j
+
+    triples: list[tuple[str, str, str]] = []
+    _take_triples(" ".join(plain_txt), triples)
+    stmts = (
+        [("triple", t) for t in triples]
+        + [("optional", t) for t in optional_triples]
+        + [("filter", f) for f in filters]
+    )
+
+    path_ops = set("/|^+*?()")
+    plain = [p for k, p in stmts if k == "triple"
+             and not (set(p[1]) & path_ops)]
+    paths = [p for k, p in stmts if k == "triple" and (set(p[1]) & path_ops)]
+    optionals = [p for k, p in stmts if k == "optional"]
+    filters = [p for k, p in stmts if k == "filter"]
+
+    out = None
+    if plain:
+        out = match_bgp(edges, plain, optional=optionals)
+    elif optionals:
+        raise ValueError("OPTIONAL requires at least one required triple")
+    for s, path, o in paths:
+        part = match_path(edges, s, path, o, max_depth=max_depth)
+        if out is None:
+            out = part
+            continue
+        shared = sorted(set(out.columns) & set(part.columns))
+        out = out.join(part, on=shared, how="inner") if shared else out.crossJoin(part)
+    if out is None:
+        raise ValueError("query has no triples")
+
+    for f in filters:
+        out = out.filter(F.expr(_translate_filter(f)))
+
+    # --- projection + modifiers
+    if proj_txt != "*":
+        cols = [v[1:] for v in proj_txt.split()]
+        out = out.select(*cols)
+    if distinct:
+        out = out.distinct()
+    tail_toks = tail.split()
+    ti = 0
+    while ti < len(tail_toks):
+        kw = tail_toks[ti].upper()
+        if kw == "ORDER" and ti + 1 < len(tail_toks) and tail_toks[ti + 1].upper() == "BY":
+            ti += 2
+            order_cols = []
+            while ti < len(tail_toks) and tail_toks[ti].upper() not in ("LIMIT",):
+                t = tail_toks[ti]
+                mm = _re.match(r"(ASC|DESC)\(\?(\w+)\)", t, _re.IGNORECASE)
+                if mm:
+                    c = F.col(mm.group(2))
+                    order_cols.append(
+                        c.desc() if mm.group(1).upper() == "DESC" else c.asc()
+                    )
+                elif t.startswith("?"):
+                    order_cols.append(F.col(t[1:]).asc())
+                else:
+                    raise ValueError(f"bad ORDER BY term {t!r}")
+                ti += 1
+            out = out.orderBy(*order_cols)
+        elif kw == "LIMIT":
+            out = out.limit(int(tail_toks[ti + 1]))
+            ti += 2
+        elif not kw:
+            ti += 1
+        else:
+            raise ValueError(f"unsupported modifier {tail_toks[ti]!r}")
+    return out

@@ -177,3 +177,57 @@ def test_path_parser_errors(spark):
     for bad in ("L/", "(L", "L)", "", "|L"):
         with _pytest.raises(ValueError):
             eval_path(df, bad)
+
+
+# --- SPARQL SELECT text parser ----------------------------------------------
+
+def _sq_edges(spark):
+    return spark.createDataFrame(
+        [("a", "LAUNCH", "b"), ("b", "CONNECT", "c"), ("c", "CONNECT", "d"),
+         ("a", "LAUNCH", "a"), ("d", "LOAD", "e")],
+        "src string, predicate string, dst string",
+    )
+
+
+def test_sparql_bgp_path_filter_order_limit(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    q = ("SELECT DISTINCT ?x ?z WHERE { ?x LAUNCH ?y . ?y CONNECT+ ?z . "
+         "FILTER(?x != ?z) } ORDER BY ?x DESC(?z) LIMIT 1")
+    assert [tuple(r) for r in select_sparql(_sq_edges(spark), q).collect()] == [
+        ("a", "d")
+    ]
+
+
+def test_sparql_optional_and_star_projection(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    q = "SELECT ?x ?w WHERE { ?x LAUNCH ?y . OPTIONAL { ?y LOAD ?w } }"
+    got = sorted((r["x"], r["w"]) for r in
+                 select_sparql(_sq_edges(spark), q).collect())
+    assert got == [("a", None), ("a", None)]
+    q2 = "SELECT * WHERE { ?x (CONNECT|LOAD) ?y . FILTER(?y = 'd' || ?y = 'e') }"
+    got2 = sorted(tuple(r) for r in select_sparql(_sq_edges(spark), q2).collect())
+    assert got2 == [("c", "d"), ("d", "e")]
+
+
+def test_sparql_constant_terms_and_quotes(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    q = "SELECT DISTINCT ?y WHERE { 'a' LAUNCH ?y }"
+    assert sorted(r["y"] for r in select_sparql(_sq_edges(spark), q).collect()) \
+        == ["a", "b"]
+
+
+def test_sparql_errors(spark):
+    import pytest
+
+    from sigraph_spark.operators.bgp import select_sparql
+
+    e = _sq_edges(spark)
+    with pytest.raises(ValueError, match="SELECT"):
+        select_sparql(e, "ASK { ?x ?p ?y }")
+    with pytest.raises(ValueError, match="3 terms"):
+        select_sparql(e, "SELECT ?x WHERE { ?x LAUNCH }")
+    with pytest.raises(ValueError, match="modifier"):
+        select_sparql(e, "SELECT ?x WHERE { ?x LAUNCH ?y } GROUP BY ?x")
