@@ -380,6 +380,46 @@ def main() -> int:
         forbid=("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"),
     )
 
+    # --- session-3 webtext operators: all pure Column pipelines --------------
+    # web-table extraction: nested regex explodes + ONE page-local-key
+    # shuffle; no Python eval, no Cartesian join anywhere
+    check(
+        "table_triples",
+        E.q_table_triples(spark, sf_dir),
+        forbid=("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"),
+    )
+    # hearst taxonomy: algebraic pair counts (map-side combine) + the
+    # reciprocal self-join on the reduced aggregate
+    check(
+        "taxonomy_induction",
+        E.q_taxonomy_induction(spark, sf_dir),
+        want=("partial_count",),
+        forbid=("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"),
+    )
+    # text reuse: df-cut anti-join + gram equi-join; islands window is
+    # partitioned (never a global sort of the match table)
+    check(
+        "text_reuse",
+        E.q_text_reuse(spark, sf_dir),
+        want=("partial_count",),
+        forbid=("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"),
+    )
+    # sink renders are NARROW maps: no exchange at all in the projection
+    from sigraph_spark.operators.opensearch_bulk import bulk_index_lines
+    from sigraph_spark.sources.events_map import sigraph_events
+
+    _sev = sigraph_events(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+    p_sink = plan_of(bulk_index_lines(_sev))
+    print(f"\n{'='*70}\n# opensearch_bulk render\n{'='*70}")
+    print(p_sink[:2000])
+    if "Exchange" in p_sink:
+        failures.append("opensearch_bulk: render plan contains a shuffle")
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        if bad in p_sink:
+            failures.append(f"opensearch_bulk: contains forbidden {bad!r}")
+
     # codegen-size regression guard: the provenance parse once silently
     # exceeded the JVM's 64 KB generated-method limit (1.7 MB of code from
     # alias re-inlining), falling back to interpreted eval at a 6x cost.
