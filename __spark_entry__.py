@@ -768,6 +768,66 @@ def q_sparql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_sparql(_edges_ckpt(spark, sf_dir), q)
 
 
+def _robots_corpus(spark: SparkSession) -> DataFrame:
+    """200 planted robots.txt bodies: every host has a '*' group
+    (disallow + longer allow carve-out), 4-multiples add a wildcard rule
+    (the unsupported channel), 5-multiples an empty Disallow (emits
+    nothing), 3-multiples a consecutive two-agent group."""
+    j = F.col("id")
+    a = (j % 7).cast("string")
+    b = (j % 9).cast("string")
+    body = F.concat(
+        F.lit("# generated\nUser-agent: *\nDisallow: /p"), a,
+        F.lit("/\nAllow: /p"), a, F.lit("/ok/"),
+        F.when(j % 4 == 0, F.lit("\nDisallow: /*.gif$")).otherwise(F.lit("")),
+        F.when(j % 5 == 0, F.lit("\nDisallow:")).otherwise(F.lit("")),
+        F.when(
+            j % 3 == 0,
+            F.concat(
+                F.lit("\n\nUser-agent: fastbot\nUser-agent: slowbot\nDisallow: /x"),
+                b,
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return spark.range(0, 200).select(
+        F.concat(F.lit("h"), j.cast("string"), F.lit(".com")).alias("host"),
+        body.alias("body"),
+    )
+
+
+def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parse (RFC 9309 grouping) as ONE pure-Column fold per
+    file: consecutive user-agent lines share a group, empty Disallow
+    emits nothing, wildcard rules surface on the 'unsupported' channel.
+    The oracle enumerates the planted rules arithmetically."""
+    from sigraph_spark.operators.robots import parse_robots
+
+    return parse_robots(_robots_corpus(spark))
+
+
+def q_robots_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-permission evaluation: longest-prefix match with the
+    allow-wins tie rule and default-allow fallback, urls fanned across
+    the planted hosts (disallowed / carved-out / unmatched / bare-host
+    variants)."""
+    from sigraph_spark.operators.robots import parse_robots, robots_allowed
+
+    i = F.col("id")
+    a = ((i % 200) % 7).cast("string")
+    path = (
+        F.when(i % 4 == 0, F.concat(F.lit("/p"), a, F.lit("/f"), i.cast("string")))
+        .when(i % 4 == 1, F.concat(F.lit("/p"), a, F.lit("/ok/f")))
+        .when(i % 4 == 2, F.lit("/other/f"))
+        .otherwise(F.lit(""))
+    )
+    urls = spark.range(0, 10000).select(
+        F.concat(
+            F.lit("https://h"), (i % 200).cast("string"), F.lit(".com"), path
+        ).alias("url")
+    )
+    return robots_allowed(urls, parse_robots(_robots_corpus(spark)))
+
+
 def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank seeded at the process nodes: relevance-to-
     the-pivot-set ranking (the analyst's 'expand from these processes'
@@ -3268,6 +3328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "multi_extractor_fusion": q_multi_extractor_fusion,
         "sparql_select": q_sparql_select,
+        "robots_rules": q_robots_rules,
+        "robots_allowed": q_robots_allowed,
         "edge_history": q_edge_history,
         "edge_asof": q_edge_asof,
         "anchor_priors": q_anchor_priors,
@@ -4384,6 +4446,50 @@ def oracle_sql() -> dict[str, str]:
         WHERE l.src <> k.b
         """
     )
+    # --- robots.txt: the oracle enumerates the planted rule table and
+    # the per-url longest-match outcomes arithmetically — the Column
+    # fold, grouping and match ranking are what the hashes pin.
+    sq["robots_rules"] = """
+        WITH rj AS (SELECT CAST(range AS BIGINT) AS j FROM range(0, 200)),
+        rb AS (SELECT j, 'h' || CAST(j AS VARCHAR) || '.com' AS host,
+                      CAST(j % 7 AS VARCHAR) AS a,
+                      CAST(j % 9 AS VARCHAR) AS b
+               FROM rj)
+        SELECT host, '*' AS agent, 'disallow' AS rule,
+               '/p' || a || '/' AS prefix FROM rb
+        UNION ALL SELECT host, '*', 'allow', '/p' || a || '/ok/' FROM rb
+        UNION ALL SELECT host, '*', 'unsupported', '/*.gif$' FROM rb
+        WHERE j % 4 = 0
+        UNION ALL SELECT host, 'fastbot', 'disallow', '/x' || b FROM rb
+        WHERE j % 3 = 0
+        UNION ALL SELECT host, 'slowbot', 'disallow', '/x' || b FROM rb
+        WHERE j % 3 = 0
+        """
+    # variants 1-3 build host-level urls (no per-i component), so the
+    # 10000 inputs collapse to one row per DISTINCT url — hosts h where
+    # h % 4 == v (200 | 10000 and 4 | 200, so i % 4 == (i % 200) % 4).
+    sq["robots_allowed"] = """
+        WITH ri AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 10000)),
+        rb AS (SELECT i, CAST((i % 200) % 7 AS VARCHAR) AS a,
+                      'https://h' || CAST(i % 200 AS VARCHAR) || '.com' AS base
+               FROM ri),
+        rh AS (SELECT CAST(range AS BIGINT) AS j FROM range(0, 200)),
+        hb AS (SELECT j, CAST(j % 7 AS VARCHAR) AS a,
+                      'https://h' || CAST(j AS VARCHAR) || '.com' AS base
+               FROM rh)
+        SELECT base || '/p' || a || '/f' || CAST(i AS VARCHAR) AS url,
+               FALSE AS allowed, 'disallow' AS matched_rule,
+               '/p' || a || '/' AS matched_prefix
+        FROM rb WHERE i % 4 = 0
+        UNION ALL
+        SELECT base || '/p' || a || '/ok/f', TRUE, 'allow',
+               '/p' || a || '/ok/'
+        FROM hb WHERE j % 4 = 1
+        UNION ALL
+        SELECT base || '/other/f', TRUE, NULL, NULL FROM hb WHERE j % 4 = 2
+        UNION ALL
+        SELECT base, TRUE, NULL, NULL FROM hb WHERE j % 4 = 3
+        """
     # warm-start: phase 1 (cold, 5 rounds) over the base subgraph, phase 2
     # (3 rounds) over the FULL graph initialized from phase 1's ranks —
     # both phases the same exact integer recurrence, composed via CTE
