@@ -828,6 +828,63 @@ def q_robots_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_allowed(urls, parse_robots(_robots_corpus(spark)))
 
 
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML parse (urlset + index entries, optional lastmod,
+    whitespace-trimmed locs) over planted documents; the oracle
+    enumerates the planted entries arithmetically."""
+    from sigraph_spark.operators.crawl import parse_sitemaps
+
+    j = F.col("id")
+    entry = lambda k: F.concat(  # noqa: E731
+        F.lit("<url><loc> https://s"), j.cast("string"), F.lit(".com/p"),
+        k.cast("string"), F.lit(" </loc>"),
+        F.when(
+            (j + k) % 2 == 0,
+            F.concat(
+                F.lit("<lastmod>2024-01-0"),
+                (1 + (j + k) % 9).cast("string"), F.lit("</lastmod>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    urls = F.concat_ws(
+        "", F.transform(F.sequence(F.lit(0), (j % 3).cast("int")), entry)
+    )
+    idx = F.when(
+        j % 5 == 0,
+        F.concat(
+            F.lit("<sitemap><loc>https://s"), j.cast("string"),
+            F.lit(".com/sub.xml</loc></sitemap>"),
+        ),
+    ).otherwise(F.lit(""))
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'), urls, idx, F.lit("</urlset>")
+    )
+    sitemaps = spark.range(0, 500).select(
+        F.concat(
+            F.lit("https://s"), j.cast("string"), F.lit(".com/sitemap.xml")
+        ).alias("sitemap_url"),
+        xml.alias("xml"),
+    )
+    return parse_sitemaps(sitemaps)
+
+
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling: per-host batches of <=3, priority-then-url
+    deterministic order — restated as one SQL window."""
+    from sigraph_spark.operators.crawl import schedule_frontier
+
+    i = F.col("id")
+    frontier = spark.range(0, 10000).select(
+        F.concat(
+            F.lit("https://h"), (i % 97).cast("string"), F.lit(".com/p"),
+            i.cast("string"),
+        ).alias("url"),
+        (i % 13).cast("int").alias("prio"),
+    )
+    return schedule_frontier(frontier, per_host_per_batch=3, priority_col="prio")
+
+
 def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank seeded at the process nodes: relevance-to-
     the-pivot-set ranking (the analyst's 'expand from these processes'
@@ -3330,6 +3387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_select": q_sparql_select,
         "robots_rules": q_robots_rules,
         "robots_allowed": q_robots_allowed,
+        "sitemap_parse": q_sitemap_parse,
+        "frontier_schedule": q_frontier_schedule,
         "edge_history": q_edge_history,
         "edge_asof": q_edge_asof,
         "anchor_priors": q_anchor_priors,
@@ -4489,6 +4548,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT base || '/other/f', TRUE, NULL, NULL FROM hb WHERE j % 4 = 2
         UNION ALL
         SELECT base, TRUE, NULL, NULL FROM hb WHERE j % 4 = 3
+        """
+    # --- crawl feed: planted sitemap entries + window restatement of the
+    # politeness batches.
+    sq["sitemap_parse"] = """
+        WITH sj AS (SELECT CAST(range AS BIGINT) AS j FROM range(0, 500)),
+        sk AS (SELECT j, CAST(k AS BIGINT) AS k
+               FROM sj, UNNEST(range(0, 3)) t(k) WHERE k <= j % 3)
+        SELECT 'https://s' || CAST(j AS VARCHAR) || '.com/sitemap.xml'
+                 AS sitemap_url,
+               'url' AS kind,
+               'https://s' || CAST(j AS VARCHAR) || '.com/p'
+                 || CAST(k AS VARCHAR) AS loc,
+               CASE WHEN (j + k) % 2 = 0
+                    THEN '2024-01-0' || CAST(1 + (j + k) % 9 AS VARCHAR)
+               END AS lastmod
+        FROM sk
+        UNION ALL
+        SELECT 'https://s' || CAST(j AS VARCHAR) || '.com/sitemap.xml',
+               'index',
+               'https://s' || CAST(j AS VARCHAR) || '.com/sub.xml', NULL
+        FROM sj WHERE j % 5 = 0
+        """
+    sq["frontier_schedule"] = """
+        WITH fi AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 10000)),
+        fu AS (SELECT 'https://h' || CAST(i % 97 AS VARCHAR) || '.com/p'
+                 || CAST(i AS VARCHAR) AS url,
+               'h' || CAST(i % 97 AS VARCHAR) || '.com' AS host,
+               CAST(i % 13 AS INT) AS prio
+               FROM fi)
+        SELECT url, host,
+               CAST((row_number() OVER (
+                 PARTITION BY host ORDER BY prio DESC, url) - 1) // 3
+                 AS BIGINT) AS batch
+        FROM fu
         """
     # warm-start: phase 1 (cold, 5 rounds) over the base subgraph, phase 2
     # (3 rounds) over the FULL graph initialized from phase 1's ranks —
