@@ -52,7 +52,14 @@ def parse_robots(
         is_ua = low.startswith("user-agent:")
         is_allow = low.startswith("allow:")
         is_dis = low.startswith("disallow:")
-        val = F.trim(F.substring_index(ln, ":", -1))
+        # value = remainder after the FIRST ':' — substring_index(.., -1)
+        # would keep only the tail after the LAST ':' and silently
+        # truncate legal prefixes containing ':' (port, odd encodings)
+        val = F.trim(
+            F.substring(
+                ln, F.length(F.substring_index(ln, ":", 1)) + 2, F.lit(1 << 20)
+            )
+        )
         ua_val = F.lower(val)
         # consecutive user-agent lines extend the open group; a user-agent
         # after rules starts a fresh group

@@ -92,3 +92,11 @@ def test_exact_tie_allow_wins(spark):
 def test_no_python_udf(spark):
     rules = _rules(spark, [("h", BODY)])
     assert "EvalPython" not in rules._jdf.queryExecution().executedPlan().toString()
+
+
+def test_prefix_containing_colon_not_truncated(spark):
+    rules = _rules(
+        spark, [("h", "User-agent: *\nDisallow: /port:8080/admin\n")]
+    )
+    [r] = rules.collect()
+    assert r["prefix"] == "/port:8080/admin"
