@@ -151,5 +151,8 @@ def import_command(outdir: str, database: str = "kg") -> str:
         f" --nodes={outdir}/nodes.header.csv,{outdir}/nodes/part-.*"
         f" --relationships={outdir}/rels.header.csv,{outdir}/rels/part-.*"
         ' --delimiter="," --array-delimiter=";" --quote="\\""'
+        # RFC-4180 quoting legally carries embedded newlines; the importer
+        # rejects them unless multiline fields are enabled
+        " --multiline-fields=true"
         f" {database}"
     )
