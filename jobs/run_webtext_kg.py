@@ -78,6 +78,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--synthetic-sf", type=float,
                     help="generate the combined synthetic corpus at this sf")
     ap.add_argument("--workdir", required=True)
+    ap.add_argument("--delta-id", default=None,
+                    help="apply the pages as ONE crawl delta into the "
+                         "append-path state at --workdir (idempotency key)")
+    ap.add_argument("--synthetic-half", type=int, choices=(0, 1), default=None,
+                    help="with --synthetic-sf: keep only this xxhash64(url) "
+                         "parity half (two-delta smoke)")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
@@ -102,6 +108,22 @@ def main(argv: list[str] | None = None) -> int:
     else:
         pages = synthetic_webtext_pages(spark, args.synthetic_sf)
         fp = f"synthetic:{args.synthetic_sf}:v1"
+    if args.synthetic_half is not None:
+        pages = pages.filter(
+            F.pmod(F.xxhash64("url"), F.lit(2)) == args.synthetic_half
+        )
+
+    if args.delta_id is not None:
+        from sigraph_spark.plans.webtext import apply_webtext_delta
+
+        t0 = time.monotonic()
+        rep = apply_webtext_delta(spark, pages, args.workdir, args.delta_id)
+        if rep is None:
+            print(json.dumps({"replay_noop": True, "delta_id": args.delta_id}))
+        else:
+            rep["wall_s"] = round(time.monotonic() - t0, 3)
+            print(json.dumps(rep))
+        return 0
 
     t0 = time.monotonic()
     out = run_webtext_kg(spark, pages, args.workdir, input_fingerprint=fp)

@@ -25,7 +25,9 @@ gate; this module adds the materialized, resumable composition.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -111,4 +113,130 @@ def run_webtext_kg(
     return {
         "docs": docs, "sent_claims": sent, "table_claims": tables,
         "hearst_claims": hearst, "claims": claims, "fused": fused,
+    }
+
+
+# --- continuous-crawl append path -------------------------------------------
+
+def _wt_state(workdir: str) -> dict:
+    p = os.path.join(workdir, "_state.json")
+    if os.path.exists(p):
+        with open(p) as fh:
+            return json.load(fh)
+    return {"applied": [], "version": 0, "claim_parts": []}
+
+
+def webtext_state_tables(spark: SparkSession, workdir: str):
+    """(claims, fused) DataFrames of the current state, or (None, None)."""
+    st = _wt_state(workdir)
+    if not st["claim_parts"]:
+        return None, None
+    claims = spark.read.parquet(
+        *[os.path.join(workdir, r) for r in st["claim_parts"]]
+    )
+    fused = spark.read.parquet(
+        os.path.join(workdir, f"v{st['version']}", "fused")
+    )
+    return claims, fused
+
+
+def apply_webtext_delta(
+    spark: SparkSession,
+    delta_pages: DataFrame,
+    workdir: str,
+    delta_id: str,
+) -> dict | None:
+    """Fold one crawl delta into the persistent multi-extractor claim
+    state. O(delta) where the data model allows it, O(claims) where it
+    does not:
+
+    * the claims table is a SET-UNION SEMILATTICE — each apply writes one
+      append-only part holding only the delta's NOVEL claims (anti-join
+      on the full claim key), so claim storage work is O(delta) and
+      replays can never duplicate (the ``merge_claims`` contract,
+      operators/fusion.py);
+    * the FUSED table is a global vote over all claims — one new claim
+      can flip any winner — so each apply re-derives it from the (small,
+      fact-vocabulary-sized) claims table; the ``triple_fusion_merge``
+      gate pins merged-state fuse == from-scratch fuse;
+    * durability mirrors plans/incremental.py: part + fused dirs land
+      first, then ONE atomic ``_state.json`` rename (carrying the
+      applied-delta ledger) makes them live together; superseded fused
+      versions are GC'd on the next apply.
+
+    Returns the apply report, or None on a replayed ``delta_id``.
+    """
+    from sigraph_spark.operators.extract import extract_pages
+    from sigraph_spark.operators.fusion import fuse_triples
+    from sigraph_spark.operators.hearst import hearst_pairs
+    from sigraph_spark.operators.htmltables import table_triples
+    from sigraph_spark.operators.triples import triples_from_docs
+
+    os.makedirs(workdir, exist_ok=True)
+    st = _wt_state(workdir)
+    # GC before the replay check: superseded fused copies always go; a
+    # version dir goes entirely once no claim part references it (crash
+    # orphans from an interrupted apply land here too)
+    for d in os.listdir(workdir):
+        if d.startswith("v") and d != f"v{st['version']}":
+            shutil.rmtree(os.path.join(workdir, d, "fused"), ignore_errors=True)
+            keep = any(p.startswith(d + os.sep) for p in st["claim_parts"])
+            if not keep:
+                shutil.rmtree(os.path.join(workdir, d), ignore_errors=True)
+    if delta_id in st["applied"]:
+        return None
+
+    docs = extract_pages(delta_pages).select("url", "warc_ts", "text")
+
+    def shape(df, s, p, o, source):
+        return df.select(
+            F.col(s).alias("subject"), F.col(p).alias("predicate"),
+            F.col(o).alias("object"), F.lit(source).alias("source"),
+        )
+
+    delta_claims = (
+        shape(triples_from_docs(docs), "actor", "verb", "object", "sentence")
+        .unionByName(shape(
+            table_triples(delta_pages), "subj", "predicate", "obj", "table"))
+        .unionByName(shape(
+            hearst_pairs(docs).withColumn("p", F.lit("is_a")),
+            "hypo", "p", "hyper", "hearst"))
+        .distinct()
+    )
+    stored, _ = webtext_state_tables(spark, workdir)
+    novel = (
+        delta_claims if stored is None
+        else delta_claims.join(
+            stored, ["subject", "predicate", "object", "source"], "left_anti"
+        )
+    ).localCheckpoint(eager=True)
+
+    ver = st["version"] + 1
+    vname = f"v{ver}"
+    shutil.rmtree(os.path.join(workdir, vname), ignore_errors=True)
+    part_rel = os.path.join(vname, "claims")
+    novel.write.mode("overwrite").parquet(os.path.join(workdir, part_rel))
+    parts = st["claim_parts"] + [part_rel]
+    all_claims = spark.read.parquet(
+        *[os.path.join(workdir, r) for r in parts]
+    )
+    fused = fuse_triples(all_claims, "subject", "predicate", "object", "source")
+    fused.write.mode("overwrite").parquet(os.path.join(workdir, vname, "fused"))
+
+    new_state = {
+        "applied": st["applied"] + [delta_id],
+        "version": ver,
+        "claim_parts": parts,
+    }
+    tmp = os.path.join(workdir, "_state.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(new_state, fh, indent=1)
+    os.replace(tmp, os.path.join(workdir, "_state.json"))
+    return {
+        "delta_id": delta_id,
+        "new_claims": novel.count(),
+        "total_claims": all_claims.count(),
+        "fused": spark.read.parquet(
+            os.path.join(workdir, vname, "fused")
+        ).count(),
     }

@@ -54,3 +54,36 @@ def test_webtext_plan_resumes_and_invalidates(spark, tmp_path):
     assert m3["input_fingerprint"].startswith("t:v2")
     # identical content -> identical output fingerprint -> w2 resumed as-is
     assert _manifest(wd, "w2_sent") == m1["w2_sent"]
+
+
+def test_webtext_delta_matches_from_scratch(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sigraph_spark.plans.webtext import (
+        apply_webtext_delta, webtext_state_tables,
+    )
+
+    pages = _pages(spark).localCheckpoint(eager=True)
+    parity = F.pmod(F.xxhash64("url"), F.lit(2))
+    wd = str(tmp_path / "wtd")
+    r0 = apply_webtext_delta(spark, pages.filter(parity == 0), wd, "seg-0")
+    r1 = apply_webtext_delta(spark, pages.filter(parity == 1), wd, "seg-1")
+    assert r0["new_claims"] > 0 and r1["new_claims"] > 0
+    claims, fused = webtext_state_tables(spark, wd)
+
+    # from-scratch run over the full corpus
+    full = run_webtext_kg(spark, pages, str(tmp_path / "full"), "p:v1")
+    assert sorted(map(tuple, claims.collect())) == sorted(
+        map(tuple, full["claims"].collect())
+    )
+    assert sorted(map(tuple, fused.collect())) == sorted(
+        map(tuple, full["fused"].collect())
+    )
+    # replay no-op + ledger
+    assert apply_webtext_delta(spark, pages.filter(parity == 0), wd, "seg-0") is None
+    r2 = apply_webtext_delta(spark, pages.limit(0), wd, "seg-2")
+    assert r2["new_claims"] == 0 and r2["total_claims"] == r1["total_claims"]
+    assert not os.path.isdir(os.path.join(wd, "v1", "fused"))
+    assert os.path.isdir(os.path.join(wd, "v3", "fused"))
