@@ -768,6 +768,33 @@ def q_sparql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_sparql(_edges_ckpt(spark, sf_dir), q)
 
 
+def q_sparql_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL aggregate projection: per-launcher fan-out over the 2-hop
+    LAUNCH->CONNECT join — COUNT(*), COUNT(DISTINCT) and MIN computed by
+    the engine's groupBy against the same aggregation in plain SQL."""
+    from sigraph_spark.operators.bgp import select_sparql
+
+    q = (
+        "SELECT ?a (COUNT(*) AS ?n_paths) (COUNT(DISTINCT ?c) AS ?n_targets) "
+        "(MIN(?c) AS ?first_target) "
+        "WHERE { ?a LAUNCH ?b . ?b CONNECT ?c } GROUP BY ?a"
+    )
+    return select_sparql(_edges_ckpt(spark, sf_dir), q)
+
+
+def q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT (KG-to-KG rewrite): materialize reachability
+    facts from the LAUNCH ∘ CONNECT+ pattern as new triples, both
+    directions, DISTINCT across the two template instantiations."""
+    from sigraph_spark.operators.bgp import construct_sparql
+
+    q = (
+        "CONSTRUCT { ?a reaches ?c . ?c reached_by ?a } "
+        "WHERE { ?a LAUNCH ?b . ?b CONNECT+ ?c . FILTER(?a != ?c) }"
+    )
+    return construct_sparql(_edges_ckpt(spark, sf_dir), q)
+
+
 def _robots_corpus(spark: SparkSession) -> DataFrame:
     """200 planted robots.txt bodies: every host has a '*' group
     (disallow + longer allow carve-out), 4-multiples add a wildcard rule
@@ -1040,6 +1067,22 @@ def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("proc_0.exe@PROCESS",)], "node_id string"
     )
     return shortest_paths(_edges_ckpt(spark, sf_dir), seeds)
+
+
+def q_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded weighted shortest paths (Bellman-Ford) from the seed
+    process over the directed provenance edges, costs = exact BIGINT
+    weight sums. Both engines compute the SAME bounded semantics (min
+    cost over <= 6-edge paths), so equality needs no convergence
+    argument — the bound is part of the contract on both sides."""
+    from sigraph_spark.operators.graphalgo import weighted_shortest_paths
+
+    seeds = spark.createDataFrame(
+        [("proc_0.exe@PROCESS",)], "node_id string"
+    )
+    return weighted_shortest_paths(
+        _edges_ckpt(spark, sf_dir), seeds, max_hops=6
+    )
 
 
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3385,6 +3428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "multi_extractor_fusion": q_multi_extractor_fusion,
         "sparql_select": q_sparql_select,
+        "sparql_aggregate": q_sparql_aggregate,
+        "sparql_construct": q_sparql_construct,
         "robots_rules": q_robots_rules,
         "robots_allowed": q_robots_allowed,
         "sitemap_parse": q_sitemap_parse,
@@ -3418,6 +3463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_violations": q_range_violations,
         "fusion_apply": q_fusion_apply,
         "shortest_paths": q_shortest_paths,
+        "weighted_paths": q_weighted_paths,
         "kcore": q_kcore,
         "node_features": q_node_features,
         "component_stats": q_component_stats,
@@ -4397,6 +4443,15 @@ def oracle_sql() -> dict[str, str]:
         FROM reach GROUP BY node
         """
     )
+    # --- weighted shortest paths: identical hop-6 Bellman-Ford semantics
+    # as a bounded recursive CTE — exact by the round invariant, no
+    # convergence assumption.
+    from sigraph_spark.operators.graphalgo import weighted_paths_oracle_sql
+
+    sq["weighted_paths"] = (
+        "WITH RECURSIVE " + _EDGES_CTE + ",\n"
+        + weighted_paths_oracle_sql("edges", "'proc_0.exe@PROCESS'", 6)
+    )
     # --- k-core: the same peel unrolled to 8 rounds (fixture converges in 2).
     from sigraph_spark.operators.graphalgo import kcore_oracle_sql
 
@@ -4503,6 +4558,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT l.src AS a, k.b AS c
         FROM sqp_l l JOIN sqp_clo k ON k.a = l.dst
         WHERE l.src <> k.b
+        """
+    )
+    # --- SPARQL aggregates: the same 2-hop join + groupBy in plain SQL.
+    sq["sparql_aggregate"] = (
+        "WITH " + _EDGES_CTE
+        + """,
+        sqa_l AS (SELECT src, dst FROM edges WHERE predicate = 'LAUNCH'),
+        sqa_c AS (SELECT src, dst FROM edges WHERE predicate = 'CONNECT')
+        SELECT l.src AS a,
+               CAST(count(*) AS BIGINT) AS n_paths,
+               CAST(count(DISTINCT c.dst) AS BIGINT) AS n_targets,
+               min(c.dst) AS first_target
+        FROM sqa_l l JOIN sqa_c c ON c.src = l.dst
+        GROUP BY l.src
+        """
+    )
+    # --- SPARQL CONSTRUCT: closure + two template projections, DISTINCT.
+    sq["sparql_construct"] = (
+        "WITH RECURSIVE " + _EDGES_CTE
+        + """,
+        sqc_c AS (SELECT src AS a, dst AS b FROM edges
+                  WHERE predicate = 'CONNECT'),
+        sqc_clo AS (
+          SELECT a, b FROM sqc_c
+          UNION
+          SELECT c.a, p.b FROM sqc_clo c JOIN sqc_c p ON p.a = c.b),
+        sqc_l AS (SELECT src, dst FROM edges WHERE predicate = 'LAUNCH'),
+        sqc_pairs AS (
+          SELECT DISTINCT l.src AS a, k.b AS c
+          FROM sqc_l l JOIN sqc_clo k ON k.a = l.dst
+          WHERE l.src <> k.b)
+        SELECT DISTINCT subject, predicate, object FROM (
+          SELECT a AS subject, 'reaches' AS predicate, c AS object
+          FROM sqc_pairs
+          UNION ALL
+          SELECT c, 'reached_by', a FROM sqc_pairs)
         """
     )
     # --- robots.txt: the oracle enumerates the planted rule table and

@@ -373,32 +373,24 @@ def _translate_filter(expr: str) -> str:
     return _re.sub(r"\?([A-Za-z_]\w*)", r"`\1`", out)
 
 
-def select_sparql(edges: DataFrame, query: str, max_depth: int = 20) -> DataFrame:
-    """Evaluate a textual SPARQL SELECT (subset above) over the edge
-    table. Returns the projected variables as columns, honoring DISTINCT
-    / FILTER / OPTIONAL / property paths / ORDER BY / LIMIT."""
+def _sparql_term(t: str) -> str:
+    return t[1:-1] if t.startswith("'") and t.endswith("'") else t
+
+
+def _eval_where(edges: DataFrame, body: str, max_depth: int) -> DataFrame:
+    """Evaluate a WHERE-block body (triples / OPTIONAL / FILTER) to the
+    variable-binding DataFrame — shared by SELECT and CONSTRUCT.
+
+    FILTER(...) spans (balanced-paren scan) and OPTIONAL { ... } blocks
+    are lifted out of the text FIRST — predicates may legally contain
+    parens (path groups), so token-level paren handling cannot
+    distinguish them. Then statements split on whitespace-delimited '.'
+    and triples on whitespace.
+    """
     import re as _re
 
-    m = _re.match(
-        r"\s*SELECT\s+(DISTINCT\s+)?(.*?)\s+WHERE\s*\{(.*)\}\s*(.*)$",
-        query, _re.IGNORECASE | _re.DOTALL,
-    )
-    if not m:
-        raise ValueError("unsupported SPARQL shape (need SELECT ... WHERE {...})")
-    distinct = bool(m.group(1))
-    proj_txt, body, tail = m.group(2).strip(), m.group(3), m.group(4)
-
-    # --- body: lift FILTER(...) spans (balanced-paren scan) and
-    # OPTIONAL { ... } blocks out of the text FIRST — predicates may
-    # legally contain parens (path groups), so token-level paren
-    # handling cannot distinguish them. Then statements split on
-    # whitespace-delimited '.' and triples on whitespace.
-    stmts: list[tuple[str, object]] = []  # (kind, payload)
     filters: list[str] = []
     optional_triples: list[tuple[str, str, str]] = []
-
-    def _term(t: str) -> str:
-        return t[1:-1] if t.startswith("'") and t.endswith("'") else t
 
     def _take_triples(txt: str, sink: list) -> None:
         for stmt in _re.split(r"\.(?:\s+|\s*$)", txt):
@@ -407,7 +399,7 @@ def select_sparql(edges: DataFrame, query: str, max_depth: int = 20) -> DataFram
                 continue
             if len(terms) != 3:
                 raise ValueError(f"triple needs 3 terms, got {terms!r}")
-            sink.append(tuple(_term(t) for t in terms))
+            sink.append(tuple(_sparql_term(t) for t in terms))
 
     pos = 0
     plain_txt: list[str] = []
@@ -436,23 +428,15 @@ def select_sparql(edges: DataFrame, query: str, max_depth: int = 20) -> DataFram
 
     triples: list[tuple[str, str, str]] = []
     _take_triples(" ".join(plain_txt), triples)
-    stmts = (
-        [("triple", t) for t in triples]
-        + [("optional", t) for t in optional_triples]
-        + [("filter", f) for f in filters]
-    )
 
     path_ops = set("/|^+*?()")
-    plain = [p for k, p in stmts if k == "triple"
-             and not (set(p[1]) & path_ops)]
-    paths = [p for k, p in stmts if k == "triple" and (set(p[1]) & path_ops)]
-    optionals = [p for k, p in stmts if k == "optional"]
-    filters = [p for k, p in stmts if k == "filter"]
+    plain = [t for t in triples if not (set(t[1]) & path_ops)]
+    paths = [t for t in triples if set(t[1]) & path_ops]
 
     out = None
     if plain:
-        out = match_bgp(edges, plain, optional=optionals)
-    elif optionals:
+        out = match_bgp(edges, plain, optional=optional_triples)
+    elif optional_triples:
         raise ValueError("OPTIONAL requires at least one required triple")
     for s, path, o in paths:
         part = match_path(edges, s, path, o, max_depth=max_depth)
@@ -466,11 +450,110 @@ def select_sparql(edges: DataFrame, query: str, max_depth: int = 20) -> DataFram
 
     for f in filters:
         out = out.filter(F.expr(_translate_filter(f)))
+    return out
 
-    # --- projection + modifiers
-    if proj_txt != "*":
-        cols = [v[1:] for v in proj_txt.split()]
-        out = out.select(*cols)
+
+_AGG_FNS = {
+    "COUNT": F.count,
+    "SUM": F.sum,
+    "MIN": F.min,
+    "MAX": F.max,
+}
+
+
+def _parse_projection(proj_txt: str):
+    """Split a SELECT projection into plain vars and aggregate specs.
+    Returns (items) where each item is ('var', name) or
+    ('agg', fn_name, distinct, arg_var_or_None, alias)."""
+    import re as _re
+
+    items = []
+    pos = 0
+    while pos < len(proj_txt):
+        ch = proj_txt[pos]
+        if ch.isspace():
+            pos += 1
+            continue
+        if ch == "(":
+            j = proj_txt.index(")", proj_txt.index(")", pos) + 1) + 1
+            spec = proj_txt[pos + 1:j - 1]
+            mm = _re.match(
+                r"\s*(COUNT|SUM|MIN|MAX)\s*\(\s*(DISTINCT\s+)?(\*|\?\w+)\s*\)"
+                r"\s+AS\s+\?(\w+)\s*$",
+                spec, _re.IGNORECASE,
+            )
+            if not mm:
+                raise ValueError(f"unsupported aggregate spec ({spec!r})")
+            fn, dis, arg, alias = (
+                mm.group(1).upper(), bool(mm.group(2)), mm.group(3), mm.group(4)
+            )
+            if arg == "*" and fn != "COUNT":
+                raise ValueError(f"{fn}(*) is not defined")
+            items.append(("agg", fn, dis, None if arg == "*" else arg[1:], alias))
+            pos = j
+        else:
+            mm = _re.match(r"\?(\w+)", proj_txt[pos:])
+            if not mm:
+                raise ValueError(f"bad projection term at {proj_txt[pos:]!r}")
+            items.append(("var", mm.group(1)))
+            pos += mm.end()
+    return items
+
+
+def select_sparql(edges: DataFrame, query: str, max_depth: int = 20) -> DataFrame:
+    """Evaluate a textual SPARQL SELECT (subset above) over the edge
+    table. Returns the projected variables as columns, honoring DISTINCT
+    / FILTER / OPTIONAL / property paths / aggregates (COUNT/SUM/MIN/MAX
+    with optional inner DISTINCT) + GROUP BY / ORDER BY / LIMIT."""
+    import re as _re
+
+    m = _re.match(
+        r"\s*SELECT\s+(DISTINCT\s+)?(.*?)\s+WHERE\s*\{(.*)\}\s*(.*)$",
+        query, _re.IGNORECASE | _re.DOTALL,
+    )
+    if not m:
+        raise ValueError("unsupported SPARQL shape (need SELECT ... WHERE {...})")
+    distinct = bool(m.group(1))
+    proj_txt, body, tail = m.group(2).strip(), m.group(3), m.group(4)
+
+    out = _eval_where(edges, body, max_depth)
+
+    # GROUP BY is consumed from the tail BEFORE the modifier loop
+    gm = _re.match(r"\s*GROUP\s+BY\s+((?:\?\w+\s*)+)(.*)$", tail,
+                   _re.IGNORECASE | _re.DOTALL)
+    group_vars: list[str] = []
+    if gm:
+        group_vars = [v[1:] for v in gm.group(1).split()]
+        tail = gm.group(2)
+
+    # --- projection (plain or aggregating) + modifiers
+    items = _parse_projection(proj_txt) if proj_txt != "*" else []
+    aggs = [it for it in items if it[0] == "agg"]
+    if aggs:
+        plain_vars = [it[1] for it in items if it[0] == "var"]
+        bad = set(plain_vars) - set(group_vars)
+        if bad:
+            raise ValueError(
+                f"projected vars {sorted(bad)} not in GROUP BY"
+            )
+        agg_cols = []
+        for _, fn, dis, arg, alias in aggs:
+            if arg is None:
+                c = F.count(F.lit(1))
+            elif dis:
+                c = F.count_distinct(F.col(arg)) if fn == "COUNT" else None
+                if c is None:
+                    raise ValueError(f"DISTINCT unsupported inside {fn}")
+            else:
+                c = _AGG_FNS[fn](F.col(arg))
+            agg_cols.append(c.alias(alias))
+        out = out.groupBy(*group_vars).agg(*agg_cols)
+        order = [it[1] if it[0] == "var" else it[4] for it in items]
+        out = out.select(*order)
+    elif group_vars:
+        raise ValueError("GROUP BY requires an aggregate in the projection")
+    elif proj_txt != "*":
+        out = out.select(*[it[1] for it in items])
     if distinct:
         out = out.distinct()
     tail_toks = tail.split()
@@ -502,3 +585,63 @@ def select_sparql(edges: DataFrame, query: str, max_depth: int = 20) -> DataFram
         else:
             raise ValueError(f"unsupported modifier {tail_toks[ti]!r}")
     return out
+
+
+def construct_sparql(edges: DataFrame, query: str, max_depth: int = 20) -> DataFrame:
+    """Evaluate a textual SPARQL CONSTRUCT: ``CONSTRUCT { template }
+    WHERE { block }`` — the KG-to-KG rewrite form (materialized views,
+    predicate renames, inference templates). The WHERE block supports the
+    same subset as :func:`select_sparql` (triples, property paths,
+    OPTIONAL, FILTER); each template triple instantiates once per
+    binding, constants become literals, and the result is the DISTINCT
+    union over all template triples as ``(subject, predicate, object)``.
+
+    Bindings a template row needs that are NULL (possible only via
+    OPTIONAL) drop that row — the SPARQL 1.1 incomplete-triple rule.
+    Scale shape: one projection per template triple over the shared
+    binding relation + a distinct on the (small) emitted triple set; the
+    binding relation itself is computed once.
+    """
+    import re as _re
+
+    m = _re.match(
+        r"\s*CONSTRUCT\s*\{(.*?)\}\s*WHERE\s*\{(.*)\}\s*$",
+        query, _re.IGNORECASE | _re.DOTALL,
+    )
+    if not m:
+        raise ValueError(
+            "unsupported SPARQL shape (need CONSTRUCT {...} WHERE {...})"
+        )
+    tmpl_txt, body = m.group(1), m.group(2)
+    templates: list[tuple[str, str, str]] = []
+    for stmt in _re.split(r"\.(?:\s+|\s*$)", tmpl_txt):
+        terms = stmt.split()
+        if not terms:
+            continue
+        if len(terms) != 3:
+            raise ValueError(f"template triple needs 3 terms, got {terms!r}")
+        templates.append(tuple(_sparql_term(t) for t in terms))
+    if not templates:
+        raise ValueError("CONSTRUCT template has no triples")
+
+    bindings = _eval_where(edges, body, max_depth)
+
+    def _slot(term: str, alias: str):
+        if _is_var(term):
+            v = term[1:]
+            if v not in bindings.columns:
+                raise ValueError(f"template var ?{v} is not bound in WHERE")
+            return F.col(v).alias(alias)
+        return F.lit(term).alias(alias)
+
+    out = None
+    for s, p, o in templates:
+        part = bindings.select(
+            _slot(s, "subject"), _slot(p, "predicate"), _slot(o, "object")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.filter(
+        F.col("subject").isNotNull()
+        & F.col("predicate").isNotNull()
+        & F.col("object").isNotNull()
+    ).distinct()

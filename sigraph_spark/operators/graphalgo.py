@@ -157,6 +157,109 @@ def shortest_paths(
     return dist.select(F.col("node").alias("node_id"), "distance")
 
 
+def weighted_shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    max_hops: int = 20,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Hop-bounded weighted shortest paths (Bellman-Ford) from ``seeds``
+    over the DIRECTED edge relation: ``(node_id, cost)`` where cost is
+    the MINIMUM total edge weight over paths of at most ``max_hops``
+    edges. The hop bound is part of the SEMANTICS, not a convergence
+    knob: after round r the table holds exactly min-cost over <= r-edge
+    paths (textbook Bellman-Ford invariant), so the result is
+    well-defined — and oracle-checkable — even on graphs with cycles or
+    zero-weight edges, and truncation never yields a value no real path
+    achieves. If relaxation quiesces earlier (no cost improved), that is
+    the true unbounded shortest path and the loop stops.
+
+    Same frontier discipline as :func:`shortest_paths` — each round
+    relaxes only out-edges of nodes whose cost IMPROVED last round, so
+    per-round work is O(frontier out-edges); parallel edges collapse to
+    their min weight once, up front. Costs are exact BIGINT sums (no
+    float drift between engines). For 100 TB graphs pre-bucket the edge
+    table on ``src`` so every round's join is storage-partitioned.
+
+    Deterministic: min-aggregates only. Pass ``metrics`` to read
+    ``rounds`` and ``converged`` (True = quiesced before the bound, the
+    hop bound did not bite).
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("u"),
+            F.col(dst).alias("v"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+    )
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    rounds = 0
+    converged = False
+    for _ in range(max_hops):
+        rounds += 1
+        relaxed = (
+            frontier.join(e, frontier.node == e.u)
+            .select(F.col("v").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+        improved = (
+            relaxed.alias("r")
+            .join(dist.alias("d"), "node", "left")
+            .filter(F.col("d.cost").isNull() | (F.col("r.cost") < F.col("d.cost")))
+            .select("node", F.col("r.cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.limit(1).count() == 0:
+            converged = True
+            break
+        dist = (
+            dist.join(improved.select("node"), "node", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    if metrics is not None:
+        metrics["rounds"] = rounds
+        metrics["converged"] = converged
+    return dist.select(F.col("node").alias("node_id"), F.col("cost"))
+
+
+def weighted_paths_oracle_sql(
+    edges_cte: str, seed_literal: str, max_hops: int
+) -> str:
+    """The identical hop-bounded semantics as a bounded recursive CTE:
+    enumerate (node, cost, hops) path states up to ``max_hops`` edges and
+    take min(cost) per node. ``edges_cte`` must expose (src, dst, weight).
+    Exact equality with :func:`weighted_shortest_paths` at the same
+    ``max_hops`` by the Bellman-Ford round invariant — no convergence
+    assumption needed. UNION (not ALL) dedups repeated path states so the
+    recursion is bounded by distinct (node, cost, hops) triples.
+    """
+    return f"""
+        we AS (SELECT src, dst, min(CAST(weight AS BIGINT)) AS w
+               FROM {edges_cte} GROUP BY src, dst),
+        wreach(node, cost, hops) AS (
+          SELECT {seed_literal}, CAST(0 AS BIGINT), 0
+          UNION
+          SELECT e.dst, r.cost + e.w, r.hops + 1
+          FROM wreach r JOIN we e ON e.src = r.node
+          WHERE r.hops < {max_hops})
+        SELECT node AS node_id, min(cost) AS cost
+        FROM wreach GROUP BY node"""
+
+
 def kcore(
     edges: DataFrame,
     k: int = 2,

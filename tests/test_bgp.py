@@ -229,5 +229,76 @@ def test_sparql_errors(spark):
         select_sparql(e, "ASK { ?x ?p ?y }")
     with pytest.raises(ValueError, match="3 terms"):
         select_sparql(e, "SELECT ?x WHERE { ?x LAUNCH }")
-    with pytest.raises(ValueError, match="modifier"):
+    with pytest.raises(ValueError, match="aggregate"):
         select_sparql(e, "SELECT ?x WHERE { ?x LAUNCH ?y } GROUP BY ?x")
+    with pytest.raises(ValueError, match="not in GROUP BY"):
+        select_sparql(
+            e,
+            "SELECT ?x ?y (COUNT(*) AS ?n) WHERE { ?x LAUNCH ?y } GROUP BY ?x",
+        )
+
+
+def test_sparql_aggregates(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    e = _sq_edges(spark)
+    q = (
+        "SELECT ?x (COUNT(*) AS ?n) (COUNT(DISTINCT ?y) AS ?d) "
+        "(MIN(?y) AS ?lo) (MAX(?y) AS ?hi) "
+        "WHERE { ?x LAUNCH ?y } GROUP BY ?x"
+    )
+    got = [tuple(r) for r in select_sparql(e, q).collect()]
+    # a LAUNCHes b and a: 2 rows, 2 distinct, min 'a', max 'b'
+    assert got == [("a", 2, 2, "a", "b")]
+    # global aggregate: no GROUP BY, one row
+    q2 = "SELECT (COUNT(*) AS ?n) WHERE { ?x CONNECT ?y }"
+    assert [r["n"] for r in select_sparql(e, q2).collect()] == [2]
+
+
+def test_sparql_construct_templates_and_paths(spark):
+    from sigraph_spark.operators.bgp import construct_sparql
+
+    e = _sq_edges(spark)
+    q = (
+        "CONSTRUCT { ?y child_of ?x . ?x p 'proc' } "
+        "WHERE { ?x LAUNCH ?y }"
+    )
+    got = sorted(tuple(r) for r in construct_sparql(e, q).collect())
+    # ('a' p proc) emitted once despite two bindings — DISTINCT union
+    assert got == [
+        ("a", "child_of", "a"), ("a", "p", "proc"), ("b", "child_of", "a"),
+    ]
+    # path WHERE + both directions
+    q2 = (
+        "CONSTRUCT { ?x reaches ?z . ?z reached_by ?x } "
+        "WHERE { ?x LAUNCH ?y . ?y CONNECT+ ?z }"
+    )
+    got2 = sorted(tuple(r) for r in construct_sparql(e, q2).collect())
+    assert ("a", "reaches", "c") in got2 and ("d", "reached_by", "a") in got2
+    assert len(got2) == 4  # a->c, a->d and the two inverses
+
+
+def test_sparql_construct_optional_null_drop(spark):
+    from sigraph_spark.operators.bgp import construct_sparql
+
+    e = _sq_edges(spark)
+    # OPTIONAL leaves ?z NULL for launches whose child has no CONNECT;
+    # the template using ?z must drop those rows (incomplete-triple rule)
+    q = (
+        "CONSTRUCT { ?x next ?z } "
+        "WHERE { ?x LAUNCH ?y . OPTIONAL { ?y CONNECT ?z } }"
+    )
+    got = sorted(tuple(r) for r in construct_sparql(e, q).collect())
+    assert got == [("a", "next", "c")]
+
+
+def test_sparql_construct_errors(spark):
+    import pytest
+
+    from sigraph_spark.operators.bgp import construct_sparql
+
+    e = _sq_edges(spark)
+    with pytest.raises(ValueError, match="CONSTRUCT"):
+        construct_sparql(e, "SELECT ?x WHERE { ?x LAUNCH ?y }")
+    with pytest.raises(ValueError, match="not bound"):
+        construct_sparql(e, "CONSTRUCT { ?q p ?x } WHERE { ?x LAUNCH ?y }")

@@ -532,3 +532,118 @@ def test_hits_oracle_sql_matches(spark):
     )
     duck_rows = {tuple(r) for r in duckdb.sql(sql).fetchall()}
     assert spark_rows == duck_rows
+
+
+# ---------------------------------------------------------------------------
+# weighted_shortest_paths
+# ---------------------------------------------------------------------------
+
+def _bounded_bf(edges, seeds, max_hops):
+    """Python reference: min cost over paths of <= max_hops edges."""
+    emin = {}
+    for u, v, w in edges:
+        emin[(u, v)] = min(w, emin.get((u, v), w))
+    dist = {s: 0 for s in seeds}
+    for _ in range(max_hops):
+        nxt = dict(dist)
+        for (u, v), w in emin.items():
+            if u in dist and dist[u] + w < nxt.get(v, float("inf")):
+                nxt[v] = dist[u] + w
+        if nxt == dist:
+            break
+        dist = nxt
+    return dist
+
+
+def test_weighted_paths_cheaper_long_path(spark):
+    from sigraph_spark.operators.graphalgo import weighted_shortest_paths
+
+    edges = [
+        ("s", "a", 10),                       # direct but expensive
+        ("s", "b", 1), ("b", "c", 1), ("c", "a", 1),  # 3 hops, cost 3
+        ("a", "s", 1),                        # cycle back
+        ("s", "a", 7),                        # parallel edge, min wins
+        ("q", "r", 1),                        # unreachable island
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string, weight long")
+    seeds = spark.createDataFrame([("s",)], "node_id string")
+    metrics = {}
+    got = {
+        r["node_id"]: r["cost"]
+        for r in weighted_shortest_paths(e, seeds, metrics=metrics).collect()
+    }
+    assert got == _bounded_bf(edges, ["s"], 20)
+    # the 3-hop path beats both parallel direct edges
+    assert got["a"] == 3
+    assert "q" not in got and "r" not in got
+    assert metrics["converged"] is True
+
+
+def test_weighted_paths_hop_bound_is_semantic(spark):
+    # with max_hops=2 the cheap 3-edge path to a is OUT OF CONTRACT:
+    # both the impl and the reference return the 2-hop-bounded minimum
+    from sigraph_spark.operators.graphalgo import weighted_shortest_paths
+
+    edges = [
+        ("s", "a", 10),
+        ("s", "b", 1), ("b", "c", 1), ("c", "a", 1),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string, weight long")
+    seeds = spark.createDataFrame([("s",)], "node_id string")
+    metrics = {}
+    got = {
+        r["node_id"]: r["cost"]
+        for r in weighted_shortest_paths(
+            e, seeds, max_hops=2, metrics=metrics
+        ).collect()
+    }
+    assert got == _bounded_bf(edges, ["s"], 2)
+    assert got["a"] == 10  # bounded minimum, not the unbounded 3
+    assert metrics["converged"] is False  # the bound bit — caller can tell
+
+
+def test_weighted_paths_multi_source_and_zero_weight(spark):
+    from sigraph_spark.operators.graphalgo import weighted_shortest_paths
+
+    edges = [
+        ("s1", "m", 5), ("s2", "m", 2), ("m", "t", 0), ("t", "m", 0),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string, weight long")
+    seeds = spark.createDataFrame([("s1",), ("s2",)], "node_id string")
+    got = {
+        r["node_id"]: r["cost"]
+        for r in weighted_shortest_paths(e, seeds).collect()
+    }
+    # zero-weight 2-cycle must not loop forever or change the minima
+    assert got == {"s1": 0, "s2": 0, "m": 2, "t": 2}
+
+
+def test_weighted_paths_oracle_matches_duckdb(spark):
+    """The bounded recursive-CTE oracle equals the Spark frontier loop at
+    the same hop bound on a graph where the bound matters."""
+    import duckdb
+
+    from sigraph_spark.operators.graphalgo import (
+        weighted_paths_oracle_sql, weighted_shortest_paths,
+    )
+
+    edges = [
+        ("s", "a", 9), ("s", "b", 2), ("b", "c", 2), ("c", "a", 2),
+        ("a", "d", 1), ("d", "b", 1), ("c", "s", 1), ("b", "a", 8),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string, weight long")
+    seeds = spark.createDataFrame([("s",)], "node_id string")
+    for hops in (2, 4):
+        got = sorted(
+            (r["node_id"], r["cost"])
+            for r in weighted_shortest_paths(
+                e, seeds, max_hops=hops
+            ).collect()
+        )
+        vals = ", ".join(f"('{u}', '{v}', {w})" for u, v, w in edges)
+        sql = (
+            "WITH RECURSIVE base(src, dst, weight) AS (VALUES " + vals + "),"
+            + weighted_paths_oracle_sql("base", "'s'", hops)
+        )
+        want = sorted((r[0], r[1]) for r in duckdb.sql(sql).fetchall())
+        assert got == want, f"hops={hops}"
