@@ -1085,6 +1085,23 @@ def q_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting earliest-arrival reachability from the seed
+    process: each hop's start_time must be >= the arrival time of the
+    previous hop ("what could this event have caused", without the
+    before-the-flow edges plain reachability overcounts). Hop-6 bounded
+    semantics on both engines; times are floor-epoch BIGINTs."""
+    from sigraph_spark.operators.graphalgo import temporal_reachability
+
+    seeds = spark.createDataFrame(
+        [("proc_0.exe@PROCESS",)], "node_id string"
+    )
+    e = _edges_ckpt(spark, sf_dir).select(
+        "src", "dst", F.unix_timestamp("start_time").alias("t")
+    )
+    return temporal_reachability(e, seeds, max_hops=6)
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-core of the undirected provenance graph: iterative peel on Spark
     vs the same peel unrolled to 8 CTE rounds in DuckDB (the PageRank
@@ -3464,6 +3481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fusion_apply": q_fusion_apply,
         "shortest_paths": q_shortest_paths,
         "weighted_paths": q_weighted_paths,
+        "temporal_reach": q_temporal_reach,
         "kcore": q_kcore,
         "node_features": q_node_features,
         "component_stats": q_component_stats,
@@ -4451,6 +4469,18 @@ def oracle_sql() -> dict[str, str]:
     sq["weighted_paths"] = (
         "WITH RECURSIVE " + _EDGES_CTE + ",\n"
         + weighted_paths_oracle_sql("edges", "'proc_0.exe@PROCESS'", 6)
+    )
+    # --- temporal reachability: hop-6 earliest-arrival as a bounded
+    # recursive CTE; floor(epoch()) matches Spark's timestamp->long cast.
+    from sigraph_spark.operators.graphalgo import temporal_reachability_oracle_sql
+
+    sq["temporal_reach"] = (
+        "WITH RECURSIVE " + _EDGES_CTE
+        + """,
+        tsrc AS (SELECT src, dst,
+                        CAST(floor(epoch(start_time)) AS BIGINT) AS t
+                 FROM edges),"""
+        + temporal_reachability_oracle_sql("tsrc", "'proc_0.exe@PROCESS'", 6)
     )
     # --- k-core: the same peel unrolled to 8 rounds (fixture converges in 2).
     from sigraph_spark.operators.graphalgo import kcore_oracle_sql

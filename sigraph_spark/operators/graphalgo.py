@@ -260,6 +260,110 @@ def weighted_paths_oracle_sql(
         FROM wreach GROUP BY node"""
 
 
+def temporal_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    time: str = "t",
+    max_hops: int = 20,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Time-respecting earliest-arrival reachability: ``(node_id,
+    earliest_arrival)`` for every node reachable from ``seeds`` along a
+    path whose edge times are NON-DECREASING (an infection/influence
+    path: each hop happens no earlier than the previous one). Seeds are
+    at the origin — their ``earliest_arrival`` is NULL.
+
+    This is the query a provenance/crawl KG actually needs for "what
+    could event X have caused": plain reachability overcounts by
+    following edges that happened BEFORE the flow arrived. Earliest
+    arrival is the right label because a smaller arrival admits a
+    superset of onward edges — min-arrival prefixes dominate, so
+    propagating per-node minima loses nothing (Wu et al., "Path Problems
+    in Temporal Graphs", VLDB'14).
+
+    Same frontier discipline and hop-bound contract as
+    :func:`weighted_shortest_paths`: after round r the table holds
+    exactly the min arrival over time-respecting paths of <= r edges, so
+    truncation is a defined semantics, not an approximation; quiescing
+    earlier means the unbounded answer. Edge times are exact BIGINTs.
+    Deterministic (min-aggregates only). For 100 TB graphs pre-bucket the
+    edge table on ``src``.
+    """
+    _origin = -(2 ** 62)
+    e = edges.select(
+        F.col(src).alias("u"),
+        F.col(dst).alias("v"),
+        F.col(time).cast("long").alias("t"),
+    ).distinct()
+    seed_df = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    arr = seed_df.withColumn("arr", F.lit(_origin).cast("long"))
+    frontier = arr
+    rounds = 0
+    converged = False
+    for _ in range(max_hops):
+        rounds += 1
+        relaxed = (
+            frontier.join(e, (frontier.node == e.u) & (e.t >= frontier.arr))
+            .select(F.col("v").alias("node"), F.col("t").alias("arr"))
+            .groupBy("node")
+            .agg(F.min("arr").alias("arr"))
+        )
+        improved = (
+            relaxed.alias("r")
+            .join(arr.alias("d"), "node", "left")
+            .filter(F.col("d.arr").isNull() | (F.col("r.arr") < F.col("d.arr")))
+            .select("node", F.col("r.arr").alias("arr"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.limit(1).count() == 0:
+            converged = True
+            break
+        arr = (
+            arr.join(improved.select("node"), "node", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    if metrics is not None:
+        metrics["rounds"] = rounds
+        metrics["converged"] = converged
+    return arr.join(
+        seed_df.withColumn("_seed", F.lit(True)), "node", "left"
+    ).select(
+        F.col("node").alias("node_id"),
+        F.when(F.col("_seed").isNull(), F.col("arr")).alias("earliest_arrival"),
+    )
+
+
+def temporal_reachability_oracle_sql(
+    edges_cte: str, seed_literal: str, max_hops: int
+) -> str:
+    """Bounded recursive-CTE restatement of the identical hop-bounded
+    earliest-arrival semantics. ``edges_cte`` must expose (src, dst, t)
+    with BIGINT t; ``seed_literal`` is a one-seed SQL literal. Seeds
+    surface with NULL earliest_arrival, matching the operator."""
+    origin = -(2 ** 62)
+    return f"""
+        te AS (SELECT DISTINCT src, dst, CAST(t AS BIGINT) AS t
+               FROM {edges_cte}),
+        treach(node, arr, hops) AS (
+          SELECT {seed_literal}, CAST({origin} AS BIGINT), 0
+          UNION
+          SELECT e.dst, e.t, r.hops + 1
+          FROM treach r JOIN te e ON e.src = r.node AND e.t >= r.arr
+          WHERE r.hops < {max_hops})
+        SELECT node AS node_id,
+               CASE WHEN node = {seed_literal} THEN NULL
+                    ELSE min(arr) END AS earliest_arrival
+        FROM treach GROUP BY node"""
+
+
 def kcore(
     edges: DataFrame,
     k: int = 2,

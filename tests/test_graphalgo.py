@@ -647,3 +647,110 @@ def test_weighted_paths_oracle_matches_duckdb(spark):
         )
         want = sorted((r[0], r[1]) for r in duckdb.sql(sql).fetchall())
         assert got == want, f"hops={hops}"
+
+
+# ---------------------------------------------------------------------------
+# temporal_reachability
+# ---------------------------------------------------------------------------
+
+def _bounded_ea(edges, seeds, max_hops):
+    """Python reference: min earliest arrival over time-respecting paths
+    of <= max_hops edges (seeds at -inf origin)."""
+    origin = -(2 ** 62)
+    arr = {s: origin for s in seeds}
+    for _ in range(max_hops):
+        nxt = dict(arr)
+        for u, v, t in edges:
+            if u in arr and t >= arr[u] and t < nxt.get(v, float("inf")):
+                nxt[v] = t
+        if nxt == arr:
+            break
+        arr = nxt
+    return {n: (None if n in seeds else a) for n, a in arr.items()}
+
+
+def test_temporal_reach_respects_time(spark):
+    from sigraph_spark.operators.graphalgo import temporal_reachability
+
+    edges = [
+        ("s", "a", 10), ("a", "b", 5),   # b NOT reachable: 5 < arrival 10
+        ("a", "c", 20),                  # c reachable at 20
+        ("s", "b", 30),                  # b reachable directly, later
+        ("c", "a", 1),                   # stale back-edge, never usable
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string, t long")
+    seeds = spark.createDataFrame([("s",)], "node_id string")
+    metrics = {}
+    got = {
+        r["node_id"]: r["earliest_arrival"]
+        for r in temporal_reachability(e, seeds, metrics=metrics).collect()
+    }
+    assert got == _bounded_ea(edges, ["s"], 20)
+    assert got == {"s": None, "a": 10, "b": 30, "c": 20}
+    assert metrics["converged"] is True
+
+
+def test_temporal_reach_earlier_arrival_unlocks_more(spark):
+    # reaching m EARLIER via s->x->m (t=2,3) instead of s->m (t=9)
+    # unlocks m->z at t=5, which the late path would miss — the
+    # min-arrival domination property the operator relies on
+    from sigraph_spark.operators.graphalgo import temporal_reachability
+
+    edges = [
+        ("s", "m", 9), ("s", "x", 2), ("x", "m", 3), ("m", "z", 5),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string, t long")
+    seeds = spark.createDataFrame([("s",)], "node_id string")
+    got = {
+        r["node_id"]: r["earliest_arrival"]
+        for r in temporal_reachability(e, seeds).collect()
+    }
+    assert got == {"s": None, "x": 2, "m": 3, "z": 5}
+
+
+def test_temporal_reach_hop_bound_and_multiseed(spark):
+    from sigraph_spark.operators.graphalgo import temporal_reachability
+
+    chain = [(f"n{i}", f"n{i+1}", i + 1) for i in range(6)]
+    e = spark.createDataFrame(chain, "src string, dst string, t long")
+    seeds = spark.createDataFrame([("n0",), ("n4",)], "node_id string")
+    metrics = {}
+    got = {
+        r["node_id"]: r["earliest_arrival"]
+        for r in temporal_reachability(
+            e, seeds, max_hops=2, metrics=metrics
+        ).collect()
+    }
+    assert got == _bounded_ea(chain, ["n0", "n4"], 2)
+    # n3 is 3 hops from n0 — out of contract; n5/n6 come from seed n4
+    assert got == {
+        "n0": None, "n4": None, "n1": 1, "n2": 2, "n5": 5, "n6": 6,
+    }
+    assert metrics["converged"] is False
+
+
+def test_temporal_reach_oracle_matches_duckdb(spark):
+    import duckdb
+
+    from sigraph_spark.operators.graphalgo import (
+        temporal_reachability, temporal_reachability_oracle_sql,
+    )
+
+    edges = [
+        ("s", "a", 4), ("a", "b", 2), ("a", "b", 6), ("b", "s", 7),
+        ("s", "c", 1), ("c", "b", 3), ("b", "a", 9), ("a", "c", 5),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string, t long")
+    seeds = spark.createDataFrame([("s",)], "node_id string")
+    for hops in (1, 3):
+        got = sorted(
+            (r["node_id"], r["earliest_arrival"])
+            for r in temporal_reachability(e, seeds, max_hops=hops).collect()
+        )
+        vals = ", ".join(f"('{u}', '{v}', {t})" for u, v, t in edges)
+        sql = (
+            "WITH RECURSIVE base(src, dst, t) AS (VALUES " + vals + "),"
+            + temporal_reachability_oracle_sql("base", "'s'", hops)
+        )
+        want = sorted((r[0], r[1]) for r in duckdb.sql(sql).fetchall())
+        assert got == want, f"hops={hops}"
