@@ -1112,6 +1112,30 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(_edges_ckpt(spark, sf_dir), k=4)
 
 
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the trace co-occurrence graph (the triangle-dense
+    companion graph from q_triangles — the raw provenance graph is
+    near-bipartite, so its truss is empty): every surviving edge must
+    close >=2 triangles inside the surviving subgraph, the cohesion
+    audit that kills boilerplate hub stars the k-core keeps. Spark runs
+    the iterative peel (degree-oriented wedge join); the oracle unrolls
+    the identical peel to 4 SQL rounds (fixture convergence pinned by
+    the metrics dict in tests)."""
+    from sigraph_spark.operators.graph import build_trace_contains
+    from sigraph_spark.operators.graphalgo import ktruss
+
+    good, _ = _parsed(spark, sf_dir)
+    tc = build_trace_contains(good)
+    a = tc.select("unit_id", "trace_id", F.col("node_id").alias("src"))
+    b = tc.select("unit_id", "trace_id", F.col("node_id").alias("dst"))
+    co = (
+        a.join(b, ["unit_id", "trace_id"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    return ktruss(co, k=4)
+
+
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-choice random walks over the provenance edges
     (the KG -> skip-gram embedding corpus path). Reproducible on any
@@ -3483,6 +3507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_paths": q_weighted_paths,
         "temporal_reach": q_temporal_reach,
         "kcore": q_kcore,
+        "ktruss": q_ktruss,
         "node_features": q_node_features,
         "component_stats": q_component_stats,
         "graph_metrics": q_graph_metrics,
@@ -4487,6 +4512,21 @@ def oracle_sql() -> dict[str, str]:
 
     sq["kcore"] = (
         "WITH " + _EDGES_CTE + ",\n" + kcore_oracle_sql("edges", 4, 8)
+    )
+    # --- k-truss: the triangle-support peel over the trace
+    # co-occurrence graph, unrolled to 4 rounds (fixture converges well
+    # within; pinned by the convergence metric).
+    from sigraph_spark.operators.graphalgo import ktruss_oracle_sql
+
+    sq["ktruss"] = (
+        "WITH " + _EDGES_CTE
+        + """,
+        truss_co AS (
+          SELECT DISTINCT a.node_id AS src, b.node_id AS dst
+          FROM containment a JOIN containment b USING (unit_id, trace_id)
+          WHERE a.node_id < b.node_id),
+"""
+        + ktruss_oracle_sql("truss_co", 4, 4)
     )
     # --- random walks: hash-choice determinism means the oracle is the
     # SAME walk, not a distributional check — md5 family, 4 unrolled rounds.

@@ -425,6 +425,151 @@ def kcore(
     return deg.filter(F.col("core_degree") >= k)
 
 
+def ktruss(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """k-truss of the undirected graph: the maximal subgraph in which
+    every edge closes at least ``k - 2`` triangles WITHIN the subgraph
+    (Cohen 2008). Stronger cohesion than k-core — a hub with many
+    non-adjacent neighbors survives the core peel but not the truss peel
+    — so this is the audit operator that separates genuinely clustered
+    entity neighborhoods from boilerplate stars the core number misses.
+
+    Returns surviving edges as ``(x, y, support)`` with ``x < y`` and
+    support = triangles the edge closes in the final subgraph.
+
+    Peel loop: per round, count per-edge triangle support with the
+    degree-ORIENTED wedge join (the triangle_count device — wedge fan-out
+    bounded by O(sqrt(E)) per node, no last-reducer hub), explode each
+    triangle to its three edges, aggregate, drop edges below ``k - 2``,
+    repeat until no edge drops. Each round is two equi-joins + one count
+    agg on edge keys; rounds = peel depth (small in practice). Converged
+    vs truncated lands in ``metrics`` (the kcore/shortest_paths
+    contract). Deterministic: counts and thresholds only.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("x"),
+            F.greatest(F.col(src), F.col(dst)).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    converged = False
+    support = None
+    for _ in range(max_iter):
+        rounds += 1
+        # wedges at the lexicographic-low endpoint; closure against the
+        # edge set. (x<y1<y2) triples enumerate each triangle once.
+        wedge = (
+            und.alias("e1")
+            .join(und.alias("e2"), F.col("e1.x") == F.col("e2.x"))
+            .filter(F.col("e1.y") < F.col("e2.y"))
+            .select(
+                F.col("e1.x").alias("a"),
+                F.col("e1.y").alias("b"),
+                F.col("e2.y").alias("c"),
+            )
+        )
+        tri = wedge.join(
+            und, (F.col("b") == F.col("x")) & (F.col("c") == F.col("y"))
+        ).select("a", "b", "c")
+        tri_edges = (
+            tri.select(F.col("a").alias("x"), F.col("b").alias("y"))
+            .unionByName(tri.select(F.col("a").alias("x"), F.col("c").alias("y")))
+            .unionByName(tri.select(F.col("b").alias("x"), F.col("c").alias("y")))
+        )
+        support = tri_edges.groupBy("x", "y").agg(
+            F.count(F.lit(1)).alias("support")
+        )
+        kept = (
+            und.join(support, ["x", "y"], "left")
+            .filter(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
+            .select("x", "y")
+            .localCheckpoint(eager=True)
+        )
+        if kept.count() == und.count():
+            converged = True
+            und = kept
+            break
+        und = kept
+    if metrics is not None:
+        metrics["rounds"] = rounds
+        metrics["converged"] = converged
+    # final support over the surviving subgraph (k=2 trusses may have
+    # support-0 edges — coalesce keeps them honest)
+    return (
+        und.join(support, ["x", "y"], "left")
+        .select(
+            "x", "y",
+            F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support"),
+        )
+        if support is not None
+        else und.withColumn("support", F.lit(0).cast("long"))
+    )
+
+
+def ktruss_oracle_sql(edges_cte: str, k: int, rounds: int) -> str:
+    """The identical peel unrolled to ``rounds`` SQL CTE rounds (the
+    kcore_oracle_sql device; every round MATERIALIZED for the same
+    fan-out reason). Equals the Spark fixpoint whenever the peel
+    converges within ``rounds`` — pin with the convergence metric."""
+    parts = [
+        f"""tund0 AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y
+          FROM {edges_cte} WHERE src <> dst)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""tsup{r} AS MATERIALIZED (
+              SELECT x, y, count(*) AS support FROM (
+                SELECT e1.x AS x, e1.y AS y FROM tund{r} e1
+                JOIN tund{r} e2 ON e2.x = e1.x AND e1.y < e2.y
+                JOIN tund{r} e3 ON e3.x = e1.y AND e3.y = e2.y
+                UNION ALL
+                SELECT e1.x, e2.y FROM tund{r} e1
+                JOIN tund{r} e2 ON e2.x = e1.x AND e1.y < e2.y
+                JOIN tund{r} e3 ON e3.x = e1.y AND e3.y = e2.y
+                UNION ALL
+                SELECT e1.y, e2.y FROM tund{r} e1
+                JOIN tund{r} e2 ON e2.x = e1.x AND e1.y < e2.y
+                JOIN tund{r} e3 ON e3.x = e1.y AND e3.y = e2.y)
+              GROUP BY x, y)"""
+        )
+        parts.append(
+            f"""tund{r + 1} AS MATERIALIZED (
+              SELECT e.x, e.y FROM tund{r} e
+              JOIN tsup{r} s ON s.x = e.x AND s.y = e.y
+              WHERE s.support >= {k - 2})"""
+        )
+    final = f"""
+        SELECT e.x, e.y,
+               CAST(coalesce(s.support, 0) AS BIGINT) AS support
+        FROM tund{rounds} e
+        LEFT JOIN (
+          SELECT x, y, count(*) AS support FROM (
+            SELECT e1.x AS x, e1.y AS y FROM tund{rounds} e1
+            JOIN tund{rounds} e2 ON e2.x = e1.x AND e1.y < e2.y
+            JOIN tund{rounds} e3 ON e3.x = e1.y AND e3.y = e2.y
+            UNION ALL
+            SELECT e1.x, e2.y FROM tund{rounds} e1
+            JOIN tund{rounds} e2 ON e2.x = e1.x AND e1.y < e2.y
+            JOIN tund{rounds} e3 ON e3.x = e1.y AND e3.y = e2.y
+            UNION ALL
+            SELECT e1.y, e2.y FROM tund{rounds} e1
+            JOIN tund{rounds} e2 ON e2.x = e1.x AND e1.y < e2.y
+            JOIN tund{rounds} e3 ON e3.x = e1.y AND e3.y = e2.y)
+          GROUP BY x, y) s ON s.x = e.x AND s.y = e.y"""
+    return ",\n".join(parts) + final
+
+
 def kcore_oracle_sql(edges_cte: str, k: int, rounds: int) -> str:
     """Unrolled peel rounds as SQL CTEs (same device as the PageRank
     oracle): ``edges_cte`` must name a relation with columns (src, dst).

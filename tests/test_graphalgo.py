@@ -225,6 +225,101 @@ def test_kcore_oracle_matches_duckdb(spark):
     assert got == want
 
 
+# ---------------------------------------------------------------------------
+# ktruss
+# ---------------------------------------------------------------------------
+
+def _truss_peel(edges, k):
+    """Reference k-truss peel (pure python): drop edges with < k-2
+    triangles in the CURRENT subgraph until fixpoint."""
+    E = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    while True:
+        sup = {e: 0 for e in E}
+        es = E
+        for x, y in es:
+            for z in {n for p in es for n in p}:
+                if z in (x, y):
+                    continue
+                if (min(x, z), max(x, z)) in es and (min(y, z), max(y, z)) in es:
+                    sup[(x, y)] += 1
+        E2 = {e for e in E if sup[e] >= k - 2}
+        if E2 == E:
+            return {e: sup[e] for e in E}
+        E = E2
+
+
+def test_ktruss_cascading_peel(spark):
+    """K5 core + a strip of edge-sharing triangles hanging off it: the
+    strip peels one triangle layer per round under k=4 (support >= 2) —
+    the case that needs the iteration, not one pass."""
+    from itertools import combinations
+
+    from sigraph_spark.operators.graphalgo import ktruss
+
+    k5 = [(a, b) for a, b in combinations(["a", "b", "c", "u", "v"], 2)]
+    strip = [("u", "w"), ("v", "w"), ("v", "x"), ("w", "x"),
+             ("w", "y"), ("x", "y")]
+    e = spark.createDataFrame(k5 + strip, "src string, dst string")
+    metrics = {}
+    got = {
+        (r["x"], r["y"]): r["support"]
+        for r in ktruss(e, k=4, metrics=metrics).collect()
+    }
+    assert got == _truss_peel(k5 + strip, 4)
+    assert all(s == 3 for s in got.values()) and len(got) == 10  # the K5
+    assert metrics["converged"] and metrics["rounds"] >= 3
+
+
+def test_ktruss_vs_kcore_separation(spark):
+    """A 4-cycle survives the 2-core (every node degree 2) but holds zero
+    triangles: the 3-truss must empty it while keeping a real triangle —
+    the cohesion separation the truss exists for."""
+    from sigraph_spark.operators.graphalgo import kcore, ktruss
+
+    cyc = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    tri = [("p", "q"), ("q", "r"), ("r", "p")]
+    e = spark.createDataFrame(cyc + tri, "src string, dst string")
+    got = {(r["x"], r["y"]) for r in ktruss(e, k=3).collect()}
+    assert got == {("p", "q"), ("q", "r"), ("p", "r")}
+    # kcore(k=2) keeps the triangle-free cycle — the separation point
+    assert {r["node_id"] for r in kcore(e, k=2).collect()} >= {
+        "a", "b", "c", "d"
+    }
+
+
+def test_ktruss_oracle_matches_duckdb(spark):
+    """The unrolled-CTE oracle equals the Spark fixpoint on the cascading
+    fixture (guards the three-way UNION ALL support count, not just the
+    gate fixture)."""
+    import duckdb
+
+    from itertools import combinations
+
+    from sigraph_spark.operators.graphalgo import ktruss, ktruss_oracle_sql
+
+    k5 = [(a, b) for a, b in combinations(["a", "b", "c", "u", "v"], 2)]
+    strip = [("u", "w"), ("v", "w"), ("v", "x"), ("w", "x"),
+             ("w", "y"), ("x", "y")]
+    edges = k5 + strip
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = sorted(
+        (r["x"], r["y"], r["support"]) for r in ktruss(e, k=4).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE edges AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{a}', '{b}')" for a, b in edges)
+        + ") t(src, dst)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            "WITH " + ktruss_oracle_sql("edges", 4, 6)
+        ).fetchall()
+    )
+    assert got == want
+
+
 def test_node_features_composition(spark):
     from sigraph_spark.operators.graphalgo import node_features
 
