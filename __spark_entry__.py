@@ -562,6 +562,104 @@ def q_table_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_triples(_webtext_table_pages(spark))
 
 
+def _webtext_jsonld_pages(spark: SparkSession, sf: float = 0.01) -> DataFrame:
+    """Deterministic structured-data corpus over the standard urls: every
+    page carries a schema.org Product object block (with a @type ARRAY on
+    even pages, an empty-string gtin and a name-less nested object — both
+    must drop), every 3rd page adds a top-level-ARRAY block (Person with
+    @id + a non-object noise element + a blank-node Organization), every
+    5th an @graph wrapper (City with a NUMBER literal), and every 7th
+    page leads with a MALFORMED block that must still consume block_idx 0
+    (shifting every subject name on those pages — so the hash pins the
+    indexing rule). OpenGraph/meta tags (with a viewport decoy and an
+    empty og:locale) feed the ``meta_triples`` gate from the same corpus.
+    The oracle enumerates the planted triples arithmetically — it never
+    parses JSON — so the whole regex/from_json raw-capture chain is what
+    the hash verifies."""
+    from sigraph_spark.corpus import gen_pages
+
+    i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    pages = gen_pages(spark, sf=sf).select("url", i.alias("i"))
+    istr = F.col("i").cast("string")
+    w = (F.col("i") % 53).cast("string")
+
+    def ld(*parts: Column) -> Column:
+        return F.concat(
+            F.lit('<script type="application/ld+json">'), *parts, F.lit("</script>")
+        )
+
+    mal = F.when(
+        F.col("i") % 7 == 0, ld(F.lit('{"@type":"Broken",'))
+    ).otherwise(F.lit(""))
+    ptype = F.when(
+        F.col("i") % 2 == 0, F.lit('["Product","Thing"]')
+    ).otherwise(F.lit('"Product"'))
+    prod = ld(
+        F.lit('{"@context":"https://schema.org","@type":'), ptype,
+        F.lit(',"name":"widget-'), w,
+        F.lit('","sku":"SKU-'), istr,
+        F.lit('","gtin":"","offers":{"@type":"Offer","name":"offer-'),
+        (F.col("i") % 5).cast("string"),
+        F.lit('"},"manufacturer":{"@type":"Thing"},"sameAs":["https://a.example/w'),
+        w, F.lit('","https://b.example/w'), w, F.lit('"]}'),
+    )
+    p = (F.col("i") % 41).cast("string")
+    g = (F.col("i") % 11).cast("string")
+    arr = F.when(
+        F.col("i") % 3 == 0,
+        ld(
+            F.lit('[{"@id":"person:p'), p,
+            F.lit('","@type":"Person","name":"Person '), p,
+            F.lit('","worksFor":{"@id":"org:o'), g,
+            F.lit('"}},"noise",{"@type":"Organization","name":"Org '), g,
+            F.lit('"}]'),
+        ),
+    ).otherwise(F.lit(""))
+    c = (F.col("i") % 13).cast("string")
+    graph = F.when(
+        F.col("i") % 5 == 0,
+        ld(
+            F.lit('{"@context":"https://schema.org","@graph":[{"@id":"city:c'), c,
+            F.lit('","@type":"City","name":"City '), c,
+            F.lit('","population":'), (F.col("i") + 1000).cast("string"),
+            F.lit("}]}"),
+        ),
+    ).otherwise(F.lit(""))
+    ogtype = F.when(
+        F.col("i") % 2 == 0, F.lit('<meta property="og:type" content="article">')
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><head><meta property="og:title" content="Report '), istr,
+        F.lit('">'), ogtype,
+        F.lit('<meta name="twitter:card" content="summary">'
+              '<meta name="viewport" content="width=device-width">'
+              '<meta property="og:locale" content="">'
+              '<meta name="description" content="page '), istr,
+        F.lit(' desc"><script>var x=1;</script>'
+              '<script type="text/javascript">var y=2;</script>'),
+        mal, prod, arr, graph,
+        F.lit("</head><body><p>filler "), istr, F.lit("</p></body></html>"),
+    )
+    return pages.select("url", html.alias("html"))
+
+
+def q_jsonld_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JSON-LD extraction over the planted structured-data
+    corpus; hash pins block/element indexing, blank-node naming, nested
+    flattening, array fan-out and the drop rules end-to-end."""
+    from sigraph_spark.operators.jsonld import jsonld_triples
+
+    return jsonld_triples(_webtext_jsonld_pages(spark))
+
+
+def q_meta_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenGraph/meta-tag page triples from the same corpus; hash pins
+    the pre-filter meta_idx numbering and the prefix/empty drop rules."""
+    from sigraph_spark.operators.jsonld import meta_triples
+
+    return meta_triples(_webtext_jsonld_pages(spark))
+
+
 def _hearst_corpus(spark: SparkSession, sf: float = 0.01) -> DataFrame:
     """Planted Hearst-pattern corpus over the standard urls: every page
     carries a such_as sentence with a 3-item coordinated list; 3/4/5/7
@@ -3463,6 +3561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opensearch_bulk": q_opensearch_bulk,
         "redirect_resolution": q_redirect_resolution,
         "table_triples": q_table_triples,
+        "jsonld_triples": q_jsonld_triples,
+        "meta_triples": q_meta_triples,
         "hearst_pairs": q_hearst_pairs,
         "taxonomy_induction": q_taxonomy_induction,
         "text_reuse": q_text_reuse,
@@ -4167,6 +4267,80 @@ def oracle_sql() -> dict[str, str]:
         "WITH " + _PG_CTE + "," + _TT_CTES
         + " SELECT url, table_idx, subj, predicate, obj FROM tt"
     )
+    # --- JSON-LD structured-data extraction: like table_triples, the
+    # oracle NEVER parses JSON — it enumerates the planted entities
+    # arithmetically (malformed-block index shift on 7-multiples, @type
+    # array on evens, array-block noise element at elem 1, @graph City
+    # with its numeric literal), pinning the whole regex + from_json
+    # raw-capture chain of operators/jsonld.py.
+    sq["jsonld_triples"] = """
+        WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 10000)),
+        u AS (SELECT i, 'https://example.org/report/' || CAST(i AS VARCHAR) AS url,
+                     CASE WHEN i % 7 = 0 THEN 1 ELSE 0 END AS m7
+              FROM pg),
+        prod AS (SELECT i, url, m7 AS b,
+                        url || '#ld' || CAST(m7 AS VARCHAR) || '-0' AS subj
+                 FROM u),
+        arr AS (SELECT i, url, m7 + 1 AS b,
+                       'person:p' || CAST(i % 41 AS VARCHAR) AS psubj,
+                       url || '#ld' || CAST(m7 + 1 AS VARCHAR) || '-2' AS osubj,
+                       'org:o' || CAST(i % 11 AS VARCHAR) AS org
+                FROM u WHERE i % 3 = 0),
+        gr AS (SELECT i, url,
+                      m7 + 1 + CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END AS b,
+                      'city:c' || CAST(i % 13 AS VARCHAR) AS csubj
+               FROM u WHERE i % 5 = 0),
+        t AS (
+          SELECT url, b, 0 AS e, subj, 'rdf:type' AS predicate,
+                 'Product' AS obj, 'type' AS kind FROM prod
+          UNION ALL SELECT url, b, 0, subj, 'rdf:type', 'Thing', 'type'
+          FROM prod WHERE i % 2 = 0
+          UNION ALL SELECT url, b, 0, subj, 'name',
+                 'widget-' || CAST(i % 53 AS VARCHAR), 'literal' FROM prod
+          UNION ALL SELECT url, b, 0, subj, 'sku',
+                 'SKU-' || CAST(i AS VARCHAR), 'literal' FROM prod
+          UNION ALL SELECT url, b, 0, subj, 'offers',
+                 'offer-' || CAST(i % 5 AS VARCHAR), 'entity' FROM prod
+          UNION ALL SELECT url, b, 0, subj, 'sameAs',
+                 'https://a.example/w' || CAST(i % 53 AS VARCHAR), 'literal'
+          FROM prod
+          UNION ALL SELECT url, b, 0, subj, 'sameAs',
+                 'https://b.example/w' || CAST(i % 53 AS VARCHAR), 'literal'
+          FROM prod
+          UNION ALL SELECT url, b, 0, psubj, 'rdf:type', 'Person', 'type' FROM arr
+          UNION ALL SELECT url, b, 0, psubj, 'name',
+                 'Person ' || CAST(i % 41 AS VARCHAR), 'literal' FROM arr
+          UNION ALL SELECT url, b, 0, psubj, 'worksFor', org, 'entity' FROM arr
+          UNION ALL SELECT url, b, 2, osubj, 'rdf:type', 'Organization', 'type'
+          FROM arr
+          UNION ALL SELECT url, b, 2, osubj, 'name',
+                 'Org ' || CAST(i % 11 AS VARCHAR), 'literal' FROM arr
+          UNION ALL SELECT url, b, 0, csubj, 'rdf:type', 'City', 'type' FROM gr
+          UNION ALL SELECT url, b, 0, csubj, 'name',
+                 'City ' || CAST(i % 13 AS VARCHAR), 'literal' FROM gr
+          UNION ALL SELECT url, b, 0, csubj, 'population',
+                 CAST(i + 1000 AS VARCHAR), 'literal' FROM gr)
+        SELECT url, CAST(b AS INT) AS block_idx, CAST(e AS INT) AS elem_idx,
+               subj, predicate, obj, kind
+        FROM t
+        """
+    # --- meta/OpenGraph tags: meta_idx counts ALL matched tags in document
+    # order BEFORE the prefix filter (viewport consumes an index, the
+    # even-page og:type shifts everything after it), empty content drops.
+    sq["meta_triples"] = """
+        WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 10000)),
+        u AS (SELECT i, 'https://example.org/report/' || CAST(i AS VARCHAR) AS url,
+                     CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END AS e
+              FROM pg),
+        t AS (
+          SELECT url, 0 AS meta_idx, 'og:title' AS predicate,
+                 'Report ' || CAST(i AS VARCHAR) AS obj FROM u
+          UNION ALL SELECT url, 1, 'og:type', 'article' FROM u WHERE i % 2 = 0
+          UNION ALL SELECT url, 1 + e, 'twitter:card', 'summary' FROM u
+          UNION ALL SELECT url, 4 + e, 'description',
+                 'page ' || CAST(i AS VARCHAR) || ' desc' FROM u)
+        SELECT url, CAST(meta_idx AS INT) AS meta_idx, predicate, obj FROM t
+        """
     # --- Hearst extraction: the oracle enumerates the PLANTED pairs
     # arithmetically (it never runs a regex), so the pattern inventory,
     # the closed-class NP guard, and the list splitting are all pinned.

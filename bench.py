@@ -358,6 +358,7 @@ def main() -> None:
 
     from sigraph_spark.operators.hearst import hearst_pairs, taxonomy_edges
     from sigraph_spark.operators.htmltables import table_triples
+    from sigraph_spark.operators.jsonld import jsonld_triples, meta_triples
     from sigraph_spark.operators.links import resolve_redirects
     from sigraph_spark.operators.textreuse import reuse_spans
 
@@ -365,6 +366,7 @@ def main() -> None:
     hearst_docs = entrymod._hearst_corpus(spark, sf=sf).localCheckpoint(True)
     reuse_docs = entrymod._webtext_reuse_docs(spark, sf=sf).localCheckpoint(True)
     alias_edges = entrymod._webtext_alias_graph(spark, sf=sf).localCheckpoint(True)
+    ld_pages = entrymod._webtext_jsonld_pages(spark, sf=sf).localCheckpoint(True)
 
     def run_webtext() -> int:
         return (
@@ -372,6 +374,8 @@ def main() -> None:
             + taxonomy_edges(hearst_pairs(hearst_docs)).count()
             + reuse_spans(reuse_docs, k=5, min_run=3, max_gram_df=8).count()
             + resolve_redirects(alias_edges, max_steps=16).count()
+            + jsonld_triples(ld_pages).count()
+            + meta_triples(ld_pages).count()
         )
 
     timed("webtext_kg", run_webtext)
