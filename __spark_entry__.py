@@ -660,6 +660,79 @@ def q_meta_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta_triples(_webtext_jsonld_pages(spark))
 
 
+def _webtext_microdata_pages(spark: SparkSession, sf: float = 0.01) -> DataFrame:
+    """Deterministic microdata corpus over the standard urls: every page
+    carries a Product itemscope (itemid subject) holding a text prop, a
+    meta content prop, href/src/datetime attribute props, a TWO-TOKEN
+    itemprop (brand alternateName), an empty prop that must drop, and a
+    nested Offer scope (blank-node subject #md1, entity edge from the
+    parent). Every 3rd page leads with an ORPHAN itemprop tag (no scope
+    yet — must drop but still consume tag_idx 0, shifting every index on
+    those pages), every 2nd page adds a content-beats-href seller prop
+    (shifting the offer indices), and every 5th page appends a typeless
+    itemscope section (blank node #md2, no rdf:type row). The oracle
+    enumerates the planted triples arithmetically — it never parses HTML
+    — so tag/scope indexing, blank-node naming, the value priority chain
+    and the drop rules are all pinned by the hash."""
+    from sigraph_spark.corpus import gen_pages
+
+    i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    pages = gen_pages(spark, sf=sf).select("url", i.alias("i"))
+    istr = F.col("i").cast("string")
+    w = (F.col("i") % 53).cast("string")
+    orphan = F.when(
+        F.col("i") % 3 == 0, F.lit('<p itemprop="stray">orphan</p>')
+    ).otherwise(F.lit(""))
+    seller = F.when(
+        F.col("i") % 2 == 0,
+        F.concat(
+            F.lit('<a itemprop="seller" content="Seller'),
+            (F.col("i") % 7).cast("string"),
+            F.lit('" href="https://s.example/x">s</a>'),
+        ),
+    ).otherwise(F.lit(""))
+    section = F.when(
+        F.col("i") % 5 == 0,
+        F.concat(
+            F.lit('<section itemscope><span itemprop="note">note '),
+            (F.col("i") % 13).cast("string"),
+            F.lit("</span></section>"),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><body>"), orphan,
+        F.lit('<div itemscope itemtype="https://schema.org/Product"'
+              ' itemid="prod:P'),
+        (F.col("i") % 47).cast("string"),
+        F.lit('"><h1 itemprop="name">Widget '), w,
+        F.lit('</h1><meta itemprop="sku" content="SKU-'), istr,
+        F.lit('"><a itemprop="url" href="https://shop.example/w'), w,
+        F.lit('">buy</a><img itemprop="image" src="https://img.example/w'), w,
+        F.lit('.png"><span itemprop="brand alternateName">Brand'),
+        (F.col("i") % 19).cast("string"),
+        F.lit('</span><span itemprop="empty"></span>'), seller,
+        F.lit('<div itemprop="offers" itemscope'
+              ' itemtype="https://schema.org/Offer">'
+              '<time itemprop="validFrom" datetime="2026-01-0'),
+        (F.col("i") % 9 + 1).cast("string"),
+        F.lit('">jan</time><span itemprop="price">'),
+        (F.col("i") % 997 + 1).cast("string"),
+        F.lit("</span></div></div>"), section,
+        F.lit("<p>filler "), istr, F.lit("</p></body></html>"),
+    )
+    return pages.select("url", html.alias("html"))
+
+
+def q_microdata_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML microdata extraction over the planted corpus; hash pins
+    document-order tag/scope indexing, itemid-else-blank-node subjects,
+    the content > tag-attribute > text value priority, multi-token
+    itemprop fan-out, nested-entity edges and the drop rules."""
+    from sigraph_spark.operators.microdata import microdata_triples
+
+    return microdata_triples(_webtext_microdata_pages(spark))
+
+
 def _hearst_corpus(spark: SparkSession, sf: float = 0.01) -> DataFrame:
     """Planted Hearst-pattern corpus over the standard urls: every page
     carries a such_as sentence with a 3-item coordinated list; 3/4/5/7
@@ -3563,6 +3636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_triples": q_table_triples,
         "jsonld_triples": q_jsonld_triples,
         "meta_triples": q_meta_triples,
+        "microdata_triples": q_microdata_triples,
         "hearst_pairs": q_hearst_pairs,
         "taxonomy_induction": q_taxonomy_induction,
         "text_reuse": q_text_reuse,
@@ -4340,6 +4414,53 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT url, 4 + e, 'description',
                  'page ' || CAST(i AS VARCHAR) || ' desc' FROM u)
         SELECT url, CAST(meta_idx AS INT) AS meta_idx, predicate, obj FROM t
+        """
+    # --- microdata: arithmetic enumeration of the planted tags. tag_idx
+    # counts ALL itemscope/itemprop tags in document order (the orphan on
+    # i%3 pages consumes 0 and then drops; the even-page seller shifts the
+    # offer block); scope_idx is the running itemscope count; subjects are
+    # itemid else url#md<scope_idx>; content beats href (seller row).
+    sq["microdata_triples"] = """
+        WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 10000)),
+        u AS (SELECT i, 'https://example.org/report/' || CAST(i AS VARCHAR) AS url,
+                     CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END AS o,
+                     CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END AS e,
+                     'prod:P' || CAST(i % 47 AS VARCHAR) AS p,
+                     CAST(i % 53 AS VARCHAR) AS w
+              FROM pg),
+        t AS (
+          SELECT url, o + 0 AS tag_idx, 0 AS scope_idx, p AS subj,
+                 'rdf:type' AS predicate, 'Product' AS obj, 'type' AS kind
+          FROM u
+          UNION ALL SELECT url, o + 1, 0, p, 'name', 'Widget ' || w, 'literal'
+          FROM u
+          UNION ALL SELECT url, o + 2, 0, p, 'sku',
+                 'SKU-' || CAST(i AS VARCHAR), 'literal' FROM u
+          UNION ALL SELECT url, o + 3, 0, p, 'url',
+                 'https://shop.example/w' || w, 'literal' FROM u
+          UNION ALL SELECT url, o + 4, 0, p, 'image',
+                 'https://img.example/w' || w || '.png', 'literal' FROM u
+          UNION ALL SELECT url, o + 5, 0, p, 'brand',
+                 'Brand' || CAST(i % 19 AS VARCHAR), 'literal' FROM u
+          UNION ALL SELECT url, o + 5, 0, p, 'alternateName',
+                 'Brand' || CAST(i % 19 AS VARCHAR), 'literal' FROM u
+          UNION ALL SELECT url, o + 7, 0, p, 'seller',
+                 'Seller' || CAST(i % 7 AS VARCHAR), 'literal'
+          FROM u WHERE i % 2 = 0
+          UNION ALL SELECT url, o + 7 + e, 1, p, 'offers',
+                 url || '#md1', 'entity' FROM u
+          UNION ALL SELECT url, o + 7 + e, 1, url || '#md1', 'rdf:type',
+                 'Offer', 'type' FROM u
+          UNION ALL SELECT url, o + 8 + e, 1, url || '#md1', 'validFrom',
+                 '2026-01-0' || CAST(i % 9 + 1 AS VARCHAR), 'literal' FROM u
+          UNION ALL SELECT url, o + 9 + e, 1, url || '#md1', 'price',
+                 CAST(i % 997 + 1 AS VARCHAR), 'literal' FROM u
+          UNION ALL SELECT url, o + 11 + e, 2, url || '#md2', 'note',
+                 'note ' || CAST(i % 13 AS VARCHAR), 'literal'
+          FROM u WHERE i % 5 = 0)
+        SELECT url, CAST(tag_idx AS INT) AS tag_idx,
+               CAST(scope_idx AS INT) AS scope_idx, subj, predicate, obj, kind
+        FROM t
         """
     # --- Hearst extraction: the oracle enumerates the PLANTED pairs
     # arithmetically (it never runs a regex), so the pattern inventory,

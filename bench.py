@@ -359,6 +359,7 @@ def main() -> None:
     from sigraph_spark.operators.hearst import hearst_pairs, taxonomy_edges
     from sigraph_spark.operators.htmltables import table_triples
     from sigraph_spark.operators.jsonld import jsonld_triples, meta_triples
+    from sigraph_spark.operators.microdata import microdata_triples
     from sigraph_spark.operators.links import resolve_redirects
     from sigraph_spark.operators.textreuse import reuse_spans
 
@@ -367,6 +368,7 @@ def main() -> None:
     reuse_docs = entrymod._webtext_reuse_docs(spark, sf=sf).localCheckpoint(True)
     alias_edges = entrymod._webtext_alias_graph(spark, sf=sf).localCheckpoint(True)
     ld_pages = entrymod._webtext_jsonld_pages(spark, sf=sf).localCheckpoint(True)
+    md_pages = entrymod._webtext_microdata_pages(spark, sf=sf).localCheckpoint(True)
 
     def run_webtext() -> int:
         return (
@@ -376,6 +378,7 @@ def main() -> None:
             + resolve_redirects(alias_edges, max_steps=16).count()
             + jsonld_triples(ld_pages).count()
             + meta_triples(ld_pages).count()
+            + microdata_triples(md_pages).count()
         )
 
     timed("webtext_kg", run_webtext)

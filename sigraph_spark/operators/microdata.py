@@ -1,0 +1,188 @@
+"""HTML microdata (itemscope/itemprop) -> KG triples.
+
+The third Web-Data-Commons structured-data channel next to JSON-LD and
+OpenGraph meta tags (``operators/jsonld.py``): schema.org markup inlined
+as HTML attributes (``<div itemscope itemtype="https://schema.org/
+Product"><span itemprop="name">...``). Real Common-Crawl KG pipelines
+mine all three channels, and microdata is historically the largest by
+page count, so the webtext KG engine (BASELINE.json north_star) needs it
+as a first-class extractor view.
+
+A faithful microdata parse needs a DOM tree; a Spark-scale extractor
+needs a bounded columnar one. This module pins a FLAT document-order
+model (the same one-level-flattening convention as the JSON-LD channel):
+
+* every opening tag carrying ``itemscope`` or ``itemprop`` gets a
+  ``tag_idx`` in document order;
+* each ``itemscope`` tag starts a new scope; ``scope_idx`` is the running
+  count of scopes seen. Property tags attach to the MOST RECENT scope;
+  tags before the first scope (orphan itemprops) are dropped;
+* subject of a scope = its ``itemid`` attribute if present, else the
+  deterministic blank node ``url#md<scope_idx>``;
+* ``itemtype`` emits ``(subj, rdf:type, <last path segment>)`` with kind
+  ``type`` (``https://schema.org/Product`` -> ``Product``, matching the
+  bare types the JSON-LD channel emits);
+* a tag with BOTH ``itemprop`` and ``itemscope`` is a nested entity: it
+  emits ``(previous scope's subj, prop, its own subj)`` with kind
+  ``entity`` — document-order parent, one level, the WDC flattening rule;
+* ``itemprop`` may hold several space-separated names (HTML spec): each
+  token emits its own triple;
+* property values resolve in priority order: a non-empty ``content``
+  attribute, else the tag-specific attribute (``href`` for a/link/area,
+  ``src`` for img/audio/video/embed/iframe/source/track, ``datetime``
+  for time, ``value`` for data/meter), else the trimmed text run up to
+  the next ``<``. Empty values drop.
+
+Scale design: three zipped ``regexp_extract_all`` passes build one
+per-page tag array; scope assignment is a LINEAR ``F.aggregate`` fold
+(never a window — no shuffle, no per-page quadratic slice); subjects use
+``F.get`` so out-of-range lookups are NULL instead of ANSI errors. The
+whole operator is a single narrow map: ZERO shuffles, zero Python UDFs
+(plan-asserted in tests). Downstream claim fusion does the aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# one opening tag that carries itemscope or itemprop, plus its text run:
+# (1) tag name, (2) full attribute string, (3) text up to the next '<'
+MD_TAG_RE = r"(?is)<([a-z][a-z0-9]*)\b([^<>]*\bitem(?:scope|prop)\b[^<>]*)>([^<]*)"
+
+_TRIPLE_T = "array<struct<subj:string,predicate:string,obj:string,kind:string>>"
+
+
+def _attr(attrs: Column, name: str) -> Column:
+    """Value of ``name="..."`` / ``name='...'`` in an attribute string
+    ('' when absent — regexp_extract's no-match convention)."""
+    return F.regexp_extract(attrs, rf"(?i)\b{name}\s*=\s*[\"']([^\"']*)[\"']", 1)
+
+
+def microdata_triples(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """``(url, tag_idx, scope_idx, subj, predicate, obj, kind)`` from
+    every itemscope/itemprop tag; kind in {type, entity, literal}.
+
+    ``scope_idx`` is the scope id of the EMITTING tag (for an ``entity``
+    row that is the child scope; its ``subj`` is the parent's subject).
+    """
+    src = pages.schema[html_col].dataType.typeName()
+    html = (
+        F.decode(F.col(html_col), "UTF-8") if src == "binary" else F.col(html_col)
+    )
+    tags = F.arrays_zip(
+        F.transform(
+            F.regexp_extract_all(html, F.lit(MD_TAG_RE), 1), F.lower
+        ).alias("nm"),
+        F.regexp_extract_all(html, F.lit(MD_TAG_RE), 2).alias("at"),
+        F.regexp_extract_all(html, F.lit(MD_TAG_RE), 3).alias("tx"),
+    )
+
+    def is_scope(t: Column) -> Column:
+        return t["at"].rlike(r"(?i)\bitemscope\b")
+
+    # running scope id per tag: linear fold, -1 before the first itemscope
+    sid_step = lambda acc, t: F.struct(  # noqa: E731
+        (acc["cur"] + is_scope(t).cast("int")).alias("cur"),
+        F.concat(
+            acc["out"], F.array(acc["cur"] + is_scope(t).cast("int"))
+        ).alias("out"),
+    )
+    sids = F.aggregate(
+        tags,
+        F.struct(
+            F.lit(-1).alias("cur"), F.array().cast("array<int>").alias("out")
+        ),
+        sid_step,
+        lambda acc: acc["out"],
+    )
+    # subject per scope, in scope order: itemid else url#md<scope_idx>
+    url_c = F.col(url_col)
+    subs = F.transform(
+        F.filter(tags, is_scope),
+        lambda t, i: F.when(_attr(t["at"], "itemid") != "", _attr(t["at"], "itemid"))
+        .otherwise(F.concat(url_c, F.lit("#md"), i.cast("string"))),
+    )
+
+    x = pages.select(
+        url_c.alias("url"),
+        subs.alias("subs"),
+        F.posexplode(F.arrays_zip(tags.alias("t"), sids.alias("sid"))).alias(
+            "tag_idx", "z"
+        ),
+    ).select(
+        "url", "tag_idx", "subs",
+        F.col("z.t.nm").alias("nm"), F.col("z.t.at").alias("at"),
+        F.col("z.t.tx").alias("tx"), F.col("z.sid").alias("sid"),
+    )
+
+    at = F.col("at")
+    scope = at.rlike(r"(?i)\bitemscope\b")
+    self_subj = F.get("subs", F.col("sid"))
+    parent_subj = F.get("subs", F.col("sid") - 1)
+    tokens = F.filter(
+        F.split(F.trim(_attr(at, "itemprop")), r"\s+"), lambda s: s != ""
+    )
+    type_seg = F.regexp_extract(_attr(at, "itemtype"), r"([^/#]+)$", 1)
+
+    nm = F.col("nm")
+    content = _attr(at, "content")
+    tag_attr = (
+        F.when(nm.isin("a", "link", "area"), _attr(at, "href"))
+        .when(
+            nm.isin("img", "audio", "video", "embed", "iframe", "source", "track"),
+            _attr(at, "src"),
+        )
+        .when(nm == "time", _attr(at, "datetime"))
+        .when(nm.isin("data", "meter"), _attr(at, "value"))
+        .otherwise(F.lit(""))
+    )
+    value = (
+        F.when(content != "", content)
+        .when(tag_attr != "", tag_attr)
+        .otherwise(F.trim("tx"))
+    )
+
+    empty = F.array().cast(_TRIPLE_T)
+    type_rows = F.when(
+        scope & (type_seg != "") & self_subj.isNotNull(),
+        F.array(
+            F.struct(
+                self_subj.alias("subj"), F.lit("rdf:type").alias("predicate"),
+                type_seg.alias("obj"), F.lit("type").alias("kind"),
+            )
+        ),
+    ).otherwise(empty)
+    entity_rows = F.when(
+        scope & parent_subj.isNotNull(),
+        F.transform(
+            tokens,
+            lambda tok: F.struct(
+                parent_subj.alias("subj"), tok.alias("predicate"),
+                self_subj.alias("obj"), F.lit("entity").alias("kind"),
+            ),
+        ),
+    ).otherwise(empty)
+    literal_rows = F.when(
+        ~scope & self_subj.isNotNull() & (value != ""),
+        F.transform(
+            tokens,
+            lambda tok: F.struct(
+                self_subj.alias("subj"), tok.alias("predicate"),
+                value.alias("obj"), F.lit("literal").alias("kind"),
+            ),
+        ),
+    ).otherwise(empty)
+
+    return x.select(
+        "url", "tag_idx", F.col("sid").alias("scope_idx"),
+        F.explode(F.concat(type_rows, entity_rows, literal_rows)).alias("t"),
+    ).select(
+        "url", "tag_idx", "scope_idx",
+        F.col("t.subj").alias("subj"), F.col("t.predicate").alias("predicate"),
+        F.col("t.obj").alias("obj"), F.col("t.kind").alias("kind"),
+    )
