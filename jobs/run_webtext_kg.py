@@ -10,9 +10,10 @@ web tables + Hearst prose in ONE html per page):
     python jobs/run_webtext_kg.py --synthetic-sf 0.01 --workdir /tmp/webkg \\
         --master 'local[8]' --shuffle-partitions 8
 
-Stages w1 (extract) -> {w2 sentence, w3 table, w4 hearst} claims ->
-w5 union -> w6 fused checkpoint with chained-fingerprint manifests and
-resume idempotently. Prints one JSON line of per-table row counts.
+Stages w1 (extract) -> {w2 sentence, w3 table, w4 hearst, w7 structured
+(JSON-LD/microdata/meta)} claims -> w5 union -> w6 fused checkpoint with
+chained-fingerprint manifests and resume idempotently. Prints one JSON
+line of per-table row counts.
 """
 
 from __future__ import annotations
@@ -27,11 +28,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def synthetic_webtext_pages(spark, sf: float):
-    """Combined corpus: gen_pages html with the planted table markup and
-    the Hearst prose paragraph spliced in before </body> — every
-    extractor view has signal in the SAME page, and none disturbs the
-    others (table cells and Hearst prose carry no whitelist verbs;
-    gen_pages' template has no tables)."""
+    """Combined corpus: gen_pages html with the planted table markup, the
+    Hearst prose paragraph AND a structured-data snippet (JSON-LD block +
+    microdata scope + OpenGraph meta tag) spliced in before </body> —
+    every extractor view has signal in the SAME page, and none disturbs
+    the others (table cells and Hearst prose carry no whitelist verbs;
+    gen_pages' template has no tables; script bodies are stripped before
+    sentence extraction). The structured snippet claims ``os`` on the
+    FIRST table-row subject of the page (srv-<3i%97>): JSON-LD always
+    says linux, microdata says linux on even pages and freebsd on odd
+    ones — planting genuine cross-CHANNEL conflicts for fusion on top of
+    the existing cross-page table conflicts."""
     from pyspark.sql import functions as F
 
     import __spark_entry__ as entry
@@ -50,6 +57,20 @@ def synthetic_webtext_pages(spark, sf: float):
     hd = entry._hearst_corpus(spark, sf=sf).select(
         "url", F.col("text").alias("_htext")
     )
+    i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    srv = F.concat(F.lit("srv-"), ((i * 3) % 97).cast("string"))
+    osmd = F.when(i % 2 == 0, F.lit("linux")).otherwise(F.lit("freebsd"))
+    structured = F.concat(
+        F.lit('<script type="application/ld+json">{"@id":"'), srv,
+        F.lit('","@type":"Server","os":"linux","dc":"dc-'),
+        (i % 7).cast("string"), F.lit('"}</script>'),
+        F.lit('<div itemscope itemtype="https://schema.org/Server"'
+              ' itemid="'), srv,
+        F.lit('"><span itemprop="os">'), osmd,
+        F.lit('</span><span itemprop="rack">r-'), (i % 23).cast("string"),
+        F.lit("</span></div>"),
+        F.lit('<meta property="og:title" content="Host '), srv, F.lit('">'),
+    )
     combined = (
         gp.join(tp, "url").join(hd, "url")
         .select(
@@ -60,7 +81,7 @@ def synthetic_webtext_pages(spark, sf: float):
                     F.lit("</body></html>"),
                     F.concat(
                         F.col("_tbody"), F.lit("<p>"), F.col("_htext"),
-                        F.lit("</p></body></html>"),
+                        F.lit("</p>"), structured, F.lit("</body></html>"),
                     ),
                 ),
                 "UTF-8",

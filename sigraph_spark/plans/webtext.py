@@ -2,9 +2,11 @@
 
 Composes the webtext extractor family over the SAME pages input —
 sentence-level triples (``operators/triples.py``), web-table facts
-(``operators/htmltables.py``), Hearst is_a pairs (``operators/hearst.py``)
-— into an extractor-tagged claims table and resolves cross-extractor
-conflicts with two-round source-weighted fusion (``operators/fusion.py``).
+(``operators/htmltables.py``), Hearst is_a pairs (``operators/hearst.py``),
+and the three structured-data channels (JSON-LD + OpenGraph meta,
+``operators/jsonld.py``; microdata, ``operators/microdata.py``) — into an
+extractor-tagged claims table and resolves cross-extractor conflicts with
+two-round source-weighted fusion (``operators/fusion.py``).
 This is the "many noisy views -> one KG" assembly step every webtext KG
 builder runs (NELL / Knowledge Vault shape: extractors vote, fusion
 arbitrates), expressed as checkpointed ``run_stage`` stages with chained
@@ -16,8 +18,11 @@ Stage graph::
     pages ── w1_docs (html -> text)
        \\            ├── w2_sent  (sentence triples -> claims 'sentence')
         \\           └── w4_hearst (is_a pairs      -> claims 'hearst')
-         └── w3_tables (html tables -> claims 'table')
-    w2+w3+w4 ── w5_claims (union, distinct) ── w6_fused
+         ├── w3_tables (html tables -> claims 'table')
+         └── w7_struct (JSON-LD / microdata / meta -> claims 'jsonld' /
+                        'microdata' / 'meta' — three narrow maps, no w1
+                        dependency: they read raw html)
+    w2+w3+w4+w7 ── w5_claims (union, distinct) ── w6_fused
 
 The fusion algebra itself is hash-proven by the ``multi_extractor_fusion``
 gate; this module adds the materialized, resumable composition.
@@ -35,6 +40,30 @@ from pyspark.sql import functions as F
 from sigraph_spark.plans.pipeline import (
     read_manifest, run_stage, table_fingerprint,
 )
+
+
+def _structured_claims(pages: DataFrame) -> DataFrame:
+    """Claims view of the three structured-data channels over raw html:
+    (subject, predicate, object, source) with source in {jsonld,
+    microdata, meta}. rdf:type rows ride along — a fused KG wants typed
+    entities, and fusion arbitrates them like any other predicate. Meta
+    tags are page-level facts, so their subject is the url itself."""
+    from sigraph_spark.operators.jsonld import jsonld_triples, meta_triples
+    from sigraph_spark.operators.microdata import microdata_triples
+
+    def shape(df, s, source):
+        return df.select(
+            F.col(s).alias("subject"),
+            F.col("predicate"),
+            F.col("obj").alias("object"),
+            F.lit(source).alias("source"),
+        )
+
+    return (
+        shape(jsonld_triples(pages), "subj", "jsonld")
+        .unionByName(shape(microdata_triples(pages), "subj", "microdata"))
+        .unionByName(shape(meta_triples(pages), "url", "meta"))
+    )
 
 
 def run_webtext_kg(
@@ -96,11 +125,19 @@ def run_webtext_kg(
         ),
         fp_docs + ":w4v1",
     )
-    fp_views = ":".join(out_fp(d) for d in ("w2_sent", "w3_tables", "w4_hearst"))
+    struct = run_stage(
+        spark, "w7_struct", os.path.join(workdir, "w7_struct"),
+        lambda: _structured_claims(pages),
+        fp + ":w7v1",
+    )
+    fp_views = ":".join(
+        out_fp(d) for d in ("w2_sent", "w3_tables", "w4_hearst", "w7_struct")
+    )
     claims = run_stage(
         spark, "w5_claims", os.path.join(workdir, "w5_claims"),
-        lambda: sent.unionByName(tables).unionByName(hearst).distinct(),
-        fp_views + ":w5v1",
+        lambda: sent.unionByName(tables).unionByName(hearst)
+        .unionByName(struct).distinct(),
+        fp_views + ":w5v2",
     )
     fp_claims = out_fp("w5_claims")
     fused = run_stage(
@@ -112,7 +149,8 @@ def run_webtext_kg(
     )
     return {
         "docs": docs, "sent_claims": sent, "table_claims": tables,
-        "hearst_claims": hearst, "claims": claims, "fused": fused,
+        "hearst_claims": hearst, "struct_claims": struct,
+        "claims": claims, "fused": fused,
     }
 
 
@@ -201,6 +239,7 @@ def apply_webtext_delta(
         .unionByName(shape(
             hearst_pairs(docs).withColumn("p", F.lit("is_a")),
             "hypo", "p", "hyper", "hearst"))
+        .unionByName(_structured_claims(delta_pages))
         .distinct()
     )
     stored, _ = webtext_state_tables(spark, workdir)

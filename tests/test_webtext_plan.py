@@ -26,7 +26,16 @@ def test_webtext_plan_all_views_fire_and_fuse(spark, tmp_path):
     by_source = {
         r["source"] for r in out["claims"].select("source").distinct().collect()
     }
-    assert by_source == {"sentence", "table", "hearst"}
+    assert by_source == {
+        "sentence", "table", "hearst", "jsonld", "microdata", "meta",
+    }
+    # the planted cross-CHANNEL conflict: table/jsonld/microdata disagree
+    # on (srv-*, os) for some pages, so fusion sees >1 source per fact
+    os_claims = out["claims"].filter(
+        "predicate = 'os' AND source IN ('jsonld', 'microdata', 'table')"
+    )
+    assert {r["source"] for r in os_claims.select("source").distinct().collect()} \
+        == {"jsonld", "microdata", "table"}
     fused = out["fused"]
     assert fused.count() > 0
     # cross-page table conflicts exist (same srv-N, different os) and fuse
@@ -42,7 +51,8 @@ def test_webtext_plan_resumes_and_invalidates(spark, tmp_path):
     pages = _pages(spark)
     run_webtext_kg(spark, pages, wd, input_fingerprint="t:v1")
     m1 = {s: _manifest(wd, s) for s in
-          ("w1_docs", "w2_sent", "w3_tables", "w4_hearst", "w5_claims", "w6_fused")}
+          ("w1_docs", "w2_sent", "w3_tables", "w4_hearst", "w7_struct",
+           "w5_claims", "w6_fused")}
     # resume: same fingerprint -> every stage skipped (manifests untouched)
     run_webtext_kg(spark, pages, wd, input_fingerprint="t:v1")
     m2 = {s: _manifest(wd, s) for s in m1}
