@@ -733,6 +733,82 @@ def q_microdata_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return microdata_triples(_webtext_microdata_pages(spark))
 
 
+def _webtext_rdfa_pages(spark: SparkSession, sf: float = 0.01) -> DataFrame:
+    """Deterministic RDFa Lite corpus over the standard urls, mirroring
+    the microdata plant shape but pinning the RDFa-specific deltas: every
+    page carries a Person scope with a RESOURCE subject holding a text
+    prop, a meta content prop, href/src/datetime attribute props, a
+    TWO-TOKEN property (givenName additionalName), an empty prop that
+    must drop, and a nested property+typeof Organization scope (blank
+    node #rd1, entity edge from the parent). Every 3rd page leads with an
+    ORPHAN property tag (no scope yet — drops but consumes tag_idx 0),
+    every 2nd page adds a content-beats-href award prop, and every 5th
+    page appends a MULTI-TOKEN-typeof section ("schema:Event
+    http://ex.org/v#Meetup") with an ABOUT subject — two rdf:type rows
+    per section, CURIE and IRI both reduced to the last segment. The
+    oracle enumerates the planted triples arithmetically."""
+    from sigraph_spark.corpus import gen_pages
+
+    i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    pages = gen_pages(spark, sf=sf).select("url", i.alias("i"))
+    istr = F.col("i").cast("string")
+    w = (F.col("i") % 53).cast("string")
+    orphan = F.when(
+        F.col("i") % 3 == 0, F.lit('<p property="stray">orphan</p>')
+    ).otherwise(F.lit(""))
+    award = F.when(
+        F.col("i") % 2 == 0,
+        F.concat(
+            F.lit('<a property="award" content="Award'),
+            (F.col("i") % 7).cast("string"),
+            F.lit('" href="https://a.example/x">a</a>'),
+        ),
+    ).otherwise(F.lit(""))
+    section = F.when(
+        F.col("i") % 5 == 0,
+        F.concat(
+            F.lit('<section typeof="schema:Event http://ex.org/v#Meetup"'
+                  ' about="#ev'),
+            (F.col("i") % 13).cast("string"),
+            F.lit('"><span property="note">note '),
+            (F.col("i") % 13).cast("string"),
+            F.lit("</span></section>"),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><body>"), orphan,
+        F.lit('<div vocab="https://schema.org/" typeof="Person"'
+              ' resource="#p'),
+        (F.col("i") % 47).cast("string"),
+        F.lit('"><span property="name">Alice '), w,
+        F.lit('</span><meta property="jobTitle" content="Job-'), istr,
+        F.lit('"><a property="url" href="https://people.example/w'), w,
+        F.lit('">home</a><img property="image" src="https://img.example/p'), w,
+        F.lit('.png"><span property="givenName additionalName">Name'),
+        (F.col("i") % 19).cast("string"),
+        F.lit('</span><span property="empty"></span>'), award,
+        F.lit('<div property="worksFor" typeof="Organization">'
+              '<time property="foundingDate" datetime="2026-01-0'),
+        (F.col("i") % 9 + 1).cast("string"),
+        F.lit('">jan</time><span property="numberOfEmployees">'),
+        (F.col("i") % 997 + 1).cast("string"),
+        F.lit("</span></div></div>"), section,
+        F.lit("<p>filler "), istr, F.lit("</p></body></html>"),
+    )
+    return pages.select("url", html.alias("html"))
+
+
+def q_rdfa_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFa Lite extraction over the planted corpus; hash pins
+    document-order tag/scope indexing, resource-else-about-else-blank
+    subjects, multi-token typeof fan-out with CURIE/IRI last-segment
+    reduction, the content > tag-attribute > text value priority,
+    nested-entity edges and the drop rules."""
+    from sigraph_spark.operators.rdfa import rdfa_triples
+
+    return rdfa_triples(_webtext_rdfa_pages(spark))
+
+
 def _hearst_corpus(spark: SparkSession, sf: float = 0.01) -> DataFrame:
     """Planted Hearst-pattern corpus over the standard urls: every page
     carries a such_as sentence with a 3-item coordinated list; 3/4/5/7
@@ -3637,6 +3713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_triples": q_jsonld_triples,
         "meta_triples": q_meta_triples,
         "microdata_triples": q_microdata_triples,
+        "rdfa_triples": q_rdfa_triples,
         "hearst_pairs": q_hearst_pairs,
         "taxonomy_induction": q_taxonomy_induction,
         "text_reuse": q_text_reuse,
@@ -4457,6 +4534,58 @@ def oracle_sql() -> dict[str, str]:
                  CAST(i % 997 + 1 AS VARCHAR), 'literal' FROM u
           UNION ALL SELECT url, o + 11 + e, 2, url || '#md2', 'note',
                  'note ' || CAST(i % 13 AS VARCHAR), 'literal'
+          FROM u WHERE i % 5 = 0)
+        SELECT url, CAST(tag_idx AS INT) AS tag_idx,
+               CAST(scope_idx AS INT) AS scope_idx, subj, predicate, obj, kind
+        FROM t
+        """
+    # --- RDFa Lite: same arithmetic-enumeration device as microdata.
+    # tag_idx counts ALL typeof/property tags in document order (orphan on
+    # i%3 pages consumes 0 then drops; the even-page award shifts the
+    # worksFor block); subjects are resource else about else url#rd<n>;
+    # the i%5 section's TWO typeof tokens each emit one rdf:type row.
+    sq["rdfa_triples"] = """
+        WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 10000)),
+        u AS (SELECT i, 'https://example.org/report/' || CAST(i AS VARCHAR) AS url,
+                     CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END AS o,
+                     CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END AS e,
+                     '#p' || CAST(i % 47 AS VARCHAR) AS p,
+                     CAST(i % 53 AS VARCHAR) AS w
+              FROM pg),
+        t AS (
+          SELECT url, o + 0 AS tag_idx, 0 AS scope_idx, p AS subj,
+                 'rdf:type' AS predicate, 'Person' AS obj, 'type' AS kind
+          FROM u
+          UNION ALL SELECT url, o + 1, 0, p, 'name', 'Alice ' || w, 'literal'
+          FROM u
+          UNION ALL SELECT url, o + 2, 0, p, 'jobTitle',
+                 'Job-' || CAST(i AS VARCHAR), 'literal' FROM u
+          UNION ALL SELECT url, o + 3, 0, p, 'url',
+                 'https://people.example/w' || w, 'literal' FROM u
+          UNION ALL SELECT url, o + 4, 0, p, 'image',
+                 'https://img.example/p' || w || '.png', 'literal' FROM u
+          UNION ALL SELECT url, o + 5, 0, p, 'givenName',
+                 'Name' || CAST(i % 19 AS VARCHAR), 'literal' FROM u
+          UNION ALL SELECT url, o + 5, 0, p, 'additionalName',
+                 'Name' || CAST(i % 19 AS VARCHAR), 'literal' FROM u
+          UNION ALL SELECT url, o + 7, 0, p, 'award',
+                 'Award' || CAST(i % 7 AS VARCHAR), 'literal'
+          FROM u WHERE i % 2 = 0
+          UNION ALL SELECT url, o + 7 + e, 1, p, 'worksFor',
+                 url || '#rd1', 'entity' FROM u
+          UNION ALL SELECT url, o + 7 + e, 1, url || '#rd1', 'rdf:type',
+                 'Organization', 'type' FROM u
+          UNION ALL SELECT url, o + 8 + e, 1, url || '#rd1', 'foundingDate',
+                 '2026-01-0' || CAST(i % 9 + 1 AS VARCHAR), 'literal' FROM u
+          UNION ALL SELECT url, o + 9 + e, 1, url || '#rd1',
+                 'numberOfEmployees', CAST(i % 997 + 1 AS VARCHAR), 'literal'
+          FROM u
+          UNION ALL SELECT url, o + 10 + e, 2, '#ev' || CAST(i % 13 AS VARCHAR),
+                 'rdf:type', 'Event', 'type' FROM u WHERE i % 5 = 0
+          UNION ALL SELECT url, o + 10 + e, 2, '#ev' || CAST(i % 13 AS VARCHAR),
+                 'rdf:type', 'Meetup', 'type' FROM u WHERE i % 5 = 0
+          UNION ALL SELECT url, o + 11 + e, 2, '#ev' || CAST(i % 13 AS VARCHAR),
+                 'note', 'note ' || CAST(i % 13 AS VARCHAR), 'literal'
           FROM u WHERE i % 5 = 0)
         SELECT url, CAST(tag_idx AS INT) AS tag_idx,
                CAST(scope_idx AS INT) AS scope_idx, subj, predicate, obj, kind

@@ -360,6 +360,7 @@ def main() -> None:
     from sigraph_spark.operators.htmltables import table_triples
     from sigraph_spark.operators.jsonld import jsonld_triples, meta_triples
     from sigraph_spark.operators.microdata import microdata_triples
+    from sigraph_spark.operators.rdfa import rdfa_triples
     from sigraph_spark.operators.links import resolve_redirects
     from sigraph_spark.operators.textreuse import reuse_spans
 
@@ -369,6 +370,7 @@ def main() -> None:
     alias_edges = entrymod._webtext_alias_graph(spark, sf=sf).localCheckpoint(True)
     ld_pages = entrymod._webtext_jsonld_pages(spark, sf=sf).localCheckpoint(True)
     md_pages = entrymod._webtext_microdata_pages(spark, sf=sf).localCheckpoint(True)
+    rd_pages = entrymod._webtext_rdfa_pages(spark, sf=sf).localCheckpoint(True)
 
     def run_webtext() -> int:
         return (
@@ -379,6 +381,7 @@ def main() -> None:
             + jsonld_triples(ld_pages).count()
             + meta_triples(ld_pages).count()
             + microdata_triples(md_pages).count()
+            + rdfa_triples(rd_pages).count()
         )
 
     timed("webtext_kg", run_webtext)

@@ -30,15 +30,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def synthetic_webtext_pages(spark, sf: float):
     """Combined corpus: gen_pages html with the planted table markup, the
     Hearst prose paragraph AND a structured-data snippet (JSON-LD block +
-    microdata scope + OpenGraph meta tag) spliced in before </body> —
-    every extractor view has signal in the SAME page, and none disturbs
-    the others (table cells and Hearst prose carry no whitelist verbs;
-    gen_pages' template has no tables; script bodies are stripped before
-    sentence extraction). The structured snippet claims ``os`` on the
-    FIRST table-row subject of the page (srv-<3i%97>): JSON-LD always
+    microdata scope + RDFa scope + OpenGraph meta tag) spliced in before
+    </body> — every extractor view has signal in the SAME page, and none
+    disturbs the others (table cells and Hearst prose carry no whitelist
+    verbs; gen_pages' template has no tables; script bodies are stripped
+    before sentence extraction). The structured snippet claims ``os`` on
+    the FIRST table-row subject of the page (srv-<3i%97>): JSON-LD always
     says linux, microdata says linux on even pages and freebsd on odd
-    ones — planting genuine cross-CHANNEL conflicts for fusion on top of
-    the existing cross-page table conflicts."""
+    ones, RDFa says linux except netbsd on i%3==0 pages — planting
+    genuine cross-CHANNEL conflicts for fusion on top of the existing
+    cross-page table conflicts."""
     from pyspark.sql import functions as F
 
     import __spark_entry__ as entry
@@ -60,6 +61,7 @@ def synthetic_webtext_pages(spark, sf: float):
     i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
     srv = F.concat(F.lit("srv-"), ((i * 3) % 97).cast("string"))
     osmd = F.when(i % 2 == 0, F.lit("linux")).otherwise(F.lit("freebsd"))
+    osrd = F.when(i % 3 == 0, F.lit("netbsd")).otherwise(F.lit("linux"))
     structured = F.concat(
         F.lit('<script type="application/ld+json">{"@id":"'), srv,
         F.lit('","@type":"Server","os":"linux","dc":"dc-'),
@@ -69,6 +71,10 @@ def synthetic_webtext_pages(spark, sf: float):
         F.lit('"><span itemprop="os">'), osmd,
         F.lit('</span><span itemprop="rack">r-'), (i % 23).cast("string"),
         F.lit("</span></div>"),
+        F.lit('<div typeof="Server" resource="'), srv,
+        F.lit('"><span property="os">'), osrd,
+        F.lit('</span><span property="owner">team-'),
+        (i % 11).cast("string"), F.lit("</span></div>"),
         F.lit('<meta property="og:title" content="Host '), srv, F.lit('">'),
     )
     combined = (

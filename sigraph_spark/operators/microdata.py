@@ -39,6 +39,11 @@ per-page tag array; scope assignment is a LINEAR ``F.aggregate`` fold
 ``F.get`` so out-of-range lookups are NULL instead of ANSI errors. The
 whole operator is a single narrow map: ZERO shuffles, zero Python UDFs
 (plan-asserted in tests). Downstream claim fusion does the aggregation.
+
+The flat-scope engine itself (:func:`scoped_attr_triples`) is channel
+agnostic — ``operators/rdfa.py`` reuses it with RDFa Lite attribute
+names (typeof/property/resource/about), so both attribute-embedded WDC
+channels share one pinned execution shape.
 """
 
 from __future__ import annotations
@@ -70,20 +75,53 @@ def microdata_triples(
     ``scope_idx`` is the scope id of the EMITTING tag (for an ``entity``
     row that is the child scope; its ``subj`` is the parent's subject).
     """
+    return scoped_attr_triples(
+        pages, url_col=url_col, html_col=html_col,
+        tag_re=MD_TAG_RE,
+        scope_re=r"(?i)\bitemscope\b",
+        subj_attrs=("itemid",),
+        type_attr="itemtype",
+        type_seg_re=r"([^/#]+)$",
+        prop_attr="itemprop",
+        blank_prefix="#md",
+    )
+
+
+def scoped_attr_triples(
+    pages: DataFrame,
+    *,
+    url_col: str,
+    html_col: str,
+    tag_re: str,
+    scope_re: str,
+    subj_attrs: tuple[str, ...],
+    type_attr: str,
+    type_seg_re: str,
+    prop_attr: str,
+    blank_prefix: str,
+) -> DataFrame:
+    """Shared flat document-order scope engine for attribute-embedded
+    structured data (microdata, RDFa Lite). ``tag_re`` must capture
+    (tag name, attribute string, trailing text); ``scope_re`` marks
+    scope-opening tags; subjects come from the first non-empty attr in
+    ``subj_attrs`` else ``url<blank_prefix><scope_idx>``; the
+    ``type_attr`` value is whitespace-split and each token reduced by
+    ``type_seg_re`` into one rdf:type row.
+    """
     src = pages.schema[html_col].dataType.typeName()
     html = (
         F.decode(F.col(html_col), "UTF-8") if src == "binary" else F.col(html_col)
     )
     tags = F.arrays_zip(
         F.transform(
-            F.regexp_extract_all(html, F.lit(MD_TAG_RE), 1), F.lower
+            F.regexp_extract_all(html, F.lit(tag_re), 1), F.lower
         ).alias("nm"),
-        F.regexp_extract_all(html, F.lit(MD_TAG_RE), 2).alias("at"),
-        F.regexp_extract_all(html, F.lit(MD_TAG_RE), 3).alias("tx"),
+        F.regexp_extract_all(html, F.lit(tag_re), 2).alias("at"),
+        F.regexp_extract_all(html, F.lit(tag_re), 3).alias("tx"),
     )
 
     def is_scope(t: Column) -> Column:
-        return t["at"].rlike(r"(?i)\bitemscope\b")
+        return t["at"].rlike(scope_re)
 
     # running scope id per tag: linear fold, -1 before the first itemscope
     sid_step = lambda acc, t: F.struct(  # noqa: E731
@@ -100,13 +138,19 @@ def microdata_triples(
         sid_step,
         lambda acc: acc["out"],
     )
-    # subject per scope, in scope order: itemid else url#md<scope_idx>
+    # subject per scope, in scope order: first non-empty subject attr,
+    # else the deterministic blank node url<blank_prefix><scope_idx>
     url_c = F.col(url_col)
-    subs = F.transform(
-        F.filter(tags, is_scope),
-        lambda t, i: F.when(_attr(t["at"], "itemid") != "", _attr(t["at"], "itemid"))
-        .otherwise(F.concat(url_c, F.lit("#md"), i.cast("string"))),
-    )
+
+    def scope_subj(t: Column, i: Column) -> Column:
+        out = F.concat(url_c, F.lit(blank_prefix), i.cast("string"))
+        for name in reversed(subj_attrs):
+            out = F.when(_attr(t["at"], name) != "", _attr(t["at"], name)).otherwise(
+                out
+            )
+        return out
+
+    subs = F.transform(F.filter(tags, is_scope), scope_subj)
 
     x = pages.select(
         url_c.alias("url"),
@@ -121,13 +165,21 @@ def microdata_triples(
     )
 
     at = F.col("at")
-    scope = at.rlike(r"(?i)\bitemscope\b")
+    scope = at.rlike(scope_re)
     self_subj = F.get("subs", F.col("sid"))
     parent_subj = F.get("subs", F.col("sid") - 1)
     tokens = F.filter(
-        F.split(F.trim(_attr(at, "itemprop")), r"\s+"), lambda s: s != ""
+        F.split(F.trim(_attr(at, prop_attr)), r"\s+"), lambda s: s != ""
     )
-    type_seg = F.regexp_extract(_attr(at, "itemtype"), r"([^/#]+)$", 1)
+    # type attr may hold several whitespace-separated tokens (both specs
+    # allow it); each reduces to its type_seg_re segment
+    type_toks = F.filter(
+        F.transform(
+            F.split(F.trim(_attr(at, type_attr)), r"\s+"),
+            lambda s: F.regexp_extract(s, type_seg_re, 1),
+        ),
+        lambda s: s != "",
+    )
 
     nm = F.col("nm")
     content = _attr(at, "content")
@@ -149,12 +201,13 @@ def microdata_triples(
 
     empty = F.array().cast(_TRIPLE_T)
     type_rows = F.when(
-        scope & (type_seg != "") & self_subj.isNotNull(),
-        F.array(
-            F.struct(
+        scope & self_subj.isNotNull(),
+        F.transform(
+            type_toks,
+            lambda seg: F.struct(
                 self_subj.alias("subj"), F.lit("rdf:type").alias("predicate"),
-                type_seg.alias("obj"), F.lit("type").alias("kind"),
-            )
+                seg.alias("obj"), F.lit("type").alias("kind"),
+            ),
         ),
     ).otherwise(empty)
     entity_rows = F.when(

@@ -3,8 +3,9 @@
 Composes the webtext extractor family over the SAME pages input —
 sentence-level triples (``operators/triples.py``), web-table facts
 (``operators/htmltables.py``), Hearst is_a pairs (``operators/hearst.py``),
-and the three structured-data channels (JSON-LD + OpenGraph meta,
-``operators/jsonld.py``; microdata, ``operators/microdata.py``) — into an
+and the four structured-data channels (JSON-LD + OpenGraph meta,
+``operators/jsonld.py``; microdata, ``operators/microdata.py``; RDFa
+Lite, ``operators/rdfa.py``) — into an
 extractor-tagged claims table and resolves cross-extractor conflicts with
 two-round source-weighted fusion (``operators/fusion.py``).
 This is the "many noisy views -> one KG" assembly step every webtext KG
@@ -19,9 +20,9 @@ Stage graph::
        \\            ├── w2_sent  (sentence triples -> claims 'sentence')
         \\           └── w4_hearst (is_a pairs      -> claims 'hearst')
          ├── w3_tables (html tables -> claims 'table')
-         └── w7_struct (JSON-LD / microdata / meta -> claims 'jsonld' /
-                        'microdata' / 'meta' — three narrow maps, no w1
-                        dependency: they read raw html)
+         └── w7_struct (JSON-LD / microdata / RDFa / meta -> claims
+                        'jsonld' / 'microdata' / 'rdfa' / 'meta' — four
+                        narrow maps, no w1 dependency: they read raw html)
     w2+w3+w4+w7 ── w5_claims (union, distinct) ── w6_fused
 
 The fusion algebra itself is hash-proven by the ``multi_extractor_fusion``
@@ -43,13 +44,14 @@ from sigraph_spark.plans.pipeline import (
 
 
 def _structured_claims(pages: DataFrame) -> DataFrame:
-    """Claims view of the three structured-data channels over raw html:
+    """Claims view of the four structured-data channels over raw html:
     (subject, predicate, object, source) with source in {jsonld,
-    microdata, meta}. rdf:type rows ride along — a fused KG wants typed
-    entities, and fusion arbitrates them like any other predicate. Meta
-    tags are page-level facts, so their subject is the url itself."""
+    microdata, rdfa, meta}. rdf:type rows ride along — a fused KG wants
+    typed entities, and fusion arbitrates them like any other predicate.
+    Meta tags are page-level facts, so their subject is the url itself."""
     from sigraph_spark.operators.jsonld import jsonld_triples, meta_triples
     from sigraph_spark.operators.microdata import microdata_triples
+    from sigraph_spark.operators.rdfa import rdfa_triples
 
     def shape(df, s, source):
         return df.select(
@@ -62,6 +64,7 @@ def _structured_claims(pages: DataFrame) -> DataFrame:
     return (
         shape(jsonld_triples(pages), "subj", "jsonld")
         .unionByName(shape(microdata_triples(pages), "subj", "microdata"))
+        .unionByName(shape(rdfa_triples(pages), "subj", "rdfa"))
         .unionByName(shape(meta_triples(pages), "url", "meta"))
     )
 

@@ -27,15 +27,15 @@ def test_webtext_plan_all_views_fire_and_fuse(spark, tmp_path):
         r["source"] for r in out["claims"].select("source").distinct().collect()
     }
     assert by_source == {
-        "sentence", "table", "hearst", "jsonld", "microdata", "meta",
+        "sentence", "table", "hearst", "jsonld", "microdata", "rdfa", "meta",
     }
-    # the planted cross-CHANNEL conflict: table/jsonld/microdata disagree
-    # on (srv-*, os) for some pages, so fusion sees >1 source per fact
+    # the planted cross-CHANNEL conflict: table/jsonld/microdata/rdfa
+    # disagree on (srv-*, os) for some pages, so fusion sees >1 source
     os_claims = out["claims"].filter(
-        "predicate = 'os' AND source IN ('jsonld', 'microdata', 'table')"
+        "predicate = 'os' AND source IN ('jsonld', 'microdata', 'rdfa', 'table')"
     )
     assert {r["source"] for r in os_claims.select("source").distinct().collect()} \
-        == {"jsonld", "microdata", "table"}
+        == {"jsonld", "microdata", "rdfa", "table"}
     fused = out["fused"]
     assert fused.count() > 0
     # cross-page table conflicts exist (same srv-N, different os) and fuse
