@@ -1042,6 +1042,58 @@ def q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return construct_sparql(_edges_ckpt(spark, sf_dir), q)
 
 
+def q_sparql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION: a group chain joined with an outer triple — each
+    branch evaluates independently (one may carry its own FILTER), the
+    union NULL-fills branch-local variables, and the shared variable
+    joins back into the required pattern."""
+    from sigraph_spark.operators.bgp import select_sparql
+
+    q = (
+        "SELECT DISTINCT ?a ?x WHERE { ?a LAUNCH ?b . "
+        "{ ?b CONNECT ?x } UNION { ?b ACCESS ?x . FILTER(?b != ?x) } }"
+    )
+    return select_sparql(_edges_ckpt(spark, sf_dir), q)
+
+
+def q_sparql_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL VALUES with UNDEF: the inline table binds the PREDICATE
+    variable (data-independent literals), one row per kept predicate,
+    UNDEF in the src slot admitting every subject — the compatibility
+    join (UNDEF matches anything) is what the hash pins."""
+    from sigraph_spark.operators.bgp import select_sparql
+
+    q = (
+        "SELECT DISTINCT ?p ?s ?o WHERE { ?s ?p ?o . "
+        "VALUES (?p ?s) { ('LAUNCH' UNDEF) ('CONNECT' UNDEF) } }"
+    )
+    return select_sparql(_edges_ckpt(spark, sf_dir), q)
+
+
+def q_sparql_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ASK: boolean existence of the LAUNCH-into-LAUNCH join —
+    one row, column ``matched`` (true at every sf: process chains
+    exist by construction)."""
+    from sigraph_spark.operators.bgp import ask_sparql
+
+    return ask_sparql(
+        _edges_ckpt(spark, sf_dir), "ASK { ?a LAUNCH ?b . ?b LAUNCH ?c }"
+    )
+
+
+def q_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE ?v WHERE: incident-edge description of every
+    node that LAUNCHes a launcher — the resource set comes from a
+    binding pattern, the description is the one-hop incident edge set
+    (both directions, distinct) via two broadcast semi-joins."""
+    from sigraph_spark.operators.bgp import describe_sparql
+
+    return describe_sparql(
+        _edges_ckpt(spark, sf_dir),
+        "DESCRIBE ?m WHERE { ?m LAUNCH ?x . ?x LAUNCH ?y }",
+    )
+
+
 def _robots_corpus(spark: SparkSession) -> DataFrame:
     """200 planted robots.txt bodies: every host has a '*' group
     (disallow + longer allow carve-out), 4-multiples add a wildcard rule
@@ -3722,6 +3774,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_select": q_sparql_select,
         "sparql_aggregate": q_sparql_aggregate,
         "sparql_construct": q_sparql_construct,
+        "sparql_union": q_sparql_union,
+        "sparql_values": q_sparql_values,
+        "sparql_ask": q_sparql_ask,
+        "sparql_describe": q_sparql_describe,
         "robots_rules": q_robots_rules,
         "robots_allowed": q_robots_allowed,
         "sitemap_parse": q_sitemap_parse,
@@ -5088,6 +5144,55 @@ def oracle_sql() -> dict[str, str]:
           FROM sqc_pairs
           UNION ALL
           SELECT c, 'reached_by', a FROM sqc_pairs)
+        """
+    )
+    # --- SPARQL UNION: branch union (CONNECT plus self-filtered ACCESS)
+    # joined back into the LAUNCH triple on the shared ?b.
+    sq["sparql_union"] = (
+        "WITH " + _EDGES_CTE
+        + """,
+        squ_l AS (SELECT src, dst FROM edges WHERE predicate = 'LAUNCH'),
+        squ_u AS (
+          SELECT src AS b, dst AS x FROM edges WHERE predicate = 'CONNECT'
+          UNION ALL
+          SELECT src, dst FROM edges
+          WHERE predicate = 'ACCESS' AND src <> dst)
+        SELECT DISTINCT l.src AS a, u.x
+        FROM squ_l l JOIN squ_u u ON u.b = l.dst
+        """
+    )
+    # --- SPARQL VALUES with UNDEF: the compatibility join reduces to a
+    # predicate keep-list (UNDEF src admits every subject).
+    sq["sparql_values"] = (
+        "WITH " + _EDGES_CTE
+        + """
+        SELECT DISTINCT predicate AS p, src AS s, dst AS o
+        FROM edges WHERE predicate IN ('LAUNCH', 'CONNECT')
+        """
+    )
+    # --- SPARQL ASK: one boolean row.
+    sq["sparql_ask"] = (
+        "WITH " + _EDGES_CTE
+        + """
+        SELECT EXISTS(
+          SELECT 1 FROM edges l JOIN edges a ON a.src = l.dst
+          WHERE l.predicate = 'LAUNCH' AND a.predicate = 'LAUNCH'
+        ) AS matched
+        """
+    )
+    # --- SPARQL DESCRIBE: incident edges (either side) of every node
+    # that LAUNCHes an ACCESSor.
+    sq["sparql_describe"] = (
+        "WITH " + _EDGES_CTE
+        + """,
+        sqd_res AS (
+          SELECT DISTINCT l.src AS node
+          FROM edges l JOIN edges a ON a.src = l.dst
+          WHERE l.predicate = 'LAUNCH' AND a.predicate = 'LAUNCH')
+        SELECT DISTINCT src AS subject, predicate, dst AS object
+        FROM edges
+        WHERE src IN (SELECT node FROM sqd_res)
+           OR dst IN (SELECT node FROM sqd_res)
         """
     )
     # --- robots.txt: the oracle enumerates the planted rule table and

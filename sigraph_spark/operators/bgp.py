@@ -357,6 +357,8 @@ def match_path(
 #   query  := SELECT DISTINCT? (?v+ | *) WHERE { block } modifier*
 #   block  := stmt (. stmt)* .?
 #   stmt   := triple | OPTIONAL { triple (. triple)* } | FILTER( expr )
+#           | { block } UNION { block } (UNION { block })*
+#           | VALUES (?v | (?v+)) { data }
 #   triple := term pred term      pred := bare predicate | property path
 #   term   := ?var | constant (bare or 'quoted')
 #   modifier := ORDER BY (?v | ASC(?v) | DESC(?v))+ | LIMIT n
@@ -377,20 +379,119 @@ def _sparql_term(t: str) -> str:
     return t[1:-1] if t.startswith("'") and t.endswith("'") else t
 
 
-def _eval_where(edges: DataFrame, body: str, max_depth: int) -> DataFrame:
-    """Evaluate a WHERE-block body (triples / OPTIONAL / FILTER) to the
-    variable-binding DataFrame — shared by SELECT and CONSTRUCT.
+def _balanced_span(body: str, open_idx: int, open_ch: str, close_ch: str) -> int:
+    """Index just past the delimiter closing ``body[open_idx]``."""
+    depth, j = 1, open_idx + 1
+    while depth:
+        if j >= len(body):
+            raise ValueError(f"unbalanced {open_ch!r} in {body!r}")
+        if body[j] == open_ch:
+            depth += 1
+        elif body[j] == close_ch:
+            depth -= 1
+        j += 1
+    return j
 
-    FILTER(...) spans (balanced-paren scan) and OPTIONAL { ... } blocks
-    are lifted out of the text FIRST — predicates may legally contain
-    parens (path groups), so token-level paren handling cannot
-    distinguish them. Then statements split on whitespace-delimited '.'
-    and triples on whitespace.
+
+def _parse_values(body: str, kw_end: int):
+    """Parse ``VALUES ?v { ... }`` / ``VALUES (?v ?w) { (...) ... }``
+    starting just after the VALUES keyword. Returns
+    (var_names, rows, has_undef, index_past_block). UNDEF -> None."""
+    import re as _re
+
+    hm = _re.match(r"\s*(?:\(\s*((?:\?\w+\s*)+)\)|(\?\w+))\s*\{",
+                   body[kw_end:])
+    if not hm:
+        raise ValueError(f"bad VALUES header at {body[kw_end:kw_end + 40]!r}")
+    names = [v[1:] for v in (hm.group(1) or hm.group(2)).split()]
+    data_start = kw_end + hm.end()  # just past '{'
+    data_end = _balanced_span(body, data_start - 1, "{", "}")
+    data = body[data_start:data_end - 1]
+
+    toks = _re.findall(r"'[^']*'|[()]|[^\s()]+", data)
+    rows: list[tuple] = []
+    has_undef = False
+    if len(names) == 1:
+        for t in toks:
+            if t in "()":
+                raise ValueError("parenthesized row in single-var VALUES")
+            v = None if t.upper() == "UNDEF" else _sparql_term(t)
+            has_undef |= v is None
+            rows.append((v,))
+    else:
+        i = 0
+        while i < len(toks):
+            if toks[i] != "(":
+                raise ValueError(f"expected '(' row in VALUES, got {toks[i]!r}")
+            j = toks.index(")", i)
+            cells = toks[i + 1:j]
+            if len(cells) != len(names):
+                raise ValueError(
+                    f"VALUES row {cells!r} arity != {len(names)}"
+                )
+            row = tuple(
+                None if c.upper() == "UNDEF" else _sparql_term(c)
+                for c in cells
+            )
+            has_undef |= any(v is None for v in row)
+            rows.append(row)
+            i = j + 1
+    if not rows:
+        raise ValueError("VALUES block has no rows")
+    return names, rows, has_undef, data_end
+
+
+def _join_values(out: DataFrame, vdf: DataFrame, has_undef: bool) -> DataFrame:
+    """Attach an inline VALUES relation: broadcast equi-join on shared
+    vars when the table has no UNDEF, else the SPARQL compatibility join
+    (UNDEF matches anything) as a broadcast theta-join — the values side
+    is tiny by construction, so BroadcastNestedLoop is the right plan."""
+    shared = sorted(set(out.columns) & set(vdf.columns))
+    if not shared:
+        return out.crossJoin(F.broadcast(vdf))
+    if not has_undef:
+        return out.join(F.broadcast(vdf), on=shared, how="inner")
+    ren = vdf
+    for c in vdf.columns:
+        ren = ren.withColumnRenamed(c, f"_val_{c}")
+    cond = F.lit(True)
+    for c in shared:
+        cond = cond & (
+            F.col(f"_val_{c}").isNull() | (F.col(f"_val_{c}") == F.col(c))
+        )
+    joined = out.join(F.broadcast(ren), cond, "inner")
+    extra = [c for c in vdf.columns if c not in shared]
+    return joined.select(
+        *[F.col(c) for c in out.columns],
+        *[F.col(f"_val_{c}").alias(c) for c in extra],
+    )
+
+
+def _eval_where(edges: DataFrame, body: str, max_depth: int) -> DataFrame:
+    """Evaluate a WHERE-block body (triples / OPTIONAL / FILTER / UNION
+    groups / VALUES) to the variable-binding DataFrame — shared by
+    SELECT, CONSTRUCT, ASK and DESCRIBE.
+
+    FILTER(...) spans (balanced-paren scan), OPTIONAL { ... } blocks,
+    ``{ g } UNION { g }`` group chains (balanced-brace scan — branches
+    recurse through this function, so they may hold paths / OPTIONAL /
+    FILTER themselves) and VALUES blocks are lifted out of the text
+    FIRST — predicates may legally contain parens (path groups), so
+    token-level paren handling cannot distinguish them. Then statements
+    split on whitespace-delimited '.' and triples on whitespace.
+
+    UNION branches binding different variables NULL-fill the missing
+    columns (SPARQL's union of incompatible solution mappings); when a
+    union relation joins the rest of the pattern, shared variables join
+    on equality — a branch that leaves a shared variable NULL drops, the
+    bound-join subset this engine pins.
     """
     import re as _re
 
     filters: list[str] = []
     optional_triples: list[tuple[str, str, str]] = []
+    unions: list[DataFrame] = []
+    values_rels: list[tuple[DataFrame, bool]] = []
 
     def _take_triples(txt: str, sink: list) -> None:
         for stmt in _re.split(r"\.(?:\s+|\s*$)", txt):
@@ -404,34 +505,66 @@ def _eval_where(edges: DataFrame, body: str, max_depth: int) -> DataFrame:
     pos = 0
     plain_txt: list[str] = []
     while pos < len(body):
-        mm = _re.search(r"\b(FILTER\s*\(|OPTIONAL\s*\{)", body[pos:], _re.IGNORECASE)
+        mm = _re.search(
+            r"(\bFILTER\s*\(|\bOPTIONAL\s*\{|\bVALUES\b|\{)",
+            body[pos:], _re.IGNORECASE,
+        )
         if not mm:
             plain_txt.append(body[pos:])
             break
         plain_txt.append(body[pos:pos + mm.start()])
         kw_end = pos + mm.end()
-        if mm.group(1).upper().startswith("FILTER"):
-            depth, j = 1, kw_end
-            while depth:
-                if j >= len(body):
-                    raise ValueError("unbalanced FILTER parentheses")
-                if body[j] == "(":
-                    depth += 1
-                elif body[j] == ")":
-                    depth -= 1
-                j += 1
+        kw = mm.group(1).upper()
+        if kw.startswith("FILTER"):
+            j = _balanced_span(body, kw_end - 1, "(", ")")
             filters.append(body[kw_end:j - 1].strip())
-        else:
+        elif kw.startswith("OPTIONAL"):
             j = body.index("}", kw_end) + 1
             _take_triples(body[kw_end:j - 1], optional_triples)
+        elif kw.startswith("VALUES"):
+            names, rows, has_undef, j = _parse_values(body, kw_end)
+            vdf = edges.sparkSession.createDataFrame(
+                rows, ", ".join(f"`{n}` string" for n in names)
+            )
+            values_rels.append((vdf, has_undef))
+        else:  # bare '{' — a UNION group chain
+            branches: list[str] = []
+            j = _balanced_span(body, kw_end - 1, "{", "}")
+            branches.append(body[kw_end:j - 1])
+            while True:
+                um = _re.match(r"\s*UNION\s*\{", body[j:], _re.IGNORECASE)
+                if not um:
+                    break
+                b_start = j + um.end()
+                j = _balanced_span(body, b_start - 1, "{", "}")
+                branches.append(body[b_start:j - 1])
+            if len(branches) < 2:
+                raise ValueError(
+                    "bare group graph pattern without UNION is not supported"
+                )
+            rel = None
+            for br in branches:
+                part = _eval_where(edges, br, max_depth)
+                rel = part if rel is None else rel.unionByName(
+                    part, allowMissingColumns=True
+                )
+            unions.append(rel)
         pos = j
 
     triples: list[tuple[str, str, str]] = []
     _take_triples(" ".join(plain_txt), triples)
 
+    # a variable predicate (?p) is a plain BGP term, not a property path
+    # — the leading '?' must not read as the zero-or-one path operator
     path_ops = set("/|^+*?()")
-    plain = [t for t in triples if not (set(t[1]) & path_ops)]
-    paths = [t for t in triples if set(t[1]) & path_ops]
+    plain = [
+        t for t in triples
+        if _is_var(t[1]) or not (set(t[1]) & path_ops)
+    ]
+    paths = [
+        t for t in triples
+        if not _is_var(t[1]) and (set(t[1]) & path_ops)
+    ]
 
     out = None
     if plain:
@@ -445,6 +578,14 @@ def _eval_where(edges: DataFrame, body: str, max_depth: int) -> DataFrame:
             continue
         shared = sorted(set(out.columns) & set(part.columns))
         out = out.join(part, on=shared, how="inner") if shared else out.crossJoin(part)
+    for rel in unions:
+        if out is None:
+            out = rel
+            continue
+        shared = sorted(set(out.columns) & set(rel.columns))
+        out = out.join(rel, on=shared, how="inner") if shared else out.crossJoin(rel)
+    for vdf, has_undef in values_rels:
+        out = vdf if out is None else _join_values(out, vdf, has_undef)
     if out is None:
         raise ValueError("query has no triples")
 
@@ -645,3 +786,82 @@ def construct_sparql(edges: DataFrame, query: str, max_depth: int = 20) -> DataF
         & F.col("predicate").isNotNull()
         & F.col("object").isNotNull()
     ).distinct()
+
+
+def ask_sparql(edges: DataFrame, query: str, max_depth: int = 20) -> DataFrame:
+    """Evaluate a textual SPARQL ASK: ``ASK { block }`` -> a one-row
+    DataFrame with boolean column ``matched`` (does ANY binding exist).
+    The WHERE block supports the same subset as :func:`select_sparql`.
+
+    Scale shape: existence only — ``limit(1)`` cuts the pattern
+    evaluation as soon as one binding surfaces (Spark stops the scan
+    early via the CollectLimit), so ASK never materializes the full
+    binding relation."""
+    import re as _re
+
+    m = _re.match(r"\s*ASK\s*\{(.*)\}\s*$", query, _re.IGNORECASE | _re.DOTALL)
+    if not m:
+        raise ValueError("unsupported SPARQL shape (need ASK {...})")
+    out = _eval_where(edges, m.group(1), max_depth)
+    return out.limit(1).agg((F.count(F.lit(1)) > 0).alias("matched"))
+
+
+def describe_sparql(edges: DataFrame, query: str, max_depth: int = 20) -> DataFrame:
+    """Evaluate a textual SPARQL DESCRIBE: ``DESCRIBE <resources>`` or
+    ``DESCRIBE ?v ... WHERE { block }``. Returns the DISTINCT
+    ``(subject, predicate, object)`` edge set incident to every
+    described resource — the "concise description" every SPARQL store
+    answers with at minimum (DESCRIBE's output graph is
+    implementation-defined; this engine pins incident edges, both
+    directions, one hop).
+
+    Scale shape: the resource set is small (constants, or bindings of a
+    selective pattern) — two BROADCAST semi-joins against the edge table
+    (one per incidence side, equi-join on src / dst so each stays a
+    hash semi-join, never a theta-join) unioned then deduped."""
+    import re as _re
+
+    m = _re.match(
+        r"\s*DESCRIBE\s+(.*?)(?:\s+WHERE\s*\{(.*)\})?\s*$",
+        query, _re.IGNORECASE | _re.DOTALL,
+    )
+    if not m:
+        raise ValueError("unsupported SPARQL shape (need DESCRIBE ...)")
+    terms = m.group(1).split()
+    body = m.group(2)
+    var_names = [t[1:] for t in terms if _is_var(t)]
+    consts = [_sparql_term(t) for t in terms if not _is_var(t)]
+    if not terms:
+        raise ValueError("DESCRIBE needs at least one resource term")
+
+    res = None
+    if var_names:
+        if body is None:
+            raise ValueError("DESCRIBE ?var needs a WHERE block")
+        bindings = _eval_where(edges, body, max_depth)
+        for v in var_names:
+            if v not in bindings.columns:
+                raise ValueError(f"DESCRIBE var ?{v} is not bound in WHERE")
+            part = bindings.select(F.col(v).alias("node"))
+            res = part if res is None else res.unionByName(part)
+    if consts:
+        cdf = edges.sparkSession.createDataFrame(
+            [(c,) for c in consts], "node string"
+        )
+        res = cdf if res is None else res.unionByName(cdf)
+    res = res.na.drop().distinct()
+
+    e = edges.select(
+        F.col("src").alias("subject"),
+        F.col("predicate"),
+        F.col("dst").alias("object"),
+    )
+    out_side = e.join(
+        F.broadcast(res.withColumnRenamed("node", "subject")),
+        "subject", "left_semi",
+    )
+    in_side = e.join(
+        F.broadcast(res.withColumnRenamed("node", "object")),
+        "object", "left_semi",
+    ).select("subject", "predicate", "object")
+    return out_side.unionByName(in_side).distinct()

@@ -302,3 +302,142 @@ def test_sparql_construct_errors(spark):
         construct_sparql(e, "SELECT ?x WHERE { ?x LAUNCH ?y }")
     with pytest.raises(ValueError, match="not bound"):
         construct_sparql(e, "CONSTRUCT { ?q p ?x } WHERE { ?x LAUNCH ?y }")
+
+
+# --- UNION / VALUES / ASK / DESCRIBE -----------------------------------------
+
+def test_sparql_union_standalone_null_fill(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    q = ("SELECT DISTINCT ?a ?b ?c WHERE "
+         "{ { ?a LAUNCH ?b } UNION { ?a CONNECT ?c } }")
+    got = sorted(
+        (r["a"], r["b"], r["c"])
+        for r in select_sparql(_sq_edges(spark), q).collect()
+    )
+    assert got == [
+        ("a", "a", None), ("a", "b", None),
+        ("b", None, "c"), ("c", None, "d"),
+    ]
+
+
+def test_sparql_union_joined_with_outer_triple(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    # union binds (y, z); joins the required LAUNCH triple on y
+    q = ("SELECT DISTINCT ?x ?z WHERE { ?x LAUNCH ?y . "
+         "{ ?y CONNECT ?z } UNION { ?y LOAD ?z } }")
+    got = sorted(tuple(r) for r in select_sparql(_sq_edges(spark), q).collect())
+    assert got == [("a", "c")]  # a->b, b CONNECT c; LOAD branch empty on b/a
+
+
+def test_sparql_union_three_branches_and_filters_inside(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    q = ("SELECT DISTINCT ?s ?o WHERE { "
+         "{ ?s LAUNCH ?o . FILTER(?s != ?o) } UNION { ?s LOAD ?o } "
+         "UNION { ?s CONNECT+ ?o . FILTER(?o = 'd') } }")
+    got = sorted(tuple(r) for r in select_sparql(_sq_edges(spark), q).collect())
+    assert got == [("a", "b"), ("b", "d"), ("c", "d"), ("d", "e")]
+
+
+def test_sparql_bare_group_without_union_rejected(spark):
+    import pytest as _pytest
+
+    from sigraph_spark.operators.bgp import select_sparql
+
+    with _pytest.raises(ValueError, match="without UNION"):
+        select_sparql(_sq_edges(spark), "SELECT * WHERE { { ?a LAUNCH ?b } }")
+
+
+def test_sparql_values_single_var_filters(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    q = ("SELECT ?x ?y WHERE { ?x LAUNCH ?y . VALUES ?y { 'b' 'zzz' } }")
+    got = sorted(tuple(r) for r in select_sparql(_sq_edges(spark), q).collect())
+    assert got == [("a", "b")]
+
+
+def test_sparql_values_multi_var_rows(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    q = ("SELECT ?x ?y WHERE { ?x CONNECT ?y . "
+         "VALUES (?x ?y) { ('b' 'c') ('c' 'zzz') } }")
+    got = sorted(tuple(r) for r in select_sparql(_sq_edges(spark), q).collect())
+    assert got == [("b", "c")]
+
+
+def test_sparql_values_undef_matches_anything(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    # UNDEF x: second row admits every x with y='c'; first row pins (a,b)
+    q = ("SELECT ?x ?y WHERE { ?x (LAUNCH|CONNECT) ?y . "
+         "VALUES (?x ?y) { ('a' 'b') (UNDEF 'c') } }")
+    got = sorted(tuple(r) for r in select_sparql(_sq_edges(spark), q).collect())
+    assert got == [("a", "b"), ("b", "c")]
+
+
+def test_sparql_values_standalone_and_extra_column(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    # values var 'label' is not bound by the pattern: carried through
+    q = ("SELECT ?x ?label WHERE { ?x LAUNCH ?y . "
+         "VALUES (?x ?label) { ('a' 'alpha') } }")
+    got = sorted(tuple(r) for r in select_sparql(_sq_edges(spark), q).collect())
+    assert got == [("a", "alpha"), ("a", "alpha")]  # two LAUNCH rows for a
+
+
+def test_ask_true_false_shape(spark):
+    from sigraph_spark.operators.bgp import ask_sparql
+
+    e = _sq_edges(spark)
+    out = ask_sparql(e, "ASK { ?a LAUNCH ?b . ?b CONNECT ?c }")
+    assert out.columns == ["matched"]
+    assert [r["matched"] for r in out.collect()] == [True]
+    out2 = ask_sparql(e, "ASK { ?a LOAD ?b . ?b LOAD ?c }")
+    assert [r["matched"] for r in out2.collect()] == [False]
+    out3 = ask_sparql(e, "ASK { ?a CONNECT+ ?b . FILTER(?b = 'e') }")
+    assert [r["matched"] for r in out3.collect()] == [False]
+
+
+def test_describe_constants_incident_edges(spark):
+    from sigraph_spark.operators.bgp import describe_sparql
+
+    got = sorted(
+        tuple(r) for r in describe_sparql(_sq_edges(spark), "DESCRIBE b").collect()
+    )
+    assert got == [("a", "LAUNCH", "b"), ("b", "CONNECT", "c")]
+
+
+def test_describe_var_with_where(spark):
+    from sigraph_spark.operators.bgp import describe_sparql
+
+    # every node that something LOADs: e -> incident edge d LOAD e only
+    q = "DESCRIBE ?n WHERE { ?m LOAD ?n }"
+    got = sorted(tuple(r) for r in describe_sparql(_sq_edges(spark), q).collect())
+    assert got == [("d", "LOAD", "e")]
+
+
+def test_describe_mixed_terms_and_errors(spark):
+    import pytest as _pytest
+
+    from sigraph_spark.operators.bgp import describe_sparql
+
+    q = "DESCRIBE ?n 'e' WHERE { ?m CONNECT ?n . FILTER(?n = 'd') }"
+    got = sorted(tuple(r) for r in describe_sparql(_sq_edges(spark), q).collect())
+    assert got == [("c", "CONNECT", "d"), ("d", "LOAD", "e")]
+    with _pytest.raises(ValueError, match="needs a WHERE"):
+        describe_sparql(_sq_edges(spark), "DESCRIBE ?x")
+    with _pytest.raises(ValueError, match="not bound"):
+        describe_sparql(_sq_edges(spark), "DESCRIBE ?zz WHERE { ?a LOAD ?b }")
+
+
+def test_sparql_variable_predicate_is_plain_bgp(spark):
+    # '?p' must not read as a property path (leading '?' is not the
+    # zero-or-one operator when the whole predicate is a variable)
+    from sigraph_spark.operators.bgp import select_sparql
+
+    q = ("SELECT DISTINCT ?p WHERE { ?s ?p ?o . "
+         "VALUES ?p { 'LAUNCH' 'LOAD' } }")
+    got = sorted(r["p"] for r in select_sparql(_sq_edges(spark), q).collect())
+    assert got == ["LAUNCH", "LOAD"]
