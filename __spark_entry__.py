@@ -1094,6 +1094,44 @@ def q_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sparql_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER NOT EXISTS: LAUNCH edges whose target never
+    CONNECTs — hash anti-join on the shared variable (non-empty at
+    every sf: most launched processes do not open sockets)."""
+    from sigraph_spark.operators.bgp import select_sparql
+
+    q = (
+        "SELECT DISTINCT ?a ?b WHERE { ?a LAUNCH ?b . "
+        "FILTER NOT EXISTS { ?b CONNECT ?c } }"
+    )
+    return select_sparql(_edges_ckpt(spark, sf_dir), q)
+
+
+def q_sparql_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL MINUS on a shared variable: LAUNCH edges whose source
+    never CONNECTs — anti-join on the shared ?s."""
+    from sigraph_spark.operators.bgp import select_sparql
+
+    q = (
+        "SELECT DISTINCT ?s ?o WHERE { ?s LAUNCH ?o . "
+        "MINUS { ?s CONNECT ?z } }"
+    )
+    return select_sparql(_edges_ckpt(spark, sf_dir), q)
+
+
+def q_sparql_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL BIND: computed projection column (CONCAT over two bound
+    vars) filtered downstream — the bind column participates in the
+    plan like any other."""
+    from sigraph_spark.operators.bgp import select_sparql
+
+    q = (
+        "SELECT DISTINCT ?edge WHERE { ?a LAUNCH ?b . "
+        "BIND(CONCAT(?a, '->', ?b) AS ?edge) }"
+    )
+    return select_sparql(_edges_ckpt(spark, sf_dir), q)
+
+
 def _robots_corpus(spark: SparkSession) -> DataFrame:
     """200 planted robots.txt bodies: every host has a '*' group
     (disallow + longer allow carve-out), 4-multiples add a wildcard rule
@@ -3778,6 +3816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_values": q_sparql_values,
         "sparql_ask": q_sparql_ask,
         "sparql_describe": q_sparql_describe,
+        "sparql_not_exists": q_sparql_not_exists,
+        "sparql_minus": q_sparql_minus,
+        "sparql_bind": q_sparql_bind,
         "robots_rules": q_robots_rules,
         "robots_allowed": q_robots_allowed,
         "sitemap_parse": q_sitemap_parse,
@@ -5193,6 +5234,34 @@ def oracle_sql() -> dict[str, str]:
         FROM edges
         WHERE src IN (SELECT node FROM sqd_res)
            OR dst IN (SELECT node FROM sqd_res)
+        """
+    )
+    # --- SPARQL FILTER NOT EXISTS: anti-join restatement.
+    sq["sparql_not_exists"] = (
+        "WITH " + _EDGES_CTE
+        + """
+        SELECT DISTINCT l.src AS a, l.dst AS b
+        FROM edges l
+        WHERE l.predicate = 'LAUNCH'
+          AND NOT EXISTS (SELECT 1 FROM edges k
+                          WHERE k.predicate = 'CONNECT' AND k.src = l.dst)
+        """
+    )
+    # --- SPARQL MINUS on the shared ?s: source keep-out list.
+    sq["sparql_minus"] = (
+        "WITH " + _EDGES_CTE
+        + """
+        SELECT DISTINCT src AS s, dst AS o FROM edges
+        WHERE predicate = 'LAUNCH'
+          AND src NOT IN (SELECT src FROM edges WHERE predicate = 'CONNECT')
+        """
+    )
+    # --- SPARQL BIND: computed concat column.
+    sq["sparql_bind"] = (
+        "WITH " + _EDGES_CTE
+        + """
+        SELECT DISTINCT src || '->' || dst AS edge FROM edges
+        WHERE predicate = 'LAUNCH'
         """
     )
     # --- robots.txt: the oracle enumerates the planted rule table and

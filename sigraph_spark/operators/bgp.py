@@ -359,6 +359,8 @@ def match_path(
 #   stmt   := triple | OPTIONAL { triple (. triple)* } | FILTER( expr )
 #           | { block } UNION { block } (UNION { block })*
 #           | VALUES (?v | (?v+)) { data }
+#           | FILTER EXISTS { block } | FILTER NOT EXISTS { block }
+#           | MINUS { block } | BIND( expr AS ?v )
 #   triple := term pred term      pred := bare predicate | property path
 #   term   := ?var | constant (bare or 'quoted')
 #   modifier := ORDER BY (?v | ASC(?v) | DESC(?v))+ | LIMIT n
@@ -485,6 +487,14 @@ def _eval_where(edges: DataFrame, body: str, max_depth: int) -> DataFrame:
     union relation joins the rest of the pattern, shared variables join
     on equality — a branch that leaves a shared variable NULL drops, the
     bound-join subset this engine pins.
+
+    FILTER EXISTS / FILTER NOT EXISTS groups evaluate to a relation and
+    apply as a hash SEMI / ANTI join on the shared variables (which must
+    exist — an uncorrelated EXISTS is rejected); MINUS is an anti-join
+    on shared variables and a NO-OP when the groups share none (the
+    SPARQL 1.1 disjoint-domain rule — the spec's one sharp MINUS/NOT
+    EXISTS divergence, pinned in tests); BIND(expr AS ?v) adds a
+    computed column (applied after pattern joins, before FILTERs).
     """
     import re as _re
 
@@ -492,6 +502,9 @@ def _eval_where(edges: DataFrame, body: str, max_depth: int) -> DataFrame:
     optional_triples: list[tuple[str, str, str]] = []
     unions: list[DataFrame] = []
     values_rels: list[tuple[DataFrame, bool]] = []
+    exists_rels: list[tuple[DataFrame, bool]] = []  # (relation, negated)
+    minus_rels: list[DataFrame] = []
+    binds: list[tuple[str, str]] = []  # (var, translated expr)
 
     def _take_triples(txt: str, sink: list) -> None:
         for stmt in _re.split(r"\.(?:\s+|\s*$)", txt):
@@ -506,7 +519,9 @@ def _eval_where(edges: DataFrame, body: str, max_depth: int) -> DataFrame:
     plain_txt: list[str] = []
     while pos < len(body):
         mm = _re.search(
-            r"(\bFILTER\s*\(|\bOPTIONAL\s*\{|\bVALUES\b|\{)",
+            r"(\bFILTER\s+NOT\s+EXISTS\s*\{|\bFILTER\s+EXISTS\s*\{"
+            r"|\bFILTER\s*\(|\bOPTIONAL\s*\{|\bVALUES\b"
+            r"|\bMINUS\s*\{|\bBIND\s*\(|\{)",
             body[pos:], _re.IGNORECASE,
         )
         if not mm:
@@ -514,8 +529,25 @@ def _eval_where(edges: DataFrame, body: str, max_depth: int) -> DataFrame:
             break
         plain_txt.append(body[pos:pos + mm.start()])
         kw_end = pos + mm.end()
-        kw = mm.group(1).upper()
-        if kw.startswith("FILTER"):
+        kw = " ".join(mm.group(1).upper().split())
+        if kw.startswith("FILTER NOT EXISTS") or kw.startswith("FILTER EXISTS"):
+            j = _balanced_span(body, kw_end - 1, "{", "}")
+            rel = _eval_where(edges, body[kw_end:j - 1], max_depth)
+            exists_rels.append((rel, "NOT" in kw))
+        elif kw.startswith("MINUS"):
+            j = _balanced_span(body, kw_end - 1, "{", "}")
+            minus_rels.append(_eval_where(edges, body[kw_end:j - 1], max_depth))
+        elif kw.startswith("BIND"):
+            j = _balanced_span(body, kw_end - 1, "(", ")")
+            bm = _re.match(r"(.*)\s+AS\s+\?(\w+)\s*$",
+                           body[kw_end:j - 1].strip(),
+                           _re.IGNORECASE | _re.DOTALL)
+            if not bm:
+                raise ValueError(
+                    f"BIND needs 'expr AS ?var', got {body[kw_end:j - 1]!r}"
+                )
+            binds.append((bm.group(2), _translate_filter(bm.group(1))))
+        elif kw.startswith("FILTER"):
             j = _balanced_span(body, kw_end - 1, "(", ")")
             filters.append(body[kw_end:j - 1].strip())
         elif kw.startswith("OPTIONAL"):
@@ -589,6 +621,26 @@ def _eval_where(edges: DataFrame, body: str, max_depth: int) -> DataFrame:
     if out is None:
         raise ValueError("query has no triples")
 
+    for var, expr in binds:
+        if var in out.columns:
+            raise ValueError(f"BIND target ?{var} is already bound")
+        out = out.withColumn(var, F.expr(expr))
+    for rel, negated in exists_rels:
+        shared = sorted(set(out.columns) & set(rel.columns))
+        if not shared:
+            raise ValueError(
+                "FILTER [NOT] EXISTS group shares no variable with the "
+                "outer pattern — uncorrelated EXISTS is not supported"
+            )
+        out = out.join(
+            rel.select(*shared).distinct(),
+            on=shared, how="left_anti" if negated else "left_semi",
+        )
+    for rel in minus_rels:
+        shared = sorted(set(out.columns) & set(rel.columns))
+        if shared:  # disjoint domains: SPARQL MINUS removes nothing
+            out = out.join(rel.select(*shared).distinct(), on=shared,
+                           how="left_anti")
     for f in filters:
         out = out.filter(F.expr(_translate_filter(f)))
     return out

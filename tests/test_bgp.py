@@ -441,3 +441,94 @@ def test_sparql_variable_predicate_is_plain_bgp(spark):
          "VALUES ?p { 'LAUNCH' 'LOAD' } }")
     got = sorted(r["p"] for r in select_sparql(_sq_edges(spark), q).collect())
     assert got == ["LAUNCH", "LOAD"]
+
+
+# --- MINUS / FILTER [NOT] EXISTS / BIND --------------------------------------
+
+def test_sparql_filter_not_exists(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    # leaf LAUNCH targets: b never launches anything onward
+    q = ("SELECT DISTINCT ?a ?b WHERE { ?a LAUNCH ?b . "
+         "FILTER NOT EXISTS { ?b LAUNCH ?c } }")
+    got = sorted(tuple(r) for r in select_sparql(_sq_edges(spark), q).collect())
+    assert got == [("a", "b")]  # a->a launches onward; b->? none
+
+
+def test_sparql_filter_exists(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    q = ("SELECT DISTINCT ?a ?b WHERE { ?a LAUNCH ?b . "
+         "FILTER EXISTS { ?b CONNECT ?c } }")
+    got = sorted(tuple(r) for r in select_sparql(_sq_edges(spark), q).collect())
+    assert got == [("a", "b")]  # only b CONNECTs
+
+
+def test_sparql_exists_uncorrelated_rejected(spark):
+    import pytest as _pytest
+
+    from sigraph_spark.operators.bgp import select_sparql
+
+    with _pytest.raises(ValueError, match="uncorrelated EXISTS"):
+        select_sparql(
+            _sq_edges(spark),
+            "SELECT * WHERE { ?a LAUNCH ?b . FILTER EXISTS { ?x LOAD ?y } }",
+        )
+
+
+def test_sparql_minus_shared_var(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    q = ("SELECT DISTINCT ?s ?o WHERE { ?s (LAUNCH|CONNECT) ?o . "
+         "MINUS { ?s CONNECT ?z } }")
+    got = sorted(tuple(r) for r in select_sparql(_sq_edges(spark), q).collect())
+    # b and c CONNECT something -> all their rows removed
+    assert got == [("a", "a"), ("a", "b")]
+
+
+def test_sparql_minus_disjoint_domain_is_noop(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    # the SPARQL 1.1 MINUS/NOT-EXISTS divergence: disjoint domains
+    # remove NOTHING even though the inner pattern matches rows
+    q = ("SELECT DISTINCT ?s ?o WHERE { ?s LAUNCH ?o . "
+         "MINUS { ?x LOAD ?y } }")
+    got = sorted(tuple(r) for r in select_sparql(_sq_edges(spark), q).collect())
+    assert got == [("a", "a"), ("a", "b")]
+
+
+def test_sparql_bind_computed_column_and_filter(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    q = ("SELECT ?edge WHERE { ?s CONNECT ?o . "
+         "BIND(CONCAT(?s, '->', ?o) AS ?edge) . "
+         "FILTER(?edge != 'c->d') } ORDER BY ?edge")
+    got = [r["edge"] for r in select_sparql(_sq_edges(spark), q).collect()]
+    assert got == ["b->c"]
+
+
+def test_sparql_bind_errors(spark):
+    import pytest as _pytest
+
+    from sigraph_spark.operators.bgp import select_sparql
+
+    with _pytest.raises(ValueError, match="already bound"):
+        select_sparql(
+            _sq_edges(spark),
+            "SELECT * WHERE { ?s CONNECT ?o . BIND(?s AS ?o) }",
+        )
+    with _pytest.raises(ValueError, match="expr AS"):
+        select_sparql(
+            _sq_edges(spark),
+            "SELECT * WHERE { ?s CONNECT ?o . BIND(?s) }",
+        )
+
+
+def test_sparql_exists_group_with_path_inside(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    # the EXISTS group itself uses a property path
+    q = ("SELECT DISTINCT ?a WHERE { ?a LAUNCH ?b . "
+         "FILTER EXISTS { ?b CONNECT+ ?z . FILTER(?z = 'd') } }")
+    got = sorted(r["a"] for r in select_sparql(_sq_edges(spark), q).collect())
+    assert got == ["a"]
