@@ -809,6 +809,83 @@ def q_rdfa_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rdfa_triples(_webtext_rdfa_pages(spark))
 
 
+def _webtext_list_pages(spark: SparkSession, sf: float = 0.01) -> DataFrame:
+    """Deterministic list-page corpus over the standard urls: every page
+    carries an "Operating <b>Systems</b>" heading over a 3-slot list
+    (middle item EMPTY — drops but consumes item_idx 1), every 2nd page
+    a "List of Data Centers" <ol> (prefix-strip + ol support), every 3rd
+    page a LEADING orphan list (heading '' — shifts every list_idx),
+    every 5th page an empty <ul></ul> (consumes a list_idx) plus a
+    SINGLETON list inheriting the current heading (kept by list_items,
+    cut by min_items in memberships), and every 7th page an EMPTY <h4>
+    that resets the heading context before a 2-item list (heading '' —
+    dropped from memberships). The oracle enumerates the planted rows
+    arithmetically — it never parses HTML."""
+    from sigraph_spark.corpus import gen_pages
+
+    i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    pages = gen_pages(spark, sf=sf).select("url", i.alias("i"))
+    istr = F.col("i").cast("string")
+    orphan = F.when(
+        F.col("i") % 3 == 0,
+        F.concat(
+            F.lit("<ul><li>orphan-"), (F.col("i") % 5).cast("string"),
+            F.lit("</li><li>pre</li></ul>"),
+        ),
+    ).otherwise(F.lit(""))
+    dc = F.when(
+        F.col("i") % 2 == 0,
+        F.concat(
+            F.lit("<h3>List of Data Centers</h3><ol><li>dc-"),
+            (F.col("i") % 7).cast("string"),
+            F.lit("</li><li>dc-"), ((F.col("i") + 3) % 7).cast("string"),
+            F.lit("</li></ol>"),
+        ),
+    ).otherwise(F.lit(""))
+    solo = F.when(
+        F.col("i") % 5 == 0,
+        F.concat(
+            F.lit("<ul></ul><ul><li>solo-"),
+            (F.col("i") % 3).cast("string"), F.lit("</li></ul>"),
+        ),
+    ).otherwise(F.lit(""))
+    lost = F.when(
+        F.col("i") % 7 == 0,
+        F.concat(
+            F.lit("<h4></h4><ul><li>lost-"),
+            (F.col("i") % 4).cast("string"),
+            F.lit("</li><li>lost2</li></ul>"),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><body>"), orphan,
+        F.lit("<h2>Operating <b>Systems</b></h2><p>prose "), istr,
+        F.lit("</p><ul><li>os-"), (F.col("i") % 13).cast("string"),
+        F.lit('</li><li></li><li><a href="/x">os-'),
+        ((F.col("i") + 1) % 13).cast("string"),
+        F.lit("</a></li></ul>"), dc, solo, lost,
+        F.lit("</body></html>"),
+    )
+    return pages.select("url", html.alias("html"))
+
+
+def q_list_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML list extraction over the planted corpus; hash pins the
+    heading-context fold, list/item indexing incl. empty-list and
+    empty-item consumption, tag stripping and the '' heading rules."""
+    from sigraph_spark.operators.htmllists import list_items
+
+    return list_items(_webtext_list_pages(spark))
+
+
+def q_list_memberships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List-page membership claims: min_items cut, lowercase + "list
+    of" prefix strip, cross-page vote counts."""
+    from sigraph_spark.operators.htmllists import list_items, list_memberships
+
+    return list_memberships(list_items(_webtext_list_pages(spark)))
+
+
 def _hearst_corpus(spark: SparkSession, sf: float = 0.01) -> DataFrame:
     """Planted Hearst-pattern corpus over the standard urls: every page
     carries a such_as sentence with a 3-item coordinated list; 3/4/5/7
@@ -3804,6 +3881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_triples": q_meta_triples,
         "microdata_triples": q_microdata_triples,
         "rdfa_triples": q_rdfa_triples,
+        "list_items": q_list_items,
+        "list_memberships": q_list_memberships,
         "hearst_pairs": q_hearst_pairs,
         "taxonomy_induction": q_taxonomy_induction,
         "text_reuse": q_text_reuse,
@@ -4688,6 +4767,69 @@ def oracle_sql() -> dict[str, str]:
                CAST(scope_idx AS INT) AS scope_idx, subj, predicate, obj, kind
         FROM t
         """
+    # --- HTML lists: arithmetic enumeration of the planted list rows.
+    # list_idx counts ALL list blocks in document order (orphan on i%3
+    # pages consumes 0; the even-page dc <ol> and the i%5 empty <ul>
+    # shift later indices); empty items consume item_idx; solo inherits
+    # the CURRENT heading; the i%7 empty <h4> resets context to ''.
+    _LIST_U = """
+        u AS (SELECT i, 'https://example.org/report/' || CAST(i AS VARCHAR) AS url,
+                     CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END AS o,
+                     CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END AS e
+              FROM pg)
+    """
+    sq["list_items"] = (
+        "WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 10000)),"
+        + _LIST_U
+        + """,
+        t AS (
+          SELECT url, 0 AS list_idx, 0 AS item_idx, '' AS heading,
+                 'orphan-' || CAST(i % 5 AS VARCHAR) AS item
+          FROM u WHERE i % 3 = 0
+          UNION ALL SELECT url, 0, 1, '', 'pre' FROM u WHERE i % 3 = 0
+          UNION ALL SELECT url, o, 0, 'Operating Systems',
+                 'os-' || CAST(i % 13 AS VARCHAR) FROM u
+          UNION ALL SELECT url, o, 2, 'Operating Systems',
+                 'os-' || CAST((i + 1) % 13 AS VARCHAR) FROM u
+          UNION ALL SELECT url, o + 1, 0, 'List of Data Centers',
+                 'dc-' || CAST(i % 7 AS VARCHAR) FROM u WHERE i % 2 = 0
+          UNION ALL SELECT url, o + 1, 1, 'List of Data Centers',
+                 'dc-' || CAST((i + 3) % 7 AS VARCHAR) FROM u WHERE i % 2 = 0
+          UNION ALL SELECT url, o + 2 + e, 0,
+                 CASE WHEN e = 1 THEN 'List of Data Centers'
+                      ELSE 'Operating Systems' END,
+                 'solo-' || CAST(i % 3 AS VARCHAR) FROM u WHERE i % 5 = 0
+          UNION ALL SELECT url,
+                 o + 1 + e + CASE WHEN i % 5 = 0 THEN 2 ELSE 0 END, 0, '',
+                 'lost-' || CAST(i % 4 AS VARCHAR) FROM u WHERE i % 7 = 0
+          UNION ALL SELECT url,
+                 o + 1 + e + CASE WHEN i % 5 = 0 THEN 2 ELSE 0 END, 1, '',
+                 'lost2' FROM u WHERE i % 7 = 0)
+        SELECT url, CAST(list_idx AS INT) AS list_idx,
+               CAST(item_idx AS INT) AS item_idx, heading, item
+        FROM t
+        """
+    )
+    # --- list memberships: only the 2-item headed lists vote (orphan and
+    # lost have heading ''; solo is a singleton); class = lowercase with
+    # the "list of " prefix stripped.
+    sq["list_memberships"] = (
+        "WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 10000)),"
+        + _LIST_U
+        + """,
+        cl AS (
+          SELECT 'os-' || CAST(i % 13 AS VARCHAR) AS item,
+                 'operating systems' AS class FROM u
+          UNION ALL SELECT 'os-' || CAST((i + 1) % 13 AS VARCHAR),
+                 'operating systems' FROM u
+          UNION ALL SELECT 'dc-' || CAST(i % 7 AS VARCHAR), 'data centers'
+          FROM u WHERE i % 2 = 0
+          UNION ALL SELECT 'dc-' || CAST((i + 3) % 7 AS VARCHAR),
+                 'data centers' FROM u WHERE i % 2 = 0)
+        SELECT item, class, CAST(count(*) AS BIGINT) AS n_lists
+        FROM cl GROUP BY item, class
+        """
+    )
     # --- Hearst extraction: the oracle enumerates the PLANTED pairs
     # arithmetically (it never runs a regex), so the pattern inventory,
     # the closed-class NP guard, and the list splitting are all pinned.

@@ -360,6 +360,7 @@ def main() -> None:
     from sigraph_spark.operators.htmltables import table_triples
     from sigraph_spark.operators.jsonld import jsonld_triples, meta_triples
     from sigraph_spark.operators.microdata import microdata_triples
+    from sigraph_spark.operators.htmllists import list_items
     from sigraph_spark.operators.rdfa import rdfa_triples
     from sigraph_spark.operators.links import resolve_redirects
     from sigraph_spark.operators.textreuse import reuse_spans
@@ -371,6 +372,7 @@ def main() -> None:
     ld_pages = entrymod._webtext_jsonld_pages(spark, sf=sf).localCheckpoint(True)
     md_pages = entrymod._webtext_microdata_pages(spark, sf=sf).localCheckpoint(True)
     rd_pages = entrymod._webtext_rdfa_pages(spark, sf=sf).localCheckpoint(True)
+    li_pages = entrymod._webtext_list_pages(spark, sf=sf).localCheckpoint(True)
 
     def run_webtext() -> int:
         return (
@@ -382,6 +384,7 @@ def main() -> None:
             + meta_triples(ld_pages).count()
             + microdata_triples(md_pages).count()
             + rdfa_triples(rd_pages).count()
+            + list_items(li_pages).count()
         )
 
     timed("webtext_kg", run_webtext)

@@ -30,11 +30,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def synthetic_webtext_pages(spark, sf: float):
     """Combined corpus: gen_pages html with the planted table markup, the
     Hearst prose paragraph AND a structured-data snippet (JSON-LD block +
-    microdata scope + RDFa scope + OpenGraph meta tag) spliced in before
-    </body> — every extractor view has signal in the SAME page, and none
-    disturbs the others (table cells and Hearst prose carry no whitelist
-    verbs; gen_pages' template has no tables; script bodies are stripped
-    before sentence extraction). The structured snippet claims ``os`` on
+    microdata scope + RDFa scope + OpenGraph meta tag + a headed
+    list-page block) spliced in before </body> — every extractor view
+    has signal in the SAME page, and none disturbs the others (table
+    cells, list items and Hearst prose carry no whitelist verbs;
+    gen_pages' template has no tables or lists; script bodies are
+    stripped before sentence extraction). The structured snippet claims ``os`` on
     the FIRST table-row subject of the page (srv-<3i%97>): JSON-LD always
     says linux, microdata says linux on even pages and freebsd on odd
     ones, RDFa says linux except netbsd on i%3==0 pages — planting
@@ -76,6 +77,10 @@ def synthetic_webtext_pages(spark, sf: float):
         F.lit('</span><span property="owner">team-'),
         (i % 11).cast("string"), F.lit("</span></div>"),
         F.lit('<meta property="og:title" content="Host '), srv, F.lit('">'),
+        F.lit("<h2>List of Racks</h2><ul><li>r-"),
+        (i % 23).cast("string"),
+        F.lit("</li><li>r-"), ((i + 1) % 23).cast("string"),
+        F.lit("</li></ul>"),
     )
     combined = (
         gp.join(tp, "url").join(hd, "url")

@@ -1,0 +1,159 @@
+"""HTML list -> KG membership extraction (list-page set expansion).
+
+Web pages carry category/membership facts in ``<ul>``/``<ol>`` markup
+under a heading ("Operating systems", "List of data centers"): the
+list-page reading behind classic set-expansion systems (SEAL — Wang &
+Cohen, ICDM'07) and Wikipedia "List of X" mining. A webtext KG builder
+(BASELINE.json north_star) wants this channel next to tables
+(``operators/htmltables.py``), prose (``triples.py``/``hearst.py``) and
+the structured-data channels: each list item becomes a candidate member
+of the class its heading names.
+
+Flat document-order model (pinned by the ``list_items`` gate + tests):
+
+* one combined regex matches every ``<h1-6>`` heading and every
+  ``<ul>``/``<ol>`` block in document order (three zipped
+  ``regexp_extract_all`` passes over the same pattern — the
+  heading-level group doubles as the is-heading marker, so an EMPTY
+  heading still updates context);
+* a linear ``F.aggregate`` fold carries the MOST RECENT heading (tag
+  stripped, whitespace collapsed) into each list block — never a
+  window, no shuffle; lists before the first heading keep heading ``''``
+  (kept in ``list_items``, dropped by ``list_memberships``);
+* ``list_idx`` numbers every list block on the page (an empty
+  ``<ul></ul>`` consumes an index and emits no items); ``item_idx``
+  numbers ``<li>...</li>`` items inside the block (unclosed ``<li>`` is
+  dropped — the closing tag is the item boundary); item text is
+  tag-stripped/trimmed via the shared table cell contract; empty items
+  drop (but consume their ``item_idx``);
+* nested lists truncate at the FIRST close tag (non-greedy block body)
+  — the one-level flattening convention the other channels pin.
+
+``list_memberships`` derives ``(item, class, n_lists)`` claims: class =
+lowercased heading with a leading "list of " stripped (the Wikipedia
+list-page convention), counted over lists with >= ``min_items`` items
+(singleton lists are noise, not sets). A page-local window sizes each
+list, then one algebraic agg — the family's only shuffles.
+
+Scale design: extraction is a single narrow map per page (bounded
+page-local arrays, zero UDF, zero shuffle — plan-asserted in tests);
+the membership agg is map-side combinable and skew-safe (hot classes
+split across partial aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sigraph_spark.operators.htmltables import clean_cell
+
+# heading OR list block; group 1 = h-level (is-heading marker),
+# group 2 = heading text, group 3 = list body
+HL_RE = r"(?is)<h([1-6])[^>]*>(.*?)</h\1\s*>|<[uo]l[^>]*>(.*?)</[uo]l\s*>"
+LI_RE = r"(?is)<li[^>]*>(.*?)</li\s*>"
+
+_LIST_T = "array<struct<heading:string,body:string>>"
+
+
+def list_items(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Pages -> ``(url, list_idx, item_idx, heading, item)``: every
+    ``<li>`` item of every list block, tagged with the most recent
+    preceding heading ('' before the first one)."""
+    src = pages.schema[html_col].dataType.typeName()
+    html = (
+        F.decode(F.col(html_col), "UTF-8") if src == "binary" else F.col(html_col)
+    )
+    marks = F.arrays_zip(
+        F.regexp_extract_all(html, F.lit(HL_RE), 1).alias("lv"),
+        F.regexp_extract_all(html, F.lit(HL_RE), 2).alias("ht"),
+        F.regexp_extract_all(html, F.lit(HL_RE), 3).alias("bd"),
+    )
+    # linear fold: headings update the carried context, lists emit
+    step = lambda acc, m: F.when(  # noqa: E731
+        m["lv"] != "",
+        F.struct(clean_cell(m["ht"]).alias("cur"), acc["out"].alias("out")),
+    ).otherwise(
+        F.struct(
+            acc["cur"].alias("cur"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(acc["cur"].alias("heading"), m["bd"].alias("body"))
+                ),
+            ).alias("out"),
+        )
+    )
+    lists = F.aggregate(
+        marks,
+        F.struct(
+            F.lit("").alias("cur"), F.array().cast(_LIST_T).alias("out")
+        ),
+        step,
+        lambda acc: acc["out"],
+    )
+    x = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(lists).alias("list_idx", "l"),
+    ).select(
+        "url", "list_idx",
+        F.col("l.heading").alias("heading"),
+        F.posexplode(
+            F.regexp_extract_all(F.col("l.body"), F.lit(LI_RE), 1)
+        ).alias("item_idx", "_raw"),
+    )
+    return x.select(
+        "url", "list_idx", "item_idx", "heading",
+        clean_cell(F.col("_raw")).alias("item"),
+    ).filter(F.col("item") != "")
+
+
+def list_memberships(
+    items: DataFrame, min_items: int = 2
+) -> DataFrame:
+    """List items -> ``(item, class, n_lists)`` membership claims.
+
+    class = lowercased heading, leading "list of " stripped; lists with
+    fewer than ``min_items`` surviving items (or no heading) vote for
+    nothing. ``n_lists`` counts supporting (url, list_idx) lists.
+
+    The per-list size check is a window over (url, list_idx) — PAGE-
+    LOCAL keys, so the partition is skew-free by construction (a hot
+    class never concentrates one key); the final count is algebraic."""
+    return (
+        _qualified(items, min_items)
+        .groupBy("item", "class")
+        .agg(F.count(F.lit(1)).alias("n_lists"))
+    )
+
+
+def _qualified(items: DataFrame, min_items: int) -> DataFrame:
+    """``(url, list_idx, class, item)`` rows of headed lists with >=
+    ``min_items`` surviving items."""
+    sized = items.filter(F.col("heading") != "").withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("url", "list_idx")),
+    )
+    cls = F.regexp_replace(F.lower("heading"), r"^list of\s+", "")
+    return sized.filter(F.col("_n") >= min_items).select(
+        "url", "list_idx", cls.alias("class"), "item"
+    )
+
+
+def list_claims(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    min_items: int = 2,
+) -> DataFrame:
+    """Pages -> per-page ``(url, subject, predicate, object)`` membership
+    claims (predicate ``member_of``) — the claims-table shape the webtext
+    KG plan unions as its ``list`` extractor channel."""
+    q = _qualified(list_items(pages, url_col, html_col), min_items)
+    return q.select(
+        "url",
+        F.col("item").alias("subject"),
+        F.lit("member_of").alias("predicate"),
+        F.col("class").alias("object"),
+    )

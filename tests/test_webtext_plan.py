@@ -27,8 +27,13 @@ def test_webtext_plan_all_views_fire_and_fuse(spark, tmp_path):
         r["source"] for r in out["claims"].select("source").distinct().collect()
     }
     assert by_source == {
-        "sentence", "table", "hearst", "jsonld", "microdata", "rdfa", "meta",
+        "sentence", "table", "hearst", "jsonld", "microdata", "rdfa",
+        "meta", "list",
     }
+    # the planted list block: membership claims on the racks class
+    lst = out["claims"].filter("source = 'list'")
+    assert {r["predicate"] for r in lst.select("predicate").distinct().collect()} \
+        == {"member_of"}
     # the planted cross-CHANNEL conflict: table/jsonld/microdata/rdfa
     # disagree on (srv-*, os) for some pages, so fusion sees >1 source
     os_claims = out["claims"].filter(
