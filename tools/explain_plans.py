@@ -404,6 +404,28 @@ def main() -> int:
         want=("partial_count",),
         forbid=("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"),
     )
+    # structured-data + list-page channels: each extraction is ONE narrow
+    # map on the page row — zero Exchange, zero Python eval of any kind
+    for _nm, _q in (
+        ("jsonld_triples", E.q_jsonld_triples),
+        ("meta_triples", E.q_meta_triples),
+        ("microdata_triples", E.q_microdata_triples),
+        ("rdfa_triples", E.q_rdfa_triples),
+        ("list_items", E.q_list_items),
+    ):
+        check(
+            _nm, _q(spark, sf_dir),
+            forbid=("BatchEvalPython", "ArrowEvalPython", "Exchange"),
+        )
+    # list memberships: the ONLY shuffles are the page-local size window
+    # and the algebraic vote agg (map-side combined)
+    check(
+        "list_memberships",
+        E.q_list_memberships(spark, sf_dir),
+        want=("partial_count",),
+        forbid=("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"),
+    )
+
     # sink renders are NARROW maps: no exchange at all in the projection
     from sigraph_spark.operators.opensearch_bulk import bulk_index_lines
     from sigraph_spark.sources.events_map import sigraph_events
