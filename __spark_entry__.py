@@ -886,6 +886,67 @@ def q_list_memberships(spark: SparkSession, sf_dir: str) -> DataFrame:
     return list_memberships(list_items(_webtext_list_pages(spark)))
 
 
+def _webtext_dl_pages(spark: SparkSession, sf: float = 0.01) -> DataFrame:
+    """Deterministic definition-list corpus over the standard urls:
+    every page carries a "Server <b>S-k</b>" heading over a dl with two
+    good pairs, an EMPTY <dd> (drops, consumes pair_idx 2) and an
+    UNPAIRED trailing <dt> (NULL dd — drops); every 2nd page a "Rack"
+    dl with an EXTRA <dd> (ragged pad — drops); every 3rd page a
+    LEADING unheaded dl (whole block drops but consumes dl_idx 0,
+    shifting later indices); every 5th page a second dl INHERITING the
+    current heading context. The oracle enumerates the planted facts
+    arithmetically."""
+    from sigraph_spark.corpus import gen_pages
+
+    i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    pages = gen_pages(spark, sf=sf).select("url", i.alias("i"))
+    orphan = F.when(
+        F.col("i") % 3 == 0,
+        F.concat(
+            F.lit("<dl><dt>stray</dt><dd>x-"),
+            (F.col("i") % 5).cast("string"), F.lit("</dd></dl>"),
+        ),
+    ).otherwise(F.lit(""))
+    rack = F.when(
+        F.col("i") % 2 == 0,
+        F.concat(
+            F.lit("<h3>Rack R-"), (F.col("i") % 23).cast("string"),
+            F.lit("</h3><dl><dt>zone</dt><dd>z-"),
+            (F.col("i") % 7).cast("string"),
+            F.lit("</dd><dd>zz</dd></dl>"),
+        ),
+    ).otherwise(F.lit(""))
+    power = F.when(
+        F.col("i") % 5 == 0,
+        F.concat(
+            F.lit("<dl><dt>power</dt><dd>p-"),
+            (F.col("i") % 9).cast("string"), F.lit("</dd></dl>"),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><body>"), orphan,
+        F.lit("<h2>Server <b>S-"), (F.col("i") % 47).cast("string"),
+        F.lit("</b></h2><dl><dt>CPU</dt><dd>"),
+        (F.col("i") % 64).cast("string"),
+        F.lit('-core</dd><dt><i>RAM</i></dt><dd><a href="/r">'),
+        (F.col("i") % 512).cast("string"),
+        F.lit(" GiB</a></dd><dt>empty</dt><dd></dd><dt>tail</dt></dl>"),
+        rack, power,
+        F.lit("<p>filler "), F.col("i").cast("string"),
+        F.lit("</p></body></html>"),
+    )
+    return pages.select("url", html.alias("html"))
+
+
+def q_dl_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Definition-list infobox extraction over the planted corpus; hash
+    pins heading subjects, positional dt/dd pairing with ragged and
+    empty drops, unheaded-block drops and dl/pair indexing."""
+    from sigraph_spark.operators.dlfacts import dl_facts
+
+    return dl_facts(_webtext_dl_pages(spark))
+
+
 def _hearst_corpus(spark: SparkSession, sf: float = 0.01) -> DataFrame:
     """Planted Hearst-pattern corpus over the standard urls: every page
     carries a such_as sentence with a 3-item coordinated list; 3/4/5/7
@@ -3883,6 +3944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfa_triples": q_rdfa_triples,
         "list_items": q_list_items,
         "list_memberships": q_list_memberships,
+        "dl_facts": q_dl_facts,
         "hearst_pairs": q_hearst_pairs,
         "taxonomy_induction": q_taxonomy_induction,
         "text_reuse": q_text_reuse,
@@ -4828,6 +4890,35 @@ def oracle_sql() -> dict[str, str]:
                  'data centers' FROM u WHERE i % 2 = 0)
         SELECT item, class, CAST(count(*) AS BIGINT) AS n_lists
         FROM cl GROUP BY item, class
+        """
+    )
+    # --- definition lists: arithmetic enumeration of the planted facts.
+    # dl_idx counts ALL <dl> blocks in document order (the unheaded
+    # orphan on i%3 pages consumes 0 then drops; the even-page rack dl
+    # shifts the i%5 power dl, which inherits the CURRENT heading).
+    sq["dl_facts"] = (
+        "WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 10000)),"
+        + """
+        u AS (SELECT i, 'https://example.org/report/' || CAST(i AS VARCHAR) AS url,
+                     CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END AS o,
+                     CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END AS e,
+                     'Server S-' || CAST(i % 47 AS VARCHAR) AS srv,
+                     'Rack R-' || CAST(i % 23 AS VARCHAR) AS rck
+              FROM pg),
+        t AS (
+          SELECT url, o AS dl_idx, 0 AS pair_idx, srv AS subject,
+                 'CPU' AS key, CAST(i % 64 AS VARCHAR) || '-core' AS value
+          FROM u
+          UNION ALL SELECT url, o, 1, srv, 'RAM',
+                 CAST(i % 512 AS VARCHAR) || ' GiB' FROM u
+          UNION ALL SELECT url, o + 1, 0, rck, 'zone',
+                 'z-' || CAST(i % 7 AS VARCHAR) FROM u WHERE i % 2 = 0
+          UNION ALL SELECT url, o + 1 + e, 0,
+                 CASE WHEN e = 1 THEN rck ELSE srv END, 'power',
+                 'p-' || CAST(i % 9 AS VARCHAR) FROM u WHERE i % 5 = 0)
+        SELECT url, CAST(dl_idx AS INT) AS dl_idx,
+               CAST(pair_idx AS INT) AS pair_idx, subject, key, value
+        FROM t
         """
     )
     # --- Hearst extraction: the oracle enumerates the PLANTED pairs

@@ -360,6 +360,7 @@ def main() -> None:
     from sigraph_spark.operators.htmltables import table_triples
     from sigraph_spark.operators.jsonld import jsonld_triples, meta_triples
     from sigraph_spark.operators.microdata import microdata_triples
+    from sigraph_spark.operators.dlfacts import dl_facts
     from sigraph_spark.operators.htmllists import list_items
     from sigraph_spark.operators.rdfa import rdfa_triples
     from sigraph_spark.operators.links import resolve_redirects
@@ -373,6 +374,7 @@ def main() -> None:
     md_pages = entrymod._webtext_microdata_pages(spark, sf=sf).localCheckpoint(True)
     rd_pages = entrymod._webtext_rdfa_pages(spark, sf=sf).localCheckpoint(True)
     li_pages = entrymod._webtext_list_pages(spark, sf=sf).localCheckpoint(True)
+    dl_pages = entrymod._webtext_dl_pages(spark, sf=sf).localCheckpoint(True)
 
     def run_webtext() -> int:
         return (
@@ -385,6 +387,7 @@ def main() -> None:
             + microdata_triples(md_pages).count()
             + rdfa_triples(rd_pages).count()
             + list_items(li_pages).count()
+            + dl_facts(dl_pages).count()
         )
 
     timed("webtext_kg", run_webtext)

@@ -31,7 +31,9 @@ def synthetic_webtext_pages(spark, sf: float):
     """Combined corpus: gen_pages html with the planted table markup, the
     Hearst prose paragraph AND a structured-data snippet (JSON-LD block +
     microdata scope + RDFa scope + OpenGraph meta tag + a headed
-    list-page block) spliced in before </body> — every extractor view
+    list-page block + a definition-list infobox whose heading IS the
+    srv subject, corroborating the JSON-LD dc claim cross-channel)
+    spliced in before </body> — every extractor view
     has signal in the SAME page, and none disturbs the others (table
     cells, list items and Hearst prose carry no whitelist verbs;
     gen_pages' template has no tables or lists; script bodies are
@@ -80,7 +82,9 @@ def synthetic_webtext_pages(spark, sf: float):
         F.lit("<h2>List of Racks</h2><ul><li>r-"),
         (i % 23).cast("string"),
         F.lit("</li><li>r-"), ((i + 1) % 23).cast("string"),
-        F.lit("</li></ul>"),
+        F.lit("</li></ul><h2>"), srv,
+        F.lit("</h2><dl><dt>dc</dt><dd>dc-"), (i % 7).cast("string"),
+        F.lit("</dd></dl>"),
     )
     combined = (
         gp.join(tp, "url").join(hd, "url")

@@ -48,30 +48,37 @@ from pyspark.sql import functions as F
 
 from sigraph_spark.operators.htmltables import clean_cell
 
-# heading OR list block; group 1 = h-level (is-heading marker),
-# group 2 = heading text, group 3 = list body
-HL_RE = r"(?is)<h([1-6])[^>]*>(.*?)</h\1\s*>|<[uo]l[^>]*>(.*?)</[uo]l\s*>"
+# headed_blocks prepends the heading alternation: group 1 = h-level
+# (is-heading marker), group 2 = heading text, group 3 = block body
 LI_RE = r"(?is)<li[^>]*>(.*?)</li\s*>"
 
 _LIST_T = "array<struct<heading:string,body:string>>"
 
 
-def list_items(
-    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+def headed_blocks(
+    pages: DataFrame,
+    block_re: str,
+    url_col: str = "url",
+    html_col: str = "html",
+    idx_name: str = "block_idx",
 ) -> DataFrame:
-    """Pages -> ``(url, list_idx, item_idx, heading, item)``: every
-    ``<li>`` item of every list block, tagged with the most recent
-    preceding heading ('' before the first one)."""
+    """Pages -> ``(url, <idx_name>, heading, body)``: every block the
+    single-group ``block_re`` matches, tagged with the most recent
+    preceding ``<h1-6>`` heading in document order ('' before the first
+    one). The shared heading-context engine behind ``list_items`` and
+    ``definition_facts``: three zipped regex passes + a linear
+    ``F.aggregate`` fold — zero shuffle, zero UDF."""
+    full_re = r"(?is)<h([1-6])[^>]*>(.*?)</h\1\s*>|" + block_re
     src = pages.schema[html_col].dataType.typeName()
     html = (
         F.decode(F.col(html_col), "UTF-8") if src == "binary" else F.col(html_col)
     )
     marks = F.arrays_zip(
-        F.regexp_extract_all(html, F.lit(HL_RE), 1).alias("lv"),
-        F.regexp_extract_all(html, F.lit(HL_RE), 2).alias("ht"),
-        F.regexp_extract_all(html, F.lit(HL_RE), 3).alias("bd"),
+        F.regexp_extract_all(html, F.lit(full_re), 1).alias("lv"),
+        F.regexp_extract_all(html, F.lit(full_re), 2).alias("ht"),
+        F.regexp_extract_all(html, F.lit(full_re), 3).alias("bd"),
     )
-    # linear fold: headings update the carried context, lists emit
+    # linear fold: headings update the carried context, blocks emit
     step = lambda acc, m: F.when(  # noqa: E731
         m["lv"] != "",
         F.struct(clean_cell(m["ht"]).alias("cur"), acc["out"].alias("out")),
@@ -86,7 +93,7 @@ def list_items(
             ).alias("out"),
         )
     )
-    lists = F.aggregate(
+    blocks = F.aggregate(
         marks,
         F.struct(
             F.lit("").alias("cur"), F.array().cast(_LIST_T).alias("out")
@@ -94,14 +101,29 @@ def list_items(
         step,
         lambda acc: acc["out"],
     )
-    x = pages.select(
+    return pages.select(
         F.col(url_col).alias("url"),
-        F.posexplode(lists).alias("list_idx", "l"),
+        F.posexplode(blocks).alias(idx_name, "_b"),
     ).select(
-        "url", "list_idx",
-        F.col("l.heading").alias("heading"),
+        "url", idx_name,
+        F.col("_b.heading").alias("heading"),
+        F.col("_b.body").alias("body"),
+    )
+
+
+def list_items(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Pages -> ``(url, list_idx, item_idx, heading, item)``: every
+    ``<li>`` item of every list block, tagged with the most recent
+    preceding heading ('' before the first one)."""
+    x = headed_blocks(
+        pages, r"<[uo]l[^>]*>(.*?)</[uo]l\s*>", url_col, html_col,
+        idx_name="list_idx",
+    ).select(
+        "url", "list_idx", "heading",
         F.posexplode(
-            F.regexp_extract_all(F.col("l.body"), F.lit(LI_RE), 1)
+            F.regexp_extract_all(F.col("body"), F.lit(LI_RE), 1)
         ).alias("item_idx", "_raw"),
     )
     return x.select(

@@ -20,10 +20,11 @@ Stage graph::
        \\            ├── w2_sent  (sentence triples -> claims 'sentence')
         \\           └── w4_hearst (is_a pairs      -> claims 'hearst')
          ├── w3_tables (html tables -> claims 'table')
-         └── w7_struct (JSON-LD / microdata / RDFa / meta / list-page ->
-                        claims 'jsonld' / 'microdata' / 'rdfa' / 'meta' /
-                        'list' — narrow maps (lists add one page-local
-                        window), no w1 dependency: they read raw html)
+         └── w7_struct (JSON-LD / microdata / RDFa / meta / list-page /
+                        definition-list -> claims 'jsonld' / 'microdata'
+                        / 'rdfa' / 'meta' / 'list' / 'dl' — narrow maps
+                        (lists add one page-local window), no w1
+                        dependency: they read raw html)
     w2+w3+w4+w7 ── w5_claims (union, distinct) ── w6_fused
 
 The fusion algebra itself is hash-proven by the ``multi_extractor_fusion``
@@ -46,11 +47,12 @@ from sigraph_spark.plans.pipeline import (
 
 def _structured_claims(pages: DataFrame) -> DataFrame:
     """Claims view of the four structured-data channels plus list-page
-    memberships over raw html: (subject, predicate, object, source) with
-    source in {jsonld, microdata, rdfa, meta, list}. rdf:type rows ride
-    along — a fused KG wants typed entities, and fusion arbitrates them
-    like any other predicate. Meta tags are page-level facts, so their
-    subject is the url itself."""
+    memberships and definition-list infoboxes over raw html: (subject,
+    predicate, object, source) with source in {jsonld, microdata, rdfa,
+    meta, list, dl}. rdf:type rows ride along — a fused KG wants typed
+    entities, and fusion arbitrates them like any other predicate. Meta
+    tags are page-level facts, so their subject is the url itself."""
+    from sigraph_spark.operators.dlfacts import dl_claims
     from sigraph_spark.operators.htmllists import list_claims
     from sigraph_spark.operators.jsonld import jsonld_triples, meta_triples
     from sigraph_spark.operators.microdata import microdata_triples
@@ -73,6 +75,12 @@ def _structured_claims(pages: DataFrame) -> DataFrame:
             list_claims(pages).select(
                 "subject", "predicate", "object",
                 F.lit("list").alias("source"),
+            )
+        )
+        .unionByName(
+            dl_claims(pages).select(
+                "subject", "predicate", "object",
+                F.lit("dl").alias("source"),
             )
         )
     )

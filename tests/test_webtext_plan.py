@@ -28,7 +28,7 @@ def test_webtext_plan_all_views_fire_and_fuse(spark, tmp_path):
     }
     assert by_source == {
         "sentence", "table", "hearst", "jsonld", "microdata", "rdfa",
-        "meta", "list",
+        "meta", "list", "dl",
     }
     # the planted list block: membership claims on the racks class
     lst = out["claims"].filter("source = 'list'")

@@ -412,6 +412,7 @@ def main() -> int:
         ("microdata_triples", E.q_microdata_triples),
         ("rdfa_triples", E.q_rdfa_triples),
         ("list_items", E.q_list_items),
+        ("dl_facts", E.q_dl_facts),
     ):
         check(
             _nm, _q(spark, sf_dir),
