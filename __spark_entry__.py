@@ -947,6 +947,58 @@ def q_dl_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dl_facts(_webtext_dl_pages(spark))
 
 
+def _webtext_quote_docs(spark: SparkSession, sf: float = 0.01) -> DataFrame:
+    """Deterministic attributed-quote corpus over the standard urls:
+    every page leads with a DECOY quoted span ("shows" is not an
+    attribution verb — no match, no index shift), then a PRE-shape
+    quote; every 2nd page adds a POST-shape quote with the comma inside
+    the closing quote (stripped), every 3rd an according-to shape, and
+    every 7th a colon+exclamation PRE variant with a single-token
+    speaker. quote_idx is match order across shapes. The oracle
+    enumerates the planted rows arithmetically."""
+    from sigraph_spark.corpus import gen_pages
+
+    i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    pages = gen_pages(spark, sf=sf).select("url", i.alias("i"))
+    post = F.when(
+        F.col("i") % 2 == 0,
+        F.concat(
+            F.lit('"We moved rack r-'), (F.col("i") % 23).cast("string"),
+            F.lit('," said Bob Stone. '),
+        ),
+    ).otherwise(F.lit(""))
+    acc = F.when(
+        F.col("i") % 3 == 0,
+        F.concat(
+            F.lit('According to Eve Long, "the quota is '),
+            (F.col("i") % 5).cast("string"), F.lit('." '),
+        ),
+    ).otherwise(F.lit(""))
+    dana = F.when(
+        F.col("i") % 7 == 0,
+        F.concat(
+            F.lit('Dana warned: "check unit '),
+            (F.col("i") % 9).cast("string"), F.lit('!" '),
+        ),
+    ).otherwise(F.lit(""))
+    text = F.concat(
+        F.lit('The log shows "error '), (F.col("i") % 7).cast("string"),
+        F.lit('" today. Alice Carter said "segment '),
+        (F.col("i") % 17).cast("string"),
+        F.lit(' is stable." '), post, acc, dana,
+    )
+    return pages.select("url", text.alias("text"))
+
+
+def q_quotes_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quotation/attribution extraction over the planted corpus; hash
+    pins the three shapes, the verb gate (decoy never matches), the
+    in-quote punctuation strip and the cross-shape quote_idx order."""
+    from sigraph_spark.operators.quotes import extract_quotes
+
+    return extract_quotes(_webtext_quote_docs(spark))
+
+
 def _hearst_corpus(spark: SparkSession, sf: float = 0.01) -> DataFrame:
     """Planted Hearst-pattern corpus over the standard urls: every page
     carries a such_as sentence with a 3-item coordinated list; 3/4/5/7
@@ -3945,6 +3997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_items": q_list_items,
         "list_memberships": q_list_memberships,
         "dl_facts": q_dl_facts,
+        "quotes_extract": q_quotes_extract,
         "hearst_pairs": q_hearst_pairs,
         "taxonomy_induction": q_taxonomy_induction,
         "text_reuse": q_text_reuse,
@@ -4919,6 +4972,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT url, CAST(dl_idx AS INT) AS dl_idx,
                CAST(pair_idx AS INT) AS pair_idx, subject, key, value
         FROM t
+        """
+    )
+    # --- attributed quotes: arithmetic enumeration. The decoy span
+    # never matches (verb gate), so indices start at the PRE quote; the
+    # even-page POST shifts the i%3 according-to and i%7 Dana rows.
+    sq["quotes_extract"] = (
+        "WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 10000)),"
+        + """
+        u AS (SELECT i, 'https://example.org/report/' || CAST(i AS VARCHAR) AS url,
+                     CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END AS e,
+                     CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END AS t
+              FROM pg),
+        q AS (
+          SELECT url, 0 AS quote_idx, 'Alice Carter' AS speaker,
+                 'said' AS verb,
+                 'segment ' || CAST(i % 17 AS VARCHAR) || ' is stable' AS quote
+          FROM u
+          UNION ALL SELECT url, 1, 'Bob Stone', 'said',
+                 'We moved rack r-' || CAST(i % 23 AS VARCHAR)
+          FROM u WHERE i % 2 = 0
+          UNION ALL SELECT url, 1 + e, 'Eve Long', 'according_to',
+                 'the quota is ' || CAST(i % 5 AS VARCHAR)
+          FROM u WHERE i % 3 = 0
+          UNION ALL SELECT url, 1 + e + t, 'Dana', 'warned',
+                 'check unit ' || CAST(i % 9 AS VARCHAR)
+          FROM u WHERE i % 7 = 0)
+        SELECT url, CAST(quote_idx AS INT) AS quote_idx, speaker, verb, quote
+        FROM q
         """
     )
     # --- Hearst extraction: the oracle enumerates the PLANTED pairs

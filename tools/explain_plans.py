@@ -413,6 +413,7 @@ def main() -> int:
         ("rdfa_triples", E.q_rdfa_triples),
         ("list_items", E.q_list_items),
         ("dl_facts", E.q_dl_facts),
+        ("quotes_extract", E.q_quotes_extract),
     ):
         check(
             _nm, _q(spark, sf_dir),
