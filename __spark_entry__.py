@@ -999,6 +999,47 @@ def q_quotes_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_quotes(_webtext_quote_docs(spark))
 
 
+def _webtext_abbrev_docs(spark: SparkSession, sf: float = 0.01) -> DataFrame:
+    """Deterministic abbreviation corpus over the standard urls: even
+    pages lead with a MISMATCH decoy (consumes pair_idx, drops), 3-pages
+    add a TOO-SHORT candidate (two words cannot spell three letters —
+    drops), every page carries the APT trim case (leading "The" trims
+    away) and the DOD connector case, 5-pages a second trim case, and a
+    letter-VARYING verified pair Team <C>unit Response (T<C>R). The
+    oracle enumerates rows arithmetically."""
+    from sigraph_spark.corpus import gen_pages
+
+    i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    pages = gen_pages(spark, sf=sf).select("url", i.alias("i"))
+    c = F.expr("char(65 + i % 26)")
+    decoy = F.when(
+        F.col("i") % 2 == 0, F.lit("Wrong Name (XYZ) appeared. ")
+    ).otherwise(F.lit(""))
+    shortfall = F.when(
+        F.col("i") % 3 == 0, F.lit("Big Data (BDX) grows. ")
+    ).otherwise(F.lit(""))
+    nyt = F.when(
+        F.col("i") % 5 == 0, F.lit("The New York Times (NYT) wrote. ")
+    ).otherwise(F.lit(""))
+    text = F.concat(
+        decoy, shortfall,
+        F.lit("The Advanced Persistent Threat (APT) hit the "
+              "Department of Defense (DOD) segment "),
+        F.col("i").cast("string"), F.lit(". "), nyt,
+        F.lit("Team "), c, F.lit("unit Response (T"), c, F.lit("R) closed."),
+    )
+    return pages.select("url", text.alias("text"))
+
+
+def q_abbrev_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abbreviation alias mining over the planted corpus; hash pins the
+    candidate indexing (decoys consume pair_idx), connector initials,
+    left-trim semantics and the initials verification."""
+    from sigraph_spark.operators.abbrev import abbrev_pairs
+
+    return abbrev_pairs(_webtext_abbrev_docs(spark))
+
+
 def _hearst_corpus(spark: SparkSession, sf: float = 0.01) -> DataFrame:
     """Planted Hearst-pattern corpus over the standard urls: every page
     carries a such_as sentence with a 3-item coordinated list; 3/4/5/7
@@ -3998,6 +4039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_memberships": q_list_memberships,
         "dl_facts": q_dl_facts,
         "quotes_extract": q_quotes_extract,
+        "abbrev_pairs": q_abbrev_pairs,
         "hearst_pairs": q_hearst_pairs,
         "taxonomy_induction": q_taxonomy_induction,
         "text_reuse": q_text_reuse,
@@ -5000,6 +5042,30 @@ def oracle_sql() -> dict[str, str]:
           FROM u WHERE i % 7 = 0)
         SELECT url, CAST(quote_idx AS INT) AS quote_idx, speaker, verb, quote
         FROM q
+        """
+    )
+    # --- abbreviation pairs: arithmetic enumeration. Decoys consume
+    # pair_idx then drop; the letter-varying TCR pair pins the initials
+    # verification end-to-end.
+    sq["abbrev_pairs"] = (
+        "WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 10000)),"
+        + """
+        u AS (SELECT i, 'https://example.org/report/' || CAST(i AS VARCHAR) AS url,
+                     CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END AS e,
+                     CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END AS t3,
+                     CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END AS t5,
+                     chr(65 + CAST(i % 26 AS INT)) AS c
+              FROM pg),
+        q AS (
+          SELECT url, e + t3 AS pair_idx,
+                 'Advanced Persistent Threat' AS long, 'APT' AS short FROM u
+          UNION ALL SELECT url, e + t3 + 1, 'Department of Defense', 'DOD'
+          FROM u
+          UNION ALL SELECT url, e + t3 + 2, 'New York Times', 'NYT'
+          FROM u WHERE i % 5 = 0
+          UNION ALL SELECT url, e + t3 + 2 + t5,
+                 'Team ' || c || 'unit Response', 'T' || c || 'R' FROM u)
+        SELECT url, CAST(pair_idx AS INT) AS pair_idx, long, short FROM q
         """
     )
     # --- Hearst extraction: the oracle enumerates the PLANTED pairs

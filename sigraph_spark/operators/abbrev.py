@@ -1,0 +1,74 @@
+"""Abbreviation pair extraction: ``Long Form (LF)`` alias mining.
+
+Webtext introduces entities with a parenthesized short form — "the
+Advanced Persistent Threat (APT) group", "Department of Defense (DOD)"
+— and a KG builder mines these as ALIAS edges feeding entity
+canonicalization (the same role `extract_canonical_aliases` plays for
+urls, here for names). The classic reference is Schwartz & Hearst
+(PSB 2003); this operator pins a word-initial subset of it:
+
+* candidate = 2-7 word run immediately followed by ``(ABBR)`` with
+  ABBR 2-10 uppercase letters; the run starts at a capitalized token
+  and may interleave the lowercase connectors of/and/the/for/in/on;
+* EVERY word contributes its first letter, case-insensitively — so
+  "Department of Defense" reads DOD (the connector supplies the O);
+* the long form LEFT-TRIMS to the abbreviation's length: with
+  ``k = len(ABBR)`` the LAST k words must spell ABBR, and the emitted
+  ``long`` is exactly those k words ("The Advanced Persistent Threat
+  (APT)" emits "Advanced Persistent Threat" — the sentence-leading
+  "The" trims away). Candidates with fewer than k words, or whose last
+  k initials mismatch, DROP but still consume their ``pair_idx``
+  (document-order numbering over candidates). The Schwartz-Hearst
+  character-subsequence alignment (ABBRs drawing mid-word letters) is
+  deliberately not implemented;
+* duplicates on one page keep every occurrence (frequency is signal
+  for downstream alias voting).
+
+Scale design: one ``regexp_extract_all`` (two zipped group passes) +
+``posexplode`` + higher-order-function slice/initials checks — a
+single narrow map, zero shuffle, zero UDF (plan-asserted in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_CONN = "(?:of|and|the|for|in|on)"
+_WORD = r"[A-Z][A-Za-z0-9-]*"
+
+ABBREV_RE = (
+    rf"\b({_WORD}(?:[ ](?:{_CONN}[ ])?{_WORD}){{1,6}})\s*\(([A-Z]{{2,10}})\)"
+)
+
+
+def abbrev_pairs(
+    docs: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Docs -> ``(url, pair_idx, long, short)`` verified initialisms;
+    ``long`` is the left-trimmed k-word form spelling ``short``."""
+    text = F.col(text_col)
+    cands = F.arrays_zip(
+        F.regexp_extract_all(text, F.lit(ABBREV_RE), 1).alias("lf"),
+        F.regexp_extract_all(text, F.lit(ABBREV_RE), 2).alias("sf"),
+    )
+    x = docs.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(cands).alias("pair_idx", "c"),
+    ).select(
+        "url", "pair_idx",
+        F.split(F.col("c.lf"), " ").alias("_words"),
+        F.col("c.sf").alias("short"),
+    )
+    k = F.length("short")
+    tail = F.slice("_words", -k, k)
+    initials = F.upper(
+        F.array_join(F.transform(tail, lambda w: F.substring(w, 1, 1)), "")
+    )
+    return (
+        x.filter((F.size("_words") >= k) & (initials == F.col("short")))
+        .select(
+            "url", "pair_idx",
+            F.array_join(tail, " ").alias("long"), "short",
+        )
+    )

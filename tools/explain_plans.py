@@ -414,6 +414,7 @@ def main() -> int:
         ("list_items", E.q_list_items),
         ("dl_facts", E.q_dl_facts),
         ("quotes_extract", E.q_quotes_extract),
+        ("abbrev_pairs", E.q_abbrev_pairs),
     ):
         check(
             _nm, _q(spark, sf_dir),
