@@ -1040,6 +1040,51 @@ def q_abbrev_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return abbrev_pairs(_webtext_abbrev_docs(spark))
 
 
+def _webtext_template_pages(spark: SparkSession, sf: float = 0.01) -> DataFrame:
+    """Deterministic template corpus over the standard urls: one base
+    skeleton with per-page TEXT variation (structure-invariant), an
+    extra aside/ul/li block on 3-pages and a bare <img> on 5-pages —
+    four structure classes total. The oracle recomputes the md5
+    fingerprint from the arithmetically-constructed tag string, pinning
+    the tag extraction and the hash end-to-end."""
+    from sigraph_spark.corpus import gen_pages
+
+    i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    pages = gen_pages(spark, sf=sf).select("url", i.alias("i"))
+    istr = F.col("i").cast("string")
+    aside = F.when(
+        F.col("i") % 3 == 0,
+        F.concat(F.lit("<aside><ul><li>seg "), istr,
+                 F.lit("</li></ul></aside>")),
+    ).otherwise(F.lit(""))
+    img = F.when(F.col("i") % 5 == 0, F.lit("<img>")).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>Report "), istr,
+        F.lit("</title></head><body><nav><a>Home</a></nav><div><h1>t"),
+        istr, F.lit("</h1><p>text "), istr, F.lit("</p></div>"),
+        aside, img, F.lit("<footer></footer></body></html>"),
+    )
+    return pages.select("url", html.alias("html"))
+
+
+def q_template_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure fingerprints over the planted corpus; hash pins the
+    opening-tag skeleton extraction and the portable md5."""
+    from sigraph_spark.operators.template import page_structure
+
+    return page_structure(_webtext_template_pages(spark))
+
+
+def q_template_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template clusters: the four planted structure classes with
+    member counts and lexicographic exemplars."""
+    from sigraph_spark.operators.template import (
+        page_structure, template_clusters,
+    )
+
+    return template_clusters(page_structure(_webtext_template_pages(spark)))
+
+
 def _hearst_corpus(spark: SparkSession, sf: float = 0.01) -> DataFrame:
     """Planted Hearst-pattern corpus over the standard urls: every page
     carries a such_as sentence with a 3-item coordinated list; 3/4/5/7
@@ -4040,6 +4085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_facts": q_dl_facts,
         "quotes_extract": q_quotes_extract,
         "abbrev_pairs": q_abbrev_pairs,
+        "template_id": q_template_id,
+        "template_clusters": q_template_clusters,
         "hearst_pairs": q_hearst_pairs,
         "taxonomy_induction": q_taxonomy_induction,
         "text_reuse": q_text_reuse,
@@ -5066,6 +5113,35 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT url, e + t3 + 2 + t5,
                  'Team ' || c || 'unit Response', 'T' || c || 'R' FROM u)
         SELECT url, CAST(pair_idx AS INT) AS pair_idx, long, short FROM q
+        """
+    )
+    # --- template fingerprints: the oracle REBUILDS the tag string
+    # arithmetically and applies the same md5 — extraction + hash pinned.
+    _TPL_CTES = """
+        u AS (SELECT i, 'https://example.org/report/' || CAST(i AS VARCHAR) AS url,
+                     'html,head,title,body,nav,a,div,h1,p'
+                       || CASE WHEN i % 3 = 0 THEN ',aside,ul,li' ELSE '' END
+                       || CASE WHEN i % 5 = 0 THEN ',img' ELSE '' END
+                       || ',footer' AS skel,
+                     10 + CASE WHEN i % 3 = 0 THEN 3 ELSE 0 END
+                        + CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END AS n_tags
+              FROM pg)
+    """
+    sq["template_id"] = (
+        "WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 10000)),"
+        + _TPL_CTES
+        + " SELECT url, CAST(n_tags AS INT) AS n_tags, md5(skel) AS template_id"
+          " FROM u"
+    )
+    sq["template_clusters"] = (
+        "WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 10000)),"
+        + _TPL_CTES
+        + """
+        SELECT md5(skel) AS template_id,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(min(n_tags) AS INT) AS n_tags,
+               min(url) AS exemplar
+        FROM u GROUP BY md5(skel)
         """
     )
     # --- Hearst extraction: the oracle enumerates the PLANTED pairs

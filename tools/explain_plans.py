@@ -415,6 +415,7 @@ def main() -> int:
         ("dl_facts", E.q_dl_facts),
         ("quotes_extract", E.q_quotes_extract),
         ("abbrev_pairs", E.q_abbrev_pairs),
+        ("template_id", E.q_template_id),
     ):
         check(
             _nm, _q(spark, sf_dir),
