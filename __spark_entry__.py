@@ -1085,6 +1085,43 @@ def q_template_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return template_clusters(page_structure(_webtext_template_pages(spark)))
 
 
+def _webtext_quantity_docs(spark: SparkSession, sf: float = 0.01) -> DataFrame:
+    """Deterministic quantity corpus over the standard urls: 3-pages
+    lead with a NON-DIVISIBLE decoy (0.5 B — consumes q_idx, drops),
+    then a varying GiB size, a fractional GHz clock (frac from the
+    divisible set .0/.25/.50/.75), a varying ms timeout, on 5-pages a
+    1.5 h duration, and an out-of-contract 7-digit number that never
+    matches. The oracle emits the planted base values arithmetically."""
+    from sigraph_spark.corpus import gen_pages
+
+    i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    pages = gen_pages(spark, sf=sf).select("url", i.alias("i"))
+    decoy = F.when(
+        F.col("i") % 3 == 0, F.lit("raw 0.5 B flag. ")
+    ).otherwise(F.lit(""))
+    hrs = F.when(
+        F.col("i") % 5 == 0, F.lit("keep 1.5 h. ")
+    ).otherwise(F.lit(""))
+    text = F.concat(
+        decoy,
+        F.lit("disk "), (F.col("i") % 512).cast("string"),
+        F.lit(" GiB, clock 3."), ((F.col("i") % 4) * 25).cast("string"),
+        F.lit(" GHz, timeout "), (F.col("i") % 1000).cast("string"),
+        F.lit(" ms. "), hrs,
+        F.lit("big 1536000 KB ignored."),
+    )
+    return pages.select("url", text.alias("text"))
+
+
+def q_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity normalization over the planted corpus; hash pins the
+    unit inventory, exact DECIMAL(38,0) arithmetic, the non-divisible
+    and out-of-contract drop rules and q_idx accounting."""
+    from sigraph_spark.operators.quantities import extract_quantities
+
+    return extract_quantities(_webtext_quantity_docs(spark))
+
+
 def _hearst_corpus(spark: SparkSession, sf: float = 0.01) -> DataFrame:
     """Planted Hearst-pattern corpus over the standard urls: every page
     carries a such_as sentence with a 3-item coordinated list; 3/4/5/7
@@ -4087,6 +4124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abbrev_pairs": q_abbrev_pairs,
         "template_id": q_template_id,
         "template_clusters": q_template_clusters,
+        "quantities": q_quantities,
         "hearst_pairs": q_hearst_pairs,
         "taxonomy_induction": q_taxonomy_induction,
         "text_reuse": q_text_reuse,
@@ -5142,6 +5180,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(min(n_tags) AS INT) AS n_tags,
                min(url) AS exemplar
         FROM u GROUP BY md5(skel)
+        """
+    )
+    # --- quantities: planted base values emitted arithmetically (the
+    # decimal-exact normalization is what the hash pins; the 0.5 B decoy
+    # consumes q_idx 0 on 3-pages, the 7-digit number never matches).
+    sq["quantities"] = (
+        "WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 10000)),"
+        + """
+        u AS (SELECT i, 'https://example.org/report/' || CAST(i AS VARCHAR) AS url,
+                     CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END AS t3
+              FROM pg),
+        q AS (
+          SELECT url, t3 + 0 AS q_idx, CAST(i % 512 AS VARCHAR) AS value_raw,
+                 'GiB' AS unit, 'bytes' AS unit_class,
+                 (i % 512) * 1073741824 AS base
+          FROM u
+          UNION ALL SELECT url, t3 + 1,
+                 '3.' || CAST((i % 4) * 25 AS VARCHAR), 'GHz', 'hertz',
+                 3000000000 + (i % 4) * 250000000 FROM u
+          UNION ALL SELECT url, t3 + 2, CAST(i % 1000 AS VARCHAR), 'ms',
+                 'micros', (i % 1000) * 1000 FROM u
+          UNION ALL SELECT url, t3 + 3, '1.5', 'h', 'micros', 5400000000
+          FROM u WHERE i % 5 = 0)
+        SELECT url, CAST(q_idx AS INT) AS q_idx, value_raw, unit,
+               unit_class, CAST(base AS BIGINT) AS base
+        FROM q
         """
     )
     # --- Hearst extraction: the oracle enumerates the PLANTED pairs

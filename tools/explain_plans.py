@@ -416,6 +416,7 @@ def main() -> int:
         ("quotes_extract", E.q_quotes_extract),
         ("abbrev_pairs", E.q_abbrev_pairs),
         ("template_id", E.q_template_id),
+        ("quantities", E.q_quantities),
     ):
         check(
             _nm, _q(spark, sf_dir),
