@@ -1122,6 +1122,18 @@ def q_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_quantities(_webtext_quantity_docs(spark))
 
 
+def q_object_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity normalization APPLIED TO KG object literals: the dl
+    corpus's RAM infobox values ("N GiB") gain a cross-unit comparison
+    key; CPU values ("N-core") and others stay NULL — integration of
+    quantities into the literal-typing family."""
+    from sigraph_spark.operators.dlfacts import dl_facts
+    from sigraph_spark.operators.quantities import quantity_columns
+
+    facts = dl_facts(_webtext_dl_pages(spark))
+    return quantity_columns(facts, "value")
+
+
 def _hearst_corpus(spark: SparkSession, sf: float = 0.01) -> DataFrame:
     """Planted Hearst-pattern corpus over the standard urls: every page
     carries a such_as sentence with a 3-item coordinated list; 3/4/5/7
@@ -4125,6 +4137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_id": q_template_id,
         "template_clusters": q_template_clusters,
         "quantities": q_quantities,
+        "object_quantities": q_object_quantities,
         "hearst_pairs": q_hearst_pairs,
         "taxonomy_induction": q_taxonomy_induction,
         "text_reuse": q_text_reuse,
@@ -5206,6 +5219,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT url, CAST(q_idx AS INT) AS q_idx, value_raw, unit,
                unit_class, CAST(base AS BIGINT) AS base
         FROM q
+        """
+    )
+    # --- object quantities: the dl enumeration + the normalized RAM
+    # column ((i%512) GiB is the only unit-bearing planted value).
+    sq["object_quantities"] = (
+        "WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 10000)),"
+        + """
+        u AS (SELECT i, 'https://example.org/report/' || CAST(i AS VARCHAR) AS url,
+                     CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END AS o,
+                     CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END AS e,
+                     'Server S-' || CAST(i % 47 AS VARCHAR) AS srv,
+                     'Rack R-' || CAST(i % 23 AS VARCHAR) AS rck
+              FROM pg),
+        t AS (
+          SELECT url, o AS dl_idx, 0 AS pair_idx, srv AS subject,
+                 'CPU' AS key, CAST(i % 64 AS VARCHAR) || '-core' AS value,
+                 NULL AS qty_class, NULL AS qty_base
+          FROM u
+          UNION ALL SELECT url, o, 1, srv, 'RAM',
+                 CAST(i % 512 AS VARCHAR) || ' GiB', 'bytes',
+                 (i % 512) * 1073741824 FROM u
+          UNION ALL SELECT url, o + 1, 0, rck, 'zone',
+                 'z-' || CAST(i % 7 AS VARCHAR), NULL, NULL
+          FROM u WHERE i % 2 = 0
+          UNION ALL SELECT url, o + 1 + e, 0,
+                 CASE WHEN e = 1 THEN rck ELSE srv END, 'power',
+                 'p-' || CAST(i % 9 AS VARCHAR), NULL, NULL
+          FROM u WHERE i % 5 = 0)
+        SELECT url, CAST(dl_idx AS INT) AS dl_idx,
+               CAST(pair_idx AS INT) AS pair_idx, subject, key, value,
+               CAST(qty_class AS VARCHAR) AS qty_class,
+               CAST(qty_base AS BIGINT) AS qty_base
+        FROM t
         """
     )
     # --- Hearst extraction: the oracle enumerates the PLANTED pairs

@@ -59,6 +59,23 @@ def _ladder(unit: Column, pick: int) -> Column:
     return out
 
 
+def normalized_base(value_raw: Column, unit: Column) -> Column:
+    """Exact base value of (number string, unit), NULL when the
+    fraction does not divide. DECIMAL(38,0) keeps digits*mult exact AND
+    ANSI-safe: 9 digits of TiB reach ~1.1e21, past BIGINT (a long
+    multiply would raise ARITHMETIC_OVERFLOW before any exactness
+    filter could run); the final base is <= 999999.999 TiB in bytes
+    ~ 1.1e18, which fits BIGINT again after the exact division."""
+    digits = F.regexp_replace(value_raw, r"\.", "").cast("decimal(38,0)")
+    frac_len = F.when(
+        value_raw.contains("."),
+        F.length(F.substring_index(value_raw, ".", -1)),
+    ).otherwise(F.lit(0))
+    scale = F.pow(F.lit(10), frac_len).cast("long")
+    prod = digits * _ladder(unit, 1).cast("long")  # stays decimal(38,0)
+    return F.when((prod % scale) == 0, (prod / scale).cast("long"))
+
+
 def extract_quantities(
     docs: DataFrame, url_col: str = "url", text_col: str = "text"
 ) -> DataFrame:
@@ -76,25 +93,23 @@ def extract_quantities(
         "url", "q_idx",
         F.col("q.v").alias("value_raw"), F.col("q.u").alias("unit"),
     )
-    digits = F.regexp_replace("value_raw", r"\.", "").cast("long")
-    frac_len = F.when(
-        F.col("value_raw").contains("."),
-        F.length(F.substring_index("value_raw", ".", -1)),
-    ).otherwise(F.lit(0))
-    scale = F.pow(F.lit(10), frac_len).cast("long")
-    y = x.select(
+    return x.select(
         "url", "q_idx", "value_raw", "unit",
         _ladder(F.col("unit"), 0).alias("unit_class"),
-        digits.alias("_d"), scale.alias("_s"),
-        _ladder(F.col("unit"), 1).cast("long").alias("_m"),
-    )
-    # DECIMAL(38,0) keeps digits*mult exact AND ANSI-safe: 9 digits of
-    # TiB reach ~1.1e21, past BIGINT (a long multiply would raise
-    # ARITHMETIC_OVERFLOW under ANSI before the exactness filter runs);
-    # the final base is <= 999999.999 TiB in bytes ~ 1.1e18, which fits
-    # BIGINT again after the exact division
-    d38 = "CAST(_d AS DECIMAL(38,0))"
-    return y.filter(F.expr(f"({d38} * _m) % _s = 0")).select(
-        "url", "q_idx", "value_raw", "unit", "unit_class",
-        F.expr(f"CAST(({d38} * _m) / _s AS BIGINT)").alias("base"),
-    )
+        normalized_base(F.col("value_raw"), F.col("unit")).alias("base"),
+    ).filter(F.col("base").isNotNull())
+
+
+def quantity_columns(df: DataFrame, obj_col: str = "object") -> DataFrame:
+    """Append ``qty_class`` / ``qty_base`` for the FIRST quantity
+    mention in an object literal (NULL when none, or when the fraction
+    does not divide) — the cross-unit comparison key fused-KG consumers
+    sort/join on ("1.5 GB" == "1500 MB" after this). Narrow map."""
+    obj = F.col(obj_col)
+    v = F.regexp_extract(obj, QTY_RE, 1)
+    u = F.regexp_extract(obj, QTY_RE, 2)
+    has = v != ""
+    return df.withColumns({
+        "qty_class": F.when(has, _ladder(u, 0)),
+        "qty_base": F.when(has, normalized_base(v, u)),
+    })

@@ -85,3 +85,23 @@ def test_plan_zero_udf_zero_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_quantity_columns_on_object_literals(spark):
+    from pyspark.sql import functions as F
+
+    from sigraph_spark.operators.quantities import quantity_columns
+
+    df = spark.createDataFrame(
+        [("s1", "1.5 GB of storage"), ("s2", "1500 MB"), ("s3", "no size"),
+         ("s4", "0.5 B broken")],
+        "subject string, object string",
+    )
+    got = {
+        r["subject"]: (r["qty_class"], r["qty_base"])
+        for r in quantity_columns(df).collect()
+    }
+    assert got["s1"] == ("bytes", 1_500_000_000)
+    assert got["s2"] == ("bytes", 1_500_000_000)  # cross-unit equality
+    assert got["s3"] == (None, None)
+    assert got["s4"] == ("bytes", None)  # unit known, base inexact
