@@ -1134,6 +1134,61 @@ def q_object_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantity_columns(facts, "value")
 
 
+def _webtext_chain_pages(spark: SparkSession, sf: float = 0.01) -> DataFrame:
+    """Deterministic pagination corpus over the standard urls: pages
+    group in fours (g = id div 4); group g forms a rel=next chain of
+    length g%4+1 (page 4g+p links to 4g+p+1 while p+1 < len), so the
+    corpus holds standalone pages (len 1 — absent from chains) and
+    2/3/4-part chains in equal measure. Text is 'part <id> body.'"""
+    from sigraph_spark.corpus import gen_pages
+
+    i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    pages = gen_pages(spark, sf=sf).select("url", i.alias("i"))
+    ln = (F.col("i") / 4).cast("long") % 4 + 1
+    p = F.col("i") % 4
+    nxt = F.when(
+        p + 1 < ln,
+        F.concat(
+            F.lit('<link rel="next" href="https://example.org/report/'),
+            (F.col("i") + 1).cast("string"), F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), nxt,
+        F.lit("</head><body><p>part "), F.col("i").cast("string"),
+        F.lit(" body.</p></body></html>"),
+    )
+    text = F.concat(
+        F.lit("part "), F.col("i").cast("string"), F.lit(" body.")
+    )
+    return pages.select("url", html.alias("html"), text.alias("text"))
+
+
+def q_page_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination chain labeling over the planted corpus; hash pins the
+    extraction, head identification and 0-based positions."""
+    from sigraph_spark.operators.pagination import (
+        extract_next_links, page_chains,
+    )
+
+    pages = _webtext_chain_pages(spark)
+    return page_chains(extract_next_links(pages))
+
+
+def q_stitched_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-ordered multi-page reassembly: chain texts joined on
+    the newline separator, keyed by head."""
+    from sigraph_spark.operators.pagination import (
+        extract_next_links, page_chains, stitch_chains,
+    )
+
+    pages = _webtext_chain_pages(spark)
+    return stitch_chains(
+        pages.select("url", "text"),
+        page_chains(extract_next_links(pages)),
+    )
+
+
 def _hearst_corpus(spark: SparkSession, sf: float = 0.01) -> DataFrame:
     """Planted Hearst-pattern corpus over the standard urls: every page
     carries a such_as sentence with a 3-item coordinated list; 3/4/5/7
@@ -4138,6 +4193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_clusters": q_template_clusters,
         "quantities": q_quantities,
         "object_quantities": q_object_quantities,
+        "page_chains": q_page_chains,
+        "stitched_pages": q_stitched_pages,
         "hearst_pairs": q_hearst_pairs,
         "taxonomy_induction": q_taxonomy_induction,
         "text_reuse": q_text_reuse,
@@ -5252,6 +5309,33 @@ def oracle_sql() -> dict[str, str]:
                CAST(qty_class AS VARCHAR) AS qty_class,
                CAST(qty_base AS BIGINT) AS qty_base
         FROM t
+        """
+    )
+    # --- pagination chains: arithmetic enumeration of group-of-four
+    # chain membership (len = g%4+1; standalone len-1 groups absent).
+    _CHAIN_U = """
+        u AS (SELECT i, i // 4 AS g, CAST(i % 4 AS INT) AS p,
+                     CAST((i // 4) % 4 + 1 AS INT) AS len,
+                     'https://example.org/report/' || CAST(i AS VARCHAR) AS url,
+                     'https://example.org/report/' || CAST((i // 4) * 4 AS VARCHAR) AS head
+              FROM pg)
+    """
+    sq["page_chains"] = (
+        "WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 10000)),"
+        + _CHAIN_U
+        + """
+        SELECT url, head, p AS pos FROM u WHERE len >= 2 AND p < len
+        """
+    )
+    sq["stitched_pages"] = (
+        "WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 10000)),"
+        + _CHAIN_U
+        + """
+        SELECT head, CAST(count(*) AS BIGINT) AS n_parts,
+               string_agg('part ' || CAST(i AS VARCHAR) || ' body.',
+                          chr(10) ORDER BY p) AS text
+        FROM u WHERE len >= 2 AND p < len
+        GROUP BY head
         """
     )
     # --- Hearst extraction: the oracle enumerates the PLANTED pairs
