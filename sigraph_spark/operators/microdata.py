@@ -108,17 +108,36 @@ def scoped_attr_triples(
     ``type_attr`` value is whitespace-split and each token reduced by
     ``type_seg_re`` into one rdf:type row.
     """
+    import uuid
+
     src = pages.schema[html_col].dataType.typeName()
     html = (
         F.decode(F.col(html_col), "UTF-8") if src == "binary" else F.col(html_col)
     )
-    tags = F.arrays_zip(
-        F.transform(
-            F.regexp_extract_all(html, F.lit(tag_re), 1), F.lower
-        ).alias("nm"),
-        F.regexp_extract_all(html, F.lit(tag_re), 2).alias("at"),
-        F.regexp_extract_all(html, F.lit(tag_re), 3).alias("tx"),
+    # ONE heavy regex pass over the page (group 0: the full tag match);
+    # per-tag fields re-derive from the SHORT match strings below. The
+    # observe() nodes are CollectMetrics barriers (the parse_events
+    # device, operators/graph.py:129-150): without them CollapseProject
+    # re-inlines the alias chain and the page-sized regex scan runs once
+    # per USE SITE — 9 full-html passes instead of 1 (measured 21s ->
+    # ~3s on the sf0.1 gate corpus).
+    uniq = uuid.uuid4().hex[:8]
+    p1 = pages.select(
+        F.col(url_col).alias("url"),
+        F.regexp_extract_all(html, F.lit(tag_re), 0).alias("_raw"),
+    ).observe(f"attr_scope_scan_{uniq}", F.count(F.lit(1)).alias("pages"))
+    tags_expr = F.transform(
+        F.col("_raw"),
+        lambda t: F.struct(
+            F.lower(F.regexp_extract(t, tag_re, 1)).alias("nm"),
+            F.regexp_extract(t, tag_re, 2).alias("at"),
+            F.regexp_extract(t, tag_re, 3).alias("tx"),
+        ),
     )
+    p2 = p1.select("url", tags_expr.alias("_tags")).observe(
+        f"attr_scope_tags_{uniq}", F.count(F.lit(1)).alias("pages")
+    )
+    tags = F.col("_tags")
 
     def is_scope(t: Column) -> Column:
         return t["at"].rlike(scope_re)
@@ -140,7 +159,7 @@ def scoped_attr_triples(
     )
     # subject per scope, in scope order: first non-empty subject attr,
     # else the deterministic blank node url<blank_prefix><scope_idx>
-    url_c = F.col(url_col)
+    url_c = F.col("url")
 
     def scope_subj(t: Column, i: Column) -> Column:
         out = F.concat(url_c, F.lit(blank_prefix), i.cast("string"))
@@ -152,8 +171,8 @@ def scoped_attr_triples(
 
     subs = F.transform(F.filter(tags, is_scope), scope_subj)
 
-    x = pages.select(
-        url_c.alias("url"),
+    x = p2.select(
+        "url",
         subs.alias("subs"),
         F.posexplode(F.arrays_zip(tags.alias("t"), sids.alias("sid"))).alias(
             "tag_idx", "z"
