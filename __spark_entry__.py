@@ -1512,6 +1512,19 @@ def q_sparql_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_sparql(_edges_ckpt(spark, sf_dir), q)
 
 
+def q_sparql_nps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL negated property set: one hop over any predicate EXCEPT
+    LAUNCH/CONNECT, joined into a LAUNCH hop — the !(..) atom composes
+    with the path machinery like any predicate scan."""
+    from sigraph_spark.operators.bgp import select_sparql
+
+    q = (
+        "SELECT DISTINCT ?a ?c WHERE { ?a LAUNCH ?b . "
+        "?b !(LAUNCH|CONNECT) ?c }"
+    )
+    return select_sparql(_edges_ckpt(spark, sf_dir), q)
+
+
 def _robots_corpus(spark: SparkSession) -> DataFrame:
     """200 planted robots.txt bodies: every host has a '*' group
     (disallow + longer allow carve-out), 4-multiples add a wildcard rule
@@ -4210,6 +4223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_not_exists": q_sparql_not_exists,
         "sparql_minus": q_sparql_minus,
         "sparql_bind": q_sparql_bind,
+        "sparql_nps": q_sparql_nps,
         "robots_rules": q_robots_rules,
         "robots_allowed": q_robots_allowed,
         "sitemap_parse": q_sitemap_parse,
@@ -5912,6 +5926,16 @@ def oracle_sql() -> dict[str, str]:
         + """
         SELECT DISTINCT src || '->' || dst AS edge FROM edges
         WHERE predicate = 'LAUNCH'
+        """
+    )
+    # --- SPARQL negated property set: NOT-IN hop restatement.
+    sq["sparql_nps"] = (
+        "WITH " + _EDGES_CTE
+        + """
+        SELECT DISTINCT l.src AS a, n.dst AS c
+        FROM edges l JOIN edges n ON n.src = l.dst
+        WHERE l.predicate = 'LAUNCH'
+          AND n.predicate NOT IN ('LAUNCH', 'CONNECT')
         """
     )
     # --- robots.txt: the oracle enumerates the planted rule table and

@@ -163,7 +163,9 @@ def match_bgp(
 # Grammar (SPARQL 1.1 §9):   alt  := seq ('|' seq)*
 #                            seq  := post ('/' post)*
 #                            post := atom ('+' | '*' | '?')*
-#                            atom := '^' atom | '(' alt ')' | PREDICATE
+#                            atom := '^' atom | '!' npset | '(' alt ')'
+#                                  | PREDICATE
+#                            npset := PREDICATE | '(' PREDICATE ('|' PREDICATE)* ')'
 #
 # Every expression evaluates to a DISTINCT (a, b) pair relation, composed
 # bottom-up: predicates are filtered scans (constant pushed down),
@@ -217,6 +219,29 @@ class _PathParser:
         if c == "^":
             self.i += 1
             return ("inv", self._atom())
+        if c == "!":
+            # negated property set (SPARQL 1.1 §9.1): !pred or
+            # !(p1|p2|...) — forward predicates only (the ^-inside-!
+            # form is pinned out; wrap with outer ^ for inverses)
+            self.i += 1
+            names: list[str] = []
+            if self._peek() == "(":
+                self.i += 1
+                while True:
+                    names.append(self._name())
+                    ch = self._peek()
+                    if ch == "|":
+                        self.i += 1
+                        continue
+                    if ch == ")":
+                        self.i += 1
+                        break
+                    raise ValueError(
+                        f"expected '|' or ')' in negated set at {self.i}"
+                    )
+            else:
+                names.append(self._name())
+            return ("nps", names)
         if c == "(":
             self.i += 1
             node = self._alt()
@@ -224,13 +249,17 @@ class _PathParser:
                 raise ValueError(f"unbalanced '(' at {self.i}")
             self.i += 1
             return node
+        return ("pred", self._name())
+
+    def _name(self) -> str:
+        self._peek()  # skip whitespace
         j = self.i
         while j < len(self.s) and (self.s[j].isalnum() or self.s[j] in "_-."):
             j += 1
         if j == self.i:
             raise ValueError(f"expected predicate at {self.i} in {self.s!r}")
         name, self.i = self.s[self.i : j], j
-        return ("pred", name)
+        return name
 
 
 def _path_closure(pairs: DataFrame, max_depth: int) -> DataFrame:
@@ -277,6 +306,12 @@ def eval_path(edges: DataFrame, path: str, max_depth: int = 20) -> DataFrame:
         if kind == "pred":
             return (
                 edges.filter(F.col("predicate") == node[1])
+                .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+                .distinct()
+            )
+        if kind == "nps":
+            return (
+                edges.filter(~F.col("predicate").isin(*node[1]))
                 .select(F.col("src").alias("a"), F.col("dst").alias("b"))
                 .distinct()
             )
@@ -588,7 +623,7 @@ def _eval_where(edges: DataFrame, body: str, max_depth: int) -> DataFrame:
 
     # a variable predicate (?p) is a plain BGP term, not a property path
     # — the leading '?' must not read as the zero-or-one path operator
-    path_ops = set("/|^+*?()")
+    path_ops = set("/|^+*?()!")
     plain = [
         t for t in triples
         if _is_var(t[1]) or not (set(t[1]) & path_ops)

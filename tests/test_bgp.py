@@ -532,3 +532,36 @@ def test_sparql_exists_group_with_path_inside(spark):
          "FILTER EXISTS { ?b CONNECT+ ?z . FILTER(?z = 'd') } }")
     got = sorted(r["a"] for r in select_sparql(_sq_edges(spark), q).collect())
     assert got == ["a"]
+
+
+def test_path_negated_property_set(spark):
+    from sigraph_spark.operators.bgp import eval_path
+
+    e = _sq_edges(spark)
+    got = sorted(tuple(r) for r in eval_path(e, "!LAUNCH").collect())
+    assert got == [("b", "c"), ("c", "d"), ("d", "e")]
+    got2 = sorted(tuple(r) for r in eval_path(e, "!(LAUNCH|CONNECT)").collect())
+    assert got2 == [("d", "e")]
+    # composes with inverse and closure
+    got3 = sorted(tuple(r) for r in eval_path(e, "^(!(LAUNCH|LOAD))+").collect())
+    assert got3 == [("c", "b"), ("d", "b"), ("d", "c")]
+
+
+def test_path_negated_set_in_select(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    q = "SELECT ?x ?y WHERE { ?x !(CONNECT|LOAD) ?y . FILTER(?x != ?y) }"
+    got = sorted(tuple(r) for r in select_sparql(_sq_edges(spark), q).collect())
+    assert got == [("a", "b")]
+
+
+def test_path_negated_set_parse_errors(spark):
+    import pytest as _pytest
+
+    from sigraph_spark.operators.bgp import eval_path
+
+    e = _sq_edges(spark)
+    with _pytest.raises(ValueError, match="expected '\\|' or '\\)'"):
+        eval_path(e, "!(A;B)")
+    with _pytest.raises(ValueError, match="expected predicate"):
+        eval_path(e, "!")
