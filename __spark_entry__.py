@@ -1189,6 +1189,28 @@ def q_stitched_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_alias_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-voted abbreviation alias map over the planted corpus;
+    hash pins the distinct-page voting, min_pages cut and the
+    deterministic winner per short form."""
+    from sigraph_spark.operators.abbrev import abbrev_pairs, alias_map
+
+    return alias_map(abbrev_pairs(_webtext_abbrev_docs(spark)))
+
+
+def q_sparql_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL OFFSET/LIMIT slice over a totally-ordered projection —
+    OFFSET applies before LIMIT per SPARQL 1.1 regardless of textual
+    order (the query writes LIMIT first)."""
+    from sigraph_spark.operators.bgp import select_sparql
+
+    q = (
+        "SELECT ?a ?b WHERE { ?a LAUNCH ?b } "
+        "ORDER BY ?a ?b LIMIT 10 OFFSET 20"
+    )
+    return select_sparql(_edges_ckpt(spark, sf_dir), q)
+
+
 def _hearst_corpus(spark: SparkSession, sf: float = 0.01) -> DataFrame:
     """Planted Hearst-pattern corpus over the standard urls: every page
     carries a such_as sentence with a 3-item coordinated list; 3/4/5/7
@@ -4202,6 +4224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_facts": q_dl_facts,
         "quotes_extract": q_quotes_extract,
         "abbrev_pairs": q_abbrev_pairs,
+        "alias_map": q_alias_map,
+        "sparql_slice": q_sparql_slice,
         "template_id": q_template_id,
         "template_clusters": q_template_clusters,
         "quantities": q_quantities,
@@ -5350,6 +5374,27 @@ def oracle_sql() -> dict[str, str]:
                           chr(10) ORDER BY p) AS text
         FROM u WHERE len >= 2 AND p < len
         GROUP BY head
+        """
+    )
+    # --- alias map: winners enumerated arithmetically (10000 = 26*384
+    # + 16, so letters below 16 support one extra page).
+    sq["alias_map"] = """
+        SELECT 'APT' AS short, 'Advanced Persistent Threat' AS long,
+               CAST(10000 AS BIGINT) AS n_pages
+        UNION ALL SELECT 'DOD', 'Department of Defense', 10000
+        UNION ALL SELECT 'NYT', 'New York Times', 2000
+        UNION ALL
+        SELECT 'T' || chr(65 + CAST(k AS INT)) || 'R',
+               'Team ' || chr(65 + CAST(k AS INT)) || 'unit Response',
+               CAST(CASE WHEN k < 16 THEN 385 ELSE 384 END AS BIGINT)
+        FROM range(0, 26) t(k)
+        """
+    # --- SPARQL slice: OFFSET-before-LIMIT restatement.
+    sq["sparql_slice"] = (
+        "WITH " + _EDGES_CTE
+        + """
+        SELECT src AS a, dst AS b FROM edges WHERE predicate = 'LAUNCH'
+        ORDER BY src, dst LIMIT 10 OFFSET 20
         """
     )
     # --- Hearst extraction: the oracle enumerates the PLANTED pairs

@@ -72,3 +72,46 @@ def abbrev_pairs(
             F.array_join(tail, " ").alias("long"), "short",
         )
     )
+
+
+def alias_map(
+    pairs: DataFrame, min_pages: int = 2
+) -> DataFrame:
+    """Mined pairs -> one ``(short, long, n_pages)`` winner per short
+    form: corpus-voted (distinct supporting pages), ties broken by MORE
+    pages then lexicographic long — deterministic on any partitioning.
+    Shorts below ``min_pages`` distinct pages drop (one-off coinages
+    are noise). The output is SOURCE-side small (bounded by the
+    abbreviation vocabulary), built for a broadcast join in
+    :func:`apply_aliases`."""
+    from pyspark.sql import Window
+
+    votes = (
+        pairs.groupBy("short", "long")
+        .agg(F.count_distinct("url").alias("n_pages"))
+        .filter(F.col("n_pages") >= min_pages)
+    )
+    w = Window.partitionBy("short").orderBy(
+        F.col("n_pages").desc(), F.col("long").asc()
+    )
+    return (
+        votes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+
+
+def apply_aliases(
+    df: DataFrame, amap: DataFrame, col: str = "subject"
+) -> DataFrame:
+    """Replace short-form values of ``col`` with their voted long form
+    (rows without an alias pass through). One BROADCAST left join —
+    the map is vocabulary-sized by construction."""
+    ren = amap.select(
+        F.col("short").alias("_ab_s"), F.col("long").alias("_ab_l")
+    )
+    return (
+        df.join(F.broadcast(ren), df[col] == F.col("_ab_s"), "left")
+        .withColumn(col, F.coalesce(F.col("_ab_l"), F.col(col)))
+        .drop("_ab_s", "_ab_l")
+    )

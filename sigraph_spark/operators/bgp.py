@@ -786,12 +786,16 @@ def select_sparql(edges: DataFrame, query: str, max_depth: int = 20) -> DataFram
         out = out.distinct()
     tail_toks = tail.split()
     ti = 0
+    limit_n: int | None = None
+    offset_n: int | None = None
     while ti < len(tail_toks):
         kw = tail_toks[ti].upper()
         if kw == "ORDER" and ti + 1 < len(tail_toks) and tail_toks[ti + 1].upper() == "BY":
             ti += 2
             order_cols = []
-            while ti < len(tail_toks) and tail_toks[ti].upper() not in ("LIMIT",):
+            while ti < len(tail_toks) and tail_toks[ti].upper() not in (
+                "LIMIT", "OFFSET",
+            ):
                 t = tail_toks[ti]
                 mm = _re.match(r"(ASC|DESC)\(\?(\w+)\)", t, _re.IGNORECASE)
                 if mm:
@@ -806,12 +810,21 @@ def select_sparql(edges: DataFrame, query: str, max_depth: int = 20) -> DataFram
                 ti += 1
             out = out.orderBy(*order_cols)
         elif kw == "LIMIT":
-            out = out.limit(int(tail_toks[ti + 1]))
+            limit_n = int(tail_toks[ti + 1])
+            ti += 2
+        elif kw == "OFFSET":
+            offset_n = int(tail_toks[ti + 1])
             ti += 2
         elif not kw:
             ti += 1
         else:
             raise ValueError(f"unsupported modifier {tail_toks[ti]!r}")
+    # SPARQL slice semantics: skip OFFSET rows, then take LIMIT —
+    # regardless of the textual modifier order (SPARQL 1.1 §15.4/15.5)
+    if offset_n is not None:
+        out = out.offset(offset_n)
+    if limit_n is not None:
+        out = out.limit(limit_n)
     return out
 
 

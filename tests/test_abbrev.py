@@ -71,3 +71,38 @@ def test_plan_zero_udf_zero_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_alias_map_votes_and_ties(spark):
+    from sigraph_spark.operators.abbrev import alias_map
+
+    pairs = spark.createDataFrame(
+        [("u1", 0, "Central Processing Unit", "CPU"),
+         ("u2", 0, "Central Processing Unit", "CPU"),
+         ("u3", 0, "Custom Pipeline Unit", "CPU"),
+         ("u1", 1, "Only Once", "OO")],
+        "url string, pair_idx int, long string, short string",
+    )
+    got = {(r["short"], r["long"], r["n_pages"])
+           for r in alias_map(pairs).collect()}
+    # CPU: 2-page reading wins; OO: single page cut by min_pages
+    assert got == {("CPU", "Central Processing Unit", 2)}
+
+
+def test_apply_aliases_broadcast_replace(spark):
+    from sigraph_spark.operators.abbrev import alias_map, apply_aliases
+
+    pairs = spark.createDataFrame(
+        [("u1", 0, "Central Processing Unit", "CPU"),
+         ("u2", 0, "Central Processing Unit", "CPU")],
+        "url string, pair_idx int, long string, short string",
+    )
+    claims = spark.createDataFrame(
+        [("CPU", "cores", "64"), ("GPU", "cores", "8192")],
+        "subject string, predicate string, object string",
+    )
+    out = apply_aliases(claims, alias_map(pairs))
+    got = {(r["subject"], r["object"]) for r in out.collect()}
+    assert got == {("Central Processing Unit", "64"), ("GPU", "8192")}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

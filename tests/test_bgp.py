@@ -565,3 +565,17 @@ def test_path_negated_set_parse_errors(spark):
         eval_path(e, "!(A;B)")
     with _pytest.raises(ValueError, match="expected predicate"):
         eval_path(e, "!")
+
+
+def test_sparql_offset_limit_slice(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    e = _sq_edges(spark)
+    q = ("SELECT ?x ?y WHERE { ?x (LAUNCH|CONNECT|LOAD) ?y } "
+         "ORDER BY ?x ?y OFFSET 1 LIMIT 2")
+    got = [tuple(r) for r in select_sparql(e, q).collect()]
+    assert got == [("a", "b"), ("b", "c")]  # sorted: (a,a) skipped
+    # SPARQL applies OFFSET before LIMIT regardless of textual order
+    q2 = ("SELECT ?x ?y WHERE { ?x (LAUNCH|CONNECT|LOAD) ?y } "
+          "ORDER BY ?x ?y LIMIT 2 OFFSET 1")
+    assert [tuple(r) for r in select_sparql(e, q2).collect()] == got
