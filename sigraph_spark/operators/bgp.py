@@ -391,7 +391,7 @@ def match_path(
 #
 #   query  := SELECT DISTINCT? (?v+ | *) WHERE { block } modifier*
 #   block  := stmt (. stmt)* .?
-#   stmt   := triple | OPTIONAL { triple (. triple)* } | FILTER( expr )
+#   stmt   := triple | OPTIONAL { block } | FILTER( expr )
 #           | { block } UNION { block } (UNION { block })*
 #           | VALUES (?v | (?v+)) { data }
 #           | FILTER EXISTS { block } | FILTER NOT EXISTS { block }
@@ -534,7 +534,7 @@ def _eval_where(edges: DataFrame, body: str, max_depth: int) -> DataFrame:
     import re as _re
 
     filters: list[str] = []
-    optional_triples: list[tuple[str, str, str]] = []
+    optional_rels: list[DataFrame] = []
     unions: list[DataFrame] = []
     values_rels: list[tuple[DataFrame, bool]] = []
     exists_rels: list[tuple[DataFrame, bool]] = []  # (relation, negated)
@@ -586,8 +586,14 @@ def _eval_where(edges: DataFrame, body: str, max_depth: int) -> DataFrame:
             j = _balanced_span(body, kw_end - 1, "(", ")")
             filters.append(body[kw_end:j - 1].strip())
         elif kw.startswith("OPTIONAL"):
-            j = body.index("}", kw_end) + 1
-            _take_triples(body[kw_end:j - 1], optional_triples)
+            # the block evaluates as a GROUP (recursively — paths,
+            # FILTERs and nesting compose inside), then left-joins once:
+            # SPARQL's LeftJoin(P, t1 JOIN t2), not a chain of per-triple
+            # left joins (those differ on multi-triple optionals)
+            j = _balanced_span(body, kw_end - 1, "{", "}")
+            optional_rels.append(
+                _eval_where(edges, body[kw_end:j - 1], max_depth)
+            )
         elif kw.startswith("VALUES"):
             names, rows, has_undef, j = _parse_values(body, kw_end)
             vdf = edges.sparkSession.createDataFrame(
@@ -635,9 +641,7 @@ def _eval_where(edges: DataFrame, body: str, max_depth: int) -> DataFrame:
 
     out = None
     if plain:
-        out = match_bgp(edges, plain, optional=optional_triples)
-    elif optional_triples:
-        raise ValueError("OPTIONAL requires at least one required triple")
+        out = match_bgp(edges, plain)
     for s, path, o in paths:
         part = match_path(edges, s, path, o, max_depth=max_depth)
         if out is None:
@@ -656,6 +660,14 @@ def _eval_where(edges: DataFrame, body: str, max_depth: int) -> DataFrame:
     if out is None:
         raise ValueError("query has no triples")
 
+    for rel in optional_rels:
+        shared = sorted(set(out.columns) & set(rel.columns))
+        if not shared:
+            raise ValueError(
+                "OPTIONAL group shares no variable with the required "
+                "pattern — unbounded OPTIONAL is not supported"
+            )
+        out = out.join(rel, on=shared, how="left")
     for var, expr in binds:
         if var in out.columns:
             raise ValueError(f"BIND target ?{var} is already bound")

@@ -579,3 +579,32 @@ def test_sparql_offset_limit_slice(spark):
     q2 = ("SELECT ?x ?y WHERE { ?x (LAUNCH|CONNECT|LOAD) ?y } "
           "ORDER BY ?x ?y LIMIT 2 OFFSET 1")
     assert [tuple(r) for r in select_sparql(e, q2).collect()] == got
+
+
+def test_sparql_optional_group_joins_before_leftjoin(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    # multi-triple OPTIONAL: the block joins FIRST (y LOAD w AND w
+    # CONNECT v must both hold), then left-joins once — NOT a chain of
+    # per-triple left joins
+    e = spark.createDataFrame(
+        [("a", "LAUNCH", "b"), ("b", "LOAD", "x"), ("q", "CONNECT", "r")],
+        "src string, predicate string, dst string",
+    )
+    q = ("SELECT ?x ?w ?v WHERE { ?x LAUNCH ?y . "
+         "OPTIONAL { ?y LOAD ?w . ?w CONNECT ?v } }")
+    got = [(r["x"], r["w"], r["v"]) for r in select_sparql(e, q).collect()]
+    # b LOADs x but x CONNECTs nothing: the WHOLE group fails -> both NULL
+    assert got == [("a", None, None)]
+
+
+def test_sparql_optional_with_inner_filter_and_path(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    q = ("SELECT DISTINCT ?x ?z WHERE { ?x LAUNCH ?y . "
+         "OPTIONAL { ?y CONNECT+ ?z . FILTER(?z = 'd') } }")
+    got = sorted(
+        ((r["x"], r["z"]) for r in select_sparql(_sq_edges(spark), q).collect()),
+        key=lambda t: (t[0], t[1] or ""),
+    )
+    assert got == [("a", None), ("a", "d")]  # a->a (no conn), a->b (conn+ d)
