@@ -1547,6 +1547,20 @@ def q_sparql_nps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_sparql(_edges_ckpt(spark, sf_dir), q)
 
 
+def q_sparql_groupconcat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GROUP_CONCAT / SAMPLE / HAVING: per-launcher distinct
+    target roster (sorted, pinned separator), deterministic SAMPLE
+    (=MIN) and a HAVING cut on the projected count."""
+    from sigraph_spark.operators.bgp import select_sparql
+
+    q = (
+        "SELECT ?a (GROUP_CONCAT(DISTINCT ?b; SEPARATOR=',') AS ?targets) "
+        "(SAMPLE(?b) AS ?first) (COUNT(*) AS ?n) "
+        "WHERE { ?a LAUNCH ?b } GROUP BY ?a HAVING(?n >= 2)"
+    )
+    return select_sparql(_edges_ckpt(spark, sf_dir), q)
+
+
 def _robots_corpus(spark: SparkSession) -> DataFrame:
     """200 planted robots.txt bodies: every host has a '*' group
     (disallow + longer allow carve-out), 4-multiples add a wildcard rule
@@ -4248,6 +4262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_minus": q_sparql_minus,
         "sparql_bind": q_sparql_bind,
         "sparql_nps": q_sparql_nps,
+        "sparql_groupconcat": q_sparql_groupconcat,
         "robots_rules": q_robots_rules,
         "robots_allowed": q_robots_allowed,
         "sitemap_parse": q_sitemap_parse,
@@ -5981,6 +5996,18 @@ def oracle_sql() -> dict[str, str]:
         FROM edges l JOIN edges n ON n.src = l.dst
         WHERE l.predicate = 'LAUNCH'
           AND n.predicate NOT IN ('LAUNCH', 'CONNECT')
+        """
+    )
+    # --- SPARQL GROUP_CONCAT/SAMPLE/HAVING: sorted-roster restatement.
+    sq["sparql_groupconcat"] = (
+        "WITH " + _EDGES_CTE
+        + """
+        SELECT src AS a,
+               string_agg(DISTINCT dst, ',' ORDER BY dst) AS targets,
+               min(dst) AS first,
+               CAST(count(*) AS BIGINT) AS n
+        FROM edges WHERE predicate = 'LAUNCH'
+        GROUP BY src HAVING count(*) >= 2
         """
     )
     # --- robots.txt: the oracle enumerates the planted rule table and

@@ -698,13 +698,17 @@ _AGG_FNS = {
     "SUM": F.sum,
     "MIN": F.min,
     "MAX": F.max,
+    "AVG": F.avg,
+    # SPARQL leaves SAMPLE's pick implementation-defined; this engine
+    # pins MIN so the result is deterministic on any partitioning
+    "SAMPLE": F.min,
 }
 
 
 def _parse_projection(proj_txt: str):
     """Split a SELECT projection into plain vars and aggregate specs.
     Returns (items) where each item is ('var', name) or
-    ('agg', fn_name, distinct, arg_var_or_None, alias)."""
+    ('agg', fn_name, distinct, arg_var_or_None, alias, separator)."""
     import re as _re
 
     items = []
@@ -718,18 +722,26 @@ def _parse_projection(proj_txt: str):
             j = proj_txt.index(")", proj_txt.index(")", pos) + 1) + 1
             spec = proj_txt[pos + 1:j - 1]
             mm = _re.match(
-                r"\s*(COUNT|SUM|MIN|MAX)\s*\(\s*(DISTINCT\s+)?(\*|\?\w+)\s*\)"
+                r"\s*(COUNT|SUM|MIN|MAX|AVG|SAMPLE|GROUP_CONCAT)"
+                r"\s*\(\s*(DISTINCT\s+)?(\*|\?\w+)\s*"
+                r"(?:;\s*SEPARATOR\s*=\s*['\"]([^'\"]*)['\"]\s*)?\)"
                 r"\s+AS\s+\?(\w+)\s*$",
                 spec, _re.IGNORECASE,
             )
             if not mm:
                 raise ValueError(f"unsupported aggregate spec ({spec!r})")
-            fn, dis, arg, alias = (
-                mm.group(1).upper(), bool(mm.group(2)), mm.group(3), mm.group(4)
+            fn, dis, arg, sep, alias = (
+                mm.group(1).upper(), bool(mm.group(2)), mm.group(3),
+                mm.group(4), mm.group(5),
             )
             if arg == "*" and fn != "COUNT":
                 raise ValueError(f"{fn}(*) is not defined")
-            items.append(("agg", fn, dis, None if arg == "*" else arg[1:], alias))
+            if sep is not None and fn != "GROUP_CONCAT":
+                raise ValueError(f"SEPARATOR is only valid in GROUP_CONCAT")
+            items.append(
+                ("agg", fn, dis, None if arg == "*" else arg[1:], alias,
+                 " " if sep is None else sep)
+            )
             pos = j
         else:
             mm = _re.match(r"\?(\w+)", proj_txt[pos:])
@@ -777,9 +789,17 @@ def select_sparql(edges: DataFrame, query: str, max_depth: int = 20) -> DataFram
                 f"projected vars {sorted(bad)} not in GROUP BY"
             )
         agg_cols = []
-        for _, fn, dis, arg, alias in aggs:
+        for _, fn, dis, arg, alias, sep in aggs:
             if arg is None:
                 c = F.count(F.lit(1))
+            elif fn == "GROUP_CONCAT":
+                # SPARQL leaves element order undefined; pin SORTED so
+                # the result is deterministic on any partitioning
+                items_c = (
+                    F.collect_set(F.col(arg)) if dis
+                    else F.collect_list(F.col(arg))
+                )
+                c = F.array_join(F.array_sort(items_c), sep)
             elif dis:
                 c = F.count_distinct(F.col(arg)) if fn == "COUNT" else None
                 if c is None:
@@ -788,6 +808,12 @@ def select_sparql(edges: DataFrame, query: str, max_depth: int = 20) -> DataFram
                 c = _AGG_FNS[fn](F.col(arg))
             agg_cols.append(c.alias(alias))
         out = out.groupBy(*group_vars).agg(*agg_cols)
+        # HAVING filters the aggregated relation over projected aliases
+        hm = _re.match(r"\s*HAVING\s*\(", tail, _re.IGNORECASE)
+        if hm:
+            j = _balanced_span(tail, hm.end() - 1, "(", ")")
+            out = out.filter(F.expr(_translate_filter(tail[hm.end():j - 1])))
+            tail = tail[j:]
         order = [it[1] if it[0] == "var" else it[4] for it in items]
         out = out.select(*order)
     elif group_vars:

@@ -608,3 +608,44 @@ def test_sparql_optional_with_inner_filter_and_path(spark):
         key=lambda t: (t[0], t[1] or ""),
     )
     assert got == [("a", None), ("a", "d")]  # a->a (no conn), a->b (conn+ d)
+
+
+def test_sparql_avg_sample_groupconcat_having(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    e = spark.createDataFrame(
+        [("a", "CONNECT", "ip1"), ("a", "CONNECT", "ip2"),
+         ("a", "CONNECT", "ip2"), ("b", "CONNECT", "ip9")],
+        "src string, predicate string, dst string",
+    )
+    q = ("SELECT ?s (SAMPLE(?o) AS ?one) "
+         "(GROUP_CONCAT(DISTINCT ?o; SEPARATOR=',') AS ?all) "
+         "(COUNT(*) AS ?n) "
+         "WHERE { ?s CONNECT ?o } GROUP BY ?s HAVING(?n >= 3) ORDER BY ?s")
+    got = [tuple(r) for r in select_sparql(e, q).collect()]
+    assert got == [("a", "ip1", "ip1,ip2", 3)]
+
+
+def test_sparql_avg_numeric(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    e = spark.createDataFrame(
+        [("a", "P", "2"), ("a", "P", "4"), ("b", "P", "10")],
+        "src string, predicate string, dst string",
+    )
+    q = ("SELECT ?s (AVG(?o) AS ?m) WHERE { ?s P ?o } "
+         "GROUP BY ?s ORDER BY ?s")
+    got = [(r["s"], r["m"]) for r in select_sparql(e, q).collect()]
+    assert got == [("a", 3.0), ("b", 10.0)]
+
+
+def test_sparql_separator_only_in_group_concat(spark):
+    import pytest as _pytest
+
+    from sigraph_spark.operators.bgp import select_sparql
+
+    with _pytest.raises(ValueError, match="SEPARATOR"):
+        select_sparql(
+            _sq_edges(spark),
+            "SELECT (SUM(?o; SEPARATOR=',') AS ?x) WHERE { ?s CONNECT ?o }",
+        )
