@@ -1561,6 +1561,19 @@ def q_sparql_groupconcat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_sparql(_edges_ckpt(spark, sf_dir), q)
 
 
+def q_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL subquery: per-source CONNECT fan-out computed in an inner
+    SELECT, joined into the outer LAUNCH pattern on the projected
+    variable — launchers that also connect, with their counts."""
+    from sigraph_spark.operators.bgp import select_sparql
+
+    q = (
+        "SELECT DISTINCT ?a ?b ?n WHERE { ?a LAUNCH ?b . "
+        "{ SELECT ?a (COUNT(*) AS ?n) WHERE { ?a CONNECT ?c } GROUP BY ?a } }"
+    )
+    return select_sparql(_edges_ckpt(spark, sf_dir), q)
+
+
 def _robots_corpus(spark: SparkSession) -> DataFrame:
     """200 planted robots.txt bodies: every host has a '*' group
     (disallow + longer allow carve-out), 4-multiples add a wildcard rule
@@ -4263,6 +4276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_bind": q_sparql_bind,
         "sparql_nps": q_sparql_nps,
         "sparql_groupconcat": q_sparql_groupconcat,
+        "sparql_subquery": q_sparql_subquery,
         "robots_rules": q_robots_rules,
         "robots_allowed": q_robots_allowed,
         "sitemap_parse": q_sitemap_parse,
@@ -6008,6 +6022,18 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n
         FROM edges WHERE predicate = 'LAUNCH'
         GROUP BY src HAVING count(*) >= 2
+        """
+    )
+    # --- SPARQL subquery: inner aggregate joined on its projection.
+    sq["sparql_subquery"] = (
+        "WITH " + _EDGES_CTE
+        + """,
+        sqq_n AS (
+          SELECT src AS a, CAST(count(*) AS BIGINT) AS n
+          FROM edges WHERE predicate = 'CONNECT' GROUP BY src)
+        SELECT DISTINCT l.src AS a, l.dst AS b, q.n
+        FROM edges l JOIN sqq_n q ON q.a = l.src
+        WHERE l.predicate = 'LAUNCH'
         """
     )
     # --- robots.txt: the oracle enumerates the planted rule table and

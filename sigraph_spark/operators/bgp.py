@@ -600,10 +600,18 @@ def _eval_where(edges: DataFrame, body: str, max_depth: int) -> DataFrame:
                 rows, ", ".join(f"`{n}` string" for n in names)
             )
             values_rels.append((vdf, has_undef))
-        else:  # bare '{' — a UNION group chain
+        else:  # bare '{' — a subquery or a UNION group chain
             branches: list[str] = []
             j = _balanced_span(body, kw_end - 1, "{", "}")
-            branches.append(body[kw_end:j - 1])
+            first_body = body[kw_end:j - 1]
+            if _re.match(r"\s*SELECT\b", first_body, _re.IGNORECASE):
+                # SPARQL 1.1 §12 subquery: evaluates bottom-up in
+                # isolation, joins the outer pattern on its projected
+                # variables (same attach rule as a union relation)
+                unions.append(select_sparql(edges, first_body, max_depth))
+                pos = j
+                continue
+            branches.append(first_body)
             while True:
                 um = _re.match(r"\s*UNION\s*\{", body[j:], _re.IGNORECASE)
                 if not um:

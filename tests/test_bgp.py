@@ -649,3 +649,27 @@ def test_sparql_separator_only_in_group_concat(spark):
             _sq_edges(spark),
             "SELECT (SUM(?o; SEPARATOR=',') AS ?x) WHERE { ?s CONNECT ?o }",
         )
+
+
+def test_sparql_subquery_joins_on_projected_vars(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    e = spark.createDataFrame(
+        [("a", "LAUNCH", "b"), ("a", "CONNECT", "c1"), ("a", "CONNECT", "c2"),
+         ("b", "LAUNCH", "c"), ("d", "CONNECT", "c9")],
+        "src string, predicate string, dst string",
+    )
+    q = ("SELECT ?x ?y ?n WHERE { ?x LAUNCH ?y . "
+         "{ SELECT ?x (COUNT(*) AS ?n) WHERE { ?x CONNECT ?c } GROUP BY ?x } }"
+         " ORDER BY ?x")
+    got = [tuple(r) for r in select_sparql(e, q).collect()]
+    assert got == [("a", "b", 2)]  # b launches but never connects -> dropped
+
+
+def test_sparql_subquery_standalone(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    q = ("SELECT ?s ?m WHERE { "
+         "{ SELECT ?s (MAX(?o) AS ?m) WHERE { ?s CONNECT ?o } GROUP BY ?s } }")
+    got = sorted(tuple(r) for r in select_sparql(_sq_edges(spark), q).collect())
+    assert got == [("b", "c"), ("c", "d")]
