@@ -32,8 +32,10 @@ def synthetic_webtext_pages(spark, sf: float):
     Hearst prose paragraph AND a structured-data snippet (JSON-LD block +
     microdata scope + RDFa scope + OpenGraph meta tag + a headed
     list-page block + a definition-list infobox whose heading IS the
-    srv subject, corroborating the JSON-LD dc claim cross-channel)
-    spliced in before </body> — every extractor view
+    srv subject, corroborating the JSON-LD dc claim cross-channel) plus
+    an ATTRIBUTED QUOTE paragraph (the 'quote' claims channel; its
+    verbs are outside the sentence whitelist so the channels stay
+    disjoint) spliced in before </body> — every extractor view
     has signal in the SAME page, and none disturbs the others (table
     cells, list items and Hearst prose carry no whitelist verbs;
     gen_pages' template has no tables or lists; script bodies are
@@ -96,7 +98,10 @@ def synthetic_webtext_pages(spark, sf: float):
                     F.lit("</body></html>"),
                     F.concat(
                         F.col("_tbody"), F.lit("<p>"), F.col("_htext"),
-                        F.lit("</p>"), structured, F.lit("</body></html>"),
+                        F.lit('</p><p>Alice Carter said "segment '),
+                        (i % 17).cast("string"),
+                        F.lit(' is stable."</p>'),
+                        structured, F.lit("</body></html>"),
                     ),
                 ),
                 "UTF-8",

@@ -18,14 +18,15 @@ Stage graph::
 
     pages ── w1_docs (html -> text)
        \\            ├── w2_sent  (sentence triples -> claims 'sentence')
-        \\           └── w4_hearst (is_a pairs      -> claims 'hearst')
+        \\           ├── w4_hearst (is_a pairs      -> claims 'hearst')
+         \\          └── w8_quotes (attributed statements -> claims 'quote')
          ├── w3_tables (html tables -> claims 'table')
          └── w7_struct (JSON-LD / microdata / RDFa / meta / list-page /
                         definition-list -> claims 'jsonld' / 'microdata'
                         / 'rdfa' / 'meta' / 'list' / 'dl' — narrow maps
                         (lists add one page-local window), no w1
                         dependency: they read raw html)
-    w2+w3+w4+w7 ── w5_claims (union, distinct) ── w6_fused
+    w2+w3+w4+w7+w8 ── w5_claims (union, distinct) ── w6_fused
 
 The fusion algebra itself is hash-proven by the ``multi_extractor_fusion``
 gate; this module adds the materialized, resumable composition.
@@ -150,14 +151,21 @@ def run_webtext_kg(
         lambda: _structured_claims(pages),
         fp + ":w7v1",
     )
+    quotes = run_stage(
+        spark, "w8_quotes", os.path.join(workdir, "w8_quotes"),
+        lambda: _quote_claims(docs),
+        fp_docs + ":w8v1",
+    )
     fp_views = ":".join(
-        out_fp(d) for d in ("w2_sent", "w3_tables", "w4_hearst", "w7_struct")
+        out_fp(d) for d in (
+            "w2_sent", "w3_tables", "w4_hearst", "w7_struct", "w8_quotes",
+        )
     )
     claims = run_stage(
         spark, "w5_claims", os.path.join(workdir, "w5_claims"),
         lambda: sent.unionByName(tables).unionByName(hearst)
-        .unionByName(struct).distinct(),
-        fp_views + ":w5v2",
+        .unionByName(struct).unionByName(quotes).distinct(),
+        fp_views + ":w5v3",
     )
     fp_claims = out_fp("w5_claims")
     fused = run_stage(
@@ -170,8 +178,22 @@ def run_webtext_kg(
     return {
         "docs": docs, "sent_claims": sent, "table_claims": tables,
         "hearst_claims": hearst, "struct_claims": struct,
-        "claims": claims, "fused": fused,
+        "quote_claims": quotes, "claims": claims, "fused": fused,
     }
+
+
+def _quote_claims(docs: DataFrame) -> DataFrame:
+    """Attributed statements as claims: (speaker, attribution verb,
+    quote) with source 'quote' — the provenance-bearing statement layer
+    next to the fact channels."""
+    from sigraph_spark.operators.quotes import extract_quotes
+
+    return extract_quotes(docs).select(
+        F.col("speaker").alias("subject"),
+        F.col("verb").alias("predicate"),
+        F.col("quote").alias("object"),
+        F.lit("quote").alias("source"),
+    )
 
 
 # --- continuous-crawl append path -------------------------------------------
@@ -260,6 +282,7 @@ def apply_webtext_delta(
             hearst_pairs(docs).withColumn("p", F.lit("is_a")),
             "hypo", "p", "hyper", "hearst"))
         .unionByName(_structured_claims(delta_pages))
+        .unionByName(_quote_claims(docs))
         .distinct()
     )
     stored, _ = webtext_state_tables(spark, workdir)

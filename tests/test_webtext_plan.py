@@ -28,8 +28,12 @@ def test_webtext_plan_all_views_fire_and_fuse(spark, tmp_path):
     }
     assert by_source == {
         "sentence", "table", "hearst", "jsonld", "microdata", "rdfa",
-        "meta", "list", "dl",
+        "meta", "list", "dl", "quote",
     }
+    # the attributed-statement channel: speaker subjects, verb predicates
+    qt = out["claims"].filter("source = 'quote'")
+    assert {r["subject"] for r in qt.select("subject").distinct().collect()} \
+        == {"Alice Carter"}
     # the planted list block: membership claims on the racks class
     lst = out["claims"].filter("source = 'list'")
     assert {r["predicate"] for r in lst.select("predicate").distinct().collect()} \
@@ -57,7 +61,7 @@ def test_webtext_plan_resumes_and_invalidates(spark, tmp_path):
     run_webtext_kg(spark, pages, wd, input_fingerprint="t:v1")
     m1 = {s: _manifest(wd, s) for s in
           ("w1_docs", "w2_sent", "w3_tables", "w4_hearst", "w7_struct",
-           "w5_claims", "w6_fused")}
+           "w8_quotes", "w5_claims", "w6_fused")}
     # resume: same fingerprint -> every stage skipped (manifests untouched)
     run_webtext_kg(spark, pages, wd, input_fingerprint="t:v1")
     m2 = {s: _manifest(wd, s) for s in m1}
