@@ -392,6 +392,34 @@ def main() -> None:
 
     timed("webtext_kg", run_webtext)
 
+    # --- webtext mining batch (quotes / abbrev / quantities / template /
+    # pagination) over their sf-scaled planted corpora -------------------------
+    from sigraph_spark.operators.abbrev import abbrev_pairs, alias_map
+    from sigraph_spark.operators.pagination import (
+        extract_next_links, page_chains, stitch_chains,
+    )
+    from sigraph_spark.operators.quantities import extract_quantities
+    from sigraph_spark.operators.quotes import extract_quotes
+    from sigraph_spark.operators.template import page_structure, template_clusters
+
+    qt_docs = entrymod._webtext_quote_docs(spark, sf=sf).localCheckpoint(True)
+    ab_docs = entrymod._webtext_abbrev_docs(spark, sf=sf).localCheckpoint(True)
+    qn_docs = entrymod._webtext_quantity_docs(spark, sf=sf).localCheckpoint(True)
+    tp_pages = entrymod._webtext_template_pages(spark, sf=sf).localCheckpoint(True)
+    ch_pages = entrymod._webtext_chain_pages(spark, sf=sf).localCheckpoint(True)
+
+    def run_mining() -> int:
+        chains = page_chains(extract_next_links(ch_pages))
+        return (
+            extract_quotes(qt_docs).count()
+            + alias_map(abbrev_pairs(ab_docs)).count()
+            + extract_quantities(qn_docs).count()
+            + template_clusters(page_structure(tp_pages)).count()
+            + stitch_chains(ch_pages.select("url", "text"), chains).count()
+        )
+
+    timed("webtext_mining", run_mining)
+
     # --- sink rendering (Neo4j bulk CSV + OpenSearch _bulk NDJSON) --------------
     # inputs pre-materialized: the stage times the RENDER projections only
     from sigraph_spark.operators.graph import build_nodes
