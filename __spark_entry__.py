@@ -1211,6 +1211,19 @@ def q_sparql_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_sparql(_edges_ckpt(spark, sf_dir), q)
 
 
+def q_template_novel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental template detection: the known index holds the
+    structures of i%5!=0 pages, the delta is the full corpus — exactly
+    the two <img>-bearing classes surface as novel (the anti-join probe
+    never re-fingerprints the known corpus)."""
+    from sigraph_spark.operators.template import novel_templates, page_structure
+
+    pages = _webtext_template_pages(spark)
+    i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    known = page_structure(pages.filter(i % 5 != 0))
+    return novel_templates(page_structure(pages), known)
+
+
 def _hearst_corpus(spark: SparkSession, sf: float = 0.01) -> DataFrame:
     """Planted Hearst-pattern corpus over the standard urls: every page
     carries a such_as sentence with a 3-item coordinated list; 3/4/5/7
@@ -4255,6 +4268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_slice": q_sparql_slice,
         "template_id": q_template_id,
         "template_clusters": q_template_clusters,
+        "template_novel": q_template_novel,
         "quantities": q_quantities,
         "object_quantities": q_object_quantities,
         "page_chains": q_page_chains,
@@ -5317,6 +5331,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(min(n_tags) AS INT) AS n_tags,
                min(url) AS exemplar
         FROM u GROUP BY md5(skel)
+        """
+    )
+    # --- novel templates: the known set excludes i%5==0 pages, so the
+    # two <img> classes are the anti-join survivors.
+    sq["template_novel"] = (
+        "WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 10000)),"
+        + _TPL_CTES
+        + """
+        SELECT md5(skel) AS template_id,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(min(n_tags) AS INT) AS n_tags,
+               min(url) AS exemplar
+        FROM u WHERE i % 5 = 0 GROUP BY md5(skel)
         """
     )
     # --- quantities: planted base values emitted arithmetically (the

@@ -69,3 +69,25 @@ def template_clusters(
         )
         .filter(F.col("n_pages") >= min_pages)
     )
+
+
+def novel_templates(
+    delta_structs: DataFrame, known_ids: DataFrame
+) -> DataFrame:
+    """Crawl-delta structure rows -> clusters whose template_id is NOT
+    in the stored index — the incremental form (the exact-dedup
+    hash-index device applied to structure): each crawl snapshot
+    fingerprints only its DELTA and anti-joins the (16-byte-key,
+    template-vocabulary-sized) known set, so the corpus is never
+    re-fingerprinted. New-template clusters are what a crawl operator
+    reviews (a new CMS layout = a new extraction surface); min_pages=1
+    here — a single page of an unseen skeleton is exactly the signal.
+
+    ``known_ids`` needs a ``template_id`` column; the anti-join key is
+    the hash, so the index probe is an equi-join (broadcastable while
+    the template vocabulary is small; AQE picks the strategy at real
+    scale)."""
+    fresh = delta_structs.join(
+        known_ids.select("template_id").distinct(), "template_id", "left_anti"
+    )
+    return template_clusters(fresh, min_pages=1)

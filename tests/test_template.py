@@ -66,3 +66,19 @@ def test_fingerprint_plan_zero_udf_zero_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_novel_templates_anti_join(spark):
+    from sigraph_spark.operators.template import novel_templates, page_structure
+
+    known = page_structure(_pages(spark, [
+        ("k1", "<html><body><p>x</p></body></html>"),
+    ]))
+    delta = page_structure(_pages(spark, [
+        ("d1", "<html><body><p>other words</p></body></html>"),  # known
+        ("d2", "<div><span>new layout</span></div>"),
+        ("d3", "<div><span>same new layout</span></div>"),
+    ]))
+    got = {(r["n_pages"], r["exemplar"])
+           for r in novel_templates(delta, known).collect()}
+    assert got == {(2, "d2")}  # singleton novel classes still surface
