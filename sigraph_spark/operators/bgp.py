@@ -687,9 +687,28 @@ def _eval_where(edges: DataFrame, body: str, max_depth: int) -> DataFrame:
                 "FILTER [NOT] EXISTS group shares no variable with the "
                 "outer pattern — uncorrelated EXISTS is not supported"
             )
+        # SPARQL solution-compatibility semantics: an UNBOUND (NULL)
+        # shared variable — on either side (OPTIONAL / NULL-padded UNION
+        # branches produce them) — is compatible with ANYTHING, so the
+        # join condition per var is (outer NULL) OR (inner NULL) OR
+        # equal, not plain equality (which would make a NULL row never
+        # match EXISTS and always survive NOT EXISTS). Cost note: the
+        # OR-condition defeats hash joins; the probe side is the
+        # DISTINCT projection of the (typically tiny) EXISTS group, so
+        # Spark broadcasts it — acceptable for a correlated filter.
+        probe = rel.select(
+            *[F.col(c).alias(f"_ex_{c}") for c in shared]
+        ).distinct()
+        cond = None
+        for c in shared:
+            cc = (
+                F.col(c).isNull()
+                | F.col(f"_ex_{c}").isNull()
+                | (F.col(c) == F.col(f"_ex_{c}"))
+            )
+            cond = cc if cond is None else (cond & cc)
         out = out.join(
-            rel.select(*shared).distinct(),
-            on=shared, how="left_anti" if negated else "left_semi",
+            probe, on=cond, how="left_anti" if negated else "left_semi",
         )
     for rel in minus_rels:
         shared = sorted(set(out.columns) & set(rel.columns))
@@ -727,7 +746,27 @@ def _parse_projection(proj_txt: str):
             pos += 1
             continue
         if ch == "(":
-            j = proj_txt.index(")", proj_txt.index(")", pos) + 1) + 1
+            # balanced-paren scan, skipping quoted string literals —
+            # counting raw ')' chars would mis-span a GROUP_CONCAT whose
+            # SEPARATOR contains parens (e.g. SEPARATOR=") (")
+            depth, j, quote = 0, pos, None
+            while j < len(proj_txt):
+                c2 = proj_txt[j]
+                if quote is not None:
+                    if c2 == quote:
+                        quote = None
+                elif c2 in "'\"":
+                    quote = c2
+                elif c2 == "(":
+                    depth += 1
+                elif c2 == ")":
+                    depth -= 1
+                    if depth == 0:
+                        j += 1
+                        break
+                j += 1
+            else:
+                raise ValueError(f"unbalanced projection spec {proj_txt[pos:]!r}")
             spec = proj_txt[pos + 1:j - 1]
             mm = _re.match(
                 r"\s*(COUNT|SUM|MIN|MAX|AVG|SAMPLE|GROUP_CONCAT)"

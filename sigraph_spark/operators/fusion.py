@@ -511,6 +511,7 @@ def fuse_triples(
     obj_col: str = "object",
     src_col: str = "source",
     broadcast_scores: bool = True,
+    passthrough=None,
 ) -> DataFrame:
     """Two-round source-weighted truth fusion over conflicting claims.
 
@@ -542,13 +543,32 @@ def fuse_triples(
     broadcast iff the built side is actually small, else both sides
     shuffle on the source key. Either way the claim table never
     shuffles on anything but its natural keys.
+
+    **Multi-valued predicates** (``passthrough``): object arbitration is
+    only meaningful for FUNCTIONAL predicates — one true object per
+    (subject, predicate). Inherently multi-valued claims (a speaker's
+    many quotes under 'said', an item's several ``member_of`` classes)
+    must NOT be arbitrated: picking one winner silently drops real
+    facts, and the fake "conflicts" depress their sources' reliability
+    scores. Pass a boolean Column over the NORMALIZED columns (subject /
+    predicate / object / source) marking such claims; they bypass
+    arbitration entirely — every distinct (s, p, o) is kept as its own
+    fused row (votes = supporting-source count, weight = summed source
+    scores, n_objects counted within the passthrough set so the output
+    contract is unchanged) — and they are EXCLUDED from the round-0
+    winners that source reliability is scored on.
     """
-    c = claims.select(
+    c_all = claims.select(
         F.col(subj_col).alias("subject"),
         F.col(pred_col).alias("predicate"),
         F.col(obj_col).alias("object"),
         F.col(src_col).alias("source"),
     ).distinct()
+    mv = None
+    c = c_all
+    if passthrough is not None:
+        mv = c_all.filter(passthrough)
+        c = c_all.filter(~F.coalesce(passthrough, F.lit(False)))
     votes = c.groupBy("subject", "predicate", "object").agg(
         F.count(F.lit(1)).cast("long").alias("votes")
     )
@@ -576,7 +596,7 @@ def fuse_triples(
     w1 = Window.partitionBy("subject", "predicate").orderBy(
         F.desc("weight"), F.asc("object")
     )
-    return (
+    fused = (
         weighted.join(votes, ["subject", "predicate", "object"])
         .withColumn("_rn", F.row_number().over(w1))
         .withColumn(
@@ -595,6 +615,30 @@ def fuse_triples(
             F.col("n_objects").cast("long").alias("n_objects"),
         )
     )
+    if mv is None:
+        return fused
+    # passthrough rows: no winner selection — every distinct (s, p, o)
+    # survives; same algebraic shapes as the arbitrated branch (map-side
+    # combinable aggs + one left join on the tiny scores table)
+    mv_rows = (
+        mv.join(scores, "source", "left")
+        .groupBy("subject", "predicate", "object")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("votes"),
+            F.sum(F.coalesce("_score", F.lit(0))).alias("weight"),
+        )
+        .withColumn(
+            "n_objects",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("subject", "predicate")
+            ).cast("long"),
+        )
+        .select(
+            "subject", "predicate", F.col("object").alias("fused_object"),
+            "votes", "weight", "n_objects",
+        )
+    )
+    return fused.unionByName(mv_rows)
 
 
 def schema_graph(

@@ -53,15 +53,25 @@ from pyspark.sql import functions as F
 
 # one opening tag that carries itemscope or itemprop, plus its text run:
 # (1) tag name, (2) full attribute string, (3) text up to the next '<'
-MD_TAG_RE = r"(?is)<([a-z][a-z0-9]*)\b([^<>]*\bitem(?:scope|prop)\b[^<>]*)>([^<]*)"
+# (?<![\w-]) instead of \b on the attribute names: \b holds after a
+# hyphen, so plain \b would treat data-itemprop="x" / data-itemscope
+# (common crawl-HTML custom attributes) as microdata markup
+MD_TAG_RE = (
+    r"(?is)<([a-z][a-z0-9]*)\b"
+    r"([^<>]*(?<![\w-])item(?:scope|prop)\b[^<>]*)>([^<]*)"
+)
 
 _TRIPLE_T = "array<struct<subj:string,predicate:string,obj:string,kind:string>>"
 
 
 def _attr(attrs: Column, name: str) -> Column:
     """Value of ``name="..."`` / ``name='...'`` in an attribute string
-    ('' when absent — regexp_extract's no-match convention)."""
-    return F.regexp_extract(attrs, rf"(?i)\b{name}\s*=\s*[\"']([^\"']*)[\"']", 1)
+    ('' when absent — regexp_extract's no-match convention). The
+    ``(?<![\\w-])`` guard keeps ``data-href``/``data-content``-style
+    prefixed attributes from matching (``\\b`` would hold after ``-``)."""
+    return F.regexp_extract(
+        attrs, rf"(?i)(?<![\w-]){name}\s*=\s*[\"']([^\"']*)[\"']", 1
+    )
 
 
 def microdata_triples(
@@ -78,7 +88,7 @@ def microdata_triples(
     return scoped_attr_triples(
         pages, url_col=url_col, html_col=html_col,
         tag_re=MD_TAG_RE,
-        scope_re=r"(?i)\bitemscope\b",
+        scope_re=r"(?i)(?<![\w-])itemscope\b",
         subj_attrs=("itemid",),
         type_attr="itemtype",
         type_seg_re=r"([^/#]+)$",

@@ -7,8 +7,8 @@ data, broken extraction context) and splits the KG's per-document
 aggregates. This family stitches them:
 
 * :func:`extract_next_links` — the declared (url, next) edges, first
-  declaration per page wins (lexicographic min, the
-  ``resolve_redirects`` conflict rule);
+  declaration per page wins (DOCUMENT order — the successor a browser
+  would follow);
 * :func:`page_chains` — every chain member labeled with its chain HEAD
   (the member with no incoming next-edge) and 0-based position, via
   Wyllie pointer doubling over the REVERSED edges with DISTANCE
@@ -44,20 +44,19 @@ def extract_next_links(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:
     """Pages -> ``(url, next)``: the first rel=next declaration per page
-    (lexicographic min on conflicts — deterministic)."""
+    in DOCUMENT order (``F.get(..., 0)`` on the extraction array — a page
+    with several declarations follows the one a browser would; later
+    ones are ignored, deterministically). Urls are assumed unique (the
+    crawl key), so this is a pure narrow map — no shuffle."""
     src = pages.schema[html_col].dataType.typeName()
     html = (
         F.decode(F.col(html_col), "UTF-8") if src == "binary" else F.col(html_col)
     )
     hits = F.regexp_extract_all(html, F.lit(NEXT_RE), 1)
-    return (
-        pages.select(
-            F.col(url_col).alias("url"),
-            F.explode(hits).alias("next"),
-        )
-        .groupBy("url")
-        .agg(F.min("next").alias("next"))
-    )
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.get(hits, F.lit(0)).alias("next"),
+    ).filter(F.col("next").isNotNull())
 
 
 def page_chains(

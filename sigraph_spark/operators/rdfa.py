@@ -40,10 +40,13 @@ from pyspark.sql import DataFrame
 
 from sigraph_spark.operators.microdata import scoped_attr_triples
 
-# one opening tag that carries typeof= or property=, plus its text run
+# one opening tag that carries typeof= or property=, plus its text run.
+# (?<![\w-]) instead of \b: \b holds after a hyphen, so plain \b would
+# treat data-property="x" / data-typeof="y" (common crawl-HTML custom
+# attributes) as RDFa markup and open bogus scopes
 RDFA_TAG_RE = (
     r"(?is)<([a-z][a-z0-9]*)\b"
-    r"([^<>]*\b(?:typeof|property)\s*=[^<>]*)>([^<]*)"
+    r"([^<>]*(?<![\w-])(?:typeof|property)\s*=[^<>]*)>([^<]*)"
 )
 
 
@@ -57,7 +60,7 @@ def rdfa_triples(
     return scoped_attr_triples(
         pages, url_col=url_col, html_col=html_col,
         tag_re=RDFA_TAG_RE,
-        scope_re=r"(?i)\btypeof\s*=",
+        scope_re=r"(?i)(?<![\w-])typeof\s*=",
         subj_attrs=("resource", "about"),
         type_attr="typeof",
         type_seg_re=r"([^/#:]+)$",

@@ -171,15 +171,27 @@ def run_webtext_kg(
     fused = run_stage(
         spark, "w6_fused", os.path.join(workdir, "w6_fused"),
         lambda: fuse_triples(
-            claims, "subject", "predicate", "object", "source"
+            claims, "subject", "predicate", "object", "source",
+            passthrough=_multi_valued(),
         ),
-        fp_claims + ":w6v1",
+        fp_claims + ":w6v2",
     )
     return {
         "docs": docs, "sent_claims": sent, "table_claims": tables,
         "hearst_claims": hearst, "struct_claims": struct,
         "quote_claims": quotes, "claims": claims, "fused": fused,
     }
+
+
+def _multi_valued():
+    """Inherently MULTI-VALUED claims bypass fusion's one-object-per-
+    (s,p) arbitration (operators/fusion.py fuse_triples passthrough
+    contract): a speaker's N distinct quotes under 'said' and an item's
+    several list classes are all true at once — arbitrating them would
+    silently drop real facts and depress the quote/list sources'
+    reliability scores with fake conflicts. (A function, not a module
+    constant: Column construction needs an active SparkContext.)"""
+    return (F.col("source") == "quote") | (F.col("predicate") == "member_of")
 
 
 def _quote_claims(docs: DataFrame) -> DataFrame:
@@ -302,7 +314,10 @@ def apply_webtext_delta(
     all_claims = spark.read.parquet(
         *[os.path.join(workdir, r) for r in parts]
     )
-    fused = fuse_triples(all_claims, "subject", "predicate", "object", "source")
+    fused = fuse_triples(
+        all_claims, "subject", "predicate", "object", "source",
+        passthrough=_multi_valued(),
+    )
     fused.write.mode("overwrite").parquet(os.path.join(workdir, vname, "fused"))
 
     new_state = {

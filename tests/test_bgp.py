@@ -524,6 +524,43 @@ def test_sparql_bind_errors(spark):
         )
 
 
+def test_sparql_exists_unbound_var_matches_anything(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    # SPARQL compatibility semantics: a row whose shared variable is
+    # UNBOUND (NULL via OPTIONAL) is compatible with any EXISTS-group
+    # row, so EXISTS keeps it and NOT EXISTS drops it (plain equality
+    # joins would do the opposite).
+    q = ("SELECT DISTINCT ?a ?c WHERE { ?a LAUNCH ?b . "
+         "OPTIONAL { ?b CONNECT ?c } . "
+         "FILTER EXISTS { ?x CONNECT ?c } }")
+    got = sorted(
+        (tuple(r) for r in select_sparql(_sq_edges(spark), q).collect()),
+        key=lambda t: (t[0], t[1] or ""),
+    )
+    # a LAUNCH a -> ?c unbound -> compatible with every CONNECT row
+    # a LAUNCH b -> ?c = c -> b CONNECT c exists
+    assert got == [("a", None), ("a", "c")]
+    q2 = ("SELECT DISTINCT ?a ?c WHERE { ?a LAUNCH ?b . "
+          "OPTIONAL { ?b CONNECT ?c } . "
+          "FILTER NOT EXISTS { ?x CONNECT ?c } }")
+    got2 = sorted(
+        tuple(r) for r in select_sparql(_sq_edges(spark), q2).collect()
+    )
+    assert got2 == []
+
+
+def test_sparql_group_concat_separator_with_parens(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    # a SEPARATOR containing parens must not derail the projection scan
+    q = ("SELECT ?s (GROUP_CONCAT(?o ; SEPARATOR = ') (') AS ?objs) "
+         "WHERE { ?s LAUNCH ?o } GROUP BY ?s")
+    got = {(r["s"], r["objs"]) for r in
+           select_sparql(_sq_edges(spark), q).collect()}
+    assert got == {("a", "a) (b")}
+
+
 def test_sparql_exists_group_with_path_inside(spark):
     from sigraph_spark.operators.bgp import select_sparql
 

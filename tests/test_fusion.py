@@ -170,6 +170,42 @@ def test_fuse_triples_reliable_minority_wins_round_two(spark):
     assert fused["votes"] == 2
 
 
+def test_fuse_triples_passthrough_keeps_multivalued_and_scores(spark):
+    from pyspark.sql import functions as F
+
+    # Multi-valued 'said' claims (source Q) must ALL survive, and their
+    # fake "conflicts" must not depress source scores: A's score comes
+    # only from the arbitrated facts.
+    rows = [
+        ("alice", "said", "quote one", "Q"),
+        ("alice", "said", "quote two", "Q"),
+        ("alice", "said", "quote two", "R"),   # second source, same quote
+        ("srv", "os", "linux", "A"), ("srv", "os", "linux", "Q"),
+    ]
+    c = spark.createDataFrame(rows, TRIPLES + ", source string")
+    out = fuse_triples(
+        c, "actor", "verb", "object",
+        passthrough=F.col("predicate") == "said",
+    ).collect()
+    by_key = {(r["subject"], r["predicate"], r["fused_object"]): r for r in out}
+    # both quotes present — no arbitration dropped the second
+    assert ("alice", "said", "quote one") in by_key
+    assert ("alice", "said", "quote two") in by_key
+    q2 = by_key[("alice", "said", "quote two")]
+    assert q2["votes"] == 2 and q2["n_objects"] == 2
+    # weight = summed source scores from the ARBITRATED branch only:
+    # Q and R each score 1 iff they agree with an arbitrated winner
+    # (Q agrees on srv/os; R has no arbitrated claims -> 0)
+    assert q2["weight"] == 1
+    assert by_key[("alice", "said", "quote one")]["weight"] == 1
+    # arbitrated branch unchanged
+    assert by_key[("srv", "os", "linux")]["votes"] == 2
+    # without passthrough the old (lossy) behavior persists: one winner
+    lossy = fuse_triples(c, "actor", "verb", "object").collect()
+    said = [r for r in lossy if r["predicate"] == "said"]
+    assert len(said) == 1 and said[0]["fused_object"] == "quote two"
+
+
 def test_inverse_predicates_detects_inverse_and_symmetric(spark):
     from sigraph_spark.operators.fusion import inverse_predicates
 

@@ -121,3 +121,21 @@ def test_plan_zero_udf_zero_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_hyphen_prefixed_attrs_are_not_microdata(spark):
+    # data-itemprop / data-itemscope are plain custom attributes, not
+    # microdata markup (\b would match after the hyphen; the regexes pin
+    # (?<![\w-]) instead) — and a data-content attribute must not feed
+    # the value chain of a REAL property tag
+    out = _rows(
+        spark,
+        '<div data-itemscope data-itemtype="https://schema.org/Fake">'
+        '<span data-itemprop="bogus">x</span></div>'
+        '<div itemscope itemtype="https://schema.org/Real">'
+        '<span itemprop="name" data-content="WRONG">Right</span></div>',
+    )
+    assert out == {
+        (0, 0, "u1#md0", "rdf:type", "Real", "type"),
+        (1, 0, "u1#md0", "name", "Right", "literal"),
+    }

@@ -17,7 +17,7 @@ def _links(spark, rows):
     return spark.createDataFrame(rows, "url string, next string")
 
 
-def test_extract_link_and_anchor_forms_min_conflict(spark):
+def test_extract_link_and_anchor_forms_document_order_first(spark):
     pages = spark.createDataFrame(
         [
             ("p1", '<link rel="next" href="p2"><a rel=next href="p0">n</a>'),
@@ -26,7 +26,9 @@ def test_extract_link_and_anchor_forms_min_conflict(spark):
         "url string, html string",
     )
     got = {(r["url"], r["next"]) for r in extract_next_links(pages).collect()}
-    assert got == {("p1", "p0")}  # lexicographic min of the two declarations
+    # document-order FIRST declaration wins (the successor a browser
+    # follows), even when a later one sorts lower lexicographically
+    assert got == {("p1", "p2")}
 
 
 def test_chain_heads_and_positions(spark):

@@ -103,3 +103,18 @@ def test_plan_zero_udf_zero_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_hyphen_prefixed_attrs_are_not_rdfa(spark):
+    # data-property / data-typeof are plain custom attributes, not RDFa
+    # markup (\b would match after the hyphen; the regexes pin
+    # (?<![\w-]) instead)
+    out = _rows(
+        spark,
+        '<div data-typeof="Fake"><span data-property="bogus">x</span></div>'
+        '<div typeof="Real"><span property="name">Right</span></div>',
+    )
+    assert out == {
+        (0, 0, "u1#rd0", "rdf:type", "Real", "type"),
+        (1, 0, "u1#rd0", "name", "Right", "literal"),
+    }
