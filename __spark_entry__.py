@@ -947,6 +947,59 @@ def q_dl_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dl_facts(_webtext_dl_pages(spark))
 
 
+def _fused_scan_pages(spark: SparkSession, sf: float = 0.01) -> DataFrame:
+    """Deterministic ALL-CHANNELS corpus over the standard urls: every
+    page plants one fact set in EVERY structured channel at once —
+    JSON-LD (@id subject + type + os literal), an OpenGraph meta title,
+    a microdata Server scope (itemid subject, rack literal), an RDFa
+    Server scope (resource subject, owner literal), a headed 2-item
+    rack list, a headed dc definition list, and a 2x2 host/os web
+    table whose row REPEATS the JSON-LD os claim under the 'table'
+    source (cross-channel corroboration). The meta tag precedes the
+    RDFa scope so its property= attribute stays an ORPHAN for the RDFa
+    engine (document-order rule) — the corpus exercises the channels'
+    non-interference. Feeds the ``fused_struct_claims`` gate: 11 claims
+    per page, enumerated arithmetically by the oracle."""
+    from sigraph_spark.corpus import gen_pages
+
+    i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    pages = gen_pages(spark, sf=sf).select("url", i.alias("i"))
+    istr = F.col("i").cast("string")
+    srv = F.concat(F.lit("srv-"), istr)
+    osv = F.concat(F.lit("os-"), (F.col("i") % 5).cast("string"))
+    rack = F.concat(F.lit("r-"), (F.col("i") % 23).cast("string"))
+    rack2 = F.concat(F.lit("r-"), ((F.col("i") + 1) % 23).cast("string"))
+    html = F.concat(
+        F.lit('<html><head><script type="application/ld+json">{"@id":"'),
+        srv, F.lit('","@type":"Server","os":"'), osv, F.lit('"}</script>'),
+        F.lit('<meta property="og:title" content="Host '), istr, F.lit('">'),
+        F.lit("</head><body>"),
+        F.lit('<div itemscope itemtype="https://schema.org/Server" itemid="'),
+        srv, F.lit('"><span itemprop="rack">'), rack, F.lit("</span></div>"),
+        F.lit('<div typeof="Server" resource="'), srv,
+        F.lit('"><span property="owner">team-'),
+        (F.col("i") % 11).cast("string"), F.lit("</span></div>"),
+        F.lit("<h2>List of Racks</h2><ul><li>"), rack, F.lit("</li><li>"),
+        rack2, F.lit("</li></ul>"),
+        F.lit("<h2>"), srv, F.lit("</h2><dl><dt>dc</dt><dd>dc-"),
+        (F.col("i") % 7).cast("string"), F.lit("</dd></dl>"),
+        F.lit("<table><tr><th>host</th><th>os</th></tr><tr><td>"), srv,
+        F.lit("</td><td>"), osv, F.lit("</td></tr></table>"),
+        F.lit("</body></html>"),
+    )
+    return pages.select("url", html.alias("html"))
+
+
+def q_fused_struct_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused ONE-SCAN structured extraction (operators/fusedscan.py)
+    over the all-channels corpus; hash pins the seven-channel kernel
+    composition — every channel fires from a single pass over html and
+    none disturbs the others."""
+    from sigraph_spark.operators.fusedscan import fused_struct_claims
+
+    return fused_struct_claims(_fused_scan_pages(spark))
+
+
 def _webtext_quote_docs(spark: SparkSession, sf: float = 0.01) -> DataFrame:
     """Deterministic attributed-quote corpus over the standard urls:
     every page leads with a DECOY quoted span ("shows" is not an
@@ -4262,6 +4315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_items": q_list_items,
         "list_memberships": q_list_memberships,
         "dl_facts": q_dl_facts,
+        "fused_struct_claims": q_fused_struct_claims,
         "quotes_extract": q_quotes_extract,
         "abbrev_pairs": q_abbrev_pairs,
         "alias_map": q_alias_map,
@@ -5250,6 +5304,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT url, CAST(dl_idx AS INT) AS dl_idx,
                CAST(pair_idx AS INT) AS pair_idx, subject, key, value
         FROM t
+        """
+    )
+    # --- fused one-scan structured extraction: 11 claims per page,
+    # one per planted channel fact (the table row repeats the JSON-LD
+    # os fact under the 'table' source). Arithmetic enumeration — the
+    # oracle never parses html, so the hash pins the whole seven-kernel
+    # single-pass composition.
+    sq["fused_struct_claims"] = (
+        "WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 10000)),"
+        + """
+        u AS (SELECT i, 'https://example.org/report/' || CAST(i AS VARCHAR) AS url,
+                     'srv-' || CAST(i AS VARCHAR) AS srv,
+                     'os-' || CAST(i % 5 AS VARCHAR) AS os,
+                     'r-' || CAST(i % 23 AS VARCHAR) AS rack,
+                     'r-' || CAST((i + 1) % 23 AS VARCHAR) AS rack2
+              FROM pg),
+        t AS (
+          SELECT url, srv AS subject, 'rdf:type' AS predicate,
+                 'Server' AS object, 'jsonld' AS source FROM u
+          UNION ALL SELECT url, srv, 'os', os, 'jsonld' FROM u
+          UNION ALL SELECT url, url, 'og:title',
+                 'Host ' || CAST(i AS VARCHAR), 'meta' FROM u
+          UNION ALL SELECT url, srv, 'rdf:type', 'Server', 'microdata' FROM u
+          UNION ALL SELECT url, srv, 'rack', rack, 'microdata' FROM u
+          UNION ALL SELECT url, srv, 'rdf:type', 'Server', 'rdfa' FROM u
+          UNION ALL SELECT url, srv, 'owner',
+                 'team-' || CAST(i % 11 AS VARCHAR), 'rdfa' FROM u
+          UNION ALL SELECT url, rack, 'member_of', 'racks', 'list' FROM u
+          UNION ALL SELECT url, rack2, 'member_of', 'racks', 'list' FROM u
+          UNION ALL SELECT url, srv, 'dc',
+                 'dc-' || CAST(i % 7 AS VARCHAR), 'dl' FROM u
+          UNION ALL SELECT url, srv, 'os', os, 'table' FROM u)
+        SELECT url, subject, predicate, object, source FROM t
         """
     )
     # --- attributed quotes: arithmetic enumeration. The decoy span

@@ -420,6 +420,20 @@ def main() -> None:
 
     timed("webtext_mining", run_mining)
 
+    # --- fused one-scan structured extraction over the COMBINED corpus --------
+    # every channel planted in the SAME pages (the webtext plan's real
+    # input shape); the stage times the single-scan composition the plan's
+    # w0 stage runs — all seven html channels from one pass over html
+    from jobs.run_webtext_kg import synthetic_webtext_pages
+    from sigraph_spark.operators.fusedscan import fused_struct_claims
+
+    wk_pages = synthetic_webtext_pages(spark, sf).localCheckpoint(True)
+
+    def run_fused_scan() -> int:
+        return fused_struct_claims(wk_pages).count()
+
+    timed("webtext_fused_scan", run_fused_scan)
+
     # --- sink rendering (Neo4j bulk CSV + OpenSearch _bulk NDJSON) --------------
     # inputs pre-materialized: the stage times the RENDER projections only
     from sigraph_spark.operators.graph import build_nodes

@@ -1,0 +1,35 @@
+"""Higher-order-function helpers for single-pass columnar kernels.
+
+The structured-data channels are PER-PAGE extractions: everything a
+channel derives lives inside one row's ``html`` string. Expressed as a
+chain of DataFrame projections, each channel is its own scan of the
+heaviest column; expressed as a single Column expression ("kernel",
+html -> array<claims>), ALL channels can ride one scan — the fused
+extraction pass ``operators/fusedscan.py`` builds (VERDICT r3 "What's
+wrong #1": the webtext plan read ``html`` ~8x because each channel was
+an independent view).
+
+The one hazard of the single-expression form is RE-EVALUATION: Catalyst
+inlines aliases (CollapseProject), so a subexpression referenced twice
+runs twice — for a page-sized regex pass that multiplies the dominant
+cost (the attr-scope engine measured 9x before its observe() barriers,
+operators/microdata.py:119-128). :func:`let` gives the kernel world the
+same guarantee without barriers: bind the value once via a one-element
+``transform`` (its lambda receives the EVALUATED element), then every
+reference inside the body is a cheap bound-variable read.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def let(val: Column, body: Callable[[Column], Column]) -> Column:
+    """Evaluate ``val`` ONCE and feed it to ``body`` as a bound lambda
+    variable: ``let(x, f) == f(x)`` semantically, but ``x`` is computed
+    a single time however many times ``f`` references it. Nests freely
+    (inner bodies may close over outer bindings)."""
+    return F.element_at(F.transform(F.array(val), body), 1)

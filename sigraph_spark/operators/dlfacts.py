@@ -33,7 +33,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sigraph_spark.operators.htmllists import headed_blocks
 from sigraph_spark.operators.htmltables import clean_cell
 
 DL_RE = r"<dl[^>]*>(.*?)</dl\s*>"
@@ -41,30 +40,66 @@ DT_RE = r"(?is)<dt[^>]*>(.*?)</dt\s*>"
 DD_RE = r"(?is)<dd[^>]*>(.*?)</dd\s*>"
 
 
+_DL_ROW_T = (
+    "array<struct<dl_idx:int,pair_idx:int,"
+    "subject:string,key:string,value:string>>"
+)
+
+
+def dl_facts_kernel(html):
+    """Column kernel: html -> ``array<struct<dl_idx, pair_idx, subject,
+    key, value>>`` of every positionally-paired dt/dd of every headed
+    definition list — the per-page array form feeding the fused
+    one-scan extraction pass (``operators/fusedscan.py``)."""
+    from sigraph_spark.operators.htmllists import headed_blocks_kernel
+
+    empty = F.array().cast(_DL_ROW_T)
+
+    def per_block(b, di):
+        pairs = F.arrays_zip(
+            F.regexp_extract_all(b["body"], F.lit(DT_RE), 1).alias("k"),
+            F.regexp_extract_all(b["body"], F.lit(DD_RE), 1).alias("v"),
+        )
+        return F.when(
+            b["heading"] != "",
+            F.filter(
+                F.transform(
+                    pairs,
+                    lambda p, pi: F.struct(
+                        di.alias("dl_idx"), pi.alias("pair_idx"),
+                        b["heading"].alias("subject"),
+                        clean_cell(p["k"]).alias("key"),
+                        clean_cell(p["v"]).alias("value"),
+                    ),
+                ),
+                lambda r: r["key"].isNotNull() & (r["key"] != "")
+                & r["value"].isNotNull() & (r["value"] != ""),
+            ),
+        ).otherwise(empty)
+
+    k = F.flatten(F.transform(headed_blocks_kernel(html, DL_RE), per_block))
+    return F.coalesce(k, empty)
+
+
 def dl_facts(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:
     """Pages -> ``(url, dl_idx, pair_idx, subject, key, value)``: every
-    positionally-paired dt/dd of every headed definition list."""
-    x = headed_blocks(
-        pages, DL_RE, url_col, html_col, idx_name="dl_idx"
-    ).filter(F.col("heading") != "").select(
-        "url", "dl_idx",
-        F.col("heading").alias("subject"),
-        F.posexplode(
-            F.arrays_zip(
-                F.regexp_extract_all(F.col("body"), F.lit(DT_RE), 1).alias("k"),
-                F.regexp_extract_all(F.col("body"), F.lit(DD_RE), 1).alias("v"),
-            )
-        ).alias("pair_idx", "_p"),
+    positionally-paired dt/dd of every headed definition list.
+    ``explode`` of the per-page :func:`dl_facts_kernel` array."""
+    src = pages.schema[html_col].dataType.typeName()
+    html = (
+        F.decode(F.col(html_col), "UTF-8") if src == "binary" else F.col(html_col)
     )
-    return x.select(
-        "url", "dl_idx", "pair_idx", "subject",
-        clean_cell(F.col("_p.k")).alias("key"),
-        clean_cell(F.col("_p.v")).alias("value"),
-    ).filter(
-        F.col("key").isNotNull() & (F.col("key") != "")
-        & F.col("value").isNotNull() & (F.col("value") != "")
+    return pages.select(
+        F.col(url_col), F.explode(dl_facts_kernel(html)).alias("t")
+    ).select(
+        F.col(url_col).alias("url"),
+        F.col("t.dl_idx").alias("dl_idx"),
+        F.col("t.pair_idx").alias("pair_idx"),
+        F.col("t.subject").alias("subject"),
+        F.col("t.key").alias("key"),
+        F.col("t.value").alias("value"),
     )
 
 

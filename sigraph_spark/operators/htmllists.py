@@ -55,24 +55,12 @@ LI_RE = r"(?is)<li[^>]*>(.*?)</li\s*>"
 _LIST_T = "array<struct<heading:string,body:string>>"
 
 
-def headed_blocks(
-    pages: DataFrame,
-    block_re: str,
-    url_col: str = "url",
-    html_col: str = "html",
-    idx_name: str = "block_idx",
-) -> DataFrame:
-    """Pages -> ``(url, <idx_name>, heading, body)``: every block the
-    single-group ``block_re`` matches, tagged with the most recent
-    preceding ``<h1-6>`` heading in document order ('' before the first
-    one). The shared heading-context engine behind ``list_items`` and
-    ``definition_facts``: three zipped regex passes + a linear
-    ``F.aggregate`` fold — zero shuffle, zero UDF."""
+def headed_blocks_kernel(html, block_re: str):
+    """Column kernel: html -> ``array<struct<heading, body>>`` of every
+    block ``block_re`` matches, tagged with the most recent preceding
+    ``<h1-6>`` heading in document order ('' before the first one).
+    Three zipped regex passes + a linear ``F.aggregate`` fold."""
     full_re = r"(?is)<h([1-6])[^>]*>(.*?)</h\1\s*>|" + block_re
-    src = pages.schema[html_col].dataType.typeName()
-    html = (
-        F.decode(F.col(html_col), "UTF-8") if src == "binary" else F.col(html_col)
-    )
     marks = F.arrays_zip(
         F.regexp_extract_all(html, F.lit(full_re), 1).alias("lv"),
         F.regexp_extract_all(html, F.lit(full_re), 2).alias("ht"),
@@ -101,9 +89,27 @@ def headed_blocks(
         step,
         lambda acc: acc["out"],
     )
+    return F.coalesce(blocks, F.array().cast(_LIST_T))
+
+
+def headed_blocks(
+    pages: DataFrame,
+    block_re: str,
+    url_col: str = "url",
+    html_col: str = "html",
+    idx_name: str = "block_idx",
+) -> DataFrame:
+    """Pages -> ``(url, <idx_name>, heading, body)``: ``posexplode`` of
+    the per-page :func:`headed_blocks_kernel` array. The shared
+    heading-context engine behind ``list_items`` and
+    ``definition_facts`` — zero shuffle, zero UDF."""
+    src = pages.schema[html_col].dataType.typeName()
+    html = (
+        F.decode(F.col(html_col), "UTF-8") if src == "binary" else F.col(html_col)
+    )
     return pages.select(
         F.col(url_col).alias("url"),
-        F.posexplode(blocks).alias(idx_name, "_b"),
+        F.posexplode(headed_blocks_kernel(html, block_re)).alias(idx_name, "_b"),
     ).select(
         "url", idx_name,
         F.col("_b.heading").alias("heading"),
@@ -163,6 +169,51 @@ def _qualified(items: DataFrame, min_items: int) -> DataFrame:
     )
 
 
+_MEMBER_T = "array<struct<subject:string,predicate:string,object:string>>"
+
+
+def list_claims_kernel(html, min_items: int = 2):
+    """Column kernel: html -> ``array<struct<subject, predicate,
+    object>>`` membership claims (predicate ``member_of``). Same
+    semantics as the exploded path (``_qualified``): a list votes iff
+    its heading is non-empty and >= ``min_items`` items survive the
+    empty-drop — but the per-list size check is ``F.size`` on the
+    page-local array, so the kernel needs NO window at all."""
+    from sigraph_spark.functions.hof import let
+
+    empty = F.array().cast(_MEMBER_T)
+
+    def per_block(b):
+        cls = F.regexp_replace(F.lower(b["heading"]), r"^list of\s+", "")
+        return let(
+            F.filter(
+                F.transform(
+                    F.regexp_extract_all(b["body"], F.lit(LI_RE), 1), clean_cell
+                ),
+                lambda s: s != "",
+            ),
+            lambda items: F.when(
+                (b["heading"] != "") & (F.size(items) >= min_items),
+                F.transform(
+                    items,
+                    lambda it: F.struct(
+                        it.alias("subject"),
+                        F.lit("member_of").alias("predicate"),
+                        cls.alias("object"),
+                    ),
+                ),
+            ).otherwise(empty),
+        )
+
+    k = F.flatten(
+        F.transform(
+            headed_blocks_kernel(html, r"<[uo]l[^>]*>(.*?)</[uo]l\s*>"),
+            per_block,
+        )
+    )
+    return F.coalesce(k, empty)
+
+
 def list_claims(
     pages: DataFrame,
     url_col: str = "url",
@@ -171,11 +222,20 @@ def list_claims(
 ) -> DataFrame:
     """Pages -> per-page ``(url, subject, predicate, object)`` membership
     claims (predicate ``member_of``) — the claims-table shape the webtext
-    KG plan unions as its ``list`` extractor channel."""
-    q = _qualified(list_items(pages, url_col, html_col), min_items)
-    return q.select(
-        "url",
-        F.col("item").alias("subject"),
-        F.lit("member_of").alias("predicate"),
-        F.col("class").alias("object"),
+    KG plan unions as its ``list`` extractor channel. ``explode`` of
+    :func:`list_claims_kernel`: one narrow map, zero shuffle (the
+    window the exploded ``_qualified`` path needs collapses into a
+    page-local ``F.size`` check)."""
+    src = pages.schema[html_col].dataType.typeName()
+    html = (
+        F.decode(F.col(html_col), "UTF-8") if src == "binary" else F.col(html_col)
+    )
+    return pages.select(
+        F.col(url_col),
+        F.explode(list_claims_kernel(html, min_items)).alias("t"),
+    ).select(
+        F.col(url_col).alias("url"),
+        F.col("t.subject").alias("subject"),
+        F.col("t.predicate").alias("predicate"),
+        F.col("t.object").alias("object"),
     )

@@ -21,12 +21,14 @@ Semantics (pinned by the ``table_triples`` gate + tests):
   collapsed, trimmed; empty subjects/objects emit nothing;
 * tables with fewer than 2 rows or 2 columns yield no triples.
 
-Scale design: everything up to the header join is a NARROW map on the page
-row (three nested ``regexp_extract_all`` + ``posexplode`` — arrays live
-within one page, bounded by page size). The only shuffle pairs data rows
-with their table's header, keyed (url, table_idx) — page-local keys, no
-skew (a hot DOMAIN never concentrates one key). Zero UDF: Java regex and
-the oracle's RE2 agree on the non-greedy dotall patterns used here.
+Scale design: the whole operator is ONE narrow map on the page row —
+``table_triples_kernel`` pairs each data row with its table's header
+inside the per-page array (``F.get`` row 0 / ``F.slice`` rows 2..), so
+the header join the exploded form would need never happens: zero
+shuffle, zero UDF (Java regex and the oracle's RE2 agree on the
+non-greedy dotall patterns used here). Arrays live within one page,
+bounded by page size. ``table_cells``/``extract_tables`` remain as the
+row-level exploded views for callers that want them.
 """
 
 from __future__ import annotations
@@ -82,31 +84,93 @@ def table_cells(tables: DataFrame) -> DataFrame:
     )
 
 
+_TB_ROW_T = (
+    "array<struct<table_idx:int,subj:string,predicate:string,obj:string>>"
+)
+
+
+def table_triples_kernel(html):
+    """Column kernel: html -> ``array<struct<table_idx, subj, predicate,
+    obj>>`` web-table facts. Header/data pairing happens INSIDE the
+    per-page array (``F.get`` row 0 vs ``F.slice`` rows 2..), so the
+    kernel needs no shuffle at all — the (url, table_idx) header join of
+    the old DataFrame form collapses into array ops. ``F.get`` is also
+    null-safe where ANSI ``element_at`` would raise on an empty
+    ``<tr></tr>`` (the empty subject then drops in the filter)."""
+    from sigraph_spark.functions.hof import let
+
+    empty = F.array().cast(_TB_ROW_T)
+
+    def per_table(t, ti):
+        rows = F.transform(
+            F.regexp_extract_all(t, F.lit(ROW_RE), 1),
+            lambda rh: F.transform(
+                F.regexp_extract_all(rh, F.lit(CELL_RE), 1), clean_cell
+            ),
+        )
+        return let(
+            rows,
+            lambda rs: let(
+                F.get(rs, 0),
+                lambda header: F.coalesce(
+                    F.when(
+                        header.isNotNull(),
+                        F.filter(
+                            F.flatten(
+                                F.transform(
+                                    F.slice(rs, 2, _BIG),
+                                    lambda cells: let(
+                                        F.get(cells, 0),
+                                        lambda subj: F.transform(
+                                            F.arrays_zip(
+                                                F.slice(header, 2, _BIG).alias("p"),
+                                                F.slice(cells, 2, _BIG).alias("o"),
+                                            ),
+                                            lambda po: F.struct(
+                                                ti.alias("table_idx"),
+                                                subj.alias("subj"),
+                                                po["p"].alias("predicate"),
+                                                po["o"].alias("obj"),
+                                            ),
+                                        ),
+                                    ),
+                                )
+                            ),
+                            lambda r: r["subj"].isNotNull()
+                            & (r["subj"] != "")
+                            & r["predicate"].isNotNull()
+                            & (r["predicate"] != "")
+                            & r["obj"].isNotNull()
+                            & (r["obj"] != ""),
+                        ),
+                    ),
+                    empty,
+                ),
+            ),
+        )
+
+    k = F.flatten(
+        F.transform(F.regexp_extract_all(html, F.lit(TABLE_RE), 1), per_table)
+    )
+    return F.coalesce(k, empty)
+
+
 def table_triples(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:
-    """Pages -> ``(url, table_idx, subj, predicate, obj)`` web-table facts."""
-    cells = table_cells(extract_tables(pages, url_col, html_col))
-    header = cells.filter(F.col("row_idx") == 0).select(
-        "url", "table_idx", F.col("cells").alias("header")
+    """Pages -> ``(url, table_idx, subj, predicate, obj)`` web-table
+    facts. ``explode`` of the per-page :func:`table_triples_kernel`
+    array — one narrow map, zero shuffle, zero UDF."""
+    src = pages.schema[html_col].dataType.typeName()
+    html = (
+        F.decode(F.col(html_col), "UTF-8") if src == "binary" else F.col(html_col)
     )
-    data = cells.filter(F.col("row_idx") > 0)
-    paired = data.join(header, ["url", "table_idx"]).select(
-        "url", "table_idx",
-        F.element_at("cells", 1).alias("subj"),
-        F.explode(
-            F.arrays_zip(
-                F.slice("header", 2, _BIG).alias("predicate"),
-                F.slice("cells", 2, _BIG).alias("obj"),
-            )
-        ).alias("_p"),
-    )
-    return paired.select(
-        "url", "table_idx", "subj",
-        F.col("_p.predicate").alias("predicate"),
-        F.col("_p.obj").alias("obj"),
-    ).filter(
-        (F.col("subj") != "")
-        & F.col("predicate").isNotNull() & (F.col("predicate") != "")
-        & F.col("obj").isNotNull() & (F.col("obj") != "")
+    return pages.select(
+        F.col(url_col), F.explode(table_triples_kernel(html)).alias("t")
+    ).select(
+        F.col(url_col).alias("url"),
+        F.col("t.table_idx").alias("table_idx"),
+        F.col("t.subj").alias("subj"),
+        F.col("t.predicate").alias("predicate"),
+        F.col("t.obj").alias("obj"),
     )

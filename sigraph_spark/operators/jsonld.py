@@ -57,87 +57,139 @@ _ARRAY_SCHEMA = "array<string>"
 _NESTED_SCHEMA = "name string, `@id` string"
 
 
+_LD_ROW_T = (
+    "array<struct<block_idx:int,elem_idx:int,"
+    "subj:string,predicate:string,obj:string,kind:string>>"
+)
+
+
+def jsonld_kernel(url, html) -> "F.Column":
+    """Single-pass Column kernel: html -> ``array<struct<block_idx,
+    elem_idx, subj, predicate, obj, kind>>`` — the same rows
+    :func:`jsonld_triples` emits, as a per-page array so the channel
+    can ride the fused one-scan extraction pass
+    (``operators/fusedscan.py``). The block/entity/value fan-out that
+    the DataFrame form expressed as three ``posexplode`` stages becomes
+    nested ``transform``/``flatten``; every ``from_json`` parse is
+    ``hof.let``-bound so it runs once per node, not once per use site.
+    """
+    from sigraph_spark.functions.hof import let
+
+    empty = F.array().cast(_LD_ROW_T)
+
+    # ---- value -> objects (arrays fan out, one level of nesting) ----------
+    def kv_rows(subj, bi, ei, k, v):
+        pred = F.when(k == "@type", F.lit("rdf:type")).otherwise(k)
+        is_type = k == "@type"
+        items = F.when(
+            F.ltrim(v).startswith("["), F.from_json(v, _ARRAY_SCHEMA)
+        ).otherwise(F.array(v))
+
+        def per_item(item):
+            it = F.ltrim(item)
+            obj = let(
+                F.from_json(item, _NESTED_SCHEMA),
+                lambda nested: F.when(
+                    it.startswith("{"), F.coalesce(nested["name"], nested["@id"])
+                ).otherwise(item),
+            )
+            kind = (
+                F.when(is_type, F.lit("type"))
+                .when(it.startswith("{"), F.lit("entity"))
+                .otherwise(F.lit("literal"))
+            )
+            return F.struct(
+                bi.alias("block_idx"), ei.alias("elem_idx"),
+                subj.alias("subj"), pred.alias("predicate"),
+                obj.alias("obj"), kind.alias("kind"),
+            )
+
+        return F.filter(
+            F.coalesce(F.transform(items, per_item), empty),
+            lambda r: r["obj"].isNotNull() & (r["obj"] != ""),
+        )
+
+    # ---- entity -> (key, raw value) ---------------------------------------
+    def ent_rows(bi, ei, ent):
+        return let(
+            F.from_json(ent, _ENTITY_SCHEMA),
+            lambda m: F.when(m.isNull(), empty).otherwise(
+                let(
+                    F.coalesce(
+                        m.getItem("@id"),
+                        F.concat(
+                            url, F.lit("#ld"), bi.cast("string"),
+                            F.lit("-"), ei.cast("string"),
+                        ),
+                    ),
+                    lambda subj: F.flatten(
+                        F.transform(
+                            F.filter(
+                                F.map_entries(m),
+                                lambda kv: (~kv["key"].startswith("@"))
+                                | (kv["key"] == "@type"),
+                            ),
+                            lambda kv: kv_rows(
+                                subj, bi, ei, kv["key"], kv["value"]
+                            ),
+                        )
+                    ),
+                )
+            ),
+        )
+
+    # ---- block -> entities ------------------------------------------------
+    def block_rows(raw, bi):
+        ents = let(
+            F.from_json(raw, _ENTITY_SCHEMA),
+            lambda om: F.when(
+                F.ltrim(raw).startswith("["), F.from_json(raw, _ARRAY_SCHEMA)
+            )
+            .when(
+                om.getItem("@graph").isNotNull()
+                & F.ltrim(om.getItem("@graph")).startswith("["),
+                F.from_json(om.getItem("@graph"), _ARRAY_SCHEMA),
+            )
+            .when(om.isNotNull(), F.array(raw)),
+        )
+        # malformed blocks: ents NULL -> coalesce keeps the flatten alive
+        return F.coalesce(
+            F.flatten(
+                F.transform(ents, lambda ent, ei: ent_rows(bi, ei, ent))
+            ),
+            empty,
+        )
+
+    k = let(
+        F.regexp_extract_all(html, F.lit(LD_SCRIPT_RE), 1),
+        lambda blocks: F.flatten(F.transform(blocks, block_rows)),
+    )
+    return F.coalesce(k, empty)
+
+
 def jsonld_triples(
     pages: DataFrame,
     url_col: str = "url",
     html_col: str = "html",
 ) -> DataFrame:
     """``(url, block_idx, elem_idx, subj, predicate, obj, kind)`` from
-    every ld+json block; kind in {type, literal, entity}."""
+    every ld+json block; kind in {type, literal, entity}. ``explode``
+    of the per-page :func:`jsonld_kernel` array — one narrow map."""
     src = pages.schema[html_col].dataType.typeName()
     html = (
         F.decode(F.col(html_col), "UTF-8") if src == "binary" else F.col(html_col)
     )
-    blocks = pages.select(
+    k = jsonld_kernel(F.col(url_col), html)
+    return pages.select(
+        F.col(url_col), F.explode(k).alias("t")
+    ).select(
         F.col(url_col).alias("url"),
-        F.posexplode(F.regexp_extract_all(html, F.lit(LD_SCRIPT_RE), 1)).alias(
-            "block_idx", "raw"
-        ),
-    )
-
-    # ---- block -> entities ------------------------------------------------
-    t = F.ltrim(F.col("raw"))
-    obj_map = F.from_json("raw", _ENTITY_SCHEMA)
-    graph_raw = obj_map.getItem("@graph")
-    ents = (
-        F.when(t.startswith("["), F.from_json("raw", _ARRAY_SCHEMA))
-        .when(
-            graph_raw.isNotNull() & F.ltrim(graph_raw).startswith("["),
-            F.from_json(graph_raw, _ARRAY_SCHEMA),
-        )
-        .when(obj_map.isNotNull(), F.array("raw"))
-    )
-    e = blocks.select(
-        "url", "block_idx", F.posexplode(ents).alias("elem_idx", "ent")
-    )
-    m = F.from_json("ent", _ENTITY_SCHEMA)
-    e = e.select("url", "block_idx", "elem_idx", m.alias("m")).filter(
-        F.col("m").isNotNull()
-    )
-
-    # ---- entity -> (key, raw value) ---------------------------------------
-    subj = F.coalesce(
-        F.col("m").getItem("@id"),
-        F.concat(
-            F.col("url"), F.lit("#ld"),
-            F.col("block_idx").cast("string"), F.lit("-"),
-            F.col("elem_idx").cast("string"),
-        ),
-    )
-    kv = e.select(
-        "url", "block_idx", "elem_idx", subj.alias("subj"),
-        F.explode("m").alias("k", "v"),
-    ).filter((~F.col("k").startswith("@")) | (F.col("k") == "@type"))
-
-    # ---- value -> objects (arrays fan out, one level of nesting) ----------
-    vt = F.ltrim(F.col("v"))
-    items = F.when(vt.startswith("["), F.from_json("v", _ARRAY_SCHEMA)).otherwise(
-        F.array("v")
-    )
-    x = kv.select(
-        "url", "block_idx", "elem_idx", "subj",
-        F.when(F.col("k") == "@type", F.lit("rdf:type"))
-        .otherwise(F.col("k"))
-        .alias("predicate"),
-        (F.col("k") == "@type").alias("is_type"),
-        F.explode(items).alias("item"),
-    )
-    it = F.ltrim(F.col("item"))
-    nested = F.from_json("item", _NESTED_SCHEMA)
-    obj = F.when(
-        it.startswith("{"), F.coalesce(nested["name"], nested["@id"])
-    ).otherwise(F.col("item"))
-    kind = (
-        F.when(F.col("is_type"), F.lit("type"))
-        .when(it.startswith("{"), F.lit("entity"))
-        .otherwise(F.lit("literal"))
-    )
-    return (
-        x.select(
-            "url", "block_idx", "elem_idx", "subj", "predicate",
-            obj.alias("obj"), kind.alias("kind"),
-        )
-        .filter(F.col("obj").isNotNull() & (F.col("obj") != ""))
+        F.col("t.block_idx").alias("block_idx"),
+        F.col("t.elem_idx").alias("elem_idx"),
+        F.col("t.subj").alias("subj"),
+        F.col("t.predicate").alias("predicate"),
+        F.col("t.obj").alias("obj"),
+        F.col("t.kind").alias("kind"),
     )
 
 
@@ -147,6 +199,39 @@ META_RE = (
     r"(?is)<meta\s+(?:property|name)\s*=\s*[\"']([^\"']+)[\"']\s+"
     r"content\s*=\s*[\"']([^\"']*)[\"'][^>]*>"
 )
+
+
+_META_ROW_T = "array<struct<meta_idx:int,predicate:string,obj:string>>"
+
+
+def meta_kernel(
+    html,
+    prefixes: tuple[str, ...] = ("og:", "article:", "twitter:", "description"),
+) -> "F.Column":
+    """Single-pass Column kernel: html -> ``array<struct<meta_idx,
+    predicate, obj>>`` of the kept meta tags (``meta_idx`` counts ALL
+    matched tags in document order — dropped ones consume an index,
+    matching the posexplode-then-filter DataFrame form)."""
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(html, F.lit(META_RE), 1).alias("p"),
+        F.regexp_extract_all(html, F.lit(META_RE), 2).alias("c"),
+    )
+
+    def keep(r):
+        k = None
+        for pre in prefixes:
+            c = r["predicate"].startswith(pre)
+            k = c if k is None else (k | c)
+        return k & (r["obj"] != "")
+
+    rows = F.transform(
+        pairs,
+        lambda kv, i: F.struct(
+            i.alias("meta_idx"),
+            kv["p"].alias("predicate"), kv["c"].alias("obj"),
+        ),
+    )
+    return F.coalesce(F.filter(rows, keep), F.array().cast(_META_ROW_T))
 
 
 def meta_triples(
@@ -161,25 +246,19 @@ def meta_triples(
     property/name starts with one of ``prefixes`` are kept (the generic
     viewport/charset noise is not KG signal). Empty content drops.
 
-    Same scale shape as :func:`jsonld_triples`: one narrow map, two
-    zipped ``regexp_extract_all`` passes, zero shuffle, zero UDF.
+    Same scale shape as :func:`jsonld_triples`: one narrow map —
+    ``explode`` of the per-page :func:`meta_kernel` array. Zero shuffle,
+    zero UDF.
     """
     src = pages.schema[html_col].dataType.typeName()
     html = (
         F.decode(F.col(html_col), "UTF-8") if src == "binary" else F.col(html_col)
     )
-    pairs = F.arrays_zip(
-        F.regexp_extract_all(html, F.lit(META_RE), 1).alias("p"),
-        F.regexp_extract_all(html, F.lit(META_RE), 2).alias("c"),
-    )
-    x = pages.select(
-        F.col(url_col).alias("url"), F.posexplode(pairs).alias("meta_idx", "kv")
+    return pages.select(
+        F.col(url_col), F.explode(meta_kernel(html, prefixes)).alias("t")
     ).select(
-        "url", "meta_idx",
-        F.col("kv.p").alias("predicate"), F.col("kv.c").alias("obj"),
+        F.col(url_col).alias("url"),
+        F.col("t.meta_idx").alias("meta_idx"),
+        F.col("t.predicate").alias("predicate"),
+        F.col("t.obj").alias("obj"),
     )
-    keep = None
-    for pre in prefixes:
-        c = F.col("predicate").startswith(pre)
-        keep = c if keep is None else (keep | c)
-    return x.filter(keep & (F.col("obj") != ""))

@@ -97,6 +97,170 @@ def microdata_triples(
     )
 
 
+_ROW_T = (
+    "array<struct<tag_idx:int,scope_idx:int,"
+    "subj:string,predicate:string,obj:string,kind:string>>"
+)
+
+
+def scoped_attr_kernel(
+    url: Column,
+    html: Column,
+    *,
+    tag_re: str,
+    scope_re: str,
+    subj_attrs: tuple[str, ...],
+    type_attr: str,
+    type_seg_re: str,
+    prop_attr: str,
+    blank_prefix: str,
+) -> Column:
+    """Shared flat document-order scope engine for attribute-embedded
+    structured data (microdata, RDFa Lite) as a single-pass COLUMN
+    KERNEL: html -> ``array<struct<tag_idx, scope_idx, subj, predicate,
+    obj, kind>>``. ``tag_re`` must capture (tag name, attribute string,
+    trailing text); ``scope_re`` marks scope-opening tags; subjects come
+    from the first non-empty attr in ``subj_attrs`` else
+    ``url<blank_prefix><scope_idx>``; the ``type_attr`` value is
+    whitespace-split and each token reduced by ``type_seg_re`` into one
+    rdf:type row.
+
+    The ONE heavy regex pass over the page (group 0: the full tag
+    match) and every derived array are ``hof.let``-bound so each is
+    evaluated exactly once — the kernel-world equivalent of the
+    observe() CollapseProject barriers the projection-chain form of
+    this engine used to need (without binding, Catalyst inlines the
+    alias chain and the page-sized scan runs once per use site —
+    measured 9x / 21s -> ~3s on the sf0.1 gate corpus). Being a pure
+    Column expression, the kernel composes into the fused one-scan
+    extraction pass (``operators/fusedscan.py``).
+    """
+    from sigraph_spark.functions.hof import let
+
+    empty = F.array().cast(_ROW_T)
+
+    def is_scope(t: Column) -> Column:
+        return t["at"].rlike(scope_re)
+
+    def scope_subj(t: Column, i: Column) -> Column:
+        # first non-empty subject attr, else the deterministic blank
+        # node url<blank_prefix><scope_idx>
+        out = F.concat(url, F.lit(blank_prefix), i.cast("string"))
+        for name in reversed(subj_attrs):
+            out = F.when(_attr(t["at"], name) != "", _attr(t["at"], name)).otherwise(
+                out
+            )
+        return out
+
+    def sids_of(tags: Column) -> Column:
+        # running scope id per tag: linear fold, -1 before the first scope
+        return F.aggregate(
+            tags,
+            F.struct(
+                F.lit(-1).alias("cur"), F.array().cast("array<int>").alias("out")
+            ),
+            lambda acc, t: F.struct(
+                (acc["cur"] + is_scope(t).cast("int")).alias("cur"),
+                F.concat(
+                    acc["out"], F.array(acc["cur"] + is_scope(t).cast("int"))
+                ).alias("out"),
+            ),
+            lambda acc: acc["out"],
+        )
+
+    def rows_of(tags: Column, sids: Column, subs: Column) -> Column:
+        def per_tag(t: Column, i: Column) -> Column:
+            at, nm = t["at"], t["nm"]
+            sid = F.get(sids, i)
+            scope = at.rlike(scope_re)
+            self_subj = F.get(subs, sid)
+            parent_subj = F.get(subs, sid - 1)
+            tokens = F.filter(
+                F.split(F.trim(_attr(at, prop_attr)), r"\s+"), lambda s: s != ""
+            )
+            # type attr may hold several whitespace-separated tokens
+            # (both specs allow it); each reduces to its segment
+            type_toks = F.filter(
+                F.transform(
+                    F.split(F.trim(_attr(at, type_attr)), r"\s+"),
+                    lambda s: F.regexp_extract(s, type_seg_re, 1),
+                ),
+                lambda s: s != "",
+            )
+            content = _attr(at, "content")
+            tag_attr = (
+                F.when(nm.isin("a", "link", "area"), _attr(at, "href"))
+                .when(
+                    nm.isin(
+                        "img", "audio", "video", "embed", "iframe",
+                        "source", "track",
+                    ),
+                    _attr(at, "src"),
+                )
+                .when(nm == "time", _attr(at, "datetime"))
+                .when(nm.isin("data", "meter"), _attr(at, "value"))
+                .otherwise(F.lit(""))
+            )
+            value = (
+                F.when(content != "", content)
+                .when(tag_attr != "", tag_attr)
+                .otherwise(F.trim(t["tx"]))
+            )
+
+            def mk(subj, pred, obj, kind: str) -> Column:
+                return F.struct(
+                    i.alias("tag_idx"), sid.alias("scope_idx"),
+                    subj.alias("subj"), pred.alias("predicate"),
+                    obj.alias("obj"), F.lit(kind).alias("kind"),
+                )
+
+            type_rows = F.when(
+                scope & self_subj.isNotNull(),
+                F.transform(
+                    type_toks,
+                    lambda seg: mk(self_subj, F.lit("rdf:type"), seg, "type"),
+                ),
+            ).otherwise(empty)
+            entity_rows = F.when(
+                scope & parent_subj.isNotNull(),
+                F.transform(
+                    tokens,
+                    lambda tok: mk(parent_subj, tok, self_subj, "entity"),
+                ),
+            ).otherwise(empty)
+            literal_rows = F.when(
+                ~scope & self_subj.isNotNull() & (value != ""),
+                F.transform(
+                    tokens, lambda tok: mk(self_subj, tok, value, "literal")
+                ),
+            ).otherwise(empty)
+            return F.concat(type_rows, entity_rows, literal_rows)
+
+        return F.flatten(F.transform(tags, per_tag))
+
+    kernel = let(
+        F.regexp_extract_all(html, F.lit(tag_re), 0),
+        lambda raw: let(
+            F.transform(
+                raw,
+                lambda t: F.struct(
+                    F.lower(F.regexp_extract(t, tag_re, 1)).alias("nm"),
+                    F.regexp_extract(t, tag_re, 2).alias("at"),
+                    F.regexp_extract(t, tag_re, 3).alias("tx"),
+                ),
+            ),
+            lambda tags: let(
+                sids_of(tags),
+                lambda sids: let(
+                    F.transform(F.filter(tags, is_scope), scope_subj),
+                    lambda subs: rows_of(tags, sids, subs),
+                ),
+            ),
+        ),
+    )
+    return F.coalesce(kernel, empty)
+
+
 def scoped_attr_triples(
     pages: DataFrame,
     *,
@@ -110,161 +274,27 @@ def scoped_attr_triples(
     prop_attr: str,
     blank_prefix: str,
 ) -> DataFrame:
-    """Shared flat document-order scope engine for attribute-embedded
-    structured data (microdata, RDFa Lite). ``tag_re`` must capture
-    (tag name, attribute string, trailing text); ``scope_re`` marks
-    scope-opening tags; subjects come from the first non-empty attr in
-    ``subj_attrs`` else ``url<blank_prefix><scope_idx>``; the
-    ``type_attr`` value is whitespace-split and each token reduced by
-    ``type_seg_re`` into one rdf:type row.
-    """
-    import uuid
-
+    """DataFrame form of :func:`scoped_attr_kernel`: one narrow map,
+    ``explode`` of the per-page kernel array. Zero shuffles, zero UDFs
+    (plan-asserted in tests)."""
     src = pages.schema[html_col].dataType.typeName()
     html = (
         F.decode(F.col(html_col), "UTF-8") if src == "binary" else F.col(html_col)
     )
-    # ONE heavy regex pass over the page (group 0: the full tag match);
-    # per-tag fields re-derive from the SHORT match strings below. The
-    # observe() nodes are CollectMetrics barriers (the parse_events
-    # device, operators/graph.py:129-150): without them CollapseProject
-    # re-inlines the alias chain and the page-sized regex scan runs once
-    # per USE SITE — 9 full-html passes instead of 1 (measured 21s ->
-    # ~3s on the sf0.1 gate corpus).
-    uniq = uuid.uuid4().hex[:8]
-    p1 = pages.select(
+    k = scoped_attr_kernel(
+        F.col(url_col), html,
+        tag_re=tag_re, scope_re=scope_re, subj_attrs=subj_attrs,
+        type_attr=type_attr, type_seg_re=type_seg_re,
+        prop_attr=prop_attr, blank_prefix=blank_prefix,
+    )
+    # two selects: aliasing url in the SAME projection that references
+    # it inside the kernel trips Spark's lateral-column-alias resolution
+    return pages.select(
+        F.col(url_col), F.explode(k).alias("t")
+    ).select(
         F.col(url_col).alias("url"),
-        F.regexp_extract_all(html, F.lit(tag_re), 0).alias("_raw"),
-    ).observe(f"attr_scope_scan_{uniq}", F.count(F.lit(1)).alias("pages"))
-    tags_expr = F.transform(
-        F.col("_raw"),
-        lambda t: F.struct(
-            F.lower(F.regexp_extract(t, tag_re, 1)).alias("nm"),
-            F.regexp_extract(t, tag_re, 2).alias("at"),
-            F.regexp_extract(t, tag_re, 3).alias("tx"),
-        ),
-    )
-    p2 = p1.select("url", tags_expr.alias("_tags")).observe(
-        f"attr_scope_tags_{uniq}", F.count(F.lit(1)).alias("pages")
-    )
-    tags = F.col("_tags")
-
-    def is_scope(t: Column) -> Column:
-        return t["at"].rlike(scope_re)
-
-    # running scope id per tag: linear fold, -1 before the first itemscope
-    sid_step = lambda acc, t: F.struct(  # noqa: E731
-        (acc["cur"] + is_scope(t).cast("int")).alias("cur"),
-        F.concat(
-            acc["out"], F.array(acc["cur"] + is_scope(t).cast("int"))
-        ).alias("out"),
-    )
-    sids = F.aggregate(
-        tags,
-        F.struct(
-            F.lit(-1).alias("cur"), F.array().cast("array<int>").alias("out")
-        ),
-        sid_step,
-        lambda acc: acc["out"],
-    )
-    # subject per scope, in scope order: first non-empty subject attr,
-    # else the deterministic blank node url<blank_prefix><scope_idx>
-    url_c = F.col("url")
-
-    def scope_subj(t: Column, i: Column) -> Column:
-        out = F.concat(url_c, F.lit(blank_prefix), i.cast("string"))
-        for name in reversed(subj_attrs):
-            out = F.when(_attr(t["at"], name) != "", _attr(t["at"], name)).otherwise(
-                out
-            )
-        return out
-
-    subs = F.transform(F.filter(tags, is_scope), scope_subj)
-
-    x = p2.select(
-        "url",
-        subs.alias("subs"),
-        F.posexplode(F.arrays_zip(tags.alias("t"), sids.alias("sid"))).alias(
-            "tag_idx", "z"
-        ),
-    ).select(
-        "url", "tag_idx", "subs",
-        F.col("z.t.nm").alias("nm"), F.col("z.t.at").alias("at"),
-        F.col("z.t.tx").alias("tx"), F.col("z.sid").alias("sid"),
-    )
-
-    at = F.col("at")
-    scope = at.rlike(scope_re)
-    self_subj = F.get("subs", F.col("sid"))
-    parent_subj = F.get("subs", F.col("sid") - 1)
-    tokens = F.filter(
-        F.split(F.trim(_attr(at, prop_attr)), r"\s+"), lambda s: s != ""
-    )
-    # type attr may hold several whitespace-separated tokens (both specs
-    # allow it); each reduces to its type_seg_re segment
-    type_toks = F.filter(
-        F.transform(
-            F.split(F.trim(_attr(at, type_attr)), r"\s+"),
-            lambda s: F.regexp_extract(s, type_seg_re, 1),
-        ),
-        lambda s: s != "",
-    )
-
-    nm = F.col("nm")
-    content = _attr(at, "content")
-    tag_attr = (
-        F.when(nm.isin("a", "link", "area"), _attr(at, "href"))
-        .when(
-            nm.isin("img", "audio", "video", "embed", "iframe", "source", "track"),
-            _attr(at, "src"),
-        )
-        .when(nm == "time", _attr(at, "datetime"))
-        .when(nm.isin("data", "meter"), _attr(at, "value"))
-        .otherwise(F.lit(""))
-    )
-    value = (
-        F.when(content != "", content)
-        .when(tag_attr != "", tag_attr)
-        .otherwise(F.trim("tx"))
-    )
-
-    empty = F.array().cast(_TRIPLE_T)
-    type_rows = F.when(
-        scope & self_subj.isNotNull(),
-        F.transform(
-            type_toks,
-            lambda seg: F.struct(
-                self_subj.alias("subj"), F.lit("rdf:type").alias("predicate"),
-                seg.alias("obj"), F.lit("type").alias("kind"),
-            ),
-        ),
-    ).otherwise(empty)
-    entity_rows = F.when(
-        scope & parent_subj.isNotNull(),
-        F.transform(
-            tokens,
-            lambda tok: F.struct(
-                parent_subj.alias("subj"), tok.alias("predicate"),
-                self_subj.alias("obj"), F.lit("entity").alias("kind"),
-            ),
-        ),
-    ).otherwise(empty)
-    literal_rows = F.when(
-        ~scope & self_subj.isNotNull() & (value != ""),
-        F.transform(
-            tokens,
-            lambda tok: F.struct(
-                self_subj.alias("subj"), tok.alias("predicate"),
-                value.alias("obj"), F.lit("literal").alias("kind"),
-            ),
-        ),
-    ).otherwise(empty)
-
-    return x.select(
-        "url", "tag_idx", F.col("sid").alias("scope_idx"),
-        F.explode(F.concat(type_rows, entity_rows, literal_rows)).alias("t"),
-    ).select(
-        "url", "tag_idx", "scope_idx",
+        F.col("t.tag_idx").alias("tag_idx"),
+        F.col("t.scope_idx").alias("scope_idx"),
         F.col("t.subj").alias("subj"), F.col("t.predicate").alias("predicate"),
         F.col("t.obj").alias("obj"), F.col("t.kind").alias("kind"),
     )

@@ -14,19 +14,19 @@ arbitrates), expressed as checkpointed ``run_stage`` stages with chained
 fingerprints so a new crawl or a changed extractor recomputes exactly the
 affected suffix.
 
-Stage graph::
+Stage graph (``html`` is read exactly ONCE, in w0 — the fused
+extraction pass ``operators/fusedscan.py``; every other stage reads
+w0's much smaller text/claims output)::
 
-    pages ── w1_docs (html -> text)
-       \\            ├── w2_sent  (sentence triples -> claims 'sentence')
-        \\           ├── w4_hearst (is_a pairs      -> claims 'hearst')
-         \\          └── w8_quotes (attributed statements -> claims 'quote')
-         ├── w3_tables (html tables -> claims 'table')
-         └── w7_struct (JSON-LD / microdata / RDFa / meta / list-page /
-                        definition-list -> claims 'jsonld' / 'microdata'
-                        / 'rdfa' / 'meta' / 'list' / 'dl' — narrow maps
-                        (lists add one page-local window), no w1
-                        dependency: they read raw html)
-    w2+w3+w4+w7+w8 ── w5_claims (union, distinct) ── w6_fused
+    pages ── w0_scan (ONE scan: text + all html claims channels)
+               ├── w1_docs (url, warc_ts, text)
+               │      ├── w2_sent   (sentence triples -> claims 'sentence')
+               │      ├── w4_hearst (is_a pairs       -> claims 'hearst')
+               │      └── w8_quotes (attributed statements -> claims 'quote')
+               └── w9_html_claims (explode: claims 'table' / 'jsonld' /
+                                   'microdata' / 'rdfa' / 'meta' /
+                                   'list' / 'dl')
+    w2+w4+w8+w9 ── w5_claims (union, distinct) ── w6_fused
 
 The fusion algebra itself is hash-proven by the ``multi_extractor_fusion``
 gate; this module adds the materialized, resumable composition.
@@ -52,7 +52,12 @@ def _structured_claims(pages: DataFrame) -> DataFrame:
     predicate, object, source) with source in {jsonld, microdata, rdfa,
     meta, list, dl}. rdf:type rows ride along — a fused KG wants typed
     entities, and fusion arbitrates them like any other predicate. Meta
-    tags are page-level facts, so their subject is the url itself."""
+    tags are page-level facts, so their subject is the url itself.
+
+    Union-of-operators REFERENCE form: each channel is its own scan of
+    ``html``, so the plan itself uses the one-scan
+    ``fusedscan.fused_page_scan`` instead; this view remains as the
+    parity oracle (tests/test_fusedscan.py pins multiset equality)."""
     from sigraph_spark.operators.dlfacts import dl_claims
     from sigraph_spark.operators.htmllists import list_claims
     from sigraph_spark.operators.jsonld import jsonld_triples, meta_triples
@@ -87,6 +92,9 @@ def _structured_claims(pages: DataFrame) -> DataFrame:
     )
 
 
+_STRUCT_SOURCES = ("jsonld", "microdata", "rdfa", "meta", "list", "dl")
+
+
 def run_webtext_kg(
     spark: SparkSession,
     pages: DataFrame,
@@ -95,11 +103,18 @@ def run_webtext_kg(
 ) -> dict[str, DataFrame]:
     """pages(url, warc_ts, html, ...) -> {docs, sent_claims, table_claims,
     hearst_claims, claims, fused}. Every stage resumes from its manifest.
+
+    ``html`` — the heaviest column of the corpus — is read EXACTLY ONCE:
+    stage w0 runs the fused extraction pass (text + every html-derived
+    claims channel in one projection, ``fusedscan.fused_page_scan``) and
+    every later stage reads only w0's much smaller text/claims output.
+    The previous composition unioned ~8 independent views of ``pages``,
+    each its own scan of ``html`` — at crawl scale that IO multiplier
+    dominated the whole plan.
     """
-    from sigraph_spark.operators.extract import extract_pages
+    from sigraph_spark.operators.fusedscan import fused_page_scan
     from sigraph_spark.operators.fusion import fuse_triples
     from sigraph_spark.operators.hearst import hearst_pairs
-    from sigraph_spark.operators.htmltables import table_triples
     from sigraph_spark.operators.triples import triples_from_docs
 
     def out_fp(stage_dir: str) -> str:
@@ -109,12 +124,29 @@ def run_webtext_kg(
     fp = input_fingerprint or table_fingerprint(
         pages.select("url", "warc_ts", F.length("html").alias("n"))
     )
+    scan = run_stage(
+        spark, "w0_scan", os.path.join(workdir, "w0_scan"),
+        lambda: fused_page_scan(pages),
+        fp + ":w0v1",
+    )
+    fp_scan = out_fp("w0_scan")
     docs = run_stage(
         spark, "w1_docs", os.path.join(workdir, "w1_docs"),
-        lambda: extract_pages(pages).select("url", "warc_ts", "text"),
-        fp + ":w1v1",
+        lambda: scan.select("url", "warc_ts", "text"),
+        fp_scan + ":w1v2",
     )
     fp_docs = out_fp("w1_docs")
+    # all html-derived claims channels come out of the ONE w0 scan
+    html_claims = run_stage(
+        spark, "w9_html_claims", os.path.join(workdir, "w9_html_claims"),
+        lambda: scan.select(F.explode("claims").alias("c")).select(
+            F.col("c.subject").alias("subject"),
+            F.col("c.predicate").alias("predicate"),
+            F.col("c.object").alias("object"),
+            F.col("c.source").alias("source"),
+        ),
+        fp_scan + ":w9v1",
+    )
 
     def claims_shape(df, subj, pred, obj, source: str) -> DataFrame:
         return df.select(
@@ -131,13 +163,6 @@ def run_webtext_kg(
         ),
         fp_docs + ":w2v1",
     )
-    tables = run_stage(
-        spark, "w3_tables", os.path.join(workdir, "w3_tables"),
-        lambda: claims_shape(
-            table_triples(pages), "subj", "predicate", "obj", "table"
-        ),
-        fp + ":w3v1",
-    )
     hearst = run_stage(
         spark, "w4_hearst", os.path.join(workdir, "w4_hearst"),
         lambda: claims_shape(
@@ -146,26 +171,23 @@ def run_webtext_kg(
         ),
         fp_docs + ":w4v1",
     )
-    struct = run_stage(
-        spark, "w7_struct", os.path.join(workdir, "w7_struct"),
-        lambda: _structured_claims(pages),
-        fp + ":w7v1",
-    )
     quotes = run_stage(
         spark, "w8_quotes", os.path.join(workdir, "w8_quotes"),
         lambda: _quote_claims(docs),
         fp_docs + ":w8v1",
     )
+    tables = html_claims.filter(F.col("source") == "table")
+    struct = html_claims.filter(F.col("source").isin(*_STRUCT_SOURCES))
     fp_views = ":".join(
         out_fp(d) for d in (
-            "w2_sent", "w3_tables", "w4_hearst", "w7_struct", "w8_quotes",
+            "w2_sent", "w4_hearst", "w8_quotes", "w9_html_claims",
         )
     )
     claims = run_stage(
         spark, "w5_claims", os.path.join(workdir, "w5_claims"),
-        lambda: sent.unionByName(tables).unionByName(hearst)
-        .unionByName(struct).unionByName(quotes).distinct(),
-        fp_views + ":w5v3",
+        lambda: sent.unionByName(hearst).unionByName(quotes)
+        .unionByName(html_claims).distinct(),
+        fp_views + ":w5v4",
     )
     fp_claims = out_fp("w5_claims")
     fused = run_stage(
@@ -180,6 +202,7 @@ def run_webtext_kg(
         "docs": docs, "sent_claims": sent, "table_claims": tables,
         "hearst_claims": hearst, "struct_claims": struct,
         "quote_claims": quotes, "claims": claims, "fused": fused,
+        "scan": scan,
     }
 
 
@@ -258,10 +281,9 @@ def apply_webtext_delta(
 
     Returns the apply report, or None on a replayed ``delta_id``.
     """
-    from sigraph_spark.operators.extract import extract_pages
+    from sigraph_spark.operators.fusedscan import fused_page_scan
     from sigraph_spark.operators.fusion import fuse_triples
     from sigraph_spark.operators.hearst import hearst_pairs
-    from sigraph_spark.operators.htmltables import table_triples
     from sigraph_spark.operators.triples import triples_from_docs
 
     os.makedirs(workdir, exist_ok=True)
@@ -278,7 +300,17 @@ def apply_webtext_delta(
     if delta_id in st["applied"]:
         return None
 
-    docs = extract_pages(delta_pages).select("url", "warc_ts", "text")
+    # ONE scan of the delta's html (text + all html claims channels),
+    # materialized so both downstream reads hit the checkpoint — deltas
+    # are small by definition
+    scan = fused_page_scan(delta_pages).localCheckpoint(eager=True)
+    docs = scan.select("url", "warc_ts", "text")
+    html_claims = scan.select(F.explode("claims").alias("c")).select(
+        F.col("c.subject").alias("subject"),
+        F.col("c.predicate").alias("predicate"),
+        F.col("c.object").alias("object"),
+        F.col("c.source").alias("source"),
+    )
 
     def shape(df, s, p, o, source):
         return df.select(
@@ -289,12 +321,10 @@ def apply_webtext_delta(
     delta_claims = (
         shape(triples_from_docs(docs), "actor", "verb", "object", "sentence")
         .unionByName(shape(
-            table_triples(delta_pages), "subj", "predicate", "obj", "table"))
-        .unionByName(shape(
             hearst_pairs(docs).withColumn("p", F.lit("is_a")),
             "hypo", "p", "hyper", "hearst"))
-        .unionByName(_structured_claims(delta_pages))
         .unionByName(_quote_claims(docs))
+        .unionByName(html_claims)
         .distinct()
     )
     stored, _ = webtext_state_tables(spark, workdir)

@@ -60,16 +60,16 @@ def test_webtext_plan_resumes_and_invalidates(spark, tmp_path):
     pages = _pages(spark)
     run_webtext_kg(spark, pages, wd, input_fingerprint="t:v1")
     m1 = {s: _manifest(wd, s) for s in
-          ("w1_docs", "w2_sent", "w3_tables", "w4_hearst", "w7_struct",
+          ("w0_scan", "w1_docs", "w2_sent", "w4_hearst", "w9_html_claims",
            "w8_quotes", "w5_claims", "w6_fused")}
     # resume: same fingerprint -> every stage skipped (manifests untouched)
     run_webtext_kg(spark, pages, wd, input_fingerprint="t:v1")
     m2 = {s: _manifest(wd, s) for s in m1}
     assert m1 == m2
-    # changed input fingerprint -> w1/w3 recompute; chained fingerprints
+    # changed input fingerprint -> w0 recomputes; chained fingerprints
     # keep the downstream stable ONLY if upstream outputs are identical
     run_webtext_kg(spark, pages, wd, input_fingerprint="t:v2")
-    m3 = _manifest(wd, "w1_docs")
+    m3 = _manifest(wd, "w0_scan")
     assert m3["input_fingerprint"].startswith("t:v2")
     # identical content -> identical output fingerprint -> w2 resumed as-is
     assert _manifest(wd, "w2_sent") == m1["w2_sent"]
