@@ -127,3 +127,28 @@ def test_split_sentences(spark):
         (5, 1): "A.B stays together.",
         (5, 2): "next",
     }
+
+
+def test_batched_training_equals_sequential(spark):
+    from sigraph_spark.operators.bpe import bpe_train
+
+    # batching is an exactness-preserving optimization: identical merge
+    # tables (rank, lhs, rhs, freq) at any batch width, fewer driver jobs
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog the fox"),
+        (2, "aaaa abab the the then there banana bandana"),
+        (3, "low lower lowest newer newest wider wide widen"),
+        (4, "x y z x y z xy yz zx the a an and then them"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    m_seq, m_bat = {}, {}
+    seq = bpe_train(
+        docs, num_merges=24, metrics=m_seq, batch_candidates=1
+    ).collect()
+    bat = bpe_train(
+        docs, num_merges=24, metrics=m_bat, batch_candidates=64
+    ).collect()
+    assert [tuple(r) for r in seq] == [tuple(r) for r in bat]
+    assert m_seq["rounds"] == m_bat["rounds"] == 24
+    assert m_seq["driver_jobs"] == 24
+    assert m_bat["driver_jobs"] < m_seq["driver_jobs"]

@@ -248,3 +248,39 @@ def test_filtered_ranking_excludes_known_tails(spark):
     # and the two probes can't both be blocked by each other anymore:
     # total filtered competitors = n_entities - 1 (the other true tail)
     assert max(filt.values()) <= max(raw.values())
+
+
+def test_banded_ranking_equals_exhaustive(spark):
+    from sigraph_spark.operators.transe import (
+        transe_rank_tails, transe_train,
+    )
+
+    facts = spark.createDataFrame(TINY, FACTS)
+    emb = transe_train(facts, dim=4, rounds=3).cache()
+    q = facts.limit(8)
+    for ff in (None, facts):
+        banded = {
+            (r["subj"], r["predicate"], r["obj"]): r["rank"]
+            for r in transe_rank_tails(emb, q, filter_facts=ff).collect()
+        }
+        exhaustive = {
+            (r["subj"], r["predicate"], r["obj"]): r["rank"]
+            for r in transe_rank_tails(
+                emb, q, filter_facts=ff, band_dim=None
+            ).collect()
+        }
+        assert banded == exhaustive and len(banded) > 0
+    # tiny band_buckets (wide buckets) and a different coordinate must
+    # not change ranks either -- the band is a superset guarantee, not
+    # a tuning knob correctness depends on
+    alt = {
+        (r["subj"], r["predicate"], r["obj"]): r["rank"]
+        for r in transe_rank_tails(
+            emb, q, band_dim=2, band_buckets=2
+        ).collect()
+    }
+    base = {
+        (r["subj"], r["predicate"], r["obj"]): r["rank"]
+        for r in transe_rank_tails(emb, q, band_dim=None).collect()
+    }
+    assert alt == base
