@@ -1000,6 +1000,34 @@ def q_fused_struct_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused_struct_claims(_fused_scan_pages(spark))
 
 
+def q_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 named graphs (GRAPH keyword, operators/bgp.py) over a
+    QUAD view of the all-channels fused claims — the claims table's
+    ``source`` column is the natural fourth element (jsonld claims form
+    the default graph, every other channel a named graph). The query
+    exercises default-graph scoping (os triples in the 'table' graph
+    must stay invisible outside GRAPH), GRAPH ?g same-graph join
+    scoping (rdf:type + rack co-occur only in 'microdata'), and a
+    constant GRAPH <rdfa> group; hash-checked against a DuckDB oracle
+    restating the graph-filtered joins over the same quad enumeration."""
+    from sigraph_spark.operators.bgp import select_sparql
+    from sigraph_spark.operators.fusedscan import fused_struct_claims
+
+    quads = fused_struct_claims(_fused_scan_pages(spark)).select(
+        F.col("subject").alias("src"),
+        "predicate",
+        F.col("object").alias("dst"),
+        F.when(F.col("source") == "jsonld", F.lit(None).cast("string"))
+        .otherwise(F.col("source")).alias("g"),
+    )
+    q = (
+        "SELECT DISTINCT ?g ?s ?r ?ow WHERE { ?s os ?o . "
+        "GRAPH ?g { ?s rdf:type Server . ?s rack ?r } . "
+        "GRAPH <rdfa> { ?s owner ?ow } }"
+    )
+    return select_sparql(quads, q)
+
+
 def _webtext_quote_docs(spark: SparkSession, sf: float = 0.01) -> DataFrame:
     """Deterministic attributed-quote corpus over the standard urls:
     every page leads with a DECOY quoted span ("shows" is not an
@@ -2177,6 +2205,71 @@ def q_sigma_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sequence"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+def q_sigma_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four value-transform/CIDR Sigma modifiers end-to-end
+    (operators/sigma.py): windash flag-variant expansion, plain base64
+    value matching, base64offset alignment-shifted substring matching
+    (the Spark side REALLY base64-encodes per-row payloads via
+    F.base64/F.encode; the oracle only restates WHICH event_ids must
+    match, arithmetically), and IPv4 CIDR mask-compare incl. the
+    non-IP-string guard. One (event_id, rule) row per rule match."""
+    import base64 as _b64
+
+    from sigraph_spark.operators.sigma import compile_rule
+
+    e = F.col("event_id")
+    dash = F.element_at(
+        F.array(*[F.lit(c) for c in "-/–—―"]),
+        (e % 5 + 1).cast("int"),
+    )
+    b64 = lambda s: _b64.b64encode(s.encode()).decode()  # noqa: E731
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.when(
+            e % 2 == 0, F.concat(F.lit("tool "), dash, F.lit("f quiet"))
+        ).otherwise(F.lit("tool -x loud")).alias("cmd"),
+        F.when(e % 7 == 0, F.lit(b64("whoami")))
+        .otherwise(F.lit(b64("dir"))).alias("b64cmd"),
+        F.when(
+            e % 5 != 0,
+            F.base64(F.encode(
+                F.concat(
+                    F.repeat(F.lit("x"), (e % 3).cast("int")),
+                    F.lit("secret42tail"),
+                ), "UTF-8",
+            )),
+        ).otherwise(
+            F.base64(F.encode(F.lit("nothing here"), "UTF-8"))
+        ).alias("payload"),
+        F.when(e % 11 == 0, F.lit("not-an-ip"))
+        .when(
+            e % 2 == 0,
+            F.concat(F.lit("10."), (e % 256).cast("string"), F.lit(".0.5")),
+        )
+        .otherwise(
+            F.concat(F.lit("172.16."), (e % 256).cast("string"), F.lit(".9"))
+        ).alias("ip"),
+    )
+    rules = {
+        "windash": {"id": "m1", "detection": {
+            "sel": {"cmd|windash|contains": "-f quiet"}, "condition": "sel"}},
+        "b64": {"id": "m2", "detection": {
+            "sel": {"b64cmd|base64": "whoami"}, "condition": "sel"}},
+        "b64off": {"id": "m3", "detection": {
+            "sel": {"payload|base64offset|contains": "secret42"},
+            "condition": "sel"}},
+        "cidr": {"id": "m4", "detection": {
+            "sel": {"ip|cidr": "10.0.0.0/8"}, "condition": "sel"}},
+    }
+    out = None
+    for name, rule in rules.items():
+        part = ev.filter(compile_rule(rule)).select(
+            "event_id", F.lit(name).alias("rule")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def q_sigma_sysmon(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4401,6 +4494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sigma_filter": q_sigma_filter,
         "sigma_sequences": q_sigma_sequences,
         "sigma_sysmon": q_sigma_sysmon,
+        "sigma_modifiers": q_sigma_modifiers,
+        "sparql_graph": q_sparql_graph,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -5337,6 +5432,43 @@ def oracle_sql() -> dict[str, str]:
                  'dc-' || CAST(i % 7 AS VARCHAR), 'dl' FROM u
           UNION ALL SELECT url, srv, 'os', os, 'table' FROM u)
         SELECT url, subject, predicate, object, source FROM t
+        """
+    )
+    # --- named graphs: the oracle RESTATES the graph-filtered joins
+    # over the same quad enumeration (default graph = jsonld claims,
+    # named graphs = the other channels): a default-graph os probe, a
+    # same-graph (rdf:type, rack) pair resolved per named graph, and a
+    # constant-graph rdfa owner lookup.
+    sq["sparql_graph"] = (
+        "WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 10000)),"
+        + """
+        u AS (SELECT i, 'srv-' || CAST(i AS VARCHAR) AS srv,
+                     'os-' || CAST(i % 5 AS VARCHAR) AS os,
+                     'r-' || CAST(i % 23 AS VARCHAR) AS rack,
+                     'team-' || CAST(i % 11 AS VARCHAR) AS team
+              FROM pg),
+        quads AS (
+          SELECT srv AS src, 'rdf:type' AS predicate, 'Server' AS dst,
+                 NULL AS g FROM u
+          UNION ALL SELECT srv, 'os', os, NULL FROM u
+          UNION ALL SELECT srv, 'rdf:type', 'Server', 'microdata' FROM u
+          UNION ALL SELECT srv, 'rack', rack, 'microdata' FROM u
+          UNION ALL SELECT srv, 'rdf:type', 'Server', 'rdfa' FROM u
+          UNION ALL SELECT srv, 'owner', team, 'rdfa' FROM u
+          UNION ALL SELECT srv, 'dc', 'dc-' || CAST(i % 7 AS VARCHAR),
+                 'dl' FROM u
+          UNION ALL SELECT srv, 'os', os, 'table' FROM u),
+        dflt AS (SELECT * FROM quads WHERE g IS NULL),
+        named AS (SELECT * FROM quads WHERE g IS NOT NULL)
+        SELECT DISTINCT nt.g, nt.src AS s, nr.dst AS r, no.dst AS ow
+        FROM dflt d
+        JOIN named nt ON nt.src = d.src
+             AND nt.predicate = 'rdf:type' AND nt.dst = 'Server'
+        JOIN named nr ON nr.src = d.src AND nr.g = nt.g
+             AND nr.predicate = 'rack'
+        JOIN named no ON no.src = d.src AND no.g = 'rdfa'
+             AND no.predicate = 'owner'
+        WHERE d.predicate = 'os'
         """
     )
     # --- attributed quotes: arithmetic enumeration. The decoy span
@@ -6451,6 +6583,20 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT event_id, 'net-c2' AS rule_id FROM s
         WHERE EventID = 3 AND DestinationPort IN (443, 445)
+    """
+    # --- sigma value modifiers: the oracle restates WHICH event_ids
+    # each rule must match, arithmetically — the Spark side does the
+    # real windash expansion / base64 encodes / CIDR mask math, so the
+    # hash pins those transforms end-to-end.
+    sq["sigma_modifiers"] = """
+        SELECT event_id, 'windash' AS rule FROM events WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT event_id, 'b64' FROM events WHERE event_id % 7 = 0
+        UNION ALL
+        SELECT event_id, 'b64off' FROM events WHERE event_id % 5 <> 0
+        UNION ALL
+        SELECT event_id, 'cidr' FROM events
+        WHERE event_id % 2 = 0 AND event_id % 11 <> 0
     """
     sq["text_tokens"] = r"""
         SELECT doc_id,

@@ -49,12 +49,16 @@ def _compile_pattern(edges: DataFrame, pattern: Pattern) -> tuple[DataFrame, set
 
     Constants become filters on the scan (pushed down by Catalyst); a
     variable repeated inside one pattern (e.g. ``(?x, LOOP, ?x)``) becomes
-    an intra-pattern equality filter.
+    an intra-pattern equality filter. A 4-term pattern is a QUAD — the
+    fourth position matches the ``g`` (named graph) column; the shared
+    graph variable then equates graphs across a GRAPH block's triples
+    through the ordinary natural-join machinery.
     """
-    df = edges.select(*_POSITIONS)
+    positions = _POSITIONS if len(pattern) == 3 else _POSITIONS + ("g",)
+    df = edges.select(*positions)
     bound: dict[str, str] = {}
     out_cols: list[Column] = []
-    for col, term in zip(_POSITIONS, pattern):
+    for col, term in zip(positions, pattern):
         if _is_var(term):
             name = term[1:]
             if not name:
@@ -504,10 +508,26 @@ def _join_values(out: DataFrame, vdf: DataFrame, has_undef: bool) -> DataFrame:
     )
 
 
-def _eval_where(edges: DataFrame, body: str, max_depth: int) -> DataFrame:
+def _eval_where(
+    edges: DataFrame, body: str, max_depth: int,
+    graph_var: str | None = None,
+) -> DataFrame:
     """Evaluate a WHERE-block body (triples / OPTIONAL / FILTER / UNION
-    groups / VALUES) to the variable-binding DataFrame — shared by
-    SELECT, CONSTRUCT, ASK and DESCRIBE.
+    groups / VALUES / GRAPH) to the variable-binding DataFrame — shared
+    by SELECT, CONSTRUCT, ASK and DESCRIBE.
+
+    **Named graphs** (SPARQL 1.1 §13): when ``edges`` carries a fourth
+    column ``g`` it is a QUAD table — ``g`` NULL marks the DEFAULT
+    graph. Triples outside any GRAPH block then match only default-graph
+    rows; ``GRAPH <iri> { ... }`` evaluates its group against that one
+    named graph (filter + drop g — the full grammar composes inside);
+    ``GRAPH ?g { ... }`` matches each named graph and binds ?g, by
+    extending the group's triples to quads sharing the graph variable
+    (``graph_var`` threads it through nested OPTIONAL / UNION / EXISTS /
+    MINUS recursion). Property paths and subqueries inside ``GRAPH
+    ?var`` raise loudly (closure per named graph is not implemented);
+    use ``GRAPH <iri>`` for those. GRAPH over a 3-column edge table
+    raises — there is no graph to name.
 
     FILTER(...) spans (balanced-paren scan), OPTIONAL { ... } blocks,
     ``{ g } UNION { g }`` group chains (balanced-brace scan — branches
@@ -556,7 +576,7 @@ def _eval_where(edges: DataFrame, body: str, max_depth: int) -> DataFrame:
         mm = _re.search(
             r"(\bFILTER\s+NOT\s+EXISTS\s*\{|\bFILTER\s+EXISTS\s*\{"
             r"|\bFILTER\s*\(|\bOPTIONAL\s*\{|\bVALUES\b"
-            r"|\bMINUS\s*\{|\bBIND\s*\(|\{)",
+            r"|\bMINUS\s*\{|\bBIND\s*\(|\bGRAPH\s+\S+\s*\{|\{)",
             body[pos:], _re.IGNORECASE,
         )
         if not mm:
@@ -567,11 +587,33 @@ def _eval_where(edges: DataFrame, body: str, max_depth: int) -> DataFrame:
         kw = " ".join(mm.group(1).upper().split())
         if kw.startswith("FILTER NOT EXISTS") or kw.startswith("FILTER EXISTS"):
             j = _balanced_span(body, kw_end - 1, "{", "}")
-            rel = _eval_where(edges, body[kw_end:j - 1], max_depth)
+            rel = _eval_where(edges, body[kw_end:j - 1], max_depth, graph_var)
             exists_rels.append((rel, "NOT" in kw))
         elif kw.startswith("MINUS"):
             j = _balanced_span(body, kw_end - 1, "{", "}")
-            minus_rels.append(_eval_where(edges, body[kw_end:j - 1], max_depth))
+            minus_rels.append(
+                _eval_where(edges, body[kw_end:j - 1], max_depth, graph_var)
+            )
+        elif kw.startswith("GRAPH"):
+            if "g" not in edges.columns:
+                raise ValueError(
+                    "GRAPH requires a quad table with a 'g' column"
+                )
+            term = mm.group(1).split(None, 2)[1]
+            j = _balanced_span(body, kw_end - 1, "{", "}")
+            inner = body[kw_end:j - 1]
+            if _is_var(term):
+                rel = _eval_where(
+                    edges.filter(F.col("g").isNotNull()), inner,
+                    max_depth, graph_var=term[1:],
+                )
+            else:
+                iri = term[1:-1] if term.startswith("<") else _sparql_term(term)
+                rel = _eval_where(
+                    edges.filter(F.col("g") == F.lit(iri)).drop("g"),
+                    inner, max_depth,
+                )
+            unions.append(rel)
         elif kw.startswith("BIND"):
             j = _balanced_span(body, kw_end - 1, "(", ")")
             bm = _re.match(r"(.*)\s+AS\s+\?(\w+)\s*$",
@@ -592,7 +634,7 @@ def _eval_where(edges: DataFrame, body: str, max_depth: int) -> DataFrame:
             # left joins (those differ on multi-triple optionals)
             j = _balanced_span(body, kw_end - 1, "{", "}")
             optional_rels.append(
-                _eval_where(edges, body[kw_end:j - 1], max_depth)
+                _eval_where(edges, body[kw_end:j - 1], max_depth, graph_var)
             )
         elif kw.startswith("VALUES"):
             names, rows, has_undef, j = _parse_values(body, kw_end)
@@ -608,6 +650,10 @@ def _eval_where(edges: DataFrame, body: str, max_depth: int) -> DataFrame:
                 # SPARQL 1.1 §12 subquery: evaluates bottom-up in
                 # isolation, joins the outer pattern on its projected
                 # variables (same attach rule as a union relation)
+                if graph_var is not None:
+                    raise ValueError(
+                        "subqueries inside GRAPH ?var are not supported"
+                    )
                 unions.append(select_sparql(edges, first_body, max_depth))
                 pos = j
                 continue
@@ -625,7 +671,7 @@ def _eval_where(edges: DataFrame, body: str, max_depth: int) -> DataFrame:
                 )
             rel = None
             for br in branches:
-                part = _eval_where(edges, br, max_depth)
+                part = _eval_where(edges, br, max_depth, graph_var)
                 rel = part if rel is None else rel.unionByName(
                     part, allowMissingColumns=True
                 )
@@ -647,11 +693,25 @@ def _eval_where(edges: DataFrame, body: str, max_depth: int) -> DataFrame:
         if not _is_var(t[1]) and (set(t[1]) & path_ops)
     ]
 
+    # quad-table scoping: outside GRAPH only the default graph (g NULL)
+    # is visible; inside GRAPH ?g every triple becomes a quad sharing
+    # the graph variable
+    base = edges
+    if graph_var is not None:
+        plain = [t + ("?" + graph_var,) for t in plain]
+        if paths:
+            raise ValueError(
+                "property paths inside GRAPH ?var are not supported — "
+                "use GRAPH <iri> { ... }"
+            )
+    elif "g" in edges.columns:
+        base = edges.filter(F.col("g").isNull()).drop("g")
+
     out = None
     if plain:
-        out = match_bgp(edges, plain)
+        out = match_bgp(base, plain)
     for s, path, o in paths:
-        part = match_path(edges, s, path, o, max_depth=max_depth)
+        part = match_path(base, s, path, o, max_depth=max_depth)
         if out is None:
             out = part
             continue

@@ -11,6 +11,16 @@ arbitrarily wide boolean trees; documented dropped limit, SURVEY.md C5).
 Supported subset (what sigraph's fixtures exercise):
 * detection items: field: value (exact), field|contains, field|startswith,
   field|endswith, field|re, lists of values (OR), null;
+* value-transform modifiers chained before a match modifier, pySigma
+  style: ``|base64`` (value matched in its base64 encoding),
+  ``|base64offset|contains`` (the three alignment-shifted encodings a
+  substring can take inside a base64 stream — the public sigmac/pySigma
+  start/end offset table, self-verified in tests against real encodes),
+  ``|windash`` (every '-' flag site expanded over the five Sigma-spec
+  dash variants ``- / – — ―``; >3 sites raises — loud, not silent), and
+  ``|cidr`` (IPv4 dotted-quad membership compiled to an integer
+  mask-compare; IPv6 raises). Unknown modifiers now raise at compile
+  time instead of silently exact-matching;
 * value wildcards ``*``/``?`` compile to LIKE patterns;
 * condition grammar: ``and / or / not / ( )`` over selection names plus
   ``1 of them`` / ``all of them`` / ``1 of sel*`` / ``all of sel*``;
@@ -41,19 +51,137 @@ def _like_escape(s: str) -> str:
     return s.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
 
 
-def _value_predicate(col: Column, value, modifier: str | None) -> Column:
-    """One (field, modifier, scalar value) -> Column predicate."""
+_TRANSFORM_MODS = ("base64", "base64offset", "windash")
+_MATCH_MODS = ("contains", "startswith", "endswith", "re", "cidr")
+_WINDASH_CHARS = "-/–—―"  # - / en-dash em-dash horizontal bar
+# IPv4 dotted quad with octets pinned to 0-255 (a looser \d{1,3} would
+# let 300.0.0.1 alias into another network after masking)
+_IPV4_RE = r"^((25[0-5]|2[0-4]\d|1?\d?\d)\.){3}(25[0-5]|2[0-4]\d|1?\d?\d)$"
+
+
+def _windash_variants(s: str) -> list[str]:
+    """All Sigma-spec dash-variant expansions of the '-' flag sites."""
+    import itertools
+
+    sites = [i for i, ch in enumerate(s) if ch == "-"]
+    if not sites:
+        return [s]
+    if len(sites) > 3:
+        raise ValueError(
+            f"windash value {s!r} has {len(sites)} dash sites; the "
+            f"5-variant expansion would blow up — max 3"
+        )
+    out = []
+    for combo in itertools.product(_WINDASH_CHARS, repeat=len(sites)):
+        t = list(s)
+        for i, ch in zip(sites, combo):
+            t[i] = ch
+        out.append("".join(t))
+    return out
+
+
+def _base64offset_variants(s: str) -> list[str]:
+    """The three alignment-shifted base64 encodings a byte string can
+    take inside an encoded stream (substring at plaintext offset 0/1/2
+    mod 3): pad with i lead bytes, encode, strip the lead chars that mix
+    with the pad and the tail chars that mix with whatever follows —
+    the public sigmac/pySigma offset table, self-verified in tests."""
+    import base64
+
+    b = s.encode("utf-8")
+    start = (0, 2, 3)
+    end = (None, -3, -2)
+    out = []
+    for i in range(3):
+        enc = base64.b64encode(b" " * i + b).decode("ascii")
+        out.append(enc[start[i]:end[(len(b) + i) % 3]])
+    return out
+
+
+def _cidr_predicate(col: Column, value) -> Column:
+    """IPv4 CIDR membership as a mask-compare on the dotted quad."""
+    import ipaddress
+
+    sval = str(value)
+    if ":" in sval:
+        raise ValueError(f"cidr modifier: IPv6 ({sval!r}) is not supported")
+    net = ipaddress.ip_network(sval, strict=False)
+    prefix = net.prefixlen
+    mask = ((1 << 32) - (1 << (32 - prefix))) if prefix else 0
+    want = int(net.network_address) & mask
+    octs = F.split(col, r"\.")
+    ipint = None
+    for i in range(4):
+        part = F.get(octs, i).cast("long") * F.lit(1 << (8 * (3 - i)))
+        ipint = part if ipint is None else ipint + part
+    # the rlike guard gates the ANSI casts (when() branches are lazy)
+    return F.when(
+        col.rlike(_IPV4_RE), ipint.bitwiseAND(F.lit(mask)) == F.lit(want)
+    ).otherwise(F.lit(False))
+
+
+def _match_predicate(col: Column, sval: str, matcher: str | None) -> Column:
+    """Post-transform scalar match (no wildcard interpretation)."""
+    if matcher == "contains":
+        return col.contains(sval)
+    if matcher == "startswith":
+        return col.startswith(sval)
+    if matcher == "endswith":
+        return col.endswith(sval)
+    return col == F.lit(sval)
+
+
+def _value_predicate(col: Column, value, modifiers: list[str]) -> Column:
+    """One (field, modifier chain, scalar value) -> Column predicate."""
     if value is None:
         return col.isNull()
+    for m in modifiers:
+        if m not in _TRANSFORM_MODS and m not in _MATCH_MODS:
+            raise ValueError(f"unsupported Sigma value modifier {m!r}")
+    transforms = [m for m in modifiers if m in _TRANSFORM_MODS]
+    matchers = [m for m in modifiers if m in _MATCH_MODS]
+    if len(matchers) > 1:
+        raise ValueError(f"conflicting match modifiers {matchers}")
+    matcher = matchers[0] if matchers else None
     sval = str(value)
-    if modifier == "contains":
-        return col.contains(sval)
-    if modifier == "startswith":
-        return col.startswith(sval)
-    if modifier == "endswith":
-        return col.endswith(sval)
-    if modifier == "re":
+
+    if matcher == "cidr":
+        if transforms:
+            raise ValueError("cidr cannot combine with value transforms")
+        return _cidr_predicate(col, value)
+    if matcher == "re":
+        if transforms:
+            raise ValueError("re cannot combine with value transforms")
         return col.rlike(sval)
+
+    if transforms:
+        variants = [sval]
+        for t in transforms:
+            if t == "windash":
+                variants = [w for v in variants for w in _windash_variants(v)]
+            elif t == "base64":
+                import base64 as _b64
+
+                variants = [
+                    _b64.b64encode(v.encode("utf-8")).decode("ascii")
+                    for v in variants
+                ]
+            else:  # base64offset
+                if matcher != "contains":
+                    raise ValueError(
+                        "base64offset requires a trailing |contains"
+                    )
+                variants = [
+                    w for v in variants for w in _base64offset_variants(v)
+                ]
+        out = None
+        for v in variants:
+            p = _match_predicate(col, v, matcher)
+            out = p if out is None else (out | p)
+        return out
+
+    if matcher is not None:
+        return _match_predicate(col, sval, matcher)
     if isinstance(value, str) and ("*" in value or "?" in value):
         pat = _like_escape(value).replace("*", "%").replace("?", "_")
         return col.like(pat)
@@ -65,16 +193,15 @@ def _value_predicate(col: Column, value, modifier: str | None) -> Column:
 
 
 def _item_predicate(key: str, value, field_prefix: str | None) -> Column:
-    """One detection-map entry: ``Field|modifier: value-or-list``."""
+    """One detection-map entry: ``Field|mod1|mod2...: value-or-list``;
+    a trailing ``|all`` ANDs a value list instead of ORing it."""
     parts = key.split("|")
-    field, modifier = parts[0], (parts[1] if len(parts) > 1 else None)
-    if len(parts) > 2 and parts[2] == "all":
-        mode_all = True
-    else:
-        mode_all = False
+    field, modifiers = parts[0], parts[1:]
+    mode_all = "all" in modifiers
+    modifiers = [m for m in modifiers if m != "all"]
     col = _field_col(field, field_prefix)
     values = value if isinstance(value, list) else [value]
-    preds = [_value_predicate(col, v, modifier) for v in values]
+    preds = [_value_predicate(col, v, modifiers) for v in values]
     out = preds[0]
     for p in preds[1:]:
         out = (out & p) if mode_all else (out | p)

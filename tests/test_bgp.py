@@ -710,3 +710,76 @@ def test_sparql_subquery_standalone(spark):
          "{ SELECT ?s (MAX(?o) AS ?m) WHERE { ?s CONNECT ?o } GROUP BY ?s } }")
     got = sorted(tuple(r) for r in select_sparql(_sq_edges(spark), q).collect())
     assert got == [("b", "c"), ("c", "d")]
+
+
+# --- named graphs (GRAPH) ----------------------------------------------------
+
+def _quad_edges(spark):
+    # g NULL = default graph; g1/g2 = named graphs
+    return spark.createDataFrame(
+        [("a", "LAUNCH", "b", None), ("b", "CONNECT", "c", None),
+         ("a", "LAUNCH", "x", "g1"), ("x", "CONNECT", "y", "g1"),
+         ("a", "LAUNCH", "z", "g2"), ("x", "CONNECT", "q", "g2")],
+        "src string, predicate string, dst string, g string",
+    )
+
+
+def test_sparql_default_graph_excludes_named(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    q = "SELECT ?s ?o WHERE { ?s LAUNCH ?o }"
+    got = sorted(tuple(r) for r in
+                 select_sparql(_quad_edges(spark), q).collect())
+    assert got == [("a", "b")]  # named-graph rows invisible by default
+
+
+def test_sparql_graph_variable_binds_and_scopes(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    # both triples must match within the SAME named graph: g1 chains
+    # LAUNCH->CONNECT, g2 does not (its CONNECT starts elsewhere)
+    q = ("SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s LAUNCH ?m . "
+         "?m CONNECT ?o } }")
+    got = sorted(tuple(r) for r in
+                 select_sparql(_quad_edges(spark), q).collect())
+    assert got == [("g1", "a", "y")]
+    # single triple: binds every named graph it occurs in
+    q2 = "SELECT ?g ?o WHERE { GRAPH ?g { ?s LAUNCH ?o } }"
+    got2 = sorted(tuple(r) for r in
+                  select_sparql(_quad_edges(spark), q2).collect())
+    assert got2 == [("g1", "x"), ("g2", "z")]
+
+
+def test_sparql_graph_constant_and_join_with_default(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    q = "SELECT ?s ?o WHERE { GRAPH <g2> { ?s LAUNCH ?o } }"
+    got = sorted(tuple(r) for r in
+                 select_sparql(_quad_edges(spark), q).collect())
+    assert got == [("a", "z")]
+    # GRAPH relation joins the default-graph pattern on shared ?s
+    q2 = ("SELECT ?s ?b ?o WHERE { ?s LAUNCH ?b . "
+          "GRAPH <g1> { ?s LAUNCH ?o } }")
+    got2 = sorted(tuple(r) for r in
+                  select_sparql(_quad_edges(spark), q2).collect())
+    assert got2 == [("a", "b", "x")]
+    # property paths compose inside a constant GRAPH
+    q3 = "SELECT ?o WHERE { GRAPH <g1> { a LAUNCH/CONNECT ?o } }"
+    assert [r["o"] for r in
+            select_sparql(_quad_edges(spark), q3).collect()] == ["y"]
+
+
+def test_sparql_graph_errors(spark):
+    import pytest as _pytest
+
+    from sigraph_spark.operators.bgp import select_sparql
+
+    with _pytest.raises(ValueError, match="quad table"):
+        select_sparql(
+            _sq_edges(spark), "SELECT ?s WHERE { GRAPH ?g { ?s LAUNCH ?o } }"
+        )
+    with _pytest.raises(ValueError, match="paths inside GRAPH"):
+        select_sparql(
+            _quad_edges(spark),
+            "SELECT ?s WHERE { GRAPH ?g { ?s LAUNCH+ ?o } }",
+        )

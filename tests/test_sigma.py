@@ -234,3 +234,81 @@ level: high
         .collect()
     }
     assert got == {1}  # EventID gate excludes the file_event collision (2)
+
+
+def test_base64_and_base64offset_modifiers(spark):
+    import base64
+
+    from sigraph_spark.operators.sigma import (
+        _base64offset_variants, compile_rule,
+    )
+
+    # self-verify the offset table against REAL encodes: the variant for
+    # offset k must be a substring of b64(prefix_of_len_k + value + tail)
+    val = "secret42"
+    variants = _base64offset_variants(val)
+    for k in range(3):
+        stream = base64.b64encode(
+            (b"z" * k) + val.encode() + b"trailing-bytes"
+        ).decode()
+        assert variants[k] in stream, (k, variants[k], stream)
+    # and a stream NOT containing the value matches no variant
+    clean = base64.b64encode(b"nothing to see here").decode()
+    assert not any(v in clean for v in variants)
+
+    rows = [
+        (1, base64.b64encode(b"xsecret42y").decode()),
+        (2, base64.b64encode(b"whoami").decode()),
+        (3, "plain text"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload string")
+    off = {"id": "t", "detection": {
+        "sel": {"payload|base64offset|contains": "secret42"},
+        "condition": "sel"}}
+    assert [r["id"] for r in df.filter(compile_rule(off)).collect()] == [1]
+    exact = {"id": "t", "detection": {
+        "sel": {"payload|base64": "whoami"}, "condition": "sel"}}
+    assert [r["id"] for r in df.filter(compile_rule(exact)).collect()] == [2]
+
+
+def test_windash_modifier(spark):
+    from sigraph_spark.operators.sigma import compile_rule
+
+    rows = [(1, "tool -f quiet"), (2, "tool /f quiet"),
+            (3, "tool —f quiet"), (4, "tool -x loud")]
+    df = spark.createDataFrame(rows, "id long, cmd string")
+    rule = {"id": "t", "detection": {
+        "sel": {"cmd|windash|contains": "-f quiet"}, "condition": "sel"}}
+    got = sorted(r["id"] for r in df.filter(compile_rule(rule)).collect())
+    assert got == [1, 2, 3]
+
+
+def test_cidr_modifier_and_guard(spark):
+    from sigraph_spark.operators.sigma import compile_rule
+
+    rows = [(1, "10.1.2.3"), (2, "10.255.0.1"), (3, "11.0.0.1"),
+            (4, "not-an-ip"), (5, "300.0.0.1"), (6, "192.168.7.9")]
+    df = spark.createDataFrame(rows, "id long, ip string")
+    rule = {"id": "t", "detection": {
+        "sel": {"ip|cidr": "10.0.0.0/8"}, "condition": "sel"}}
+    got = sorted(r["id"] for r in df.filter(compile_rule(rule)).collect())
+    assert got == [1, 2]
+    r24 = {"id": "t", "detection": {
+        "sel": {"ip|cidr": "192.168.7.0/24"}, "condition": "sel"}}
+    assert [r["id"] for r in df.filter(compile_rule(r24)).collect()] == [6]
+
+
+def test_unknown_or_invalid_modifiers_raise(spark):
+    import pytest
+
+    from sigraph_spark.operators.sigma import compile_rule
+
+    for det in (
+        {"sel": {"f|base64z": "x"}, "condition": "sel"},
+        {"sel": {"f|base64offset": "x"}, "condition": "sel"},  # no contains
+        {"sel": {"f|cidr": "::1/128"}, "condition": "sel"},    # ipv6
+        {"sel": {"f|windash|contains": "-a -b -c -d sites"},
+         "condition": "sel"},                                  # >3 sites
+    ):
+        with pytest.raises(ValueError):
+            compile_rule({"id": "t", "detection": det})
