@@ -461,48 +461,91 @@ def ktruss(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # DEGREE-oriented wedge enumeration (the triangle_count device):
+    # every edge orients from its lower-(degree, id) endpoint to the
+    # higher, wedges fan out at u over its OUT-edges, and the closure
+    # edge (v, w) is oriented v->w by the same total order — each
+    # triangle exactly once, out-degree bounded by O(sqrt(E)). Keying
+    # the wedge self-join on the lexicographic-low endpoint instead
+    # (the old shape) melts down on a hub that sorts low: ALL its d
+    # edges share one join key -> d^2 wedge candidates per peel round
+    # (measured 2.7x zipf/uniform in tools/bench_skew.py's graph leg).
+    # The orientation only needs A total order, not the current
+    # subgraph's degrees — so it is computed ONCE from the input
+    # degrees and rides along through the peel (the per-round work
+    # stays two equi-joins + one agg, as before).
+    deg = (
+        und.select(F.col("x").alias("n"))
+        .unionByName(und.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        und.join(deg.select(F.col("n").alias("x"), F.col("d").alias("dx")), "x")
+        .join(deg.select(F.col("n").alias("y"), F.col("d").alias("dy")), "y")
+    )
+    low_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    ek = ed.select(
+        "x", "y",
+        F.when(low_first, F.col("x")).otherwise(F.col("y")).alias("u"),
+        F.when(low_first, F.col("y")).otherwise(F.col("x")).alias("v"),
+        F.when(low_first, F.col("dy")).otherwise(F.col("dx")).alias("dv"),
+    ).localCheckpoint(eager=True)
+
     rounds = 0
     converged = False
     support = None
     for _ in range(max_iter):
         rounds += 1
-        # wedges at the lexicographic-low endpoint; closure against the
-        # edge set. (x<y1<y2) triples enumerate each triangle once.
+        o1, o2 = ek.alias("o1"), ek.alias("o2")
         wedge = (
-            und.alias("e1")
-            .join(und.alias("e2"), F.col("e1.x") == F.col("e2.x"))
-            .filter(F.col("e1.y") < F.col("e2.y"))
+            o1.join(o2, F.col("o1.u") == F.col("o2.u"))
+            .filter(
+                (F.col("o1.dv") < F.col("o2.dv"))
+                | (
+                    (F.col("o1.dv") == F.col("o2.dv"))
+                    & (F.col("o1.v") < F.col("o2.v"))
+                )
+            )
             .select(
-                F.col("e1.x").alias("a"),
-                F.col("e1.y").alias("b"),
-                F.col("e2.y").alias("c"),
+                F.col("o1.u").alias("a"),
+                F.col("o1.v").alias("b"),
+                F.col("o2.v").alias("c"),
             )
         )
         tri = wedge.join(
-            und, (F.col("b") == F.col("x")) & (F.col("c") == F.col("y"))
+            ek.select(F.col("u").alias("b"), F.col("v").alias("c")),
+            ["b", "c"],
         ).select("a", "b", "c")
+
+        def und_edge(p, q):
+            return F.least(p, q).alias("x"), F.greatest(p, q).alias("y")
+
         tri_edges = (
-            tri.select(F.col("a").alias("x"), F.col("b").alias("y"))
-            .unionByName(tri.select(F.col("a").alias("x"), F.col("c").alias("y")))
-            .unionByName(tri.select(F.col("b").alias("x"), F.col("c").alias("y")))
+            tri.select(*und_edge(F.col("a"), F.col("b")))
+            .unionByName(tri.select(*und_edge(F.col("a"), F.col("c"))))
+            .unionByName(tri.select(*und_edge(F.col("b"), F.col("c"))))
         )
         support = tri_edges.groupBy("x", "y").agg(
             F.count(F.lit(1)).alias("support")
         )
         kept = (
-            und.join(support, ["x", "y"], "left")
+            ek.join(support, ["x", "y"], "left")
             .filter(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
-            .select("x", "y")
+            .select("x", "y", "u", "v", "dv")
             .localCheckpoint(eager=True)
         )
-        if kept.count() == und.count():
+        if kept.count() == ek.count():
             converged = True
-            und = kept
+            ek = kept
             break
-        und = kept
+        ek = kept
     if metrics is not None:
         metrics["rounds"] = rounds
         metrics["converged"] = converged
+    und = ek.select("x", "y")
     # final support over the surviving subgraph (k=2 trusses may have
     # support-0 edges — coalesce keeps them honest)
     return (

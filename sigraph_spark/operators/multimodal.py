@@ -754,6 +754,159 @@ def encode_wav(rate: int, samples, width: int = 2, channels: int = 1) -> bytes:
     return buf.getvalue()
 
 
+# --- REAL codec #3b: IMA ADPCM (WAV format tag 0x11) -----------------------
+# The one compressed-audio branch that is implementable zero-dep in pure
+# Python: 4-bit differential coding with the standard IMA step/index
+# tables (spec: IMA "Recommended Practices for Enhancing Digital Audio
+# Compatibility", rev 3.00 — the same tables every adpcm-ima decoder
+# ships). The stdlib ``wave`` module rejects non-PCM, so the RIFF/fmt/
+# data chunks are parsed directly. mp3/ogg/aac remain declared stubs.
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _riff_chunks(payload: bytes) -> dict[bytes, bytes]:
+    """First occurrence of each top-level RIFF chunk (fmt /data/fact)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    out: dict[bytes, bytes] = {}
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos:pos + 4], struct.unpack(
+            "<I", payload[pos + 4:pos + 8]
+        )[0]
+        body = payload[pos + 8:pos + 8 + size]
+        out.setdefault(cid, body)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    return out
+
+
+def _ima_step(pred: int, idx: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM nibble update -> (new predictor, new step index)."""
+    step = _IMA_STEPS[idx]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX[nibble & 7]))
+    return pred, idx
+
+
+def decode_ima_adpcm_wav(payload: bytes) -> tuple[int, "object"]:
+    """Decode an IMA ADPCM WAV (fmt tag 0x11): returns ``(sample_rate,
+    mono float64 array in [-1, 1])``, channels averaged. Block layout:
+    per channel a 4-byte header (int16 predictor — emitted as the
+    block's first sample — step index, reserved), then 4-byte nibble
+    groups interleaved channel by channel. Raises ValueError on
+    malformed / non-ADPCM input."""
+    import struct
+
+    import numpy as np
+
+    ch = _riff_chunks(payload)
+    if b"fmt " not in ch or b"data" not in ch:
+        raise ValueError("WAV missing fmt /data chunks")
+    fmt = ch[b"fmt "]
+    tag, nch, rate, _, block_align, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag != 0x11:
+        raise ValueError(f"not IMA ADPCM (fmt tag {tag:#x})")
+    if bits != 4 or nch < 1 or block_align < 4 * nch:
+        raise ValueError("malformed IMA ADPCM fmt chunk")
+    data = ch[b"data"]
+    chans: list[list[int]] = [[] for _ in range(nch)]
+    for b0 in range(0, len(data) - block_align + 1, block_align):
+        block = data[b0:b0 + block_align]
+        preds, idxs = [], []
+        for c in range(nch):
+            p, i = struct.unpack_from("<hBx", block, 4 * c)
+            preds.append(p)
+            idxs.append(min(88, i))
+            chans[c].append(p)  # header predictor is the first sample
+        pos = 4 * nch
+        while pos + 4 * nch <= block_align:
+            for c in range(nch):
+                for byte in block[pos + 4 * c:pos + 4 * c + 4]:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                        chans[c].append(preds[c])
+            pos += 4 * nch
+    x = np.array(chans, dtype=np.float64) / 32768.0
+    return rate, x.mean(axis=0)
+
+
+def encode_ima_adpcm_wav(
+    rate: int, samples, block_samples: int = 505
+) -> bytes:
+    """Encode mono float samples in [-1, 1] as a mono IMA ADPCM WAV
+    (fixture/round-trip path). ``block_samples`` must be 8k+1."""
+    import struct
+
+    import numpy as np
+
+    if (block_samples - 1) % 8:
+        raise ValueError("block_samples must be 8k+1")
+    pcm = (np.clip(np.asarray(samples, dtype=np.float64), -1, 1) * 32767
+           ).astype(np.int64)
+    block_align = 4 + (block_samples - 1) // 2
+    blocks = []
+    idx = 0
+    for b0 in range(0, len(pcm), block_samples):
+        chunk = pcm[b0:b0 + block_samples]
+        pred = int(chunk[0])
+        out = bytearray(struct.pack("<hBx", pred, idx))
+        nibbles = []
+        for s in chunk[1:]:
+            step = _IMA_STEPS[idx]
+            diff = int(s) - pred
+            nib = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            pred, idx = _ima_step(pred, idx, nib)
+            nibbles.append(nib)
+        nibbles += [0] * ((block_samples - 1) - len(nibbles))
+        for lo, hi in zip(nibbles[::2], nibbles[1::2]):
+            out.append(lo | (hi << 4))
+        blocks.append(bytes(out))
+    data = b"".join(blocks)
+    n_samples = len(pcm)
+    byte_rate = rate * block_align // block_samples
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, rate, byte_rate, block_align, 4,
+        2, block_samples,
+    )
+    fact = struct.pack("<I", n_samples)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _wav_features(rate: int, mono, window_ms: int) -> tuple[int, list[float]]:
     """Real windowed features: per-window RMS energy over actual samples
     (same output contract as the stub: n_windows + _FEATURE_DIM-padded
@@ -776,18 +929,21 @@ def _wav_features(rate: int, mono, window_ms: int) -> tuple[int, list[float]]:
 def _decode_audio_features(payload: bytes | None, duration_ms: int | None, window_ms: int) -> tuple[int, list[float]]:
     """Audio feature kernel. RIFF/WAVE PCM payloads take the REAL decode
     path (``decode_wav`` -> windowed RMS; window count from the actual
-    sample rate, ignoring the metadata duration). Everything else is the
-    declared STUB fallback (no mp3/ogg codecs in this container):
-    per-window mean byte value over equal payload slices, padded to
-    _FEATURE_DIM. Raises nothing; null/empty -> zeros."""
+    sample rate, ignoring the metadata duration); IMA ADPCM WAVs (fmt
+    tag 0x11) take the real COMPRESSED decode path
+    (``decode_ima_adpcm_wav``). Everything else is the declared STUB
+    fallback (no mp3/ogg codecs in this container): per-window mean
+    byte value over equal payload slices, padded to _FEATURE_DIM.
+    Raises nothing; null/empty -> zeros."""
     if not payload:
         return 0, [0.0] * _FEATURE_DIM
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        try:
-            rate, mono = decode_wav(payload)
-            return _wav_features(rate, mono, max(window_ms, 1))
-        except ValueError:
-            pass  # malformed/non-PCM WAV -> stub fallback
+        for dec in (decode_wav, decode_ima_adpcm_wav):
+            try:
+                rate, mono = dec(payload)
+                return _wav_features(rate, mono, max(window_ms, 1))
+            except ValueError:
+                continue  # malformed/other-codec WAV -> next / stub
     n_windows = max(1, int((duration_ms or 1000) // max(window_ms, 1)))
     step = max(1, len(payload) // n_windows)
     energies = []

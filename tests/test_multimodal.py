@@ -352,3 +352,38 @@ def test_truncated_wav_falls_back_to_stub():
     broken = wav[:20]  # RIFF/WAVE magic intact, fmt chunk truncated
     n, feats = _decode_audio_features(broken, 2000, 1000)
     assert n == 2 and len(feats) == 16  # stub path, no raise
+
+
+def test_ima_adpcm_roundtrip_and_feature_path(spark):
+    import numpy as np
+
+    from sigraph_spark.operators.multimodal import (
+        _decode_audio_features, decode_ima_adpcm_wav, decode_wav,
+        encode_ima_adpcm_wav, encode_wav,
+    )
+
+    t = np.arange(4000) / 8000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    payload = encode_ima_adpcm_wav(8000, sig)
+    rate, mono = decode_ima_adpcm_wav(payload)
+    assert rate == 8000
+    got = mono[: len(sig)]
+    # ADPCM is lossy AND adapts from step 7, so the first ~10 samples
+    # slew-limit (standard behavior): pin steady-state reconstruction
+    assert float(np.max(np.abs(got[100:] - sig[100:]))) < 0.05
+    assert float(np.corrcoef(got[100:], sig[100:])[0, 1]) > 0.995
+    # stdlib wave refuses the compressed fmt tag -> PCM decoder raises
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_wav(payload)
+    # the audio-feature kernel routes 0x11 WAVs through the REAL decode:
+    # window count comes from the true sample rate, and energies match
+    # the PCM encoding of the same signal closely
+    nw_adpcm, en_adpcm = _decode_audio_features(payload, None, 100)
+    nw_pcm, en_pcm = _decode_audio_features(encode_wav(8000, sig), None, 100)
+    assert nw_pcm == 5  # 4000 samples / (8000Hz * 100ms)
+    # ADPCM pads the last block to a full 505-sample grid: 8 blocks =
+    # 4040 decoded samples -> one extra (near-silent) window
+    assert nw_adpcm == 6
+    assert max(abs(a - b) for a, b in zip(en_adpcm[:5], en_pcm[:5])) < 0.01

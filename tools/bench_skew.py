@@ -94,7 +94,76 @@ def main() -> int:
     ratios = {s: round(z[s] / max(u[s], 0.01), 3) for s in stages}
     report["stage_ratios_zipf_over_uniform"] = ratios
     report["max_ratio"] = max(ratios.values())
-    report["regression_ok"] = report["max_ratio"] <= 2.0
+
+    # --- graph-algorithm skew leg (VERDICT r3 item 6) ----------------------
+    # The wedge joins in triangles/k-truss and the contribution joins in
+    # HITS are the skew-sensitive spots; degree orientation (hub edges
+    # orient INTO the hub, so hub-middle wedges vanish) and map-side
+    # fixed-point aggs must absorb a hub appearing in ~30% of edges.
+    from pyspark.sql import functions as F
+
+    from sigraph_spark.operators.graphalgo import (
+        hits, ktruss, triangle_count,
+    )
+
+    n_edges = max(20_000, int(200_000 * sf))
+    n_nodes = max(1_000, n_edges // 10)
+
+    def gen_graph(n: int, zipf: bool):
+        e = spark.range(n)
+        h1 = F.pmod(
+            F.xxhash64((F.col("id") * 2 + 1).cast("string")), F.lit(n_nodes)
+        )
+        h2 = F.pmod(
+            F.xxhash64((F.col("id") * 2 + 2).cast("string")), F.lit(n_nodes)
+        )
+        src = F.when(F.col("id") % 10 < 3, F.lit(0)).otherwise(h1) if zipf else h1
+        return (
+            e.select(
+                src.cast("string").alias("src"),
+                h2.cast("string").alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    algos = (
+        ("triangles", lambda g: triangle_count(g).count()),
+        ("ktruss", lambda g: ktruss(g, k=4).count()),
+        ("hits", lambda g: hits(g, rounds=4).count()),
+    )
+    warm = gen_graph(2_000, False)  # discarded warmup leg, same reason as above
+    for _, fn in algos:
+        fn(warm)
+    galgo: dict = {}
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    for variant in ("uniform", "zipf"):
+        g = gen_graph(n_edges, variant == "zipf")
+        times = {"distinct_edges": g.count()}
+        for name, fn in algos:
+            best = None
+            for _ in range(reps):  # min-of-reps: the box has 2-4x noise
+                t0 = time.monotonic()
+                fn(g)
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            times[name] = round(best, 2)
+        galgo[variant] = times
+        print(json.dumps({f"graph_{variant}": times}), flush=True)
+    gratios = {
+        name: round(galgo["zipf"][name] / max(galgo["uniform"][name], 0.01), 3)
+        for name, _ in algos
+    }
+    report["graph_algo"] = {
+        "edges_generated": n_edges,
+        "variants": galgo,
+        "ratios_zipf_over_uniform": gratios,
+        "max_ratio": max(gratios.values()),
+    }
+    report["regression_ok"] = (
+        report["max_ratio"] <= 2.0 and max(gratios.values()) <= 2.0
+    )
     # the zipf corpus carries MORE data (extra sentence in 30% of pages),
     # so a ratio modestly above 1.0 is the extra work, not the skew
     hot_salt = report["variants"]["zipf"]["salting"]
