@@ -1000,6 +1000,37 @@ def q_fused_struct_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused_struct_claims(_fused_scan_pages(spark))
 
 
+def q_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio container metadata extraction (operators/multimodal.py):
+    PCM WAV fmt chunks, IMA ADPCM block math, and the MPEG frame-header
+    walk (incl. an ID3v2 skip on every 6th mp3). Payloads are BUILT
+    deterministically driver-side; the oracle enumerates the expected
+    metadata arithmetically (PCM duration = n/rate; ADPCM frames pad to
+    full 505-sample blocks; mp3 duration = frames x 1152/44100)."""
+    from sigraph_spark.operators.multimodal import (
+        audio_metadata, encode_ima_adpcm_wav, encode_wav,
+    )
+
+    rows = []
+    for i in range(300):
+        n = 1000 + i
+        if i % 3 == 0:
+            payload = encode_wav(8000, [0.0] * n)
+        elif i % 3 == 1:
+            payload = encode_ima_adpcm_wav(8000, [0.0] * n)
+        else:
+            frames = i % 20 + 1
+            frame = bytes([0xFF, 0xFB, 0x90, 0x40]) + b"\x00" * (417 - 4)
+            body = frame * frames
+            if i % 6 == 5:  # ID3v2 prefix, synchsafe size 100
+                body = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 100]) \
+                    + b"\x00" * 100 + body
+            payload = body
+        rows.append((f"au-{i}", bytearray(payload)))
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    return audio_metadata(df)
+
+
 def q_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 named graphs (GRAPH keyword, operators/bgp.py) over a
     QUAD view of the all-channels fused claims — the claims table's
@@ -4496,6 +4527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sigma_sysmon": q_sigma_sysmon,
         "sigma_modifiers": q_sigma_modifiers,
         "sparql_graph": q_sparql_graph,
+        "audio_metadata": q_audio_metadata,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -5434,6 +5466,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT url, subject, predicate, object, source FROM t
         """
     )
+    # --- audio container metadata: arithmetic enumeration (PCM duration
+    # = n/rate; ADPCM pads to full 505-sample blocks, byte_rate
+    # 8000*256//505 -> 32 kbps; mp3 frame = 26122us at 44100/Layer III).
+    sq["audio_metadata"] = """
+        WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 300)),
+        t AS (
+          SELECT 'au-' || CAST(i AS VARCHAR) AS media_id,
+                 'pcm16' AS format, 8000 AS sample_rate, 1 AS channels,
+                 128 AS bitrate_kbps, 1000 + i AS n_frames,
+                 (1000 + i) * 1000 // 8000 AS duration_ms
+          FROM pg WHERE i % 3 = 0
+          UNION ALL
+          SELECT 'au-' || CAST(i AS VARCHAR), 'ima-adpcm', 8000, 1, 32,
+                 ((1000 + i + 504) // 505) * 505,
+                 (((1000 + i + 504) // 505) * 505) * 1000 // 8000
+          FROM pg WHERE i % 3 = 1
+          UNION ALL
+          SELECT 'au-' || CAST(i AS VARCHAR), 'mpeg1-layer3', 44100, 2, 128,
+                 i % 20 + 1, ((i % 20 + 1) * 26122) // 1000
+          FROM pg WHERE i % 3 = 2)
+        SELECT media_id, format, CAST(sample_rate AS INT) AS sample_rate,
+               CAST(channels AS INT) AS channels,
+               CAST(bitrate_kbps AS INT) AS bitrate_kbps,
+               CAST(n_frames AS BIGINT) AS n_frames,
+               CAST(duration_ms AS BIGINT) AS duration_ms
+        FROM t
+    """
     # --- named graphs: the oracle RESTATES the graph-filtered joins
     # over the same quad enumeration (default graph = jsonld claims,
     # named graphs = the other channels): a default-graph os probe, a

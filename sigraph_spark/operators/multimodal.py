@@ -907,6 +907,169 @@ def encode_ima_adpcm_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# --- REAL parser: MPEG audio (mp3) frame-header metadata --------------------
+# Full mp3 SAMPLE decode stays a declared stub (no codec libs, and a
+# pure-Python MDCT/huffman decoder is out of zero-dep scope), but the
+# CONTAINER is trivially parseable: ID3v2 skip + frame-header walk gives
+# real sample rate / bitrate / channel mode / frame count / duration —
+# the metadata a crawl curation pipeline actually filters on.
+
+_MP3_BITRATES = {  # kbps; (version_key, layer) -> index table, 0=free
+    ("1", 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    ("1", 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    ("1", 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    ("2", 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    ("2", 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    ("2", 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+}
+_MP3_RATES = {"1": [44100, 48000, 32000], "2": [22050, 24000, 16000],
+              "2.5": [11025, 12000, 8000]}
+_MP3_SPF = {("1", 1): 384, ("1", 2): 1152, ("1", 3): 1152,
+            ("2", 1): 384, ("2", 2): 1152, ("2", 3): 576}
+
+
+def mp3_metadata(payload: bytes) -> dict:
+    """Walk MPEG audio frame headers: ``{format, sample_rate, channels,
+    bitrate_kbps, n_frames, duration_ms}``. Handles the ID3v2 prefix
+    (synchsafe size), MPEG-1/2/2.5 x Layer I/II/III, per-frame bitrates
+    (VBR duration = sum of frame durations; reported bitrate is the
+    first frame's). Raises ValueError when no valid frame parses."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        sz = 0
+        for b in payload[6:10]:
+            sz = (sz << 7) | (b & 0x7F)
+        pos = 10 + sz
+    n_frames = 0
+    dur_us = 0
+    first: dict | None = None
+    while pos + 4 <= len(payload):
+        h = int.from_bytes(payload[pos:pos + 4], "big")
+        if (h >> 21) != 0x7FF:
+            break
+        ver_bits = (h >> 19) & 3
+        layer_bits = (h >> 17) & 3
+        if ver_bits == 1 or layer_bits == 0:
+            break
+        version = {0: "2.5", 2: "2", 3: "1"}[ver_bits]
+        layer = 4 - layer_bits
+        br_idx = (h >> 12) & 0xF
+        sr_idx = (h >> 10) & 3
+        if br_idx in (0, 0xF) or sr_idx == 3:
+            break  # free/bad bitrate or reserved rate: stop the walk
+        vkey = "1" if version == "1" else "2"
+        bitrate = _MP3_BITRATES[(vkey, layer)][br_idx] * 1000
+        rate = _MP3_RATES[version][sr_idx]
+        padding = (h >> 9) & 1
+        if layer == 1:
+            frame_len = (12 * bitrate // rate + padding) * 4
+        else:
+            spf = _MP3_SPF[(vkey, layer)]
+            frame_len = spf // 8 * bitrate // rate + padding
+        if frame_len <= 4:
+            break
+        spf = _MP3_SPF[(vkey, layer)]
+        if first is None:
+            first = {
+                "format": f"mpeg{version}-layer{layer}",
+                "sample_rate": rate,
+                "channels": 1 if ((h >> 6) & 3) == 3 else 2,
+                "bitrate_kbps": bitrate // 1000,
+            }
+        n_frames += 1
+        dur_us += spf * 1_000_000 // rate
+        pos += frame_len
+    if first is None:
+        raise ValueError("no valid MPEG audio frame found")
+    first["n_frames"] = n_frames
+    first["duration_ms"] = dur_us // 1000
+    return first
+
+
+def wav_metadata(payload: bytes) -> dict:
+    """RIFF/WAVE container metadata from the fmt /data chunks (PCM and
+    IMA ADPCM): ``{format, sample_rate, channels, bitrate_kbps,
+    n_frames, duration_ms}`` — n_frames = sample frames."""
+    import struct
+
+    ch = _riff_chunks(payload)
+    if b"fmt " not in ch or b"data" not in ch:
+        raise ValueError("WAV missing fmt /data chunks")
+    tag, nch, rate, byte_rate, block_align, bits = struct.unpack(
+        "<HHIIHH", ch[b"fmt "][:16]
+    )
+    n_data = len(ch[b"data"])
+    if tag == 1 and bits in (8, 16, 32):
+        frames = n_data // max(1, nch * bits // 8)
+        fmt = f"pcm{bits}"
+    elif tag == 0x11:
+        spb = (block_align - 4 * nch) * 2 // nch + 1
+        frames = (n_data // block_align) * spb
+        fmt = "ima-adpcm"
+    else:
+        raise ValueError(f"unsupported WAV fmt tag {tag:#x}")
+    return {
+        "format": fmt,
+        "sample_rate": int(rate),
+        "channels": int(nch),
+        "bitrate_kbps": int(byte_rate * 8 // 1000),
+        "n_frames": int(frames),
+        "duration_ms": int(frames * 1000 // max(1, rate)),
+    }
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bitrate_kbps", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def audio_metadata(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """binary audio payload -> container metadata (mp3 frame walk / WAV
+    fmt chunk) via mapInPandas; unparseable payloads yield format
+    'unknown' with NULL fields instead of failing the batch (crawl
+    data is dirty by definition)."""
+    cols = media.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                meta = None
+                if payload:
+                    b = bytes(payload)
+                    for parser in (wav_metadata, mp3_metadata):
+                        try:
+                            meta = parser(b)
+                            break
+                        except ValueError:
+                            continue
+                if meta is None:
+                    meta = {
+                        "format": "unknown", "sample_rate": None,
+                        "channels": None, "bitrate_kbps": None,
+                        "n_frames": None, "duration_ms": None,
+                    }
+                rows.append({"media_id": mid, **meta})
+            yield pd.DataFrame(rows)
+
+    return cols.mapInPandas(run, AUDIO_META_SCHEMA)
+
+
 def _wav_features(rate: int, mono, window_ms: int) -> tuple[int, list[float]]:
     """Real windowed features: per-window RMS energy over actual samples
     (same output contract as the stub: n_windows + _FEATURE_DIM-padded

@@ -387,3 +387,65 @@ def test_ima_adpcm_roundtrip_and_feature_path(spark):
     # 4040 decoded samples -> one extra (near-silent) window
     assert nw_adpcm == 6
     assert max(abs(a - b) for a, b in zip(en_adpcm[:5], en_pcm[:5])) < 0.01
+
+
+def _mk_mp3(n_frames=10, bitrate_idx=9, id3=False):
+    """Synthesize a CBR MPEG-1 Layer III stream: valid headers + zero
+    payload (the parser never decodes samples)."""
+    # sync=7FF, MPEG1 (ver bits 11), Layer III (bits 01), no CRC ->
+    # 0xFFFB; bitrate idx<<4 | samplerate idx(00=44100)<<2, joint stereo
+    frames = b""
+    for _ in range(n_frames):
+        hdr = bytes([0xFF, 0xFB, (bitrate_idx << 4) | 0x00, 0x40])
+        # 128 kbps @ 44100: frame_len = 144*128000/44100 = 417
+        frame_len = 1152 // 8 * (128_000) // 44100
+        frames += hdr + b"\x00" * (frame_len - 4)
+    if id3:
+        # ID3v2 header, synchsafe size 200
+        return b"ID3\x04\x00\x00" + bytes([0, 0, 1, 72]) + b"\x00" * 200 + frames
+    return frames
+
+
+def test_mp3_metadata_frame_walk(spark):
+    from sigraph_spark.operators.multimodal import mp3_metadata
+
+    meta = mp3_metadata(_mk_mp3(10))
+    assert meta["format"] == "mpeg1-layer3"
+    assert meta["sample_rate"] == 44100
+    assert meta["channels"] == 2
+    assert meta["bitrate_kbps"] == 128
+    assert meta["n_frames"] == 10
+    assert meta["duration_ms"] == 10 * (1152 * 1_000_000 // 44100) // 1000
+    # ID3v2 prefix skipped via synchsafe size
+    assert mp3_metadata(_mk_mp3(4, id3=True))["n_frames"] == 4
+    import pytest
+
+    with pytest.raises(ValueError):
+        mp3_metadata(b"not audio at all")
+
+
+def test_audio_metadata_operator(spark):
+    import numpy as np
+
+    from sigraph_spark.operators.multimodal import (
+        audio_metadata, encode_ima_adpcm_wav, encode_wav,
+    )
+
+    sig = 0.2 * np.sin(np.arange(1600) / 10.0)
+    rows = [
+        ("m1", bytearray(_mk_mp3(8))),
+        ("m2", bytearray(encode_wav(8000, sig))),
+        ("m3", bytearray(encode_ima_adpcm_wav(8000, sig))),
+        ("m4", bytearray(b"garbage")),
+        ("m5", None),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r["media_id"]: r.asDict() for r in audio_metadata(df).collect()}
+    assert got["m1"]["format"] == "mpeg1-layer3" and got["m1"]["n_frames"] == 8
+    assert got["m2"]["format"] == "pcm16"
+    assert got["m2"]["n_frames"] == 1600 and got["m2"]["duration_ms"] == 200
+    assert got["m3"]["format"] == "ima-adpcm"
+    # ADPCM pads to full 505-sample blocks: 4 blocks = 2020 frames
+    assert got["m3"]["n_frames"] == 2020
+    assert got["m4"]["format"] == "unknown"
+    assert got["m5"]["format"] == "unknown"
