@@ -427,7 +427,14 @@ def main() -> None:
     from jobs.run_webtext_kg import synthetic_webtext_pages
     from sigraph_spark.operators.fusedscan import fused_struct_claims
 
-    wk_pages = synthetic_webtext_pages(spark, sf).localCheckpoint(True)
+    # repartition(cpus) first: the combined corpus materializes with ~5
+    # partitions at sf0.1, which starves a SINGLE-scan plan of parallelism
+    # (each checkpoint partition = one task) while multi-branch plans
+    # overlap branches across cores — a local-mode illusion, quantified in
+    # tools/bench_fusedscan.py, that inverted this stage's wall time
+    wk_pages = (
+        synthetic_webtext_pages(spark, sf).repartition(cpus).localCheckpoint(True)
+    )
 
     def run_fused_scan() -> int:
         return fused_struct_claims(wk_pages).count()
