@@ -1,4 +1,4 @@
-"""Baseline JPEG codec — pure Python + numpy, zero dependencies.
+"""Baseline + progressive JPEG codec — pure Python + numpy, zero deps.
 
 Decodes baseline sequential DCT JPEGs (SOF0, 8-bit, Huffman): marker
 parsing (APPn/COM skipped, DQT 8/16-bit tables, DHT canonical code
@@ -6,15 +6,27 @@ reconstruction, SOS, DRI/RSTn restart intervals, FF00 byte unstuffing),
 MCU entropy decode (DC category+extend, AC run/size with ZRL and EOB),
 dequantize → dezigzag → IDCT → level shift, chroma upsampling by
 replication for any (h, v) ≤ 4 sampling factors, and JFIF YCbCr→RGB.
-Progressive (SOF2), arithmetic coding, and 12-bit precision raise
-ValueError (the multimodal seams fall back to the declared stub).
 
-The encoder exists to make the decoder testable without external
+Also decodes **progressive** DCT JPEGs (SOF2, round 4 — closes the
+former declared stub) per ITU T.81 G.2: multi-scan coefficient
+accumulation with spectral selection (Ss..Se bands), successive
+approximation (DC first/refine, AC first/refine with correction bits),
+EOB run-length codes (EOBn), interleaved DC scans + single-component AC
+scans, and restart intervals inside progressive scans. Arithmetic
+coding and 12-bit precision still raise ValueError (the multimodal
+seams fall back to the declared stub).
+
+The encoders exist to make the decoders testable without external
 fixtures: 4:4:4, Annex-K quantization tables with the libjpeg quality
-scaling, Annex-K Huffman tables. Round-trips are lossy (PSNR-bounded
-tests); the decode path is additionally pinned against hand-built
-streams and an independent cosine-sum IDCT so symmetric encoder/decoder
-bugs cannot hide (tests/test_jpeg.py).
+scaling; Annex-K Huffman tables for baseline, a flat 8-bit table for
+progressive scans (Annex K has no EOBn symbols). Baseline round-trips
+are lossy (PSNR-bounded tests); the decode path is additionally pinned
+against hand-built streams and an independent cosine-sum IDCT so
+symmetric encoder/decoder bugs cannot hide (tests/test_jpeg.py).
+Progressive has a stronger oracle: it re-encodes the SAME quantized
+coefficients as the baseline encoder, so ``decode(progressive bytes)``
+must be BIT-IDENTICAL to ``decode(baseline bytes)``
+(tests/test_jpeg_progressive.py).
 
 This is a driver/UDF-side kernel like the BMP/PNG/GIF/WAV codecs in
 ``multimodal.py``: it runs inside Arrow-batched ``mapInPandas`` stages,
@@ -27,7 +39,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_jpeg", "encode_jpeg"]
+__all__ = ["decode_jpeg", "encode_jpeg", "encode_jpeg_progressive"]
 
 # Annex K / ITU T.81 zigzag order: ZIGZAG[i] = block index of the i-th
 # coefficient in zigzag scan order.
@@ -239,6 +251,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     comps: list[dict] = []
     width = height = -1
     restart_interval = 0
+    progressive = False
+    coef: list[np.ndarray] | None = None  # per-comp zigzag coefficients
     pos = 2
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -247,6 +261,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         if marker == 0xD8:
             pos += 2
             continue
+        if marker == 0xD9:  # EOI — only reached on the progressive path
+            break
         seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
         seg = payload[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:  # DQT
@@ -276,10 +292,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 vals = list(seg[s + 17 : s + 17 + n])
                 huff[(tc, th)] = _build_huffman(bits, vals)
                 s += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline-ish)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec = seg[0]
             if prec != 8:
                 raise ValueError("unsupported JPEG precision")
+            progressive = marker == 0xC2
             height, width = struct.unpack_from(">HH", seg, 1)
             nc = seg[5]
             comps = []
@@ -288,23 +305,33 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("unsupported JPEG coding (not baseline)")
+            raise ValueError("unsupported JPEG coding")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS -> entropy data follows
-            ns = seg[0]
-            for i in range(ns):
-                cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
-                for c in comps:
-                    if c["id"] == cid:
-                        c["td"], c["ta"] = tabs >> 4, tabs & 0x0F
-            return _decode_scan(
-                payload, pos + 2 + seg_len, width, height, comps, qt, huff,
-                restart_interval,
+            if not progressive:
+                ns = seg[0]
+                for i in range(ns):
+                    cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                    for c in comps:
+                        if c["id"] == cid:
+                            c["td"], c["ta"] = tabs >> 4, tabs & 0x0F
+                return _decode_scan(
+                    payload, pos + 2 + seg_len, width, height, comps, qt,
+                    huff, restart_interval,
+                )
+            if coef is None:
+                coef = _prog_alloc(width, height, comps)
+            pos = _decode_prog_scan(
+                payload, pos + 2 + seg_len, seg, width, height, comps,
+                huff, restart_interval, coef,
             )
+            continue
         pos += 2 + seg_len
+    if progressive and coef is not None:
+        return _prog_reconstruct(width, height, comps, qt, coef)
     raise ValueError("JPEG missing SOS")
 
 
@@ -367,6 +394,12 @@ def _decode_scan(payload, pos, width, height, comps, qt, huff, restart_interval)
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+    return _finish(planes, comps, width, height, hmax, vmax)
+
+
+def _finish(planes, comps, width, height, hmax, vmax):
+    """Upsample + color-convert decoded planes (shared by the baseline
+    and progressive paths)."""
     out_planes = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -387,6 +420,222 @@ def _decode_scan(payload, pos, width, height, comps, qt, huff, restart_interval)
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return width, height, np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# progressive decode (SOF2, T.81 G.2) — multi-scan coefficient accumulation
+# ---------------------------------------------------------------------------
+
+def _prog_geometry(width, height, comps):
+    """(hmax, vmax, mcux, mcuy, per-comp non-interleaved block grid)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise ValueError("bad sampling factors")
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    grids = []
+    for c in comps:
+        cw = -(-width * c["h"] // hmax)
+        ch = -(-height * c["v"] // vmax)
+        grids.append((-(-ch // 8), -(-cw // 8)))  # (bh, bw)
+    return hmax, vmax, mcux, mcuy, grids
+
+
+def _prog_alloc(width, height, comps):
+    """Per-component zigzag-order coefficient store, padded to the
+    interleaved MCU grid so DC scans can address every MCU block."""
+    if width <= 0 or height <= 0 or not comps:
+        raise ValueError("JPEG missing SOF before SOS")
+    hmax, vmax, mcux, mcuy, _ = _prog_geometry(width, height, comps)
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in comps
+    ]
+
+
+def _refine_nonzero(blk, k, reader, p1, m1):
+    """Correction bit for a nonzero-history coefficient (G.2.2)."""
+    if reader.bit():
+        c = int(blk[k])
+        if (c & p1) == 0:
+            blk[k] = c + (p1 if c >= 0 else m1)
+
+
+def _prog_block_dc(blk, reader, dc_tab, pred, ci, ah, al):
+    if ah == 0:  # first scan: diff-coded point-transformed DC
+        t = reader.decode(dc_tab)
+        diff = _extend(reader.bits(t), t) if t else 0
+        pred[ci] += diff
+        blk[0] = pred[ci] << al
+    else:  # refinement: one raw bit per block
+        if reader.bit():
+            blk[0] = int(blk[0]) | (1 << al)
+
+
+def _prog_block_ac_first(blk, reader, ac_tab, ss, se, al, state):
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode(ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                state["eobrun"] = (1 << r) - 1 + (reader.bits(r) if r else 0)
+                break
+            k += 16
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow in progressive scan")
+        blk[k] = _extend(reader.bits(s), s) << al
+        k += 1
+
+
+def _prog_block_ac_refine(blk, reader, ac_tab, ss, se, al, state):
+    p1, m1 = 1 << al, -(1 << al)
+    if state["eobrun"] > 0:
+        for k in range(ss, se + 1):
+            if blk[k]:
+                _refine_nonzero(blk, k, reader, p1, m1)
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode(ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                state["eobrun"] = (1 << r) + (reader.bits(r) if r else 0)
+                break
+            val = 0  # ZRL: skip 16 zero-history coefficients
+        elif s == 1:
+            val = p1 if reader.bit() else m1
+        else:
+            raise ValueError("bad refinement symbol")
+        while k <= se:
+            if blk[k]:
+                _refine_nonzero(blk, k, reader, p1, m1)
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if val and k <= se:
+            blk[k] = val
+        k += 1
+    if state["eobrun"] > 0:  # EOBn covers the rest of this block too
+        while k <= se:
+            if blk[k]:
+                _refine_nonzero(blk, k, reader, p1, m1)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _decode_prog_scan(payload, pos, seg, width, height, comps, huff,
+                      restart_interval, coef):
+    """One progressive SOS: consume its entropy data into ``coef`` and
+    return the offset of the next marker."""
+    ns = seg[0]
+    scan = []
+    for i in range(ns):
+        cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+        for ci, c in enumerate(comps):
+            if c["id"] == cid:
+                scan.append((ci, tabs >> 4, tabs & 0x0F))
+                break
+        else:
+            raise ValueError("SOS references unknown component")
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    ahal = seg[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    dc_scan = ss == 0
+    if dc_scan and se != 0:
+        raise ValueError("invalid progressive scan (DC band must be 0..0)")
+    if not dc_scan and (ns != 1 or se < ss or se > 63):
+        raise ValueError("invalid progressive AC scan")
+    hmax, vmax, mcux, mcuy, grids = _prog_geometry(width, height, comps)
+    reader = _BitReader(payload, pos)
+    pred = [0] * len(comps)
+    state = {"eobrun": 0}
+    unit = 0  # MCU counter (interleaved) / block counter (single-comp)
+
+    def maybe_restart():
+        nonlocal pred
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.restart()
+            pred = [0] * len(comps)
+            state["eobrun"] = 0
+
+    if dc_scan and ns > 1:  # interleaved DC scan over the MCU grid
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                unit += 1
+                for ci, td, _ta in scan:
+                    c = comps[ci]
+                    dc_tab = huff.get((0, td))
+                    if dc_tab is None and ah == 0:
+                        raise ValueError("missing Huffman table")
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = coef[ci][my * c["v"] + by, mx * c["h"] + bx]
+                            _prog_block_dc(blk, reader, dc_tab, pred, ci, ah, al)
+    else:  # single-component scan over the component's own block grid
+        ci, td, ta = scan[0]
+        bh, bw = grids[ci]
+        tab = huff.get((0, td)) if dc_scan else huff.get((1, ta))
+        if tab is None and not (dc_scan and ah > 0):
+            raise ValueError("missing Huffman table")
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart()
+                unit += 1
+                blk = coef[ci][by, bx]
+                if dc_scan:
+                    _prog_block_dc(blk, reader, tab, pred, ci, ah, al)
+                elif ah == 0:
+                    _prog_block_ac_first(blk, reader, tab, ss, se, al, state)
+                else:
+                    _prog_block_ac_refine(blk, reader, tab, ss, se, al, state)
+    # skip to the next real marker (stuffed FF00 and RSTn are data)
+    p = reader.pos
+    while p + 1 < len(payload):
+        if (
+            payload[p] == 0xFF
+            and payload[p + 1] != 0x00
+            and not (0xD0 <= payload[p + 1] <= 0xD7)
+        ):
+            return p
+        p += 1
+    raise ValueError("progressive JPEG missing EOI")
+
+
+def _prog_reconstruct(width, height, comps, qt, coef):
+    """Dequantize + IDCT every accumulated block, then finish like the
+    baseline path."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qt:
+            raise ValueError("missing quant table")
+        q = qt[c["tq"]]
+        nby, nbx, _ = coef[ci].shape
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = coef[ci][by, bx].astype(np.float64)
+                coeffs = np.zeros(64)
+                coeffs[ZIGZAG] = zz
+                block = (coeffs * q).reshape(8, 8)
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _C.T @ block @ _C + 128.0
+                )
+        planes.append(plane)
+    return _finish(planes, comps, width, height, hmax, vmax)
 
 
 # ---------------------------------------------------------------------------
@@ -520,5 +769,291 @@ def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 90) -> bytes
                     w.put(code, ln)
     w.flush()
     out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (SOF2) — exists to test the progressive decoder.
+# It re-encodes the SAME quantized coefficients the baseline encoder
+# produces, so decode(progressive) must be bit-identical to
+# decode(baseline) at the same quality (the exact oracle in
+# tests/test_jpeg_progressive.py).
+# ---------------------------------------------------------------------------
+
+# Flat Huffman table covering every possible rs symbol: 255 symbols at
+# 8 bits + one at 9 bits (the all-ones 8/9-bit codes stay unused, as the
+# spec requires for the 1-padding). Annex K tables lack the EOBn symbols
+# progressive scans need, and a fixed table keeps the encoder one-pass.
+_FLAT_BITS = [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0]
+_FLAT_VALS = list(range(256))
+
+
+def _point(v: int, al: int) -> int:
+    """AC point transform: truncation toward zero by 2^al (G.1.2.1)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _quantized_blocks(width, height, rgb, quality):
+    """Per-component zigzag-order quantized coefficient grids, using
+    the identical block math as :func:`encode_jpeg` (edge-replication
+    padding, same rounding) — the bit-identity oracle depends on it."""
+    px = (
+        np.frombuffer(rgb, dtype=np.uint8)
+        .reshape(height, width, 3)
+        .astype(np.float64)
+    )
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+        128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+    ]
+    ql = _scaled_q(_QL, quality)
+    qc = _scaled_q(_QC, quality)
+    by_max = -(-height // 8)
+    bx_max = -(-width // 8)
+    coefs = [np.zeros((by_max, bx_max, 64), dtype=np.int64) for _ in range(3)]
+    for my in range(by_max):
+        for mx in range(bx_max):
+            for ci in range(3):
+                plane = planes[ci]
+                blk = np.full((8, 8), 128.0)
+                ys = min(8, height - my * 8)
+                xs = min(8, width - mx * 8)
+                blk[:ys, :xs] = plane[
+                    my * 8 : my * 8 + ys, mx * 8 : mx * 8 + xs
+                ]
+                blk[ys:, :xs] = blk[ys - 1, :xs]
+                blk[:, xs:] = blk[:, xs - 1 : xs]
+                coeffs = _C @ (blk - 128.0) @ _C.T
+                q = ql if ci == 0 else qc
+                quant = np.round(coeffs / q.reshape(8, 8)).astype(np.int64)
+                coefs[ci][my, mx] = quant.reshape(-1)[ZIGZAG]
+    return coefs, ql, qc, by_max, bx_max
+
+
+def _emit_dc_first(w, coefs, tab, al, by_max, bx_max):
+    pred = [0, 0, 0]
+    for my in range(by_max):
+        for mx in range(bx_max):
+            for ci in range(3):
+                tv = int(coefs[ci][my, mx, 0]) >> al  # DC: arithmetic shift
+                diff = tv - pred[ci]
+                pred[ci] = tv
+                s = _category(diff)
+                code, ln = tab[s]
+                w.put(code, ln)
+                if s:
+                    w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+
+def _emit_dc_refine(w, coefs, al, by_max, bx_max):
+    for my in range(by_max):
+        for mx in range(bx_max):
+            for ci in range(3):
+                w.put((int(coefs[ci][my, mx, 0]) >> al) & 1, 1)
+
+
+def _emit_ac_first(w, blocks, tab, ss, se, al):
+    """AC first scan for one component's row-major blocks, with EOB-run
+    accumulation (EOBn symbols)."""
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            rr = eobrun.bit_length() - 1
+            code, ln = tab[rr << 4]
+            w.put(code, ln)
+            if rr:
+                w.put(eobrun - (1 << rr), rr)
+            eobrun = 0
+
+    for zz in blocks:
+        t = [_point(int(zz[k]), al) for k in range(ss, se + 1)]
+        last = -1
+        for i, v in enumerate(t):
+            if v:
+                last = i
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        run = 0
+        for i in range(last + 1):
+            v = t[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = tab[0xF0]
+                w.put(code, ln)
+                run -= 16
+            s = _category(v)
+            code, ln = tab[(run << 4) | s]
+            w.put(code, ln)
+            w.put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if ss + last < se:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _emit_ac_refine(w, blocks, tab, ss, se, al):
+    """AC refinement scan (Ah = al+1 -> Al = al) — T.81 G.1.2.3.
+
+    Newly-nonzero coefficients (|t| == 1) are coded as (run, 1) symbols
+    + a sign bit, where run counts ZERO-HISTORY positions only; every
+    nonzero-history coefficient passed contributes one correction bit.
+    Bit placement must mirror the decoder's walk exactly: after each
+    symbol the decoder consumes correction bits for the history
+    coefficients its span covers — a ZRL span ends at its 16th
+    zero-history position, so history bits are split across ZRL chunks
+    by position, not emitted in bulk. Bits after the last newly-nonzero
+    coefficient are deferred to the pending EOB run and consumed by the
+    covered blocks' tail walks, in block order."""
+    eobrun = 0
+    br: list[int] = []  # bits the EOBn tail walks will consume, in order
+
+    def emit_eobrun():
+        nonlocal eobrun, br
+        if eobrun > 0:
+            rr = eobrun.bit_length() - 1
+            code, ln = tab[rr << 4]
+            w.put(code, ln)
+            if rr:
+                w.put(eobrun - (1 << rr), rr)
+            eobrun = 0
+            for bit in br:
+                w.put(bit, 1)
+            br = []
+
+    for zz in blocks:
+        t = [_point(int(zz[k]), al) for k in range(ss, se + 1)]
+        absv = [abs(v) for v in t]
+        lastn = -1
+        for i, a in enumerate(absv):
+            if a == 1:
+                lastn = i
+        if lastn < 0:  # no new nonzeros: whole block folds into the EOB run
+            br.extend(a & 1 for a in absv if a > 1)
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+            continue
+        emit_eobrun()
+        i = 0
+        while i <= lastn:
+            # span up to and including the next newly-nonzero coef
+            zeros = 0
+            hist: list[tuple[int, int]] = []  # (zero-history count before, bit)
+            while absv[i] != 1:
+                if absv[i] == 0:
+                    zeros += 1
+                else:
+                    hist.append((zeros, absv[i] & 1))
+                i += 1
+            sign = 1 if t[i] > 0 else 0
+            i += 1
+            nzrl, rr = 0, zeros
+            while rr > 15:
+                nzrl += 1
+                rr -= 16
+            # symbol s consumes zero-history positions (16 per ZRL, rr+1
+            # for the final (rr,1)); a history bit with z zeros before it
+            # is read during symbol min(z // 16, nzrl)'s walk
+            for s_idx in range(nzrl + 1):
+                if s_idx < nzrl:
+                    code, ln = tab[0xF0]
+                    w.put(code, ln)
+                else:
+                    code, ln = tab[(rr << 4) | 1]
+                    w.put(code, ln)
+                    w.put(sign, 1)
+                for z, bit in hist:
+                    if min(z // 16, nzrl) == s_idx:
+                        w.put(bit, 1)
+        # trailing positions after the last newly-nonzero coefficient
+        tail_bits = [absv[j] & 1 for j in range(lastn + 1, len(absv))
+                     if absv[j] > 1]
+        if lastn + 1 < len(absv):
+            br.extend(tail_bits)
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+    emit_eobrun()
+
+
+def encode_jpeg_progressive(
+    width: int, height: int, rgb: bytes, quality: int = 90
+) -> bytes:
+    """Encode top-down RGB triples as a progressive (SOF2) 4:4:4 JFIF
+    JPEG. Scan script exercises every progressive decode path: an
+    interleaved DC-first scan at Al=1, a DC refinement, per-component
+    AC-first scans in two spectral bands at Al=1 (with EOB runs), and
+    per-component AC refinement scans down to Al=0."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    coefs, ql, qc, by_max, bx_max = _quantized_blocks(
+        width, height, rgb, quality
+    )
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    for tq, q in ((0, ql), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(q[i]) for i in ZIGZAG)
+    out += b"\xff\xc2" + struct.pack(">H", 17) + bytes([8])
+    out += struct.pack(">HH", height, width) + bytes([3])
+    out += bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    for tc in (0, 1):  # same flat table as DC id 0 and AC id 0
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(_FLAT_VALS))
+        out += bytes([tc << 4]) + bytes(_FLAT_BITS) + bytes(_FLAT_VALS)
+    tab = _encode_table(_FLAT_BITS, _FLAT_VALS)
+
+    def sos(comp_ids, ss, se, ah, al, emit):
+        hdr = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            hdr += bytes([cid, 0x00])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        nonlocal out
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr
+        w = _BitWriter()
+        emit(w)
+        w.flush()
+        out += w.out
+
+    def comp_blocks(ci):
+        return [
+            coefs[ci][my, mx]
+            for my in range(by_max)
+            for mx in range(bx_max)
+        ]
+
+    sos([1, 2, 3], 0, 0, 0, 1,
+        lambda w: _emit_dc_first(w, coefs, tab, 1, by_max, bx_max))
+    sos([1, 2, 3], 0, 0, 1, 0,
+        lambda w: _emit_dc_refine(w, coefs, 0, by_max, bx_max))
+    sos([1], 1, 5, 0, 1,
+        lambda w: _emit_ac_first(w, comp_blocks(0), tab, 1, 5, 1))
+    sos([1], 6, 63, 0, 1,
+        lambda w: _emit_ac_first(w, comp_blocks(0), tab, 6, 63, 1))
+    sos([2], 1, 63, 0, 1,
+        lambda w: _emit_ac_first(w, comp_blocks(1), tab, 1, 63, 1))
+    sos([3], 1, 63, 0, 1,
+        lambda w: _emit_ac_first(w, comp_blocks(2), tab, 1, 63, 1))
+    sos([1], 1, 63, 1, 0,
+        lambda w: _emit_ac_refine(w, comp_blocks(0), tab, 1, 63, 0))
+    sos([2], 1, 63, 1, 0,
+        lambda w: _emit_ac_refine(w, comp_blocks(1), tab, 1, 63, 0))
+    sos([3], 1, 63, 1, 0,
+        lambda w: _emit_ac_refine(w, comp_blocks(2), tab, 1, 63, 0))
     out += b"\xff\xd9"
     return bytes(out)

@@ -600,7 +600,7 @@ def _decode_image_features(payload: bytes | None) -> list[float]:
 
             return _pixel_features(*decode_jpeg(payload))
         except ValueError:
-            pass  # progressive/malformed JPEG -> stub fallback
+            pass  # malformed/arithmetic JPEG -> stub fallback
     hist = [0] * _FEATURE_DIM
     for byte in payload:
         hist[byte % _FEATURE_DIM] += 1

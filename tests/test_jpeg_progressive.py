@@ -1,0 +1,121 @@
+"""Progressive JPEG (SOF2) decode — exact oracle vs the baseline path.
+
+The progressive encoder re-encodes the SAME quantized coefficients the
+baseline encoder produces (shared block math in ``_quantized_blocks``),
+so decoding its output must be BIT-IDENTICAL to decoding the baseline
+bytes at the same quality: any error in spectral-selection bookkeeping,
+successive-approximation shifts, EOB-run accounting, or the AC
+correction-bit protocol breaks exact equality somewhere in the image.
+
+Reference semantics: ITU T.81 G.1.2 (encode) / G.2.2 (decode);
+reference repo has no media pipeline (this is a beyond-ref
+training-data operator family, SURVEY.md "multimodal").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sigraph_spark.operators.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
+
+
+def _img(w, h, kind, seed=7):
+    rng = np.random.default_rng(seed)
+    if kind == "noise":
+        return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8).tobytes()
+    if kind == "gradient":
+        x = np.linspace(0, 255, w)
+        y = np.linspace(0, 255, h)
+        g = np.stack(
+            [
+                np.tile(x, (h, 1)),
+                np.tile(y[:, None], (1, w)),
+                np.full((h, w), 64.0),
+            ],
+            axis=2,
+        )
+        return g.astype(np.uint8).tobytes()
+    if kind == "solid":
+        return np.full((h, w, 3), 130, dtype=np.uint8).tobytes()
+    raise AssertionError(kind)
+
+
+@pytest.mark.parametrize("kind", ["noise", "gradient", "solid"])
+@pytest.mark.parametrize("size", [(16, 16), (24, 8), (20, 13)])
+@pytest.mark.parametrize("quality", [90, 50])
+def test_progressive_decode_bit_identical_to_baseline(kind, size, quality):
+    w, h = size
+    rgb = _img(w, h, kind)
+    base = decode_jpeg(encode_jpeg(w, h, rgb, quality=quality))
+    prog_bytes = encode_jpeg_progressive(w, h, rgb, quality=quality)
+    assert prog_bytes[2:4] != b"\xff\xc0" and b"\xff\xc2" in prog_bytes
+    prog = decode_jpeg(prog_bytes)
+    assert prog == base
+
+
+def test_solid_image_exercises_eob_runs():
+    """A big solid image makes every AC band empty: the encoder must
+    fold the whole component into EOBn runs (eobrun >> 1) and the
+    decoder must skip exactly that many blocks."""
+    w, h = 64, 64  # 64 blocks per component
+    rgb = _img(w, h, "solid")
+    prog_bytes = encode_jpeg_progressive(w, h, rgb, quality=90)
+    assert decode_jpeg(prog_bytes) == decode_jpeg(
+        encode_jpeg(w, h, rgb, quality=90)
+    )
+
+
+def test_sparse_blocks_mix_eobruns_and_symbols():
+    """Mostly-flat image with a few hot pixels: AC scans interleave
+    EOB runs with coded coefficients, crossing the run boundary."""
+    w, h = 48, 48
+    arr = np.full((h, w, 3), 128, dtype=np.uint8)
+    rng = np.random.default_rng(3)
+    for _ in range(9):
+        y, x = rng.integers(0, h), rng.integers(0, w)
+        arr[y, x] = rng.integers(0, 256, size=3)
+    rgb = arr.tobytes()
+    assert decode_jpeg(encode_jpeg_progressive(w, h, rgb)) == decode_jpeg(
+        encode_jpeg(w, h, rgb)
+    )
+
+
+def test_progressive_headers_and_scan_count():
+    b = encode_jpeg_progressive(16, 16, _img(16, 16, "noise"))
+    assert b.count(b"\xff\xda") >= 9  # DC first+refine, 4 AC first, 3 refine
+    assert b.count(b"\xff\xc2") == 1
+
+
+def test_invalid_progressive_scan_params_raise():
+    """A baseline stream relabeled SOF2 carries an Ss=0..Se=63 scan —
+    illegal in a progressive frame (DC band must be 0..0)."""
+    good = encode_jpeg(8, 8, bytes(8 * 8 * 3), quality=90)
+    prog = bytearray(good)
+    idx = prog.find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(prog))
+
+
+def test_truncated_progressive_raises():
+    b = encode_jpeg_progressive(16, 16, _img(16, 16, "noise"))
+    with pytest.raises(ValueError):
+        decode_jpeg(b[: len(b) // 2])
+
+
+def test_multimodal_seam_accepts_progressive():
+    """The media feature path decodes progressive payloads for real now
+    instead of falling back to the byte-histogram stub."""
+    from sigraph_spark.operators.multimodal import (
+        _decode_image_features,
+        _pixel_features,
+    )
+
+    rgb = _img(16, 16, "gradient")
+    b = encode_jpeg_progressive(16, 16, rgb)
+    assert _decode_image_features(b) == _pixel_features(*decode_jpeg(b))
