@@ -3448,6 +3448,20 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events table (5-minute
+    inactivity gap per user) via Spark's native ``session_window`` —
+    batch form of the streaming operator (streaming/windows.py
+    sessionize; stream==batch pinned in tests/test_streaming_sessions).
+    session_end = last event ts + gap; events exactly ``gap`` apart DO
+    merge (overlap-or-adjacency). total_value sums DECIMAL(18,2) so
+    the oracle is addition-order-exact."""
+    from sigraph_spark.streaming.windows import sessionize
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return sessionize(ev, gap="5 minutes")
+
+
 def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch form of the watermarked stream-stream interval join
     (streaming/joins.py — same DataFrame expression both modes; the
@@ -4592,6 +4606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quota": q_domain_quota,
         "pack_sequences": q_pack_sequences,
         "events_asof": q_events_asof,
+        "sessionize": q_sessionize,
         "events_interval_join": q_events_interval_join,
         "events_windows": q_events_windows,
         "events_sessions": q_events_sessions,
@@ -7980,6 +7995,34 @@ def oracle_sql() -> dict[str, str]:
                  ) AS rn
           FROM c LEFT JOIN e ON c.user_id = e.user_id AND e.ts <= c.ts)
         WHERE rn = 1
+    """
+    sq["sessionize"] = """
+        -- lag/cumulative-sum session assignment: a new session starts
+        -- when the inactivity gap EXCEEDS 5 minutes (Spark session
+        -- windows merge on overlap OR adjacency: events exactly the
+        -- gap apart DO merge). session_end = last ts + gap.
+        WITH b AS (
+          SELECT user_id, ts, value, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT user_id, ts, value,
+                 SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM b
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
+                 AS total_value
+        FROM s GROUP BY user_id, sid
     """
     sq["events_windows"] = """
         SELECT date_trunc('hour', ts) AS window_start,

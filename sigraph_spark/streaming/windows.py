@@ -62,3 +62,56 @@ def windowed_ingest_stats(
             "approx_urls",
         )
     )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Gap-based sessionization: group each key's events into sessions
+    that close after ``gap`` of inactivity — ``F.session_window``, the
+    Structured-Streaming-native dynamic window (state per OPEN session
+    only; the watermark finalizes and drops sessions whose end has
+    passed, so state is bounded by concurrent activity, not history).
+
+    Output: (key, session_start, session_end, n_events, total_value)
+    with session_end = last event ts + gap (Spark's session semantics:
+    windows merge on overlap OR adjacency, so two events exactly
+    ``gap`` apart DO merge — pinned in tests).
+
+    Batch == stream by construction (same grouping expression); the
+    batch form is hash-oracled against a DuckDB lag/cumulative-sum
+    session assignment (gate ``sessionize``), and the streaming form is
+    parity-pinned in tests/test_streaming_sessions.py including a
+    session that spans micro-batches (proves stateful window merging).
+    ``total_value`` sums DECIMAL(18,2) so the oracle is order-exact.
+
+    Beyond-ref streaming family (the reference's ingest is REST
+    event-at-a-time, `/root/reference/src/app/backend/api.py`); at
+    crawl scale this is the actor-behavior rollup the KG's trace tables
+    (A6) consume.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sess"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("total_value"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            F.col("total_value").cast("decimal(28,2)").alias("total_value"),
+        )
+    )
