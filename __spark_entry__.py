@@ -3462,6 +3462,32 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, gap="5 minutes")
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over events: user_id and
+    epoch-second ts each bucketed to 16 bits by exact integer
+    arithmetic, bits interleaved into one BIGINT (operators/layout.py —
+    the OPTIMIZE ZORDER BY technique for multi-column min/max pruning
+    at lakehouse scale). The oracle rebuilds the key from the SAME
+    unrolled shift/mask terms (zorder_oracle_sql), so the two
+    implementations cannot drift silently."""
+    from sigraph_spark.operators.layout import int_bucket, zorder_key
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    mm = ev.agg(
+        F.min("user_id").alias("umin"), F.max("user_id").alias("umax"),
+        F.min(F.unix_timestamp("ts")).alias("tmin"),
+        F.max(F.unix_timestamp("ts")).alias("tmax"),
+    ).collect()[0]
+    ub = int_bucket(F.col("user_id"), mm.umin, mm.umax, 16)
+    tb = int_bucket(F.unix_timestamp("ts"), mm.tmin, mm.tmax, 16)
+    return ev.select(
+        "event_id",
+        ub.alias("user_bucket"),
+        tb.alias("ts_bucket"),
+        zorder_key([ub, tb], 16).alias("zkey"),
+    )
+
+
 def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch form of the watermarked stream-stream interval join
     (streaming/joins.py — same DataFrame expression both modes; the
@@ -4607,6 +4633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "events_asof": q_events_asof,
         "sessionize": q_sessionize,
+        "zorder_key": q_zorder_key,
         "events_interval_join": q_events_interval_join,
         "events_windows": q_events_windows,
         "events_sessions": q_events_sessions,
@@ -8023,6 +8050,30 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
                  AS total_value
         FROM s GROUP BY user_id, sid
+    """
+    from sigraph_spark.operators.layout import zorder_oracle_sql as _zsql
+    sq["zorder_key"] = f"""
+        -- same exact integer bucket arithmetic + the SAME unrolled
+        -- shift/mask interleave terms as operators/layout.py (the
+        -- expression string is GENERATED by zorder_oracle_sql, so the
+        -- implementations cannot drift). floor(epoch()) matches
+        -- Spark's unix_timestamp second truncation.
+        WITH mm AS (
+          SELECT MIN(user_id) AS umin, MAX(user_id) AS umax,
+                 MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS tmin,
+                 MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS tmax
+          FROM events),
+        b AS (
+          SELECT event_id,
+                 CAST(FLOOR((user_id - umin) * 65536 / (umax - umin + 1))
+                      AS BIGINT) AS user_bucket,
+                 CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) - tmin)
+                            * 65536 / (tmax - tmin + 1))
+                      AS BIGINT) AS ts_bucket
+          FROM events, mm)
+        SELECT event_id, user_bucket, ts_bucket,
+               {_zsql(['user_bucket', 'ts_bucket'], 16)} AS zkey
+        FROM b
     """
     sq["events_windows"] = """
         SELECT date_trunc('hour', ts) AS window_start,

@@ -1,0 +1,93 @@
+"""Z-order (Morton) data-layout clustering for scan pruning.
+
+At 10^12-document scale the dominant query cost is how much of the
+table a filter must touch. Sorting the layout by ONE column gives
+min/max pruning on that column only; interleaving the bits of SEVERAL
+bucketed columns (a Morton / Z-order key, the technique behind Delta
+Lake's OPTIMIZE ZORDER BY and the classic UB-tree) bounds EVERY keyed
+column's value range within each file/partition, so row-group min/max
+statistics prune multi-predicate scans on any of the keys.
+
+Everything here is exact integer arithmetic (no rank windows, no
+sampling): a column is bucketed by an explicit [vmin, vmax] range with
+``floor((v - vmin) * 2^bits / span)`` and the buckets' bits are
+interleaved into one BIGINT — deterministic, engine-reproducible (the
+``zorder_key`` gate hash-matches a DuckDB oracle built from the same
+unrolled shift/mask terms), and cheap (pure codegen'd Column math, no
+shuffle until the final range repartition).
+
+Scale shape: ``cluster_by_zorder`` is repartitionByRange on the z-key +
+a within-partition sort — one shuffle, the same cost as any global
+sort, after which both keyed columns are locality-bounded per output
+file (proved quantitatively in tests/test_layout.py: per-partition key
+spans shrink vs a single-column sort layout).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def int_bucket(col: Column, vmin: int, vmax: int, bits: int = 16) -> Column:
+    """Map an integer-valued column from [vmin, vmax] onto
+    [0, 2^bits): ``floor((v - vmin) * 2^bits / span)`` with the input
+    clamped to the range first. Exact: the product stays far below
+    2^52, so the double division is lossless in any engine."""
+    if vmax < vmin:
+        raise ValueError("vmax < vmin")
+    span = vmax - vmin + 1
+    if span * (1 << bits) >= (1 << 52):
+        raise ValueError("bucket arithmetic would lose precision")
+    v = F.greatest(F.lit(int(vmin)), F.least(F.lit(int(vmax)), col.cast("long")))
+    scaled = (v - F.lit(int(vmin))) * F.lit(1 << bits)
+    return F.floor(scaled / F.lit(span)).cast("long")
+
+
+def zorder_key(cols: list[Column], bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of each (already-bucketed)
+    column into one Morton key: bit i of column j lands at position
+    ``i * len(cols) + j``. ``len(cols) * bits`` must fit a BIGINT."""
+    n = len(cols)
+    if n < 1:
+        raise ValueError("zorder_key needs at least one column")
+    if n * bits > 62:
+        raise ValueError("interleaved key exceeds 62 bits")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * n + j)
+    return z
+
+
+def zorder_oracle_sql(col_exprs: list[str], bits: int = 16) -> str:
+    """The SAME unrolled shift/mask arithmetic as :func:`zorder_key`,
+    as an ANSI SQL expression string — used by the gate oracle so the
+    two implementations can never drift apart silently."""
+    n = len(col_exprs)
+    terms = []
+    for i in range(bits):
+        for j, e in enumerate(col_exprs):
+            # fully parenthesized: '+' binds tighter than '<<' in SQL,
+            # so a bare chain of 'a << k + b << m' nests the shifts
+            terms.append(f"(((({e}) >> {i}) & 1) << {i * n + j})")
+    return " + ".join(terms)
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    bucketed: list[Column],
+    num_partitions: int,
+    bits: int = 16,
+    key_name: str = "_zkey",
+) -> DataFrame:
+    """Lay out ``df`` in Z-order over the given bucketed columns: one
+    range shuffle on the Morton key + a within-partition sort. Write
+    the result to parquet and every output file carries tight min/max
+    ranges on EACH keyed column."""
+    keyed = df.withColumn(key_name, zorder_key(bucketed, bits))
+    return (
+        keyed.repartitionByRange(num_partitions, F.col(key_name))
+        .sortWithinPartitions(key_name)
+    )

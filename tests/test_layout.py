@@ -1,0 +1,115 @@
+"""Z-order layout: interleave correctness vs an independent Python
+reference, exact bucket arithmetic, and the property that justifies the
+operator at scale — a Z-ordered layout bounds EVERY keyed column's
+range per partition, where a single-column sort bounds only its own."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sigraph_spark.operators.layout import (
+    cluster_by_zorder,
+    int_bucket,
+    zorder_key,
+    zorder_oracle_sql,
+)
+
+
+def _py_interleave(vals, bits):
+    z = 0
+    for i in range(bits):
+        for j, v in enumerate(vals):
+            z |= ((v >> i) & 1) << (i * len(vals) + j)
+    return z
+
+
+def test_interleave_matches_python_reference(spark):
+    rows = [(a, b) for a in (0, 1, 5, 255, 65535) for b in (0, 3, 4096)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", zorder_key([F.col("a"), F.col("b")], 16).alias("z")
+        ).collect()
+    }
+    for a, b in rows:
+        assert got[(a, b)] == _py_interleave([a, b], 16)
+
+
+def test_bucket_bounds_and_clamp(spark):
+    df = spark.createDataFrame([(v,) for v in (-5, 0, 50, 100, 999)], "v long")
+    out = [
+        r["b"]
+        for r in df.select(int_bucket(F.col("v"), 0, 100, 8).alias("b"))
+        .orderBy("v")
+        .collect()
+    ]
+    assert out[0] == 0                    # clamped below
+    assert out[-1] == (100 * 256) // 101  # clamped above -> vmax bucket
+    assert all(0 <= b <= 255 for b in out)
+    assert out == sorted(out)   # monotone
+
+
+def test_zorder_oracle_sql_is_same_arithmetic():
+    sql = zorder_oracle_sql(["x", "y"], 4)
+    import duckdb
+
+    con = duckdb.connect()
+    for x in range(16):
+        for y in range(16):
+            got = con.execute(
+                f"SELECT {sql} FROM (SELECT {x}::BIGINT x, {y}::BIGINT y)"
+            ).fetchone()[0]
+            assert got == _py_interleave([x, y], 4)
+
+
+def test_guards():
+    with pytest.raises(ValueError):
+        zorder_key([F.lit(1), F.lit(2)], bits=32)  # 64 bits > 62
+    with pytest.raises(ValueError):
+        int_bucket(F.lit(1), 10, 5)
+    with pytest.raises(ValueError):
+        int_bucket(F.lit(1), 0, 1 << 40, bits=16)  # precision loss
+
+
+def test_zorder_layout_bounds_both_key_ranges(spark):
+    # synthetic events: user x time grid, shuffled
+    n_users, n_ts = 64, 64
+    df = (
+        spark.range(n_users * n_ts)
+        .select(
+            (F.col("id") % n_users).alias("user"),
+            (F.col("id") / n_users).cast("long").alias("t"),
+        )
+        .repartition(8)  # destroy any incidental order
+    )
+    ub = int_bucket(F.col("user"), 0, n_users - 1, 6)
+    tb = int_bucket(F.col("t"), 0, n_ts - 1, 6)
+    parts = 16
+
+    def parts_touched_per(laid_out, col):
+        """Avg number of partitions whose [min, max] range on ``col``
+        contains a given value — what min/max pruning must scan for an
+        equality predicate on that column."""
+        spans = (
+            laid_out.withColumn("p", F.spark_partition_id())
+            .groupBy("p")
+            .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+            .collect()
+        )
+        assert len(spans) == parts
+        touched = [
+            sum(1 for r in spans if r["lo"] <= v <= r["hi"])
+            for v in range(64)
+        ]
+        return sum(touched) / len(touched)
+
+    z = cluster_by_zorder(df, [ub, tb], parts, bits=6)
+    t_sorted = df.repartitionByRange(parts, F.col("t")).sortWithinPartitions("t")
+    # t-sorted layout: a user-equality scan touches EVERY partition;
+    # z-ordered: user ranges are bounded per partition (~4 of 16), at a
+    # bounded cost on the t dimension (still prunable, not all-parts)
+    assert parts_touched_per(t_sorted, "user") == parts
+    assert parts_touched_per(z, "user") <= parts / 2
+    assert parts_touched_per(z, "t") <= parts / 2
