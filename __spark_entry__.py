@@ -3488,6 +3488,48 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution clustering evaluation (operators/clustereval.py):
+    B-cubed precision/recall/F1 plus pairwise pair-counting metrics,
+    comparing 20-char-prefix blocking clusters (pred) against
+    first-3-words blocking clusters (gold) over documents — two
+    non-nested blockings, so precision AND recall are both < 1 and the
+    whole metric algebra is exercised. All counts exact BIGINT algebra
+    (cells / n-choose-2 identities — no pair enumeration, no per-item
+    work); ratio columns rounded to 6dp in both engines (the only
+    floating step is the final division)."""
+    from sigraph_spark.operators.clustereval import bcubed, pairwise_metrics
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    w_pred = Window.partitionBy(
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 20)
+    )
+    w_gold = Window.partitionBy(
+        F.array_join(
+            F.slice(
+                F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"), 1, 3
+            ),
+            " ",
+        )
+    )
+    assign = docs.select(
+        F.col("doc_id").alias("item"),
+        F.min("doc_id").over(w_pred).alias("pred_cluster"),
+        F.min("doc_id").over(w_gold).alias("gold_cluster"),
+    )
+    b = bcubed(assign)
+    p = pairwise_metrics(assign)
+    out = b.crossJoin(p)
+    rounded = [
+        "bcubed_precision", "bcubed_recall", "bcubed_f1",
+        "pair_precision", "pair_recall", "pair_f1",
+    ]
+    return out.select(
+        "n_items", "tp_pairs", "pred_pairs", "gold_pairs",
+        *[F.round(F.col(c), 6).alias(c) for c in rounded],
+    )
+
+
 def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch form of the watermarked stream-stream interval join
     (streaming/joins.py — same DataFrame expression both modes; the
@@ -4634,6 +4676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "sessionize": q_sessionize,
         "zorder_key": q_zorder_key,
+        "cluster_eval": q_cluster_eval,
         "events_interval_join": q_events_interval_join,
         "events_windows": q_events_windows,
         "events_sessions": q_events_sessions,
@@ -8050,6 +8093,46 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2))
                  AS total_value
         FROM s GROUP BY user_id, sid
+    """
+    sq["cluster_eval"] = """
+        -- same cell-count algebra as operators/clustereval.py: B-cubed
+        -- via sum(cell^2/cluster_size), pairwise via n-choose-2 on the
+        -- cell/cluster sizes; integer counts exact, ratios rounded 6dp
+        WITH a AS (
+          SELECT doc_id,
+                 min(doc_id) OVER (
+                   PARTITION BY substr(coalesce(text, ''), 1, 20)
+                 ) AS pred,
+                 min(doc_id) OVER (
+                   PARTITION BY array_to_string(list_slice(
+                     string_split_regex(coalesce(text, ''), '\\s+'), 1, 3
+                   ), ' ')
+                 ) AS gold
+          FROM documents),
+        cells AS (SELECT pred, gold, count(*) AS cell FROM a GROUP BY 1, 2),
+        ps AS (SELECT pred, sum(cell) AS psz FROM cells GROUP BY 1),
+        gs AS (SELECT gold, sum(cell) AS gsz FROM cells GROUP BY 1),
+        j AS (SELECT cell, psz, gsz FROM cells
+              JOIN ps USING (pred) JOIN gs USING (gold)),
+        m AS (SELECT CAST(sum(cell) AS BIGINT) AS n_items,
+                     sum(cell * cell / psz) / sum(cell) AS bp,
+                     sum(cell * cell / gsz) / sum(cell) AS br
+              FROM j),
+        tp AS (SELECT CAST(sum(cell * (cell - 1) / 2) AS BIGINT) AS tp_pairs
+               FROM cells),
+        pp AS (SELECT CAST(sum(sz * (sz - 1) / 2) AS BIGINT) AS pred_pairs
+               FROM (SELECT sum(cell) AS sz FROM cells GROUP BY pred)),
+        gg AS (SELECT CAST(sum(sz * (sz - 1) / 2) AS BIGINT) AS gold_pairs
+               FROM (SELECT sum(cell) AS sz FROM cells GROUP BY gold))
+        SELECT n_items, tp_pairs, pred_pairs, gold_pairs,
+               round(bp, 6) AS bcubed_precision,
+               round(br, 6) AS bcubed_recall,
+               round(2 * bp * br / (bp + br), 6) AS bcubed_f1,
+               round(tp_pairs * 1.0 / pred_pairs, 6) AS pair_precision,
+               round(tp_pairs * 1.0 / gold_pairs, 6) AS pair_recall,
+               round(2.0 * tp_pairs / (pred_pairs + gold_pairs), 6)
+                 AS pair_f1
+        FROM m, tp, pp, gg
     """
     from sigraph_spark.operators.layout import zorder_oracle_sql as _zsql
     sq["zorder_key"] = f"""
