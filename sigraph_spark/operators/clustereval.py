@@ -31,11 +31,13 @@ construction pipeline at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _cells(assign: DataFrame, item: str, pred: str, gold: str) -> DataFrame:
+def _cells(assign: DataFrame, pred: str, gold: str) -> DataFrame:
+    """(pred, gold) contingency cells. Assumes one row per item —
+    callers pass an assignment table, not an event log."""
     return assign.groupBy(pred, gold).agg(F.count(F.lit(1)).alias("cell"))
 
 
@@ -52,7 +54,7 @@ def bcubed(
     average over items is sum(cell * cell/size) / n — three aggregates
     and two joins on cluster ids, no per-item work.
     """
-    cells = _cells(assign, item_col, pred_col, gold_col)
+    cells = _cells(assign, pred_col, gold_col)
     pred_sz = cells.groupBy(pred_col).agg(F.sum("cell").alias("psz"))
     gold_sz = cells.groupBy(gold_col).agg(F.sum("cell").alias("gsz"))
     j = cells.join(pred_sz, pred_col).join(gold_sz, gold_col)
@@ -89,7 +91,7 @@ def pairwise_metrics(
     def c2(col):
         return F.sum(F.col(col) * (F.col(col) - 1) / 2).cast("long")
 
-    cells = _cells(assign, item_col, pred_col, gold_col)
+    cells = _cells(assign, pred_col, gold_col)
     tp = cells.agg(c2("cell").alias("tp_pairs"))
     pp = (
         cells.groupBy(pred_col).agg(F.sum("cell").alias("sz"))
