@@ -119,3 +119,57 @@ def test_multimodal_seam_accepts_progressive():
     rgb = _img(16, 16, "gradient")
     b = encode_jpeg_progressive(16, 16, rgb)
     assert _decode_image_features(b) == _pixel_features(*decode_jpeg(b))
+
+
+def test_ac_refine_roundtrip_fuzz():
+    """Encoder/decoder pair for the AC refinement protocol in isolation:
+    200 random sparse coefficient blocks through first(Al=1) +
+    refine(Al=0) must reconstruct every coefficient exactly. This is
+    the layer where correction-bit mis-ordering hides (the bits are
+    consumed positionally during each symbol's walk, split at ZRL
+    16-zero boundaries — a bulk flush decodes fine on most blocks and
+    corrupts the stream on the rest)."""
+    import numpy as np
+
+    from sigraph_spark.operators.jpeg import (
+        _BitReader,
+        _BitWriter,
+        _build_huffman,
+        _emit_ac_first,
+        _emit_ac_refine,
+        _encode_table,
+        _FLAT_BITS,
+        _FLAT_VALS,
+        _prog_block_ac_first,
+        _prog_block_ac_refine,
+    )
+
+    enc_tab = _encode_table(_FLAT_BITS, _FLAT_VALS)
+    dec_tab = _build_huffman(_FLAT_BITS, _FLAT_VALS)
+    rng = np.random.default_rng(12345)
+    for _ in range(200):
+        nblocks = int(rng.integers(1, 6))
+        blocks = []
+        for _b in range(nblocks):
+            zz = np.zeros(64, dtype=np.int64)
+            for _c in range(int(rng.integers(0, 12))):
+                zz[int(rng.integers(1, 64))] = int(rng.integers(-9, 10))
+            blocks.append(zz)
+        ss, se = 1, 63
+        w1 = _BitWriter()
+        _emit_ac_first(w1, blocks, enc_tab, ss, se, 1)
+        w1.flush()
+        w2 = _BitWriter()
+        _emit_ac_refine(w2, blocks, enc_tab, ss, se, 0)
+        w2.flush()
+        dec = [np.zeros(64, dtype=np.int32) for _ in range(nblocks)]
+        r1 = _BitReader(bytes(w1.out) + b"\xff\xd9", 0)
+        st = {"eobrun": 0}
+        for b in dec:
+            _prog_block_ac_first(b, r1, dec_tab, ss, se, 1, st)
+        r2 = _BitReader(bytes(w2.out) + b"\xff\xd9", 0)
+        st = {"eobrun": 0}
+        for b in dec:
+            _prog_block_ac_refine(b, r2, dec_tab, ss, se, 0, st)
+        for zz, d in zip(blocks, dec):
+            assert list(map(int, d[1:])) == list(map(int, zz[1:]))

@@ -92,3 +92,47 @@ def test_stream_equals_batch_with_cross_batch_merge(spark, tmp_path):
     # only the still-open flusher session may be missing
     missing = set(batch) - set(emitted)
     assert all(u == 9 for (u, _s, _e) in missing)
+
+
+def test_sessionize_matches_python_reference_fuzz(spark):
+    """400 events with random gaps across 12 users, sessionized by
+    Spark's session_window vs an independent Python sweep-line
+    reference (sorted per user; split on gap > 300s; end = last+300)."""
+    import random
+
+    rnd = random.Random(99)
+    rows = []
+    t = {u: rnd.randrange(0, 500) for u in range(12)}
+    for i in range(400):
+        u = rnd.randrange(12)
+        t[u] += rnd.choice([1, 30, 299, 300, 301, 600, 5000])
+        rows.append((t[u], u, float(rnd.randrange(100)) / 4))
+    df = _mk(spark, rows)
+
+    got = {
+        _key(r): (r["n_events"], r["total_value"])
+        for r in sessionize(df, gap="5 minutes").collect()
+    }
+
+    # independent reference
+    per_user = {}
+    for s, u, v in rows:
+        per_user.setdefault(u, []).append((s, v))
+    exp = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        start, last, n, tot = None, None, 0, Decimal("0")
+        for s, v in evs:
+            if start is None or s - last > 300:
+                if start is not None:
+                    k = (u, T0 + datetime.timedelta(seconds=start),
+                         T0 + datetime.timedelta(seconds=last + 300))
+                    exp[k] = (n, tot)
+                start, n, tot = s, 0, Decimal("0")
+            last = s
+            n += 1
+            tot += Decimal(str(v)).quantize(Decimal("0.01"))
+        k = (u, T0 + datetime.timedelta(seconds=start),
+             T0 + datetime.timedelta(seconds=last + 300))
+        exp[k] = (n, tot)
+    assert got == exp
