@@ -315,6 +315,29 @@ def main() -> None:
 
     timed("hyperball", lambda: hyperball(edges_pr, p=8, radii=3).count())
 
+    # --- sessionization + z-order layout over the raw events ---------------------
+    from sigraph_spark.operators.layout import cluster_by_zorder, int_bucket
+    from sigraph_spark.streaming.windows import sessionize
+
+    def run_sessions_layout() -> int:
+        n = sessionize(events, gap="5 minutes").count()
+        mm = events.agg(
+            F.min("user_id").alias("umin"), F.max("user_id").alias("umax"),
+            F.min(F.unix_timestamp("ts")).alias("tmin"),
+            F.max(F.unix_timestamp("ts")).alias("tmax"),
+        ).collect()[0]
+        laid = cluster_by_zorder(
+            events,
+            [
+                int_bucket(F.col("user_id"), mm.umin, mm.umax, 16),
+                int_bucket(F.unix_timestamp("ts"), mm.tmin, mm.tmax, 16),
+            ],
+            num_partitions=max(cpus, 8),
+        )
+        return n + laid.count()
+
+    timed("sessions_layout", run_sessions_layout)
+
     # --- text profiling ---------------------------------------------------------
     from sigraph_spark.operators.textstats import text_profile
 
