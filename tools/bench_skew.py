@@ -161,8 +161,54 @@ def main() -> int:
         "ratios_zipf_over_uniform": gratios,
         "max_ratio": max(gratios.values()),
     }
+    # ---- sessionize leg: session_window merging under a hot user -------
+    # a zipf user stream puts ~30% of ALL events on one key; the
+    # session-window aggregation must absorb it via map-side partial
+    # session merging (sessions of the hot key pre-merge per partition
+    # before the shuffle), not serialize on one reducer
+    from sigraph_spark.streaming.windows import sessionize
+
+    n_events = max(50_000, int(500_000 * sf))
+
+    def gen_events(n: int, zipf: bool):
+        e = spark.range(n)
+        uid = F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(997))
+        if zipf:
+            uid = F.when(F.col("id") % 10 < 3, F.lit(0)).otherwise(uid)
+        return e.select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000)
+                + F.pmod(F.xxhash64((F.col("id") + 7).cast("string")),
+                         F.lit(86_400 * 30))
+            ).alias("ts"),
+            uid.alias("user_id"),
+            (F.pmod(F.xxhash64((F.col("id") + 13).cast("string")),
+                    F.lit(10_000)) / 100.0).alias("value"),
+        ).localCheckpoint(eager=True)
+
+    sessionize(gen_events(2_000, False), gap="5 minutes").count()  # warmup
+    sess: dict = {}
+    for variant in ("uniform", "zipf"):
+        ev = gen_events(n_events, variant == "zipf")
+        best = None
+        for _ in range(reps):
+            t0 = time.monotonic()
+            sessionize(ev, gap="5 minutes").count()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        sess[variant] = round(best, 2)
+        print(json.dumps({f"sessionize_{variant}": sess[variant]}), flush=True)
+    sess_ratio = round(sess["zipf"] / max(sess["uniform"], 0.01), 3)
+    report["sessionize"] = {
+        "events": n_events,
+        "variants": sess,
+        "ratio_zipf_over_uniform": sess_ratio,
+    }
     report["regression_ok"] = (
-        report["max_ratio"] <= 2.0 and max(gratios.values()) <= 2.0
+        report["max_ratio"] <= 2.0
+        and max(gratios.values()) <= 2.0
+        and sess_ratio <= 2.0
     )
     # the zipf corpus carries MORE data (extra sentence in 30% of pages),
     # so a ratio modestly above 1.0 is the extra work, not the skew
