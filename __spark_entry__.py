@@ -445,6 +445,26 @@ def q_neo4j_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rels_csv(_edges_ckpt(spark, sf_dir))
 
 
+def q_graphml_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphML rendering of the node table (operators/graphml.py — the
+    Gephi/yEd/NetworkX import format): one <node> element per line,
+    XML-escaped (& first), NULL -> empty data element; pure narrow map.
+    The oracle restates the escape chain byte-for-byte in SQL."""
+    from sigraph_spark.operators.graph import build_nodes
+    from sigraph_spark.operators.graphml import nodes_xml
+
+    good, _ = _parsed(spark, sf_dir)
+    return nodes_xml(build_nodes(good))
+
+
+def q_graphml_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphML <edge> elements (source/target attrs + type/weight/
+    start_time data) for the edge table, one line per edge."""
+    from sigraph_spark.operators.graphml import edges_xml
+
+    return edges_xml(_edges_ckpt(spark, sf_dir))
+
+
 def q_opensearch_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OpenSearch ``_bulk`` NDJSON bodies for the raw event stream — the
     reference's streaming_bulk action+SyslogModel source pair
@@ -4510,6 +4530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_export": q_rdf_export,
         "rdf_roundtrip": q_rdf_roundtrip,
         "neo4j_nodes": q_neo4j_nodes,
+        "graphml_nodes": q_graphml_nodes,
+        "graphml_edges": q_graphml_edges,
         "neo4j_rels": q_neo4j_rels,
         "opensearch_bulk": q_opensearch_bulk,
         "redirect_resolution": q_redirect_resolution,
@@ -5114,6 +5136,34 @@ def oracle_sql() -> dict[str, str]:
     # --- Neo4j bulk-import CSV: every quoting rule restated — RFC-4180
     # quote doubling per field, ';'-joined arrays with per-element
     # escaping, NULL -> empty field, ISO microsecond timestamps.
+    # --- GraphML: XML escape chain (& FIRST) restated byte-for-byte
+    _X = (
+        "replace(replace(replace(replace(coalesce({c}, ''),"
+        " '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '\"', '&quot;')"
+    )
+    sq["graphml_nodes"] = (
+        "WITH " + _EDGES_CTE
+        + f"""
+        SELECT '    <node id="' || {_X.format(c='node_id')}
+            || '"><data key="label">' || {_X.format(c='label')}
+            || '</data><data key="image">' || {_X.format(c='image')}
+            || '</data></node>' AS line
+        FROM nodes
+        """
+    )
+    sq["graphml_edges"] = (
+        "WITH " + _EDGES_CTE
+        + f"""
+        SELECT '    <edge source="' || {_X.format(c='src')}
+            || '" target="' || {_X.format(c='dst')}
+            || '"><data key="type">' || {_X.format(c='predicate')}
+            || '</data><data key="weight">' || CAST(weight AS VARCHAR)
+            || '</data><data key="start_time">'
+            || strftime(start_time, '%Y-%m-%dT%H:%M:%S.%f')
+            || '</data></edge>' AS line
+        FROM edges
+        """
+    )
     sq["neo4j_nodes"] = (
         "WITH " + _EDGES_CTE
         + """
