@@ -3508,6 +3508,34 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout key over events (same exact bucket
+    arithmetic as `zorder_key`, 8 bits per axis): the classic xy2d
+    bit-level walk staged as one chained projection per level so the
+    expression tree stays linear (operators/layout.py). Better range
+    locality than Z-order — consecutive keys are Manhattan-adjacent
+    cells (pinned in test_layout). Oracle: chained CTEs GENERATED from
+    the same per-level formulas (hilbert_oracle_sql)."""
+    from sigraph_spark.operators.layout import (
+        int_bucket, with_hilbert_key,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    mm = ev.agg(
+        F.min("user_id").alias("umin"), F.max("user_id").alias("umax"),
+        F.min(F.unix_timestamp("ts")).alias("tmin"),
+        F.max(F.unix_timestamp("ts")).alias("tmax"),
+    ).collect()[0]
+    b = ev.select(
+        "event_id",
+        int_bucket(F.col("user_id"), mm.umin, mm.umax, 8).alias("xb"),
+        int_bucket(F.unix_timestamp("ts"), mm.tmin, mm.tmax, 8).alias("yb"),
+    )
+    return with_hilbert_key(b, "xb", "yb", bits=8).select(
+        "event_id", "xb", "yb", "hkey"
+    )
+
+
 def q_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution clustering evaluation (operators/clustereval.py):
     B-cubed precision/recall/F1 plus pairwise pair-counting metrics,
@@ -4699,6 +4727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "zorder_key": q_zorder_key,
         "cluster_eval": q_cluster_eval,
+        "hilbert_key": q_hilbert_key,
         "events_interval_join": q_events_interval_join,
         "events_windows": q_events_windows,
         "events_sessions": q_events_sessions,
@@ -8184,6 +8213,23 @@ def oracle_sql() -> dict[str, str]:
                  AS pair_f1
         FROM m, tp, pp, gg
     """
+    from sigraph_spark.operators.layout import hilbert_oracle_sql as _hsql
+    _HBASE = """h0src AS (
+      SELECT event_id,
+             CAST(FLOOR((user_id - (SELECT MIN(user_id) FROM events))
+                  * 256 / ((SELECT MAX(user_id) FROM events)
+                           - (SELECT MIN(user_id) FROM events) + 1))
+                  AS BIGINT) AS xb,
+             CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT)
+                  - (SELECT MIN(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                     FROM events))
+                  * 256 / ((SELECT MAX(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                            FROM events)
+                           - (SELECT MIN(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                              FROM events) + 1))
+                  AS BIGINT) AS yb
+      FROM events)"""
+    sq["hilbert_key"] = _hsql(_HBASE, "xb", "yb", 8, "event_id, xb, yb")
     from sigraph_spark.operators.layout import zorder_oracle_sql as _zsql
     sq["zorder_key"] = f"""
         -- same exact integer bucket arithmetic + the SAME unrolled

@@ -91,3 +91,93 @@ def cluster_by_zorder(
         keyed.repartitionByRange(num_partitions, F.col(key_name))
         .sortWithinPartitions(key_name)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve — better range locality than Z-order (consecutive keys
+# are Manhattan-adjacent cells, so a 2D range query touches a contiguous
+# key span with far fewer fragments)
+# ---------------------------------------------------------------------------
+
+def with_hilbert_key(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    out: str = "hkey",
+) -> DataFrame:
+    """Add the Hilbert-curve index of two bucketed coordinates (each in
+    [0, 2^bits)) as ``out``.
+
+    Implements the classic bit-level walk (the rot/reflect form of the
+    Wikipedia ``xy2d``): per level ``s`` from the top bit down, the
+    quadrant digit ``(3*rx) XOR ry`` is accumulated and the frame is
+    reflected/swapped. CRITICAL plan shape: each level materializes
+    x/y/d as columns in its OWN chained ``select`` — the per-level
+    coordinates are referenced several times by the next level, so
+    inlining them would grow the expression tree exponentially (~3^bits
+    nodes); Catalyst's CollapseProject keeps multi-referenced non-cheap
+    projections staged, leaving the plan linear in ``bits`` and still
+    one narrow zero-shuffle map. The SQL oracle
+    (:func:`hilbert_oracle_sql`) is GENERATED from the same per-level
+    formulas as chained CTEs."""
+    if 2 * bits > 62:
+        raise ValueError("hilbert key exceeds 62 bits")
+    n = 1 << bits
+    cur = df.select(
+        "*",
+        F.col(x_col).cast("long").alias("_hx"),
+        F.col(y_col).cast("long").alias("_hy"),
+        F.lit(0).cast("long").alias("_hd"),
+    )
+    for i in range(bits):
+        s = 1 << (bits - 1 - i)
+        rx = F.shiftright(F.col("_hx"), bits - 1 - i).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col("_hy"), bits - 1 - i).bitwiseAND(F.lit(1))
+        cur = cur.select(
+            *[c for c in cur.columns if c not in ("_hx", "_hy", "_hd")],
+            (F.col("_hd") + F.lit(s * s)
+             * (rx * 3).bitwiseXOR(ry)).alias("_hd"),
+            F.when(ry == 1, F.col("_hx"))
+            .when(rx == 1, F.lit(n - 1) - F.col("_hy"))
+            .otherwise(F.col("_hy")).alias("_hx"),
+            F.when(ry == 1, F.col("_hy"))
+            .when(rx == 1, F.lit(n - 1) - F.col("_hx"))
+            .otherwise(F.col("_hx")).alias("_hy"),
+        )
+    return cur.withColumnRenamed("_hd", out).drop("_hx", "_hy")
+
+
+def hilbert_oracle_sql(
+    base_cte: str, x_expr: str, y_expr: str, bits: int,
+    select_cols: str,
+) -> str:
+    """Chained-CTE SQL computing the SAME per-level Hilbert walk as
+    :func:`with_hilbert_key` — generated from one set of formulas so
+    the implementations cannot drift. ``base_cte`` is a CTE body
+    (WITHOUT the leading ``WITH``) defining a relation ``h0src``; the
+    result selects ``select_cols`` plus ``hkey`` from the final
+    level."""
+    n = 1 << bits
+    parts = [
+        f"{base_cte}, h0 AS (SELECT *, CAST(({x_expr}) AS BIGINT) AS hx,"
+        f" CAST(({y_expr}) AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd"
+        f" FROM h0src)"
+    ]
+    for i in range(bits):
+        s = 1 << (bits - 1 - i)
+        sh = bits - 1 - i
+        rx, ry = f"((hx >> {sh}) & 1)", f"((hy >> {sh}) & 1)"
+        parts.append(
+            f"h{i + 1} AS (SELECT * EXCLUDE (hx, hy, hd),"
+            f" hd + {s * s} * xor({rx} * 3, {ry}) AS hd,"
+            f" CASE WHEN {ry} = 1 THEN hx WHEN {rx} = 1"
+            f" THEN {n - 1} - hy ELSE hy END AS hx,"
+            f" CASE WHEN {ry} = 1 THEN hy WHEN {rx} = 1"
+            f" THEN {n - 1} - hx ELSE hx END AS hy"
+            f" FROM h{i})"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT {select_cols}, hd AS hkey FROM h{bits}"
+    )

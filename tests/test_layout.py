@@ -113,3 +113,70 @@ def test_zorder_layout_bounds_both_key_ranges(spark):
     assert parts_touched_per(t_sorted, "user") == parts
     assert parts_touched_per(z, "user") <= parts / 2
     assert parts_touched_per(z, "t") <= parts / 2
+
+
+def _xy2d(n, x, y):
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_reference_and_is_adjacent(spark):
+    from sigraph_spark.operators.layout import with_hilbert_key
+
+    bits, n = 5, 32
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["hkey"]
+        for r in with_hilbert_key(df, "x", "y", bits).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == _xy2d(n, x, y)
+    # the property Z-order lacks: consecutive keys are ADJACENT cells
+    # (Manhattan distance exactly 1), so a range query reads one
+    # contiguous fragment per rectangle side instead of scattered runs
+    inv = {d: xy for xy, d in got.items()}
+    assert len(inv) == n * n  # bijection
+    for d in range(n * n - 1):
+        (x0, y0), (x1, y1) = inv[d], inv[d + 1]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1
+
+
+def test_hilbert_plan_stays_linear(spark):
+    """16-bit keys = 16 chained projections; if CollapseProject ever
+    inlined them the expression tree would be ~3^16 nodes and this
+    would hang/explode rather than run in milliseconds."""
+    from sigraph_spark.operators.layout import with_hilbert_key
+
+    df = spark.range(1000).select(
+        (F.col("id") % 999).alias("x"), (F.col("id") % 997).alias("y")
+    )
+    out = with_hilbert_key(df, "x", "y", bits=16)
+    assert out.count() == 1000
+    # narrow map: no exchange in the plan
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+
+
+def test_hilbert_guard():
+    import pytest as _pytest
+
+    from sigraph_spark.operators.layout import with_hilbert_key
+
+    with _pytest.raises(ValueError):
+        with_hilbert_key(None, "x", "y", bits=32)
