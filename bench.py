@@ -315,8 +315,10 @@ def main() -> None:
 
     timed("hyperball", lambda: hyperball(edges_pr, p=8, radii=3).count())
 
-    # --- sessionization + z-order layout over the raw events ---------------------
-    from sigraph_spark.operators.layout import cluster_by_zorder, int_bucket
+    # --- sessionization + z-order/hilbert layout over the raw events -------------
+    from sigraph_spark.operators.layout import (
+        cluster_by_zorder, int_bucket, with_hilbert_key,
+    )
     from sigraph_spark.streaming.windows import sessionize
 
     def run_sessions_layout() -> int:
@@ -326,15 +328,13 @@ def main() -> None:
             F.min(F.unix_timestamp("ts")).alias("tmin"),
             F.max(F.unix_timestamp("ts")).alias("tmax"),
         ).collect()[0]
-        laid = cluster_by_zorder(
-            events,
-            [
-                int_bucket(F.col("user_id"), mm.umin, mm.umax, 16),
-                int_bucket(F.unix_timestamp("ts"), mm.tmin, mm.tmax, 16),
-            ],
-            num_partitions=max(cpus, 8),
+        ub = int_bucket(F.col("user_id"), mm.umin, mm.umax, 16)
+        tb = int_bucket(F.unix_timestamp("ts"), mm.tmin, mm.tmax, 16)
+        laid = cluster_by_zorder(events, [ub, tb], num_partitions=max(cpus, 8))
+        hil = with_hilbert_key(
+            events.select(ub.alias("xb"), tb.alias("yb")), "xb", "yb", 16
         )
-        return n + laid.count()
+        return n + laid.count() + hil.count()
 
     timed("sessions_layout", run_sessions_layout)
 
