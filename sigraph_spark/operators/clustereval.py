@@ -35,10 +35,31 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _checked(name: str) -> Column:
+    """Cluster-id column with a loud NULL guard. A NULL assignment
+    would form its own groupBy cell but then silently drop out of the
+    equi-joins on cluster id (NULL never equals NULL), vanishing from
+    n_items and every metric — raise at execution instead."""
+    c = F.col(name)
+    return F.when(c.isNotNull(), c).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"cluster_eval: NULL {name} in assignment table "
+                      "(unassigned items must be filtered or given a "
+                      "singleton cluster id before evaluation)")
+            )
+        )
+    ).alias(name)
+
+
 def _cells(assign: DataFrame, pred: str, gold: str) -> DataFrame:
     """(pred, gold) contingency cells. Assumes one row per item —
     callers pass an assignment table, not an event log."""
-    return assign.groupBy(pred, gold).agg(F.count(F.lit(1)).alias("cell"))
+    return (
+        assign.select(_checked(pred), _checked(gold))
+        .groupBy(pred, gold)
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
 
 
 def bcubed(
@@ -78,6 +99,17 @@ def _safe_f1(p: Column, r: Column) -> Column:
     return F.when(p + r > 0, 2 * p * r / (p + r))
 
 
+def _pairs_sum(col: str) -> Column:
+    """sum over rows of C(col, 2) as an EXACT BIGINT aggregate: c*(c-1)
+    is always even, so a right shift halves it without leaving integer
+    arithmetic — the '/' operator would route every term (and the
+    running sum) through float64 and lose exactness for counts above
+    ~1.3e8 (c*(c-1) > 2^53)."""
+    return F.sum(
+        F.shiftright(F.col(col).cast("long") * (F.col(col) - 1), 1)
+    ).cast("long")
+
+
 def pairwise_metrics(
     assign: DataFrame,
     item_col: str = "item",
@@ -88,9 +120,7 @@ def pairwise_metrics(
     pair_recall, pair_f1) over co-clustered item pairs, via the
     n-choose-2 identity on cell/cluster sizes — no pair enumeration."""
 
-    def c2(col):
-        return F.sum(F.col(col) * (F.col(col) - 1) / 2).cast("long")
-
+    c2 = _pairs_sum
     cells = _cells(assign, pred_col, gold_col)
     tp = cells.agg(c2("cell").alias("tp_pairs"))
     pp = (

@@ -551,8 +551,12 @@ def fuse_triples(
     must NOT be arbitrated: picking one winner silently drops real
     facts, and the fake "conflicts" depress their sources' reliability
     scores. Pass a boolean Column over the NORMALIZED columns (subject /
-    predicate / object / source) marking such claims; they bypass
-    arbitration entirely — every distinct (s, p, o) is kept as its own
+    predicate / object / source) marking such claims; the marking is
+    promoted to the whole (subject, predicate) GROUP — if any claim in
+    the group is marked, every claim in it bypasses arbitration (so a
+    mixed-source group never yields both an arbitrated winner row and
+    passthrough rows). Passthrough groups skip winner selection
+    entirely — every distinct (s, p, o) is kept as its own
     fused row (votes = supporting-source count, weight = summed source
     scores, n_objects counted within the passthrough set so the output
     contract is unchanged) — and they are EXCLUDED from the round-0
@@ -567,8 +571,22 @@ def fuse_triples(
     mv = None
     c = c_all
     if passthrough is not None:
-        mv = c_all.filter(passthrough)
-        c = c_all.filter(~F.coalesce(passthrough, F.lit(False)))
+        # route per (subject, predicate) GROUP, not per claim: a group
+        # whose claims span both branches (e.g. 'said' claims from an
+        # arbitrated 'sentence' source plus passthrough 'quote' rows)
+        # would otherwise emit BOTH an arbitrated winner row and
+        # passthrough rows for the same (s, p), with n_objects computed
+        # independently in each — any claim marked multi-valued routes
+        # its whole group to passthrough
+        gw = Window.partitionBy("subject", "predicate")
+        flagged = c_all.withColumn(
+            "_mv",
+            F.max(
+                F.coalesce(passthrough, F.lit(False)).cast("int")
+            ).over(gw) == 1,
+        )
+        mv = flagged.filter(F.col("_mv")).drop("_mv")
+        c = flagged.filter(~F.col("_mv")).drop("_mv")
     votes = c.groupBy("subject", "predicate", "object").agg(
         F.count(F.lit(1)).cast("long").alias("votes")
     )

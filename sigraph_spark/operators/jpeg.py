@@ -258,6 +258,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # legal fill byte run before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         if marker == 0xD8:
             pos += 2
             continue
@@ -600,12 +603,15 @@ def _decode_prog_scan(payload, pos, seg, width, height, comps, huff,
                     _prog_block_ac_first(blk, reader, tab, ss, se, al, state)
                 else:
                     _prog_block_ac_refine(blk, reader, tab, ss, se, al, state)
-    # skip to the next real marker (stuffed FF00 and RSTn are data)
+    # skip to the next real marker (stuffed FF00 and RSTn are data;
+    # runs of FF are legal fill bytes — the marker id is the byte after
+    # the LAST FF of the run, so also skip while payload[p+1] == 0xFF)
     p = reader.pos
     while p + 1 < len(payload):
         if (
             payload[p] == 0xFF
             and payload[p + 1] != 0x00
+            and payload[p + 1] != 0xFF
             and not (0xD0 <= payload[p + 1] <= 0xD7)
         ):
             return p

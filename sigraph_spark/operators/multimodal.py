@@ -5,21 +5,24 @@ typed metadata struct; the expensive decode/feature steps run as
 Arrow-batched functions over ``mapInPandas`` so one task processes a whole
 record batch without per-row Python overhead.
 
-Four formats decode for REAL (pure Python + stdlib + numpy):
+Six formats decode for REAL (pure Python + stdlib + numpy):
 uncompressed BMP (``decode_bmp``/``encode_bmp``), PNG
 (``decode_png``/``encode_png``: zlib-inflated IDAT, all five scanline
 filters incl. Paeth, gray/RGB/RGBA at bit depth 8), GIF
 (``decode_gif``/``encode_gif``: full LZW state machine with variable
 code width, clear/end codes and table-full handling; global/local color
-tables; interlace) and RIFF/WAVE PCM audio (``decode_wav``/
-``encode_wav``: 8/16/32-bit, any channel count, stdlib ``wave``).
-image_features/resize_images run a genuine bytes -> pixels path,
-audio_features a genuine bytes -> waveform -> windowed-RMS path.
-Remaining codecs (JPEG/mp3/ffmpeg) are NOT in this container, so those
-formats hit deterministic fakes behind the same ``_decode_*`` seams —
-clearly marked, swappable, and unit-tested for the Spark-side contract
-that IS real: schema, batch shape, partitioning, and null/size
-handling.
+tables; interlace), JPEG (``operators/jpeg.py``: real ITU T.81 Huffman
+baseline AND progressive/SOF2 decoder with restart markers and chroma
+subsampling), RIFF/WAVE PCM audio (``decode_wav``/``encode_wav``:
+8/16/32-bit, any channel count, stdlib ``wave``) and IMA ADPCM WAVE
+(4-bit predictor per the IMA rev 3.00 tables). mp3 gets a real FRAME
+METADATA walk (bitrate/samplerate/duration from frame headers) but no
+SAMPLE decode — mp3/ogg audio features fall back to a clearly-declared
+byte-statistics stub (``_audio_feature_kernel`` docstring); arithmetic
+coding and 12-bit JPEG raise loud ``ValueError``s inside the codec.
+Every seam is clearly marked, swappable, and unit-tested for the
+Spark-side contract that IS always real: schema, batch shape,
+partitioning, and null/size handling.
 
 Scale notes:
 * binary payloads are only materialized inside the mapInPandas stage; all

@@ -60,10 +60,15 @@ _IPV4_RE = r"^((25[0-5]|2[0-4]\d|1?\d?\d)\.){3}(25[0-5]|2[0-4]\d|1?\d?\d)$"
 
 
 def _windash_variants(s: str) -> list[str]:
-    """All Sigma-spec dash-variant expansions of the '-' flag sites."""
+    """All Sigma-spec dash-variant expansions of the flag sites.
+
+    Every character in ``_WINDASH_CHARS`` is a site (as pySigma does):
+    a rule authored with slash-prefixed flags ('/p:') or a unicode dash
+    must expand to all variants too — scanning only '-' would silently
+    compile such rules to the literal and miss detections."""
     import itertools
 
-    sites = [i for i, ch in enumerate(s) if ch == "-"]
+    sites = [i for i, ch in enumerate(s) if ch in _WINDASH_CHARS]
     if not sites:
         return [s]
     if len(sites) > 3:

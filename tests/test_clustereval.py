@@ -64,3 +64,37 @@ def test_no_pairs_yields_null_not_divide_by_zero(spark):
     b = bcubed(_df(spark, rows)).collect()[0]
     # B-cubed of all-singletons is trivially perfect (each item alone)
     assert b["bcubed_precision"] == b["bcubed_recall"] == 1.0
+
+
+def test_null_cluster_id_raises_loudly(spark):
+    # a NULL assignment would silently drop out of the equi-joins on
+    # cluster id (NULL never equals NULL) — must raise instead
+    import pytest
+
+    rows = [(1, "p1", "g1"), (2, None, "g1"), (3, "p1", "g2")]
+    df = spark.createDataFrame(
+        rows, "item long, pred_cluster string, gold_cluster string"
+    )
+    with pytest.raises(Exception, match="NULL pred_cluster"):
+        bcubed(df).collect()
+    rows2 = [(1, "p1", "g1"), (2, "p2", None)]
+    df2 = spark.createDataFrame(
+        rows2, "item long, pred_cluster string, gold_cluster string"
+    )
+    with pytest.raises(Exception, match="NULL gold_cluster"):
+        pairwise_metrics(df2).collect()
+
+
+def test_pair_sum_exact_beyond_float53(spark):
+    # the n-choose-2 aggregate must stay in BIGINT: for c = 2e9,
+    # c*(c-1)/2 is not representable in float64 (> 2^53) — the shifted
+    # integer path is exact, the '/'-then-cast path would round
+    from sigraph_spark.operators.clustereval import _pairs_sum
+
+    c = 1_234_567_891
+    df = spark.createDataFrame([(c,)], "sz long")
+    got = df.agg(_pairs_sum("sz").alias("p")).collect()[0]["p"]
+    exact = c * (c - 1) // 2
+    assert got == exact
+    # prove the float path would have been wrong for this input
+    assert int(float(c * (c - 1)) / 2) != exact

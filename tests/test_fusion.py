@@ -417,3 +417,33 @@ def test_schema_graph_types_and_literal_leaves(spark):
     assert out[("spawn", "write", "LITERAL")] == (1, 1, 1)
     assert out[("connect", "connect", "LITERAL")] == (1, 1, 1)
     assert sum(v[0] for v in out.values()) == len(rows)
+
+
+def test_fuse_triples_passthrough_routes_whole_group(spark):
+    # ADVICE r4: a (subject, predicate) whose claims span both branches
+    # (quote source flagged, sentence source not) must NOT emit both an
+    # arbitrated winner row and passthrough rows — any marked claim
+    # routes the whole group to passthrough
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("alice", "said", "quote one", "Q"),     # flagged (source Q)
+        ("alice", "said", "hello", "S"),         # same (s,p), not flagged
+        ("alice", "said", "hello", "T"),
+        ("srv", "os", "linux", "S"), ("srv", "os", "bsd", "T"),
+        ("srv", "os", "linux", "U"),
+    ]
+    c = spark.createDataFrame(rows, TRIPLES + ", source string")
+    out = fuse_triples(
+        c, "actor", "verb", "object",
+        passthrough=F.col("source") == "Q",
+    ).collect()
+    said = [r for r in out if r["predicate"] == "said"]
+    # whole group passed through: every distinct object survives, no
+    # arbitrated duplicate of the group
+    assert sorted(r["fused_object"] for r in said) == ["hello", "quote one"]
+    # n_objects is computed over the WHOLE group in one branch
+    assert all(r["n_objects"] == 2 for r in said)
+    # arbitrated branch untouched; S and T score only from 'os'
+    os_rows = [r for r in out if r["predicate"] == "os"]
+    assert len(os_rows) == 1 and os_rows[0]["fused_object"] == "linux"

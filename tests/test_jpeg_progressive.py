@@ -173,3 +173,28 @@ def test_ac_refine_roundtrip_fuzz():
             _prog_block_ac_refine(b, r2, dec_tab, ss, se, 0, st)
         for zz, d in zip(blocks, dec):
             assert list(map(int, d[1:])) == list(map(int, zz[1:]))
+
+
+def test_fill_bytes_between_scans_decode_identically():
+    # T.81 B.1.1.2: runs of 0xFF are legal fill before any marker. The
+    # end-of-scan search must return the LAST 0xFF before the real
+    # marker id, not treat a fill 0xFF as the marker id (ADVICE r4).
+    w, h = 24, 16
+    payload = encode_jpeg_progressive(w, h, _img(w, h, "gradient"))
+    clean = decode_jpeg(payload)
+    # inject fill bytes before the SECOND SOS (i.e. at the end of the
+    # first scan's entropy data) and before the EOI
+    sos2 = payload.index(b"\xff\xda", payload.index(b"\xff\xda") + 2)
+    stuffed = payload[:sos2] + b"\xff\xff\xff" + payload[sos2:]
+    eoi = stuffed.rindex(b"\xff\xd9")
+    stuffed = stuffed[:eoi] + b"\xff\xff" + stuffed[eoi:]
+    assert decode_jpeg(stuffed) == clean
+
+
+def test_fill_bytes_before_header_segments_decode_identically():
+    w, h = 16, 16
+    payload = encode_jpeg_progressive(w, h, _img(w, h, "noise"))
+    clean = decode_jpeg(payload)
+    # fill bytes between SOI and the first header marker
+    stuffed = payload[:2] + b"\xff\xff" + payload[2:]
+    assert decode_jpeg(stuffed) == clean

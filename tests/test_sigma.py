@@ -312,3 +312,22 @@ def test_unknown_or_invalid_modifiers_raise(spark):
     ):
         with pytest.raises(ValueError):
             compile_rule({"id": "t", "detection": det})
+
+
+def test_windash_slash_and_unicode_sites_expand(spark):
+    # ADVICE r4: '/' and unicode dashes in the RULE value are flag
+    # sites too (pySigma semantics) — a slash-authored rule must still
+    # match dash-authored events and vice versa
+    from sigraph_spark.operators.sigma import compile_rule
+
+    rows = [(1, "tool -f quiet"), (2, "tool /f quiet"),
+            (3, "tool —f quiet"), (4, "tool .f quiet")]
+    df = spark.createDataFrame(rows, "id long, cmd string")
+    slash_rule = {"id": "t", "detection": {
+        "sel": {"cmd|windash|contains": "/f quiet"}, "condition": "sel"}}
+    got = sorted(r["id"] for r in df.filter(compile_rule(slash_rule)).collect())
+    assert got == [1, 2, 3]
+    emdash_rule = {"id": "t", "detection": {
+        "sel": {"cmd|windash|contains": "—f quiet"}, "condition": "sel"}}
+    got = sorted(r["id"] for r in df.filter(compile_rule(emdash_rule)).collect())
+    assert got == [1, 2, 3]
