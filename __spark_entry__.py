@@ -2302,6 +2302,20 @@ def q_sigma_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(
             F.concat(F.lit("172.16."), (e % 256).cast("string"), F.lit(".9"))
         ).alias("ip"),
+        # round 5: numeric comparison + utf16 encoding modifiers. The
+        # port is a STRING column (Sigma fields usually are) with a
+        # planted non-numeric poison row; wcmd/becmd are REALLY
+        # utf-16le/utf-16be encoded then base64'd JVM-side per row.
+        F.when(e % 13 == 0, F.lit("n/a"))
+        .otherwise((e % 9973).cast("string")).alias("port"),
+        F.base64(F.encode(
+            F.when(e % 3 == 0, F.lit("powershell evil"))
+            .otherwise(F.lit("calc benign")), "UTF-16LE",
+        )).alias("wcmd"),
+        F.base64(F.encode(
+            F.when(e % 3 == 0, F.lit("powershell evil"))
+            .otherwise(F.lit("calc benign")), "UTF-16BE",
+        )).alias("becmd"),
     )
     rules = {
         "windash": {"id": "m1", "detection": {
@@ -2313,6 +2327,16 @@ def q_sigma_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "condition": "sel"}},
         "cidr": {"id": "m4", "detection": {
             "sel": {"ip|cidr": "10.0.0.0/8"}, "condition": "sel"}},
+        "gt": {"id": "m5", "detection": {
+            "sel": {"port|gt": 5000}, "condition": "sel"}},
+        "lte": {"id": "m6", "detection": {
+            "sel": {"port|lte": 1024}, "condition": "sel"}},
+        "wide": {"id": "m7", "detection": {
+            "sel": {"wcmd|wide|base64": "powershell evil"},
+            "condition": "sel"}},
+        "utf16be": {"id": "m8", "detection": {
+            "sel": {"becmd|utf16be|base64": "powershell evil"},
+            "condition": "sel"}},
     }
     out = None
     for name, rule in rules.items():
@@ -6820,6 +6844,16 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT event_id, 'cidr' FROM events
         WHERE event_id % 2 = 0 AND event_id % 11 <> 0
+        UNION ALL
+        SELECT event_id, 'gt' FROM events
+        WHERE event_id % 13 <> 0 AND event_id % 9973 > 5000
+        UNION ALL
+        SELECT event_id, 'lte' FROM events
+        WHERE event_id % 13 <> 0 AND event_id % 9973 <= 1024
+        UNION ALL
+        SELECT event_id, 'wide' FROM events WHERE event_id % 3 = 0
+        UNION ALL
+        SELECT event_id, 'utf16be' FROM events WHERE event_id % 3 = 0
     """
     sq["text_tokens"] = r"""
         SELECT doc_id,

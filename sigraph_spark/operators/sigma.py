@@ -51,8 +51,16 @@ def _like_escape(s: str) -> str:
     return s.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
 
 
-_TRANSFORM_MODS = ("base64", "base64offset", "windash")
-_MATCH_MODS = ("contains", "startswith", "endswith", "re", "cidr")
+_TRANSFORM_MODS = (
+    "base64", "base64offset", "windash",
+    # value re-encodings (pySigma semantics): produce BYTES, so they
+    # are only meaningful ahead of a base64/base64offset transform
+    "utf16", "utf16le", "utf16be", "wide",
+)
+_ENC_CODECS = {"utf16le": "utf-16le", "wide": "utf-16le",
+               "utf16be": "utf-16be", "utf16": "utf-16le"}  # utf16 adds BOM
+_CMP_MODS = ("gt", "gte", "lt", "lte")
+_MATCH_MODS = ("contains", "startswith", "endswith", "re", "cidr") + _CMP_MODS
 _WINDASH_CHARS = "-/–—―"  # - / en-dash em-dash horizontal bar
 # IPv4 dotted quad with octets pinned to 0-255 (a looser \d{1,3} would
 # let 300.0.0.1 alias into another network after masking)
@@ -90,10 +98,12 @@ def _base64offset_variants(s: str) -> list[str]:
     take inside an encoded stream (substring at plaintext offset 0/1/2
     mod 3): pad with i lead bytes, encode, strip the lead chars that mix
     with the pad and the tail chars that mix with whatever follows —
-    the public sigmac/pySigma offset table, self-verified in tests."""
+    the public sigmac/pySigma offset table, self-verified in tests.
+    Accepts bytes (from a preceding utf16/wide encoding transform) or
+    str (encoded utf-8)."""
     import base64
 
-    b = s.encode("utf-8")
+    b = s if isinstance(s, bytes) else s.encode("utf-8")
     start = (0, 2, 3)
     end = (None, -3, -2)
     out = []
@@ -150,6 +160,29 @@ def _value_predicate(col: Column, value, modifiers: list[str]) -> Column:
     matcher = matchers[0] if matchers else None
     sval = str(value)
 
+    if matcher in _CMP_MODS:
+        if transforms:
+            raise ValueError(
+                f"{matcher} cannot combine with value transforms"
+            )
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            try:
+                fval = float(sval)
+            except ValueError:
+                raise ValueError(
+                    f"{matcher} modifier requires a numeric value, got "
+                    f"{value!r}"
+                ) from None
+        else:
+            fval = float(value)
+        # try_cast keeps ANSI mode quiet: non-numeric field values
+        # become NULL, and NULL comparisons filter as non-matches
+        c = col.try_cast("double")
+        return {
+            "gt": c > F.lit(fval), "gte": c >= F.lit(fval),
+            "lt": c < F.lit(fval), "lte": c <= F.lit(fval),
+        }[matcher]
+
     if matcher == "cidr":
         if transforms:
             raise ValueError("cidr cannot combine with value transforms")
@@ -163,12 +196,27 @@ def _value_predicate(col: Column, value, modifiers: list[str]) -> Column:
         variants = [sval]
         for t in transforms:
             if t == "windash":
+                if any(isinstance(v, bytes) for v in variants):
+                    raise ValueError(
+                        "windash cannot follow an encoding modifier"
+                    )
                 variants = [w for v in variants for w in _windash_variants(v)]
+            elif t in _ENC_CODECS:
+                if any(isinstance(v, bytes) for v in variants):
+                    raise ValueError(
+                        f"{t} cannot follow another encoding modifier"
+                    )
+                bom = b"\xff\xfe" if t == "utf16" else b""
+                variants = [
+                    bom + v.encode(_ENC_CODECS[t]) for v in variants
+                ]
             elif t == "base64":
                 import base64 as _b64
 
                 variants = [
-                    _b64.b64encode(v.encode("utf-8")).decode("ascii")
+                    _b64.b64encode(
+                        v if isinstance(v, bytes) else v.encode("utf-8")
+                    ).decode("ascii")
                     for v in variants
                 ]
             else:  # base64offset
@@ -179,6 +227,11 @@ def _value_predicate(col: Column, value, modifiers: list[str]) -> Column:
                 variants = [
                     w for v in variants for w in _base64offset_variants(v)
                 ]
+        if any(isinstance(v, bytes) for v in variants):
+            raise ValueError(
+                "utf16/utf16le/utf16be/wide produce bytes and must be "
+                "followed by base64 or base64offset"
+            )
         out = None
         for v in variants:
             p = _match_predicate(col, v, matcher)

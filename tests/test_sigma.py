@@ -331,3 +331,100 @@ def test_windash_slash_and_unicode_sites_expand(spark):
         "sel": {"cmd|windash|contains": "—f quiet"}, "condition": "sel"}}
     got = sorted(r["id"] for r in df.filter(compile_rule(emdash_rule)).collect())
     assert got == [1, 2, 3]
+
+
+def test_comparison_modifiers(spark):
+    from sigraph_spark.operators.sigma import compile_rule
+
+    rows = [(1, "80", 80), (2, "443", 443), (3, "8080", 8080),
+            (4, "not-a-number", 0)]
+    df = spark.createDataFrame(rows, "id long, port_s string, port long")
+    def ids(field, mod, val):
+        rule = {"id": "t", "detection": {
+            "sel": {f"{field}|{mod}": val}, "condition": "sel"}}
+        return sorted(r["id"] for r in df.filter(compile_rule(rule)).collect())
+    # string-typed field: numeric comparison, non-numeric rows drop out
+    assert ids("port_s", "gt", 100) == [2, 3]
+    assert ids("port_s", "gte", 443) == [2, 3]
+    assert ids("port_s", "lt", 443) == [1]
+    assert ids("port_s", "lte", 443) == [1, 2]
+    # numeric-typed field works identically
+    assert ids("port", "gt", 100) == [2, 3]
+    # numeric string values accepted
+    assert ids("port_s", "gt", "100") == [2, 3]
+
+
+def test_comparison_modifier_errors(spark):
+    import pytest
+
+    from sigraph_spark.operators.sigma import compile_rule
+
+    for det in (
+        {"sel": {"f|gt": "not-numeric"}, "condition": "sel"},
+        {"sel": {"f|base64|gt": 5}, "condition": "sel"},
+        {"sel": {"f|gt|lt": 5}, "condition": "sel"},  # conflicting matchers
+    ):
+        with pytest.raises(ValueError):
+            compile_rule({"id": "t", "detection": det})
+
+
+def test_utf16_encoding_modifiers(spark):
+    import base64 as b64
+
+    from sigraph_spark.operators.sigma import compile_rule
+
+    enc = lambda b: b64.b64encode(b).decode()  # noqa: E731
+    rows = [
+        (1, enc("powershell".encode("utf-16le"))),
+        (2, enc("powershell".encode("utf-16be"))),
+        (3, enc(b"\xff\xfe" + "powershell".encode("utf-16le"))),
+        (4, enc(b"powershell")),  # plain utf-8, must NOT match utf16 forms
+    ]
+    df = spark.createDataFrame(rows, "id long, payload string")
+    def ids(mods):
+        rule = {"id": "t", "detection": {
+            "sel": {f"payload|{mods}": "powershell"}, "condition": "sel"}}
+        return sorted(r["id"] for r in df.filter(compile_rule(rule)).collect())
+    assert ids("utf16le|base64") == [1]
+    assert ids("wide|base64") == [1]       # wide is the utf16le alias
+    assert ids("utf16be|base64") == [2]
+    assert ids("utf16|base64") == [3]      # utf16 prepends the BOM
+    assert ids("base64") == [4]
+
+
+def test_utf16_base64offset_contains(spark):
+    import base64 as b64
+
+    from sigraph_spark.operators.sigma import compile_rule
+
+    # the needle sits at plaintext offsets 0/1/2 inside a larger wide
+    # string — all three alignments must match via the offset variants
+    needle = "evil".encode("utf-16le")
+    rows = [
+        (i, b64.b64encode(b"\x00" * i + needle + b"tail").decode())
+        for i in range(3)
+    ] + [(9, b64.b64encode(b"clean payload").decode())]
+    df = spark.createDataFrame(rows, "id long, payload string")
+    rule = {"id": "t", "detection": {
+        "sel": {"payload|wide|base64offset|contains": "evil"},
+        "condition": "sel"}}
+    got = sorted(r["id"] for r in df.filter(compile_rule(rule)).collect())
+    assert got == [0, 1, 2]
+
+
+def test_encoding_modifier_errors(spark):
+    import pytest
+
+    from sigraph_spark.operators.sigma import compile_rule
+
+    for det in (
+        # bytes with no following base64 transform
+        {"sel": {"f|utf16le|contains": "x"}, "condition": "sel"},
+        {"sel": {"f|wide": "x"}, "condition": "sel"},
+        # windash cannot run over bytes
+        {"sel": {"f|utf16le|windash|base64": "-x"}, "condition": "sel"},
+        # double encoding
+        {"sel": {"f|utf16le|utf16be|base64": "x"}, "condition": "sel"},
+    ):
+        with pytest.raises(ValueError):
+            compile_rule({"id": "t", "detection": det})
