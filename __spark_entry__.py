@@ -1079,6 +1079,47 @@ def q_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_sparql(quads, q)
 
 
+def _kg_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KG edge table split into three named graphs by a
+    deterministic src-derived key — the quad fixture for the GRAPH
+    composition gates (restated verbatim in the oracles)."""
+    return _edges_ckpt(spark, sf_dir).select(
+        "src", "predicate", "dst",
+        F.concat(
+            F.lit("g"),
+            (F.ascii(F.substring("src", -1, 1)) % 3).cast("string"),
+        ).alias("g"),
+    )
+
+
+def q_sparql_graph_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property paths INSIDE ``GRAPH ?var`` (round 5 —
+    operators/bgp.py ``eval_path(graph_scoped=True)``): the
+    LAUNCH/CONNECT+ reachability pattern must close WITHIN each named
+    graph — cross-graph hops that the unscoped closure would take are
+    invisible, and all graphs evaluate in ONE plan (closure joins carry
+    the graph key; no per-graph driver loop). Oracle: recursive CTE
+    keyed by (g, node)."""
+    from sigraph_spark.operators.bgp import select_sparql
+
+    q = ("SELECT DISTINCT ?g ?a ?c WHERE { GRAPH ?g { "
+         "?a LAUNCH ?b . ?b CONNECT+ ?c } }")
+    return select_sparql(_kg_quads(spark, sf_dir), q)
+
+
+def q_sparql_graph_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery INSIDE ``GRAPH ?var`` (round 5): the inner SELECT
+    evaluates per named graph with the graph binding carried through
+    its projection, then joins the outer CONNECT pattern on (g, s) —
+    SPARQL's evaluate-the-subquery-within-each-active-graph rule.
+    Oracle: the same-graph join in plain SQL."""
+    from sigraph_spark.operators.bgp import select_sparql
+
+    q = ("SELECT DISTINCT ?g ?s ?o WHERE { GRAPH ?g { ?s CONNECT ?o . "
+         "{ SELECT ?s WHERE { ?x LAUNCH ?s } } } }")
+    return select_sparql(_kg_quads(spark, sf_dir), q)
+
+
 def _webtext_quote_docs(spark: SparkSession, sf: float = 0.01) -> DataFrame:
     """Deterministic attributed-quote corpus over the standard urls:
     every page leads with a DECOY quoted span ("shows" is not an
@@ -4579,6 +4620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_match": q_bgp_match,
         "bgp_optional": q_bgp_optional,
         "path_query": q_path_query,
+        "sparql_graph_path": q_sparql_graph_path,
+        "sparql_graph_subquery": q_sparql_graph_subquery,
         "rdf_export": q_rdf_export,
         "rdf_roundtrip": q_rdf_roundtrip,
         "neo4j_nodes": q_neo4j_nodes,
@@ -5716,6 +5759,40 @@ def oracle_sql() -> dict[str, str]:
         JOIN named no ON no.src = d.src AND no.g = 'rdfa'
              AND no.predicate = 'owner'
         WHERE d.predicate = 'os'
+        """
+    )
+    # --- GRAPH ?var composition (round 5): paths + subqueries scoped
+    # per named graph. The quad split ('g' || ascii(src) % 3) is
+    # restated verbatim; the closure CTE carries g in its join key so
+    # reachability never crosses graphs.
+    sq["sparql_graph_path"] = (
+        "WITH RECURSIVE " + _EDGES_CTE
+        + """,
+        quads AS (SELECT src, predicate, dst,
+                         'g' || CAST(ascii(substr(src, -1, 1)) % 3 AS VARCHAR) AS g
+                  FROM edges),
+        gc AS (SELECT g, src AS a, dst AS b FROM quads
+               WHERE predicate = 'CONNECT'),
+        gclo AS (
+          SELECT g, a, b FROM gc
+          UNION
+          SELECT c.g, c.a, p.b FROM gclo c
+          JOIN gc p ON p.g = c.g AND p.a = c.b),
+        gl AS (SELECT g, src, dst FROM quads WHERE predicate = 'LAUNCH')
+        SELECT DISTINCT l.g AS g, l.src AS a, k.b AS c
+        FROM gl l JOIN gclo k ON k.g = l.g AND k.a = l.dst
+        """
+    )
+    sq["sparql_graph_subquery"] = (
+        "WITH " + _EDGES_CTE
+        + """,
+        quads AS (SELECT src, predicate, dst,
+                         'g' || CAST(ascii(substr(src, -1, 1)) % 3 AS VARCHAR) AS g
+                  FROM edges)
+        SELECT DISTINCT c.g AS g, c.src AS s, c.dst AS o
+        FROM quads c JOIN quads l
+          ON l.g = c.g AND l.predicate = 'LAUNCH' AND l.dst = c.src
+        WHERE c.predicate = 'CONNECT'
         """
     )
     # --- attributed quotes: arithmetic enumeration. The decoy span

@@ -266,41 +266,99 @@ class _PathParser:
         return name
 
 
-def _path_closure(pairs: DataFrame, max_depth: int) -> DataFrame:
+def _no_constraint_propagation(spark):
+    """Scoped off-switch for ``spark.sql.constraintPropagation.enabled``.
+
+    Spark's LogicalRDD constraint rewrite (``localCheckpoint`` →
+    ``rewriteStatsAndConstraints``) keys the attribute map on the FIRST
+    union child's output, so a filter constraint that survives to a
+    union output on the second child's attrs — e.g. the quad table's
+    ``g IS NOT NULL`` from a GRAPH block — dies with
+    ``NoSuchElementException: key not found``. Graph-scoped closures
+    checkpoint exactly such unions; with propagation off the
+    constraints set is empty and the rewrite is a no-op. Restored on
+    exit; the LogicalRDDs created meanwhile simply carry no constraints."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _ctx():
+        key = "spark.sql.constraintPropagation.enabled"
+        try:
+            old = spark.conf.get(key)
+        except Exception:
+            old = "true"
+        spark.conf.set(key, "false")
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
+
+    return _ctx()
+
+
+def _path_closure(
+    pairs: DataFrame, max_depth: int, graph: bool = False
+) -> DataFrame:
+    keys = (["g"] if graph else []) + ["a", "b"]
     reach = pairs.distinct().localCheckpoint(eager=True)
     base = reach
     frontier = reach
     for _ in range(max_depth - 1):
+        cond = F.col("f.b") == F.col("p.a")
+        if graph:
+            # closure composes only WITHIN a named graph
+            cond = cond & (F.col("f.g") == F.col("p.g"))
+        sel = ([F.col("f.g").alias("g")] if graph else []) + [
+            F.col("f.a").alias("a"), F.col("p.b").alias("b"),
+        ]
         nxt = (
             frontier.alias("f")
-            .join(base.alias("p"), F.col("f.b") == F.col("p.a"))
-            .select(F.col("f.a").alias("a"), F.col("p.b").alias("b"))
+            .join(base.alias("p"), cond)
+            .select(*sel)
             .distinct()
-            .join(reach, ["a", "b"], "left_anti")
+            .join(reach, keys, "left_anti")
             .localCheckpoint(eager=True)
         )
         if nxt.limit(1).count() == 0:
             break
-        reach = reach.unionByName(nxt).localCheckpoint(eager=True)
+        # plain union of already-materialized frontiers: every child is
+        # a LogicalRDD, so nothing recomputes, the plan stays <= depth
+        # unions wide, and we avoid checkpointing a raw union (Spark's
+        # LogicalRDD constraint rewrite loses second-child attrs when a
+        # filter constraint — e.g. GRAPH's g IS NOT NULL — survives to
+        # the union output: "key not found" in rewriteStatsAndConstraints)
+        reach = reach.unionByName(nxt)
         frontier = nxt
     return reach
 
 
-def eval_path(edges: DataFrame, path: str, max_depth: int = 20) -> DataFrame:
+def eval_path(
+    edges: DataFrame,
+    path: str,
+    max_depth: int = 20,
+    graph_scoped: bool = False,
+) -> DataFrame:
     """Evaluate a property-path expression to its DISTINCT ``(a, b)``
     endpoint-pair relation over an ``(src, predicate, dst)`` edge table.
     ``max_depth`` bounds +/* expansion (graph-diameter steps; SPARQL
-    engines bound closure the same way in practice)."""
+    engines bound closure the same way in practice).
+
+    ``graph_scoped`` evaluates over a QUAD table (extra ``g`` column):
+    every sub-relation carries ``g`` and composition (sequence joins,
+    closures, zero-length node sets) stays within one named graph — the
+    ``GRAPH ?var { ... path ... }`` device, computed for ALL graphs in
+    one plan rather than a per-graph driver loop."""
+    gcols = ["g"] if graph_scoped else []
     nodes = None
 
     def all_nodes() -> DataFrame:
         nonlocal nodes
         if nodes is None:
             nodes = (
-                edges.select(F.col("src").alias("a"))
-                .unionByName(edges.select(F.col("dst").alias("a")))
+                edges.select(*gcols, F.col("src").alias("a"))
+                .unionByName(edges.select(*gcols, F.col("dst").alias("a")))
                 .distinct()
-                .select("a", F.col("a").alias("b"))
+                .select(*gcols, "a", F.col("a").alias("b"))
                 .localCheckpoint(eager=False)
             )
         return nodes
@@ -310,18 +368,20 @@ def eval_path(edges: DataFrame, path: str, max_depth: int = 20) -> DataFrame:
         if kind == "pred":
             return (
                 edges.filter(F.col("predicate") == node[1])
-                .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+                .select(*gcols, F.col("src").alias("a"),
+                        F.col("dst").alias("b"))
                 .distinct()
             )
         if kind == "nps":
             return (
                 edges.filter(~F.col("predicate").isin(*node[1]))
-                .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+                .select(*gcols, F.col("src").alias("a"),
+                        F.col("dst").alias("b"))
                 .distinct()
             )
         if kind == "inv":
             return ev(node[1]).select(
-                F.col("b").alias("a"), F.col("a").alias("b")
+                *gcols, F.col("b").alias("a"), F.col("a").alias("b")
             )
         if kind == "alt":
             out = ev(node[1][0])
@@ -332,18 +392,24 @@ def eval_path(edges: DataFrame, path: str, max_depth: int = 20) -> DataFrame:
             out = ev(node[1][0])
             for part in node[1][1:]:
                 right = ev(part)
+                cond = F.col("l.b") == F.col("r.a")
+                if graph_scoped:
+                    cond = cond & (F.col("l.g") == F.col("r.g"))
+                sel = ([F.col("l.g").alias("g")] if graph_scoped else []) + [
+                    F.col("l.a").alias("a"), F.col("r.b").alias("b"),
+                ]
                 out = (
                     out.alias("l")
-                    .join(right.alias("r"), F.col("l.b") == F.col("r.a"))
-                    .select(F.col("l.a").alias("a"), F.col("r.b").alias("b"))
+                    .join(right.alias("r"), cond)
+                    .select(*sel)
                     .distinct()
                 )
             return out
         if kind == "plus":
-            return _path_closure(ev(node[1]), max_depth)
+            return _path_closure(ev(node[1]), max_depth, graph_scoped)
         if kind == "star":
             return (
-                _path_closure(ev(node[1]), max_depth)
+                _path_closure(ev(node[1]), max_depth, graph_scoped)
                 .unionByName(all_nodes())
                 .distinct()
             )
@@ -351,7 +417,11 @@ def eval_path(edges: DataFrame, path: str, max_depth: int = 20) -> DataFrame:
             return ev(node[1]).unionByName(all_nodes()).distinct()
         raise AssertionError(f"unknown node {node!r}")
 
-    return ev(_PathParser(path).parse())
+    parsed = _PathParser(path).parse()
+    if graph_scoped:
+        with _no_constraint_propagation(edges.sparkSession):
+            return ev(parsed)
+    return ev(parsed)
 
 
 def match_path(
@@ -360,13 +430,21 @@ def match_path(
     path: str,
     object_: str,
     max_depth: int = 20,
+    graph_var: str | None = None,
 ) -> DataFrame:
     """One path pattern ``subject path object``: terms follow the BGP
     convention (``?name`` variable, else constant). Returns one column
     per distinct variable; a repeated variable (``?x path ?x``) keeps
     only cyclic bindings; two constants return the 0/1-row existence
-    relation (column ``matched``)."""
-    pairs = eval_path(edges, path, max_depth)
+    relation (column ``matched``).
+
+    ``graph_var`` evaluates the path per NAMED GRAPH of a quad table
+    (``g`` column, the ``GRAPH ?var`` device): the result carries the
+    graph binding as an extra column and two-constant existence becomes
+    the distinct set of graphs where the path holds."""
+    scoped = graph_var is not None
+    pairs = eval_path(edges, path, max_depth, graph_scoped=scoped)
+    gsel = [F.col("g").alias(graph_var)] if scoped else []
     s_var, o_var = _is_var(subject), _is_var(object_)
     if not s_var:
         pairs = pairs.filter(F.col("a") == subject)
@@ -376,16 +454,19 @@ def match_path(
         if subject == object_:
             return (
                 pairs.filter(F.col("a") == F.col("b"))
-                .select(F.col("a").alias(subject[1:]))
+                .select(*gsel, F.col("a").alias(subject[1:]))
                 .distinct()
             )
         return pairs.select(
-            F.col("a").alias(subject[1:]), F.col("b").alias(object_[1:])
+            *gsel, F.col("a").alias(subject[1:]),
+            F.col("b").alias(object_[1:]),
         )
     if s_var:
-        return pairs.select(F.col("a").alias(subject[1:])).distinct()
+        return pairs.select(*gsel, F.col("a").alias(subject[1:])).distinct()
     if o_var:
-        return pairs.select(F.col("b").alias(object_[1:])).distinct()
+        return pairs.select(*gsel, F.col("b").alias(object_[1:])).distinct()
+    if scoped:  # which graphs contain the constant-endpoint path
+        return pairs.select(*gsel).distinct()
     return pairs.limit(1).select(F.lit(True).alias("matched"))
 
 
@@ -524,10 +605,13 @@ def _eval_where(
     ``GRAPH ?g { ... }`` matches each named graph and binds ?g, by
     extending the group's triples to quads sharing the graph variable
     (``graph_var`` threads it through nested OPTIONAL / UNION / EXISTS /
-    MINUS recursion). Property paths and subqueries inside ``GRAPH
-    ?var`` raise loudly (closure per named graph is not implemented);
-    use ``GRAPH <iri>`` for those. GRAPH over a 3-column edge table
-    raises — there is no graph to name.
+    MINUS recursion). Property paths inside ``GRAPH ?var`` evaluate
+    graph-scoped (closures compose within one named graph, all graphs
+    in one plan — :func:`eval_path` ``graph_scoped``); subqueries
+    evaluate per named graph with the graph binding carried through
+    their projection (per-graph ORDER BY/LIMIT slicing raises loudly).
+    GRAPH over a 3-column edge table raises — there is no graph to
+    name.
 
     FILTER(...) spans (balanced-paren scan), OPTIONAL { ... } blocks,
     ``{ g } UNION { g }`` group chains (balanced-brace scan — branches
@@ -649,12 +733,14 @@ def _eval_where(
             if _re.match(r"\s*SELECT\b", first_body, _re.IGNORECASE):
                 # SPARQL 1.1 §12 subquery: evaluates bottom-up in
                 # isolation, joins the outer pattern on its projected
-                # variables (same attach rule as a union relation)
-                if graph_var is not None:
-                    raise ValueError(
-                        "subqueries inside GRAPH ?var are not supported"
+                # variables (same attach rule as a union relation).
+                # Inside GRAPH ?var the subquery evaluates per named
+                # graph with the graph binding carried implicitly.
+                unions.append(
+                    select_sparql(
+                        edges, first_body, max_depth, graph_var=graph_var
                     )
-                unions.append(select_sparql(edges, first_body, max_depth))
+                )
                 pos = j
                 continue
             branches.append(first_body)
@@ -699,11 +785,6 @@ def _eval_where(
     base = edges
     if graph_var is not None:
         plain = [t + ("?" + graph_var,) for t in plain]
-        if paths:
-            raise ValueError(
-                "property paths inside GRAPH ?var are not supported — "
-                "use GRAPH <iri> { ... }"
-            )
     elif "g" in edges.columns:
         base = edges.filter(F.col("g").isNull()).drop("g")
 
@@ -711,7 +792,9 @@ def _eval_where(
     if plain:
         out = match_bgp(base, plain)
     for s, path, o in paths:
-        part = match_path(base, s, path, o, max_depth=max_depth)
+        part = match_path(
+            base, s, path, o, max_depth=max_depth, graph_var=graph_var
+        )
         if out is None:
             out = part
             continue
@@ -859,11 +942,24 @@ def _parse_projection(proj_txt: str):
     return items
 
 
-def select_sparql(edges: DataFrame, query: str, max_depth: int = 20) -> DataFrame:
+def select_sparql(
+    edges: DataFrame,
+    query: str,
+    max_depth: int = 20,
+    graph_var: str | None = None,
+) -> DataFrame:
     """Evaluate a textual SPARQL SELECT (subset above) over the edge
     table. Returns the projected variables as columns, honoring DISTINCT
     / FILTER / OPTIONAL / property paths / aggregates (COUNT/SUM/MIN/MAX
-    with optional inner DISTINCT) + GROUP BY / ORDER BY / LIMIT."""
+    with optional inner DISTINCT) + GROUP BY / ORDER BY / LIMIT.
+
+    ``graph_var`` marks a subquery inside ``GRAPH ?var``: the WHERE
+    block evaluates per named graph (quads sharing the graph variable)
+    and the graph binding is carried through the projection implicitly
+    — aggregates group per graph too, matching SPARQL's
+    evaluate-the-subquery-within-each-active-graph semantics. Solution
+    modifiers (ORDER BY / LIMIT / OFFSET) would then have to slice PER
+    GRAPH; that form raises loudly."""
     import re as _re
 
     m = _re.match(
@@ -875,7 +971,7 @@ def select_sparql(edges: DataFrame, query: str, max_depth: int = 20) -> DataFram
     distinct = bool(m.group(1))
     proj_txt, body, tail = m.group(2).strip(), m.group(3), m.group(4)
 
-    out = _eval_where(edges, body, max_depth)
+    out = _eval_where(edges, body, max_depth, graph_var)
 
     # GROUP BY is consumed from the tail BEFORE the modifier loop
     gm = _re.match(r"\s*GROUP\s+BY\s+((?:\?\w+\s*)+)(.*)$", tail,
@@ -888,6 +984,11 @@ def select_sparql(edges: DataFrame, query: str, max_depth: int = 20) -> DataFram
     # --- projection (plain or aggregating) + modifiers
     items = _parse_projection(proj_txt) if proj_txt != "*" else []
     aggs = [it for it in items if it[0] == "agg"]
+    if aggs and graph_var is not None and graph_var not in group_vars:
+        # per-graph evaluation: the graph binding joins the group keys
+        # (even with no textual GROUP BY — a bare aggregate inside
+        # GRAPH ?var aggregates within each named graph)
+        group_vars = [graph_var] + group_vars
     if aggs:
         plain_vars = [it[1] for it in items if it[0] == "var"]
         bad = set(plain_vars) - set(group_vars)
@@ -922,13 +1023,23 @@ def select_sparql(edges: DataFrame, query: str, max_depth: int = 20) -> DataFram
             out = out.filter(F.expr(_translate_filter(tail[hm.end():j - 1])))
             tail = tail[j:]
         order = [it[1] if it[0] == "var" else it[4] for it in items]
+        if graph_var is not None and graph_var not in order:
+            order = [graph_var] + order  # keep the graph binding joinable
         out = out.select(*order)
     elif group_vars:
         raise ValueError("GROUP BY requires an aggregate in the projection")
     elif proj_txt != "*":
-        out = out.select(*[it[1] for it in items])
+        sel = [it[1] for it in items]
+        if graph_var is not None and graph_var not in sel:
+            sel = [graph_var] + sel  # keep the graph binding joinable
+        out = out.select(*sel)
     if distinct:
         out = out.distinct()
+    if graph_var is not None and tail.split():
+        raise ValueError(
+            "ORDER BY / LIMIT / OFFSET inside a GRAPH ?var subquery "
+            "would have to slice per named graph — not supported"
+        )
     tail_toks = tail.split()
     ti = 0
     limit_n: int | None = None

@@ -778,8 +778,71 @@ def test_sparql_graph_errors(spark):
         select_sparql(
             _sq_edges(spark), "SELECT ?s WHERE { GRAPH ?g { ?s LAUNCH ?o } }"
         )
-    with _pytest.raises(ValueError, match="paths inside GRAPH"):
+    # per-graph slicing inside a GRAPH ?var subquery stays a loud error
+    with _pytest.raises(ValueError, match="per named graph"):
         select_sparql(
             _quad_edges(spark),
-            "SELECT ?s WHERE { GRAPH ?g { ?s LAUNCH+ ?o } }",
+            "SELECT ?g ?s WHERE { GRAPH ?g { "
+            "{ SELECT ?s WHERE { ?s LAUNCH ?o } LIMIT 1 } } }",
         )
+
+
+def test_sparql_graph_variable_property_paths(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    # closure composes WITHIN each named graph: g1 chains a->x->y,
+    # g2's CONNECT starts at x (not reached from its LAUNCH dst z)
+    q = "SELECT ?g ?o WHERE { GRAPH ?g { a LAUNCH/CONNECT ?o } }"
+    got = sorted(tuple(r) for r in
+                 select_sparql(_quad_edges(spark), q).collect())
+    assert got == [("g1", "y")]
+    # transitive closure per graph
+    q2 = "SELECT ?g ?o WHERE { GRAPH ?g { a (LAUNCH|CONNECT)+ ?o } }"
+    got2 = sorted(tuple(r) for r in
+                  select_sparql(_quad_edges(spark), q2).collect())
+    assert got2 == [("g1", "x"), ("g1", "y"), ("g2", "z")]
+    # graph-scoped path joins a plain triple in the same GRAPH block
+    q3 = ("SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s LAUNCH ?m . "
+          "?s LAUNCH/CONNECT ?o } }")
+    got3 = sorted(tuple(r) for r in
+                  select_sparql(_quad_edges(spark), q3).collect())
+    assert got3 == [("g1", "a", "y")]
+    # inverse path, graph-scoped
+    q4 = "SELECT ?g ?s WHERE { GRAPH ?g { y ^CONNECT ?s } }"
+    got4 = sorted(tuple(r) for r in
+                  select_sparql(_quad_edges(spark), q4).collect())
+    assert got4 == [("g1", "x")]
+    # constant endpoints: binds the graphs where the path holds
+    q5 = "SELECT ?g WHERE { GRAPH ?g { a LAUNCH/CONNECT y } }"
+    got5 = sorted(r["g"] for r in
+                  select_sparql(_quad_edges(spark), q5).collect())
+    assert got5 == ["g1"]
+
+
+def test_sparql_graph_variable_star_is_graph_scoped(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    # zero-length bindings come from each graph's OWN node set — a
+    # node that only exists in g2 must not appear under g1
+    q = "SELECT ?g ?o WHERE { GRAPH ?g { z CONNECT* ?o } }"
+    got = sorted(tuple(r) for r in
+                 select_sparql(_quad_edges(spark), q).collect())
+    assert got == [("g2", "z")]  # z exists only in g2; no CONNECT from z
+
+
+def test_sparql_graph_variable_subquery(spark):
+    from sigraph_spark.operators.bgp import select_sparql
+
+    # aggregate subquery inside GRAPH ?var groups per named graph
+    q = ("SELECT ?g ?n WHERE { GRAPH ?g { "
+         "{ SELECT (COUNT(?s) AS ?n) WHERE { ?s LAUNCH ?o } } } }")
+    got = sorted(tuple(r) for r in
+                 select_sparql(_quad_edges(spark), q).collect())
+    assert got == [("g1", 1), ("g2", 1)]
+    # plain subquery joins the outer GRAPH pattern per graph
+    q2 = ("SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s CONNECT ?o . "
+          "{ SELECT ?s WHERE { a LAUNCH ?s } } } }")
+    got2 = sorted(tuple(r) for r in
+                  select_sparql(_quad_edges(spark), q2).collect())
+    # g1: a LAUNCH x, x CONNECT y; g2: a LAUNCH z but CONNECT is from x
+    assert got2 == [("g1", "x", "y")]
