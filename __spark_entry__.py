@@ -1051,6 +1051,39 @@ def q_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_metadata(df)
 
 
+def q_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF container metadata (round 5, operators/multimodal.py
+    mp4_metadata): the box walk reads ftyp brand, mvhd (32- AND 64-bit
+    forms every 7th file) timescale/duration, tkhd 16.16 dimensions,
+    hdlr handlers and stsd codec fourccs; every 11th file uses a
+    size==1 largesize mdat, every 13th is garbage -> 'unknown' NULL
+    row. Payloads are BUILT deterministically driver-side
+    (encode_mp4); the oracle enumerates the expected metadata
+    arithmetically. Sample decode is a declared non-goal."""
+    from sigraph_spark.operators.multimodal import encode_mp4, video_metadata
+
+    rows = []
+    for i in range(240):
+        if i % 13 == 0:
+            rows.append((f"vid-{i}", bytearray(b"\x00\x01garbage" * 3)))
+            continue
+        ts = 1000 if i % 2 == 0 else 600
+        dur = 1000 * (i % 50 + 1)
+        tracks = [{
+            "handler": "vide",
+            "codec": "hev1" if i % 3 == 0 else "avc1",
+            "width": 320 + 16 * (i % 5), "height": 240 + 16 * (i % 3),
+        }]
+        if i % 2 == 0:
+            tracks.append({"handler": "soun", "codec": "mp4a"})
+        rows.append((f"vid-{i}", bytearray(encode_mp4(
+            ts, dur, tracks, version=1 if i % 7 == 0 else 0,
+            largesize_mdat=(i % 11 == 0),
+        ))))
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    return video_metadata(df)
+
+
 def q_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 named graphs (GRAPH keyword, operators/bgp.py) over a
     QUAD view of the all-channels fused claims — the claims table's
@@ -4622,6 +4655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_query": q_path_query,
         "sparql_graph_path": q_sparql_graph_path,
         "sparql_graph_subquery": q_sparql_graph_subquery,
+        "video_metadata": q_video_metadata,
         "rdf_export": q_rdf_export,
         "rdf_roundtrip": q_rdf_roundtrip,
         "neo4j_nodes": q_neo4j_nodes,
@@ -5723,6 +5757,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_frames AS BIGINT) AS n_frames,
                CAST(duration_ms AS BIGINT) AS duration_ms
         FROM t
+    """
+    # --- ISO-BMFF metadata: pure arithmetic enumeration of the built
+    # skeletons; the Spark side does the real box walk per payload.
+    sq["video_metadata"] = """
+        WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 240))
+        SELECT 'vid-' || CAST(i AS VARCHAR) AS media_id,
+          CASE WHEN i % 13 = 0 THEN 'unknown'
+               ELSE 'isobmff-isom' END AS format,
+          CAST(CASE WHEN i % 13 = 0 THEN NULL
+               ELSE (1000 * (i % 50 + 1) * 1000)
+                    // (CASE WHEN i % 2 = 0 THEN 1000 ELSE 600 END)
+               END AS BIGINT) AS duration_ms,
+          CAST(CASE WHEN i % 13 = 0 THEN NULL
+               WHEN i % 2 = 0 THEN 2 ELSE 1 END AS INT) AS n_tracks,
+          CAST(CASE WHEN i % 13 = 0 THEN NULL
+               ELSE 320 + 16 * (i % 5) END AS INT) AS width,
+          CAST(CASE WHEN i % 13 = 0 THEN NULL
+               ELSE 240 + 16 * (i % 3) END AS INT) AS height,
+          CASE WHEN i % 13 = 0 THEN NULL
+               WHEN i % 3 = 0 THEN 'hev1' ELSE 'avc1' END AS video_codec,
+          CASE WHEN i % 13 = 0 OR i % 2 <> 0 THEN NULL
+               ELSE 'mp4a' END AS audio_codec
+        FROM pg
     """
     # --- named graphs: the oracle RESTATES the graph-filtered joins
     # over the same quad enumeration (default graph = jsonld claims,

@@ -1021,6 +1021,252 @@ def wav_metadata(payload: bytes) -> dict:
     }
 
 
+# --- REAL parser: ISO-BMFF (mp4/mov) box-walk metadata ----------------------
+# Video SAMPLE decode stays out of zero-dep scope, but the CONTAINER
+# (ISO/IEC 14496-12) is a plain size+fourcc box tree: ftyp brand, mvhd
+# timescale/duration, per-trak tkhd dimensions + hdlr handler + stsd
+# sample-entry codec — the metadata a crawl curation pipeline filters
+# video assets on, with no codec libs.
+
+_MP4_UNITY_MATRIX = bytes().join(
+    int(v).to_bytes(4, "big")
+    for v in (0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+)
+
+
+def _iter_boxes(buf, pos: int, end: int):
+    """Yield (fourcc, body_start, box_end) over a box sequence. Handles
+    the 64-bit largesize form (size == 1) and the to-end-of-file form
+    (size == 0); raises ValueError on truncated/overrunning boxes."""
+    while pos + 8 <= end:
+        size = int.from_bytes(buf[pos:pos + 4], "big")
+        btype = bytes(buf[pos + 4:pos + 8])
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box header")
+            size = int.from_bytes(buf[pos + 8:pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"bad box size {size} for {btype!r}")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def mp4_metadata(payload: bytes) -> dict:
+    """ISO-BMFF box walk: ``{format, duration_ms, n_tracks, width,
+    height, video_codec, audio_codec}`` without touching sample data.
+
+    Requires a leading ``ftyp`` (format = 'isobmff-<major brand>');
+    reads ``moov/mvhd`` (version 0 and 1) for timescale/duration and
+    each ``trak``'s ``tkhd`` (16.16 fixed-point dimensions),
+    ``mdia/hdlr`` handler and ``mdia/minf/stbl/stsd`` first
+    sample-entry fourcc. First video track wins the dimensions/codec;
+    first audio track wins audio_codec. Raises ValueError on anything
+    structurally malformed."""
+    if len(payload) < 16:
+        raise ValueError("too short for ISO-BMFF")
+    buf = memoryview(payload)
+    boxes = list(_iter_boxes(buf, 0, len(payload)))
+    if not boxes or boxes[0][0] != b"ftyp":
+        raise ValueError("not ISO-BMFF (no leading ftyp)")
+    _, fs, _fe = boxes[0]
+    brand = bytes(buf[fs:fs + 4]).decode("ascii", "replace").strip()
+    moov = None
+    for t, s, e in boxes:
+        if t == b"moov":
+            moov = (s, e)
+    if moov is None:
+        raise ValueError("no moov box")
+
+    timescale = duration = None
+    n_tracks = 0
+    width = height = None
+    video_codec = audio_codec = None
+
+    def walk_trak(s: int, e: int) -> None:
+        nonlocal width, height, video_codec, audio_codec
+        handler = codec = None
+        w = h = None
+        for t, bs, be in _iter_boxes(buf, s, e):
+            if t == b"tkhd":
+                ver = buf[bs]
+                off = bs + 4 + (32 if ver == 1 else 20)
+                off += 8 + 2 + 2 + 2 + 2 + 36  # reserved..matrix
+                w = int.from_bytes(buf[off:off + 4], "big") >> 16
+                h = int.from_bytes(buf[off + 4:off + 8], "big") >> 16
+            elif t == b"mdia":
+                for t2, cs, ce in _iter_boxes(buf, bs, be):
+                    if t2 == b"hdlr":
+                        handler = bytes(buf[cs + 8:cs + 12])
+                    elif t2 == b"minf":
+                        for t3, ds, de in _iter_boxes(buf, cs, ce):
+                            if t3 != b"stbl":
+                                continue
+                            for t4, es, ee in _iter_boxes(buf, ds, de):
+                                if t4 == b"stsd" and int.from_bytes(
+                                    buf[es + 4:es + 8], "big"
+                                ) >= 1:
+                                    codec = bytes(
+                                        buf[es + 12:es + 16]
+                                    ).decode("ascii", "replace")
+        if handler == b"vide" and video_codec is None:
+            video_codec, width, height = codec, w, h
+        elif handler == b"soun" and audio_codec is None:
+            audio_codec = codec
+
+    for t, s, e in _iter_boxes(buf, *moov):
+        if t == b"mvhd":
+            ver = buf[s]
+            if ver == 1:
+                timescale = int.from_bytes(buf[s + 20:s + 24], "big")
+                duration = int.from_bytes(buf[s + 24:s + 32], "big")
+            else:
+                timescale = int.from_bytes(buf[s + 12:s + 16], "big")
+                duration = int.from_bytes(buf[s + 16:s + 20], "big")
+        elif t == b"trak":
+            n_tracks += 1
+            walk_trak(s, e)
+    if not timescale:
+        raise ValueError("no mvhd timescale")
+    return {
+        "format": "isobmff-" + brand,
+        "duration_ms": int(duration * 1000 // timescale),
+        "n_tracks": n_tracks,
+        "width": width,
+        "height": height,
+        "video_codec": video_codec,
+        "audio_codec": audio_codec,
+    }
+
+
+def encode_mp4(
+    timescale: int,
+    duration: int,
+    tracks: list,
+    brand: bytes = b"isom",
+    version: int = 0,
+    largesize_mdat: bool = False,
+) -> bytes:
+    """Structurally-valid ISO-BMFF skeleton (exists to test the box
+    walk, like the JPEG encoder): ftyp + moov{mvhd, trak{tkhd,
+    mdia{mdhd, hdlr, minf{stbl{stsd{entry}}}}}*} + mdat. ``tracks``
+    is a list of {handler: 'vide'|'soun', codec: fourcc str,
+    width, height}; ``version`` selects 32/64-bit mvhd+tkhd forms;
+    ``largesize_mdat`` emits the size==1 + 64-bit largesize header."""
+    import struct
+
+    def box(t: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    full = bytes([version & 0xFF, 0, 0, 0])
+    ftyp = box(b"ftyp", brand + struct.pack(">I", 0) + b"isommp41")
+    if version == 1:
+        mvhd_head = struct.pack(">QQIQ", 0, 0, timescale, duration)
+    else:
+        mvhd_head = struct.pack(">IIII", 0, 0, timescale, duration)
+    mvhd = box(
+        b"mvhd",
+        full + mvhd_head + struct.pack(">i", 0x00010000)
+        + struct.pack(">h", 0x0100) + b"\x00" * 10 + _MP4_UNITY_MATRIX
+        + b"\x00" * 24 + struct.pack(">I", len(tracks) + 1),
+    )
+    traks = b""
+    for tid, tr in enumerate(tracks, 1):
+        w, h = int(tr.get("width") or 0), int(tr.get("height") or 0)
+        if version == 1:
+            tkhd_head = struct.pack(">QQIIQ", 0, 0, tid, 0, duration)
+        else:
+            tkhd_head = struct.pack(">IIIII", 0, 0, tid, 0, duration)
+        tkhd = box(
+            b"tkhd",
+            full + tkhd_head + b"\x00" * 8
+            + struct.pack(">hhhh", 0, 0,
+                          0x0100 if tr["handler"] == "soun" else 0, 0)
+            + _MP4_UNITY_MATRIX + struct.pack(">II", w << 16, h << 16),
+        )
+        mdhd = box(
+            b"mdhd",
+            bytes(4) + struct.pack(">IIII", 0, 0, timescale, duration)
+            + struct.pack(">HH", 0x55C4, 0),
+        )
+        hdlr = box(
+            b"hdlr",
+            bytes(4) + bytes(4) + tr["handler"].encode("ascii")
+            + bytes(12) + b"hdl\x00",
+        )
+        entry = box(
+            tr["codec"].encode("ascii"),
+            bytes(6) + struct.pack(">H", 1) + bytes(70),
+        )
+        stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+        mdia = box(b"mdia", mdhd + hdlr + box(b"minf", box(b"stbl", stsd)))
+        traks += box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + traks)
+    if largesize_mdat:
+        mdat = (
+            struct.pack(">I", 1) + b"mdat"
+            + struct.pack(">Q", 16 + 8) + bytes(8)
+        )
+    else:
+        mdat = box(b"mdat", bytes(8))
+    return ftyp + moov + mdat
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("video_codec", T.StringType()),
+        T.StructField("audio_codec", T.StringType()),
+    ]
+)
+
+
+def video_metadata(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """binary video payload -> ISO-BMFF container metadata via
+    mapInPandas (Arrow batches, zero per-row Python in the plan);
+    unparseable payloads yield format 'unknown' with NULL fields —
+    crawl data is dirty by definition. Same scale shape as
+    :func:`audio_metadata`: the blob column is materialized only
+    inside this stage."""
+    cols = media.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                meta = None
+                if payload:
+                    try:
+                        meta = mp4_metadata(bytes(payload))
+                    except ValueError:
+                        meta = None
+                if meta is None:
+                    meta = {
+                        "format": "unknown", "duration_ms": None,
+                        "n_tracks": None, "width": None, "height": None,
+                        "video_codec": None, "audio_codec": None,
+                    }
+                rows.append({"media_id": mid, **meta})
+            yield pd.DataFrame(rows)
+
+    return cols.mapInPandas(run, VIDEO_META_SCHEMA)
+
+
 AUDIO_META_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType()),
