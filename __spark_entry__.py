@@ -2874,6 +2874,29 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidates(_docs(spark, sf_dir), max_hamming=3, hash_family="md5")
 
 
+def q_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD oracle (round 5): incremental SimHash — docs with
+    doc_id % 4 == 0 are the "new crawl", the rest the corpus whose band
+    index (``simhash_index``, signatures included for Hamming
+    verification) is pre-built. Bands are per-doc independent, so the
+    incremental pair set must equal the FULL-corpus simhash pair set
+    filtered to pairs touching a new doc — exactly what the oracle
+    computes from the complete md5-family pipeline."""
+    from sigraph_spark.operators.dedup import (
+        incremental_simhash_candidates,
+        simhash_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    index = simhash_index(old, hash_family="md5")
+    pairs, _delta = incremental_simhash_candidates(
+        new, index, max_hamming=3, hash_family="md5"
+    )
+    return pairs
+
+
 # --- similarity search ------------------------------------------------------
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4656,6 +4679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_graph_path": q_sparql_graph_path,
         "sparql_graph_subquery": q_sparql_graph_subquery,
         "video_metadata": q_video_metadata,
+        "simhash_incremental": q_simhash_incremental,
         "rdf_export": q_rdf_export,
         "rdf_roundtrip": q_rdf_roundtrip,
         "neo4j_nodes": q_neo4j_nodes,
@@ -7663,6 +7687,11 @@ def oracle_sql() -> dict[str, str]:
           ON x.bi = y.bi AND x.bv = y.bv AND x.id < y.id
         WHERE bit_count(xor(x.sig, y.sig)) <= 3
     """
+    # --- incremental SimHash: band independence means the delta pair
+    # set IS the full pair set restricted to new-doc endpoints.
+    sq["simhash_incremental"] = (
+        sq["simhash_pairs"] + " AND (x.id % 4 = 0 OR y.id % 4 = 0)"
+    )
     # --- media features: gen_media payloads are deterministic ASCII and
     # the stub decoder is a byte%16 histogram — reconstruct both from
     # range(128). The inner CAST AS FLOAT replicates the float32

@@ -525,6 +525,56 @@ def simhash_udf(family: str = "blake2b"):
     return F.pandas_udf(_simhash_batch_factory(family), "long")
 
 
+def _sh_band(sh: Column, i: int) -> Column:
+    """16-bit band i of a 64-bit SimHash (pigeonhole for Hamming<=3)."""
+    return F.shiftright(sh, i * 16).bitwiseAND(F.lit(0xFFFF))
+
+
+def _sh_first_match(sha: Column, shb: Column) -> Column:
+    """Index of the FIRST band where two signatures agree. A pair
+    colliding in k bands appears k times in the band self-join; keeping
+    only the first-matching-band row dedups as a per-row filter instead
+    of a distinct() shuffle over the (possibly quadratic) pairs."""
+    first_match = F.lit(None).cast("int")
+    for i in range(3, -1, -1):
+        first_match = F.when(
+            _sh_band(sha, i) == _sh_band(shb, i), F.lit(i)
+        ).otherwise(first_match)
+    return first_match
+
+
+def simhash_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_family: str = "blake2b",
+) -> DataFrame:
+    """The persistable SimHash index relation: one row per
+    ``(id, sh, bi, bv)`` — the four 16-bit pigeonhole bands of the
+    64-bit signature PLUS the signature itself (probe time verifies
+    exact Hamming distance, which the MinHash twin does not need).
+
+    The table a 100 TB deployment stores (bucketed by ``(bi, bv)``) so
+    each crawl snapshot deduplicates against the corpus WITHOUT
+    re-signing it (see ``incremental_simhash_candidates``). One narrow
+    Arrow pass + explode; no shuffle until the consumer joins."""
+    sim = docs.select(
+        F.col(id_col).alias("id"),
+        simhash_udf(hash_family)(F.col(text_col)).alias("sh"),
+    )
+    return sim.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("bi"),
+                         _sh_band(F.col("sh"), i).alias("bv"))
+                for i in range(4)
+            ])
+        ).alias("bk"),
+    ).select("id", "sh", F.col("bk.bi").alias("bi"), F.col("bk.bv").alias("bv"))
+
+
 def simhash_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -537,41 +587,74 @@ def simhash_candidates(
 
     Signature via the Arrow pandas UDF (see ``_simhash_batch_factory``);
     banding, the bucket self-join, and Hamming verification stay JVM-side."""
-    sim = docs.select(
-        F.col(id_col).alias("id"), simhash_udf(hash_family)(F.col(text_col)).alias("sh")
-    )
-
-    def band_val(sh, i: int):
-        return F.shiftright(sh, i * 16).bitwiseAND(F.lit(0xFFFF))
-
-    bands = sim.select(
-        "id",
-        "sh",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(i).alias("bi"), band_val(F.col("sh"), i).alias("bv"))
-                for i in range(4)
-            ])
-        ).alias("bk"),
-    ).select("id", "sh", F.col("bk.bi").alias("bi"), F.col("bk.bv").alias("bv"))
+    bands = simhash_index(docs, id_col, text_col, hash_family)
     a = bands.select("bi", "bv", F.col("id").alias("a"), F.col("sh").alias("sha"))
     b = bands.select("bi", "bv", F.col("id").alias("b"), F.col("sh").alias("shb"))
-    # a pair colliding in k bands appears k times; keep only the row whose
-    # band index is the FIRST matching band — dedup as a per-row filter
-    # instead of a distinct() shuffle over the (possibly quadratic) pairs
-    first_match = F.lit(None).cast("int")
-    for i in range(3, -1, -1):
-        first_match = F.when(
-            band_val(F.col("sha"), i) == band_val(F.col("shb"), i), F.lit(i)
-        ).otherwise(first_match)
     return (
         a.join(b, ["bi", "bv"])
         .filter(F.col("a") < F.col("b"))
-        .filter(F.col("bi") == first_match)
+        .filter(F.col("bi") == _sh_first_match(F.col("sha"), F.col("shb")))
         .withColumn("hamming", F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def incremental_simhash_candidates(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    hash_family: str = "blake2b",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental SimHash near-dup: NEW docs vs the EXISTING corpus
+    index (``simhash_index`` rows), plus new-vs-new — without touching
+    corpus text. The MinHash twin of ``incremental_minhash_candidates``
+    with the extra Hamming verification the stored ``sh`` enables.
+
+    Returns ``(pairs, delta_index)``: verified pairs ``(a, b, hamming)``
+    (a < b) where at least one endpoint is new, and the delta index
+    rows the caller appends to the stored index.
+
+    Equivalence (oracled by the ``simhash_incremental`` gate): bands
+    are per-doc independent, so ``candidates(old ∪ new) =
+    candidates(old) ∪ incremental(new, index(old))`` exactly. Probe
+    cost is O(|delta| x 4) rows against a bucketed index; band values
+    are near-uniform hash bits, so no head-key skew by construction."""
+    delta_index = simhash_index(new_docs, id_col, text_col, hash_family)
+    corpus = index.select(
+        "bi", "bv", F.col("id").alias("x"), F.col("sh").alias("shx")
+    )
+    fresh = delta_index.select(
+        "bi", "bv", F.col("id").alias("y"), F.col("sh").alias("shy")
+    )
+    new_vs_old = (
+        corpus.join(fresh, ["bi", "bv"])
+        .filter(F.col("x") != F.col("y"))
+        .filter(F.col("bi") == _sh_first_match(F.col("shx"), F.col("shy")))
+        .withColumn("hamming", F.bit_count(F.col("shx").bitwiseXOR(F.col("shy"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.least("x", "y").alias("a"),
+            F.greatest("x", "y").alias("b"),
+            "hamming",
+        )
+    )
+    n1 = delta_index.select("bi", "bv", F.col("id").alias("a"),
+                            F.col("sh").alias("sha"))
+    n2 = delta_index.select("bi", "bv", F.col("id").alias("b"),
+                            F.col("sh").alias("shb"))
+    new_vs_new = (
+        n1.join(n2, ["bi", "bv"])
+        .filter(F.col("a") < F.col("b"))
+        .filter(F.col("bi") == _sh_first_match(F.col("sha"), F.col("shb")))
+        .withColumn("hamming", F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+    # distinct: a re-fed doc can surface the same pair from both legs
+    return new_vs_old.unionByName(new_vs_new).distinct(), delta_index
 
 
 # ---------------------------------------------------------------------------

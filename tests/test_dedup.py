@@ -241,3 +241,41 @@ def test_incremental_exact_dedup_statuses(spark):
         for r in incremental_exact_dedup(delta, idx2).collect()
     }
     assert set(replay.values()) == {"corpus_dup"}
+
+
+def test_incremental_simhash_equals_full_filtered(spark):
+    # band independence: incremental(new, index(old)) must equal the
+    # full-corpus pair set restricted to pairs touching a new doc
+    from pyspark.sql import functions as F
+
+    from sigraph_spark.operators.dedup import (
+        incremental_simhash_candidates,
+        simhash_candidates,
+        simhash_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = []
+    for i in range(40):
+        words = base.split()
+        if i % 5 == 0:
+            words[i % len(words)] = f"tok{i}"  # near-dup of the base
+        elif i % 5 == 1:
+            words = [f"u{i}w{j}" for j in range(12)]  # unique doc
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    full = {
+        (r["a"], r["b"], r["hamming"])
+        for r in simhash_candidates(docs, hash_family="md5").collect()
+    }
+    expected = {t for t in full if t[0] % 4 == 0 or t[1] % 4 == 0}
+    pairs, delta = incremental_simhash_candidates(
+        new, simhash_index(old, hash_family="md5"), hash_family="md5"
+    )
+    got = {(r["a"], r["b"], r["hamming"]) for r in pairs.collect()}
+    assert got == expected and expected  # non-trivial fixture
+    # appending the delta makes the next snapshot see new docs as corpus
+    merged = simhash_index(old, hash_family="md5").unionByName(delta)
+    assert merged.count() == docs.count() * 4
