@@ -4331,29 +4331,14 @@ def q_drift_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: IVF ANN (k-means coarse quantizer + 2-probe search)."""
-    from sigraph_spark.operators.similarity import ivf_index, ivf_topk
-
-    e = _emb(spark, sf_dir)
-    q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    tagged, centroids = ivf_index(e, k=8)
-    return ivf_topk(tagged, centroids, q, k=10, n_probe=2)
-
-
-def q_ivf_topk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HARD oracle for the IVF SEARCH path: fixed literal centroids (the
-    frozen-quantizer deployment — see similarity.ivf_assign) make the
-    assignment, 2-probe selection (score desc, cluster desc), and
-    cluster-restricted ranking fully SQL-reproducible. Only the k-means
-    TRAINING half (q_ivf_topk) stays rows-only, pinned by recall tests."""
+def _ivf_rounded_search(spark: SparkSession, sf_dir: str, cents) -> DataFrame:
+    """Shared IVF probe-search half (SQL-reproducible): ivf_assign
+    tagging, 2-probe selection (score desc, cluster desc tie-break),
+    cluster-restricted exact cosine rounded to 6dp, rank <= 10."""
     from sigraph_spark.operators.similarity import (
-        _hyperplane, dot, ivf_assign, l2_norm, l2_normalize,
+        dot, ivf_assign, l2_norm, l2_normalize,
     )
 
-    cents = [_hyperplane(64, 100 + i) for i in range(8)]
     cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
     e = _emb(spark, sf_dir)
     tagged = ivf_assign(e, cents)
@@ -4394,6 +4379,33 @@ def q_ivf_topk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 10)
     )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD oracle (round 5 — closes the last rows-only gate): the
+    k-means TRAINING half is now the deterministic spherical-Lloyd
+    trainer (similarity.ivf_train_lloyd — fixed-point BIGINT dimension
+    sums, first-index argmax, driver-side left-assoc normalization), so
+    the oracle unrolls the 2 training iterations as chained CTEs and
+    the search half reuses the ivf_topk_fixed device. Spark ML's KMeans
+    path (ivf_index) stays the convenience trainer, recall-pinned in
+    tests."""
+    from sigraph_spark.operators.similarity import ivf_train_lloyd
+
+    cents = ivf_train_lloyd(_emb(spark, sf_dir), k=8, iters=2)
+    return _ivf_rounded_search(spark, sf_dir, cents)
+
+
+def q_ivf_topk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD oracle for the IVF SEARCH path alone: fixed literal
+    centroids (the frozen-quantizer deployment — see
+    similarity.ivf_assign) make the assignment, 2-probe selection
+    (score desc, cluster desc), and cluster-restricted ranking fully
+    SQL-reproducible without the training unroll."""
+    from sigraph_spark.operators.similarity import _hyperplane
+
+    cents = [_hyperplane(64, 100 + i) for i in range(8)]
+    return _ivf_rounded_search(spark, sf_dir, cents)
 
 
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7573,6 +7585,90 @@ def oracle_sql() -> dict[str, str]:
           SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
           FROM scored)
+        WHERE rank <= 10
+        """
+    )
+    # --- ivf_topk: TRAINED quantizer, hard-oracled (round 5; closes the
+    # last rows-only gate). similarity.ivf_train_lloyd is deterministic by
+    # construction — seeds = normalized vectors of the 8 smallest vec_ids;
+    # assign = first-index argmax of <uv, c>; update = per-dimension
+    # fixed-point BIGINT sums (floor(uv_j * 2^24), order-independent),
+    # mean = s / (2^24 * n), then left-assoc norm — so each Lloyd
+    # iteration unrolls to the chained CTEs below (the PageRank/BPE
+    # unrolled-oracle device) and every double matches bit-for-bit.
+    # Empty / zero-norm clusters keep the previous centroid (LEFT JOIN +
+    # CASE). Search half = the ivf_topk_fixed device with the trained
+    # centroid TABLE instead of literals.
+    def _lloyd_iter(i: int) -> str:
+        prev = f"cents{i - 1}"
+        return f"""
+        cs{i} AS (
+          SELECT t.vec_id, t.uv,
+                 list(list_dot_product(t.uv, c.c) ORDER BY c.cid) AS cs
+          FROM u t CROSS JOIN {prev} c GROUP BY t.vec_id, t.uv),
+        a{i} AS (
+          SELECT vec_id, uv,
+                 CAST(list_position(cs, list_aggregate(cs, 'max')) - 1 AS INT)
+                   AS cluster
+          FROM cs{i}),
+        s{i} AS (
+          SELECT cluster, CAST(j AS INT) AS j, count(*) AS n,
+                 sum(CAST(floor(uv[CAST(j + 1 AS INT)] * 16777216.0) AS BIGINT))
+                   AS s
+          FROM a{i}, UNNEST(range(0, 64)) AS t(j)
+          GROUP BY cluster, j),
+        m{i} AS (
+          SELECT cluster, list(s / (16777216.0 * n) ORDER BY j) AS m
+          FROM s{i} GROUP BY cluster),
+        nrm{i} AS (
+          SELECT cluster, m,
+                 list_reduce(list_transform(m, x -> x * x),
+                             (acc, x) -> acc + x) AS norm2
+          FROM m{i}),
+        cents{i} AS (
+          SELECT c0.cid,
+                 CASE WHEN nn.norm2 > 0
+                      THEN list_transform(nn.m, x -> x / sqrt(nn.norm2))
+                      ELSE c0.c END AS c
+          FROM {prev} c0 LEFT JOIN nrm{i} nn ON c0.cid = nn.cluster)"""
+
+    sq["ivf_topk"] = (
+        "WITH " + _NORM_CTE + """,
+        cents0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+                 uv AS c
+          FROM (SELECT vec_id, uv FROM u ORDER BY vec_id LIMIT 8)),"""
+        + ",".join(_lloyd_iter(i) for i in (1, 2))
+        + """,
+        csf AS (
+          SELECT t.vec_id, t.v, t.nrm,
+                 list(list_dot_product(t.uv, c.c) ORDER BY c.cid) AS cs
+          FROM u t CROSS JOIN cents2 c GROUP BY t.vec_id, t.v, t.nrm),
+        assignf AS (
+          SELECT vec_id, v, nrm,
+                 CAST(list_position(cs, list_aggregate(cs, 'max')) - 1 AS INT)
+                   AS cluster
+          FROM csf),
+        qf AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, cs
+               FROM csf WHERE vec_id < 5),
+        qsf AS (
+          SELECT query_id, qv, qn, CAST(i AS INT) AS cid,
+                 cs[CAST(i + 1 AS INT)] AS s
+          FROM qf, UNNEST(range(0, 8)) AS t(i)),
+        probesf AS (
+          SELECT query_id, qv, qn, cid FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY s DESC, cid DESC) AS rn
+            FROM qsf)
+          WHERE rn <= 2),
+        scoredf AS (
+          SELECT p.query_id, c.vec_id,
+                 round(list_dot_product(c.v, p.qv) / (c.nrm * p.qn), 6) AS cosine
+          FROM assignf c JOIN probesf p ON c.cluster = p.cid)
+        SELECT query_id, vec_id, cosine, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+          FROM scoredf)
         WHERE rank <= 10
         """
     )

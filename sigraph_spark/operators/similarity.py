@@ -332,6 +332,77 @@ def ivf_index(
     return tagged, centroids
 
 
+def ivf_train_lloyd(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1 << 24,
+) -> list[list[float]]:
+    """Deterministic spherical k-means (Lloyd) coarse-quantizer
+    training, engine-portable by construction — the ``ivf_topk`` gate
+    oracle unrolls these exact iterations as chained SQL CTEs:
+
+    * seeds: the L2-normalized vectors of the ``k`` smallest ids;
+    * assign: argmax_j <v, c_j>, FIRST index wins ties;
+    * update: per-dimension sums in FIXED-POINT integers
+      (``floor(v_j * scale)`` summed as BIGINT — order-independent, so
+      either engine may aggregate in any order), then mean =
+      ``s_j / (scale * n)`` and L2-normalization computed driver-side
+      with left-to-right accumulation (matching SQL's left-assoc
+      chains; all inputs < 2^53 so the doubles are identical);
+      empty/zero-norm clusters keep their previous centroid.
+
+    The driver holds only ``k x dim`` floats per round (the BPE/TransE
+    driver-argmax pattern); each iteration is one narrow map + one
+    k-key groupBy with map-side partial aggregation. At 10^12 vectors
+    you train on a sample and freeze the centroids (``ivf_assign``) —
+    this IS that offline trainer, minus the sampling. Spark ML's
+    KMeans (``ivf_index``) remains the convenience path where
+    cross-engine determinism is not required."""
+    import math
+
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        l2_normalize(F.col(vec_col)).alias("v"),
+    )
+    seed_rows = v.orderBy("vec_id").limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(f"need >= {k} vectors to seed {k} clusters")
+    cents = [[float(x) for x in r["v"]] for r in seed_rows]
+    dim = len(cents[0])
+    for _ in range(iters):
+        cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+        scores = F.transform(cent_arr, lambda c: dot(F.col("v"), c))
+        assigned = v.select(
+            "v",
+            (F.array_position(scores, F.array_max(scores)) - 1)
+            .cast("int").alias("cluster"),
+        )
+        stats = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(
+                    F.floor(F.get("v", j) * F.lit(scale)).cast("long")
+                ).alias(f"s{j}")
+                for j in range(dim)
+            ],
+        ).collect()
+        new_cents = [list(c) for c in cents]
+        for r in stats:
+            n = int(r["n"])
+            m = [r[f"s{j}"] / (scale * n) for j in range(dim)]
+            norm2 = 0.0
+            for x in m:
+                norm2 = norm2 + x * x
+            if norm2 > 0:
+                nrm = math.sqrt(norm2)
+                new_cents[int(r["cluster"])] = [x / nrm for x in m]
+        cents = new_cents
+    return cents
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: list[list[float]],
