@@ -4692,6 +4692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_graph_subquery": q_sparql_graph_subquery,
         "video_metadata": q_video_metadata,
         "simhash_incremental": q_simhash_incremental,
+        "ivf_topk": q_ivf_topk,
+        "sigma_modifiers": q_sigma_modifiers,
         "rdf_export": q_rdf_export,
         "rdf_roundtrip": q_rdf_roundtrip,
         "neo4j_nodes": q_neo4j_nodes,
@@ -4794,7 +4796,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sigma_filter": q_sigma_filter,
         "sigma_sequences": q_sigma_sequences,
         "sigma_sysmon": q_sigma_sysmon,
-        "sigma_modifiers": q_sigma_modifiers,
         "sparql_graph": q_sparql_graph,
         "audio_metadata": q_audio_metadata,
         "text_tokens": q_text_tokens,
@@ -4881,7 +4882,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unit_flush": q_unit_flush,
         "provenance_export": q_provenance_export,
         "drift_sequences": q_drift_sequences,
-        "ivf_topk": q_ivf_topk,
         "ivf_topk_fixed": q_ivf_topk_fixed,
     }
 
