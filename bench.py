@@ -389,15 +389,24 @@ def main() -> None:
     from sigraph_spark.operators.links import resolve_redirects
     from sigraph_spark.operators.textreuse import reuse_spans
 
-    table_pages = entrymod._webtext_table_pages(spark, sf=sf).localCheckpoint(True)
-    hearst_docs = entrymod._hearst_corpus(spark, sf=sf).localCheckpoint(True)
-    reuse_docs = entrymod._webtext_reuse_docs(spark, sf=sf).localCheckpoint(True)
-    alias_edges = entrymod._webtext_alias_graph(spark, sf=sf).localCheckpoint(True)
-    ld_pages = entrymod._webtext_jsonld_pages(spark, sf=sf).localCheckpoint(True)
-    md_pages = entrymod._webtext_microdata_pages(spark, sf=sf).localCheckpoint(True)
-    rd_pages = entrymod._webtext_rdfa_pages(spark, sf=sf).localCheckpoint(True)
-    li_pages = entrymod._webtext_list_pages(spark, sf=sf).localCheckpoint(True)
-    dl_pages = entrymod._webtext_dl_pages(spark, sf=sf).localCheckpoint(True)
+    # repartition(cpus) before every checkpoint: the synthetic corpora
+    # materialize with ~5 partitions at sf0.1 and a checkpoint partition
+    # is one task — the CPU-bound extraction legs ran on 5 of 32 cores
+    # (the same local-mode starvation quantified for the fused scan in
+    # tools/bench_fusedscan.py; measured 1.7-2.2x on md/jsonld/reuse).
+    # At crawl scale inputs arrive as thousands of parquet row groups.
+    def ckpt(df):
+        return df.repartition(cpus).localCheckpoint(True)
+
+    table_pages = ckpt(entrymod._webtext_table_pages(spark, sf=sf))
+    hearst_docs = ckpt(entrymod._hearst_corpus(spark, sf=sf))
+    reuse_docs = ckpt(entrymod._webtext_reuse_docs(spark, sf=sf))
+    alias_edges = ckpt(entrymod._webtext_alias_graph(spark, sf=sf))
+    ld_pages = ckpt(entrymod._webtext_jsonld_pages(spark, sf=sf))
+    md_pages = ckpt(entrymod._webtext_microdata_pages(spark, sf=sf))
+    rd_pages = ckpt(entrymod._webtext_rdfa_pages(spark, sf=sf))
+    li_pages = ckpt(entrymod._webtext_list_pages(spark, sf=sf))
+    dl_pages = ckpt(entrymod._webtext_dl_pages(spark, sf=sf))
 
     def run_webtext() -> int:
         return (
@@ -425,11 +434,11 @@ def main() -> None:
     from sigraph_spark.operators.quotes import extract_quotes
     from sigraph_spark.operators.template import page_structure, template_clusters
 
-    qt_docs = entrymod._webtext_quote_docs(spark, sf=sf).localCheckpoint(True)
-    ab_docs = entrymod._webtext_abbrev_docs(spark, sf=sf).localCheckpoint(True)
-    qn_docs = entrymod._webtext_quantity_docs(spark, sf=sf).localCheckpoint(True)
-    tp_pages = entrymod._webtext_template_pages(spark, sf=sf).localCheckpoint(True)
-    ch_pages = entrymod._webtext_chain_pages(spark, sf=sf).localCheckpoint(True)
+    qt_docs = ckpt(entrymod._webtext_quote_docs(spark, sf=sf))
+    ab_docs = ckpt(entrymod._webtext_abbrev_docs(spark, sf=sf))
+    qn_docs = ckpt(entrymod._webtext_quantity_docs(spark, sf=sf))
+    tp_pages = ckpt(entrymod._webtext_template_pages(spark, sf=sf))
+    ch_pages = ckpt(entrymod._webtext_chain_pages(spark, sf=sf))
 
     def run_mining() -> int:
         chains = page_chains(extract_next_links(ch_pages))

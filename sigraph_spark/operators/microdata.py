@@ -139,55 +139,19 @@ def scoped_attr_kernel(
 
     empty = F.array().cast(_ROW_T)
 
-    def is_scope(t: Column) -> Column:
-        return t["at"].rlike(scope_re)
+    def nz(c: Column) -> Column:
+        # NULL-if-empty with a SINGLE evaluation of c (a when/otherwise
+        # pair would re-run the attr regex on both references)
+        return let(c, lambda v: F.when(v != "", v))
 
-    def scope_subj(t: Column, i: Column) -> Column:
-        # first non-empty subject attr, else the deterministic blank
-        # node url<blank_prefix><scope_idx>
-        out = F.concat(url, F.lit(blank_prefix), i.cast("string"))
-        for name in reversed(subj_attrs):
-            out = F.when(_attr(t["at"], name) != "", _attr(t["at"], name)).otherwise(
-                out
-            )
-        return out
-
-    def sids_of(tags: Column) -> Column:
-        # running scope id per tag: linear fold, -1 before the first scope
-        return F.aggregate(
-            tags,
-            F.struct(
-                F.lit(-1).alias("cur"), F.array().cast("array<int>").alias("out")
-            ),
-            lambda acc, t: F.struct(
-                (acc["cur"] + is_scope(t).cast("int")).alias("cur"),
-                F.concat(
-                    acc["out"], F.array(acc["cur"] + is_scope(t).cast("int"))
-                ).alias("out"),
-            ),
-            lambda acc: acc["out"],
-        )
-
-    def rows_of(tags: Column, sids: Column, subs: Column) -> Column:
-        def per_tag(t: Column, i: Column) -> Column:
-            at, nm = t["at"], t["nm"]
-            sid = F.get(sids, i)
-            scope = at.rlike(scope_re)
-            self_subj = F.get(subs, sid)
-            parent_subj = F.get(subs, sid - 1)
-            tokens = F.filter(
-                F.split(F.trim(_attr(at, prop_attr)), r"\s+"), lambda s: s != ""
-            )
-            # type attr may hold several whitespace-separated tokens
-            # (both specs allow it); each reduces to its segment
-            type_toks = F.filter(
-                F.transform(
-                    F.split(F.trim(_attr(at, type_attr)), r"\s+"),
-                    lambda s: F.regexp_extract(s, type_seg_re, 1),
-                ),
-                lambda s: s != "",
-            )
-            content = _attr(at, "content")
+    def enrich(t: Column) -> Column:
+        # ONE evaluation per derived field: the group extracts and every
+        # attribute pull land in a single per-tag struct, so the scope
+        # fold and row builders below touch only cheap bound fields.
+        # Without this, when()-chains and twice-referenced lambda columns
+        # re-run the attr regexes ~4x per tag — measured as ~2x the whole
+        # channel's executor CPU on the sf0.1 bench corpus.
+        def build(at: Column, nm: Column) -> Column:
             tag_attr = (
                 F.when(nm.isin("a", "link", "area"), _attr(at, "href"))
                 .when(
@@ -201,11 +165,65 @@ def scoped_attr_kernel(
                 .when(nm.isin("data", "meter"), _attr(at, "value"))
                 .otherwise(F.lit(""))
             )
-            value = (
-                F.when(content != "", content)
-                .when(tag_attr != "", tag_attr)
-                .otherwise(F.trim(t["tx"]))
+            return F.struct(
+                at.rlike(scope_re).alias("sc"),
+                # first non-empty subject attr (tuple order), NULL if none
+                F.coalesce(
+                    *[nz(_attr(at, n)) for n in subj_attrs],
+                    F.lit(None).cast("string"),
+                ).alias("sv"),
+                F.trim(_attr(at, prop_attr)).alias("prop"),
+                F.trim(_attr(at, type_attr)).alias("typ"),
+                # value precedence: content attr > tag-specific attr >
+                # trailing text run; the group-3 extract only runs when
+                # both attrs are empty
+                F.coalesce(
+                    nz(_attr(at, "content")), nz(tag_attr),
+                    F.trim(F.regexp_extract(t, tag_re, 3)),
+                ).alias("val"),
             )
+
+        return let(
+            F.regexp_extract(t, tag_re, 2),
+            lambda at: let(
+                F.lower(F.regexp_extract(t, tag_re, 1)),
+                lambda nm: build(at, nm),
+            ),
+        )
+
+    def sids_of(tags: Column) -> Column:
+        # running scope id per tag: linear fold, -1 before the first scope
+        return F.aggregate(
+            tags,
+            F.struct(
+                F.lit(-1).alias("cur"), F.array().cast("array<int>").alias("out")
+            ),
+            lambda acc, t: F.struct(
+                (acc["cur"] + t["sc"].cast("int")).alias("cur"),
+                F.concat(
+                    acc["out"], F.array(acc["cur"] + t["sc"].cast("int"))
+                ).alias("out"),
+            ),
+            lambda acc: acc["out"],
+        )
+
+    def rows_of(tags: Column, sids: Column, subs: Column) -> Column:
+        def per_tag(t: Column, i: Column) -> Column:
+            sid = F.get(sids, i)
+            scope = t["sc"]
+            self_subj = F.get(subs, sid)
+            parent_subj = F.get(subs, sid - 1)
+            tokens = F.filter(F.split(t["prop"], r"\s+"), lambda s: s != "")
+            # type attr may hold several whitespace-separated tokens
+            # (both specs allow it); each reduces to its segment
+            type_toks = F.filter(
+                F.transform(
+                    F.split(t["typ"], r"\s+"),
+                    lambda s: F.regexp_extract(s, type_seg_re, 1),
+                ),
+                lambda s: s != "",
+            )
+            value = t["val"]
 
             def mk(subj, pred, obj, kind: str) -> Column:
                 return F.struct(
@@ -241,18 +259,17 @@ def scoped_attr_kernel(
     kernel = let(
         F.regexp_extract_all(html, F.lit(tag_re), 0),
         lambda raw: let(
-            F.transform(
-                raw,
-                lambda t: F.struct(
-                    F.lower(F.regexp_extract(t, tag_re, 1)).alias("nm"),
-                    F.regexp_extract(t, tag_re, 2).alias("at"),
-                    F.regexp_extract(t, tag_re, 3).alias("tx"),
-                ),
-            ),
+            F.transform(raw, enrich),
             lambda tags: let(
                 sids_of(tags),
                 lambda sids: let(
-                    F.transform(F.filter(tags, is_scope), scope_subj),
+                    F.transform(
+                        F.filter(tags, lambda t: t["sc"]),
+                        lambda t, i: F.coalesce(
+                            t["sv"],
+                            F.concat(url, F.lit(blank_prefix), i.cast("string")),
+                        ),
+                    ),
                     lambda subs: rows_of(tags, sids, subs),
                 ),
             ),
