@@ -34,6 +34,22 @@ def build_session(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
+    # Shuffle/spill local dirs belong on the fastest local storage (on a
+    # real cluster: per-node NVMe via SPARK_LOCAL_DIRS). In this sandbox
+    # the default /tmp is ext4 behind a hypervisor whose concurrent-write
+    # path BURNS CPU IN-KERNEL: at local[32] the pure-JVM graph job
+    # measured 3.9x executorCpuTime inflation (85s vs 23s) and ran slower
+    # than local[8] purely from shuffle-file writes — root-caused in
+    # tools/diag_graph_scaling.py. tmpfs restores CPU parity. Precedence:
+    # an explicit SPARK_LOCAL_DIRS / SPARK_GRAFT_LOCAL_DIR wins.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if (
+        not local_dir
+        and "SPARK_LOCAL_DIRS" not in os.environ
+        and os.access("/dev/shm", os.W_OK)
+    ):
+        local_dir = "/dev/shm/sigraph-spark-local"
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -49,6 +65,8 @@ def build_session(
         # deterministic float behavior for golden hashing
         .config("spark.sql.legacy.allowHashOnMapType", "false")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

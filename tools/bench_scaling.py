@@ -209,7 +209,13 @@ def main() -> None:
         "graph_scaling_efficiency_8_to_32": round(geff_8_32, 3),
         "note": "2->8 is the primary N->4N claim (compute-bound window); "
                 "8->32 documents single-JVM python-worker saturation on this "
-                "32-SMT-lane box — see tools/bench_scaling.py docstring",
+                "32-SMT-lane box — see tools/bench_scaling.py docstring. "
+                "r4's graph-job 8->32 INVERSION is root-caused and fixed: "
+                "32 concurrent shuffle-file writers on the sandbox's ext4 "
+                "/tmp burned 5.7x executorCpuTime in-kernel; local dirs now "
+                "default to tmpfs (per-node NVMe on a real cluster) — "
+                "measured attribution in DIAG_graph_scaling.json via "
+                "tools/diag_graph_scaling.py",
     }
     with open(out_json, "w") as f:
         json.dump(payload, f, indent=1)
