@@ -2339,7 +2339,11 @@ def q_sigma_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the Spark side REALLY base64-encodes per-row payloads via
     F.base64/F.encode; the oracle only restates WHICH event_ids must
     match, arithmetically), and IPv4 CIDR mask-compare incl. the
-    non-IP-string guard. One (event_id, rule) row per rule match."""
+    non-IP-string guard; round 5 adds numeric gt/lte on a string column
+    with a poison row, utf16le/be re-encodings (REALLY encoded JVM-side),
+    field presence (|exists over REAL planted NULLs, both branches) and
+    field-to-field comparison (|fieldref equality + |fieldref|contains).
+    One (event_id, rule) row per rule match."""
     import base64 as _b64
 
     from sigraph_spark.operators.sigma import compile_rule
@@ -2390,6 +2394,17 @@ def q_sigma_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(e % 3 == 0, F.lit("powershell evil"))
             .otherwise(F.lit("calc benign")), "UTF-16BE",
         )).alias("becmd"),
+        # round 5: exists (REAL NULLs planted) + fieldref (field-to-field
+        # compare: img/pimg agree exactly when e%6 and e%3 coincide, and
+        # cmdline embeds img only on even events)
+        F.when(e % 4 == 0, F.lit("present"))
+        .otherwise(F.lit(None).cast("string")).alias("opt"),
+        F.concat(F.lit("proc_"), (e % 6).cast("string")).alias("img"),
+        F.concat(F.lit("proc_"), (e % 3).cast("string")).alias("pimg"),
+        F.when(
+            e % 2 == 0,
+            F.concat(F.lit("run proc_"), (e % 6).cast("string")),
+        ).otherwise(F.lit("run other")).alias("cmdline"),
     )
     rules = {
         "windash": {"id": "m1", "detection": {
@@ -2410,6 +2425,15 @@ def q_sigma_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "condition": "sel"}},
         "utf16be": {"id": "m8", "detection": {
             "sel": {"becmd|utf16be|base64": "powershell evil"},
+            "condition": "sel"}},
+        "exists": {"id": "m9", "detection": {
+            "sel": {"opt|exists": True}, "condition": "sel"}},
+        "absent": {"id": "m10", "detection": {
+            "sel": {"opt|exists": False}, "condition": "sel"}},
+        "fieldref": {"id": "m11", "detection": {
+            "sel": {"img|fieldref": "pimg"}, "condition": "sel"}},
+        "fieldref_contains": {"id": "m12", "detection": {
+            "sel": {"cmdline|fieldref|contains": "img"},
             "condition": "sel"}},
     }
     out = None
@@ -7024,6 +7048,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id, 'wide' FROM events WHERE event_id % 3 = 0
         UNION ALL
         SELECT event_id, 'utf16be' FROM events WHERE event_id % 3 = 0
+        UNION ALL
+        SELECT event_id, 'exists' FROM events WHERE event_id % 4 = 0
+        UNION ALL
+        SELECT event_id, 'absent' FROM events WHERE event_id % 4 <> 0
+        UNION ALL
+        SELECT event_id, 'fieldref' FROM events
+        WHERE event_id % 6 = event_id % 3
+        UNION ALL
+        SELECT event_id, 'fieldref_contains' FROM events
+        WHERE event_id % 2 = 0
     """
     sq["text_tokens"] = r"""
         SELECT doc_id,

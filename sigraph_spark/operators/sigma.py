@@ -21,6 +21,13 @@ Supported subset (what sigraph's fixtures exercise):
   ``|cidr`` (IPv4 dotted-quad membership compiled to an integer
   mask-compare; IPv6 raises). Unknown modifiers now raise at compile
   time instead of silently exact-matching;
+* field-presence and field-to-field items (pySigma semantics):
+  ``field|exists: true/false`` compiles to ``isNotNull``/``isNull``
+  (combining it with any other modifier raises), and
+  ``field|fieldref: OtherField`` compares the field to ANOTHER FIELD of
+  the same event instead of a literal — plain equality or one of
+  ``contains``/``startswith``/``endswith`` (value transforms raise:
+  they re-encode literals, which a column reference is not);
 * value wildcards ``*``/``?`` compile to LIKE patterns;
 * condition grammar: ``and / or / not / ( )`` over selection names plus
   ``1 of them`` / ``all of them`` / ``1 of sel*`` / ``all of sel*``;
@@ -255,11 +262,64 @@ def _item_predicate(key: str, value, field_prefix: str | None) -> Column:
     a trailing ``|all`` ANDs a value list instead of ORing it."""
     parts = key.split("|")
     field, modifiers = parts[0], parts[1:]
+    col = _field_col(field, field_prefix)
+    if "exists" in modifiers:
+        if modifiers != ["exists"]:
+            raise ValueError(
+                f"exists cannot combine with other modifiers: {modifiers}"
+            )
+        if not isinstance(value, bool):
+            raise ValueError(
+                f"exists modifier requires a boolean value, got {value!r}"
+            )
+        return col.isNotNull() if value else col.isNull()
     mode_all = "all" in modifiers
     modifiers = [m for m in modifiers if m != "all"]
-    col = _field_col(field, field_prefix)
+    if "fieldref" in modifiers:
+        return _fieldref_predicate(
+            col, value, [m for m in modifiers if m != "fieldref"],
+            field_prefix, mode_all,
+        )
     values = value if isinstance(value, list) else [value]
     preds = [_value_predicate(col, v, modifiers) for v in values]
+    out = preds[0]
+    for p in preds[1:]:
+        out = (out & p) if mode_all else (out | p)
+    return out
+
+
+def _fieldref_predicate(
+    col: Column, value, rest: list[str],
+    field_prefix: str | None, mode_all: bool,
+) -> Column:
+    """``field|fieldref[|match]: OtherField`` — compare to another field
+    of the same event. Either-side NULL compares as a non-match (Catalyst
+    NULL comparison filters the row), matching pySigma's behavior."""
+    bad = [m for m in rest if m not in ("contains", "startswith", "endswith")]
+    if bad:
+        raise ValueError(
+            f"fieldref combines only with contains/startswith/endswith, "
+            f"got {bad}"
+        )
+    if len(rest) > 1:
+        raise ValueError(f"conflicting match modifiers {rest}")
+    matcher = rest[0] if rest else None
+    refs = value if isinstance(value, list) else [value]
+    preds = []
+    for r in refs:
+        if not isinstance(r, str):
+            raise ValueError(
+                f"fieldref modifier requires a field-name string, got {r!r}"
+            )
+        ref = _field_col(r, field_prefix)
+        if matcher == "contains":
+            preds.append(col.contains(ref))
+        elif matcher == "startswith":
+            preds.append(col.startswith(ref))
+        elif matcher == "endswith":
+            preds.append(col.endswith(ref))
+        else:
+            preds.append(col == ref)
     out = preds[0]
     for p in preds[1:]:
         out = (out & p) if mode_all else (out | p)

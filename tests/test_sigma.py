@@ -428,3 +428,81 @@ def test_encoding_modifier_errors(spark):
     ):
         with pytest.raises(ValueError):
             compile_rule({"id": "t", "detection": det})
+
+
+def test_exists_modifier(spark):
+    from sigraph_spark.operators.sigma import compile_rule
+
+    rows = [(1, "a"), (2, None), (3, "c"), (4, None)]
+    df = spark.createDataFrame(rows, "id long, f string")
+    present = {"id": "t", "detection": {
+        "sel": {"f|exists": True}, "condition": "sel"}}
+    got = sorted(r["id"] for r in df.filter(compile_rule(present)).collect())
+    assert got == [1, 3]
+    absent = {"id": "t", "detection": {
+        "sel": {"f|exists": False}, "condition": "sel"}}
+    got = sorted(r["id"] for r in df.filter(compile_rule(absent)).collect())
+    assert got == [2, 4]
+
+
+def test_exists_modifier_errors(spark):
+    import pytest
+
+    from sigraph_spark.operators.sigma import compile_rule
+
+    for det in (
+        # non-boolean value
+        {"sel": {"f|exists": "yes"}, "condition": "sel"},
+        # combining with anything else
+        {"sel": {"f|exists|contains": True}, "condition": "sel"},
+        {"sel": {"f|base64|exists": True}, "condition": "sel"},
+    ):
+        with pytest.raises(ValueError):
+            compile_rule({"id": "t", "detection": det})
+
+
+def test_fieldref_modifier(spark):
+    from sigraph_spark.operators.sigma import compile_rule
+
+    rows = [
+        (1, "cmd.exe", "cmd.exe", r"C:\tools\cmd.exe run"),
+        (2, "cmd.exe", "powershell.exe", r"C:\tools\powershell.exe run"),
+        (3, "svchost.exe", "svchost.exe", "unrelated"),
+        (4, None, "cmd.exe", None),  # NULL side -> non-match, not error
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, Image string, ParentImage string, CommandLine string"
+    )
+    eq = {"id": "t", "detection": {
+        "sel": {"Image|fieldref": "ParentImage"}, "condition": "sel"}}
+    got = sorted(r["id"] for r in df.filter(compile_rule(eq)).collect())
+    assert got == [1, 3]
+    contains = {"id": "t", "detection": {
+        "sel": {"CommandLine|fieldref|contains": "ParentImage"},
+        "condition": "sel"}}
+    got = sorted(r["id"] for r in df.filter(compile_rule(contains)).collect())
+    assert got == [1, 2]
+    # list of refs ORs; |all ANDs
+    any_of = {"id": "t", "detection": {
+        "sel": {"Image|fieldref": ["ParentImage", "CommandLine"]},
+        "condition": "sel"}}
+    got = sorted(r["id"] for r in df.filter(compile_rule(any_of)).collect())
+    assert got == [1, 3]
+
+
+def test_fieldref_modifier_errors(spark):
+    import pytest
+
+    from sigraph_spark.operators.sigma import compile_rule
+
+    for det in (
+        # value transforms make no sense over a column reference
+        {"sel": {"f|fieldref|base64": "g"}, "condition": "sel"},
+        {"sel": {"f|windash|fieldref": "g"}, "condition": "sel"},
+        # non-string reference
+        {"sel": {"f|fieldref": 7}, "condition": "sel"},
+        # conflicting match modifiers
+        {"sel": {"f|fieldref|contains|endswith": "g"}, "condition": "sel"},
+    ):
+        with pytest.raises(ValueError):
+            compile_rule({"id": "t", "detection": det})
