@@ -1052,20 +1052,43 @@ def q_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ISO-BMFF container metadata (round 5, operators/multimodal.py
-    mp4_metadata): the box walk reads ftyp brand, mvhd (32- AND 64-bit
-    forms every 7th file) timescale/duration, tkhd 16.16 dimensions,
-    hdlr handlers and stsd codec fourccs; every 11th file uses a
-    size==1 largesize mdat, every 13th is garbage -> 'unknown' NULL
-    row. Payloads are BUILT deterministically driver-side
-    (encode_mp4); the oracle enumerates the expected metadata
-    arithmetically. Sample decode is a declared non-goal."""
-    from sigraph_spark.operators.multimodal import encode_mp4, video_metadata
+    """Video container metadata (round 5, operators/multimodal.py):
+    ISO-BMFF (mp4_metadata — ftyp brand, 32- AND 64-bit mvhd every 7th
+    file, tkhd 16.16 dimensions, hdlr/stsd codecs, size==1 largesize
+    mdat every 11th) plus Matroska/WebM (mkv_metadata, every 5th≡2
+    file — EBML vint walk, TimestampScale×float Duration, TrackEntry
+    types/codecs/pixel dims, float64 Duration every 7th, live-mux
+    unknown-size Segment every 11th); every 13th file is garbage ->
+    'unknown' NULL row. Payloads are BUILT deterministically
+    driver-side (encode_mp4/encode_mkv); the oracle enumerates the
+    expected metadata arithmetically. Sample decode is a declared
+    non-goal."""
+    from sigraph_spark.operators.multimodal import (
+        encode_mkv,
+        encode_mp4,
+        video_metadata,
+    )
 
     rows = []
     for i in range(240):
         if i % 13 == 0:
             rows.append((f"vid-{i}", bytearray(b"\x00\x01garbage" * 3)))
+            continue
+        if i % 5 == 2:
+            ts_ns = 2_000_000 if i % 4 == 0 else 1_000_000
+            tracks = [{
+                "type": 1,
+                "codec": "V_VP9" if i % 3 == 0 else "V_AV1",
+                "width": 256 + 32 * (i % 7), "height": 144 + 16 * (i % 4),
+            }]
+            if i % 2 == 0:
+                tracks.append({"type": 2, "codec": "A_OPUS"})
+            rows.append((f"vid-{i}", bytearray(encode_mkv(
+                ts_ns, float(1000 * (i % 50 + 1)), tracks,
+                doctype="webm" if i % 2 == 0 else "matroska",
+                float64_duration=(i % 7 == 0),
+                unknown_segment_size=(i % 11 == 0),
+            ))))
             continue
         ts = 1000 if i % 2 == 0 else 600
         dur = 1000 * (i % 50 + 1)
@@ -5818,26 +5841,39 @@ def oracle_sql() -> dict[str, str]:
                CAST(duration_ms AS BIGINT) AS duration_ms
         FROM t
     """
-    # --- ISO-BMFF metadata: pure arithmetic enumeration of the built
-    # skeletons; the Spark side does the real box walk per payload.
+    # --- video container metadata: pure arithmetic enumeration of the
+    # built ISO-BMFF and Matroska/EBML skeletons; the Spark side does
+    # the real box / vint walk per payload. Matroska duration_ms =
+    # Duration ticks x TimestampScale(ns) / 10^6, exact here because
+    # the built tick counts are float32-exact integers.
     sq["video_metadata"] = """
         WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 240))
         SELECT 'vid-' || CAST(i AS VARCHAR) AS media_id,
           CASE WHEN i % 13 = 0 THEN 'unknown'
+               WHEN i % 5 = 2 THEN
+                 CASE WHEN i % 2 = 0 THEN 'matroska-webm'
+                      ELSE 'matroska-matroska' END
                ELSE 'isobmff-isom' END AS format,
           CAST(CASE WHEN i % 13 = 0 THEN NULL
+               WHEN i % 5 = 2 THEN 1000 * (i % 50 + 1)
+                    * (CASE WHEN i % 4 = 0 THEN 2 ELSE 1 END)
                ELSE (1000 * (i % 50 + 1) * 1000)
                     // (CASE WHEN i % 2 = 0 THEN 1000 ELSE 600 END)
                END AS BIGINT) AS duration_ms,
           CAST(CASE WHEN i % 13 = 0 THEN NULL
                WHEN i % 2 = 0 THEN 2 ELSE 1 END AS INT) AS n_tracks,
           CAST(CASE WHEN i % 13 = 0 THEN NULL
+               WHEN i % 5 = 2 THEN 256 + 32 * (i % 7)
                ELSE 320 + 16 * (i % 5) END AS INT) AS width,
           CAST(CASE WHEN i % 13 = 0 THEN NULL
+               WHEN i % 5 = 2 THEN 144 + 16 * (i % 4)
                ELSE 240 + 16 * (i % 3) END AS INT) AS height,
           CASE WHEN i % 13 = 0 THEN NULL
+               WHEN i % 5 = 2 THEN
+                 CASE WHEN i % 3 = 0 THEN 'V_VP9' ELSE 'V_AV1' END
                WHEN i % 3 = 0 THEN 'hev1' ELSE 'avc1' END AS video_codec,
           CASE WHEN i % 13 = 0 OR i % 2 <> 0 THEN NULL
+               WHEN i % 5 = 2 THEN 'A_OPUS'
                ELSE 'mp4a' END AS audio_codec
         FROM pg
     """

@@ -1215,6 +1215,226 @@ def encode_mp4(
     return ftyp + moov + mdat
 
 
+# --- Matroska / WebM (EBML, RFC 8794 + the public Matroska element
+# registry) container metadata: the same walk-don't-decode contract as
+# mp4_metadata, over the second container family crawls actually carry.
+
+_EBML_HEADER = 0x1A45DFA3
+_EBML_DOCTYPE = 0x4282
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TIMESTAMP_SCALE = 0x2AD7B1
+_MKV_DURATION = 0x4489
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACK_ENTRY = 0xAE
+_MKV_TRACK_TYPE = 0x83
+_MKV_CODEC_ID = 0x86
+_MKV_VIDEO = 0xE0
+_MKV_PIXEL_WIDTH = 0xB0
+_MKV_PIXEL_HEIGHT = 0xBA
+
+
+def _ebml_read_id(buf, pos: int) -> tuple[int, int]:
+    """Element ID vint: length = leading zeros of the first byte + 1
+    (IDs keep their marker bit, so 0xAE and 0x42 0x82 compare as the
+    registry constants above). IDs are 1-4 bytes."""
+    if pos >= len(buf):
+        raise ValueError("EBML id past end")
+    b0 = buf[pos]
+    if b0 == 0:
+        raise ValueError("invalid EBML id lead byte 0x00")
+    n = 9 - b0.bit_length()
+    if n > 4 or pos + n > len(buf):
+        raise ValueError("EBML id too long")
+    return int.from_bytes(buf[pos:pos + n], "big"), pos + n
+
+
+def _ebml_read_size(buf, pos: int) -> tuple[int, bool, int]:
+    """Size vint: marker bit cleared; all-ones payload means UNKNOWN
+    size (streaming muxers emit it on Segment) -> (size, unknown, pos)."""
+    if pos >= len(buf):
+        raise ValueError("EBML size past end")
+    b0 = buf[pos]
+    if b0 == 0:
+        raise ValueError("invalid EBML size lead byte 0x00")
+    n = 9 - b0.bit_length()
+    if pos + n > len(buf):
+        raise ValueError("EBML size truncated")
+    raw = int.from_bytes(buf[pos:pos + n], "big")
+    val = raw - (1 << (7 * n))
+    return val, val == (1 << (7 * n)) - 1, pos + n
+
+
+def _iter_ebml(buf, start: int, end: int):
+    """Yield (element_id, body_start, body_end) for the siblings in
+    [start, end); an unknown-size element extends to the parent end."""
+    pos = start
+    while pos < end:
+        eid, pos = _ebml_read_id(buf, pos)
+        size, unknown, pos = _ebml_read_size(buf, pos)
+        if unknown:
+            size = end - pos
+        if pos + size > end:
+            raise ValueError("EBML element overruns its parent")
+        yield eid, pos, pos + size
+        pos += size
+
+
+def mkv_metadata(payload: bytes) -> dict:
+    """Matroska/WebM EBML walk -> the same ``{format, duration_ms,
+    n_tracks, width, height, video_codec, audio_codec}`` dict as
+    :func:`mp4_metadata`, without touching Cluster/Block sample data.
+
+    Requires a leading EBML header (format = 'matroska-<DocType>');
+    reads Segment/Info's TimestampScale (ns per tick, default 10^6) and
+    float Duration (ticks, 4- or 8-byte IEEE), and each Tracks/
+    TrackEntry's TrackType/CodecID plus Video PixelWidth/PixelHeight.
+    First video track (TrackType 1) wins dimensions/codec; first audio
+    track (TrackType 2) wins audio_codec. Unknown-size Segments (live
+    muxer output) extend to end-of-file. Raises ValueError on anything
+    structurally malformed."""
+    import struct
+
+    if len(payload) < 8:
+        raise ValueError("too short for EBML")
+    buf = memoryview(payload)
+    top = list(_iter_ebml(buf, 0, len(payload)))
+    if not top or top[0][0] != _EBML_HEADER:
+        raise ValueError("not EBML (no leading header)")
+    doctype = "matroska"
+    for eid, s, e in _iter_ebml(buf, top[0][1], top[0][2]):
+        if eid == _EBML_DOCTYPE:
+            doctype = bytes(buf[s:e]).split(b"\x00")[0].decode(
+                "ascii", "replace"
+            )
+    seg = next(
+        ((s, e) for eid, s, e in top if eid == _MKV_SEGMENT), None
+    )
+    if seg is None:
+        raise ValueError("no Segment element")
+
+    ts_scale = 1_000_000  # Matroska default: 1 ms ticks
+    dur_ticks = None
+    n_tracks = 0
+    width = height = None
+    video_codec = audio_codec = None
+    for eid, s, e in _iter_ebml(buf, *seg):
+        if eid == _MKV_INFO:
+            for eid2, s2, e2 in _iter_ebml(buf, s, e):
+                if eid2 == _MKV_TIMESTAMP_SCALE:
+                    ts_scale = int.from_bytes(buf[s2:e2], "big")
+                elif eid2 == _MKV_DURATION:
+                    if e2 - s2 == 4:
+                        dur_ticks = struct.unpack(
+                            ">f", bytes(buf[s2:e2])
+                        )[0]
+                    elif e2 - s2 == 8:
+                        dur_ticks = struct.unpack(
+                            ">d", bytes(buf[s2:e2])
+                        )[0]
+                    else:
+                        raise ValueError(
+                            f"Duration float width {e2 - s2}"
+                        )
+        elif eid == _MKV_TRACKS:
+            for eid2, s2, e2 in _iter_ebml(buf, s, e):
+                if eid2 != _MKV_TRACK_ENTRY:
+                    continue
+                n_tracks += 1
+                ttype = codec = w = h = None
+                for eid3, s3, e3 in _iter_ebml(buf, s2, e2):
+                    if eid3 == _MKV_TRACK_TYPE:
+                        ttype = int.from_bytes(buf[s3:e3], "big")
+                    elif eid3 == _MKV_CODEC_ID:
+                        codec = bytes(buf[s3:e3]).decode(
+                            "ascii", "replace"
+                        )
+                    elif eid3 == _MKV_VIDEO:
+                        for eid4, s4, e4 in _iter_ebml(buf, s3, e3):
+                            if eid4 == _MKV_PIXEL_WIDTH:
+                                w = int.from_bytes(buf[s4:e4], "big")
+                            elif eid4 == _MKV_PIXEL_HEIGHT:
+                                h = int.from_bytes(buf[s4:e4], "big")
+                if ttype == 1 and video_codec is None:
+                    video_codec, width, height = codec, w, h
+                elif ttype == 2 and audio_codec is None:
+                    audio_codec = codec
+    if n_tracks == 0:
+        raise ValueError("no Tracks element")
+    duration_ms = None
+    if dur_ticks is not None:
+        duration_ms = int(dur_ticks * ts_scale / 1_000_000)
+    return {
+        "format": "matroska-" + doctype,
+        "duration_ms": duration_ms,
+        "n_tracks": n_tracks,
+        "width": width,
+        "height": height,
+        "video_codec": video_codec,
+        "audio_codec": audio_codec,
+    }
+
+
+def _ebml_encode_size(n: int) -> bytes:
+    """Minimal-length size vint (marker bit set, all-ones reserved)."""
+    for ln in range(1, 9):
+        if n < (1 << (7 * ln)) - 1:
+            return ((1 << (7 * ln)) | n).to_bytes(ln, "big")
+    raise ValueError(f"EBML size {n} too large")
+
+
+def encode_mkv(
+    timescale_ns: int,
+    duration_ticks: float,
+    tracks: list,
+    doctype: str = "matroska",
+    float64_duration: bool = False,
+    unknown_segment_size: bool = False,
+) -> bytes:
+    """Structurally-valid Matroska/WebM skeleton (exists to test the
+    EBML walk, like ``encode_mp4``): EBML header{DocType} +
+    Segment{Info{TimestampScale, Duration}, Tracks{TrackEntry*}} +
+    a dummy non-registry element standing in for Cluster data.
+    ``tracks`` is a list of {type: 1|2, codec: str, width, height};
+    ``unknown_segment_size`` emits the all-ones live-mux Segment size."""
+    import struct
+
+    def el(eid: bytes, body: bytes) -> bytes:
+        return eid + _ebml_encode_size(len(body)) + body
+
+    def uint(v: int) -> bytes:
+        return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+    header = el(
+        b"\x1aE\xdf\xa3", el(b"\x42\x82", doctype.encode("ascii"))
+    )
+    dur = struct.pack(
+        ">d" if float64_duration else ">f", float(duration_ticks)
+    )
+    info = el(
+        b"\x15\x49\xa9\x66",
+        el(b"\x2a\xd7\xb1", uint(timescale_ns)) + el(b"\x44\x89", dur),
+    )
+    entries = b""
+    for tr in tracks:
+        body = el(b"\x83", uint(int(tr["type"])))
+        body += el(b"\x86", tr["codec"].encode("ascii"))
+        if tr.get("width"):
+            body += el(
+                b"\xe0",
+                el(b"\xb0", uint(int(tr["width"])))
+                + el(b"\xba", uint(int(tr["height"]))),
+            )
+        entries += el(b"\xae", body)
+    seg_body = (
+        info + el(b"\x16\x54\xae\x6b", entries)
+        + el(b"\xec", bytes(16))  # Void stand-in for Cluster data
+    )
+    if unknown_segment_size:
+        return header + b"\x18\x53\x80\x67" + b"\xff" + seg_body
+    return header + el(b"\x18\x53\x80\x67", seg_body)
+
+
 VIDEO_META_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType()),
@@ -1234,11 +1454,12 @@ def video_metadata(
     id_col: str = "media_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """binary video payload -> ISO-BMFF container metadata via
-    mapInPandas (Arrow batches, zero per-row Python in the plan);
-    unparseable payloads yield format 'unknown' with NULL fields —
-    crawl data is dirty by definition. Same scale shape as
-    :func:`audio_metadata`: the blob column is materialized only
+    """binary video payload -> container metadata via mapInPandas
+    (Arrow batches, zero per-row Python in the plan): ISO-BMFF
+    (:func:`mp4_metadata`) and Matroska/WebM (:func:`mkv_metadata`)
+    tried in turn; unparseable payloads yield format 'unknown' with
+    NULL fields — crawl data is dirty by definition. Same scale shape
+    as :func:`audio_metadata`: the blob column is materialized only
     inside this stage."""
     cols = media.select(
         F.col(id_col).cast("string").alias("media_id"),
@@ -1251,10 +1472,12 @@ def video_metadata(
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 meta = None
                 if payload:
-                    try:
-                        meta = mp4_metadata(bytes(payload))
-                    except ValueError:
-                        meta = None
+                    for parser in (mp4_metadata, mkv_metadata):
+                        try:
+                            meta = parser(bytes(payload))
+                            break
+                        except ValueError:
+                            meta = None
                 if meta is None:
                     meta = {
                         "format": "unknown", "duration_ms": None,
