@@ -1107,6 +1107,79 @@ def q_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_metadata(df)
 
 
+def q_jpeg_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG entropy-codec cross-check (round 5, operators/jpeg.py +
+    jpeg_arith.py): inside one mapInPandas stage, each deterministic
+    image (noise / gradient / solid, mixed non-multiple-of-8 sizes,
+    qualities 50/75/90, every 6th with an arithmetic restart interval,
+    every 9th≡4 with non-default AC conditioning Kx=63) is encoded
+    three ways — Huffman baseline, progressive SOF2, arithmetic SOF9
+    QM-coder — and all three are decoded back. prog_ok / arith_ok
+    assert BIT-IDENTICAL pixels vs the baseline decode (all encoders
+    share the quantized-coefficient math); the oracle enumerates the
+    expected dimensions + outcomes arithmetically. Blob never leaves
+    the stage — the same scale shape as media_features."""
+    import pandas as pd
+
+    ids = spark.range(0, 36).select(F.col("id").cast("int").alias("img_id"))
+
+    def run(batches):
+        import numpy as np
+
+        from sigraph_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+        from sigraph_spark.operators.jpeg_arith import encode_jpeg_arithmetic
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["img_id"]:
+                i = int(i)
+                w = 8 + (i % 4) * 8 + (i % 5)
+                h = 8 + (i % 3) * 8 + (i % 7)
+                kind = i % 3
+                if kind == 0:
+                    rng = np.random.default_rng(i)
+                    rgb = rng.integers(
+                        0, 256, size=(h, w, 3), dtype=np.uint8
+                    ).tobytes()
+                elif kind == 1:
+                    x = np.linspace(0, 255, w)
+                    g = np.stack(
+                        [np.tile(x, (h, 1)),
+                         np.tile(x[::-1], (h, 1)),
+                         np.full((h, w), float(i * 5 % 256))],
+                        axis=2,
+                    )
+                    rgb = g.astype(np.uint8).tobytes()
+                else:
+                    rgb = np.full((h, w, 3), (i * 37) % 256,
+                                  dtype=np.uint8).tobytes()
+                q = (50, 75, 90)[(i // 3) % 3]
+                base = decode_jpeg(encode_jpeg(w, h, rgb, quality=q))
+                prog = decode_jpeg(
+                    encode_jpeg_progressive(w, h, rgb, quality=q)
+                )
+                ar = decode_jpeg(encode_jpeg_arithmetic(
+                    w, h, rgb, quality=q,
+                    ac_kx=63 if i % 9 == 4 else 5,
+                    restart_interval=2 if i % 6 == 5 else 0,
+                ))
+                rows.append({
+                    "img_id": i, "width": base[0], "height": base[1],
+                    "prog_ok": prog == base, "arith_ok": ar == base,
+                })
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(
+        run,
+        "img_id int, width int, height int, prog_ok boolean, "
+        "arith_ok boolean",
+    )
+
+
 def q_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 named graphs (GRAPH keyword, operators/bgp.py) over a
     QUAD view of the all-channels fused claims — the claims table's
@@ -4738,6 +4811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_graph_path": q_sparql_graph_path,
         "sparql_graph_subquery": q_sparql_graph_subquery,
         "video_metadata": q_video_metadata,
+        "jpeg_codecs": q_jpeg_codecs,
         "simhash_incremental": q_simhash_incremental,
         "ivf_topk": q_ivf_topk,
         "sigma_modifiers": q_sigma_modifiers,
@@ -5875,6 +5949,18 @@ def oracle_sql() -> dict[str, str]:
           CASE WHEN i % 13 = 0 OR i % 2 <> 0 THEN NULL
                WHEN i % 5 = 2 THEN 'A_OPUS'
                ELSE 'mp4a' END AS audio_codec
+        FROM pg
+    """
+    # --- JPEG codec cross-check: dimensions + identity outcomes are
+    # fully determined by the id arithmetic; the Spark side does the
+    # real three-codec encode/decode per image.
+    sq["jpeg_codecs"] = """
+        WITH pg AS (SELECT CAST(range AS INT) AS i FROM range(0, 36))
+        SELECT i AS img_id,
+               CAST(8 + (i % 4) * 8 + (i % 5) AS INT) AS width,
+               CAST(8 + (i % 3) * 8 + (i % 7) AS INT) AS height,
+               TRUE AS prog_ok,
+               TRUE AS arith_ok
         FROM pg
     """
     # --- named graphs: the oracle RESTATES the graph-filtered joins

@@ -248,10 +248,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError("not a JPEG")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    dac: dict[tuple[int, int], int] = {}
     comps: list[dict] = []
     width = height = -1
     restart_interval = 0
     progressive = False
+    arith = False
     coef: list[np.ndarray] | None = None  # per-comp zigzag coefficients
     pos = 2
     while pos + 4 <= len(payload):
@@ -295,11 +297,13 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 vals = list(seg[s + 17 : s + 17 + n])
                 huff[(tc, th)] = _build_huffman(bits, vals)
                 s += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 baseline, SOF2 progressive, SOF9 arithmetic sequential
             prec = seg[0]
             if prec != 8:
                 raise ValueError("unsupported JPEG precision")
             progressive = marker == 0xC2
+            arith = marker == 0xC9
             height, width = struct.unpack_from(">HH", seg, 1)
             nc = seg[5]
             comps = []
@@ -308,9 +312,14 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError("unsupported JPEG coding")
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
+            s = 0
+            while s + 1 < len(seg):
+                dac[(seg[s] >> 4, seg[s] & 0x0F)] = seg[s + 1]
+                s += 2
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS -> entropy data follows
@@ -321,6 +330,15 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                     for c in comps:
                         if c["id"] == cid:
                             c["td"], c["ta"] = tabs >> 4, tabs & 0x0F
+                if arith:
+                    from sigraph_spark.operators.jpeg_arith import (
+                        _decode_arith_scan,
+                    )
+
+                    return _decode_arith_scan(
+                        payload, pos + 2 + seg_len, width, height, comps,
+                        qt, dac, restart_interval,
+                    )
                 return _decode_scan(
                     payload, pos + 2 + seg_len, width, height, comps, qt,
                     huff, restart_interval,
