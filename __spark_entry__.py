@@ -1021,12 +1021,19 @@ def q_fused_struct_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio container metadata extraction (operators/multimodal.py):
-    PCM WAV fmt chunks, IMA ADPCM block math, and the MPEG frame-header
-    walk (incl. an ID3v2 skip on every 6th mp3). Payloads are BUILT
-    deterministically driver-side; the oracle enumerates the expected
-    metadata arithmetically (PCM duration = n/rate; ADPCM frames pad to
-    full 505-sample blocks; mp3 duration = frames x 1152/44100)."""
+    """Audio container metadata extraction (operators/multimodal.py +
+    mediameta.py): PCM WAV fmt chunks, IMA ADPCM block math, the MPEG
+    frame-header walk (incl. an ID3v2 skip on every 6th mp3), and —
+    round 5, ids 300-399 — FLAC STREAMINFO (packed 64-bit rate/
+    channels/total-samples window) and Ogg page walks (Vorbis id
+    header + nominal bitrate; OpusHead with 48 kHz granules minus
+    pre-skip; real page CRCs). Payloads are BUILT deterministically
+    driver-side; the oracle enumerates the expected metadata
+    arithmetically (PCM duration = n/rate; ADPCM frames pad to full
+    505-sample blocks; mp3 duration = frames x 1152/44100)."""
+    from sigraph_spark.operators.mediameta import (
+        encode_flac_skeleton, encode_ogg_skeleton,
+    )
     from sigraph_spark.operators.multimodal import (
         audio_metadata, encode_ima_adpcm_wav, encode_wav,
     )
@@ -1046,6 +1053,23 @@ def q_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 body = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 100]) \
                     + b"\x00" * 100 + body
             payload = body
+        rows.append((f"au-{i}", bytearray(payload)))
+    for i in range(300, 400):
+        if i % 2 == 0:
+            payload = encode_flac_skeleton(
+                8000 * (i % 3 + 1), (i % 6) // 2 + 1, 16,
+                1000 * (i % 50 + 1),
+            )
+        elif i % 4 == 1:
+            payload = encode_ogg_skeleton(
+                "vorbis", 44100 if i % 8 == 1 else 48000, i % 3 + 1,
+                4800 * (i % 30 + 1),
+                nominal_bitrate=(64 + i % 128) * 1000,
+            )
+        else:
+            payload = encode_ogg_skeleton(
+                "opus", 48000, (i // 2) % 2 + 1, 4800 * (i % 30 + 1),
+            )
         rows.append((f"au-{i}", bytearray(payload)))
     df = spark.createDataFrame(rows, "media_id string, payload binary")
     return audio_metadata(df)
@@ -1178,6 +1202,67 @@ def q_jpeg_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "img_id int, width int, height int, prog_ok boolean, "
         "arith_ok boolean",
     )
+
+
+def q_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-walk image metadata (round 5, operators/mediameta.py):
+    dimensions/format/depth WITHOUT pixel decode — the scale-correct
+    first pass over an image corpus. Round-robin over seven payload
+    kinds: JPEG (coding cycles baseline / progressive / arithmetic),
+    PNG IHDR, GIF (alternating interlace flag read from the first
+    image descriptor), BMP, WebP (VP8 frame tag / VP8L bit-packed
+    dims / VP8X extended canvas, alternating alpha), TIFF (both
+    endiannesses, BitsPerSample offset-indirection when samples > 1),
+    and garbage -> 'unknown' NULL row. Payloads are BUILT
+    deterministically driver-side; the oracle enumerates the expected
+    metadata arithmetically."""
+    from sigraph_spark.operators.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from sigraph_spark.operators.jpeg_arith import encode_jpeg_arithmetic
+    from sigraph_spark.operators.mediameta import (
+        encode_tiff_skeleton,
+        encode_webp_skeleton,
+        image_metadata,
+    )
+    from sigraph_spark.operators.multimodal import (
+        encode_bmp,
+        encode_gif,
+        encode_png,
+    )
+
+    rows = []
+    for i in range(280):
+        w = 8 + (i % 24)
+        h = 8 + (i % 17)
+        rgb = bytes([(i * 7) % 256]) * (w * h * 3)
+        kind = i % 7
+        if kind == 0:
+            enc = (encode_jpeg, encode_jpeg_progressive,
+                   encode_jpeg_arithmetic)[i % 3]
+            payload = enc(w, h, rgb)
+        elif kind == 1:
+            payload = encode_png(w, h, rgb)
+        elif kind == 2:
+            payload = encode_gif(w, h, rgb, interlace=(i % 2 == 1))
+        elif kind == 3:
+            payload = encode_bmp(w, h, rgb)
+        elif kind == 4:
+            payload = encode_webp_skeleton(
+                w, h, ("vp8", "vp8l", "vp8x")[i % 3],
+                alpha=(i % 2 == 1),
+            )
+        elif kind == 5:
+            payload = encode_tiff_skeleton(
+                w, h, bits=16 if i % 2 == 0 else 8,
+                samples=i % 3 + 1, big_endian=(i % 2 == 1),
+            )
+        else:
+            payload = b"\x00nonsense" * 3
+        rows.append((f"img-{i}", bytearray(payload)))
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    return image_metadata(df)
 
 
 def q_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4812,6 +4897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_graph_subquery": q_sparql_graph_subquery,
         "video_metadata": q_video_metadata,
         "jpeg_codecs": q_jpeg_codecs,
+        "image_metadata": q_image_metadata,
         "simhash_incremental": q_simhash_incremental,
         "ivf_topk": q_ivf_topk,
         "sigma_modifiers": q_sigma_modifiers,
@@ -5893,6 +5979,7 @@ def oracle_sql() -> dict[str, str]:
     # 8000*256//505 -> 32 kbps; mp3 frame = 26122us at 44100/Layer III).
     sq["audio_metadata"] = """
         WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 300)),
+        pg2 AS (SELECT CAST(range AS BIGINT) AS i FROM range(300, 400)),
         t AS (
           SELECT 'au-' || CAST(i AS VARCHAR) AS media_id,
                  'pcm16' AS format, 8000 AS sample_rate, 1 AS channels,
@@ -5907,7 +5994,24 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT 'au-' || CAST(i AS VARCHAR), 'mpeg1-layer3', 44100, 2, 128,
                  i % 20 + 1, ((i % 20 + 1) * 26122) // 1000
-          FROM pg WHERE i % 3 = 2)
+          FROM pg WHERE i % 3 = 2
+          UNION ALL
+          SELECT 'au-' || CAST(i AS VARCHAR), 'flac', 8000 * (i % 3 + 1),
+                 (i % 6) // 2 + 1, NULL, NULL,
+                 (1000 * (i % 50 + 1)) * 1000 // (8000 * (i % 3 + 1))
+          FROM pg2 WHERE i % 2 = 0
+          UNION ALL
+          SELECT 'au-' || CAST(i AS VARCHAR), 'ogg-vorbis',
+                 CASE WHEN i % 8 = 1 THEN 44100 ELSE 48000 END,
+                 i % 3 + 1, 64 + i % 128, NULL,
+                 (4800 * (i % 30 + 1)) * 1000
+                   // CASE WHEN i % 8 = 1 THEN 44100 ELSE 48000 END
+          FROM pg2 WHERE i % 4 = 1
+          UNION ALL
+          SELECT 'au-' || CAST(i AS VARCHAR), 'ogg-opus', 48000,
+                 (i // 2) % 2 + 1, NULL, NULL,
+                 (4800 * (i % 30 + 1)) * 1000 // 48000
+          FROM pg2 WHERE i % 4 = 3)
         SELECT media_id, format, CAST(sample_rate AS INT) AS sample_rate,
                CAST(channels AS INT) AS channels,
                CAST(bitrate_kbps AS INT) AS bitrate_kbps,
@@ -5961,6 +6065,43 @@ def oracle_sql() -> dict[str, str]:
                CAST(8 + (i % 3) * 8 + (i % 7) AS INT) AS height,
                TRUE AS prog_ok,
                TRUE AS arith_ok
+        FROM pg
+    """
+    # --- image header metadata: the seven payload kinds and all their
+    # fields are pure id arithmetic; the Spark side does the real
+    # header walks (JPEG SOF scan, PNG IHDR, GIF descriptor walk, BMP,
+    # WebP variants, TIFF IFD).
+    sq["image_metadata"] = """
+        WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 280))
+        SELECT 'img-' || CAST(i AS VARCHAR) AS media_id,
+          CASE i % 7
+            WHEN 0 THEN CASE i % 3 WHEN 0 THEN 'jpeg'
+                                   WHEN 1 THEN 'jpeg-progressive'
+                                   ELSE 'jpeg-arith' END
+            WHEN 1 THEN 'png'
+            WHEN 2 THEN 'gif'
+            WHEN 3 THEN 'bmp'
+            WHEN 4 THEN CASE i % 3 WHEN 0 THEN 'webp'
+                                   WHEN 1 THEN 'webp-lossless'
+                                   ELSE 'webp-extended' END
+            WHEN 5 THEN 'tiff'
+            ELSE 'unknown' END AS format,
+          CAST(CASE WHEN i % 7 = 6 THEN NULL
+               ELSE 8 + (i % 24) END AS INT) AS width,
+          CAST(CASE WHEN i % 7 = 6 THEN NULL
+               ELSE 8 + (i % 17) END AS INT) AS height,
+          CAST(CASE WHEN i % 7 = 6 THEN NULL
+               WHEN i % 7 = 5 THEN
+                 CASE WHEN i % 2 = 0 THEN 16 ELSE 8 END
+               ELSE 8 END AS INT) AS bit_depth,
+          CAST(CASE WHEN i % 7 = 6 THEN NULL
+               WHEN i % 7 = 5 THEN i % 3 + 1
+               WHEN i % 7 = 4 AND i % 3 <> 0 AND i % 2 = 1 THEN 4
+               ELSE 3 END AS INT) AS channels,
+          CASE WHEN i % 7 = 6 THEN NULL
+               WHEN i % 7 = 0 AND i % 3 = 1 THEN TRUE
+               WHEN i % 7 = 2 AND i % 2 = 1 THEN TRUE
+               ELSE FALSE END AS interlaced
         FROM pg
     """
     # --- named graphs: the oracle RESTATES the graph-filtered joins

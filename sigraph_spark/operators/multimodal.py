@@ -1510,10 +1510,13 @@ def audio_metadata(
     id_col: str = "media_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """binary audio payload -> container metadata (mp3 frame walk / WAV
-    fmt chunk) via mapInPandas; unparseable payloads yield format
-    'unknown' with NULL fields instead of failing the batch (crawl
-    data is dirty by definition)."""
+    """binary audio payload -> container metadata (mp3 frame walk /
+    WAV fmt chunk / FLAC STREAMINFO / Ogg Vorbis-or-Opus pages, the
+    last two in operators/mediameta.py) via mapInPandas; unparseable
+    payloads yield format 'unknown' with NULL fields instead of
+    failing the batch (crawl data is dirty by definition)."""
+    from sigraph_spark.operators.mediameta import flac_metadata, ogg_metadata
+
     cols = media.select(
         F.col(id_col).cast("string").alias("media_id"),
         F.col(payload_col).alias("payload"),
@@ -1526,7 +1529,8 @@ def audio_metadata(
                 meta = None
                 if payload:
                     b = bytes(payload)
-                    for parser in (wav_metadata, mp3_metadata):
+                    for parser in (wav_metadata, flac_metadata,
+                                   ogg_metadata, mp3_metadata):
                         try:
                             meta = parser(b)
                             break
