@@ -1265,6 +1265,63 @@ def q_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_metadata(df)
 
 
+def q_media_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container text metadata (round 5, operators/mediatags.py): the
+    tag/caption side of a multimodal corpus. Round-robin payloads:
+    Exif APP1 (alternating TIFF endianness, offset-indirected ASCII +
+    SHORT orientation), ID3v2.3/2.4 text frames (alternating
+    latin-1 / utf-16 encodings, incl. a TXXX pair), FLAC
+    VORBIS_COMMENT, and Ogg Vorbis/Opus comment headers — every 16th
+    Ogg comment packet SPANS two pages (255-lacing + continuation
+    flag), exercising real packet reassembly. Payloads BUILT
+    deterministically driver-side; the oracle enumerates every
+    (container, tag, value) row arithmetically."""
+    from sigraph_spark.operators.jpeg import encode_jpeg
+    from sigraph_spark.operators.mediatags import (
+        encode_flac_with_comments,
+        encode_id3v2,
+        encode_jpeg_with_exif,
+        encode_ogg_with_comments,
+        media_tags,
+    )
+
+    base_jpeg = encode_jpeg(8, 8, bytes(8 * 8 * 3))
+    rows = []
+    for i in range(200):
+        kind = i % 4
+        if kind == 0:
+            payload = encode_jpeg_with_exif(
+                base_jpeg,
+                {"make": f"make-{i % 9}", "orientation": i % 8 + 1},
+                big_endian=((i // 4) % 2 == 0),
+            )
+        elif kind == 1:
+            payload = encode_id3v2(
+                [("TIT2", f"title {i}"), ("TPE1", f"artist {i % 13}"),
+                 ("TXXX:mood", f"mood-{i % 5}")],
+                version=4 if i % 8 == 1 else 3,
+                encoding=i % 2,
+            )
+        elif kind == 2:
+            payload = encode_flac_with_comments(
+                44100, 2, 16, 44100,
+                [("TITLE", f"t{i}"), ("GENRE", f"g{i % 7}")],
+            )
+        elif i % 8 == 3:
+            payload = encode_ogg_with_comments(
+                "vorbis", 48000, 2, 96000,
+                [("TITLE", f"s{i}"), ("album", f"a{i % 5}")],
+                span_pages=(i % 16 == 3),
+            )
+        else:
+            payload = encode_ogg_with_comments(
+                "opus", 48000, 1, 4800, [("title", f"s{i}")],
+            )
+        rows.append((f"tag-{i}", bytearray(payload)))
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    return media_tags(df)
+
+
 def q_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 named graphs (GRAPH keyword, operators/bgp.py) over a
     QUAD view of the all-channels fused claims — the claims table's
@@ -4898,6 +4955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_metadata": q_video_metadata,
         "jpeg_codecs": q_jpeg_codecs,
         "image_metadata": q_image_metadata,
+        "media_tags": q_media_tags,
         "simhash_incremental": q_simhash_incremental,
         "ivf_topk": q_ivf_topk,
         "sigma_modifiers": q_sigma_modifiers,
@@ -6103,6 +6161,43 @@ def oracle_sql() -> dict[str, str]:
                WHEN i % 7 = 2 AND i % 2 = 1 THEN TRUE
                ELSE FALSE END AS interlaced
         FROM pg
+    """
+    # --- container text metadata: every (container, tag, value) row
+    # is id arithmetic; the Spark side does the real Exif IFD / ID3
+    # frame / vorbis-comment walks incl. cross-page Ogg reassembly.
+    sq["media_tags"] = """
+        WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 200)),
+        t AS (
+          SELECT i, 'exif' AS container, 'make' AS tag,
+                 'make-' || CAST(i % 9 AS VARCHAR) AS value
+          FROM pg WHERE i % 4 = 0
+          UNION ALL
+          SELECT i, 'exif', 'orientation', CAST(i % 8 + 1 AS VARCHAR)
+          FROM pg WHERE i % 4 = 0
+          UNION ALL
+          SELECT i, 'id3', 'TIT2', 'title ' || CAST(i AS VARCHAR)
+          FROM pg WHERE i % 4 = 1
+          UNION ALL
+          SELECT i, 'id3', 'TPE1', 'artist ' || CAST(i % 13 AS VARCHAR)
+          FROM pg WHERE i % 4 = 1
+          UNION ALL
+          SELECT i, 'id3', 'TXXX:mood', 'mood-' || CAST(i % 5 AS VARCHAR)
+          FROM pg WHERE i % 4 = 1
+          UNION ALL
+          SELECT i, 'flac', 'TITLE', 't' || CAST(i AS VARCHAR)
+          FROM pg WHERE i % 4 = 2
+          UNION ALL
+          SELECT i, 'flac', 'GENRE', 'g' || CAST(i % 7 AS VARCHAR)
+          FROM pg WHERE i % 4 = 2
+          UNION ALL
+          SELECT i, 'ogg', 'TITLE', 's' || CAST(i AS VARCHAR)
+          FROM pg WHERE i % 4 = 3
+          UNION ALL
+          SELECT i, 'ogg', 'ALBUM', 'a' || CAST(i % 5 AS VARCHAR)
+          FROM pg WHERE i % 8 = 3)
+        SELECT 'tag-' || CAST(i AS VARCHAR) AS media_id,
+               container, tag, value
+        FROM t
     """
     # --- named graphs: the oracle RESTATES the graph-filtered joins
     # over the same quad enumeration (default graph = jsonld claims,
