@@ -1213,15 +1213,17 @@ def q_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     image descriptor), BMP, WebP (VP8 frame tag / VP8L bit-packed
     dims / VP8X extended canvas, alternating alpha), TIFF (both
     endiannesses, BitsPerSample offset-indirection when samples > 1),
-    and garbage -> 'unknown' NULL row. Payloads are BUILT
-    deterministically driver-side; the oracle enumerates the expected
-    metadata arithmetically."""
+    and garbage -> 'unknown' NULL row; ids 280-339 add AVIF/HEIC/HEIF
+    (ISO-BMFF meta/iprp/ipco walk: ispe extents + pixi depth/channel
+    properties). Payloads are BUILT deterministically driver-side;
+    the oracle enumerates the expected metadata arithmetically."""
     from sigraph_spark.operators.jpeg import (
         encode_jpeg,
         encode_jpeg_progressive,
     )
     from sigraph_spark.operators.jpeg_arith import encode_jpeg_arithmetic
     from sigraph_spark.operators.mediameta import (
+        encode_avif_skeleton,
         encode_tiff_skeleton,
         encode_webp_skeleton,
         image_metadata,
@@ -1260,6 +1262,14 @@ def q_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         else:
             payload = b"\x00nonsense" * 3
+        rows.append((f"img-{i}", bytearray(payload)))
+    for i in range(280, 340):
+        payload = encode_avif_skeleton(
+            100 + i, 50 + i % 40,
+            brand=("avif", "heic", "mif1")[i % 3],
+            bits=8 if i % 2 == 0 else 10,
+            channels=i % 3 + 1,
+        )
         rows.append((f"img-{i}", bytearray(payload)))
     df = spark.createDataFrame(rows, "media_id string, payload binary")
     return image_metadata(df)
@@ -6130,7 +6140,21 @@ def oracle_sql() -> dict[str, str]:
     # header walks (JPEG SOF scan, PNG IHDR, GIF descriptor walk, BMP,
     # WebP variants, TIFF IFD).
     sq["image_metadata"] = """
-        WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 280))
+        WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 280)),
+        av AS (SELECT CAST(range AS BIGINT) AS i FROM range(280, 340)),
+        avif AS (
+          SELECT 'img-' || CAST(i AS VARCHAR) AS media_id,
+                 CASE i % 3 WHEN 0 THEN 'avif' WHEN 1 THEN 'heic'
+                            ELSE 'heif' END AS format,
+                 CAST(100 + i AS INT) AS width,
+                 CAST(50 + i % 40 AS INT) AS height,
+                 CAST(CASE WHEN i % 2 = 0 THEN 8 ELSE 10 END AS INT)
+                   AS bit_depth,
+                 CAST(i % 3 + 1 AS INT) AS channels,
+                 FALSE AS interlaced
+          FROM av)
+        SELECT * FROM avif
+        UNION ALL
         SELECT 'img-' || CAST(i AS VARCHAR) AS media_id,
           CASE i % 7
             WHEN 0 THEN CASE i % 3 WHEN 0 THEN 'jpeg'

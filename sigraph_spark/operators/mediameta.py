@@ -45,6 +45,8 @@ __all__ = [
     "bmp_dims",
     "webp_dims",
     "tiff_dims",
+    "avif_dims",
+    "encode_avif_skeleton",
     "flac_metadata",
     "ogg_metadata",
     "encode_webp_skeleton",
@@ -252,6 +254,55 @@ def tiff_dims(payload: bytes) -> dict:
     }
 
 
+_AVIF_BRANDS = {b"avif": "avif", b"avis": "avif", b"heic": "heic",
+                b"heix": "heic", b"mif1": "heif"}
+
+
+def avif_dims(payload: bytes) -> dict:
+    """AVIF/HEIC dimensions via the ISO-BMFF image-item path:
+    meta/iprp/ipco/ispe (first spatial-extents property wins — the
+    primary item's, in every real encoder's layout) plus bit depth /
+    channel count from the sibling pixi property when present. Reuses
+    multimodal's box iterator (meta and its properties are FULL boxes:
+    4 version/flags bytes before the payload)."""
+    from sigraph_spark.operators.multimodal import _iter_boxes
+
+    if len(payload) < 16 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF image")
+    brand = _AVIF_BRANDS.get(payload[8:12])
+    if brand is None:
+        raise ValueError("not an AVIF/HEIC brand")
+    buf = memoryview(payload)
+    width = height = None
+    bits = 8
+    channels = 3
+    for btype, s, e in _iter_boxes(buf, 0, len(payload)):
+        if btype != b"meta":
+            continue
+        for b2, s2, e2 in _iter_boxes(buf, s + 4, e):  # meta is FULL
+            if b2 != b"iprp":
+                continue
+            for b3, s3, e3 in _iter_boxes(buf, s2, e2):
+                if b3 != b"ipco":
+                    continue
+                for b4, s4, e4 in _iter_boxes(buf, s3, e3):
+                    if b4 == b"ispe" and width is None:
+                        width, height = struct.unpack_from(
+                            ">II", payload, s4 + 4
+                        )
+                    elif b4 == b"pixi":
+                        n = payload[s4 + 4]
+                        channels = n
+                        if n:
+                            bits = payload[s4 + 5]
+    if width is None:
+        raise ValueError("AVIF/HEIC missing ispe property")
+    return {
+        "format": brand, "width": width, "height": height,
+        "bit_depth": bits, "channels": channels, "interlaced": False,
+    }
+
+
 _IMAGE_SNIFFERS = (
     (b"\xff\xd8", jpeg_dims),
     (b"\x89PNG", png_dims),
@@ -299,13 +350,18 @@ def image_metadata(
                 meta = None
                 if payload:
                     b = bytes(payload)
-                    for magic, sniff in _IMAGE_SNIFFERS:
+                    sniff = None
+                    for magic, fn in _IMAGE_SNIFFERS:
                         if b[: len(magic)] == magic:
-                            try:
-                                meta = sniff(b)
-                            except (ValueError, struct.error):
-                                meta = None
+                            sniff = fn
                             break
+                    if sniff is None and b[4:8] == b"ftyp":
+                        sniff = avif_dims
+                    if sniff is not None:
+                        try:
+                            meta = sniff(b)
+                        except (ValueError, struct.error):
+                            meta = None
                 if meta is None:
                     meta = {
                         "format": "unknown", "width": None,
@@ -467,6 +523,24 @@ def encode_tiff_skeleton(width: int, height: int, bits: int = 8,
     out += struct.pack(e + "H", n_entries) + b"".join(entries)
     out += struct.pack(e + "I", 0)  # next-IFD terminator
     return out + extra
+
+
+def encode_avif_skeleton(width: int, height: int, brand: str = "avif",
+                         bits: int = 8, channels: int = 3) -> bytes:
+    """ftyp + meta{iprp{ipco{ispe, pixi}}} skeleton (no coded image
+    item — exists to test the property walk)."""
+    def box(fourcc: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+    ispe = box(b"ispe", bytes(4) + struct.pack(">II", width, height))
+    pixi = box(b"pixi", bytes(4) + bytes([channels])
+               + bytes([bits]) * channels)
+    ipco = box(b"ipco", ispe + pixi)
+    iprp = box(b"iprp", ipco)
+    meta = box(b"meta", bytes(4) + iprp)
+    ftyp = box(b"ftyp", brand.encode("ascii") + struct.pack(">I", 0)
+               + b"mif1")
+    return ftyp + meta
 
 
 def encode_flac_skeleton(rate: int, channels: int, bits: int,

@@ -91,6 +91,32 @@ def test_tiff_both_endians_and_indirection():
         tiff_dims(b"II*\x00\xff\xff\xff\xff")  # IFD offset past end
 
 
+def test_avif_heic_property_walk():
+    from sigraph_spark.operators.mediameta import (
+        avif_dims,
+        encode_avif_skeleton,
+    )
+
+    m = avif_dims(encode_avif_skeleton(1200, 800))
+    assert m == {
+        "format": "avif", "width": 1200, "height": 800, "bit_depth": 8,
+        "channels": 3, "interlaced": False,
+    }
+    m = avif_dims(encode_avif_skeleton(64, 48, brand="heic", bits=10,
+                                       channels=1))
+    assert (m["format"], m["bit_depth"], m["channels"]) == ("heic", 10, 1)
+    m = avif_dims(encode_avif_skeleton(2, 2, brand="mif1"))
+    assert m["format"] == "heif"
+    with pytest.raises(ValueError):
+        avif_dims(b"\x00\x00\x00\x10ftypmp42" + bytes(8))  # video brand
+    with pytest.raises(ValueError):
+        # meta present but no ispe property
+        skel = bytearray(encode_avif_skeleton(9, 9))
+        at = bytes(skel).index(b"ispe")
+        skel[at : at + 4] = b"free"
+        avif_dims(bytes(skel))
+
+
 def test_flac_streaminfo():
     m = flac_metadata(encode_flac_skeleton(44100, 2, 16, 441000))
     assert m["format"] == "flac"
