@@ -1332,6 +1332,26 @@ def q_media_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_tags(df)
 
 
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (round 5, operators/layout.py
+    plan_compaction — the OPTIMIZE half of table maintenance beside
+    the Z-order/Hilbert layout keys): a synthetic 410-file manifest
+    (400 undersized + 10 large) is binned by the windowed prefix-sum
+    into < 2x-target rewrite groups with near-optimal group count;
+    large files and single-file groups keep. The oracle restates the
+    identical window arithmetic (compaction_oracle_sql)."""
+    from sigraph_spark.operators.layout import plan_compaction
+
+    manifest = spark.range(0, 410).select(
+        F.concat(F.lit("f-"), F.col("id")).alias("path"),
+        F.when(F.col("id") < 400, 1000 + (F.col("id") * 137) % 9000)
+        .otherwise(40000 + F.col("id"))
+        .cast("long")
+        .alias("bytes"),
+    )
+    return plan_compaction(manifest, 16000)
+
+
 def q_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 named graphs (GRAPH keyword, operators/bgp.py) over a
     QUAD view of the all-channels fused claims — the claims table's
@@ -4966,6 +4986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_codecs": q_jpeg_codecs,
         "image_metadata": q_image_metadata,
         "media_tags": q_media_tags,
+        "compaction_plan": q_compaction_plan,
         "simhash_incremental": q_simhash_incremental,
         "ivf_topk": q_ivf_topk,
         "sigma_modifiers": q_sigma_modifiers,
@@ -6186,6 +6207,19 @@ def oracle_sql() -> dict[str, str]:
                ELSE FALSE END AS interlaced
         FROM pg
     """
+    # --- compaction plan: the oracle is the module's own generated
+    # window restatement over the same synthetic manifest.
+    from sigraph_spark.operators.layout import compaction_oracle_sql
+
+    sq["compaction_plan"] = compaction_oracle_sql(
+        """
+        SELECT 'f-' || CAST(i AS VARCHAR) AS path,
+               CAST(CASE WHEN i < 400 THEN 1000 + (i * 137) % 9000
+                    ELSE 40000 + i END AS BIGINT) AS bytes
+        FROM (SELECT CAST(range AS BIGINT) AS i FROM range(0, 410))
+        """,
+        16000,
+    )
     # --- container text metadata: every (container, tag, value) row
     # is id arithmetic; the Spark side does the real Exif IFD / ID3
     # frame / vorbis-comment walks incl. cross-page Ogg reassembly.

@@ -25,7 +25,7 @@ spans shrink vs a single-column sort layout).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -181,3 +181,154 @@ def hilbert_oracle_sql(
         "WITH " + ",\n".join(parts)
         + f"\nSELECT {select_cols}, hd AS hkey FROM h{bits}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction — the OPTIMIZE half of table maintenance (the
+# layout keys above are the ZORDER half). At 10^12-document scale a
+# streaming/delta-appending table accretes thousands of undersized
+# files per partition; scans then pay per-file open/footer costs and
+# lose row-group pruning. Compaction is metadata-plane planning (the
+# file manifest is ~10^6 rows even at 100 TB) + one narrow data-plane
+# rewrite of only the selected files.
+# ---------------------------------------------------------------------------
+
+
+def plan_compaction(
+    files: DataFrame,
+    target_bytes: int,
+    size_col: str = "bytes",
+    file_col: str = "path",
+) -> DataFrame:
+    """Deterministic rewrite plan over a file manifest: files already
+    >= ``target_bytes`` are kept in place; undersized files are walked
+    in (size DESC, path) order and a running pre-sum assigns job =
+    floor(prefix_sum / target) — prefix binning with no driver loop.
+    Guarantees (test-pinned): every group's input stays < 2x target,
+    and the group count is <= ceil(total_small / target) — the
+    near-optimal output-file count, which is what compaction is for.
+    A group that ends up holding a single file is demoted to 'keep'
+    (rewriting one file buys nothing).
+
+    Returns (path, bytes, job, action): action in {'keep',
+    'rewrite'}; job is NULL for kept files. The windows are global but
+    run over the MANIFEST, not the data — at 100 TB that is millions
+    of rows, a single-task metadata pass by design."""
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    f = files.select(
+        F.col(file_col).cast("string").alias("path"),
+        F.col(size_col).cast("long").alias("bytes"),
+    )
+    small = f.filter(F.col("bytes") < target_bytes)
+    w = Window.orderBy(F.col("bytes").desc(), F.col("path"))
+    jobbed = small.withColumn(
+        "job",
+        F.floor(
+            (F.sum("bytes").over(w) - F.col("bytes"))
+            / F.lit(target_bytes)
+        ).cast("long"),
+    )
+    counts = jobbed.groupBy("job").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    planned = (
+        jobbed.join(counts, "job")
+        .withColumn(
+            "action",
+            F.when(F.col("_n") >= 2, F.lit("rewrite")).otherwise(
+                F.lit("keep")
+            ),
+        )
+        .withColumn(
+            "job",
+            F.when(F.col("_n") >= 2, F.col("job")).cast("long"),
+        )
+        .drop("_n")
+    )
+    kept = f.filter(F.col("bytes") >= target_bytes).select(
+        "path", "bytes",
+        F.lit(None).cast("long").alias("job"),
+        F.lit("keep").alias("action"),
+    )
+    return planned.select("path", "bytes", "job", "action").unionByName(
+        kept
+    )
+
+
+def compaction_oracle_sql(manifest_cte: str, target_bytes: int) -> str:
+    """DuckDB restatement of :func:`plan_compaction` over a manifest
+    CTE exposing (path, bytes) — the gate oracle."""
+    return f"""
+        WITH m AS ({manifest_cte}),
+        small AS (
+          SELECT path, bytes,
+                 CAST(FLOOR((SUM(bytes) OVER (ORDER BY bytes DESC, path
+                    ROWS UNBOUNDED PRECEDING) - bytes)
+                    / {target_bytes}) AS BIGINT) AS job
+          FROM m WHERE bytes < {target_bytes}),
+        counts AS (SELECT job, COUNT(*) AS n FROM small GROUP BY job)
+        SELECT s.path, s.bytes,
+               CASE WHEN c.n >= 2 THEN s.job END AS job,
+               CASE WHEN c.n >= 2 THEN 'rewrite' ELSE 'keep' END AS action
+        FROM small s JOIN counts c USING (job)
+        UNION ALL
+        SELECT path, bytes, NULL, 'keep'
+        FROM m WHERE bytes >= {target_bytes}
+    """
+
+
+def compact_parquet(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_bytes: int,
+) -> dict:
+    """Execute a compaction plan over a parquet directory: kept files
+    are hard-copied byte-for-byte (metadata plane); rewrite groups are
+    read once, tagged by job via a broadcast manifest join on
+    input_file_name(), repartitioned so each job lands in exactly one
+    task, and written partitionBy(job) -> EXACTLY ONE file per job.
+    Returns {n_input, n_kept, n_jobs}."""
+    import os
+    import shutil
+
+    names = sorted(
+        n for n in os.listdir(src_dir)
+        if n.endswith(".parquet") and not n.startswith(("_", "."))
+    )
+    manifest = [
+        (os.path.join(src_dir, n), os.path.getsize(os.path.join(src_dir, n)))
+        for n in names
+    ]
+    plan = plan_compaction(
+        spark.createDataFrame(manifest, "path string, bytes long"),
+        target_bytes,
+    ).collect()  # manifest-sized
+    os.makedirs(dst_dir, exist_ok=True)
+    kept = [r["path"] for r in plan if r["action"] == "keep"]
+    for p in kept:
+        shutil.copyfile(
+            p, os.path.join(dst_dir, "kept-" + os.path.basename(p))
+        )
+    rewrite = [(r["path"], r["job"]) for r in plan
+               if r["action"] == "rewrite"]
+    n_jobs = len({j for _, j in rewrite})
+    if rewrite:
+        src = spark.read.parquet(*[p for p, _ in rewrite])
+        tags = spark.createDataFrame(
+            [(os.path.basename(p), j) for p, j in rewrite],
+            "_file string, _job long",
+        )
+        tagged = src.withColumn(
+            "_file",
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+        ).join(F.broadcast(tags), "_file").drop("_file")
+        (
+            tagged.repartition(max(n_jobs, 1), F.col("_job"))
+            .write.partitionBy("_job")
+            .mode("overwrite")
+            .parquet(os.path.join(dst_dir, "compacted"))
+        )
+    return {"n_input": len(manifest), "n_kept": len(kept),
+            "n_jobs": n_jobs}

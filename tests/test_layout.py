@@ -180,3 +180,74 @@ def test_hilbert_guard():
 
     with _pytest.raises(ValueError):
         with_hilbert_key(None, "x", "y", bits=32)
+
+
+def test_compaction_plan_semantics(spark):
+    """First-fit prefix-sum planning: jobs fill to ~target, large
+    files keep, single-file groups demote to keep, and the whole
+    plan matches the DuckDB oracle restatement."""
+    import duckdb
+
+    from sigraph_spark.operators.layout import (
+        compaction_oracle_sql,
+        plan_compaction,
+    )
+
+    rows = [(f"f-{i:03d}", 100 + (i * 37) % 900) for i in range(50)]
+    rows += [("big-1", 5000), ("big-2", 9000), ("tiny-lone", 1999)]
+    df = spark.createDataFrame(rows, "path string, bytes long")
+    got = sorted(
+        (r["path"], r["bytes"], r["job"], r["action"])
+        for r in plan_compaction(df, 2000).collect()
+    )
+    cte = "SELECT * FROM (VALUES " + ",".join(
+        f"('{p}', {b})" for p, b in rows
+    ) + ") AS t(path, bytes)"
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(compaction_oracle_sql(cte, 2000)).fetchall()
+    )
+    assert got == want
+    # large files always keep with NULL job
+    by_path = {p: (j, a) for p, _, j, a in got}
+    assert by_path["big-1"] == (None, "keep")
+    # prefix binning guarantees: every group's input < 2x target, and
+    # the group count is near-optimal (<= ceil(total_small / target))
+    sums = {}
+    total_small = 0
+    for p, b, j, a in got:
+        if b < 2000:
+            total_small += b
+        if j is not None:
+            sums[j] = sums.get(j, 0) + b
+    assert sums
+    assert all(s < 2 * 2000 for s in sums.values())
+    assert len(sums) <= -(-total_small // 2000)
+    with pytest.raises(ValueError):
+        plan_compaction(df, 0)
+
+
+def test_compact_parquet_rewrites_small_files(spark, tmp_path):
+    from sigraph_spark.operators.layout import compact_parquet
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.range(0, 20000).select(
+        F.col("id"), (F.col("id") * 3).alias("v")
+    )
+    df.repartition(40).write.parquet(src)
+    report = compact_parquet(spark, src, dst, target_bytes=200_000)
+    assert report["n_input"] == 40
+    assert report["n_jobs"] >= 1
+    back = spark.read.option("recursiveFileLookup", "true").parquet(dst)
+    assert back.count() == 20000
+    assert back.agg(F.sum("id")).first()[0] == sum(range(20000))
+    import os
+
+    nfiles = sum(
+        1 for _, _, fs in os.walk(dst)
+        for f in fs if f.endswith(".parquet")
+    )
+    # exactly one data file per rewrite job + the kept copies
+    assert nfiles == report["n_jobs"] + report["n_kept"]
+    assert nfiles < 40
