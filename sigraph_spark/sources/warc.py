@@ -138,3 +138,181 @@ def write_warc_segments(
         chunk = pages[i : i + records_per_segment]
         segs.append((f"segment-{i // records_per_segment:05d}", encode_records(chunk)))
     return spark.createDataFrame(segs, "segment string, content binary")
+
+
+# ---------------------------------------------------------------------------
+# Real WARC/1.0 (ISO 28500) — closes the seam the WARC-lite framing
+# documented: version+named-field header blocks, Content-Length body
+# framing, HTTP response payload parsing, and Common Crawl's actual
+# on-disk shape, per-record gzip MEMBERS concatenated into one file
+# (readable member-by-member with zlib's unused_data — stdlib only).
+# The lite framing above stays for the synthetic corpus writers.
+# ---------------------------------------------------------------------------
+
+WARC10_SCHEMA = StructType(
+    [
+        StructField("segment", StringType()),
+        StructField("record_idx", LongType()),
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("http_status", LongType()),
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def encode_warc10(
+    records: list,
+    gzip_members: bool = False,
+    warcinfo: bool = True,
+) -> bytes:
+    """Frame (url, ts, payload[, content_type[, status]]) tuples as a
+    real WARC/1.0 segment: a leading warcinfo record, then one
+    ``response`` record per page whose body is a full HTTP/1.1
+    response. ``gzip_members`` emits each record as its own gzip
+    member (mtime pinned to 0 -> byte-deterministic), the Common
+    Crawl layout. Record IDs are deterministic urn:uuid strings."""
+    import gzip as _gzip
+
+    def member(data: bytes) -> bytes:
+        return _gzip.compress(data, mtime=0) if gzip_members else data
+
+    def record(headers: list, body: bytes) -> bytes:
+        head = b"WARC/1.0\r\n" + b"".join(
+            k.encode() + b": " + v.encode() + b"\r\n" for k, v in headers
+        )
+        head += b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+        return head + b"\r\n" + body + b"\r\n\r\n"
+
+    out = bytearray()
+    if warcinfo:
+        info = b"software: sigraph-spark\r\nformat: WARC File Format 1.0\r\n"
+        out += member(record(
+            [("WARC-Type", "warcinfo"),
+             ("WARC-Date", "2024-01-01T00:00:00Z"),
+             ("WARC-Record-ID", "<urn:uuid:00000000-0000-0000-0000-000000000000>"),
+             ("Content-Type", "application/warc-fields")],
+            info,
+        ))
+    for i, rec in enumerate(records):
+        url, ts, payload = rec[0], rec[1], rec[2]
+        ctype = rec[3] if len(rec) > 3 else "text/html"
+        status = rec[4] if len(rec) > 4 else 200
+        reason = {200: "OK", 301: "Moved Permanently",
+                  404: "Not Found", 503: "Service Unavailable"}.get(
+            status, "Unknown")
+        http = (
+            f"HTTP/1.1 {status} {reason}\r\n"
+            f"Content-Type: {ctype}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode() + payload
+        out += member(record(
+            [("WARC-Type", "response"),
+             ("WARC-Target-URI", url),
+             ("WARC-Date", ts.strftime("%Y-%m-%dT%H:%M:%SZ")),
+             ("WARC-Record-ID",
+              f"<urn:uuid:00000000-0000-0000-0000-{i + 1:012d}>"),
+             ("Content-Type", "application/http;msgtype=response")],
+            http,
+        ))
+    return bytes(out)
+
+
+def _gunzip_members(blob: bytes) -> bytes:
+    """Concatenated gzip members -> concatenated plaintext (zlib
+    wbits=47 auto-detects the gzip wrapper; unused_data carries the
+    next member)."""
+    import zlib
+
+    out = bytearray()
+    rest = blob
+    while rest:
+        d = zlib.decompressobj(47)
+        out += d.decompress(rest)
+        out += d.flush()
+        if not d.eof:
+            raise ValueError("truncated gzip member in WARC segment")
+        rest = d.unused_data
+    return bytes(out)
+
+
+def _parse_warc10(name: str, blob: bytes):
+    """Sequential WARC/1.0 parser for one segment: yields one row per
+    ``response`` record (warcinfo/request/metadata records are
+    skipped); malformed framing raises loudly. HTTP payloads split at
+    the header/body boundary; the HTTP status and Content-Type come
+    along as columns."""
+    import datetime
+
+    if blob[:2] == b"\x1f\x8b":
+        blob = _gunzip_members(blob)
+    pos, idx = 0, 0
+    n = len(blob)
+    while pos < n:
+        while pos < n and blob[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        head_end = blob.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            raise ValueError(f"unterminated WARC header in {name}")
+        head = blob[pos:head_end].split(b"\r\n")
+        if not head[0].startswith(b"WARC/"):
+            raise ValueError(f"bad WARC version line in {name} at {pos}")
+        fields = {}
+        for line in head[1:]:
+            k, _, v = line.partition(b":")
+            fields[k.strip().lower()] = v.strip()
+        if b"content-length" not in fields:
+            raise ValueError(f"WARC record without Content-Length in {name}")
+        length = int(fields[b"content-length"])
+        body = blob[head_end + 4 : head_end + 4 + length]
+        if len(body) != length:
+            raise ValueError(f"truncated WARC record body in {name}")
+        pos = head_end + 4 + length
+        if blob[pos : pos + 4] != b"\r\n\r\n":
+            raise ValueError(f"missing WARC record separator in {name}")
+        pos += 4
+        if fields.get(b"warc-type") != b"response":
+            continue
+        http_end = body.find(b"\r\n\r\n")
+        if http_end < 0 or not body.startswith(b"HTTP/"):
+            raise ValueError(f"response record without HTTP block in {name}")
+        http_head = body[:http_end].split(b"\r\n")
+        status = int(http_head[0].split(b" ")[1])
+        mime = None
+        for line in http_head[1:]:
+            k, _, v = line.partition(b":")
+            if k.strip().lower() == b"content-type":
+                mime = v.strip().decode("ascii", "replace")
+        ts = datetime.datetime.fromisoformat(
+            fields[b"warc-date"].decode().replace("Z", "+00:00")
+        ).replace(tzinfo=None)
+        yield (
+            name, idx,
+            fields[b"warc-target-uri"].decode(),
+            ts, status, mime,
+            body[http_end + 4 :],
+        )
+        idx += 1
+
+
+def read_warc10_segments(segments: DataFrame) -> DataFrame:
+    """Explode ``(segment, content)`` blobs of REAL WARC/1.0 (plain or
+    per-record-gzip) into typed response rows via mapInPandas — same
+    one-task-per-segment scale shape as :func:`read_warc_segments`."""
+    import pandas as pd
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for name, blob in zip(pdf["segment"], pdf["content"]):
+                rows.extend(_parse_warc10(name, bytes(blob)))
+            yield pd.DataFrame(
+                rows,
+                columns=["segment", "record_idx", "url", "warc_ts",
+                         "http_status", "mime", "payload"],
+            )
+
+    return segments.mapInPandas(parse, schema=WARC10_SCHEMA)

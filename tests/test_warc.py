@@ -69,3 +69,59 @@ def test_warc_corrupt_segment_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="truncated|Python worker"):
         read_warc_segments(segs).collect()
+
+
+def _w10_records():
+    import datetime
+
+    return [
+        ("https://a.example/1", datetime.datetime(2024, 1, 1, 0, 0, 5),
+         b"<html>one</html>"),
+        ("https://a.example/2", datetime.datetime(2024, 1, 1, 0, 0, 6),
+         b"<html>\r\n\r\ntwo</html>", "text/html; charset=utf-8", 404),
+        ("https://a.example/3", datetime.datetime(2024, 1, 2, 3, 4, 5),
+         bytes(range(256)), "application/octet-stream", 200),
+    ]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_warc10_round_trip(spark, gz):
+    """Real WARC/1.0: version+field header blocks, Content-Length
+    framing, warcinfo skipping, HTTP status/mime extraction, binary
+    bodies containing the record separator, and the Common Crawl
+    per-record gzip-member layout."""
+    import datetime
+
+    from sigraph_spark.sources.warc import encode_warc10, read_warc10_segments
+
+    blob = encode_warc10(_w10_records(), gzip_members=gz)
+    segs = spark.createDataFrame(
+        [("s-0", bytearray(blob))], "segment string, content binary"
+    )
+    rows = sorted(
+        read_warc10_segments(segs).collect(), key=lambda r: r["record_idx"]
+    )
+    assert [r["url"] for r in rows] == [u for u, _, _, *_ in _w10_records()]
+    assert [r["http_status"] for r in rows] == [200, 404, 200]
+    assert rows[1]["mime"] == "text/html; charset=utf-8"
+    assert bytes(rows[1]["payload"]) == b"<html>\r\n\r\ntwo</html>"
+    assert bytes(rows[2]["payload"]) == bytes(range(256))
+    assert rows[0]["warc_ts"] == datetime.datetime(2024, 1, 1, 0, 0, 5)
+
+
+def test_warc10_malformed_raises():
+    from sigraph_spark.sources.warc import _parse_warc10, encode_warc10
+
+    good = encode_warc10(_w10_records())
+    with pytest.raises(ValueError):
+        list(_parse_warc10("s", good[: len(good) - 30]))  # truncated body
+    with pytest.raises(ValueError):
+        list(_parse_warc10("s", b"NOT-WARC/9.9\r\n\r\n"))
+    # record without Content-Length
+    bad = b"WARC/1.0\r\nWARC-Type: response\r\n\r\n\r\n\r\n"
+    with pytest.raises(ValueError):
+        list(_parse_warc10("s", bad))
+    # truncated gzip member
+    gz = encode_warc10(_w10_records(), gzip_members=True)
+    with pytest.raises(ValueError):
+        list(_parse_warc10("s", gz[: len(gz) - 10]))
