@@ -1215,7 +1215,9 @@ def q_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     endiannesses, BitsPerSample offset-indirection when samples > 1),
     and garbage -> 'unknown' NULL row; ids 280-339 add AVIF/HEIC/HEIF
     (ISO-BMFF meta/iprp/ipco walk: ispe extents + pixi depth/channel
-    properties). Payloads are BUILT deterministically driver-side;
+    properties); ids 340-399 add SVG (width/height attrs vs viewBox
+    extent, alternating) and ICO (largest-directory-entry convention,
+    0-byte = 256). Payloads are BUILT deterministically driver-side;
     the oracle enumerates the expected metadata arithmetically."""
     from sigraph_spark.operators.jpeg import (
         encode_jpeg,
@@ -1270,6 +1272,25 @@ def q_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             bits=8 if i % 2 == 0 else 10,
             channels=i % 3 + 1,
         )
+        rows.append((f"img-{i}", bytearray(payload)))
+    from sigraph_spark.operators.mediameta import encode_ico_skeleton
+
+    for i in range(340, 400):
+        if i % 2 == 0:
+            w, h = 100 + i, 60 + i % 30
+            if i % 6 == 0:
+                payload = (
+                    f'<?xml version="1.0"?>\n<svg xmlns="x" '
+                    f'viewBox="0 0 {w} {h}"></svg>'
+                ).encode()
+            else:
+                payload = (
+                    f'<svg width="{w}" height="{h}"><rect/></svg>'
+                ).encode()
+        else:
+            big = ((i % 17 + 1) * 8, (i % 11 + 1) * 16,
+                   32 if i % 4 == 1 else 8)
+            payload = encode_ico_skeleton([(4, 4, 8), big])
         rows.append((f"img-{i}", bytearray(payload)))
     df = spark.createDataFrame(rows, "media_id string, payload binary")
     return image_metadata(df)
@@ -6217,6 +6238,7 @@ def oracle_sql() -> dict[str, str]:
     sq["image_metadata"] = """
         WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 280)),
         av AS (SELECT CAST(range AS BIGINT) AS i FROM range(280, 340)),
+        sv AS (SELECT CAST(range AS BIGINT) AS i FROM range(340, 400)),
         avif AS (
           SELECT 'img-' || CAST(i AS VARCHAR) AS media_id,
                  CASE i % 3 WHEN 0 THEN 'avif' WHEN 1 THEN 'heic'
@@ -6227,8 +6249,25 @@ def oracle_sql() -> dict[str, str]:
                    AS bit_depth,
                  CAST(i % 3 + 1 AS INT) AS channels,
                  FALSE AS interlaced
-          FROM av)
+          FROM av),
+        svgico AS (
+          SELECT 'img-' || CAST(i AS VARCHAR) AS media_id,
+                 CASE WHEN i % 2 = 0 THEN 'svg' ELSE 'ico' END AS format,
+                 CAST(CASE WHEN i % 2 = 0 THEN 100 + i
+                      ELSE (i % 17 + 1) * 8 END AS INT) AS width,
+                 CAST(CASE WHEN i % 2 = 0 THEN 60 + i % 30
+                      ELSE (i % 11 + 1) * 16 END AS INT) AS height,
+                 CAST(CASE WHEN i % 2 = 0 THEN NULL
+                      WHEN i % 4 = 1 THEN 32 ELSE 8 END AS INT)
+                   AS bit_depth,
+                 CAST(CASE WHEN i % 2 = 0 THEN NULL
+                      WHEN i % 4 = 1 THEN 4 ELSE 3 END AS INT)
+                   AS channels,
+                 FALSE AS interlaced
+          FROM sv)
         SELECT * FROM avif
+        UNION ALL
+        SELECT * FROM svgico
         UNION ALL
         SELECT 'img-' || CAST(i AS VARCHAR) AS media_id,
           CASE i % 7

@@ -46,7 +46,10 @@ __all__ = [
     "webp_dims",
     "tiff_dims",
     "avif_dims",
+    "svg_dims",
+    "ico_dims",
     "encode_avif_skeleton",
+    "encode_ico_skeleton",
     "flac_metadata",
     "ogg_metadata",
     "encode_webp_skeleton",
@@ -254,6 +257,69 @@ def tiff_dims(payload: bytes) -> dict:
     }
 
 
+import re as _re
+
+_SVG_TAG = _re.compile(rb"<svg\b[^>]*>", _re.S)
+_SVG_NUM = rb"""["']\s*([0-9]+(?:\.[0-9]+)?)\s*(?:px)?\s*["']"""
+_SVG_W = _re.compile(rb"\bwidth\s*=\s*" + _SVG_NUM)
+_SVG_H = _re.compile(rb"\bheight\s*=\s*" + _SVG_NUM)
+_SVG_VB = _re.compile(
+    rb"""\bviewBox\s*=\s*["']\s*[-0-9.]+[\s,]+[-0-9.]+[\s,]+"""
+    rb"""([0-9.]+)[\s,]+([0-9.]+)\s*["']"""
+)
+
+
+def svg_dims(payload: bytes) -> dict:
+    """SVG root-element scan (first 64 KB): numeric/px width+height
+    attributes win; else the viewBox extent; percentage/em sizes give
+    NULL dims (they are viewport-relative). Vector — bit depth and
+    interlace are not meaningful (NULL/False)."""
+    head = payload[:65536].lstrip(b"\xef\xbb\xbf \t\r\n")
+    if not (head.startswith(b"<svg") or head.startswith(b"<?xml")
+            or head.startswith(b"<!DOCTYPE svg")):
+        raise ValueError("not an SVG")
+    m = _SVG_TAG.search(head)
+    if m is None:
+        raise ValueError("no <svg> root element")
+    tag = m.group(0)
+    w = h = None
+    mw, mh = _SVG_W.search(tag), _SVG_H.search(tag)
+    if mw and mh:
+        w, h = int(float(mw.group(1))), int(float(mh.group(1)))
+    else:
+        vb = _SVG_VB.search(tag)
+        if vb:
+            w, h = int(float(vb.group(1))), int(float(vb.group(2)))
+    return {
+        "format": "svg", "width": w, "height": h,
+        "bit_depth": None, "channels": None, "interlaced": False,
+    }
+
+
+def ico_dims(payload: bytes) -> dict:
+    """ICO directory walk: the LARGEST image entry wins (the favicon
+    convention); a 0 width/height byte means 256."""
+    if len(payload) < 22 or payload[:4] != b"\x00\x00\x01\x00":
+        raise ValueError("not an ICO")
+    n = struct.unpack_from("<H", payload, 4)[0]
+    if n == 0 or 6 + 16 * n > len(payload):
+        raise ValueError("bad ICO directory")
+    best = (0, 0, 8)
+    for i in range(n):
+        at = 6 + 16 * i
+        w = payload[at] or 256
+        h = payload[at + 1] or 256
+        bits = struct.unpack_from("<H", payload, at + 6)[0] or 8
+        if w * h > best[0] * best[1]:
+            best = (w, h, bits)
+    w, h, bits = best
+    return {
+        "format": "ico", "width": w, "height": h,
+        "bit_depth": min(bits, 32), "channels": 4 if bits == 32 else 3,
+        "interlaced": False,
+    }
+
+
 _AVIF_BRANDS = {b"avif": "avif", b"avis": "avif", b"heic": "heic",
                 b"heix": "heic", b"mif1": "heif"}
 
@@ -311,6 +377,11 @@ _IMAGE_SNIFFERS = (
     (b"RIFF", webp_dims),
     (b"II*\x00", tiff_dims),
     (b"MM\x00*", tiff_dims),
+    (b"\x00\x00\x01\x00", ico_dims),
+    (b"<svg", svg_dims),
+    (b"<?xml", svg_dims),
+    (b"<!DOCTYPE svg", svg_dims),
+    (b"\xef\xbb\xbf<", svg_dims),
 )
 
 IMAGE_META_SCHEMA = T.StructType(
@@ -523,6 +594,21 @@ def encode_tiff_skeleton(width: int, height: int, bits: int = 8,
     out += struct.pack(e + "H", n_entries) + b"".join(entries)
     out += struct.pack(e + "I", 0)  # next-IFD terminator
     return out + extra
+
+
+def encode_ico_skeleton(entries: list) -> bytes:
+    """ICO directory + dummy image data; ``entries`` is a list of
+    (width, height, bits) with 256 encoded as the 0 byte."""
+    n = len(entries)
+    out = bytearray(b"\x00\x00\x01\x00" + struct.pack("<H", n))
+    data_off = 6 + 16 * n
+    for w, h, bits in entries:
+        out += bytes([w % 256, h % 256, 0, 0])
+        out += struct.pack("<HH", 1, bits)
+        out += struct.pack("<II", 8, data_off)
+        data_off += 8
+    out += bytes(8 * n)
+    return bytes(out)
 
 
 def encode_avif_skeleton(width: int, height: int, brand: str = "avif",

@@ -117,6 +117,43 @@ def test_avif_heic_property_walk():
         avif_dims(bytes(skel))
 
 
+def test_svg_dims_attrs_viewbox_and_relative():
+    from sigraph_spark.operators.mediameta import svg_dims
+
+    m = svg_dims(b'<svg width="120" height="80.5"><rect/></svg>')
+    assert (m["format"], m["width"], m["height"]) == ("svg", 120, 80)
+    m = svg_dims(b'<?xml version="1.0"?>\n<svg viewBox="0 0 640 480"/>')
+    assert (m["width"], m["height"]) == (640, 480)
+    # %-sized root falls back to the viewBox extent
+    m = svg_dims(b'<svg width="100%" height="50%" '
+                 b'viewBox="-10,-10, 30, 20"/>')
+    assert (m["width"], m["height"]) == (30, 20)
+    # em-sized with no viewBox: format known, dims NULL
+    m = svg_dims(b'<svg width="2em" height="1em"/>')
+    assert (m["format"], m["width"]) == ("svg", None)
+    with pytest.raises(ValueError):
+        svg_dims(b'<?xml version="1.0"?><html></html>')
+
+
+def test_ico_largest_entry_wins():
+    from sigraph_spark.operators.mediameta import (
+        encode_ico_skeleton,
+        ico_dims,
+    )
+
+    m = ico_dims(encode_ico_skeleton([(16, 16, 32), (48, 48, 8)]))
+    assert (m["width"], m["height"], m["bit_depth"], m["channels"]) == (
+        48, 48, 8, 3,
+    )
+    # the 0 byte means 256
+    m = ico_dims(encode_ico_skeleton([(256, 256, 32), (16, 16, 8)]))
+    assert (m["width"], m["channels"]) == (256, 4)
+    with pytest.raises(ValueError):
+        ico_dims(b"\x00\x00\x01\x00\x00\x00")  # zero entries
+    with pytest.raises(ValueError):
+        ico_dims(b"\x00\x00\x02\x00" + bytes(20))  # CUR, not ICO
+
+
 def test_flac_streaminfo():
     m = flac_metadata(encode_flac_skeleton(44100, 2, 16, 441000))
     assert m["format"] == "flac"
