@@ -496,6 +496,97 @@ def main() -> None:
 
     timed("sink_render", run_sinks)
 
+    # --- media metadata plane (round 5): header-walk sniffing throughput ------
+    # payload corpus generated once inside mapInPandas (excluded from the
+    # timing via localCheckpoint, like every other stage input); the stage
+    # times the four no-decode walks over mixed real-format payloads.
+    import pandas as _pd
+
+    n_media = max(2000, int(120_000 * sf))
+
+    def _gen_media_batch(batches):
+        from sigraph_spark.operators.mediameta import (
+            encode_avif_skeleton, encode_flac_skeleton,
+            encode_ico_skeleton, encode_ogg_skeleton,
+            encode_tiff_skeleton, encode_webp_skeleton,
+        )
+        from sigraph_spark.operators.mediatags import (
+            encode_flac_with_comments, encode_id3v2,
+        )
+        from sigraph_spark.operators.multimodal import (
+            encode_bmp, encode_gif, encode_mkv, encode_mp4, encode_png,
+        )
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                k = i % 12
+                if k == 0:
+                    p = encode_webp_skeleton(100 + i % 500, 80, "vp8")
+                elif k == 1:
+                    p = encode_tiff_skeleton(64 + i % 100, 48,
+                                             big_endian=(i % 2 == 0))
+                elif k == 2:
+                    p = encode_avif_skeleton(200 + i % 300, 150)
+                elif k == 3:
+                    p = (f'<svg width="{i % 900 + 1}" height="40">'
+                         f'</svg>').encode()
+                elif k == 4:
+                    p = encode_ico_skeleton([(16, 16, 8), (48, 48, 32)])
+                elif k == 5:
+                    p = encode_png(12, 9, bytes(12 * 9 * 3))
+                elif k == 6:
+                    p = encode_gif(10, 8, bytes(10 * 8 * 3))
+                elif k == 7:
+                    p = encode_bmp(11, 7, bytes(11 * 7 * 3))
+                elif k == 8:
+                    p = encode_flac_skeleton(44100, 2, 16, 44100 + i)
+                elif k == 9:
+                    p = encode_ogg_skeleton(
+                        "opus" if i % 2 else "vorbis", 48000, 2, 4800 + i)
+                elif k == 10:
+                    p = (encode_mp4(1000, 1000 + i % 9000,
+                                    [{"handler": "vide", "codec": "avc1",
+                                      "width": 320, "height": 240}])
+                         if i % 2 else
+                         encode_mkv(1_000_000, float(1000 + i % 9000),
+                                    [{"type": 1, "codec": "V_VP9",
+                                      "width": 640, "height": 360}]))
+                else:
+                    p = encode_id3v2([("TIT2", f"t{i}"),
+                                      ("TPE1", f"a{i % 97}")]) \
+                        if i % 2 else \
+                        encode_flac_with_comments(
+                            8000, 1, 16, 8000, [("TITLE", f"f{i}")])
+                rows.append({"media_id": f"m-{i}", "payload": p})
+            yield _pd.DataFrame(rows)
+
+    media_tbl = (
+        spark.range(0, n_media, 1, max(cpus, 8))
+        .mapInPandas(_gen_media_batch, "media_id string, payload binary")
+        .localCheckpoint(eager=True)
+    )
+
+    def run_media_sniff() -> int:
+        from sigraph_spark.operators.mediameta import image_metadata
+        from sigraph_spark.operators.mediatags import media_tags
+        from sigraph_spark.operators.multimodal import (
+            audio_metadata, video_metadata,
+        )
+
+        n = image_metadata(media_tbl).filter(
+            F.col("format") != "unknown").count()
+        n += audio_metadata(media_tbl).filter(
+            F.col("format") != "unknown").count()
+        n += video_metadata(media_tbl).filter(
+            F.col("format") != "unknown").count()
+        n += media_tags(media_tbl).count()
+        return n
+
+    extras["media_rows"] = timed("media_sniff", run_media_sniff)
+    extras["media_payloads"] = n_media
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "kg_pipeline_e2e+operators",
