@@ -1377,13 +1377,15 @@ def q_warc10_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WARC/1.0 ingest round trip (round 5, sources/warc.py
     encode_warc10/read_warc10_segments — closes the WARC-lite seam):
     documents -> full ISO 28500 response records with HTTP blocks
-    (warcinfo prologue skipped on read; every 11th≡3 page a 404) ->
-    EVEN segments framed as per-record GZIP MEMBERS (the Common Crawl
+    (warcinfo prologue skipped on read; every 11th≡3 page a 404;
+    bodies cycle through the real HTTP codings — plain / gzip /
+    chunked / chunked+gzip / deflate, removed on read) -> EVEN
+    segments framed as per-record GZIP MEMBERS (the Common Crawl
     layout, mtime pinned) -> parse -> status + per-page byte length +
     portable fingerprint of the decoded payload. The oracle computes
     the same values straight from the documents table, so any byte
-    lost in framing, gzip member walking, or HTTP splitting fails the
-    hash."""
+    lost in framing, gzip member walking, HTTP splitting, dechunking,
+    or content decoding fails the hash."""
     import pandas as pd
 
     from sigraph_spark.operators.textstats import fingerprint64
@@ -1402,9 +1404,11 @@ def q_warc10_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
         seg = int(pdf["seg"].iloc[0])
+        codings = ("", "gzip", "chunked", "chunked+gzip", "deflate")
         recs = [
             (u, t.to_pydatetime(), bytes(p), "text/html",
-             404 if int(d) % 11 == 3 else 200)
+             404 if int(d) % 11 == 3 else 200,
+             codings[int(d) % 5])
             for d, u, t, p in zip(pdf["doc_id"], pdf["url"], pdf["ts"],
                                   pdf["payload"])
         ]

@@ -199,14 +199,35 @@ def encode_warc10(
         url, ts, payload = rec[0], rec[1], rec[2]
         ctype = rec[3] if len(rec) > 3 else "text/html"
         status = rec[4] if len(rec) > 4 else 200
+        coding = rec[5] if len(rec) > 5 else ""
         reason = {200: "OK", 301: "Moved Permanently",
                   404: "Not Found", 503: "Service Unavailable"}.get(
             status, "Unknown")
+        body = payload
+        extra = ""
+        if "gzip" in coding:
+            body = _gzip.compress(body, mtime=0)
+            extra += "Content-Encoding: gzip\r\n"
+        elif "deflate" in coding:
+            import zlib as _zlib
+
+            body = _zlib.compress(body)
+            extra += "Content-Encoding: deflate\r\n"
+        if "chunked" in coding:
+            chunked = bytearray()
+            for at in range(0, len(body), 100):
+                part = body[at : at + 100]
+                chunked += f"{len(part):x}".encode() + b"\r\n"
+                chunked += part + b"\r\n"
+            chunked += b"0\r\n\r\n"
+            body = bytes(chunked)
+            extra += "Transfer-Encoding: chunked\r\n"
+        else:
+            extra += f"Content-Length: {len(body)}\r\n"
         http = (
             f"HTTP/1.1 {status} {reason}\r\n"
-            f"Content-Type: {ctype}\r\n"
-            f"Content-Length: {len(payload)}\r\n\r\n"
-        ).encode() + payload
+            f"Content-Type: {ctype}\r\n{extra}\r\n"
+        ).encode() + body
         out += member(record(
             [("WARC-Type", "response"),
              ("WARC-Target-URI", url),
@@ -237,12 +258,60 @@ def _gunzip_members(blob: bytes) -> bytes:
     return bytes(out)
 
 
-def _parse_warc10(name: str, blob: bytes):
+def _dechunk(body: bytes) -> bytes:
+    """HTTP/1.1 chunked transfer coding -> plain body (hex size line,
+    chunk, CRLF, ...; 0-size terminates; trailers ignored)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("unterminated chunk-size line")
+        size = int(body[pos:eol].split(b";")[0], 16)
+        if size == 0:
+            return bytes(out)
+        start = eol + 2
+        if start + size + 2 > len(body):
+            raise ValueError("truncated HTTP chunk")
+        out += body[start : start + size]
+        if body[start + size : start + size + 2] != b"\r\n":
+            raise ValueError("missing chunk terminator")
+        pos = start + size + 2
+
+
+def _decode_http_body(headers: dict, body: bytes) -> bytes:
+    """Apply Transfer-Encoding: chunked, then Content-Encoding
+    gzip/deflate — the two codings crawl responses actually carry.
+    Unknown codings raise (a silent pass-through would hand encoded
+    bytes to the text pipeline)."""
+    import zlib
+
+    te = headers.get(b"transfer-encoding", b"").lower()
+    if te:
+        if te != b"chunked":
+            raise ValueError(f"unsupported Transfer-Encoding {te!r}")
+        body = _dechunk(body)
+    ce = headers.get(b"content-encoding", b"identity").lower()
+    if ce in (b"gzip", b"x-gzip"):
+        return zlib.decompress(body, 47)
+    if ce == b"deflate":
+        try:
+            return zlib.decompress(body)
+        except zlib.error:
+            return zlib.decompress(body, -15)  # raw-deflate servers
+    if ce in (b"identity", b""):
+        return body
+    raise ValueError(f"unsupported Content-Encoding {ce!r}")
+
+
+def _parse_warc10(name: str, blob: bytes, decode_body: bool = True):
     """Sequential WARC/1.0 parser for one segment: yields one row per
     ``response`` record (warcinfo/request/metadata records are
     skipped); malformed framing raises loudly. HTTP payloads split at
     the header/body boundary; the HTTP status and Content-Type come
-    along as columns."""
+    along as columns; with ``decode_body`` the chunked transfer coding
+    and gzip/deflate content codings are removed so downstream stages
+    see the actual document bytes."""
     import datetime
 
     if blob[:2] == b"\x1f\x8b":
@@ -281,34 +350,42 @@ def _parse_warc10(name: str, blob: bytes):
             raise ValueError(f"response record without HTTP block in {name}")
         http_head = body[:http_end].split(b"\r\n")
         status = int(http_head[0].split(b" ")[1])
-        mime = None
+        hh = {}
         for line in http_head[1:]:
             k, _, v = line.partition(b":")
-            if k.strip().lower() == b"content-type":
-                mime = v.strip().decode("ascii", "replace")
+            hh[k.strip().lower()] = v.strip()
+        mime = hh.get(b"content-type")
+        if mime is not None:
+            mime = mime.decode("ascii", "replace")
         ts = datetime.datetime.fromisoformat(
             fields[b"warc-date"].decode().replace("Z", "+00:00")
         ).replace(tzinfo=None)
+        payload = body[http_end + 4 :]
+        if decode_body:
+            payload = _decode_http_body(hh, payload)
         yield (
             name, idx,
             fields[b"warc-target-uri"].decode(),
-            ts, status, mime,
-            body[http_end + 4 :],
+            ts, status, mime, payload,
         )
         idx += 1
 
 
-def read_warc10_segments(segments: DataFrame) -> DataFrame:
+def read_warc10_segments(
+    segments: DataFrame, decode_body: bool = True
+) -> DataFrame:
     """Explode ``(segment, content)`` blobs of REAL WARC/1.0 (plain or
     per-record-gzip) into typed response rows via mapInPandas — same
-    one-task-per-segment scale shape as :func:`read_warc_segments`."""
+    one-task-per-segment scale shape as :func:`read_warc_segments`.
+    ``decode_body`` removes the HTTP transfer/content codings
+    (chunked, gzip, deflate) so payloads are document bytes."""
     import pandas as pd
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for name, blob in zip(pdf["segment"], pdf["content"]):
-                rows.extend(_parse_warc10(name, bytes(blob)))
+                rows.extend(_parse_warc10(name, bytes(blob), decode_body))
             yield pd.DataFrame(
                 rows,
                 columns=["segment", "record_idx", "url", "warc_ts",

@@ -125,3 +125,49 @@ def test_warc10_malformed_raises():
     gz = encode_warc10(_w10_records(), gzip_members=True)
     with pytest.raises(ValueError):
         list(_parse_warc10("s", gz[: len(gz) - 10]))
+
+
+@pytest.mark.parametrize("coding", ["gzip", "deflate", "chunked",
+                                    "chunked+gzip"])
+def test_warc10_http_codings_removed(coding):
+    import datetime
+
+    from sigraph_spark.sources.warc import _parse_warc10, encode_warc10
+
+    payload = b"<html>" + bytes(range(256)) * 3 + b"</html>"
+    blob = encode_warc10([
+        ("https://x/c", datetime.datetime(2024, 1, 1), payload,
+         "text/html", 200, coding),
+    ])
+    rows = list(_parse_warc10("s", blob))
+    assert bytes(rows[0][6]) == payload
+    raw = list(_parse_warc10("s", blob, decode_body=False))
+    assert bytes(raw[0][6]) != payload  # coding really was applied
+
+
+def test_warc10_coding_failures_loud():
+    import datetime
+
+    from sigraph_spark.sources.warc import (
+        _decode_http_body,
+        _parse_warc10,
+        encode_warc10,
+    )
+
+    with pytest.raises(ValueError):
+        _decode_http_body({b"content-encoding": b"br"}, b"x")
+    with pytest.raises(ValueError):
+        _decode_http_body({b"transfer-encoding": b"gzip"}, b"x")
+    with pytest.raises(ValueError):
+        _decode_http_body(
+            {b"transfer-encoding": b"chunked"}, b"5\r\nab"
+        )  # truncated chunk
+    # corrupt gzip body fails the record, not silently passes
+    blob = bytearray(encode_warc10([
+        ("https://x/g", datetime.datetime(2024, 1, 1), b"A" * 500,
+         "text/html", 200, "gzip"),
+    ]))
+    at = bytes(blob).rindex(b"\x1f\x8b")
+    blob[at + 20] ^= 0xFF
+    with pytest.raises(Exception):
+        list(_parse_warc10("s", bytes(blob)))
