@@ -30,6 +30,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", help="pages table path (url, warc_ts, html, text, lang)")
+    ap.add_argument("--warc-dir", help="directory of WARC/1.0 segments "
+                    "(plain or per-record gzip; one task per segment)")
     ap.add_argument("--synthetic-sf", type=float, help="generate synthetic pages at this sf")
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
@@ -46,12 +48,23 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.pages:
         pages = spark.read.parquet(args.pages)
+    elif args.warc_dir:
+        from sigraph_spark.sources.warc import (
+            read_warc10_segments, warc_pages,
+        )
+
+        segs = (
+            spark.read.format("binaryFile")
+            .load(args.warc_dir)
+            .selectExpr("path as segment", "content")
+        )
+        pages = warc_pages(read_warc10_segments(segs))
     elif args.synthetic_sf:
         from sigraph_spark.corpus import gen_pages
 
         pages = gen_pages(spark, sf=args.synthetic_sf)
     else:
-        ap.error("one of --pages / --synthetic-sf is required")
+        ap.error("one of --pages / --warc-dir / --synthetic-sf is required")
 
     t0 = time.monotonic()
     out = run_pipeline(spark, pages, args.workdir)

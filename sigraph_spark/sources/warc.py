@@ -117,10 +117,17 @@ def read_warc_segments(segments: DataFrame) -> DataFrame:
 
 def warc_pages(records: DataFrame) -> DataFrame:
     """Adapt parsed WARC records to the pipeline's page contract
-    ``(url, warc_ts, html: binary)`` — the input_hint shape the KG
-    pipeline stages consume."""
-    return records.select(
-        "url", "warc_ts", F.col("payload").alias("html")
+    ``(url, warc_ts, html: binary, lang)`` — the input_hint shape the
+    KG pipeline stages consume. ``lang`` is NULL at ingest (WARC
+    carries no language; the textstats language-ID operator fills it
+    downstream); WARC/1.0 inputs are pre-filtered to HTTP 200
+    responses when the status column is present."""
+    cols = records
+    if "http_status" in records.columns:
+        cols = records.filter(F.col("http_status") == 200)
+    return cols.select(
+        "url", "warc_ts", F.col("payload").alias("html"),
+        F.lit(None).cast("string").alias("lang"),
     )
 
 

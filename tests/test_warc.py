@@ -45,7 +45,7 @@ def test_warc_pages_contract(spark):
     pages = _pages(4)
     segs = write_warc_segments(spark, pages, "")
     out = warc_pages(read_warc_segments(segs))
-    assert out.columns == ["url", "warc_ts", "html"]
+    assert out.columns == ["url", "warc_ts", "html", "lang"]
     assert out.count() == 4
 
 
@@ -171,3 +171,53 @@ def test_warc10_coding_failures_loud():
     blob[at + 20] ^= 0xFF
     with pytest.raises(Exception):
         list(_parse_warc10("s", bytes(blob)))
+
+
+def test_warc10_pages_filter_and_pipeline_cli(spark, tmp_path):
+    """End to end: real WARC/1.0 segments on disk -> binaryFile ->
+    parse -> page contract (200s only) -> the checkpointed pipeline
+    CLI consumes them via --warc-dir."""
+    import datetime
+    import json as _json
+    import subprocess
+    import sys
+
+    from sigraph_spark.corpus import gen_pages
+    from sigraph_spark.sources.warc import (
+        encode_warc10, read_warc10_segments, warc_pages,
+    )
+
+    pages = gen_pages(spark, sf=0.0005).limit(40).collect()
+    warc_dir = tmp_path / "warc"
+    warc_dir.mkdir()
+    recs = []
+    for i, r in enumerate(pages):
+        recs.append((
+            r["url"], datetime.datetime(2024, 1, 1, 0, 0, i),
+            bytes(r["html"]), "text/html",
+            404 if i % 10 == 9 else 200,
+            "gzip" if i % 3 == 0 else "",
+        ))
+    half = len(recs) // 2
+    (warc_dir / "a.warc").write_bytes(encode_warc10(recs[:half]))
+    (warc_dir / "b.warc.gz").write_bytes(
+        encode_warc10(recs[half:], gzip_members=True)
+    )
+    segs = (
+        spark.read.format("binaryFile").load(str(warc_dir))
+        .selectExpr("path as segment", "content")
+    )
+    got = warc_pages(read_warc10_segments(segs))
+    assert got.columns == ["url", "warc_ts", "html", "lang"]
+    n200 = sum(1 for r in recs if r[4] == 200)
+    assert got.count() == n200
+    # the CLI path end to end (subprocess: own SparkSession)
+    out = subprocess.run(
+        [sys.executable, "jobs/run_pipeline.py",
+         "--warc-dir", str(warc_dir),
+         "--workdir", str(tmp_path / "kg"),
+         "--master", "local[4]", "--shuffle-partitions", "4"],
+        capture_output=True, text=True, timeout=600, check=True,
+    )
+    rep = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["docs"] == n200
