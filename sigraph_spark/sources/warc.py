@@ -400,3 +400,41 @@ def read_warc10_segments(
             )
 
     return segments.mapInPandas(parse, schema=WARC10_SCHEMA)
+
+
+def write_warc10_pages(
+    pages: DataFrame,
+    num_segments: int = 1000,
+    gzip_members: bool = True,
+) -> DataFrame:
+    """Distributed WARC/1.0 export: pages ``(url, warc_ts, html)`` ->
+    ``(segment, content)`` blobs, one applyInPandas task per segment
+    group (records hash-assigned by url so segment ids are stable
+    across runs; within a segment records sort by url for
+    deterministic bytes). Size ``num_segments`` so each blob lands
+    near the cluster's segment-size target. The inverse of
+    :func:`read_warc10_segments` up to record order; round-trip
+    pinned in tests."""
+    import pandas as pd
+
+    src = pages.select(
+        "url", "warc_ts", F.col("html").alias("payload"),
+        (F.abs(F.xxhash64("url")) % F.lit(num_segments)).alias("_seg"),
+    )
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("url")
+        seg = int(pdf["_seg"].iloc[0])
+        recs = [
+            (u, t.to_pydatetime(), bytes(p))
+            for u, t, p in zip(pdf["url"], pdf["warc_ts"], pdf["payload"])
+        ]
+        return pd.DataFrame(
+            {"segment": [f"part-{seg:05d}.warc"
+                         + (".gz" if gzip_members else "")],
+             "content": [encode_warc10(recs, gzip_members=gzip_members)]}
+        )
+
+    return src.groupBy("_seg").applyInPandas(
+        enc, "segment string, content binary"
+    )

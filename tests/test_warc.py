@@ -221,3 +221,30 @@ def test_warc10_pages_filter_and_pipeline_cli(spark, tmp_path):
     )
     rep = _json.loads(out.stdout.strip().splitlines()[-1])
     assert rep["docs"] == n200
+
+
+def test_warc10_distributed_writer_roundtrip(spark):
+    import datetime
+
+    from sigraph_spark.sources.warc import (
+        read_warc10_segments, write_warc10_pages,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    pages = spark.createDataFrame(
+        [(f"https://e.org/{i}", base + datetime.timedelta(seconds=i),
+          bytearray(f"<html>{i}</html>".encode()))
+         for i in range(60)],
+        "url string, warc_ts timestamp, html binary",
+    )
+    segs = write_warc10_pages(pages, num_segments=7)
+    assert segs.count() <= 7
+    back = read_warc10_segments(segs)
+    got = {r["url"]: bytes(r["payload"]) for r in back.collect()}
+    assert len(got) == 60
+    assert got["https://e.org/7"] == b"<html>7</html>"
+    # determinism: a second build yields identical blobs
+    a = {r["segment"]: bytes(r["content"]) for r in segs.collect()}
+    b = {r["segment"]: bytes(r["content"])
+         for r in write_warc10_pages(pages, num_segments=7).collect()}
+    assert a == b
