@@ -133,16 +133,29 @@ def _synchsafe(raw: bytes) -> int:
 def id3_tags(payload: bytes) -> list:
     """ID3v2.3 / v2.4 text frames -> [(frame_id_or_TXXX_desc, text)].
     v2.4 frame sizes are synchsafe, v2.3 are plain big-endian — the
-    version byte decides. Non-text frames are skipped; the walk stops
-    at zero padding."""
+    version byte decides. Tag-level unsynchronisation (header flag
+    0x80: 0xFF 0x00 -> 0xFF) is reversed and extended headers (flag
+    0x40; v2.3 size excludes its own field, v2.4 synchsafe includes
+    it) are skipped. Non-text frames are skipped; the walk stops at
+    zero padding."""
     if payload[:3] != b"ID3" or len(payload) < 10:
         raise ValueError("no ID3v2 header")
     ver = payload[3]
     if ver not in (3, 4):
         raise ValueError(f"unsupported ID3v2.{ver}")
+    flags = payload[5]
     size = _synchsafe(payload[6:10])
-    end = min(10 + size, len(payload))
-    pos = 10
+    body = payload[10 : 10 + size]
+    if flags & 0x80:  # tag-level unsynchronisation
+        body = body.replace(b"\xff\x00", b"\xff")
+    if flags & 0x40:  # extended header
+        if ver == 4:
+            body = body[_synchsafe(body[0:4]) :]
+        else:
+            body = body[4 + struct.unpack_from(">I", body, 0)[0] :]
+    payload = body
+    end = len(body)
+    pos = 0
     tags = []
     while pos + 10 <= end:
         fid = payload[pos : pos + 4]
@@ -373,10 +386,12 @@ def encode_jpeg_with_exif(jpeg: bytes, fields: dict,
     return jpeg[:2] + app1 + jpeg[2:]
 
 
-def encode_id3v2(tags: list, version: int = 4,
-                 encoding: int = 3) -> bytes:
+def encode_id3v2(tags: list, version: int = 4, encoding: int = 3,
+                 unsync: bool = False, extended: bool = False) -> bytes:
     """ID3v2.{3,4} tag block (prepend to any mp3 body). ``tags`` is
-    [(frame_id, text)]; TXXX entries pass 'TXXX:desc' as the id."""
+    [(frame_id, text)]; TXXX entries pass 'TXXX:desc' as the id.
+    ``unsync`` applies tag-level unsynchronisation (and sets flag
+    0x80); ``extended`` prepends an extended header (flag 0x40)."""
     frames = b""
     for fid, text in tags:
         if fid.startswith("TXXX:"):
@@ -391,9 +406,20 @@ def encode_id3v2(tags: list, version: int = 4,
         else:
             raw = struct.pack(">I", len(body))
         frames += fid.encode("ascii") + raw + b"\x00\x00" + body
-    size = len(frames) + 16  # a little padding
-    ss = bytes((size >> s) & 0x7F for s in (21, 14, 7, 0))
-    return b"ID3" + bytes([version, 0, 0]) + ss + frames + bytes(16)
+    if extended:
+        if version == 4:
+            frames = b"\x00\x00\x00\x06\x01\x00" + frames  # synchsafe 6
+        else:
+            frames = struct.pack(">I", 6) + bytes(6) + frames
+    frames += bytes(16)  # a little padding
+    flags = 0
+    if unsync:
+        frames = frames.replace(b"\xff", b"\xff\x00")
+        flags |= 0x80
+    if extended:
+        flags |= 0x40
+    ss = bytes((len(frames) >> s) & 0x7F for s in (21, 14, 7, 0))
+    return b"ID3" + bytes([version, 0, flags]) + ss + frames
 
 
 def _comment_block(vendor: str, comments: list) -> bytes:

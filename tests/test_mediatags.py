@@ -116,3 +116,20 @@ def test_media_tags_operator(spark):
     assert got[("fl", "TITLE")] == ("flac", "F")
     assert got[("og", "ARTIST")] == ("ogg", "O")
     assert not any(mid in ("xx", "nn") for mid, _ in got)
+
+
+def test_id3_unsync_and_extended_header():
+    """Tag-level unsynchronisation (0xFF 0x00 -> 0xFF, incl. a latin-1
+    0xFF character in the text) and extended headers, both versions."""
+    tags = [("TIT2", "Song \xff title"), ("TPE1", "Artist")]
+    for ver in (3, 4):
+        for unsync in (False, True):
+            for ext in (False, True):
+                blob = encode_id3v2(tags, version=ver, encoding=0,
+                                    unsync=unsync, extended=ext)
+                assert id3_tags(blob) == tags, (ver, unsync, ext)
+    # the flag really is set and the transform applied
+    plain = encode_id3v2(tags, encoding=0)
+    unsynced = encode_id3v2(tags, encoding=0, unsync=True)
+    assert plain[5] == 0 and unsynced[5] & 0x80
+    assert len(unsynced) > len(plain)
