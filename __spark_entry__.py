@@ -1304,17 +1304,22 @@ def q_media_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     latin-1 / utf-16 encodings, incl. a TXXX pair), FLAC
     VORBIS_COMMENT, and Ogg Vorbis/Opus comment headers — every 16th
     Ogg comment packet SPANS two pages (255-lacing + continuation
-    flag), exercising real packet reassembly. Payloads BUILT
-    deterministically driver-side; the oracle enumerates every
-    (container, tag, value) row arithmetically."""
+    flag), exercising real packet reassembly; ids 200-259 add PNG
+    textual chunks (tEXt / zTXt / iTXt incl. compressed, cycling) and
+    GIF comment extensions. Payloads BUILT deterministically
+    driver-side; the oracle enumerates every (container, tag, value)
+    row arithmetically."""
     from sigraph_spark.operators.jpeg import encode_jpeg
     from sigraph_spark.operators.mediatags import (
         encode_flac_with_comments,
+        encode_gif_with_comment,
         encode_id3v2,
         encode_jpeg_with_exif,
         encode_ogg_with_comments,
+        encode_png_with_text,
         media_tags,
     )
+    from sigraph_spark.operators.multimodal import encode_gif, encode_png
 
     base_jpeg = encode_jpeg(8, 8, bytes(8 * 8 * 3))
     rows = []
@@ -1348,6 +1353,19 @@ def q_media_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
             payload = encode_ogg_with_comments(
                 "opus", 48000, 1, 4800, [("title", f"s{i}")],
             )
+        rows.append((f"tag-{i}", bytearray(payload)))
+    base_png = encode_png(6, 5, bytes(6 * 5 * 3))
+    base_gif = encode_gif(6, 5, bytes(6 * 5 * 3))
+    for i in range(200, 260):
+        if i % 2 == 0:
+            kind = ("text", "ztxt", "itxt", "itxt-z")[(i // 2) % 4]
+            payload = encode_png_with_text(
+                base_png,
+                [("Title", f"p{i}", kind),
+                 ("Software", f"sw-{i % 9}", "text")],
+            )
+        else:
+            payload = encode_gif_with_comment(base_gif, f"c{i}")
         rows.append((f"tag-{i}", bytearray(payload)))
     df = spark.createDataFrame(rows, "media_id string, payload binary")
     return media_tags(df)
@@ -6322,6 +6340,7 @@ def oracle_sql() -> dict[str, str]:
     # frame / vorbis-comment walks incl. cross-page Ogg reassembly.
     sq["media_tags"] = """
         WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 200)),
+        pg2 AS (SELECT CAST(range AS BIGINT) AS i FROM range(200, 260)),
         t AS (
           SELECT i, 'exif' AS container, 'make' AS tag,
                  'make-' || CAST(i % 9 AS VARCHAR) AS value
@@ -6349,7 +6368,16 @@ def oracle_sql() -> dict[str, str]:
           FROM pg WHERE i % 4 = 3
           UNION ALL
           SELECT i, 'ogg', 'ALBUM', 'a' || CAST(i % 5 AS VARCHAR)
-          FROM pg WHERE i % 8 = 3)
+          FROM pg WHERE i % 8 = 3
+          UNION ALL
+          SELECT i, 'png', 'Title', 'p' || CAST(i AS VARCHAR)
+          FROM pg2 WHERE i % 2 = 0
+          UNION ALL
+          SELECT i, 'png', 'Software', 'sw-' || CAST(i % 9 AS VARCHAR)
+          FROM pg2 WHERE i % 2 = 0
+          UNION ALL
+          SELECT i, 'gif', 'comment', 'c' || CAST(i AS VARCHAR)
+          FROM pg2 WHERE i % 2 = 1)
         SELECT 'tag-' || CAST(i AS VARCHAR) AS media_id,
                container, tag, value
         FROM t

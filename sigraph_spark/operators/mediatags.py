@@ -33,10 +33,14 @@ __all__ = [
     "id3_tags",
     "flac_tags",
     "ogg_tags",
+    "png_text",
+    "gif_comments",
     "encode_jpeg_with_exif",
     "encode_id3v2",
     "encode_flac_with_comments",
     "encode_ogg_with_comments",
+    "encode_png_with_text",
+    "encode_gif_with_comment",
 ]
 
 
@@ -182,6 +186,82 @@ def id3_tags(payload: bytes) -> list:
     if not tags:
         raise ValueError("ID3v2 tag carries no text frames")
     return tags
+
+
+# --- PNG text chunks + GIF comment extensions --------------------------------
+
+
+def png_text(payload: bytes) -> list:
+    """PNG textual chunks -> [(keyword, text)]: tEXt (latin-1),
+    zTXt (deflate-compressed latin-1), iTXt (utf-8, optionally
+    deflate-compressed, language/translated-keyword fields skipped)."""
+    import zlib
+
+    from sigraph_spark.operators.multimodal import _PNG_SIG, _png_chunks
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    out = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"tEXt":
+            key, _, val = data.partition(b"\x00")
+            out.append((key.decode("latin-1"), val.decode("latin-1")))
+        elif ctype == b"zTXt":
+            key, _, rest = data.partition(b"\x00")
+            if not rest or rest[0] != 0:
+                raise ValueError("bad zTXt compression method")
+            out.append((key.decode("latin-1"),
+                        zlib.decompress(rest[1:]).decode("latin-1")))
+        elif ctype == b"iTXt":
+            key, _, rest = data.partition(b"\x00")
+            if len(rest) < 2:
+                raise ValueError("truncated iTXt")
+            comp_flag, comp_method = rest[0], rest[1]
+            rest = rest[2:]
+            _lang, _, rest = rest.partition(b"\x00")
+            _tkey, _, text = rest.partition(b"\x00")
+            if comp_flag:
+                if comp_method != 0:
+                    raise ValueError("bad iTXt compression method")
+                text = zlib.decompress(text)
+            out.append((key.decode("latin-1"), text.decode("utf-8")))
+    if not out:
+        raise ValueError("PNG carries no text chunks")
+    return out
+
+
+def gif_comments(payload: bytes) -> list:
+    """GIF comment extensions (label 0xFE) -> [('comment', text)];
+    walks blocks the same way the dims sniffer does."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        raise ValueError("not a GIF")
+    flags = payload[10]
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (2 << (flags & 0x07))
+    out = []
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = payload[pos + 1]
+            pos += 2
+            parts = bytearray()
+            while pos < len(payload) and payload[pos]:
+                n = payload[pos]
+                parts += payload[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            pos += 1
+            if label == 0xFE:
+                out.append(("comment", parts.decode("utf-8", "replace")))
+            continue
+        if b == 0x2C:  # image descriptor: dims sniffing's job, stop
+            break
+        raise ValueError("bad GIF block")
+    if not out:
+        raise ValueError("GIF carries no comment extensions")
+    return out
 
 
 # --- Vorbis-comment structure (FLAC blocks + Ogg headers) -------------------
@@ -331,6 +411,12 @@ def media_tags(
                     elif b[:4] == b"OggS":
                         for k, v in ogg_tags(b):
                             rows.append((mid, "ogg", k, v))
+                    elif b[:4] == b"\x89PNG":
+                        for k, v in png_text(b):
+                            rows.append((mid, "png", k, v))
+                    elif b[:4] == b"GIF8":
+                        for k, v in gif_comments(b):
+                            rows.append((mid, "gif", k, v))
                 except (ValueError, struct.error):
                     pass
             yield pd.DataFrame(
@@ -495,3 +581,55 @@ def _ogg_page_partial(serial: int, seq: int, head: bytes) -> bytes:
     page = bytearray(hdr + head)
     page[22:26] = struct.pack("<I", _ogg_crc(bytes(page)))
     return bytes(page)
+
+
+def encode_png_with_text(png: bytes, items: list) -> bytes:
+    """Splice textual chunks before IEND; ``items`` is
+    [(keyword, text, kind)] with kind in {'text', 'ztxt', 'itxt',
+    'itxt-z'}. Chunk CRCs are real (zlib.crc32 over type+data)."""
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    extra = b""
+    for key, text, kind in items:
+        k = key.encode("latin-1")
+        if kind == "text":
+            extra += chunk(b"tEXt", k + b"\x00" + text.encode("latin-1"))
+        elif kind == "ztxt":
+            extra += chunk(
+                b"zTXt",
+                k + b"\x00\x00" + zlib.compress(text.encode("latin-1")),
+            )
+        elif kind in ("itxt", "itxt-z"):
+            comp = kind == "itxt-z"
+            body = text.encode("utf-8")
+            if comp:
+                body = zlib.compress(body)
+            extra += chunk(
+                b"iTXt",
+                k + b"\x00" + bytes([int(comp), 0])
+                + b"en\x00\x00" + body,
+            )
+        else:
+            raise ValueError(kind)
+    at = png.rindex(b"IEND") - 4
+    return png[:at] + extra + png[at:]
+
+
+def encode_gif_with_comment(gif: bytes, text: str) -> bytes:
+    """Splice a comment extension right after the header/color table
+    (before the first image descriptor, where the tag walk looks)."""
+    if gif[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    flags = gif[10]
+    at = 13 + (3 * (2 << (flags & 0x07)) if flags & 0x80 else 0)
+    data = text.encode("utf-8")
+    ext = bytearray(b"\x21\xfe")
+    for i in range(0, len(data), 255):
+        part = data[i : i + 255]
+        ext += bytes([len(part)]) + part
+    ext += b"\x00"
+    return gif[:at] + bytes(ext) + gif[at:]

@@ -133,3 +133,61 @@ def test_id3_unsync_and_extended_header():
     unsynced = encode_id3v2(tags, encoding=0, unsync=True)
     assert plain[5] == 0 and unsynced[5] & 0x80
     assert len(unsynced) > len(plain)
+
+
+def test_png_text_all_chunk_kinds():
+    from sigraph_spark.operators.mediatags import (
+        encode_png_with_text,
+        png_text,
+    )
+    from sigraph_spark.operators.multimodal import decode_png, encode_png
+
+    png = encode_png(8, 6, bytes(8 * 6 * 3))
+    items = [("Title", "A café", "text"),
+             ("Description", "long " * 80, "ztxt"),
+             ("Author", "Ünïcode 作者", "itxt"),
+             ("Note", "compressed ünïcode", "itxt-z")]
+    p2 = encode_png_with_text(png, items)
+    assert png_text(p2) == [(k, v) for k, v, _ in items]
+    # pixel decode and the dims sniffer coexist with the text chunks
+    assert decode_png(p2)[:2] == (8, 6)
+    with pytest.raises(ValueError):
+        png_text(png)  # no text chunks
+    with pytest.raises(ValueError):
+        png_text(b"\x89PNG\r\n\x1a\njunk")
+
+
+def test_gif_comment_extension():
+    from sigraph_spark.operators.mediatags import (
+        encode_gif_with_comment,
+        gif_comments,
+    )
+    from sigraph_spark.operators.multimodal import decode_gif, encode_gif
+
+    gif = encode_gif(5, 4, bytes(5 * 4 * 3))
+    long = "hello comment " * 30  # spans multiple 255-byte sub-blocks
+    g2 = encode_gif_with_comment(gif, long)
+    assert gif_comments(g2) == [("comment", long)]
+    assert decode_gif(g2)[:2] == (5, 4)
+    with pytest.raises(ValueError):
+        gif_comments(gif)  # no comments
+
+
+def test_media_tags_dispatches_png_and_gif(spark):
+    from sigraph_spark.operators.mediatags import (
+        encode_gif_with_comment,
+        encode_png_with_text,
+    )
+    from sigraph_spark.operators.multimodal import encode_gif, encode_png
+
+    rows = [
+        ("pn", bytearray(encode_png_with_text(
+            encode_png(4, 4, bytes(48)), [("Title", "t", "text")]))),
+        ("gf", bytearray(encode_gif_with_comment(
+            encode_gif(4, 4, bytes(48)), "c"))),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {(r["media_id"], r["tag"]): (r["container"], r["value"])
+           for r in media_tags(df).collect()}
+    assert got[("pn", "Title")] == ("png", "t")
+    assert got[("gf", "comment")] == ("gif", "c")
