@@ -1204,6 +1204,114 @@ def q_jpeg_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_avi_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIFF/AVI container metadata (round 5, operators/avi.py) through
+    the generic video_metadata operator — exercises the parser-chain
+    fallthrough (mp4 -> mkv -> avi). Headers are BUILT deterministically
+    driver-side: alternating raw BI_RGB / MJPG streams, four frame
+    rates incl. an NTSC 30000/1001 leg every 5th id, frame counts and
+    dimensions from id arithmetic; the oracle enumerates the expected
+    rows (duration_ms = n * 1000 * scale // rate, integer division on
+    both sides)."""
+    from sigraph_spark.operators.avi import encode_avi_mjpeg
+    from sigraph_spark.operators.multimodal import video_metadata
+
+    rows = []
+    for i in range(40):
+        n = i % 7 + 1
+        raw = i % 2 == 0
+        if i % 5 == 4:
+            fps_num, fps_den = 30000, 1001
+        else:
+            fps_num, fps_den = (24, 25, 30, 60)[i % 4], 1
+        # metadata walk never opens frame payloads; deterministic filler
+        frames = [bytes([j % 256]) * (10 + j) for j in range(n)]
+        rows.append((f"avi-{i}", bytearray(encode_avi_mjpeg(
+            frames, 32 + i, 24 + i % 10,
+            fps_num=fps_num, fps_den=fps_den, raw=raw,
+        ))))
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    return video_metadata(df)
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-level VIDEO decode (round 5, operators/avi.py): one row
+    per decoded frame with exact integer per-channel pixel sums. Even
+    ids carry raw BI_RGB streams of solid-color frames — the decoded
+    sums are pure id arithmetic (sum_c = w*h*color), so the oracle
+    verifies the actual pixel path, bottom-up row flip and BGR swap
+    included. Odd ids carry MJPG streams (each frame a real JPEG from
+    the repo's T.81 encoder: noise / gradient / solid by frame index);
+    their decoded sums are pinned by pix_ok — equality against a
+    driver-side decode_jpeg of the very same payload, proving the
+    container walk hands the codec bit-identical frame bytes. Blob
+    never leaves the mapInPandas stage."""
+    import numpy as np
+
+    from sigraph_spark.operators.avi import (
+        _raw_frame_bytes,
+        encode_avi_mjpeg,
+        video_frames,
+    )
+    from sigraph_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    def frame_rgb(i: int, j: int, w: int, h: int) -> bytes:
+        kind = (i + j) % 3
+        if kind == 0:
+            rng = np.random.default_rng(100 * i + j)
+            return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8).tobytes()
+        if kind == 1:
+            x = np.linspace(0, 255, w)
+            g = np.stack(
+                [np.tile(x, (h, 1)), np.tile(x[::-1], (h, 1)),
+                 np.full((h, w), float((i * 5 + j) % 256))], axis=2)
+            return g.astype(np.uint8).tobytes()
+        return np.full((h, w, 3), (i * 37 + j * 11) % 256,
+                       dtype=np.uint8).tobytes()
+
+    rows, expected = [], []
+    for i in range(24):
+        w, h = 16 + i % 5, 12 + i % 4
+        n = 1 + i % 3
+        if i % 2 == 0:
+            frames = []
+            for j in range(n):
+                r, g, b = ((i * 7 + j * 13) % 256, (i * 11 + j * 3) % 256,
+                           (i * 5 + j * 17) % 256)
+                rgb = bytes((r, g, b)) * (w * h)
+                frames.append(_raw_frame_bytes(w, h, rgb))
+                expected.append((f"vid-{i}", j, w * h * r, w * h * g, w * h * b))
+            payload = encode_avi_mjpeg(frames, w, h, fps_num=30, raw=True)
+        else:
+            jpegs = [encode_jpeg(w, h, frame_rgb(i, j, w, h), quality=75)
+                     for j in range(n)]
+            for j, jp in enumerate(jpegs):
+                px = np.frombuffer(decode_jpeg(jp)[2], dtype=np.uint8)
+                s = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                expected.append((f"vid-{i}", j, int(s[0]), int(s[1]), int(s[2])))
+            payload = encode_avi_mjpeg(jpegs, w, h, fps_num=24)
+        rows.append((f"vid-{i}", bytearray(payload)))
+
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    exp = spark.createDataFrame(
+        expected, "media_id string, frame_idx int, exp_r long, exp_g long, "
+        "exp_b long")
+    out = video_frames(df)
+    vid_num = F.element_at(F.split("media_id", "-"), 2).cast("int")
+    return (
+        out.join(F.broadcast(exp), ["media_id", "frame_idx"])
+        .select(
+            "media_id", "frame_idx", "width", "height", "codec",
+            F.when(vid_num % 2 == 0, F.col("sum_r")).alias("sum_r"),
+            F.when(vid_num % 2 == 0, F.col("sum_g")).alias("sum_g"),
+            F.when(vid_num % 2 == 0, F.col("sum_b")).alias("sum_b"),
+            ((F.col("sum_r") == F.col("exp_r"))
+             & (F.col("sum_g") == F.col("exp_g"))
+             & (F.col("sum_b") == F.col("exp_b"))).alias("pix_ok"),
+        )
+    )
+
+
 def q_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-walk image metadata (round 5, operators/mediameta.py):
     dimensions/format/depth WITHOUT pixel decode — the scale-correct
@@ -5079,6 +5187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_graph_path": q_sparql_graph_path,
         "sparql_graph_subquery": q_sparql_graph_subquery,
         "video_metadata": q_video_metadata,
+        "avi_metadata": q_avi_metadata,
+        "video_frames": q_video_frames,
         "jpeg_codecs": q_jpeg_codecs,
         "image_metadata": q_image_metadata,
         "media_tags": q_media_tags,
@@ -6252,6 +6362,54 @@ def oracle_sql() -> dict[str, str]:
                TRUE AS prog_ok,
                TRUE AS arith_ok
         FROM pg
+    """
+    # --- AVI container metadata: every header field is id arithmetic;
+    # the Spark side does the real RIFF walk (avih/strh/strf).
+    sq["avi_metadata"] = """
+        WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 40))
+        SELECT 'avi-' || CAST(i AS VARCHAR) AS media_id,
+               'avi' AS format,
+               CAST((i % 7 + 1) * 1000 *
+                    (CASE WHEN i % 5 = 4 THEN 1001 ELSE 1 END) //
+                    (CASE WHEN i % 5 = 4 THEN 30000
+                          WHEN i % 4 = 0 THEN 24
+                          WHEN i % 4 = 1 THEN 25
+                          WHEN i % 4 = 2 THEN 30
+                          ELSE 60 END) AS BIGINT) AS duration_ms,
+               CAST(1 AS INT) AS n_tracks,
+               CAST(32 + i AS INT) AS width,
+               CAST(24 + i % 10 AS INT) AS height,
+               CASE WHEN i % 2 = 0 THEN 'rawvideo' ELSE 'mjpg' END
+                 AS video_codec,
+               CAST(NULL AS VARCHAR) AS audio_codec
+        FROM pg
+    """
+    # --- video frame decode: raw-stream pixel sums are pure id
+    # arithmetic (solid frames, sum_c = w*h*color — this checks the
+    # actual decoded pixels, row flip + BGR swap included); MJPG rows
+    # are pinned by pix_ok bit-identity and carry NULL sums.
+    sq["video_frames"] = """
+        WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 24)),
+        fr AS (SELECT CAST(range AS BIGINT) AS j FROM range(0, 3)),
+        xs AS (
+          SELECT i, j FROM pg CROSS JOIN fr WHERE j < 1 + i % 3
+        )
+        SELECT 'vid-' || CAST(i AS VARCHAR) AS media_id,
+               CAST(j AS INT) AS frame_idx,
+               CAST(16 + i % 5 AS INT) AS width,
+               CAST(12 + i % 4 AS INT) AS height,
+               CASE WHEN i % 2 = 0 THEN 'rawvideo' ELSE 'mjpg' END AS codec,
+               CASE WHEN i % 2 = 0 THEN
+                 CAST((16 + i % 5) * (12 + i % 4) * ((i*7 + j*13) % 256)
+                      AS BIGINT) END AS sum_r,
+               CASE WHEN i % 2 = 0 THEN
+                 CAST((16 + i % 5) * (12 + i % 4) * ((i*11 + j*3) % 256)
+                      AS BIGINT) END AS sum_g,
+               CASE WHEN i % 2 = 0 THEN
+                 CAST((16 + i % 5) * (12 + i % 4) * ((i*5 + j*17) % 256)
+                      AS BIGINT) END AS sum_b,
+               TRUE AS pix_ok
+        FROM xs
     """
     # --- image header metadata: the seven payload kinds and all their
     # fields are pure id arithmetic; the Spark side does the real

@@ -1474,7 +1474,9 @@ def video_metadata(
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 meta = None
                 if payload:
-                    for parser in (mp4_metadata, mkv_metadata):
+                    from sigraph_spark.operators.avi import avi_metadata
+
+                    for parser in (mp4_metadata, mkv_metadata, avi_metadata):
                         try:
                             meta = parser(bytes(payload))
                             break
