@@ -1137,10 +1137,11 @@ def q_jpeg_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     image (noise / gradient / solid, mixed non-multiple-of-8 sizes,
     qualities 50/75/90, every 6th with an arithmetic restart interval,
     every 9th≡4 with non-default AC conditioning Kx=63) is encoded
-    three ways — Huffman baseline, progressive SOF2, arithmetic SOF9
-    QM-coder — and all three are decoded back. prog_ok / arith_ok
-    assert BIT-IDENTICAL pixels vs the baseline decode (all encoders
-    share the quantized-coefficient math); the oracle enumerates the
+    FOUR ways — Huffman baseline, progressive SOF2, arithmetic SOF9
+    QM-coder, and (round 5) progressive-arithmetic SOF10 — and all
+    four are decoded back. prog_ok / arith_ok / parith_ok assert
+    BIT-IDENTICAL pixels vs the baseline decode (all encoders share
+    the quantized-coefficient math); the oracle enumerates the
     expected dimensions + outcomes arithmetically. Blob never leaves
     the stage — the same scale shape as media_features."""
     import pandas as pd
@@ -1156,6 +1157,9 @@ def q_jpeg_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
             encode_jpeg_progressive,
         )
         from sigraph_spark.operators.jpeg_arith import encode_jpeg_arithmetic
+        from sigraph_spark.operators.jpeg_prog_arith import (
+            encode_jpeg_progressive_arithmetic,
+        )
 
         for pdf in batches:
             rows = []
@@ -1191,16 +1195,22 @@ def q_jpeg_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ac_kx=63 if i % 9 == 4 else 5,
                     restart_interval=2 if i % 6 == 5 else 0,
                 ))
+                pa = decode_jpeg(encode_jpeg_progressive_arithmetic(
+                    w, h, rgb, quality=q,
+                    ac_kx=63 if i % 9 == 4 else 5,
+                    restart_interval=2 if i % 6 == 5 else 0,
+                ))
                 rows.append({
                     "img_id": i, "width": base[0], "height": base[1],
                     "prog_ok": prog == base, "arith_ok": ar == base,
+                    "parith_ok": pa == base,
                 })
             yield pd.DataFrame(rows)
 
     return ids.mapInPandas(
         run,
         "img_id int, width int, height int, prog_ok boolean, "
-        "arith_ok boolean",
+        "arith_ok boolean, parith_ok boolean",
     )
 
 
@@ -6360,7 +6370,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(8 + (i % 4) * 8 + (i % 5) AS INT) AS width,
                CAST(8 + (i % 3) * 8 + (i % 7) AS INT) AS height,
                TRUE AS prog_ok,
-               TRUE AS arith_ok
+               TRUE AS arith_ok,
+               TRUE AS parith_ok
         FROM pg
     """
     # --- AVI container metadata: every header field is id arithmetic;

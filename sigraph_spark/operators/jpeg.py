@@ -297,13 +297,14 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 vals = list(seg[s + 17 : s + 17 + n])
                 huff[(tc, th)] = _build_huffman(bits, vals)
                 s += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
-            # SOF0/1 baseline, SOF2 progressive, SOF9 arithmetic sequential
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0/1 baseline, SOF2 progressive, SOF9 arithmetic
+            # sequential, SOF10 progressive-arithmetic
             prec = seg[0]
             if prec != 8:
                 raise ValueError("unsupported JPEG precision")
-            progressive = marker == 0xC2
-            arith = marker == 0xC9
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             height, width = struct.unpack_from(">HH", seg, 1)
             nc = seg[5]
             comps = []
@@ -312,7 +313,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError("unsupported JPEG coding")
         elif marker == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
@@ -345,10 +346,20 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 )
             if coef is None:
                 coef = _prog_alloc(width, height, comps)
-            pos = _decode_prog_scan(
-                payload, pos + 2 + seg_len, seg, width, height, comps,
-                huff, restart_interval, coef,
-            )
+            if arith:
+                from sigraph_spark.operators.jpeg_prog_arith import (
+                    _decode_prog_arith_scan,
+                )
+
+                pos = _decode_prog_arith_scan(
+                    payload, pos + 2 + seg_len, seg, width, height,
+                    comps, dac, restart_interval, coef,
+                )
+            else:
+                pos = _decode_prog_scan(
+                    payload, pos + 2 + seg_len, seg, width, height,
+                    comps, huff, restart_interval, coef,
+                )
             continue
         pos += 2 + seg_len
     if progressive and coef is not None:

@@ -27,7 +27,8 @@ bit-identity vs the Huffman path are all test-pinned — but this
 sandbox has NO arithmetic-capable third-party decoder and no sample
 arithmetic JPEGs, so conformance against external codecs is
 UNTESTED here; treat cross-implementation interop as unverified.
-Progressive-arithmetic (SOF10) remains a declared unsupported form.
+Progressive-arithmetic (SOF10) lives in ``jpeg_prog_arith.py``, built
+on this module's QM coder and DC/AC models.
 
 Reference parity: the reference repo has no media layer at all; this
 module exists for the training-data pipeline's multimodal columns
@@ -349,22 +350,28 @@ def _decode_dc(dec, stats, ctx, lo, hi):
     return (-diff if sign else diff), _dc_context(m, sign, lo, hi)
 
 
-def _encode_ac(enc, stats, fixed, zz, kx):
-    ke = 0
-    for k in range(63, 0, -1):
-        if zz[k]:
+def _encode_ac(enc, stats, fixed, zz, kx, ss=1, se=63, al=0):
+    """Sequential AC model (F.1.4.3), generalized to a spectral band
+    [ss, se] with point transform ``al`` so the progressive-arithmetic
+    first scans (T.81 G.1.3.2) can reuse it verbatim; the sequential
+    caller passes the defaults (1, 63, 0)."""
+    from sigraph_spark.operators.jpeg import _point
+
+    ke = ss - 1
+    for k in range(se, ss - 1, -1):
+        if _point(int(zz[k]), al):
             ke = k
             break
-    k = 1
+    k = ss
     while k <= ke:
         st = 3 * (k - 1)
         enc.encode(stats, st, 0)  # not end-of-block
-        v = int(zz[k])
+        v = _point(int(zz[k]), al)
         while v == 0:
             enc.encode(stats, st + 1, 0)
             st += 3
             k += 1
-            v = int(zz[k])
+            v = _point(int(zz[k]), al)
         enc.encode(stats, st + 1, 1)
         sign = 1 if v < 0 else 0
         enc.encode(fixed, 0, sign)
@@ -391,20 +398,20 @@ def _encode_ac(enc, stats, fixed, zz, kx):
                 for bitpos in range(c - 1, -1, -1):
                     enc.encode(stats, bits_at, (t >> bitpos) & 1)
         k += 1
-    if ke < 63:
+    if ke < se:
         enc.encode(stats, 3 * ke, 1)  # end-of-block at index ke+1
 
 
-def _decode_ac(dec, stats, fixed, zz, kx):
-    k = 1
-    while k <= 63:
+def _decode_ac(dec, stats, fixed, zz, kx, ss=1, se=63, al=0):
+    k = ss
+    while k <= se:
         st = 3 * (k - 1)
         if dec.decode(stats, st):
             return  # end-of-block
         while dec.decode(stats, st + 1) == 0:
             st += 3
             k += 1
-            if k > 63:
+            if k > se:
                 raise ValueError("AC run past block end")
         sign = dec.decode(fixed, 0)
         st += 2
@@ -425,7 +432,7 @@ def _decode_ac(dec, stats, fixed, zz, kx):
             bits >>= 1
             if dec.decode(stats, bits_at):
                 t |= bits
-        v = t + 1
+        v = (t + 1) << al
         zz[k] = -v if sign else v
         k += 1
 

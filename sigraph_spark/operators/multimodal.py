@@ -11,17 +11,18 @@ uncompressed BMP (``decode_bmp``/``encode_bmp``), PNG
 filters incl. Paeth, gray/RGB/RGBA at bit depth 8), GIF
 (``decode_gif``/``encode_gif``: full LZW state machine with variable
 code width, clear/end codes and table-full handling; global/local color
-tables; interlace), JPEG (``operators/jpeg.py`` + ``jpeg_arith.py``:
-real ITU T.81 Huffman baseline, progressive/SOF2, AND arithmetic/SOF9
+tables; interlace), JPEG (``operators/jpeg.py`` + ``jpeg_arith.py`` +
+``jpeg_prog_arith.py``: real ITU T.81 Huffman baseline,
+progressive/SOF2, arithmetic/SOF9 AND progressive-arithmetic/SOF10
 QM-coder decoders with restart markers and chroma subsampling),
 RIFF/WAVE PCM audio (``decode_wav``/``encode_wav``: 8/16/32-bit, any
 channel count, stdlib ``wave``) and IMA ADPCM WAVE (4-bit predictor
 per the IMA rev 3.00 tables). mp3 gets a real FRAME METADATA walk
 (bitrate/samplerate/duration from frame headers) but no SAMPLE decode
 — mp3/ogg audio features fall back to a clearly-declared
-byte-statistics stub (``_audio_feature_kernel`` docstring);
-progressive-arithmetic (SOF10) and 12-bit JPEG raise loud
-``ValueError``s inside the codec.
+byte-statistics stub (``_audio_feature_kernel`` docstring); 12-bit
+and lossless/hierarchical JPEG raise loud ``ValueError``s inside the
+codec.
 Every seam is clearly marked, swappable, and unit-tested for the
 Spark-side contract that IS always real: schema, batch shape,
 partitioning, and null/size handling.
@@ -605,7 +606,7 @@ def _decode_image_features(payload: bytes | None) -> list[float]:
 
             return _pixel_features(*decode_jpeg(payload))
         except ValueError:
-            pass  # malformed/SOF10 JPEG -> stub fallback
+            pass  # malformed/lossless-mode JPEG -> stub fallback
     hist = [0] * _FEATURE_DIM
     for byte in payload:
         hist[byte % _FEATURE_DIM] += 1
