@@ -1214,6 +1214,76 @@ def q_jpeg_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC lossless-codec cross-check (round 5, operators/flac.py —
+    closes the declared FLAC sample-decode stub): inside one
+    mapInPandas stage each deterministic PCM signal (noise /
+    tone+dither / constant / shared-low-zero-bits "wasted", mono and
+    stereo, 8/16/24-bit, three block sizes, Rice partition orders
+    0-2) is encoded to a real FLAC stream and decoded back; bit_ok
+    asserts decode(encode(pcm)) == pcm ELEMENT-EXACT, with the
+    decoder's CRC-8/CRC-16/MD5 self-checks armed (any mismatch raises
+    rather than comparing). The oracle enumerates the expected
+    rates/shapes/outcomes arithmetically. Payload bytes never leave
+    the stage — the same scale shape as jpeg_codecs."""
+    import pandas as pd
+
+    ids = spark.range(0, 32).select(F.col("id").cast("int").alias("aud_id"))
+
+    def run(batches):
+        import numpy as np
+
+        from sigraph_spark.operators.flac import decode_flac, encode_flac
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["aud_id"]:
+                i = int(i)
+                channels = 2 if i % 2 else 1
+                bits = (8, 16, 24)[i % 3]
+                rate = (8000, 44100, 48000, 32000)[i % 4]
+                n = 500 + 137 * (i % 5)
+                lim = 1 << (bits - 1)
+                rng = np.random.default_rng(i)
+                kind = i % 4
+                if kind == 0:
+                    x = rng.integers(-lim, lim, size=(n, channels))
+                elif kind == 1:
+                    t = np.arange(n)
+                    base = (0.6 * lim * np.sin(
+                        2 * np.pi * 440 * t / rate)).astype(np.int64)
+                    x = np.stack([base + c for c in range(channels)], axis=1)
+                    x += rng.integers(-max(lim // 512, 2),
+                                      max(lim // 512, 2), size=(n, channels))
+                elif kind == 2:
+                    x = np.full((n, channels), -(lim // 3), dtype=np.int64)
+                else:
+                    x = rng.integers(-(lim // 16), lim // 16,
+                                     size=(n, channels)) * 8
+                x = np.clip(x, -lim, lim - 1).astype(np.int64)
+                enc = encode_flac(
+                    rate, x, bits=bits,
+                    block_size=(256, 192, 4096)[i % 3],
+                    partition_order=i % 3,
+                )
+                drate, dch, dbits, dec = decode_flac(enc)
+                rows.append({
+                    "aud_id": i, "rate": drate, "channels": dch,
+                    "bits": dbits, "n_samples": int(dec.shape[0]),
+                    "bit_ok": bool(
+                        drate == rate and dch == channels and dbits == bits
+                        and dec.shape == x.shape and np.array_equal(dec, x)
+                    ),
+                })
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(
+        run,
+        "aud_id int, rate int, channels int, bits int, n_samples int, "
+        "bit_ok boolean",
+    )
+
+
 def q_avi_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RIFF/AVI container metadata (round 5, operators/avi.py) through
     the generic video_metadata operator — exercises the parser-chain
@@ -5200,6 +5270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avi_metadata": q_avi_metadata,
         "video_frames": q_video_frames,
         "jpeg_codecs": q_jpeg_codecs,
+        "flac_roundtrip": q_flac_roundtrip,
         "image_metadata": q_image_metadata,
         "media_tags": q_media_tags,
         "compaction_plan": q_compaction_plan,
@@ -6372,6 +6443,25 @@ def oracle_sql() -> dict[str, str]:
                TRUE AS prog_ok,
                TRUE AS arith_ok,
                TRUE AS parith_ok
+        FROM pg
+    """
+    # --- FLAC lossless round-trip: rates/shapes are pure id
+    # arithmetic; the Spark side does the real encode+decode with CRC
+    # and MD5 self-checks armed, so bit_ok=TRUE is load-bearing.
+    sq["flac_roundtrip"] = """
+        WITH pg AS (SELECT CAST(range AS INT) AS i FROM range(0, 32))
+        SELECT i AS aud_id,
+               CAST(CASE WHEN i % 4 = 0 THEN 8000
+                         WHEN i % 4 = 1 THEN 44100
+                         WHEN i % 4 = 2 THEN 48000
+                         ELSE 32000 END AS INT) AS rate,
+               CAST(CASE WHEN i % 2 = 0 THEN 1 ELSE 2 END AS INT)
+                 AS channels,
+               CAST(CASE WHEN i % 3 = 0 THEN 8
+                         WHEN i % 3 = 1 THEN 16
+                         ELSE 24 END AS INT) AS bits,
+               CAST(500 + 137 * (i % 5) AS INT) AS n_samples,
+               TRUE AS bit_ok
         FROM pg
     """
     # --- AVI container metadata: every header field is id arithmetic;

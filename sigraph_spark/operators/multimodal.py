@@ -1575,10 +1575,12 @@ def _decode_audio_features(payload: bytes | None, duration_ms: int | None, windo
     path (``decode_wav`` -> windowed RMS; window count from the actual
     sample rate, ignoring the metadata duration); IMA ADPCM WAVs (fmt
     tag 0x11) take the real COMPRESSED decode path
-    (``decode_ima_adpcm_wav``). Everything else is the declared STUB
-    fallback (no mp3/ogg codecs in this container): per-window mean
-    byte value over equal payload slices, padded to _FEATURE_DIM.
-    Raises nothing; null/empty -> zeros."""
+    (``decode_ima_adpcm_wav``); FLAC payloads take the real codec path
+    (``operators/flac.decode_flac``, round 5 — CRC + MD5 verified,
+    channels averaged). Everything else is the declared STUB fallback
+    (no mp3/ogg codecs in this container): per-window mean byte value
+    over equal payload slices, padded to _FEATURE_DIM. Raises nothing;
+    null/empty -> zeros."""
     if not payload:
         return 0, [0.0] * _FEATURE_DIM
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -1588,6 +1590,15 @@ def _decode_audio_features(payload: bytes | None, duration_ms: int | None, windo
                 return _wav_features(rate, mono, max(window_ms, 1))
             except ValueError:
                 continue  # malformed/other-codec WAV -> next / stub
+    if payload[:4] == b"fLaC":
+        try:
+            from .flac import decode_flac
+
+            rate, _ch, bits, samples = decode_flac(payload)
+            mono = samples.astype("float64").mean(axis=1) / float(1 << (bits - 1))
+            return _wav_features(rate, mono, max(window_ms, 1))
+        except ValueError:
+            pass  # malformed FLAC -> stub fallback
     n_windows = max(1, int((duration_ms or 1000) // max(window_ms, 1)))
     step = max(1, len(payload) // n_windows)
     energies = []
