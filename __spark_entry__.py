@@ -1284,6 +1284,68 @@ def q_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_oggflac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC-in-Ogg encapsulation cross-check (round 5,
+    operators/oggflac.py — mapping v1.0 over the RFC 9639 codec):
+    inside one mapInPandas stage each deterministic PCM signal is
+    encoded to a real Ogg-FLAC stream (odd ids force the first audio
+    frame to SPAN TWO PAGES via the continuation flag; every third id
+    carries a VORBIS_COMMENT header packet) and decoded back through
+    the full verification chain — Ogg page CRC-32s, mapping header,
+    FLAC frame CRC-8/16, STREAMINFO MD5, EOS granule vs decoded
+    length. bit_ok asserts decode(encode(pcm)) == pcm ELEMENT-EXACT;
+    duration_ms comes from the independent ogg_metadata container
+    walk. The oracle enumerates everything arithmetically."""
+    import pandas as pd
+
+    ids = spark.range(0, 24).select(F.col("id").cast("int").alias("aud_id"))
+
+    def run(batches):
+        import numpy as np
+
+        from sigraph_spark.operators.mediameta import ogg_metadata
+        from sigraph_spark.operators.oggflac import (decode_ogg_flac,
+                                                     encode_ogg_flac)
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["aud_id"]:
+                i = int(i)
+                channels = 2 if i % 2 else 1
+                bits = (8, 16, 24)[i % 3]
+                rate = (8000, 44100, 48000, 32000)[i % 4]
+                n = 600 + 151 * (i % 5)
+                lim = 1 << (bits - 1)
+                rng = np.random.default_rng(1000 + i)
+                x = rng.integers(-lim, lim, size=(n, channels)).astype(
+                    np.int64)
+                comments = ([("TITLE", f"t{i}")] if i % 3 == 0 else None)
+                enc = encode_ogg_flac(
+                    rate, x, bits=bits, block_size=256,
+                    split_first_frame=bool(i % 2), comments=comments)
+                meta = ogg_metadata(enc)
+                drate, dch, dbits, dec = decode_ogg_flac(enc)
+                rows.append({
+                    "aud_id": i, "rate": drate, "channels": dch,
+                    "bits": dbits, "n_samples": int(dec.shape[0]),
+                    "duration_ms": int(meta["duration_ms"]),
+                    "n_tags": (1 if comments else 0),
+                    "bit_ok": bool(
+                        meta["format"] == "ogg-flac"
+                        and drate == rate and dch == channels
+                        and dbits == bits and dec.shape == x.shape
+                        and np.array_equal(dec, x)
+                    ),
+                })
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(
+        run,
+        "aud_id int, rate int, channels int, bits int, n_samples int, "
+        "duration_ms int, n_tags int, bit_ok boolean",
+    )
+
+
 def q_avi_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RIFF/AVI container metadata (round 5, operators/avi.py) through
     the generic video_metadata operator — exercises the parser-chain
@@ -5271,6 +5333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "jpeg_codecs": q_jpeg_codecs,
         "flac_roundtrip": q_flac_roundtrip,
+        "oggflac_roundtrip": q_oggflac_roundtrip,
         "image_metadata": q_image_metadata,
         "media_tags": q_media_tags,
         "compaction_plan": q_compaction_plan,
@@ -6463,6 +6526,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(500 + 137 * (i % 5) AS INT) AS n_samples,
                TRUE AS bit_ok
         FROM pg
+    """
+    # --- Ogg-FLAC round-trip: rates/shapes/durations are pure id
+    # arithmetic; the Spark side runs the real mapping-v1.0 encode +
+    # decode with Ogg page CRCs, frame CRCs, MD5, and the EOS-granule
+    # cross-check armed, so bit_ok=TRUE is load-bearing.
+    sq["oggflac_roundtrip"] = """
+        WITH pg AS (SELECT CAST(range AS INT) AS i FROM range(0, 24)),
+        f AS (
+          SELECT i,
+                 CASE WHEN i % 4 = 0 THEN 8000
+                      WHEN i % 4 = 1 THEN 44100
+                      WHEN i % 4 = 2 THEN 48000
+                      ELSE 32000 END AS rate,
+                 600 + 151 * (i % 5) AS n
+          FROM pg)
+        SELECT i AS aud_id,
+               CAST(rate AS INT) AS rate,
+               CAST(CASE WHEN i % 2 = 0 THEN 1 ELSE 2 END AS INT)
+                 AS channels,
+               CAST(CASE WHEN i % 3 = 0 THEN 8
+                         WHEN i % 3 = 1 THEN 16
+                         ELSE 24 END AS INT) AS bits,
+               CAST(n AS INT) AS n_samples,
+               CAST(n * 1000 // rate AS INT) AS duration_ms,
+               CAST(CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END AS INT)
+                 AS n_tags,
+               TRUE AS bit_ok
+        FROM f
     """
     # --- AVI container metadata: every header field is id arithmetic;
     # the Spark side does the real RIFF walk (avih/strh/strf).

@@ -528,11 +528,16 @@ def flac_pcm_md5(samples, bits: int) -> bytes:
 
 
 def encode_flac(rate: int, samples, bits: int = 16, block_size: int = 4096,
-                partition_order: int = 0, max_lpc_order: int = 8) -> bytes:
+                partition_order: int = 0, max_lpc_order: int = 8,
+                _frames_out: list | None = None) -> bytes:
     """Encode PCM to a real FLAC stream. ``samples``: int array-like,
     shape (n,) for mono or (n, channels). Fixed-blocksize frames; the
     last frame may be short. Lossless for any input in
-    [-2^(bits-1), 2^(bits-1)-1]."""
+    [-2^(bits-1), 2^(bits-1)-1].
+
+    ``_frames_out``: when a list is passed, one ``(frame_bytes,
+    n_block_samples)`` tuple is appended per encoded frame — the
+    FLAC-in-Ogg mapping needs frame-level packets (``oggflac.py``)."""
     import numpy as np
 
     x = np.asarray(samples, dtype=np.int64)
@@ -615,6 +620,8 @@ def encode_flac(rate: int, samples, bits: int = 16, block_size: int = 4096,
         frame = bytes(hdr) + w.bytes()
         frame += struct.pack(">H", _crc16(frame))
         frames += frame
+        if _frames_out is not None:
+            _frames_out.append((frame, bsz))
         fs = len(frame)
         min_fs = fs if min_fs is None or fs < min_fs else min_fs
         max_fs = fs if max_fs is None or fs > max_fs else max_fs

@@ -531,6 +531,25 @@ def ogg_metadata(payload: bytes) -> dict:
             "n_frames": None,
             "duration_ms": pcm * 1000 // 48000,
         }
+    if first[:5] == b"\x7fFLAC" and first[9:13] == b"fLaC":
+        # FLAC-to-Ogg mapping v1.0 (round 5): STREAMINFO rides inside
+        # the first packet after magic+version+header-count+signature.
+        if len(first) < 17 + 34 or (first[13] & 0x7F) != 0:
+            raise ValueError("Ogg-FLAC first block is not STREAMINFO")
+        info = first[17:17 + 34]
+        packed = int.from_bytes(info[10:18], "big")
+        rate = packed >> 44
+        channels = ((packed >> 41) & 0x7) + 1
+        total = packed & ((1 << 36) - 1)
+        if rate == 0:
+            raise ValueError("Ogg-FLAC zero sample rate")
+        total = total or last_granule
+        return {
+            "format": "ogg-flac", "sample_rate": rate,
+            "channels": channels, "bitrate_kbps": None,
+            "n_frames": None,
+            "duration_ms": total * 1000 // rate if total else None,
+        }
     raise ValueError("unknown Ogg codec")
 
 

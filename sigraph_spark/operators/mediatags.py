@@ -360,6 +360,13 @@ def ogg_tags(payload: bytes) -> list:
         if comment[:8] != b"OpusTags":
             raise ValueError("OpusTags header missing")
         return _vorbis_comments(comment, 8)
+    if ident[:5] == b"\x7fFLAC":
+        # FLAC-to-Ogg mapping: the header packet after the first is a
+        # native FLAC metadata block — VORBIS_COMMENT is type 4, body
+        # starts after the 1-byte header + 3-byte big-endian length.
+        if (comment[0] & 0x7F) != 4:
+            raise ValueError("Ogg-FLAC VORBIS_COMMENT header missing")
+        return _vorbis_comments(comment, 4)
     raise ValueError("unknown Ogg codec")
 
 

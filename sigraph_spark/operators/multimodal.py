@@ -1577,10 +1577,12 @@ def _decode_audio_features(payload: bytes | None, duration_ms: int | None, windo
     tag 0x11) take the real COMPRESSED decode path
     (``decode_ima_adpcm_wav``); FLAC payloads take the real codec path
     (``operators/flac.decode_flac``, round 5 — CRC + MD5 verified,
-    channels averaged). Everything else is the declared STUB fallback
-    (no mp3/ogg codecs in this container): per-window mean byte value
-    over equal payload slices, padded to _FEATURE_DIM. Raises nothing;
-    null/empty -> zeros."""
+    channels averaged), and Ogg-encapsulated FLAC the real
+    ``operators/oggflac.decode_ogg_flac`` path (page CRCs + mapping
+    header verified). Everything else (mp3, Ogg Vorbis/Opus) is the
+    declared STUB fallback (no codecs in this container): per-window
+    mean byte value over equal payload slices, padded to _FEATURE_DIM.
+    Raises nothing; null/empty -> zeros."""
     if not payload:
         return 0, [0.0] * _FEATURE_DIM
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -1599,6 +1601,15 @@ def _decode_audio_features(payload: bytes | None, duration_ms: int | None, windo
             return _wav_features(rate, mono, max(window_ms, 1))
         except ValueError:
             pass  # malformed FLAC -> stub fallback
+    if payload[:4] == b"OggS":
+        try:
+            from .oggflac import decode_ogg_flac
+
+            rate, _ch, bits, samples = decode_ogg_flac(payload)
+            mono = samples.astype("float64").mean(axis=1) / float(1 << (bits - 1))
+            return _wav_features(rate, mono, max(window_ms, 1))
+        except ValueError:
+            pass  # vorbis/opus/malformed -> stub fallback
     n_windows = max(1, int((duration_ms or 1000) // max(window_ms, 1)))
     step = max(1, len(payload) // n_windows)
     energies = []
