@@ -3871,6 +3871,46 @@ def q_doc_keyterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_keyterms(_docs(spark, sf_dir))
 
 
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank extractive summarization (round 5,
+    operators/keyphrase.py — Mihalcea & Tarau 2004): top-3 sentences per
+    document by damped power iteration over the shared-word sentence
+    graph, every score in exact BIGINT micro-units so aggregation order
+    can't perturb a bit. The synthetic corpus has no sentence
+    punctuation, so the gate derives it deterministically: 12-word
+    chunks joined with '. ' (identical expression in the oracle, which
+    also unrolls all 4 iterations as chained CTEs like the PageRank
+    oracle)."""
+    from sigraph_spark.operators.keyphrase import textrank_sentences
+
+    docs = _docs(spark, sf_dir)
+    ws = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))),
+                r"\s+"),
+        lambda x: x != "",
+    )
+    nch = F.ceil(F.size(ws) / F.lit(12)).cast("int")
+    sent_arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(nch - 1, F.lit(0))),
+        lambda k: F.array_join(F.slice(ws, k * 12 + 1, 12), " "),
+    )
+    derived = docs.select(
+        "doc_id", F.array_join(sent_arr, ". ").alias("text")
+    )
+    return textrank_sentences(derived, top_k=3)
+
+
+def q_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (round 5, operators/keyphrase.py — Rose
+    et al. 2010): top-5 candidate phrases per document; word
+    degree/frequency ratios quantized to BIGINT micro-units with ONE
+    integer division per word before the order-free integer sum (the
+    repo's exactness device)."""
+    from sigraph_spark.operators.keyphrase import rake_keywords
+
+    return rake_keywords(_docs(spark, sf_dir), top_k=5)
+
+
 def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: PMI over adjacent word pairs (min_count 5) —
     two wordcount aggregations + scalar-total broadcasts; ln math
@@ -5334,6 +5374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_codecs": q_jpeg_codecs,
         "flac_roundtrip": q_flac_roundtrip,
         "oggflac_roundtrip": q_oggflac_roundtrip,
+        "textrank": q_textrank,
+        "rake_keywords": q_rake,
         "image_metadata": q_image_metadata,
         "media_tags": q_media_tags,
         "compaction_plan": q_compaction_plan,
@@ -9119,6 +9161,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n
         FROM t GROUP BY 1, 2
     """
+    # --- TextRank / RAKE (round 5): the keyphrase module generates its
+    # own oracles — identical BIGINT micro-unit arithmetic, the TextRank
+    # power iteration unrolled into chained CTEs like the PageRank one.
+    from sigraph_spark.operators.keyphrase import (rake_oracle_sql,
+                                                   textrank_oracle_sql)
+
+    sq["textrank"] = textrank_oracle_sql("documents")
+    sq["rake_keywords"] = rake_oracle_sql("documents")
     sq["doc_keyterms"] = r"""
         WITH tt AS (
           SELECT doc_id, u AS term FROM (

@@ -1,0 +1,194 @@
+"""TextRank + RAKE (operators/keyphrase.py) — hand-computed fixtures,
+a pure-Python integer-exact mirror on random text, and the structural
+guards (truncation cap, phrase-length cap, tie-breaks, dedup of
+repeated phrases)."""
+
+from __future__ import annotations
+
+import itertools
+import re
+
+import pytest
+
+SCALE = 1_000_000
+
+
+def _ref_textrank(sent_words: dict, iters: int = 4) -> dict:
+    """Integer-exact mirror of textrank_sentences' fixed-point loop."""
+    w = {}
+    for i, j in itertools.combinations(sorted(sent_words), 2):
+        c = len(sent_words[i] & sent_words[j])
+        if c:
+            w[(i, j)] = c
+            w[(j, i)] = c
+    wtot = {}
+    for (i, j), c in w.items():
+        wtot[i] = wtot.get(i, 0) + c
+    score = {s: SCALE for s in sent_words}
+    for _ in range(iters):
+        inflow = {s: 0 for s in sent_words}
+        for (i, j), c in w.items():
+            # edge keyed (i, j): mass flows FROM j ONTO i
+            inflow[i] += score[j] * c // wtot[j]
+        score = {s: (15 * SCALE) // 100 + 85 * inflow[s] // 100
+                 for s in sent_words}
+    return score
+
+
+def _ref_rake(text: str, stopwords: set, max_words: int = 4) -> dict:
+    """Integer-exact mirror of rake_keywords."""
+    t = re.sub(r"[^a-z0-9\s]+", "\x1e", text.lower())
+    parts = re.split("\x1e", t)
+    phrases = []
+    for p in parts:
+        ws = [x for x in p.split() if x]
+        out, cur = [], []
+        for x in ws:
+            if x in stopwords:
+                if cur:
+                    out.append(cur)
+                cur = []
+            else:
+                cur.append(x)
+        if cur:
+            out.append(cur)
+        phrases.extend(out)
+    phrases = [p for p in phrases if len(p) <= max_words]
+    freq, deg = {}, {}
+    for p in phrases:
+        for x in p:
+            freq[x] = freq.get(x, 0) + 1
+            deg[x] = deg.get(x, 0) + len(p)
+    scores = {}
+    for p in phrases:
+        key = " ".join(p)
+        scores[key] = sum(deg[x] * SCALE // freq[x] for x in p)
+    return scores
+
+
+def test_textrank_hub_sentence_wins(spark):
+    from sigraph_spark.operators.keyphrase import textrank_sentences
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma. alpha delta zzz. beta epsilon yyy. "
+              "gamma zeta xxx. qqq www eee.")],
+        "doc_id long, text string",
+    )
+    out = textrank_sentences(docs, top_k=5).orderBy("rank").collect()
+    assert out[0]["sentence_id"] == 1  # the hub shares a word with 2-4
+    assert out[0]["sentence"] == "alpha beta gamma."
+    words = {
+        1: {"alpha", "beta", "gamma"}, 2: {"alpha", "delta", "zzz"},
+        3: {"beta", "epsilon", "yyy"}, 4: {"gamma", "zeta", "xxx"},
+        5: {"qqq", "www", "eee"},
+    }
+    exp = _ref_textrank(words)
+    got = {r["sentence_id"]: r["score"] for r in out}
+    assert got == exp
+    # the isolated sentence decays to teleport-only mass
+    assert got[5] == (15 * SCALE) // 100
+
+
+def test_textrank_random_matches_reference(spark):
+    import numpy as np
+
+    from sigraph_spark.operators.keyphrase import textrank_sentences
+
+    rng = np.random.default_rng(42)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for d in range(6):
+        sents = [" ".join(rng.choice(vocab, size=8)) for _ in range(7)]
+        rows.append((d, ". ".join(sents) + "."))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textrank_sentences(docs, top_k=7).collect()
+    for d, text in rows:
+        words = {
+            i + 1: set(w for w in re.split(r"[^a-z0-9]+", s.lower()) if w)
+            for i, s in enumerate(re.split(r"(?<=[.!?])\s+", text))
+            if s.strip()
+        }
+        exp = _ref_textrank(words)
+        got = {r["sentence_id"]: r["score"] for r in out
+               if r["doc_id"] == d}
+        assert got == exp, f"doc {d}"
+
+
+def test_textrank_truncation_cap(spark):
+    from sigraph_spark.operators.keyphrase import textrank_sentences
+
+    text = ". ".join(f"common u{i}" for i in range(60)) + "."
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = textrank_sentences(docs, top_k=100, max_sentences=40).collect()
+    assert len(out) == 40
+    assert max(r["sentence_id"] for r in out) == 40
+
+
+def test_rake_paper_style_fixture(spark):
+    from sigraph_spark.operators.keyphrase import (RAKE_STOPWORDS,
+                                                   rake_keywords)
+
+    text = ("deep learning models are trained on web text. "
+            "deep learning needs clean web text and fast pipelines.")
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = {r["phrase"]: r["score"]
+           for r in rake_keywords(docs, top_k=10).collect()}
+    exp = _ref_rake(text, set(RAKE_STOPWORDS.split("|")))
+    # repeated phrases are scored once (phrase TYPE, not occurrence)
+    assert out == {k: v for k, v in
+                   sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:10]}
+    # "deep learning needs clean web text" (6 words) is dropped by the
+    # cap and does NOT feed freq/deg; "deep learning models" all deg 3
+    # freq 1; "web text" both words deg 2 freq 1
+    assert "deep learning needs clean web text" not in out
+    assert out["deep learning models"] == 9 * SCALE
+    assert out["web text"] == 4 * SCALE
+
+
+def test_rake_phrase_length_cap_and_ranks(spark):
+    from sigraph_spark.operators.keyphrase import rake_keywords
+
+    text = "one two three four five six seven. short phrase"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = rake_keywords(docs, top_k=10, max_phrase_words=4).collect()
+    phrases = {r["phrase"] for r in out}
+    assert "one two three four five six seven" not in phrases
+    assert "short phrase" in phrases
+    ranks = sorted(r["rank"] for r in out)
+    assert ranks == list(range(1, len(out) + 1))
+
+
+def test_rake_random_matches_reference(spark):
+    import numpy as np
+
+    from sigraph_spark.operators.keyphrase import (RAKE_STOPWORDS,
+                                                   rake_keywords)
+
+    stop = RAKE_STOPWORDS.split("|")
+    rng = np.random.default_rng(7)
+    vocab = [f"t{i}" for i in range(40)] + stop * 3
+    rows = []
+    for d in range(5):
+        ws = list(rng.choice(vocab, size=120))
+        for k in range(10, len(ws), 13):
+            ws[k] = ws[k] + ","
+        rows.append((d, " ".join(ws)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = rake_keywords(docs, top_k=5).collect()
+    for d, text in rows:
+        exp = _ref_rake(text, set(stop))
+        top = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        got = [(r["phrase"], r["score"]) for r in
+               sorted((r for r in out if r["doc_id"] == d),
+                      key=lambda r: r["rank"])]
+        assert got == top, f"doc {d}"
+
+
+def test_rake_empty_and_all_stopwords(spark):
+    from sigraph_spark.operators.keyphrase import rake_keywords
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "the and of to in is")],
+        "doc_id long, text string",
+    )
+    assert rake_keywords(docs).count() == 0
