@@ -3900,6 +3900,44 @@ def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_sentences(derived, top_k=3)
 
 
+def q_coref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based pronoun coreference (round 5, operators/coref.py):
+    nearest-preceding-capitalized-mention resolution inside a 2-sentence
+    window via a BANDED equi-join. The synthetic corpus is all
+    lowercase with no punctuation, so the gate seeds it
+    deterministically: token k (0-based) becomes a pronoun when
+    k % 11 == 5, is capitalized when k % 7 <= 1 (two consecutive
+    capitals -> multi-word mentions), and sentences are 12-token chunks
+    joined with '. ' — the oracle re-derives the identical token stream
+    arithmetically and replays the same window ranking."""
+    from sigraph_spark.operators.coref import pronoun_coref
+
+    docs = _docs(spark, sf_dir)
+    ws = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))),
+                r"\s+"),
+        lambda x: x != "",
+    )
+    prons = F.array(F.lit("he"), F.lit("she"), F.lit("it"), F.lit("they"))
+    ws2 = F.transform(
+        ws,
+        lambda w, i: F.when(i % 11 == 5, F.element_at(prons, (i % 4) + 1))
+        .when(i % 7 <= 1,
+              F.concat(F.upper(w.substr(1, 1)),
+                       w.substr(F.lit(2), F.length(w))))
+        .otherwise(w),
+    )
+    nch = F.ceil(F.size(ws2) / F.lit(12)).cast("int")
+    sent_arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(nch - 1, F.lit(0))),
+        lambda k: F.array_join(F.slice(ws2, k * 12 + 1, 12), " "),
+    )
+    derived = docs.select(
+        "doc_id", F.array_join(sent_arr, ". ").alias("text")
+    )
+    return pronoun_coref(derived, window_sents=2)
+
+
 def q_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAKE keyword extraction (round 5, operators/keyphrase.py — Rose
     et al. 2010): top-5 candidate phrases per document; word
@@ -5376,6 +5414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oggflac_roundtrip": q_oggflac_roundtrip,
         "textrank": q_textrank,
         "rake_keywords": q_rake,
+        "pronoun_coref": q_coref,
         "image_metadata": q_image_metadata,
         "media_tags": q_media_tags,
         "compaction_plan": q_compaction_plan,
@@ -9169,6 +9208,9 @@ def oracle_sql() -> dict[str, str]:
 
     sq["textrank"] = textrank_oracle_sql("documents")
     sq["rake_keywords"] = rake_oracle_sql("documents")
+    from sigraph_spark.operators.coref import coref_oracle_sql
+
+    sq["pronoun_coref"] = coref_oracle_sql("documents")
     sq["doc_keyterms"] = r"""
         WITH tt AS (
           SELECT doc_id, u AS term FROM (
