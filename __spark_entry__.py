@@ -1621,6 +1621,58 @@ def q_media_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_tags(df)
 
 
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup (round 5, operators/imagehash.py): the
+    image plane of training-data near-dup removal — exact-integer
+    dHash through the repo's own pure-Python codecs, then the 4x16-bit
+    pigeonhole band join (complete for Hamming <= 3).
+
+    Fixture: 16 groups of 9x8 block images (each pixel IS one dHash
+    block).  Per group g: pixel(r, c) = 50 + ((r*9 + c)*(17 + 2g) +
+    29g) % 127, encoded LOSSLESSLY as PNG + BMP + GIF (hash-identical
+    by construction -> 3 pairs at Hamming 0), plus a 'vpng' variant
+    whose column-0 pixels in rows 0 and 4 are nudged to b[r,1] +/- 1.
+    A column-0 pixel participates in EXACTLY ONE comparison (its row's
+    col0-vs-col1 bit), and the nudge reverses that comparison, so the
+    variant sits at Hamming EXACTLY 2 from its trio — provable, not
+    measured.  Cross-group min Hamming is 14 for these parameters
+    (verified offline), so no cross-group pair survives max_hamming=3.
+    One garbage payload per group must hash NULL and emit nothing.
+    The oracle enumerates the 6 pairs per group arithmetically."""
+    import numpy as np
+
+    from sigraph_spark.operators.imagehash import image_neardup
+    from sigraph_spark.operators.multimodal import (
+        encode_bmp,
+        encode_gif,
+        encode_png,
+    )
+
+    rows = []
+    for g in range(16):
+        m = 17 + 2 * g
+        base = np.zeros((8, 9), dtype=np.int64)
+        for r in range(8):
+            for c in range(9):
+                base[r, c] = 50 + ((r * 9 + c) * m + g * 29) % 127
+        var = base.copy()
+        for r in (0, 4):
+            var[r, 0] = base[r, 1] + (1 if base[r, 0] <= base[r, 1]
+                                      else -1)
+
+        def rgb(a):
+            return np.stack([a] * 3, axis=-1).astype(np.uint8).tobytes()
+
+        gid = f"g{g:02d}"
+        rows.append((f"{gid}-png", bytearray(encode_png(9, 8, rgb(base)))))
+        rows.append((f"{gid}-bmp", bytearray(encode_bmp(9, 8, rgb(base)))))
+        rows.append((f"{gid}-gif", bytearray(encode_gif(9, 8, rgb(base)))))
+        rows.append((f"{gid}-vpng", bytearray(encode_png(9, 8, rgb(var)))))
+        rows.append((f"{gid}-bad", bytearray(b"\x00junk" * 4 + bytes([g]))))
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    return image_neardup(df, max_hamming=3)
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning (round 5, operators/layout.py
     plan_compaction — the OPTIMIZE half of table maintenance beside
@@ -5417,6 +5469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pronoun_coref": q_coref,
         "image_metadata": q_image_metadata,
         "media_tags": q_media_tags,
+        "image_neardup": q_image_neardup,
         "compaction_plan": q_compaction_plan,
         "warc10_roundtrip": q_warc10_roundtrip,
         "simhash_incremental": q_simhash_incremental,
@@ -6766,6 +6819,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         16000,
     )
+    # --- perceptual image near-dup: the Spark side decodes real
+    # PNG/BMP/GIF payloads, dHashes, and band-joins; the oracle
+    # enumerates the provable pair structure (lossless trio at
+    # Hamming 0, the col-0-nudged variant at exactly 2, garbage rows
+    # and cross-group pairs emit nothing — margin 14, see the gate).
+    sq["image_neardup"] = """
+        WITH g AS (SELECT CAST(range AS BIGINT) AS g FROM range(0, 16)),
+        p(sa, sb, hm) AS (VALUES
+            ('bmp', 'gif', 0), ('bmp', 'png', 0), ('gif', 'png', 0),
+            ('bmp', 'vpng', 2), ('gif', 'vpng', 2), ('png', 'vpng', 2))
+        SELECT 'g' || lpad(CAST(g AS VARCHAR), 2, '0') || '-' || sa AS a,
+               'g' || lpad(CAST(g AS VARCHAR), 2, '0') || '-' || sb AS b,
+               CAST(hm AS INT) AS hamming
+        FROM g CROSS JOIN p
+    """
     # --- container text metadata: every (container, tag, value) row
     # is id arithmetic; the Spark side does the real Exif IFD / ID3
     # frame / vorbis-comment walks incl. cross-page Ogg reassembly.

@@ -343,6 +343,34 @@ def main() -> None:
 
     timed("text_profile", lambda: text_profile(docs_tbl).count())
 
+    # --- keyphrase mining (round 5: TextRank + RAKE + pronoun coref) ------------
+    from sigraph_spark.operators.coref import pronoun_coref
+    from sigraph_spark.operators.keyphrase import (rake_keywords,
+                                                   textrank_sentences)
+
+    def run_keyphrase() -> int:
+        # derive sentence punctuation the way the gates do (the synthetic
+        # corpus has none): 12-word chunks joined with '. '
+        ws = F.filter(
+            F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))),
+                    r"\s+"),
+            lambda x: x != "",
+        )
+        nch = F.ceil(F.size(ws) / F.lit(12)).cast("int")
+        sent_arr = F.transform(
+            F.sequence(F.lit(0), F.greatest(nch - 1, F.lit(0))),
+            lambda k: F.array_join(F.slice(ws, k * 12 + 1, 12), " "),
+        )
+        derived = docs_tbl.select(
+            "doc_id", F.array_join(sent_arr, ". ").alias("text")
+        )
+        n = textrank_sentences(derived, top_k=3).count()
+        n += rake_keywords(docs_tbl, top_k=5).count()
+        n += pronoun_coref(derived, window_sents=2).count()
+        return n
+
+    timed("keyphrase", run_keyphrase)
+
     # --- corpus curation (split/sample/redact/repetition/vocab/packing) ---------
     from sigraph_spark.operators.corpus import (
         dataset_split, pack_sequences, redact_pii, repetition_score,
