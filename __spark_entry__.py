@@ -1639,9 +1639,19 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (verified offline), so no cross-group pair survives max_hamming=3.
     One garbage payload per group must hash NULL and emit nothing.
     The oracle enumerates the 6 pairs per group arithmetically."""
+    from sigraph_spark.operators.imagehash import image_neardup
+
+    df = spark.createDataFrame(_imagehash_fixture_rows(),
+                               "media_id string, payload binary")
+    return image_neardup(df, max_hamming=3)
+
+
+def _imagehash_fixture_rows():
+    """The deterministic 16-group image fixture shared by the
+    ``image_neardup`` and ``imagehash_incremental`` gates (see
+    ``q_image_neardup`` for the margin/provability argument)."""
     import numpy as np
 
-    from sigraph_spark.operators.imagehash import image_neardup
     from sigraph_spark.operators.multimodal import (
         encode_bmp,
         encode_gif,
@@ -1669,8 +1679,36 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((f"{gid}-gif", bytearray(encode_gif(9, 8, rgb(base)))))
         rows.append((f"{gid}-vpng", bytearray(encode_png(9, 8, rgb(var)))))
         rows.append((f"{gid}-bad", bytearray(b"\x00junk" * 4 + bytes([g]))))
-    df = spark.createDataFrame(rows, "media_id string, payload binary")
-    return image_neardup(df, max_hamming=3)
+    return rows
+
+
+def q_imagehash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental image near-dup (round 5, operators/imagehash.py
+    incremental_image_candidates — the image twin of the
+    minhash/simhash incremental gates): the stored corpus index is
+    built from each group's png + bmp; the crawl delta brings gif,
+    vpng and the garbage payload. Correct output is exactly the full
+    ``image_neardup`` pair set restricted to pairs with >= 1 new
+    endpoint — per group that drops only (bmp, png, 0), leaving
+    (bmp, gif, 0), (gif, png, 0) from new-vs-old-and-new plus the
+    three Hamming-2 variant pairs. The oracle enumerates those 5 pairs
+    per group arithmetically; corpus pixels are never re-decoded."""
+    from sigraph_spark.operators.imagehash import (
+        image_index,
+        incremental_image_candidates,
+    )
+
+    rows = _imagehash_fixture_rows()
+    schema = "media_id string, payload binary"
+    old_df = spark.createDataFrame(
+        [r for r in rows if r[0].endswith(("-png", "-bmp"))
+         and not r[0].endswith("-vpng")], schema)
+    new_df = spark.createDataFrame(
+        [r for r in rows if r[0].endswith(("-gif", "-vpng", "-bad"))],
+        schema)
+    pairs, _delta = incremental_image_candidates(new_df,
+                                                 image_index(old_df))
+    return pairs
 
 
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5470,6 +5508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_metadata": q_image_metadata,
         "media_tags": q_media_tags,
         "image_neardup": q_image_neardup,
+        "imagehash_incremental": q_imagehash_incremental,
         "compaction_plan": q_compaction_plan,
         "warc10_roundtrip": q_warc10_roundtrip,
         "simhash_incremental": q_simhash_incremental,
@@ -6828,6 +6867,19 @@ def oracle_sql() -> dict[str, str]:
         WITH g AS (SELECT CAST(range AS BIGINT) AS g FROM range(0, 16)),
         p(sa, sb, hm) AS (VALUES
             ('bmp', 'gif', 0), ('bmp', 'png', 0), ('gif', 'png', 0),
+            ('bmp', 'vpng', 2), ('gif', 'vpng', 2), ('png', 'vpng', 2))
+        SELECT 'g' || lpad(CAST(g AS VARCHAR), 2, '0') || '-' || sa AS a,
+               'g' || lpad(CAST(g AS VARCHAR), 2, '0') || '-' || sb AS b,
+               CAST(hm AS INT) AS hamming
+        FROM g CROSS JOIN p
+    """
+    # --- incremental image near-dup: the full pair set minus the one
+    # old-vs-old pair per group (bmp, png) — the decomposition the
+    # stored index guarantees (see dedup.incremental_*_candidates).
+    sq["imagehash_incremental"] = """
+        WITH g AS (SELECT CAST(range AS BIGINT) AS g FROM range(0, 16)),
+        p(sa, sb, hm) AS (VALUES
+            ('bmp', 'gif', 0), ('gif', 'png', 0),
             ('bmp', 'vpng', 2), ('gif', 'vpng', 2), ('png', 'vpng', 2))
         SELECT 'g' || lpad(CAST(g AS VARCHAR), 2, '0') || '-' || sa AS a,
                'g' || lpad(CAST(g AS VARCHAR), 2, '0') || '-' || sb AS b,

@@ -34,7 +34,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["dhash64", "dhash_from_payload", "image_hashes",
-           "image_neardup"]
+           "image_neardup", "image_index",
+           "incremental_image_candidates"]
 
 _GRID_W, _GRID_H = 9, 8  # dHash grid: 8 comparisons per row x 8 rows
 
@@ -156,20 +157,38 @@ def _band(col, bi: int):
         F.lit(0xFFFF))
 
 
-def image_neardup(
+def _first_match(ca, cb):
+    """Index of the first band where two hashes agree (pair dedup:
+    a bucket-join pair is kept only at its first matching band, so no
+    ``distinct`` shuffle is needed)."""
+    return (
+        F.when(_band(ca, 0) == _band(cb, 0), 0)
+        .when(_band(ca, 1) == _band(cb, 1), 1)
+        .when(_band(ca, 2) == _band(cb, 2), 2)
+        .otherwise(3)
+    )
+
+
+def image_index(
     media: DataFrame,
     id_col: str = "media_id",
     payload_col: str = "payload",
-    max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup image pairs ``(a, b, hamming)`` with Hamming(dHash) <=
-    ``max_hamming`` (<= 3 guaranteed complete by the 4-band pigeonhole;
-    larger thresholds are best-effort, same contract as SimHash)."""
+    """The persistable image-dedup index relation: one row per
+    ``(id, dh, bi, bv)`` — the four 16-bit pigeonhole bands of the
+    64-bit dHash plus the hash itself (probe time verifies exact
+    Hamming, exactly like ``dedup.simhash_index``).
+
+    The table a 100 TB deployment stores (bucketed by ``(bi, bv)``) so
+    each crawl snapshot deduplicates its images against the corpus
+    WITHOUT re-decoding corpus pixels: decode + hash happen once, at
+    ingest. Undecodable payloads drop here (no NULL index rows)."""
     hashes = image_hashes(media, id_col, payload_col).filter(
         F.col("dh").isNotNull()
     )
-    banded = hashes.select(
-        "id", "dh",
+    return hashes.select(
+        "id",
+        "dh",
         F.explode(
             F.array(*[
                 F.struct(F.lit(bi).alias("bi"),
@@ -179,21 +198,86 @@ def image_neardup(
         ).alias("band"),
     ).select("id", "dh", F.col("band.bi").alias("bi"),
              F.col("band.bv").alias("bv"))
+
+
+def incremental_image_candidates(
+    new_media: DataFrame,
+    index: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental image near-dup: NEW images vs the EXISTING corpus
+    index (``image_index`` rows), plus new-vs-new — corpus pixels are
+    never re-decoded. The image twin of
+    ``dedup.incremental_simhash_candidates``.
+
+    Returns ``(pairs, delta_index)``: verified pairs ``(a, b,
+    hamming)`` (a < b) where at least one endpoint is new, and the
+    delta index rows the caller appends to the stored index.
+
+    Equivalence (oracled by the ``imagehash_incremental`` gate): bands
+    are per-image independent, so ``neardup(old ∪ new) = neardup(old)
+    ∪ incremental(new, index(old))`` exactly. Probe cost is
+    O(|delta| x 4) rows against a bucketed index; dHash band values
+    have no crawl-side hot key amplification beyond true duplicate
+    clusters (the hot-bucket diagnostic ``dedup.bucket_histogram``
+    applies unchanged)."""
+    delta_index = image_index(new_media, id_col, payload_col)
+    corpus = index.select(
+        "bi", "bv", F.col("id").alias("x"), F.col("dh").alias("dhx")
+    )
+    fresh = delta_index.select(
+        "bi", "bv", F.col("id").alias("y"), F.col("dh").alias("dhy")
+    )
+    new_vs_old = (
+        corpus.join(fresh, ["bi", "bv"])
+        .filter(F.col("x") != F.col("y"))
+        .filter(F.col("bi") == _first_match(F.col("dhx"), F.col("dhy")))
+        .withColumn("hamming",
+                    F.bit_count(F.col("dhx").bitwiseXOR(F.col("dhy"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.least("x", "y").alias("a"),
+            F.greatest("x", "y").alias("b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )
+    n1 = delta_index.select("bi", "bv", F.col("id").alias("a"),
+                            F.col("dh").alias("dha"))
+    n2 = delta_index.select("bi", "bv", F.col("id").alias("b"),
+                            F.col("dh").alias("dhb"))
+    new_vs_new = (
+        n1.join(n2, ["bi", "bv"])
+        .filter(F.col("a") < F.col("b"))
+        .filter(F.col("bi") == _first_match(F.col("dha"), F.col("dhb")))
+        .withColumn("hamming",
+                    F.bit_count(F.col("dha").bitwiseXOR(F.col("dhb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+    )
+    # distinct: a re-fed image can surface the same pair from both legs
+    return new_vs_old.unionByName(new_vs_new).distinct(), delta_index
+
+
+def image_neardup(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup image pairs ``(a, b, hamming)`` with Hamming(dHash) <=
+    ``max_hamming`` (<= 3 guaranteed complete by the 4-band pigeonhole;
+    larger thresholds are best-effort, same contract as SimHash)."""
+    banded = image_index(media, id_col, payload_col)
     a = banded.select("bi", "bv", F.col("id").alias("a"),
                       F.col("dh").alias("dha"))
     b = banded.select("bi", "bv", F.col("id").alias("b"),
                       F.col("dh").alias("dhb"))
-    first_match = F.when(
-        _band(F.col("dha"), 0) == _band(F.col("dhb"), 0), 0
-    ).when(
-        _band(F.col("dha"), 1) == _band(F.col("dhb"), 1), 1
-    ).when(
-        _band(F.col("dha"), 2) == _band(F.col("dhb"), 2), 2
-    ).otherwise(3)
     return (
         a.join(b, ["bi", "bv"])
         .filter(F.col("a") < F.col("b"))
-        .filter(F.col("bi") == first_match)
+        .filter(F.col("bi") == _first_match(F.col("dha"), F.col("dhb")))
         .withColumn("hamming",
                     F.bit_count(F.col("dha").bitwiseXOR(F.col("dhb"))))
         .filter(F.col("hamming") <= max_hamming)

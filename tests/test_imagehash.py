@@ -153,6 +153,48 @@ def test_neardup_groups_and_bands(spark):
     assert all(r["hamming"] == 0 for r in pairs)
 
 
+def test_incremental_equals_filtered_full(spark):
+    """neardup(old ∪ new) restricted to pairs with a new endpoint must
+    equal incremental(new, index(old)) — the decomposition the stored
+    index relies on; and appending the delta index reproduces
+    index(old ∪ new)."""
+    from sigraph_spark.operators.imagehash import (
+        image_index,
+        incremental_image_candidates,
+    )
+    from sigraph_spark.operators.multimodal import (encode_bmp, encode_gif,
+                                                    encode_png)
+
+    old_rows, new_rows = [], []
+    for g in range(5):
+        w, h = 24 + 3 * g, 16 + 2 * g
+        rgb = _rgb(w, h, seed=700 + g)
+        old_rows.append((f"g{g}-png", bytearray(encode_png(w, h, rgb))))
+        old_rows.append((f"g{g}-bmp", bytearray(encode_bmp(w, h, rgb))))
+        new_rows.append((f"g{g}-gif", bytearray(encode_gif(w, h, rgb))))
+    new_rows.append(("junk", bytearray(b"\x00nope" * 5)))
+    schema = "media_id string, payload binary"
+    old_df = spark.createDataFrame(old_rows, schema)
+    new_df = spark.createDataFrame(new_rows, schema)
+
+    full = image_neardup(
+        old_df.unionByName(new_df)).collect()
+    new_ids = {r[0] for r in new_rows}
+    expected = {(r["a"], r["b"], r["hamming"]) for r in full
+                if r["a"] in new_ids or r["b"] in new_ids}
+
+    pairs, delta = incremental_image_candidates(new_df,
+                                                image_index(old_df))
+    got = {(r["a"], r["b"], r["hamming"]) for r in pairs.collect()}
+    assert got == expected and len(expected) == 10  # 2 per group x 5
+
+    merged = {tuple(r) for r in
+              image_index(old_df).unionByName(delta).collect()}
+    whole = {tuple(r) for r in
+             image_index(old_df.unionByName(new_df)).collect()}
+    assert merged == whole
+
+
 def test_neardup_finds_hamming_le3(spark):
     from sigraph_spark.operators.multimodal import encode_png
 
