@@ -1711,6 +1711,49 @@ def q_imagehash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic near-dup (round 5, operators/audiofp.py): the audio
+    plane of training-data dedup — exact-integer Haar sub-band
+    fingerprint (Haitsma-Kalker family, integer filter bank) through
+    the repo's own WAV / FLAC / Ogg-FLAC codecs, then the shared
+    4x16-bit pigeonhole band join.
+
+    Fixture: 16 groups of 4608-sample signals — PCG64 noise
+    (default_rng(1000+g), stable algorithm) shaped by a per-slice
+    amplitude profile ((slice*k_g + g) % 9) + 1 with k_g coprime to 9
+    so adjacent slices never tie.  Each group is encoded as WAV-PCM16,
+    FLAC and Ogg-FLAC — identical PCM by losslessness, so the trio
+    fingerprints are EQUAL (3 pairs at Hamming 0 per group; provable,
+    not measured).  Min cross-group Hamming for these parameters is 11
+    (verified offline), so no cross-group pair survives max_hamming=3.
+    One garbage payload per group must hash NULL and emit nothing.
+    The oracle enumerates the 3 pairs per group arithmetically."""
+    import numpy as np
+
+    from sigraph_spark.operators.audiofp import audio_neardup, encode_wav16
+    from sigraph_spark.operators.flac import encode_flac
+    from sigraph_spark.operators.oggflac import encode_ogg_flac
+
+    ks = [1, 2, 4, 5, 7, 8]
+    rows = []
+    for g in range(16):
+        n = 9 * 512
+        rng = np.random.default_rng(1000 + g)
+        noise = rng.integers(-1000, 1000, size=n,
+                             endpoint=True).astype(np.int64)
+        i = np.arange(n, dtype=np.int64)
+        sl = i * 9 // n
+        amp = ((sl * ks[g % 6] + g) % 9) + 1
+        x = noise * amp
+        gid = f"g{g:02d}"
+        rows.append((f"{gid}-wav", bytearray(encode_wav16(8000, x))))
+        rows.append((f"{gid}-flac", bytearray(encode_flac(8000, x))))
+        rows.append((f"{gid}-ogg", bytearray(encode_ogg_flac(8000, x))))
+        rows.append((f"{gid}-bad", bytearray(b"\x00hiss" * 4 + bytes([g]))))
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    return audio_neardup(df, max_hamming=3)
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning (round 5, operators/layout.py
     plan_compaction — the OPTIMIZE half of table maintenance beside
@@ -5509,6 +5552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_tags": q_media_tags,
         "image_neardup": q_image_neardup,
         "imagehash_incremental": q_imagehash_incremental,
+        "audio_neardup": q_audio_neardup,
         "compaction_plan": q_compaction_plan,
         "warc10_roundtrip": q_warc10_roundtrip,
         "simhash_incremental": q_simhash_incremental,
@@ -6884,6 +6928,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'g' || lpad(CAST(g AS VARCHAR), 2, '0') || '-' || sa AS a,
                'g' || lpad(CAST(g AS VARCHAR), 2, '0') || '-' || sb AS b,
                CAST(hm AS INT) AS hamming
+        FROM g CROSS JOIN p
+    """
+    # --- acoustic near-dup: the Spark side decodes real WAV/FLAC/
+    # Ogg-FLAC payloads and fingerprints; lossless codecs carry
+    # identical PCM, so the trio pairs sit at Hamming 0 by
+    # construction (cross-group margin 11, garbage hashes NULL).
+    sq["audio_neardup"] = """
+        WITH g AS (SELECT CAST(range AS BIGINT) AS g FROM range(0, 16)),
+        p(sa, sb) AS (VALUES
+            ('flac', 'ogg'), ('flac', 'wav'), ('ogg', 'wav'))
+        SELECT 'g' || lpad(CAST(g AS VARCHAR), 2, '0') || '-' || sa AS a,
+               'g' || lpad(CAST(g AS VARCHAR), 2, '0') || '-' || sb AS b,
+               CAST(0 AS INT) AS hamming
         FROM g CROSS JOIN p
     """
     # --- container text metadata: every (container, tag, value) row

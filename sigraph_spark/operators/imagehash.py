@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["dhash64", "dhash_from_payload", "image_hashes",
            "image_neardup", "image_index",
-           "incremental_image_candidates"]
+           "incremental_image_candidates", "banded_index",
+           "banded_neardup_pairs"]
 
 _GRID_W, _GRID_H = 9, 8  # dHash grid: 8 comparisons per row x 8 rows
 
@@ -169,6 +170,50 @@ def _first_match(ca, cb):
     )
 
 
+def banded_index(hashes: DataFrame, hash_col: str = "dh") -> DataFrame:
+    """Explode a 64-bit-hash relation ``(id, <hash_col>)`` into the
+    4x16-bit pigeonhole band relation ``(id, <hash_col>, bi, bv)`` —
+    the shared storage/blocking shape of every Hamming<=3 modality
+    (SimHash text, dHash images, Haar-band audio). NULL hashes drop."""
+    h = hashes.filter(F.col(hash_col).isNotNull())
+    return h.select(
+        "id",
+        hash_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(bi).alias("bi"),
+                         _band(F.col(hash_col), bi).alias("bv"))
+                for bi in range(4)
+            ])
+        ).alias("band"),
+    ).select("id", hash_col, F.col("band.bi").alias("bi"),
+             F.col("band.bv").alias("bv"))
+
+
+def banded_neardup_pairs(
+    banded: DataFrame,
+    hash_col: str = "dh",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs from a ``banded_index`` relation: bucket
+    self-join on (bi, bv), first-matching-band dedup (no distinct),
+    exact Hamming verify via bit_count(xor). Complete for Hamming <=
+    3 by the pigeonhole principle; best-effort above."""
+    a = banded.select("bi", "bv", F.col("id").alias("a"),
+                      F.col(hash_col).alias("ha"))
+    b = banded.select("bi", "bv", F.col("id").alias("b"),
+                      F.col(hash_col).alias("hb"))
+    return (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("a") < F.col("b"))
+        .filter(F.col("bi") == _first_match(F.col("ha"), F.col("hb")))
+        .withColumn("hamming",
+                    F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
 def image_index(
     media: DataFrame,
     id_col: str = "media_id",
@@ -183,21 +228,7 @@ def image_index(
     each crawl snapshot deduplicates its images against the corpus
     WITHOUT re-decoding corpus pixels: decode + hash happen once, at
     ingest. Undecodable payloads drop here (no NULL index rows)."""
-    hashes = image_hashes(media, id_col, payload_col).filter(
-        F.col("dh").isNotNull()
-    )
-    return hashes.select(
-        "id",
-        "dh",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(bi).alias("bi"),
-                         _band(F.col("dh"), bi).alias("bv"))
-                for bi in range(4)
-            ])
-        ).alias("band"),
-    ).select("id", "dh", F.col("band.bi").alias("bi"),
-             F.col("band.bv").alias("bv"))
+    return banded_index(image_hashes(media, id_col, payload_col), "dh")
 
 
 def incremental_image_candidates(
@@ -269,17 +300,5 @@ def image_neardup(
     """Near-dup image pairs ``(a, b, hamming)`` with Hamming(dHash) <=
     ``max_hamming`` (<= 3 guaranteed complete by the 4-band pigeonhole;
     larger thresholds are best-effort, same contract as SimHash)."""
-    banded = image_index(media, id_col, payload_col)
-    a = banded.select("bi", "bv", F.col("id").alias("a"),
-                      F.col("dh").alias("dha"))
-    b = banded.select("bi", "bv", F.col("id").alias("b"),
-                      F.col("dh").alias("dhb"))
-    return (
-        a.join(b, ["bi", "bv"])
-        .filter(F.col("a") < F.col("b"))
-        .filter(F.col("bi") == _first_match(F.col("dha"), F.col("dhb")))
-        .withColumn("hamming",
-                    F.bit_count(F.col("dha").bitwiseXOR(F.col("dhb"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("a", "b", F.col("hamming").cast("int").alias("hamming"))
-    )
+    return banded_neardup_pairs(image_index(media, id_col, payload_col),
+                                "dh", max_hamming)
