@@ -1900,6 +1900,29 @@ def q_sparql_graph_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_sparql(_kg_quads(spark, sf_dir), q)
 
 
+def q_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 Update (round 5, operators/sparql_update.py): a
+    three-operation ``;``-chain over the event-graph triple store —
+    (1) DELETE/INSERT WHERE inverts every CONNECT edge into
+    CONNECTED_BY (both legs instantiated from the same pre-op
+    bindings), (2) INSERT DATA adds ground seed triples (one already
+    produced by op 1's template class — set semantics dedups), (3)
+    DELETE WHERE removes all REG_SET triples. Ops apply left to
+    right; the result is the final store. Oracle: the same three set
+    operations as chained CTEs (UNION is set-distinct in SQL)."""
+    from sigraph_spark.operators.sparql_update import update_sparql
+
+    req = (
+        "DELETE { ?s CONNECT ?o } INSERT { ?o CONNECTED_BY ?s } "
+        "WHERE { ?s CONNECT ?o } ; "
+        "INSERT DATA { seed-a LAUNCH seed-b . seed-a LAUNCH seed-c . "
+        "seed-b CONNECTED_BY seed-a } ; "
+        "DELETE WHERE { ?s REG_SET ?o }"
+    )
+    store = _edges_ckpt(spark, sf_dir).select("src", "predicate", "dst")
+    return update_sparql(store, req)
+
+
 def _webtext_quote_docs(spark: SparkSession, sf: float = 0.01) -> DataFrame:
     """Deterministic attributed-quote corpus over the standard urls:
     every page leads with a DECOY quoted span ("shows" is not an
@@ -5539,6 +5562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_query": q_path_query,
         "sparql_graph_path": q_sparql_graph_path,
         "sparql_graph_subquery": q_sparql_graph_subquery,
+        "sparql_update": q_sparql_update,
         "video_metadata": q_video_metadata,
         "avi_metadata": q_avi_metadata,
         "video_frames": q_video_frames,
@@ -7819,6 +7843,33 @@ def oracle_sql() -> dict[str, str]:
         WHERE l.predicate = 'LAUNCH'
           AND NOT EXISTS (SELECT 1 FROM edges k
                           WHERE k.predicate = 'CONNECT' AND k.src = l.dst)
+        """
+    )
+    # --- SPARQL 1.1 Update: the three-op chain restated as set CTEs
+    # (UNION is set-distinct; anti-joins become predicate filters
+    # because the templates cover whole predicate classes here).
+    sq["sparql_update"] = (
+        "WITH " + _EDGES_CTE
+        + """,
+        su_base AS (SELECT DISTINCT src, predicate, dst FROM edges),
+        su_s1 AS (
+          SELECT src, predicate, dst FROM su_base
+          WHERE predicate <> 'CONNECT'
+          UNION
+          SELECT dst AS src, 'CONNECTED_BY' AS predicate, src AS dst
+          FROM su_base WHERE predicate = 'CONNECT'
+        ),
+        su_s2 AS (
+          SELECT src, predicate, dst FROM su_s1
+          UNION
+          SELECT * FROM (VALUES
+            ('seed-a', 'LAUNCH', 'seed-b'),
+            ('seed-a', 'LAUNCH', 'seed-c'),
+            ('seed-b', 'CONNECTED_BY', 'seed-a'))
+            v(src, predicate, dst)
+        )
+        SELECT src, predicate, dst FROM su_s2
+        WHERE predicate <> 'REG_SET'
         """
     )
     # --- SPARQL MINUS on the shared ?s: source keep-out list.
