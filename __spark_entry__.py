@@ -1923,6 +1923,33 @@ def q_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return update_sparql(store, req)
 
 
+def q_rdfs_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ρDF entailment (round 5, operators/rdfs.py): schema closures
+    broadcast, instance triples touched in single passes — the WebPIE
+    stratification. Fixture: parity-chain class hierarchy (c_i
+    subClassOf c_{i-2}, i=2..19), mod-3-chain property hierarchy (p_i
+    subPropertyOf p_{i-3}, i=3..8), domain(p_j)=c_{2j},
+    range(p_j)=c_{2j+1}, and 600 instance triples (x_k, p_{k%9},
+    y_k). Every derived triple is then pure arithmetic: superproperty
+    fan-out j-3d, domain/range typing 2j', superclass fan-out m-2e —
+    which is exactly what the oracle enumerates."""
+    from sigraph_spark.operators.rdfs import rdfs_closure
+
+    rows = []
+    for i in range(2, 20):
+        rows.append((f"c{i}", "rdfs:subClassOf", f"c{i - 2}"))
+    for i in range(3, 9):
+        rows.append((f"p{i}", "rdfs:subPropertyOf", f"p{i - 3}"))
+    for j in range(9):
+        rows.append((f"p{j}", "rdfs:domain", f"c{2 * j}"))
+        rows.append((f"p{j}", "rdfs:range", f"c{2 * j + 1}"))
+    for k in range(600):
+        rows.append((f"x{k}", f"p{k % 9}", f"y{k}"))
+    t = spark.createDataFrame(rows,
+                              "src string, predicate string, dst string")
+    return rdfs_closure(t)
+
+
 def _webtext_quote_docs(spark: SparkSession, sf: float = 0.01) -> DataFrame:
     """Deterministic attributed-quote corpus over the standard urls:
     every page leads with a DECOY quoted span ("shows" is not an
@@ -5563,6 +5590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_graph_path": q_sparql_graph_path,
         "sparql_graph_subquery": q_sparql_graph_subquery,
         "sparql_update": q_sparql_update,
+        "rdfs_closure": q_rdfs_closure,
         "video_metadata": q_video_metadata,
         "avi_metadata": q_avi_metadata,
         "video_frames": q_video_frames,
@@ -7872,6 +7900,59 @@ def oracle_sql() -> dict[str, str]:
         WHERE predicate <> 'REG_SET'
         """
     )
+    # --- ρDF closure: every rule family is id arithmetic over the
+    # synthetic hierarchy (superproperty j-3d, typing 2j', superclass
+    # m-2e); UNION is set-distinct so overlaps collapse exactly as the
+    # operator's final distinct does.
+    sq["rdfs_closure"] = """
+        WITH ks AS (SELECT CAST(range AS BIGINT) AS k FROM range(0, 600)),
+        ds AS (SELECT CAST(range AS BIGINT) AS d FROM range(0, 3)),
+        es AS (SELECT CAST(range AS BIGINT) AS e FROM range(0, 10)),
+        jprime AS (
+          SELECT k, (k % 9) - 3 * d AS jp
+          FROM ks CROSS JOIN ds WHERE (k % 9) - 3 * d >= 0),
+        inst AS (
+          SELECT 'x' || CAST(k AS VARCHAR) AS src,
+                 'p' || CAST(jp AS VARCHAR) AS predicate,
+                 'y' || CAST(k AS VARCHAR) AS dst
+          FROM jprime),
+        subj_types AS (
+          SELECT 'x' || CAST(k AS VARCHAR) AS src,
+                 'rdf:type' AS predicate,
+                 'c' || CAST(2 * jp - 2 * e AS VARCHAR) AS dst
+          FROM jprime CROSS JOIN es WHERE 2 * jp - 2 * e >= 0),
+        obj_types AS (
+          SELECT 'y' || CAST(k AS VARCHAR) AS src,
+                 'rdf:type' AS predicate,
+                 'c' || CAST(2 * jp + 1 - 2 * e AS VARCHAR) AS dst
+          FROM jprime CROSS JOIN es WHERE 2 * jp + 1 - 2 * e >= 1),
+        sc AS (
+          SELECT 'c' || CAST(i AS VARCHAR) AS src,
+                 'rdfs:subClassOf' AS predicate,
+                 'c' || CAST(i - 2 * e AS VARCHAR) AS dst
+          FROM (SELECT CAST(range AS BIGINT) AS i FROM range(2, 20))
+          CROSS JOIN es WHERE e >= 1 AND i - 2 * e >= 0),
+        sp AS (
+          SELECT 'p' || CAST(i AS VARCHAR) AS src,
+                 'rdfs:subPropertyOf' AS predicate,
+                 'p' || CAST(i - 3 * e AS VARCHAR) AS dst
+          FROM (SELECT CAST(range AS BIGINT) AS i FROM range(3, 9))
+          CROSS JOIN es WHERE e >= 1 AND i - 3 * e >= 0),
+        domrng AS (
+          SELECT 'p' || CAST(j AS VARCHAR) AS src, 'rdfs:domain' AS predicate,
+                 'c' || CAST(2 * j AS VARCHAR) AS dst
+          FROM (SELECT CAST(range AS BIGINT) AS j FROM range(0, 9))
+          UNION
+          SELECT 'p' || CAST(j AS VARCHAR), 'rdfs:range',
+                 'c' || CAST(2 * j + 1 AS VARCHAR)
+          FROM (SELECT CAST(range AS BIGINT) AS j FROM range(0, 9)))
+        SELECT src, predicate, dst FROM inst
+        UNION SELECT * FROM subj_types
+        UNION SELECT * FROM obj_types
+        UNION SELECT * FROM sc
+        UNION SELECT * FROM sp
+        UNION SELECT * FROM domrng
+    """
     # --- SPARQL MINUS on the shared ?s: source keep-out list.
     sq["sparql_minus"] = (
         "WITH " + _EDGES_CTE
