@@ -1950,6 +1950,49 @@ def q_rdfs_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rdfs_closure(t)
 
 
+def q_breadcrumb_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadcrumb taxonomy mining (round 5,
+    operators/breadcrumbs.py): site-hierarchy edges from navigation
+    markup — trail extraction is a pure-codegen regexp map, adjacent
+    pairing a per-url lead() window, corroboration one count shuffle.
+    Fixture: 10,000 pages; page i carries an ``<ol
+    class=\"breadcrumb\">`` trail Root > Cat{i%5} [> Sub{i%7} when
+    i%3>=1] [> Leaf{i%11} as a bare unlinked <li> when i%3=2], plus
+    separator items and decoy anchors outside the container. Every
+    (narrower, broader, n_pages) row is residue arithmetic — the
+    oracle groups the same trails enumerated in SQL."""
+    from sigraph_spark.operators.breadcrumbs import (
+        breadcrumb_edges,
+        breadcrumb_trails,
+    )
+
+    i = F.col("i")
+    crumb = F.concat(
+        F.lit('<ol class="breadcrumb"><li><a href="/">Root</a></li>'
+              "<li>&gt;</li><li><a>Cat"),
+        (i % 5).cast("string"),
+        F.lit("</a></li>"),
+        F.when(i % 3 >= 1, F.concat(
+            F.lit("<li>›</li><li><a>Sub"), (i % 7).cast("string"),
+            F.lit("</a></li>"))).otherwise(F.lit("")),
+        F.when(i % 3 == 2, F.concat(
+            F.lit("<li>Leaf"), (i % 11).cast("string"),
+            F.lit("</li>"))).otherwise(F.lit("")),
+        F.lit("</ol>"),
+    )
+    html = F.concat(
+        F.lit("<html><body><nav><a href='/x'>Decoy</a></nav>"),
+        crumb,
+        F.lit("<p>body text</p><a href='/y'>Other</a></body></html>"),
+    )
+    pages = spark.range(0, 10_000).withColumnRenamed("id", "i").select(
+        F.concat(F.lit("https://example.org/report/"),
+                 F.col("i").cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return breadcrumb_edges(breadcrumb_trails(pages))
+
+
 def _webtext_quote_docs(spark: SparkSession, sf: float = 0.01) -> DataFrame:
     """Deterministic attributed-quote corpus over the standard urls:
     every page leads with a DECOY quoted span ("shows" is not an
@@ -5591,6 +5634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_graph_subquery": q_sparql_graph_subquery,
         "sparql_update": q_sparql_update,
         "rdfs_closure": q_rdfs_closure,
+        "breadcrumb_taxonomy": q_breadcrumb_taxonomy,
         "video_metadata": q_video_metadata,
         "avi_metadata": q_avi_metadata,
         "video_frames": q_video_frames,
@@ -7900,6 +7944,22 @@ def oracle_sql() -> dict[str, str]:
         WHERE predicate <> 'REG_SET'
         """
     )
+    # --- breadcrumb taxonomy: the same trails enumerated in SQL,
+    # grouped — each page contributes each adjacent pair once.
+    sq["breadcrumb_taxonomy"] = """
+        WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 10000)),
+        pairs AS (
+          SELECT 'Cat' || CAST(i % 5 AS VARCHAR) AS narrower,
+                 'Root' AS broader FROM pg
+          UNION ALL
+          SELECT 'Sub' || CAST(i % 7 AS VARCHAR),
+                 'Cat' || CAST(i % 5 AS VARCHAR) FROM pg WHERE i % 3 >= 1
+          UNION ALL
+          SELECT 'Leaf' || CAST(i % 11 AS VARCHAR),
+                 'Sub' || CAST(i % 7 AS VARCHAR) FROM pg WHERE i % 3 = 2)
+        SELECT narrower, broader, COUNT(*) AS n_pages
+        FROM pairs GROUP BY narrower, broader
+    """
     # --- ρDF closure: every rule family is id arithmetic over the
     # synthetic hierarchy (superproperty j-3d, typing 2j', superclass
     # m-2e); UNION is set-distinct so overlaps collapse exactly as the
