@@ -1454,6 +1454,69 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF sample extraction (round 5, operators/mp4frames.py):
+    the full stsd/stts/stsc/stsz/stco|co64 sample-table walk recovers
+    each video sample's file extent; JPEG-coded samples decode through
+    the repo's T.81 codec with pixel sums pinned by pix_ok (equality
+    vs a driver-side decode_jpeg of the same bytes — the walk must
+    hand the codec bit-identical extents). Mix: multi-chunk stsc runs
+    (odd ids one sample per chunk), co64 every 3rd id, an avc1 file
+    every 5th (loud non-goal -> codec 'unknown' NULL row), garbage
+    every 7th (same). The oracle enumerates rows arithmetically."""
+    import numpy as np
+
+    from sigraph_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from sigraph_spark.operators.mp4frames import (
+        encode_mp4_samples,
+        mp4_video_frames,
+    )
+
+    rows, expected = [], []
+    for i in range(20):
+        if i % 7 == 0:
+            rows.append((f"vid-{i}", bytearray(b"\x00\x01no box" * 4)))
+            continue
+        w, h = 16 + i % 5, 12 + i % 4
+        n = 1 + i % 3
+        jpegs = []
+        for j in range(n):
+            rng = np.random.default_rng(100 * i + j)
+            rgb = rng.integers(0, 256, size=(h, w, 3),
+                               dtype=np.uint8).tobytes()
+            jpegs.append(encode_jpeg(w, h, rgb, quality=75))
+        if i % 5 == 0:
+            payload = encode_mp4_samples(jpegs, w, h, codec=b"avc1")
+            rows.append((f"vid-{i}", bytearray(payload)))
+            continue
+        chunking = [n] if i % 2 == 0 else [1] * n
+        payload = encode_mp4_samples(jpegs, w, h, chunking=chunking,
+                                     co64=(i % 3 == 0))
+        rows.append((f"vid-{i}", bytearray(payload)))
+        for j, jp in enumerate(jpegs):
+            px = np.frombuffer(decode_jpeg(jp)[2], dtype=np.uint8)
+            s = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+            expected.append((f"vid-{i}", j, int(s[0]), int(s[1]),
+                             int(s[2])))
+
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    exp = spark.createDataFrame(
+        expected, "media_id string, frame_idx int, exp_r long, "
+        "exp_g long, exp_b long")
+    out = mp4_video_frames(df)
+    return (
+        out.join(F.broadcast(exp), ["media_id", "frame_idx"], "left")
+        .select(
+            "media_id", "frame_idx", "width", "height", "codec",
+            F.when(
+                F.col("frame_idx").isNotNull(),
+                (F.col("sum_r") == F.col("exp_r"))
+                & (F.col("sum_g") == F.col("exp_g"))
+                & (F.col("sum_b") == F.col("exp_b"))).alias("pix_ok"),
+        )
+    )
+
+
 def q_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-walk image metadata (round 5, operators/mediameta.py):
     dimensions/format/depth WITHOUT pixel decode — the scale-correct
@@ -5638,6 +5701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_metadata": q_video_metadata,
         "avi_metadata": q_avi_metadata,
         "video_frames": q_video_frames,
+        "mp4_frames": q_mp4_frames,
         "jpeg_codecs": q_jpeg_codecs,
         "flac_roundtrip": q_flac_roundtrip,
         "oggflac_roundtrip": q_oggflac_roundtrip,
@@ -6915,6 +6979,28 @@ def oracle_sql() -> dict[str, str]:
                       AS BIGINT) END AS sum_b,
                TRUE AS pix_ok
         FROM xs
+    """
+    # --- mp4 sample extraction: decodable ids are those neither %7==0
+    # (garbage) nor %5==0 (avc1 non-goal); frames/dims are id
+    # arithmetic, pixel sums pinned Spark-side via pix_ok.
+    sq["mp4_frames"] = """
+        WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 20)),
+        fr AS (SELECT CAST(range AS BIGINT) AS j FROM range(0, 3)),
+        bad AS (
+          SELECT 'vid-' || CAST(i AS VARCHAR) AS media_id,
+                 CAST(NULL AS INT) AS frame_idx,
+                 CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+                 'unknown' AS codec, CAST(NULL AS BOOLEAN) AS pix_ok
+          FROM pg WHERE i % 7 = 0 OR i % 5 = 0),
+        good AS (
+          SELECT 'vid-' || CAST(i AS VARCHAR) AS media_id,
+                 CAST(j AS INT) AS frame_idx,
+                 CAST(16 + i % 5 AS INT) AS width,
+                 CAST(12 + i % 4 AS INT) AS height,
+                 'jpeg' AS codec, TRUE AS pix_ok
+          FROM pg CROSS JOIN fr
+          WHERE i % 7 <> 0 AND i % 5 <> 0 AND j < 1 + i % 3)
+        SELECT * FROM bad UNION ALL SELECT * FROM good
     """
     # --- image header metadata: the seven payload kinds and all their
     # fields are pure id arithmetic; the Spark side does the real
