@@ -5413,6 +5413,47 @@ def q_ivf_topk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_rounded_search(spark, sf_dir, cents)
 
 
+def _pq_fixed_books() -> list:
+    """Literal PQ codebooks from an exact-binary formula (every value
+    k/16 with |k| <= 10 — short repr, no parse drift)."""
+    return [[[((mi * 37 + j * 17 + t * 7) % 21 - 10) / 16.0
+              for t in range(8)] for j in range(8)] for mi in range(8)]
+
+
+def _pq_search(spark: SparkSession, sf_dir: str, books) -> DataFrame:
+    from sigraph_spark.operators.pq import pq_encode, pq_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return pq_topk(pq_encode(e, books), books, q, k=10)
+
+
+def q_pq_topk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search with FIXED literal codebooks
+    (round 5, operators/pq.py — the frozen-codebook deployment):
+    encode = first-index argmin of squared L2 per sub-space, search =
+    per-query M x K distance tables + left-assoc chained lookups,
+    rounded 6dp at the boundary. Fully SQL-reproducible without the
+    training unroll (the ivf_topk_fixed device on the PQ plane)."""
+    return _pq_search(spark, sf_dir, _pq_fixed_books())
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with TRAINED codebooks, hard-oracled:
+    pq_train_lloyd is deterministic by construction (seeds = the
+    sub-vectors of the 8 smallest vec_ids, first-index argmin
+    assignment, fixed-point BIGINT dimension sums, mean =
+    s/(2^24 * n), empty clusters keep their codeword), so the oracle
+    unrolls the 2 training iterations as chained CTEs — the
+    ivf_topk/PageRank/BPE unrolled-oracle device — and the search half
+    reuses the pq_topk_fixed SQL with the trained codebook TABLE."""
+    from sigraph_spark.operators.pq import pq_train_lloyd
+
+    books = pq_train_lloyd(_emb(spark, sf_dir), m=8, k=8, iters=2)
+    return _pq_search(spark, sf_dir, books)
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based corpus filter: distill a high-precision seed rule into
     a full-vocabulary linear classifier (the CCNet/FineWeb bootstrap:
@@ -5717,6 +5758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc10_roundtrip": q_warc10_roundtrip,
         "simhash_incremental": q_simhash_incremental,
         "ivf_topk": q_ivf_topk,
+        "pq_topk": q_pq_topk,
+        "pq_topk_fixed": q_pq_topk_fixed,
         "sigma_modifiers": q_sigma_modifiers,
         "rdf_export": q_rdf_export,
         "rdf_roundtrip": q_rdf_roundtrip,
@@ -9147,6 +9190,104 @@ def oracle_sql() -> dict[str, str]:
           FROM scoredf)
         WHERE rank <= 10
         """
+    )
+    # --- product quantization: encode = per-sub-space first-index
+    # argmin (row_number dist ASC, j ASC == array_position of min);
+    # ADC = left-assoc chain over the 8 table lookups, round 6dp at
+    # the boundary only. The trained variant unrolls the 2 Lloyd
+    # iterations exactly like ivf_topk (fixed-point BIGINT sums,
+    # COALESCE keeps empty clusters' codewords).
+    _PQ_DIST = (
+        "list_dot_product(s.sub, s.sub) - 2 * list_dot_product(s.sub, b.c)"
+        " + list_dot_product(b.c, b.c)"
+    )
+    _PQ_BASE = """
+        e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+        ms AS (SELECT CAST(range AS BIGINT) AS m FROM range(0, 8)),
+        subs AS (
+          SELECT vec_id, m,
+                 v[CAST(m * 8 + 1 AS INT):CAST(m * 8 + 8 AS INT)] AS sub
+          FROM e2 CROSS JOIN ms)"""
+
+    def _pq_search_sql(books: str) -> str:
+        return f"""
+        pdists AS (
+          SELECT s.vec_id, s.m, b.j, {_PQ_DIST} AS dist
+          FROM subs s JOIN {books} b ON s.m = b.m),
+        pcodes AS (
+          SELECT vec_id, m, j AS code FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id, m ORDER BY dist ASC, j ASC) AS rn
+            FROM pdists) WHERE rn = 1),
+        pqd AS (SELECT vec_id AS query_id, m, j, dist
+                FROM pdists WHERE vec_id < 5),
+        pcontrib AS (
+          SELECT q.query_id, c.vec_id, c.m, q.dist
+          FROM pcodes c JOIN pqd q ON q.m = c.m AND q.j = c.code),
+        pper AS (
+          SELECT query_id, vec_id, list(dist ORDER BY m) AS ds
+          FROM pcontrib GROUP BY query_id, vec_id),
+        pscored AS (
+          SELECT query_id, vec_id,
+                 round(ds[1] + ds[2] + ds[3] + ds[4] + ds[5] + ds[6]
+                       + ds[7] + ds[8], 6) AS adist
+          FROM pper)
+        SELECT query_id, vec_id, adist, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rank
+          FROM pscored)
+        WHERE rank <= 10
+        """
+
+    sq["pq_topk_fixed"] = (
+        "WITH " + _PQ_BASE + """,
+        js AS (SELECT CAST(range AS BIGINT) AS j FROM range(0, 8)),
+        ts AS (SELECT CAST(range AS BIGINT) AS t FROM range(0, 8)),
+        bookf AS (
+          SELECT m, j,
+                 list(((m * 37 + j * 17 + t * 7) % 21 - 10) / 16.0
+                      ORDER BY t) AS c
+          FROM ms CROSS JOIN js CROSS JOIN ts GROUP BY m, j),"""
+        + _pq_search_sql("bookf")
+    )
+
+    def _pq_lloyd_iter(i: int) -> str:
+        prev = f"books{i - 1}"
+        return f"""
+        pd{i} AS (
+          SELECT s.vec_id, s.m, s.sub, b.j, {_PQ_DIST} AS dist
+          FROM subs s JOIN {prev} b ON s.m = b.m),
+        pa{i} AS (
+          SELECT vec_id, m, sub, j AS cluster FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id, m ORDER BY dist ASC, j ASC) AS rn
+            FROM pd{i}) WHERE rn = 1),
+        ps{i} AS (
+          SELECT m, cluster, CAST(t.t AS INT) AS jd, count(*) AS n,
+                 sum(CAST(floor(sub[CAST(t.t + 1 AS INT)] * 16777216.0)
+                          AS BIGINT)) AS s
+          FROM pa{i}, UNNEST(range(0, 8)) AS t(t)
+          GROUP BY m, cluster, jd),
+        pm{i} AS (
+          SELECT m, cluster, list(s / (16777216.0 * n) ORDER BY jd) AS c
+          FROM ps{i} GROUP BY m, cluster),
+        books{i} AS (
+          SELECT b0.m, b0.j, COALESCE(p.c, b0.c) AS c
+          FROM {prev} b0 LEFT JOIN pm{i} p
+            ON b0.m = p.m AND b0.j = p.cluster)"""
+
+    sq["pq_topk"] = (
+        "WITH " + _PQ_BASE + """,
+        books0 AS (
+          SELECT m, CAST(row_number() OVER (
+                   PARTITION BY m ORDER BY vec_id) - 1 AS BIGINT) AS j,
+                 sub AS c
+          FROM subs WHERE vec_id IN
+            (SELECT vec_id FROM e2 ORDER BY vec_id LIMIT 8)),"""
+        + ",".join(_pq_lloyd_iter(i) for i in (1, 2))
+        + ","
+        + _pq_search_sql("books2")
     )
     # --- MinHash-LSH pairs, md5 hash family (gate query passes
     # hash_family="md5"): shingle hash = little-endian uint32 of
