@@ -247,6 +247,16 @@ def main() -> None:
     timed("ann_bruteforce", lambda: brute_force_topk(emb, q, k=10).count())
     timed("ann_lsh", lambda: lsh_topk(emb, q, dim=64, k=10, bits=8).count())
 
+    # --- ANN product quantization: train + encode + ADC search ------------------
+    from sigraph_spark.operators.pq import pq_encode, pq_topk, pq_train_lloyd
+
+    def run_pq() -> int:
+        books = pq_train_lloyd(emb, m=8, k=8, iters=2)
+        codes = pq_encode(emb, books).localCheckpoint(eager=True)
+        return pq_topk(codes, books, q, k=10).count()
+
+    timed("ann_pq", run_pq)
+
     # --- inverted index + index-backed retrieval --------------------------------
     from sigraph_spark.operators.index import (
         build_inverted_index, doc_norms, search_index,
@@ -614,6 +624,71 @@ def main() -> None:
 
     extras["media_rows"] = timed("media_sniff", run_media_sniff)
     extras["media_payloads"] = n_media
+
+    # --- pixel/sample-level near-dup: the dedup plane that DECODES --------------
+    # (image dHash through the PNG/BMP codecs, audio Haar fingerprint
+    # through WAV; near-dups planted across formats so the band joins
+    # have real work). Payload counts scale with sf.
+    n_px = max(int(20_000 * sf), 200)
+    n_au = max(int(4_000 * sf), 50)
+
+    def _gen_px_batch(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from sigraph_spark.operators.multimodal import encode_bmp, encode_png
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                g = int(i) // 2  # pairs: same pixels as png AND bmp
+                rng = _np.random.default_rng(g)
+                w, h = 24 + g % 9, 16 + g % 7
+                rgb = rng.integers(0, 256, size=(h, w, 3),
+                                   dtype=_np.uint8).tobytes()
+                enc = encode_png if i % 2 == 0 else encode_bmp
+                rows.append({"media_id": f"px-{i}",
+                             "payload": enc(w, h, rgb)})
+            yield _pd.DataFrame(rows)
+
+    def _gen_au_batch(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from sigraph_spark.operators.audiofp import encode_wav16
+        from sigraph_spark.operators.flac import encode_flac
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                g = int(i) // 2
+                rng = _np.random.default_rng(10_000 + g)
+                x = rng.integers(-8000, 8000, size=4608).astype(_np.int64)
+                p = (encode_wav16(8000, x) if i % 2 == 0
+                     else encode_flac(8000, x))
+                rows.append({"media_id": f"au-{i}", "payload": p})
+            yield _pd.DataFrame(rows)
+
+    px_tbl = (
+        spark.range(0, n_px, 1, max(cpus, 8))
+        .mapInPandas(_gen_px_batch, "media_id string, payload binary")
+        .localCheckpoint(eager=True)
+    )
+    au_tbl = (
+        spark.range(0, n_au, 1, max(cpus, 8))
+        .mapInPandas(_gen_au_batch, "media_id string, payload binary")
+        .localCheckpoint(eager=True)
+    )
+
+    def run_pixel_dedup() -> int:
+        from sigraph_spark.operators.audiofp import audio_neardup
+        from sigraph_spark.operators.imagehash import image_neardup
+
+        return (image_neardup(px_tbl).count()
+                + audio_neardup(au_tbl).count())
+
+    extras["pixel_dedup_pairs"] = timed("pixel_dedup", run_pixel_dedup)
+    extras["pixel_dedup_payloads"] = n_px + n_au
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
