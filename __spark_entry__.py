@@ -5454,6 +5454,27 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_search(spark, sf_dir, books)
 
 
+def q_ivfpq_topk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (IVFADC) search with FIXED coarse centroids + FIXED PQ
+    codebooks (round 5, operators/pq.py ivfpq_*): coarse assignment on
+    the normalized corpus, PQ codes of the RESIDUAL normalized(v) -
+    centroid[cluster], 2-probe selection per query, ADC against the
+    query residual of each probed centroid, ranking restricted to
+    probed clusters. Every stage restated in SQL (residuals via
+    list_transform index arithmetic, the ADC sum as the left-assoc
+    ds[1]+..+ds[8] chain)."""
+    from sigraph_spark.operators.pq import ivfpq_encode, ivfpq_topk
+    from sigraph_spark.operators.similarity import _hyperplane
+
+    cents = [_hyperplane(64, 300 + i) for i in range(8)]
+    books = _pq_fixed_books()
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    enc = ivfpq_encode(e, cents, books)
+    return ivfpq_topk(enc, cents, books, q, k=10, n_probe=2)
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based corpus filter: distill a high-precision seed rule into
     a full-vocabulary linear classifier (the CCNet/FineWeb bootstrap:
@@ -5760,6 +5781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
         "pq_topk_fixed": q_pq_topk_fixed,
+        "ivfpq_topk_fixed": q_ivfpq_topk_fixed,
         "sigma_modifiers": q_sigma_modifiers,
         "rdf_export": q_rdf_export,
         "rdf_roundtrip": q_rdf_roundtrip,
@@ -9250,6 +9272,102 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY t) AS c
           FROM ms CROSS JOIN js CROSS JOIN ts GROUP BY m, j),"""
         + _pq_search_sql("bookf")
+    )
+
+    # --- IVF-PQ fixed index: coarse assignment + residual codes +
+    # 2-probe ADC, all restated (residuals via index arithmetic; the
+    # same bookf formula codebooks; contrib join restricted to probed
+    # clusters).
+    from sigraph_spark.operators.similarity import _hyperplane as _hp2
+
+    _ivfpq_cents = [
+        "[" + ", ".join(repr(w) for w in _hp2(64, 300 + i)) + "]"
+        for i in range(8)
+    ]
+    _ivfpq_cs = "[" + ", ".join(
+        f"list_dot_product(uv, {c})" for c in _ivfpq_cents) + "]"
+    _ivfpq_cent_rows = ", ".join(
+        f"({i}, {c})" for i, c in enumerate(_ivfpq_cents))
+    _PQ_DIST_Q = _PQ_DIST  # same shape, s/b aliases shared
+    sq["ivfpq_topk_fixed"] = (
+        "WITH " + _NORM_CTE + f""",
+        js AS (SELECT CAST(range AS BIGINT) AS j FROM range(0, 8)),
+        ts AS (SELECT CAST(range AS BIGINT) AS t FROM range(0, 8)),
+        ms AS (SELECT CAST(range AS BIGINT) AS m FROM range(0, 8)),
+        bookf AS (
+          SELECT m, j,
+                 list(((m * 37 + j * 17 + t * 7) % 21 - 10) / 16.0
+                      ORDER BY t) AS c
+          FROM ms CROSS JOIN js CROSS JOIN ts GROUP BY m, j),
+        iva AS (SELECT vec_id, uv, {_ivfpq_cs} AS cs FROM u),
+        ivassign AS (
+          SELECT vec_id, uv,
+                 CAST(list_position(cs, list_aggregate(cs, 'max')) - 1
+                      AS INT) AS cluster
+          FROM iva),
+        centt AS (SELECT * FROM (VALUES {_ivfpq_cent_rows})
+                  c(cid, cvec)),
+        rsd AS (
+          SELECT a.vec_id, a.cluster,
+                 list_transform(range(64),
+                   i -> a.uv[CAST(i + 1 AS INT)]
+                        - ct.cvec[CAST(i + 1 AS INT)]) AS r
+          FROM ivassign a JOIN centt ct ON a.cluster = ct.cid),
+        rsubs AS (
+          SELECT vec_id, cluster, m,
+                 r[CAST(m * 8 + 1 AS INT):CAST(m * 8 + 8 AS INT)] AS sub
+          FROM rsd CROSS JOIN ms),
+        rdists AS (
+          SELECT s.vec_id, s.cluster, s.m, b.j, {_PQ_DIST} AS dist
+          FROM rsubs s JOIN bookf b ON s.m = b.m),
+        rcodes AS (
+          SELECT vec_id, cluster, m, j AS code FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id, m ORDER BY dist ASC, j ASC) AS rn
+            FROM rdists) WHERE rn = 1),
+        ivq AS (SELECT vec_id AS query_id, uv AS quv, cs
+                FROM iva WHERE vec_id < 5),
+        ivqs AS (
+          SELECT query_id, quv, CAST(i AS INT) AS cid,
+                 cs[CAST(i + 1 AS INT)] AS s
+          FROM ivq, UNNEST(range(0, 8)) AS t(i)),
+        ivprobes AS (
+          SELECT query_id, quv, cid FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY s DESC, cid DESC) AS rn
+            FROM ivqs)
+          WHERE rn <= 2),
+        qrsd AS (
+          SELECT p.query_id, p.cid,
+                 list_transform(range(64),
+                   i -> p.quv[CAST(i + 1 AS INT)]
+                        - ct.cvec[CAST(i + 1 AS INT)]) AS qr
+          FROM ivprobes p JOIN centt ct ON p.cid = ct.cid),
+        qsubs AS (
+          SELECT query_id, cid, m,
+                 qr[CAST(m * 8 + 1 AS INT):CAST(m * 8 + 8 AS INT)] AS sub
+          FROM qrsd CROSS JOIN ms),
+        qdists AS (
+          SELECT s.query_id, s.cid, s.m, b.j, {_PQ_DIST_Q} AS dist
+          FROM qsubs s JOIN bookf b ON s.m = b.m),
+        vcontrib AS (
+          SELECT q.query_id, c.vec_id, q.m, q.dist
+          FROM rcodes c JOIN qdists q
+            ON c.cluster = q.cid AND c.m = q.m AND c.code = q.j),
+        vper AS (
+          SELECT query_id, vec_id, list(dist ORDER BY m) AS ds
+          FROM vcontrib GROUP BY query_id, vec_id),
+        vscored AS (
+          SELECT query_id, vec_id,
+                 round(ds[1] + ds[2] + ds[3] + ds[4] + ds[5] + ds[6]
+                       + ds[7] + ds[8], 6) AS adist
+          FROM vper)
+        SELECT query_id, vec_id, adist, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rank
+          FROM vscored)
+        WHERE rank <= 10
+        """
     )
 
     def _pq_lloyd_iter(i: int) -> str:

@@ -40,7 +40,8 @@ from pyspark.sql import functions as F
 
 from .similarity import dot
 
-__all__ = ["pq_train_lloyd", "pq_encode", "pq_topk"]
+__all__ = ["pq_train_lloyd", "pq_encode", "pq_topk",
+           "ivfpq_train", "ivfpq_encode", "ivfpq_topk"]
 
 
 def _as_double(vec_col):
@@ -165,6 +166,143 @@ def pq_topk(
     tables = [_table(mi) for mi in range(m)]
     q = queries.select(F.col(query_id_col).alias("query_id"), *tables)
     joined = encoded.crossJoin(F.broadcast(q))
+    adist = F.element_at(F.col("t0"),
+                         F.element_at("codes", 1).cast("int") + 1)
+    for mi in range(1, m):
+        adist = adist + F.element_at(
+            F.col(f"t{mi}"), F.element_at("codes", mi + 1).cast("int") + 1)
+    scored = joined.select(
+        "query_id", "vec_id", F.round(adist, 6).alias("adist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer + PQ on residuals — the composed FAISS index
+# ---------------------------------------------------------------------------
+
+def _residual(vec, cents: list[list[float]], cluster_col):
+    """normalized(vec) - centroid[cluster] — the residual the PQ
+    codebooks quantize (unit-sphere L2, consistent with the coarse
+    quantizer's cosine assignment)."""
+    from .similarity import l2_normalize
+
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+    cent = F.element_at(cent_arr, cluster_col + 1)
+    return F.zip_with(l2_normalize(vec), cent, lambda a, b: a - b)
+
+
+def ivfpq_train(
+    corpus: DataFrame,
+    k_coarse: int = 8,
+    m: int = 8,
+    k_pq: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list, list]:
+    """-> ``(centroids, codebooks)``: the spherical coarse quantizer
+    (``similarity.ivf_train_lloyd``) plus PQ codebooks trained on the
+    coarse RESIDUALS — Jégou et al.'s IVFADC layout. Both trainers are
+    the deterministic fixed-point Lloyd, so the whole index is
+    engine-portable."""
+    from .similarity import ivf_assign, ivf_train_lloyd
+
+    cents = ivf_train_lloyd(corpus, k=k_coarse, iters=iters,
+                            id_col=id_col, vec_col=vec_col)
+    tagged = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
+    residuals = tagged.select(
+        "vec_id",
+        _residual(F.col("emb"), cents, F.col("cluster")).alias("r"),
+    )
+    books = pq_train_lloyd(residuals, m=m, k=k_pq, iters=iters,
+                           id_col="vec_id", vec_col="r")
+    return cents, books
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> ``(vec_id, cluster, codes)``: coarse assignment + PQ codes of
+    the residual. One narrow map; this is the stored index relation
+    (bucket by ``cluster`` at scale)."""
+    from .similarity import ivf_assign
+
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    tagged = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    r = _residual(F.col("emb"), centroids, F.col("cluster"))
+    return tagged.select(
+        "vec_id", "cluster",
+        F.array(*[_cluster_expr(r, codebooks[mi], mi, d)
+                  for mi in range(m)]).alias("codes"),
+    )
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC search: probe the ``n_probe`` nearest coarse clusters per
+    query (score desc, cluster desc tie-break — the ``ivf_topk``
+    convention), build the ADC tables against the QUERY RESIDUAL of
+    each probed centroid, and rank codes within probed clusters only.
+    The scan touches ~n_probe/k_coarse of the CODES (not the vectors).
+    -> ``(query_id, vec_id, adist, rank)``."""
+    from .similarity import dot as _dot
+    from .similarity import l2_normalize
+
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c])
+                         for c in centroids])
+    qn = l2_normalize(F.col(vec_col))
+    scores = F.transform(cent_arr, lambda c: _dot(qn, c))
+    probes = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(
+            F.slice(
+                F.reverse(F.array_sort(
+                    F.transform(
+                        scores,
+                        lambda s, i: F.struct(s.alias("score"),
+                                              i.alias("cluster")),
+                    )
+                )),
+                1, n_probe,
+            )
+        ).alias("_p"),
+    ).select("query_id", "_qv",
+             F.col("_p.cluster").cast("int").alias("cluster"))
+
+    qr = _residual(F.col("_qv"), centroids, F.col("cluster"))
+
+    def _table(mi: int):
+        cb = F.array(*[F.array(*[F.lit(x) for x in c])
+                       for c in codebooks[mi]])
+        return F.transform(
+            cb, lambda c: _sqdist(_sub(qr, mi, d), c)).alias(f"t{mi}")
+
+    q = probes.select("query_id", "cluster",
+                      *[_table(mi) for mi in range(m)])
+    joined = encoded.join(F.broadcast(q), "cluster")
     adist = F.element_at(F.col("t0"),
                          F.element_at("codes", 1).cast("int") + 1)
     for mi in range(1, m):

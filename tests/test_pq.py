@@ -108,6 +108,39 @@ def test_adc_topk_recall_vs_bruteforce(spark, emb):
                    for i in range(9))
 
 
+def test_ivfpq_end_to_end(spark, emb):
+    from sigraph_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+
+    cents, books = ivfpq_train(emb, k_coarse=K, m=M, k_pq=K, iters=2)
+    enc = ivfpq_encode(emb, cents, books)
+    rows = enc.collect()
+    assert len(rows) == 64
+    # clustered fixture: one coarse cluster per true center, and
+    # same-cluster members share residual codes
+    by_id = {r["vec_id"]: r for r in rows}
+    for i in range(4, 64):
+        assert by_id[i]["cluster"] == by_id[i % K]["cluster"], i
+
+    queries = emb.filter("vec_id < 3").withColumnRenamed(
+        "vec_id", "query_id")
+    got = ivfpq_topk(enc, cents, books, queries, k=10, n_probe=1)
+    data = dict(_vectors())
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        assert len(rs) == 10
+        # with 1 probe, every hit lives in the query's own cluster
+        for r in rs:
+            assert r["vec_id"] % K == qid % K, (qid, r["vec_id"])
+        rs = sorted(rs, key=lambda r: r["rank"])
+        assert all(rs[i]["adist"] <= rs[i + 1]["adist"] for i in range(9))
+
+
 def test_dim_not_divisible_raises(spark):
     df = spark.createDataFrame([(0, [0.0] * 10)],
                                "vec_id long, embedding array<double>")
