@@ -1791,9 +1791,20 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (verified offline), so no cross-group pair survives max_hamming=3.
     One garbage payload per group must hash NULL and emit nothing.
     The oracle enumerates the 3 pairs per group arithmetically."""
+    from sigraph_spark.operators.audiofp import audio_neardup
+
+    df = spark.createDataFrame(_audiofp_fixture_rows(),
+                               "media_id string, payload binary")
+    return audio_neardup(df, max_hamming=3)
+
+
+def _audiofp_fixture_rows():
+    """The deterministic 16-group audio fixture shared by the
+    ``audio_neardup`` and ``audiofp_incremental`` gates (see
+    ``q_audio_neardup`` for the margin argument)."""
     import numpy as np
 
-    from sigraph_spark.operators.audiofp import audio_neardup, encode_wav16
+    from sigraph_spark.operators.audiofp import encode_wav16
     from sigraph_spark.operators.flac import encode_flac
     from sigraph_spark.operators.oggflac import encode_ogg_flac
 
@@ -1813,8 +1824,33 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((f"{gid}-flac", bytearray(encode_flac(8000, x))))
         rows.append((f"{gid}-ogg", bytearray(encode_ogg_flac(8000, x))))
         rows.append((f"{gid}-bad", bytearray(b"\x00hiss" * 4 + bytes([g]))))
-    df = spark.createDataFrame(rows, "media_id string, payload binary")
-    return audio_neardup(df, max_hamming=3)
+    return rows
+
+
+def q_audiofp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental audio near-dup (round 5,
+    operators/audiofp.py incremental_audio_candidates — closing the
+    stored-index symmetry across all three dedup modalities): the
+    corpus index is built from each group's wav + flac; the crawl
+    delta brings the Ogg-FLAC re-encapsulation and the garbage
+    payload. Correct output = the full pair set restricted to pairs
+    with >= 1 new endpoint — per group that drops (flac, wav, 0),
+    leaving (flac, ogg, 0) and (ogg, wav, 0). Corpus samples are
+    never re-decoded; the oracle enumerates 2 pairs per group."""
+    from sigraph_spark.operators.audiofp import (
+        audio_index,
+        incremental_audio_candidates,
+    )
+
+    rows = _audiofp_fixture_rows()
+    schema = "media_id string, payload binary"
+    old_df = spark.createDataFrame(
+        [r for r in rows if r[0].endswith(("-wav", "-flac"))], schema)
+    new_df = spark.createDataFrame(
+        [r for r in rows if r[0].endswith(("-ogg", "-bad"))], schema)
+    pairs, _delta = incremental_audio_candidates(new_df,
+                                                 audio_index(old_df))
+    return pairs
 
 
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5775,6 +5811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardup": q_image_neardup,
         "imagehash_incremental": q_imagehash_incremental,
         "audio_neardup": q_audio_neardup,
+        "audiofp_incremental": q_audiofp_incremental,
         "compaction_plan": q_compaction_plan,
         "warc10_roundtrip": q_warc10_roundtrip,
         "simhash_incremental": q_simhash_incremental,
@@ -7185,6 +7222,16 @@ def oracle_sql() -> dict[str, str]:
         WITH g AS (SELECT CAST(range AS BIGINT) AS g FROM range(0, 16)),
         p(sa, sb) AS (VALUES
             ('flac', 'ogg'), ('flac', 'wav'), ('ogg', 'wav'))
+        SELECT 'g' || lpad(CAST(g AS VARCHAR), 2, '0') || '-' || sa AS a,
+               'g' || lpad(CAST(g AS VARCHAR), 2, '0') || '-' || sb AS b,
+               CAST(0 AS INT) AS hamming
+        FROM g CROSS JOIN p
+    """
+    # --- incremental audio near-dup: the full trio pair set minus
+    # the per-group old-vs-old (flac, wav) pair.
+    sq["audiofp_incremental"] = """
+        WITH g AS (SELECT CAST(range AS BIGINT) AS g FROM range(0, 16)),
+        p(sa, sb) AS (VALUES ('flac', 'ogg'), ('ogg', 'wav'))
         SELECT 'g' || lpad(CAST(g AS VARCHAR), 2, '0') || '-' || sa AS a,
                'g' || lpad(CAST(g AS VARCHAR), 2, '0') || '-' || sb AS b,
                CAST(0 AS INT) AS hamming

@@ -45,7 +45,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["audio_fp64", "afp_from_payload", "encode_wav16",
-           "audio_hashes", "audio_index", "audio_neardup"]
+           "audio_hashes", "audio_index", "audio_neardup",
+           "incremental_audio_candidates"]
 
 _SLICES = 9        # -> 8 adjacent-slice comparisons per level
 _LEVELS = 8        # Haar cascade depth -> 8 levels x 8 comparisons
@@ -210,3 +211,47 @@ def audio_neardup(
 
     return banded_neardup_pairs(
         audio_index(media, id_col, payload_col), "afp", max_hamming)
+
+
+def incremental_audio_candidates(
+    new_media: DataFrame,
+    index: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental audio near-dup: NEW clips vs the EXISTING corpus
+    index (``audio_index`` rows), plus new-vs-new — corpus samples are
+    never re-decoded. Completes the stored-index symmetry across all
+    three dedup modalities (text SimHash / image dHash / this); the
+    decomposition guarantee and probe-cost shape are identical to
+    ``imagehash.incremental_image_candidates``.
+
+    Returns ``(pairs, delta_index)``."""
+    from .imagehash import _first_match
+
+    delta_index = audio_index(new_media, id_col, payload_col)
+    corpus = index.select(
+        "bi", "bv", F.col("id").alias("x"), F.col("afp").alias("hx")
+    )
+    fresh = delta_index.select(
+        "bi", "bv", F.col("id").alias("y"), F.col("afp").alias("hy")
+    )
+    new_vs_old = (
+        corpus.join(fresh, ["bi", "bv"])
+        .filter(F.col("x") != F.col("y"))
+        .filter(F.col("bi") == _first_match(F.col("hx"), F.col("hy")))
+        .withColumn("hamming",
+                    F.bit_count(F.col("hx").bitwiseXOR(F.col("hy"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.least("x", "y").alias("a"),
+            F.greatest("x", "y").alias("b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )
+    from .imagehash import banded_neardup_pairs
+
+    new_vs_new = banded_neardup_pairs(delta_index, "afp", max_hamming)
+    # distinct: a re-fed clip can surface the same pair from both legs
+    return new_vs_old.unionByName(new_vs_new).distinct(), delta_index

@@ -108,6 +108,40 @@ def test_undecodable_yields_null_and_exact_longs(spark):
     assert got["c"] == f  # bit-exact despite NULL neighbours (Int64)
 
 
+def test_incremental_equals_filtered_full(spark):
+    from sigraph_spark.operators.audiofp import (
+        audio_index,
+        incremental_audio_candidates,
+    )
+    from sigraph_spark.operators.flac import encode_flac
+
+    old_rows, new_rows = [], []
+    for g in range(4):
+        x = _noise(800 + g)
+        old_rows.append((f"g{g}-wav", bytearray(encode_wav16(8000, x))))
+        new_rows.append((f"g{g}-flac", bytearray(encode_flac(8000, x))))
+    new_rows.append(("junk", bytearray(b"\x00static" * 4)))
+    schema = "media_id string, payload binary"
+    old_df = spark.createDataFrame(old_rows, schema)
+    new_df = spark.createDataFrame(new_rows, schema)
+
+    full = audio_neardup(old_df.unionByName(new_df)).collect()
+    new_ids = {r[0] for r in new_rows}
+    expected = {(r["a"], r["b"], r["hamming"]) for r in full
+                if r["a"] in new_ids or r["b"] in new_ids}
+
+    pairs, delta = incremental_audio_candidates(new_df,
+                                                audio_index(old_df))
+    got = {(r["a"], r["b"], r["hamming"]) for r in pairs.collect()}
+    assert got == expected and len(expected) == 4  # 1 per group
+
+    merged = {tuple(r) for r in
+              audio_index(old_df).unionByName(delta).collect()}
+    whole = {tuple(r) for r in
+             audio_index(old_df.unionByName(new_df)).collect()}
+    assert merged == whole
+
+
 def test_neardup_lossless_groups(spark):
     from sigraph_spark.operators.flac import encode_flac
     from sigraph_spark.operators.oggflac import encode_ogg_flac
