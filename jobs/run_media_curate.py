@@ -76,6 +76,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="generate N synthetic mixed payloads (testing)")
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--max-hamming", type=int, default=3)
+    ap.add_argument("--delta-id",
+                    help="apply as an O(delta) append to the media-dedup "
+                         "state instead of the batch pipeline; replays "
+                         "of an applied id are no-ops")
+    ap.add_argument("--synthetic-half", type=int, choices=(0, 1),
+                    help="with --synthetic-n: keep only even (0) or odd "
+                         "(1) ids — cross-format pairs then SPAN deltas")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
@@ -94,6 +101,30 @@ def main(argv: list[str] | None = None) -> int:
     )
     media = (spark.read.parquet(args.media) if args.media
              else _synthetic_media(spark, args.synthetic_n))
+    if args.synthetic_half is not None:
+        media = media.filter(F.expr(
+            f"CAST(substring(media_id, 3) AS INT) % 2 = {args.synthetic_half}"
+        ))
+
+    if args.delta_id:
+        from sigraph_spark.plans.media_delta import (
+            apply_media_delta,
+            media_delta_keeplist,
+        )
+
+        t0 = time.monotonic()
+        rep = apply_media_delta(spark, media, args.workdir, args.delta_id,
+                                max_hamming=args.max_hamming)
+        if rep is None:
+            print(json.dumps({"replay_noop": True,
+                              "delta_id": args.delta_id}))
+            return 0
+        keep = media_delta_keeplist(spark, args.workdir)
+        rep["kept"] = keep.filter(F.col("keep")).count()
+        rep["dropped"] = keep.filter(~F.col("keep")).count()
+        rep["wall_s"] = round(time.monotonic() - t0, 3)
+        print(json.dumps(rep))
+        return 0
 
     t0 = time.monotonic()
     out = run_media_curation(spark, media, args.workdir,
