@@ -18,7 +18,12 @@ Supported operations (separated by ``;`` in one request):
   FILTER, UNION, ... — ``bgp._eval_where``) against the store AS IT
   WAS BEFORE the operation, per spec §3.1.3: deletes and inserts of
   one operation both instantiate from the same binding set.
-- ``CLEAR DEFAULT`` / ``CLEAR GRAPH <iri>`` / ``CLEAR ALL``.
+- ``CLEAR DEFAULT`` / ``CLEAR GRAPH <iri>`` / ``CLEAR ALL``;
+- graph management on quad stores (spec §3.2.3-5): ``ADD`` (union
+  source into destination), ``COPY`` (destination replaced by
+  source), ``MOVE`` (copy then drop source) — each between
+  ``DEFAULT`` and/or ``GRAPH <iri>``; source == destination is a
+  no-op per spec.
 
 Semantics notes, all pinned in tests:
 
@@ -188,6 +193,43 @@ def _apply_one(store: DataFrame, op: str, quad: bool,
             return store.filter(F.col("g").isNotNull())
         return store.filter(
             F.col("g").isNull() | (F.col("g") != m.group(2)))
+
+    m = re.match(
+        r"(ADD|COPY|MOVE)\s+(DEFAULT|GRAPH\s+<?[^\s>]+>?)\s+TO\s+"
+        r"(DEFAULT|GRAPH\s+<?[^\s>]+>?)\s*$",
+        op, re.IGNORECASE,
+    )
+    if m:
+        if not quad:
+            raise ValueError(f"{m.group(1).upper()} needs a quad store")
+
+        def _gname(tok: str):
+            if tok.upper() == "DEFAULT":
+                return None
+            return re.match(r"GRAPH\s+<?([^\s>]+)>?", tok,
+                            re.IGNORECASE).group(1)
+
+        verb = m.group(1).upper()
+        src_g, dst_g = _gname(m.group(2)), _gname(m.group(3))
+        if src_g == dst_g:
+            return store  # spec: same-graph ADD/COPY/MOVE is a no-op
+
+        def _in(g):
+            return (F.col("g").isNull() if g is None
+                    else F.col("g") == g)
+
+        src_rows = store.filter(_in(src_g)).withColumn(
+            "g", F.lit(dst_g).cast("string"))
+        if verb == "ADD":
+            return store.unionByName(src_rows).distinct()
+        rest = store.filter(~_in(dst_g) | F.col("g").isNull()
+                            if dst_g is not None
+                            else F.col("g").isNotNull())
+        if verb == "MOVE":
+            rest = rest.filter(~_in(src_g) | F.col("g").isNull()
+                               if src_g is not None
+                               else F.col("g").isNotNull())
+        return rest.unionByName(src_rows).distinct()
 
     m = re.match(r"DELETE\s+WHERE\s*\{(.*)\}\s*$", op,
                  re.IGNORECASE | re.DOTALL)

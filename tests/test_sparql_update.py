@@ -120,6 +120,30 @@ def test_loud_errors(spark):
             st, "INSERT { GRAPH <g> { ?s p ?o } } WHERE { ?s knows ?o }")
 
 
+def test_graph_management_add_copy_move(spark):
+    quad = _store(spark, [("a", "p", "b", None), ("c", "p", "d", "g1"),
+                          ("e", "p", "f", "g2")], quad=True)
+    # ADD: union into destination, source untouched
+    out = update_sparql(quad, "ADD GRAPH <g1> TO DEFAULT")
+    assert _rows(out) == {("a", "p", "b", None), ("c", "p", "d", None),
+                          ("c", "p", "d", "g1"), ("e", "p", "f", "g2")}
+    # COPY: destination replaced
+    out = update_sparql(quad, "COPY DEFAULT TO GRAPH <g2>")
+    assert _rows(out) == {("a", "p", "b", None), ("c", "p", "d", "g1"),
+                          ("a", "p", "b", "g2")}
+    # MOVE: copy then drop source
+    out = update_sparql(quad, "MOVE GRAPH <g1> TO GRAPH <g2>")
+    assert _rows(out) == {("a", "p", "b", None), ("c", "p", "d", "g2")}
+    # same graph: no-op per spec
+    assert _rows(update_sparql(quad, "MOVE GRAPH <g1> TO GRAPH <g1>")) \
+        == _rows(quad)
+    # triple store: loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="quad store"):
+        update_sparql(_store(spark, BASE), "ADD DEFAULT TO GRAPH <g>")
+
+
 def test_duplicate_store_rows_collapse(spark):
     dup = _store(spark, BASE + [("a", "knows", "b")])
     out = update_sparql(dup, "INSERT DATA { q p r }")
