@@ -1853,6 +1853,31 @@ def q_audiofp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+def q_spoof_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homoglyph spoof detection (round 5, operators/confusables.py):
+    UTS #39 confusable skeletons — punycode decode, NFKD + combining
+    strip, curated cross-script prototype map, case fold — block
+    spoofed identifiers onto their targets by skeleton equi-join.
+    Fixture: 200 brand domains; every 2nd gains a Cyrillic-а spoof,
+    every 3rd a fullwidth-ｂ spoof (NFKD folds it), every 5th an
+    unrelated decoy that must pair with nothing. The oracle
+    enumerates the collision pairs (codepoint ordering is binary in
+    both engines, so a/b assignment is deterministic)."""
+    from sigraph_spark.operators.confusables import spoof_pairs
+
+    rows = []
+    for i in range(200):
+        rows.append((f"brand{i}.com",))
+        if i % 2 == 0:
+            rows.append((f"brаnd{i}.com",))   # Cyrillic а
+        if i % 3 == 0:
+            rows.append((f"ｂrand{i}.com",))   # fullwidth ｂ
+        if i % 5 == 0:
+            rows.append((f"unrelated{i}.org",))
+    df = spark.createDataFrame(rows, "name string")
+    return spoof_pairs(df)
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning (round 5, operators/layout.py
     plan_compaction — the OPTIMIZE half of table maintenance beside
@@ -5812,6 +5837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "imagehash_incremental": q_imagehash_incremental,
         "audio_neardup": q_audio_neardup,
         "audiofp_incremental": q_audiofp_incremental,
+        "spoof_pairs": q_spoof_pairs,
         "compaction_plan": q_compaction_plan,
         "warc10_roundtrip": q_warc10_roundtrip,
         "simhash_incremental": q_simhash_incremental,
@@ -7226,6 +7252,34 @@ def oracle_sql() -> dict[str, str]:
                'g' || lpad(CAST(g AS VARCHAR), 2, '0') || '-' || sb AS b,
                CAST(0 AS INT) AS hamming
         FROM g CROSS JOIN p
+    """
+    # --- homoglyph spoof pairs: collision structure is id arithmetic;
+    # the Spark side does the real punycode/NFKD/prototype skeleton.
+    sq["spoof_pairs"] = """
+        WITH pg AS (
+          SELECT CAST(range AS BIGINT) AS i,
+                 -- the skeleton maps digit confusables too: 0->o, 1->l
+                 replace(replace(CAST(range AS VARCHAR), '0', 'o'),
+                         '1', 'l') AS sk_i
+          FROM range(0, 200)),
+        p1 AS (
+          SELECT 'brand' || CAST(i AS VARCHAR) || '.com' AS a,
+                 'brаnd' || CAST(i AS VARCHAR) || '.com' AS b,
+                 'brand' || sk_i || '.com' AS skeleton
+          FROM pg WHERE i % 2 = 0),
+        p2 AS (
+          SELECT 'brand' || CAST(i AS VARCHAR) || '.com',
+                 'ｂrand' || CAST(i AS VARCHAR) || '.com',
+                 'brand' || sk_i || '.com'
+          FROM pg WHERE i % 3 = 0),
+        p3 AS (
+          SELECT 'brаnd' || CAST(i AS VARCHAR) || '.com',
+                 'ｂrand' || CAST(i AS VARCHAR) || '.com',
+                 'brand' || sk_i || '.com'
+          FROM pg WHERE i % 6 = 0)
+        SELECT * FROM p1
+        UNION ALL SELECT * FROM p2
+        UNION ALL SELECT * FROM p3
     """
     # --- incremental audio near-dup: the full trio pair set minus
     # the per-group old-vs-old (flac, wav) pair.
