@@ -1878,6 +1878,31 @@ def q_spoof_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spoof_pairs(df)
 
 
+def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typosquat detection (round 5, operators/typosquat.py): SymSpell
+    deletion-key blocking — every edit-distance-1 pair shares a
+    1-deletion key, so candidates come from an equi-join (O(len) keys
+    per name), verified by the JVM levenshtein built-in; zero Python.
+    Fixture: 150 base domains with planted deletion / insertion /
+    substitution variants. The oracle is the INDEPENDENT quadratic
+    formulation (all-pairs levenshtein in SQL), so a blocking gap —
+    a pair the key join misses — fails the gate, not just a wrong
+    distance."""
+    from sigraph_spark.operators.typosquat import typo_pairs
+
+    rows = []
+    for i in range(150):
+        rows.append((f"site{i}.com",))
+        if i % 2 == 0:
+            rows.append((f"sit{i}.com",))     # deletion
+        if i % 3 == 0:
+            rows.append((f"sitee{i}.com",))   # insertion
+        if i % 5 == 0:
+            rows.append((f"sute{i}.com",))    # substitution
+    df = spark.createDataFrame(rows, "name string")
+    return typo_pairs(df)
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning (round 5, operators/layout.py
     plan_compaction — the OPTIMIZE half of table maintenance beside
@@ -5838,6 +5863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_neardup": q_audio_neardup,
         "audiofp_incremental": q_audiofp_incremental,
         "spoof_pairs": q_spoof_pairs,
+        "typo_pairs": q_typo_pairs,
         "compaction_plan": q_compaction_plan,
         "warc10_roundtrip": q_warc10_roundtrip,
         "simhash_incremental": q_simhash_incremental,
@@ -7280,6 +7306,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT * FROM p1
         UNION ALL SELECT * FROM p2
         UNION ALL SELECT * FROM p3
+    """
+    # --- typosquat pairs: the oracle is the QUADRATIC independent
+    # formulation — all-pairs levenshtein — so it checks blocking
+    # completeness, not just the distances.
+    sq["typo_pairs"] = """
+        WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 150)),
+        names AS (
+          SELECT 'site' || CAST(i AS VARCHAR) || '.com' AS name FROM pg
+          UNION SELECT 'sit' || CAST(i AS VARCHAR) || '.com'
+          FROM pg WHERE i % 2 = 0
+          UNION SELECT 'sitee' || CAST(i AS VARCHAR) || '.com'
+          FROM pg WHERE i % 3 = 0
+          UNION SELECT 'sute' || CAST(i AS VARCHAR) || '.com'
+          FROM pg WHERE i % 5 = 0),
+        f AS (SELECT name FROM names WHERE length(name) >= 4)
+        SELECT n1.name AS a, n2.name AS b, CAST(1 AS INT) AS dist
+        FROM f n1 JOIN f n2 ON n1.name < n2.name
+        WHERE levenshtein(n1.name, n2.name) = 1
     """
     # --- incremental audio near-dup: the full trio pair set minus
     # the per-group old-vs-old (flac, wav) pair.
