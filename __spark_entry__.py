@@ -1903,6 +1903,28 @@ def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typo_pairs(df)
 
 
+def q_combosquat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combosquat detection (round 5, operators/typosquat.py
+    combosquat_pairs): brand tokens embedded in larger registrable
+    labels via a broadcast contains-join — the third member of the
+    domain-abuse triad. Fixture: every 3rd of 200 domains embeds
+    brand{i%20}; prefix-overlaps (brand1 inside brand12-...) are
+    correct contains-semantics and the oracle's LIKE reproduces them
+    identically."""
+    from sigraph_spark.operators.typosquat import combosquat_pairs
+
+    i = F.col("id")
+    dom = F.when(
+        i % 3 == 0,
+        F.concat(F.lit("brand"), (i % 20).cast("string"),
+                 F.lit("-portal"), i.cast("string"), F.lit(".com")),
+    ).otherwise(F.concat(F.lit("shop"), i.cast("string"), F.lit(".com")))
+    domains = spark.range(0, 200).select(dom.alias("domain"))
+    brands = spark.range(0, 20).select(
+        F.concat(F.lit("brand"), F.col("id").cast("string")).alias("brand"))
+    return combosquat_pairs(domains, brands)
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning (round 5, operators/layout.py
     plan_compaction — the OPTIMIZE half of table maintenance beside
@@ -5864,6 +5886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audiofp_incremental": q_audiofp_incremental,
         "spoof_pairs": q_spoof_pairs,
         "typo_pairs": q_typo_pairs,
+        "combosquat": q_combosquat,
         "compaction_plan": q_compaction_plan,
         "warc10_roundtrip": q_warc10_roundtrip,
         "simhash_incremental": q_simhash_incremental,
@@ -7324,6 +7347,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT n1.name AS a, n2.name AS b, CAST(1 AS INT) AS dist
         FROM f n1 JOIN f n2 ON n1.name < n2.name
         WHERE levenshtein(n1.name, n2.name) = 1
+    """
+    # --- combosquat: the same contains-join in SQL (LIKE over the
+    # extracted registrable label).
+    sq["combosquat"] = r"""
+        WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 200)),
+        doms AS (
+          SELECT CASE WHEN i % 3 = 0
+                 THEN 'brand' || CAST(i % 20 AS VARCHAR) || '-portal'
+                      || CAST(i AS VARCHAR) || '.com'
+                 ELSE 'shop' || CAST(i AS VARCHAR) || '.com' END AS domain
+          FROM pg),
+        brands AS (
+          SELECT 'brand' || CAST(range AS VARCHAR) AS brand
+          FROM range(0, 20)),
+        lab AS (
+          SELECT domain,
+                 lower(regexp_extract(domain, '^(.*)\.[^.]+$', 1)) AS l
+          FROM doms)
+        SELECT domain, brand FROM lab CROSS JOIN brands
+        WHERE l LIKE '%' || brand || '%' AND l <> brand
     """
     # --- incremental audio near-dup: the full trio pair set minus
     # the per-group old-vs-old (flac, wav) pair.

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["deletion_keys", "typo_pairs"]
+__all__ = ["deletion_keys", "typo_pairs", "combosquat_pairs"]
 
 
 def deletion_keys(name):
@@ -72,4 +72,33 @@ def typo_pairs(
         .distinct()
         .withColumn("dist", F.levenshtein("a", "b"))
         .filter(F.col("dist") == 1)
+    )
+
+
+def combosquat_pairs(
+    domains: DataFrame,
+    brands: DataFrame,
+    domain_col: str = "domain",
+    brand_col: str = "brand",
+) -> DataFrame:
+    """Combosquats — the third member of the domain-abuse triad beside
+    homoglyphs and typos: registrations that EMBED a brand token in a
+    larger label (``paypal-login.com``, ``secure-paypal.net``).
+    -> ``(domain, brand)`` where the registrable label (the part
+    before the last dot) strictly contains the brand token but is not
+    the brand itself.
+
+    Scale shape: brands are vocabulary-sized, so this is a BROADCAST
+    theta-join (contains) — O(domains x |brands|) work with the brand
+    side in memory, the shape every brand-monitoring feed uses; the
+    corpus is never shuffled."""
+    label = F.regexp_extract(F.col(domain_col), r"^(.*)\.[^.]+$", 1)
+    d = domains.select(F.col(domain_col).alias("domain"),
+                       F.lower(label).alias("_label")).distinct()
+    b = brands.select(F.lower(F.col(brand_col)).alias("brand")).distinct()
+    return (
+        d.join(F.broadcast(b),
+               F.col("_label").contains(F.col("brand"))
+               & (F.col("_label") != F.col("brand")))
+        .select("domain", "brand")
     )

@@ -63,6 +63,25 @@ def test_matches_quadratic_formulation(spark):
     assert got == exp and len(exp) > 0
 
 
+def test_combosquat_pairs(spark):
+    from sigraph_spark.operators.typosquat import combosquat_pairs
+
+    domains = spark.createDataFrame(
+        [("paypal-login.com",), ("secure-PayPal.net",), ("paypal.com",),
+         ("nopaypallike.org",), ("innocent.com",), ("paypal.co.uk",)],
+        "domain string")
+    brands = spark.createDataFrame([("paypal",)], "brand string")
+    got = {(r["domain"], r["brand"])
+           for r in combosquat_pairs(domains, brands).collect()}
+    # paypal.com's label IS the brand -> excluded; paypal.co.uk's
+    # label 'paypal.co' CONTAINS it -> flagged (multi-label TLDs are
+    # the caller's suffix-list problem); case-insensitive
+    assert got == {("paypal-login.com", "paypal"),
+                   ("secure-PayPal.net", "paypal"),
+                   ("nopaypallike.org", "paypal"),
+                   ("paypal.co.uk", "paypal")}
+
+
 def test_min_len_floor(spark):
     got = _pairs(spark, ["ab", "ac", "abcd", "abce"], min_len=4)
     assert got == {("abcd", "abce", 1)}  # short names excluded
