@@ -1925,6 +1925,45 @@ def q_combosquat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return combosquat_pairs(domains, brands)
 
 
+def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup by frame-hash overlap (round 5,
+    operators/videodup.py): decoded frames dHash exactly like stills,
+    so re-containered copies share frame-hash sets — the join is a
+    frame-hash equi-join, never pairwise video comparison. Fixture:
+    12 sliding-window videos over a 14-frame pool (video i = frames
+    [i, i+2]), ALTERNATING containers (even = AVI MJPG, odd = mp4
+    'jpeg' samples — identical JPEG bytes, so the cross-container
+    pixel paths must agree bit-for-bit for any pair to surface), plus
+    a garbage payload. Consecutive videos share exactly 2 frames
+    (pool min pairwise Hamming 23, verified offline — no accidental
+    matches); i/i+2 share 1, below min_shared. The oracle enumerates
+    the 11 consecutive pairs arithmetically."""
+    import numpy as np
+
+    from sigraph_spark.operators.avi import encode_avi_mjpeg
+    from sigraph_spark.operators.jpeg import encode_jpeg
+    from sigraph_spark.operators.mp4frames import encode_mp4_samples
+    from sigraph_spark.operators.videodup import video_neardup
+
+    w, h = 16, 12
+
+    def frame(k):
+        rng = np.random.default_rng(7000 + k)
+        rgb = rng.integers(0, 256, size=(h, w, 3),
+                           dtype=np.uint8).tobytes()
+        return encode_jpeg(w, h, rgb, quality=75)
+
+    rows = []
+    for i in range(12):
+        jpegs = [frame(i), frame(i + 1), frame(i + 2)]
+        payload = (encode_avi_mjpeg(jpegs, w, h, fps_num=24)
+                   if i % 2 == 0 else encode_mp4_samples(jpegs, w, h))
+        rows.append((f"vid-{i:02d}", bytearray(payload)))
+    rows.append(("vid-xx", bytearray(b"\x00no video" * 3)))
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    return video_neardup(df, min_shared=2)
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning (round 5, operators/layout.py
     plan_compaction — the OPTIMIZE half of table maintenance beside
@@ -5887,6 +5926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spoof_pairs": q_spoof_pairs,
         "typo_pairs": q_typo_pairs,
         "combosquat": q_combosquat,
+        "video_neardup": q_video_neardup,
         "compaction_plan": q_compaction_plan,
         "warc10_roundtrip": q_warc10_roundtrip,
         "simhash_incremental": q_simhash_incremental,
@@ -7347,6 +7387,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT n1.name AS a, n2.name AS b, CAST(1 AS INT) AS dist
         FROM f n1 JOIN f n2 ON n1.name < n2.name
         WHERE levenshtein(n1.name, n2.name) = 1
+    """
+    # --- video near-dup: 11 consecutive sliding-window pairs, each
+    # sharing exactly 2 frames; cross-container agreement is what the
+    # Spark side actually proves.
+    sq["video_neardup"] = """
+        WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 11))
+        SELECT 'vid-' || lpad(CAST(i AS VARCHAR), 2, '0') AS a,
+               'vid-' || lpad(CAST(i + 1 AS VARCHAR), 2, '0') AS b,
+               CAST(2 AS BIGINT) AS shared
+        FROM pg
     """
     # --- combosquat: the same contains-join in SQL (LIKE over the
     # extracted registrable label).
