@@ -1964,6 +1964,45 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_neardup(df, min_shared=2)
 
 
+def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio activity segmentation (round 5, operators/audioseg.py):
+    integer frame energies through the WAV decode path, then
+    gaps-and-islands maximal runs. Fixture: 40 clips, each
+    silence(1+i%3 frames) / voiced(2+i%4) / silence(1+i%2)
+    [/ voiced(1+i%5) on odd i] at constant amplitude 3000 (full-frame
+    energy 256*3000^2 >> threshold; silence is exact zeros), so every
+    segment row is run-length arithmetic — which is exactly what the
+    oracle enumerates."""
+    import numpy as np
+
+    from sigraph_spark.operators.audiofp import encode_wav16
+    from sigraph_spark.operators.audioseg import (
+        audio_segments,
+        frame_energies,
+    )
+
+    fl = 256
+    rows = []
+    for i in range(40):
+        a, b, c = 1 + i % 3, 2 + i % 4, 1 + i % 2
+        spans = [(a, 0), (b, 3000), (c, 0)]
+        if i % 2 == 1:
+            spans.append((1 + i % 5, 3000))
+        xs = []
+        for nf, amp in spans:
+            if amp == 0:
+                xs.append(np.zeros(nf * fl, dtype=np.int64))
+            else:
+                x = np.full(nf * fl, amp, dtype=np.int64)
+                x[1::2] *= -1  # zero-mean square wave, energy amp^2/sample
+                xs.append(x)
+        rows.append((f"clip-{i:02d}",
+                     bytearray(encode_wav16(8000, np.concatenate(xs)))))
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    return audio_segments(frame_energies(df, frame_len=fl),
+                          threshold=10_000)
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning (round 5, operators/layout.py
     plan_compaction — the OPTIMIZE half of table maintenance beside
@@ -5927,6 +5966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typo_pairs": q_typo_pairs,
         "combosquat": q_combosquat,
         "video_neardup": q_video_neardup,
+        "audio_segments": q_audio_segments,
         "compaction_plan": q_compaction_plan,
         "warc10_roundtrip": q_warc10_roundtrip,
         "simhash_incremental": q_simhash_incremental,
@@ -7387,6 +7427,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT n1.name AS a, n2.name AS b, CAST(1 AS INT) AS dist
         FROM f n1 JOIN f n2 ON n1.name < n2.name
         WHERE levenshtein(n1.name, n2.name) = 1
+    """
+    # --- audio segments: four-run (or three-run on even i) structure,
+    # pure run-length arithmetic.
+    sq["audio_segments"] = """
+        WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 40)),
+        d AS (SELECT i, 1 + i % 3 AS a, 2 + i % 4 AS b, 1 + i % 2 AS c,
+                     1 + i % 5 AS dd
+              FROM pg),
+        runs AS (
+          SELECT i, 0 AS seg_idx, FALSE AS voiced,
+                 CAST(0 AS INT) AS start_frame,
+                 CAST(a - 1 AS INT) AS end_frame, a AS n_frames FROM d
+          UNION ALL
+          SELECT i, 1, TRUE, CAST(a AS INT), CAST(a + b - 1 AS INT), b
+          FROM d
+          UNION ALL
+          SELECT i, 2, FALSE, CAST(a + b AS INT),
+                 CAST(a + b + c - 1 AS INT), c FROM d
+          UNION ALL
+          SELECT i, 3, TRUE, CAST(a + b + c AS INT),
+                 CAST(a + b + c + dd - 1 AS INT), dd
+          FROM d WHERE i % 2 = 1)
+        SELECT 'clip-' || lpad(CAST(i AS VARCHAR), 2, '0') AS id,
+               seg_idx, voiced, start_frame, end_frame,
+               CAST(n_frames AS BIGINT) AS n_frames
+        FROM runs
     """
     # --- video near-dup: 11 consecutive sliding-window pairs, each
     # sharing exactly 2 frames; cross-container agreement is what the
