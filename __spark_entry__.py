@@ -2003,6 +2003,36 @@ def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                           threshold=10_000)
 
 
+def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision patch extraction (round 5, operators/imagetiles.py):
+    per-tile exact integer channel sums through the real decoders.
+    Fixture: 60 8x8 quadrant images (quadrant (qx, qy) of image i is
+    solid (i*7+qx*3+qy*5)%256 / +40 / +80 mod 256), alternating
+    PNG/BMP so both pixel paths feed the same arithmetic; every 7th
+    payload is garbage -> one NULL row. grid=2 -> every tile is a
+    flat 4x4 block whose sums are pure id arithmetic."""
+    import numpy as np
+
+    from sigraph_spark.operators.imagetiles import image_tiles
+    from sigraph_spark.operators.multimodal import encode_bmp, encode_png
+
+    rows = []
+    for i in range(60):
+        if i % 7 == 0:
+            rows.append((f"img-{i:02d}", bytearray(b"\x00tile" * 4)))
+            continue
+        px = np.zeros((8, 8, 3), dtype=np.uint8)
+        for qy in range(2):
+            for qx in range(2):
+                r = (i * 7 + qx * 3 + qy * 5) % 256
+                px[qy * 4:(qy + 1) * 4, qx * 4:(qx + 1) * 4] = (
+                    r, (r + 40) % 256, (r + 80) % 256)
+        enc = encode_png if i % 2 == 0 else encode_bmp
+        rows.append((f"img-{i:02d}", bytearray(enc(8, 8, px.tobytes()))))
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    return image_tiles(df, grid=2)
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning (round 5, operators/layout.py
     plan_compaction — the OPTIMIZE half of table maintenance beside
@@ -5967,6 +5997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combosquat": q_combosquat,
         "video_neardup": q_video_neardup,
         "audio_segments": q_audio_segments,
+        "image_tiles": q_image_tiles,
         "compaction_plan": q_compaction_plan,
         "warc10_roundtrip": q_warc10_roundtrip,
         "simhash_incremental": q_simhash_incremental,
@@ -7427,6 +7458,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT n1.name AS a, n2.name AS b, CAST(1 AS INT) AS dist
         FROM f n1 JOIN f n2 ON n1.name < n2.name
         WHERE levenshtein(n1.name, n2.name) = 1
+    """
+    # --- image tiles: every tile is a solid 4x4 block; sums are id
+    # arithmetic, garbage ids carry one all-NULL row.
+    sq["image_tiles"] = """
+        WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 60)),
+        q AS (SELECT CAST(range AS BIGINT) AS t FROM range(0, 2)),
+        bad AS (
+          SELECT 'img-' || lpad(CAST(i AS VARCHAR), 2, '0') AS id,
+                 CAST(NULL AS INT) AS tx, CAST(NULL AS INT) AS ty,
+                 CAST(NULL AS INT) AS tile_w, CAST(NULL AS INT) AS tile_h,
+                 CAST(NULL AS BIGINT) AS n_px,
+                 CAST(NULL AS BIGINT) AS sum_r,
+                 CAST(NULL AS BIGINT) AS sum_g,
+                 CAST(NULL AS BIGINT) AS sum_b,
+                 CAST(NULL AS BOOLEAN) AS flat
+          FROM pg WHERE i % 7 = 0),
+        good AS (
+          SELECT 'img-' || lpad(CAST(i AS VARCHAR), 2, '0') AS id,
+                 CAST(qx.t AS INT) AS tx, CAST(qy.t AS INT) AS ty,
+                 CAST(4 AS INT) AS tile_w, CAST(4 AS INT) AS tile_h,
+                 CAST(16 AS BIGINT) AS n_px,
+                 CAST(16 * ((i * 7 + qx.t * 3 + qy.t * 5) % 256)
+                      AS BIGINT) AS sum_r,
+                 CAST(16 * (((i * 7 + qx.t * 3 + qy.t * 5) % 256 + 40)
+                            % 256) AS BIGINT) AS sum_g,
+                 CAST(16 * (((i * 7 + qx.t * 3 + qy.t * 5) % 256 + 80)
+                            % 256) AS BIGINT) AS sum_b,
+                 TRUE AS flat
+          FROM pg CROSS JOIN q qx CROSS JOIN q qy
+          WHERE i % 7 <> 0)
+        SELECT * FROM bad UNION ALL SELECT * FROM good
     """
     # --- audio segments: four-run (or three-run on even i) structure,
     # pure run-length arithmetic.

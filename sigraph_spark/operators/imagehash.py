@@ -33,8 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dhash64", "dhash_from_payload", "image_hashes",
-           "image_neardup", "image_index",
+__all__ = ["dhash64", "dhash_from_payload", "decode_rgb_payload",
+           "image_hashes", "image_neardup", "image_index",
            "incremental_image_candidates", "banded_index",
            "banded_neardup_pairs"]
 
@@ -92,26 +92,34 @@ def dhash64(width: int, height: int, rgb: bytes) -> int:
     return h
 
 
+def decode_rgb_payload(payload: bytes) -> tuple[int, int, bytes]:
+    """Sniff + decode via the repo codecs -> ``(w, h, rgb)``. Raises
+    ValueError when no codec accepts the payload — the shared pixel
+    entry point for every image operator (hashing, tiling, stats)."""
+    if not payload or len(payload) < 8:
+        raise ValueError("image payload too short")
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from .multimodal import decode_png
+        return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .multimodal import decode_gif
+        return decode_gif(payload)
+    if payload[:2] == b"BM":
+        from .multimodal import decode_bmp
+        return decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+        return decode_jpeg(payload)
+    raise ValueError("unrecognized image container")
+
+
 def dhash_from_payload(payload: bytes | None) -> int | None:
     """Sniff + decode via the repo codecs, then dHash; None when the
     payload is missing or no codec accepts it."""
-    if not payload or len(payload) < 8:
+    if payload is None:
         return None
     try:
-        if payload[:8] == b"\x89PNG\r\n\x1a\n":
-            from .multimodal import decode_png
-            w, h, rgb = decode_png(payload)
-        elif payload[:6] in (b"GIF87a", b"GIF89a"):
-            from .multimodal import decode_gif
-            w, h, rgb = decode_gif(payload)
-        elif payload[:2] == b"BM":
-            from .multimodal import decode_bmp
-            w, h, rgb = decode_bmp(payload)
-        elif payload[:2] == b"\xff\xd8":
-            from .jpeg import decode_jpeg
-            w, h, rgb = decode_jpeg(payload)
-        else:
-            return None
+        w, h, rgb = decode_rgb_payload(payload)
         return dhash64(w, h, rgb)
     except ValueError:
         return None
