@@ -2033,6 +2033,37 @@ def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_tiles(df, grid=2)
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer box resize (round 5, operators/imagetiles.py
+    image_resize): the same 60-quadrant-image fixture as
+    ``image_tiles``, downsampled 8x8 -> 4x4 — each output pixel is
+    the floor mean of a 2x2 box inside one solid quadrant, so the
+    resized-channel sums are pure id arithmetic (4 pixels per
+    quadrant x quadrant color). The binary resized PNG is exercised
+    by tests (lossless round trip); the gate pins the sums."""
+    import numpy as np
+
+    from sigraph_spark.operators.imagetiles import image_resize
+    from sigraph_spark.operators.multimodal import encode_bmp, encode_png
+
+    rows = []
+    for i in range(60):
+        if i % 7 == 0:
+            rows.append((f"img-{i:02d}", bytearray(b"\x00tile" * 4)))
+            continue
+        px = np.zeros((8, 8, 3), dtype=np.uint8)
+        for qy in range(2):
+            for qx in range(2):
+                r = (i * 7 + qx * 3 + qy * 5) % 256
+                px[qy * 4:(qy + 1) * 4, qx * 4:(qx + 1) * 4] = (
+                    r, (r + 40) % 256, (r + 80) % 256)
+        enc = encode_png if i % 2 == 0 else encode_bmp
+        rows.append((f"img-{i:02d}", bytearray(enc(8, 8, px.tobytes()))))
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    return image_resize(df, 4, 4).select(
+        "id", "width", "height", "sum_r", "sum_g", "sum_b")
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning (round 5, operators/layout.py
     plan_compaction — the OPTIMIZE half of table maintenance beside
@@ -5998,6 +6029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_neardup": q_video_neardup,
         "audio_segments": q_audio_segments,
         "image_tiles": q_image_tiles,
+        "image_resize": q_image_resize,
         "compaction_plan": q_compaction_plan,
         "warc10_roundtrip": q_warc10_roundtrip,
         "simhash_incremental": q_simhash_incremental,
@@ -7489,6 +7521,30 @@ def oracle_sql() -> dict[str, str]:
           FROM pg CROSS JOIN q qx CROSS JOIN q qy
           WHERE i % 7 <> 0)
         SELECT * FROM bad UNION ALL SELECT * FROM good
+    """
+    # --- image resize: resized-channel sums per image = 4 pixels per
+    # solid quadrant x quadrant color, summed over the four quadrants.
+    sq["image_resize"] = """
+        WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 60)),
+        q AS (SELECT CAST(range AS BIGINT) AS t FROM range(0, 2)),
+        quad AS (
+          SELECT i, (i * 7 + qx.t * 3 + qy.t * 5) % 256 AS r
+          FROM pg CROSS JOIN q qx CROSS JOIN q qy WHERE i % 7 <> 0),
+        sums AS (
+          SELECT i, SUM(4 * r) AS sr, SUM(4 * ((r + 40) % 256)) AS sg,
+                 SUM(4 * ((r + 80) % 256)) AS sb
+          FROM quad GROUP BY i)
+        SELECT 'img-' || lpad(CAST(i AS VARCHAR), 2, '0') AS id,
+               CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+               CAST(NULL AS BIGINT) AS sum_r,
+               CAST(NULL AS BIGINT) AS sum_g,
+               CAST(NULL AS BIGINT) AS sum_b
+        FROM pg WHERE i % 7 = 0
+        UNION ALL
+        SELECT 'img-' || lpad(CAST(i AS VARCHAR), 2, '0'),
+               CAST(4 AS INT), CAST(4 AS INT),
+               CAST(sr AS BIGINT), CAST(sg AS BIGINT), CAST(sb AS BIGINT)
+        FROM sums
     """
     # --- audio segments: four-run (or three-run on even i) structure,
     # pure run-length arithmetic.
