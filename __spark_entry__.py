@@ -2064,6 +2064,41 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", "width", "height", "sum_r", "sum_g", "sum_b")
 
 
+def q_image_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-caption pair mining (round 5, operators/captions.py —
+    the LAION/alt-text multimodal channel): alt pairs + figcaption
+    pairs with page-global image indexes, pure-codegen extraction.
+    Fixture: 10,000 pages — a captioned lead image always, an
+    empty-alt spacer every 3rd (dropped but SHIFTING the figure's
+    index — the oracle reproduces the shift), a figure+figcaption
+    every 2nd, an uncaptioned trailing img every 5th (emits
+    nothing). All rows are id arithmetic."""
+    from sigraph_spark.operators.captions import image_captions
+
+    i = F.col("i")
+    html = F.concat(
+        F.lit('<html><body><img src="/img'), (i % 50).cast("string"),
+        F.lit('.jpg" alt="Photo '), (i % 17).cast("string"),
+        F.lit(' of item">'),
+        F.when(i % 3 == 0,
+               F.lit('<img src="/spacer.gif" alt="">')).otherwise(F.lit("")),
+        F.when(i % 2 == 0, F.concat(
+            F.lit('<figure><img src="/fig'), (i % 23).cast("string"),
+            F.lit('.png"><figcaption>Figure '), (i % 13).cast("string"),
+            F.lit(" shows the rack</figcaption></figure>"))
+        ).otherwise(F.lit("")),
+        F.when(i % 5 == 0,
+               F.lit('<img src="/nocap.png">')).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = spark.range(0, 10_000).withColumnRenamed("id", "i").select(
+        F.concat(F.lit("https://example.org/report/"),
+                 F.col("i").cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return image_captions(pages)
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning (round 5, operators/layout.py
     plan_compaction — the OPTIMIZE half of table maintenance beside
@@ -6030,6 +6065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_segments": q_audio_segments,
         "image_tiles": q_image_tiles,
         "image_resize": q_image_resize,
+        "image_captions": q_image_captions,
         "compaction_plan": q_compaction_plan,
         "warc10_roundtrip": q_warc10_roundtrip,
         "simhash_incremental": q_simhash_incremental,
@@ -7521,6 +7557,26 @@ def oracle_sql() -> dict[str, str]:
           FROM pg CROSS JOIN q qx CROSS JOIN q qy
           WHERE i % 7 <> 0)
         SELECT * FROM bad UNION ALL SELECT * FROM good
+    """
+    # --- image captions: lead alt row per page; figure rows on even
+    # ids with the spacer-shifted global index.
+    sq["image_captions"] = """
+        WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 10000)),
+        lead_rows AS (
+          SELECT 'https://example.org/report/' || CAST(i AS VARCHAR) AS url,
+                 CAST(0 AS INT) AS img_idx,
+                 '/img' || CAST(i % 50 AS VARCHAR) || '.jpg' AS src,
+                 'Photo ' || CAST(i % 17 AS VARCHAR) || ' of item' AS caption,
+                 'alt' AS source
+          FROM pg),
+        fig_rows AS (
+          SELECT 'https://example.org/report/' || CAST(i AS VARCHAR),
+                 CAST(CASE WHEN i % 3 = 0 THEN 2 ELSE 1 END AS INT),
+                 '/fig' || CAST(i % 23 AS VARCHAR) || '.png',
+                 'Figure ' || CAST(i % 13 AS VARCHAR) || ' shows the rack',
+                 'figcaption'
+          FROM pg WHERE i % 2 = 0)
+        SELECT * FROM lead_rows UNION ALL SELECT * FROM fig_rows
     """
     # --- image resize: resized-channel sums per image = 4 pixels per
     # solid quadrant x quadrant color, summed over the four quadrants.
