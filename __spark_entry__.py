@@ -2099,6 +2099,36 @@ def q_image_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_captions(pages)
 
 
+def q_absolutized_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL absolutization (round 5, links.absolutize_url): raw hrefs
+    resolved against their page url in one JVM expression chain —
+    root-relative, directory-relative, parent-relative (dot-segment
+    stack fold) and absolute refs, one of each kind per page (the
+    absolute one on even ids). Every resolved target is id
+    arithmetic."""
+    from sigraph_spark.operators.links import absolutize_url, extract_links
+
+    i = F.col("i")
+    html = F.concat(
+        F.lit('<a href="/p'), (i % 7).cast("string"),
+        F.lit('.html">x</a><a href="img'), (i % 5).cast("string"),
+        F.lit('.png">y</a><a href="../up'), (i % 3).cast("string"),
+        F.lit('.html">z</a>'),
+        F.when(i % 2 == 0, F.concat(
+            F.lit('<a href="https://ext'), (i % 11).cast("string"),
+            F.lit('.org/x">w</a>'))).otherwise(F.lit("")),
+    )
+    pages = spark.range(0, 10_000).withColumnRenamed("id", "i").select(
+        F.concat(F.lit("https://example.org/report/"),
+                 F.col("i").cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    links = extract_links(pages)
+    return links.select(
+        "url",
+        absolutize_url(F.col("url"), F.col("target")).alias("target"))
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning (round 5, operators/layout.py
     plan_compaction — the OPTIMIZE half of table maintenance beside
@@ -6066,6 +6096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_tiles": q_image_tiles,
         "image_resize": q_image_resize,
         "image_captions": q_image_captions,
+        "absolutized_links": q_absolutized_links,
         "compaction_plan": q_compaction_plan,
         "warc10_roundtrip": q_warc10_roundtrip,
         "simhash_incremental": q_simhash_incremental,
@@ -7557,6 +7588,25 @@ def oracle_sql() -> dict[str, str]:
           FROM pg CROSS JOIN q qx CROSS JOIN q qy
           WHERE i % 7 <> 0)
         SELECT * FROM bad UNION ALL SELECT * FROM good
+    """
+    # --- absolutized links: one resolution of each reference kind per
+    # page, pure id arithmetic.
+    sq["absolutized_links"] = """
+        WITH pg AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 10000)),
+        u AS (SELECT i, 'https://example.org/report/' || CAST(i AS VARCHAR)
+                     AS url
+              FROM pg)
+        SELECT url, 'https://example.org/p' || CAST(i % 7 AS VARCHAR)
+               || '.html' AS target FROM u
+        UNION ALL
+        SELECT url, 'https://example.org/report/img'
+               || CAST(i % 5 AS VARCHAR) || '.png' FROM u
+        UNION ALL
+        SELECT url, 'https://example.org/up' || CAST(i % 3 AS VARCHAR)
+               || '.html' FROM u
+        UNION ALL
+        SELECT url, 'https://ext' || CAST(i % 11 AS VARCHAR) || '.org/x'
+        FROM u WHERE i % 2 = 0
     """
     # --- image captions: lead alt row per page; figure rows on even
     # ids with the spacer-shifted global index.

@@ -44,6 +44,82 @@ def extract_links(
     )
 
 
+def absolutize_url(base: Column, ref: Column) -> Column:
+    """Resolve a reference against its page url (RFC 3986 §5 relative
+    resolution) as one JVM expression chain — the step between
+    ``extract_links``' raw hrefs and any cross-page join (link graph,
+    caption-to-media pairing, frontier scheduling): relative hrefs
+    dominate real markup and a link graph built on raw targets loses
+    every intra-site edge.
+
+    Rules (each restatable in SQL; simplifications documented):
+
+    * absolute refs (``scheme:``) pass through;
+    * ``//host/...`` takes the base scheme;
+    * ``/path`` takes the base ORIGIN (scheme://authority);
+    * ``?query`` replaces the base query (path kept);
+    * ``#frag`` replaces the base fragment;
+    * relative paths resolve against the base path's directory with
+      dot-segment removal via an array FOLD (a real stack: ``..`` pops,
+      ``.`` and empty segments drop — the one simplification vs the
+      RFC, which keeps duplicate slashes; crawl canonicalization wants
+      them collapsed anyway), leading ``..`` beyond the root clamps.
+    """
+    scheme = F.lower(F.substring_index(base, "://", 1))
+    after = F.substring_index(base, "://", -1)
+    authority = F.substring_index(after, "/", 1)
+    origin = F.concat(scheme, F.lit("://"), authority)
+    # base path (no query/fragment), always at least "/"
+    bpath0 = F.substring_index(
+        F.substring_index(
+            F.substring(after, F.length(authority) + 1, F.lit(1 << 20)),
+            "?", 1),
+        "#", 1)
+    bpath = F.when(bpath0 == "", F.lit("/")).otherwise(bpath0)
+    # directory of the base path: everything up to the last '/'
+    bdir = F.regexp_replace(bpath, "[^/]*$", "")
+
+    merged = F.concat(bdir, ref)
+    segs = F.split(F.substring_index(F.substring_index(merged, "?", 1),
+                                     "#", 1), "/")
+    tail = F.when(
+        merged.contains("?") | merged.contains("#"),
+        F.concat(
+            F.when(merged.contains("?"),
+                   F.concat(F.lit("?"),
+                            F.substring_index(
+                                F.substring_index(merged, "?", -1), "#", 1))
+                   ).otherwise(F.lit("")),
+            F.when(merged.contains("#"),
+                   F.concat(F.lit("#"), F.substring_index(merged, "#", -1))
+                   ).otherwise(F.lit("")),
+        ),
+    ).otherwise(F.lit(""))
+    stack = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: (
+            F.when(s == "..",
+                   F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))))
+            .when((s == ".") | (s == ""), acc)
+            .otherwise(F.concat(acc, F.array(s)))
+        ),
+    )
+    resolved_rel = F.concat(origin, F.lit("/"),
+                            F.array_join(stack, "/"), tail)
+
+    return (
+        F.when(ref.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), ref)
+        .when(ref.startswith("//"), F.concat(scheme, F.lit(":"), ref))
+        .when(ref.startswith("/"), F.concat(origin, ref))
+        .when(ref.startswith("?"),
+              F.concat(origin, bpath, ref))
+        .when(ref.startswith("#"),
+              F.concat(F.substring_index(base, "#", 1), ref))
+        .otherwise(resolved_rel)
+    )
+
+
 def host_link_graph(links: DataFrame) -> DataFrame:
     """Aggregate page-level links into the host graph:
     ``(src_host, dst_host, n_links)``. Relative targets (no ``://``) have
