@@ -35,8 +35,19 @@ __all__ = ["image_captions"]
 IMG_TAG_RE = r"(?is)<img\b[^>]*>"
 FIGURE_RE = r"(?is)<figure\b[^>]*>((?:(?!</figure\s*>).)*)</figure\s*>"
 FIGCAP_RE = r"(?is)<figcaption\b[^>]*>((?:(?!</figcaption\s*>).)*)</figcaption\s*>"
-_SRC_RE = r"""(?is)\bsrc\s*=\s*["']([^"']+)["']"""
-_ALT_RE = r"""(?is)\balt\s*=\s*["']([^"']*)["']"""
+_SRC_RE = r"""(?is)(?<![\w-])src\s*=\s*["']([^"']+)["']"""
+_DATA_SRC_RE = r"""(?is)\bdata-src\s*=\s*["']([^"']+)["']"""
+_ALT_RE = r"""(?is)(?<![\w-])alt\s*=\s*["']([^"']*)["']"""
+
+
+def _src_of(tag):
+    """src with the lazy-loading fallback: real crawls ship
+    ``<img data-src=...>`` (loader scripts fill src later); the
+    negative lookbehind on _SRC_RE keeps ``data-src`` from matching
+    AS ``src``."""
+    s = F.regexp_extract(tag, _SRC_RE, 1)
+    d = F.regexp_extract(tag, _DATA_SRC_RE, 1)
+    return F.when(s != "", s).otherwise(d)
 
 
 def image_captions(
@@ -59,7 +70,7 @@ def image_captions(
         )
         .select(
             "url", "img_idx",
-            F.regexp_extract("_tag", _SRC_RE, 1).alias("src"),
+            _src_of(F.col("_tag")).alias("src"),
             clean_cell(F.regexp_extract("_tag", _ALT_RE, 1))
             .alias("caption"),
         )
@@ -75,8 +86,7 @@ def image_captions(
             F.col(url_col).alias("url"),
             F.posexplode(tags).alias("img_idx", "_tag"),
         )
-        .select("url", "img_idx",
-                F.regexp_extract("_tag", _SRC_RE, 1).alias("src"))
+        .select("url", "img_idx", _src_of(F.col("_tag")).alias("src"))
         .filter(F.col("src") != "")
         .groupBy("url", "src")
         .agg(F.min("img_idx").alias("img_idx"))
@@ -89,7 +99,7 @@ def image_captions(
         )
         .select(
             "url",
-            F.regexp_extract("_fig", _SRC_RE, 1).alias("src"),
+            _src_of(F.col("_fig")).alias("src"),
             clean_cell(F.regexp_extract("_fig", FIGCAP_RE, 1))
             .alias("caption"),
         )

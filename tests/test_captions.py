@@ -47,6 +47,16 @@ def test_both_sources_yield_two_rows(spark):
     }
 
 
+def test_lazy_loading_data_src(spark):
+    html = ('<img data-src="/lazy.jpg" alt="Lazy loaded">'
+            '<img src="/eager.png" data-src="/ignored.png" alt="Eager">')
+    got = _rows(image_captions(_pages(spark, [("u", html)])))
+    assert got == {
+        ("u", 0, "/lazy.jpg", "Lazy loaded", "alt"),
+        ("u", 1, "/eager.png", "Eager", "alt"),  # real src wins
+    }
+
+
 def test_binary_html_and_no_images(spark):
     pages = spark.createDataFrame(
         [("u", bytearray('<img src="/z.jpg" alt="Bin page">'.encode())),
