@@ -2129,6 +2129,21 @@ def q_absolutized_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         absolutize_url(F.col("url"), F.col("target")).alias("target"))
 
 
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram LM quality scoring (round 5, operators/ngram_lm.py —
+    the CCNet filter): train order-1..3 counts on the documents table,
+    score the same table with stupid backoff. The backoff SELECTION
+    per token is integer-pinned (n_tri/n_bi/n_uni/n_oov columns);
+    logprob sums natural logs rounded at a coarse 4dp boundary. The
+    oracle restates tokenization, context lags, all five joins, the
+    rational alpha arithmetic, and the ln-sum in SQL."""
+    from sigraph_spark.operators.ngram_lm import score_docs, train_ngram_lm
+
+    docs = _docs(spark, sf_dir)
+    model = train_ngram_lm(docs)
+    return score_docs(docs, model)
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planning (round 5, operators/layout.py
     plan_compaction — the OPTIMIZE half of table maintenance beside
@@ -6097,6 +6112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "image_captions": q_image_captions,
         "absolutized_links": q_absolutized_links,
+        "lm_quality": q_lm_quality,
         "compaction_plan": q_compaction_plan,
         "warc10_roundtrip": q_warc10_roundtrip,
         "simhash_incremental": q_simhash_incremental,
@@ -7588,6 +7604,63 @@ def oracle_sql() -> dict[str, str]:
           FROM pg CROSS JOIN q qx CROSS JOIN q qy
           WHERE i % 7 <> 0)
         SELECT * FROM bad UNION ALL SELECT * FROM good
+    """
+    # --- n-gram LM quality: tokenization, context lags, the five
+    # joins, rational-alpha stupid backoff and the 4dp ln-sum, all
+    # restated; backoff selection doubles as integer evidence.
+    sq["lm_quality"] = r"""
+        WITH lmd AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(
+                   lower(trim(coalesce(text, ''))), '\s+'),
+                   x -> x <> '') AS w
+          FROM documents),
+        tok AS (
+          SELECT doc_id, CAST(t.p AS INT) AS pos,
+                 w[CAST(t.p AS INT)] AS word,
+                 CASE WHEN t.p >= 2 THEN w[CAST(t.p - 1 AS INT)] END AS p1,
+                 CASE WHEN t.p >= 3 THEN w[CAST(t.p - 2 AS INT)] END AS p2
+          FROM lmd, UNNEST(range(1, len(w) + 1)) AS t(p)),
+        lm_total AS (SELECT COUNT(*) AS n FROM tok),
+        uni AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+        bi AS (SELECT p1 AS c, word, COUNT(*) AS cnt FROM tok
+               WHERE p1 IS NOT NULL GROUP BY p1, word),
+        tri AS (SELECT p2 || ' ' || p1 AS c, word, COUNT(*) AS cnt
+                FROM tok WHERE p2 IS NOT NULL GROUP BY 1, word),
+        lmj AS (
+          SELECT tok.doc_id, t3.cnt AS t_cnt, b.cnt AS b_cnt,
+                 u.cnt AS u_cnt, d2.cnt AS d2_cnt, d1.cnt AS d1_cnt
+          FROM tok
+          LEFT JOIN uni u ON tok.word = u.word
+          LEFT JOIN bi b ON tok.p1 = b.c AND tok.word = b.word
+          LEFT JOIN tri t3
+            ON tok.p2 || ' ' || tok.p1 = t3.c AND tok.word = t3.word
+          LEFT JOIN uni d1 ON tok.p1 = d1.word
+          LEFT JOIN bi d2 ON tok.p2 = d2.c AND tok.p1 = d2.word),
+        lms AS (
+          SELECT doc_id,
+                 CASE WHEN t_cnt IS NOT NULL
+                      THEN ln(CAST(t_cnt AS DOUBLE) / d2_cnt)
+                      WHEN b_cnt IS NOT NULL
+                      THEN ln((2.0 / 5.0)
+                              * (CAST(b_cnt AS DOUBLE) / d1_cnt))
+                      WHEN u_cnt IS NOT NULL
+                      THEN ln((2.0 / 5.0) * (2.0 / 5.0)
+                              * (CAST(u_cnt AS DOUBLE)
+                                 / (SELECT n FROM lm_total)))
+                      ELSE ln((2.0 / 5.0) * (2.0 / 5.0)
+                              / (SELECT n FROM lm_total)) END AS l,
+                 CASE WHEN t_cnt IS NOT NULL THEN 3
+                      WHEN b_cnt IS NOT NULL THEN 2
+                      WHEN u_cnt IS NOT NULL THEN 1 ELSE 0 END AS o
+          FROM lmj)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               SUM(CASE WHEN o = 3 THEN 1 ELSE 0 END) AS n_tri,
+               SUM(CASE WHEN o = 2 THEN 1 ELSE 0 END) AS n_bi,
+               SUM(CASE WHEN o = 1 THEN 1 ELSE 0 END) AS n_uni,
+               SUM(CASE WHEN o = 0 THEN 1 ELSE 0 END) AS n_oov,
+               round(SUM(l), 4) AS logprob
+        FROM lms GROUP BY doc_id
     """
     # --- absolutized links: one resolution of each reference kind per
     # page, pure id arithmetic.
