@@ -423,6 +423,20 @@ def q_rdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges_from_ntriples(to_ntriples(_edges_ckpt(spark, sf_dir)))
 
 
+def q_rdf_star_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF-star round-trip identity (round 5, operators/rdf.py
+    to_ntriples_star / edges_from_ntriples_star): edge attributes ride
+    W3C RDF 1.2 quoted-triple annotation lines instead of statement
+    IRIs; parse(export(edges)) == edges, the identity oracle."""
+    from sigraph_spark.operators.rdf import (
+        edges_from_ntriples_star,
+        to_ntriples_star,
+    )
+
+    return edges_from_ntriples_star(
+        to_ntriples_star(_edges_ckpt(spark, sf_dir)))
+
+
 def q_neo4j_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neo4j bulk-import rendering of the node table: the reference's
     MERGE-per-node write path (graph_client/client.py:160-169) recast as
@@ -6123,6 +6137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sigma_modifiers": q_sigma_modifiers,
         "rdf_export": q_rdf_export,
         "rdf_roundtrip": q_rdf_roundtrip,
+        "rdf_star_roundtrip": q_rdf_star_roundtrip,
         "neo4j_nodes": q_neo4j_nodes,
         "graphml_nodes": q_graphml_nodes,
         "graphml_edges": q_graphml_edges,
@@ -6726,6 +6741,10 @@ def oracle_sql() -> dict[str, str]:
         "WITH " + _EDGES_CTE
         + " SELECT src, predicate, dst, start_time, weight FROM edges"
     )
+    # --- RDF-star round trip: identical identity oracle — any drift in
+    # the quoted-triple rendering, regex parse or term-key join breaks
+    # the hash.
+    sq["rdf_star_roundtrip"] = sq["rdf_roundtrip"]
     # --- Neo4j bulk-import CSV: every quoting rule restated — RFC-4180
     # quote doubling per field, ';'-joined arrays with per-element
     # escaping, NULL -> empty field, ISO microsecond timestamps.

@@ -107,6 +107,84 @@ def to_ntriples(edges: DataFrame, base: str = "http://kg.local/") -> DataFrame:
     return rel.unionAll(weight).unionAll(ts)
 
 
+def to_ntriples_star(edges: DataFrame,
+                     base: str = "http://kg.local/") -> DataFrame:
+    """RDF-star export (W3C RDF 1.2 quoted triples — the modern form
+    of the statement-IRI reification :func:`to_ntriples` uses): the
+    asserted triple plus annotation lines whose SUBJECT is the quoted
+    triple itself::
+
+        <node/S> <rel/P> <node/O> .
+        << <node/S> <rel/P> <node/O> >> <prop/weight> "W"^^xsd:long .
+        << ... >> <prop/startTime> "ISO"^^xsd:dateTime .
+
+    Same scale shape as the plain export: three narrow projections +
+    union, zero shuffle, line-delimited shards."""
+    node = lambda c: F.concat(F.lit("<" + base + "node/"), iri_encode(F.col(c)), F.lit(">"))  # noqa: E731
+    bare = F.concat(
+        node("src"),
+        F.lit(" <" + base + "rel/"), iri_encode(F.col("predicate")),
+        F.lit("> "), node("dst"),
+    )
+    quoted = F.concat(F.lit("<< "), bare, F.lit(" >>"))
+    rel = edges.select(F.concat(bare, F.lit(" .")).alias("line"))
+    weight = edges.select(
+        F.concat(
+            quoted, F.lit(" <" + base + "prop/weight> \""),
+            literal_escape(F.col("weight").cast("string")),
+            F.lit('"^^<' + XSD + "long> ."),
+        ).alias("line")
+    )
+    ts = edges.select(
+        F.concat(
+            quoted, F.lit(" <" + base + "prop/startTime> \""),
+            F.date_format("start_time", _TS_FMT),
+            F.lit('"^^<' + XSD + "dateTime> ."),
+        ).alias("line")
+    )
+    return rel.unionAll(weight).unionAll(ts)
+
+
+# RDF-star annotation line: << <s> <p> <o> >> <pred> "lit"^^<dtype> .
+_STAR_RE = (r'^<< <([^>]*)> <([^>]*)> <([^>]*)> >> '
+            r'<([^>]*)> "(.*)"\^\^<([^>]*)> \.$')
+
+
+def edges_from_ntriples_star(
+    lines: DataFrame, base: str = "http://kg.local/"
+) -> DataFrame:
+    """Round-trip inverse of :func:`to_ntriples_star`: asserted lines
+    give (src, predicate, dst); annotation lines join back on the
+    quoted-triple key (the three decoded terms — no statement IRI
+    needed, which is the point of RDF-star)."""
+    c = F.col("line")
+    strip = lambda x, prefix: iri_decode(F.substring(x, len(prefix) + 1, 1 << 20))  # noqa: E731
+
+    asserted = lines.filter(~c.startswith("<<")).select(
+        strip(F.regexp_extract(c, _LINE_RE, 1), base + "node/").alias("src"),
+        strip(F.regexp_extract(c, _LINE_RE, 2), base + "rel/")
+        .alias("predicate"),
+        strip(F.regexp_extract(c, _LINE_RE, 3), base + "node/").alias("dst"),
+    ).filter(F.col("src") != "")
+
+    ann = lines.filter(c.startswith("<<")).select(
+        strip(F.regexp_extract(c, _STAR_RE, 1), base + "node/").alias("src"),
+        strip(F.regexp_extract(c, _STAR_RE, 2), base + "rel/")
+        .alias("predicate"),
+        strip(F.regexp_extract(c, _STAR_RE, 3), base + "node/").alias("dst"),
+        F.substring(F.regexp_extract(c, _STAR_RE, 4),
+                    len(base + "prop/") + 1, 1 << 20).alias("_prop"),
+        literal_unescape(F.regexp_extract(c, _STAR_RE, 5)).alias("_val"),
+    )
+    attrs = ann.groupBy("src", "predicate", "dst").pivot(
+        "_prop", ["weight", "startTime"]).agg(F.first("_val"))
+    return asserted.join(attrs, ["src", "predicate", "dst"]).select(
+        "src", "predicate", "dst",
+        F.to_timestamp("startTime", _TS_FMT).alias("start_time"),
+        F.col("weight").cast("long").alias("weight"),
+    )
+
+
 # one N-Triples line: <subj> <pred> (<obj-iri> | "literal"^^<dtype>) .
 _LINE_RE = r'^<([^>]*)> <([^>]*)> (?:<([^>]*)>|"(.*)"\^\^<([^>]*)>) \.$'
 

@@ -43,6 +43,25 @@ def test_roundtrip_exact(edges):
     assert got == orig
 
 
+def test_star_roundtrip_exact(edges):
+    from sigraph_spark.operators.rdf import (
+        edges_from_ntriples_star,
+        to_ntriples_star,
+    )
+
+    lines = to_ntriples_star(edges)
+    assert lines.count() == 3 * edges.count()
+    ann = lines.filter(F.col("line").startswith("<<"))
+    assert ann.count() == 2 * edges.count()
+    # annotation lines stay single-line and well-formed
+    assert ann.filter(~F.col("line").rlike(r"^<< <[^\n\r]*> \.$")) \
+        .count() == 0
+    back = edges_from_ntriples_star(lines)
+    orig = {tuple(r) for r in edges.collect()}
+    got = {tuple(r) for r in back.select(*edges.columns).collect()}
+    assert got == orig
+
+
 def test_parse_error_channel(spark):
     lines = spark.createDataFrame(
         [("<a> <b> <c> .",), ("garbage line",), ('<a> <b> "x"^^<t> .',)],
