@@ -3549,6 +3549,24 @@ def q_sigma_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(compile_rule(rule)).select("event_id", "event_type")
 
 
+def q_sigma_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sigma v2 correlation meta-rule (round 5,
+    sigma.apply_correlation): event_count per user over tumbling 7-day
+    buckets of sign* events, alert at >= 2 — the bruteforce-window
+    shape. Bucketing is epoch DIV span (floor), restated in SQL with
+    floor(epoch(ts)); the base predicate compiles through the same
+    rule compiler every sigma gate uses."""
+    from sigraph_spark.operators.sigma import apply_correlation
+
+    base = {"id": "signs", "detection": {
+        "sel": {"event_type|startswith": "sign"}, "condition": "sel"}}
+    corr = {"id": "corr-signs", "type": "event_count",
+            "rules": ["signs"], "group-by": ["user_id"],
+            "timespan": "168h", "condition": {"gte": 2}}
+    return apply_correlation(_events(spark, sf_dir), corr,
+                             {"signs": base})
+
+
 def q_sigma_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sigma pattern path end-to-end (reference §3.3: rules -> predicate ->
     ordered matching sequences): compile the rule to a Column, filter, then
@@ -6237,6 +6255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debris": q_debris,
         "sigma_filter": q_sigma_filter,
         "sigma_sequences": q_sigma_sequences,
+        "sigma_correlation": q_sigma_correlation,
         "sigma_sysmon": q_sigma_sysmon,
         "sparql_graph": q_sparql_graph,
         "audio_metadata": q_audio_metadata,
@@ -9109,6 +9128,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id, event_type FROM events
         WHERE (event_type = 'error' AND props LIKE '%9%')
            OR (event_type LIKE 'sign%' AND NOT (event_type LIKE 'cl%'))
+    """
+    # --- sigma correlation: tumbling epoch-DIV-span buckets + count.
+    sq["sigma_correlation"] = """
+        WITH m AS (
+          SELECT user_id, ts FROM events WHERE event_type LIKE 'sign%'),
+        b AS (
+          SELECT user_id,
+                 make_timestamp(
+                   (CAST(floor(epoch(ts)) AS BIGINT)
+                    - CAST(floor(epoch(ts)) AS BIGINT) % 604800)
+                   * 1000000) AS window_start
+          FROM m),
+        a AS (SELECT user_id, window_start, COUNT(*) AS agg_value
+              FROM b GROUP BY user_id, window_start)
+        SELECT 'corr-signs' AS rule_id, user_id, window_start, agg_value
+        FROM a WHERE agg_value >= 2
     """
     sq["sigma_sequences"] = """
         SELECT user_id,

@@ -591,6 +591,106 @@ def apply_sysmon_rules(
     )
 
 
+_TIMESPAN_UNITS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def _timespan_seconds(spec: str) -> int:
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+)([smhd])", str(spec).strip())
+    if not m:
+        raise ValueError(f"bad correlation timespan {spec!r}")
+    return int(m.group(1)) * _TIMESPAN_UNITS[m.group(2)]
+
+
+def _corr_condition(cond: dict) -> Column:
+    ops = {"gte": lambda c, v: c >= v, "gt": lambda c, v: c > v,
+           "lte": lambda c, v: c <= v, "lt": lambda c, v: c < v,
+           "eq": lambda c, v: c == v}
+    if not isinstance(cond, dict) or len(cond) != 1:
+        raise ValueError(f"correlation condition must be one op: {cond!r}")
+    (op, val), = cond.items()
+    if op not in ops:
+        raise ValueError(f"unsupported correlation condition op {op!r}")
+    return ops[op](F.col("agg_value"), int(val))
+
+
+def apply_correlation(
+    events: DataFrame,
+    correlation: dict,
+    rules: dict,
+    ts_col: str = "ts",
+    field_prefix: str | None = None,
+) -> DataFrame:
+    """Sigma META-rule evaluation (the v2 `correlation` rule type —
+    sigma-spec Correlation Rules): base rules name event predicates;
+    the correlation aggregates their matches per ``group-by`` within
+    ``timespan`` windows and alerts where ``condition`` holds.
+
+    Supported types (each a TUMBLING ``timespan`` bucket — epoch DIV
+    span, the deterministic bucketing the streaming backends use;
+    sliding semantics are a caller policy via overlapping runs):
+
+    - ``event_count``: matching-event count per group+bucket;
+    - ``value_count``: DISTINCT values of ``field`` per group+bucket
+      (the spray/bruteforce detector — many distinct targets);
+    - ``temporal``: how many DISTINCT base rules fired per
+      group+bucket, compared against the condition (all-of-N when
+      ``gte: N`` — ordering inside the bucket is out of scope for the
+      spec's plain temporal type).
+
+    -> ``(rule_id, <group-by cols...>, window_start, agg_value)``.
+    Unsupported types/conditions raise loudly (the module contract).
+    Scale shape: one filtered union of the base predicates (evaluated
+    in the same scan), one groupBy on (group, bucket) with map-side
+    partials."""
+    ctype = correlation.get("type")
+    names = correlation.get("rules") or []
+    group_by = correlation.get("group-by") or []
+    span = _timespan_seconds(correlation.get("timespan", "1h"))
+    cond = _corr_condition(correlation.get("condition", {}))
+    rid = correlation.get("id", "correlation")
+    if ctype not in ("event_count", "value_count", "temporal"):
+        raise ValueError(f"unsupported correlation type {ctype!r}")
+    if not names:
+        raise ValueError("correlation needs base rules")
+    missing = [n for n in names if n not in rules]
+    if missing:
+        raise ValueError(f"unknown base rules: {missing}")
+    if ctype == "temporal" and len(names) < 2:
+        raise ValueError("temporal correlation needs >= 2 base rules")
+
+    matched = None
+    for n in names:
+        part = events.filter(
+            compile_rule(rules[n], field_prefix=field_prefix)
+        ).withColumn("_rule", F.lit(n))
+        matched = part if matched is None else matched.unionByName(part)
+
+    # NTZ timestamps cannot cast to long directly; route through the
+    # session-UTC timestamp type (sessions pin UTC — session.py)
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    bucket = epoch - (epoch % F.lit(span))
+    g = matched.withColumn("window_start",
+                           F.timestamp_seconds(bucket))
+    keys = [*group_by, "window_start"]
+    if ctype == "event_count":
+        agg = g.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("long").alias("agg_value"))
+    elif ctype == "value_count":
+        fld = correlation.get("field")
+        if not fld:
+            raise ValueError("value_count needs a field")
+        agg = g.groupBy(*keys).agg(
+            F.count_distinct(F.col(fld)).cast("long").alias("agg_value"))
+    else:
+        agg = g.groupBy(*keys).agg(
+            F.count_distinct(F.col("_rule")).cast("long")
+            .alias("agg_value"))
+    return agg.filter(cond).select(
+        F.lit(rid).alias("rule_id"), *keys, "agg_value")
+
+
 def parse_rules_yaml(texts: list[str]) -> list[dict]:
     """Parse Sigma YAML rule file contents (reference upload path,
     ``/root/reference/src/app/backend/v1/api.py:296-312`` /
