@@ -190,6 +190,16 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_edges_ckpt(spark, sf_dir))
 
 
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (round 5, pagerank.pagerank_weighted): mass
+    flows proportionally to edge weight (the KG's observation counts)
+    — rank * w DIV wsum per edge, same exact fixed-point contract,
+    bit-identical to the weighted unrolled-CTE oracle."""
+    from sigraph_spark.operators.pagerank import pagerank_weighted
+
+    return pagerank_weighted(_edges_ckpt(spark, sf_dir))
+
+
 def q_pagerank_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warm-start PageRank (crawl-delta analytics): ranks computed on the
     base subgraph (predicate <> 'write') resume for 3 rounds over the
@@ -6103,6 +6113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjacency": q_adjacency,
         "degree_table": q_degree_table,
         "pagerank": q_pagerank,
+        "pagerank_weighted": q_pagerank_weighted,
         "pagerank_resume": q_pagerank_resume,
         "graph_diff": q_graph_diff,
         "components": q_components,
@@ -8585,6 +8596,14 @@ def oracle_sql() -> dict[str, str]:
 
     sq["pagerank"] = (
         "WITH " + _EDGES_CTE + "," + pagerank_oracle_sql("edges")
+    )
+    # --- weighted PageRank: the same unrolled fixed-point device with
+    # weight-proportional flow (rank * w // wtot).
+    from sigraph_spark.operators.pagerank import pagerank_weighted_oracle_sql
+
+    sq["pagerank_weighted"] = (
+        "WITH " + _EDGES_CTE + ","
+        + pagerank_weighted_oracle_sql("edges")
     )
     # --- HITS: L1-normalized exact-integer mutual reinforcement, 4
     # unrolled rounds — bit-exact including every floor division.

@@ -104,6 +104,123 @@ def pagerank(
     )
 
 
+def pagerank_weighted(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    damping_pct: int = 85,
+    iterations: int = 5,
+) -> DataFrame:
+    """Weighted PageRank: mass flows proportionally to edge weight
+    (``rank * w DIV wsum(src)``) instead of uniformly over distinct
+    out-edges — the KG edge table carries observation counts as
+    weights, and a heavily-evidenced edge SHOULD pull more rank.
+    Same exact fixed-point BIGINT contract as :func:`pagerank`
+    (duplicate (src, dst) pairs pre-aggregate their weights; overflow
+    headroom: rank_fp <= SCALE and BIGINT gives ~9e18, so per-edge
+    weights up to ~9e6 are safe — the loud check below enforces it)."""
+    e = (
+        edges.select(
+            F.col(src).cast("string").alias("src"),
+            F.col(dst).cast("string").alias("dst"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    mx = e.agg(F.max("w").alias("m")).collect()[0]["m"]
+    if mx is not None and mx > 9_000_000:
+        raise ValueError(f"edge weight {mx} exceeds fixed-point headroom")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0).cast("long").alias("rank_fp"),
+            F.lit(0.0).alias("rank"))
+    wsum = e.groupBy("src").agg(F.sum("w").alias("wtot"))
+    teleport = ((100 - damping_pct) * SCALE) // (100 * n)
+    ranks = nodes.select("node",
+                         F.lit(SCALE // n).cast("long").alias("rank_fp"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(wsum, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(rank_fp * w) DIV wtot").alias("c"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                (F.lit(teleport)
+                 + F.expr(f"({damping_pct} * coalesce(s, 0)) DIV 100"))
+                .cast("long").alias("rank_fp"),
+            )
+        )
+    return ranks.select(
+        "node", "rank_fp",
+        F.round(F.col("rank_fp") / F.lit(SCALE), 6).alias("rank"),
+    )
+
+
+def pagerank_weighted_oracle_sql(
+    edges_rel: str,
+    damping_pct: int = 85,
+    iterations: int = 5,
+    prefix: str = "wpr_",
+) -> str:
+    """Unrolled-CTE restatement of :func:`pagerank_weighted` — same
+    fixed-point arithmetic, exact match. ``edges_rel`` needs columns
+    src, dst, weight."""
+    d = damping_pct
+    p = prefix
+    sql = f"""
+{p}e AS (
+  SELECT CAST(src AS VARCHAR) AS src, CAST(dst AS VARCHAR) AS dst,
+         SUM(CAST(weight AS BIGINT)) AS w
+  FROM {edges_rel} GROUP BY 1, 2),
+{p}nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM {p}e UNION ALL SELECT dst FROM {p}e)),
+{p}nn AS (SELECT count(*) AS n FROM {p}nodes),
+{p}ws AS (SELECT src, SUM(w) AS wtot FROM {p}e GROUP BY src),
+{p}r0 AS (SELECT node, CAST({SCALE} // n AS BIGINT) AS rank_fp
+          FROM {p}nodes, {p}nn)
+"""
+    prev = f"{p}r0"
+    for i in range(1, iterations + 1):
+        sql += f""",
+{p}c{i} AS (
+  SELECT {p}e.dst AS node, SUM((r.rank_fp * {p}e.w) // o.wtot) AS s
+  FROM {p}e JOIN {prev} r ON {p}e.src = r.node
+  JOIN {p}ws o ON {p}e.src = o.src
+  GROUP BY {p}e.dst),
+{p}r{i} AS (
+  SELECT {p}nodes.node,
+         CAST(((100 - {d}) * {SCALE}) // (100 * {p}nn.n)
+              + ({d} * coalesce({p}c{i}.s, 0)) // 100 AS BIGINT)
+           AS rank_fp
+  FROM {p}nodes CROSS JOIN {p}nn
+  LEFT JOIN {p}c{i} ON {p}nodes.node = {p}c{i}.node)
+"""
+        prev = f"{p}r{i}"
+    sql += f"""
+SELECT node, rank_fp, round(rank_fp / {SCALE}.0, 6) AS rank
+FROM {prev}
+"""
+    # a CTE fragment: the caller composes it after its own WITH-list
+    # (exactly like pagerank_oracle_sql)
+    return sql.lstrip()
+
+
 def pagerank_resume(
     edges: DataFrame,
     prior_ranks: DataFrame,

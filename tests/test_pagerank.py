@@ -158,3 +158,47 @@ def test_resume_initializes_new_nodes_at_uniform_share(spark):
     got_prior = {r["node"]: r["rank_fp"] for r in prior.collect()}
     assert init["a"] == got_prior["a"] and init["b"] == got_prior["b"]
     assert init["c"] == SCALE // 3
+
+
+def test_weighted_uniform_equals_unweighted(spark):
+    from sigraph_spark.operators.pagerank import pagerank, pagerank_weighted
+
+    edges = spark.createDataFrame(
+        [("a", "b", 5), ("b", "c", 5), ("c", "a", 5), ("a", "c", 5)],
+        "src string, dst string, weight long")
+    plain = {r["node"]: r["rank_fp"] for r in pagerank(edges).collect()}
+    # uniform weights: w/wsum == 1/deg exactly -> bit-identical ranks
+    wtd = {r["node"]: r["rank_fp"]
+           for r in pagerank_weighted(edges).collect()}
+    assert wtd == plain
+
+
+def test_weighted_mass_follows_weight(spark):
+    from sigraph_spark.operators.pagerank import pagerank_weighted
+
+    # a sends 9x more mass to b than to c
+    edges = spark.createDataFrame(
+        [("a", "b", 9), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)],
+        "src string, dst string, weight long")
+    got = {r["node"]: r["rank_fp"]
+           for r in pagerank_weighted(edges).collect()}
+    assert got["b"] > got["c"]
+    # duplicate pairs pre-aggregate: (a,b,4)+(a,b,5) == (a,b,9)
+    dup = spark.createDataFrame(
+        [("a", "b", 4), ("a", "b", 5), ("a", "c", 1), ("b", "a", 1),
+         ("c", "a", 1)],
+        "src string, dst string, weight long")
+    got2 = {r["node"]: r["rank_fp"]
+            for r in pagerank_weighted(dup).collect()}
+    assert got2 == got
+
+
+def test_weighted_headroom_raises(spark):
+    import pytest as _pytest
+
+    from sigraph_spark.operators.pagerank import pagerank_weighted
+
+    edges = spark.createDataFrame(
+        [("a", "b", 10_000_000)], "src string, dst string, weight long")
+    with _pytest.raises(ValueError, match="headroom"):
+        pagerank_weighted(edges)
