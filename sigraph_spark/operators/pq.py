@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import dot
+from .similarity import bind, dot
 
 __all__ = ["pq_train_lloyd", "pq_encode", "pq_topk",
            "ivfpq_train", "ivfpq_encode", "ivfpq_topk"]
@@ -46,6 +46,17 @@ __all__ = ["pq_train_lloyd", "pq_encode", "pq_topk",
 
 def _as_double(vec_col):
     return F.transform(vec_col, lambda x: x.cast("double"))
+
+
+def _py_dot(a: list[float], b: list[float]) -> float:
+    """Driver-side twin of ``similarity.dot``'s left-assoc fold —
+    ``((0 + a0*b0) + a1*b1) + ...`` in IEEE doubles, so a literal
+    codeword's self-dot computed here is bit-identical to evaluating
+    ``dot(c, c)`` over the literal at runtime."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
 
 
 def _sqdist(a, b):
@@ -58,11 +69,103 @@ def _sub(vec, m: int, d: int):
     return F.slice(vec, m * d + 1, d)
 
 
-def _cluster_expr(vec, codebook_m: list[list[float]], m: int, d: int):
-    """FIRST-index argmin of squared L2 to the sub-space codewords."""
-    cb = F.array(*[F.array(*[F.lit(x) for x in c]) for c in codebook_m])
-    dists = F.transform(cb, lambda c: _sqdist(_sub(vec, m, d), c))
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+# --- SQL-string expression generators ---------------------------------------
+# The PQ expressions embed codebooks as literals. Built with per-element
+# ``F.lit``/HOF Column calls, ONE cluster-argmin costs ~900 py4j
+# round-trips (profiled: the nested-list lit recurses into per-element
+# lits, and every lambda is several JVM calls) — at m=8, k=8 the
+# DRIVER-side plan construction dominated the whole ann_pq bench stage.
+# Generating the identical expression as a single SQL string hands the
+# parse to the JVM in one round-trip. Semantics are unchanged node for
+# node: ``xD`` double literals round-trip exactly via repr (shortest
+# repr -> Double.parseDouble), CAST/zip_with/aggregate/transform parse
+# to the same Catalyst nodes the Column API builds, and the
+# ``_py_dot``-precomputed ``dot(c,c)`` literals plus the let-bindings
+# (``element_at(transform(array(x), v -> body), 1)``) only drop
+# evaluation counts, never values (see similarity.bind).
+
+
+def _sql_d(x: float) -> str:
+    return repr(float(x)) + "D"
+
+
+def _sql_arr(xs: list[float]) -> str:
+    return "array(" + ", ".join(_sql_d(x) for x in xs) + ")"
+
+
+def _sql_arr2(cb: list[list[float]]) -> str:
+    return "array(" + ", ".join(_sql_arr(c) for c in cb) + ")"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """SQL twin of ``similarity.dot`` (zip_with + left-assoc aggregate)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (zx, zy) -> CAST(zx AS DOUBLE) * "
+        f"CAST(zy AS DOUBLE)), 0.0D, (zacc, zv) -> zacc + zv)"
+    )
+
+
+def _sql_bind(value: str, var: str, body: str) -> str:
+    """SQL twin of ``similarity.bind`` — let-evaluate ``value`` once."""
+    return f"element_at(transform(array({value}), {var} -> {body}), 1)"
+
+
+def _sql_cast_double(vec: str) -> str:
+    """SQL twin of ``_as_double``."""
+    return f"transform({vec}, cx -> CAST(cx AS DOUBLE))"
+
+
+def _sql_dist_table(sub: str, codebook_m: list[list[float]]) -> str:
+    """Per-codeword table ``[_sqdist(sub, c_j)]_j``: ``a2 - 2<a,c> + c2``
+    with ``a`` and ``a2`` let-bound (one evaluation each instead of k)
+    and ``c2`` the Python-precomputed literal fold."""
+    cbs = _sql_arr2(codebook_m)
+    c2s = _sql_arr([_py_dot(c, c) for c in codebook_m])
+    inner = (
+        f"transform({cbs}, (cw, ci) -> a2v - 2 * {_sql_dot('av', 'cw')}"
+        f" + element_at({c2s}, ci + 1))"
+    )
+    return _sql_bind(sub, "av",
+                     _sql_bind(_sql_dot("av", "av"), "a2v", inner))
+
+
+def _sql_cluster(sub: str, codebook_m: list[list[float]]) -> str:
+    """FIRST-index argmin of squared L2 to the sub-space codewords; the
+    distance table is let-bound so ``array_position(ds, array_min(ds))``
+    evaluates it once, not twice."""
+    return _sql_bind(
+        _sql_dist_table(sub, codebook_m), "dsv",
+        "CAST(array_position(dsv, array_min(dsv)) - 1 AS INT)",
+    )
+
+
+def _cluster_expr(vec_sql: str, codebook_m: list[list[float]],
+                  m: int, d: int):
+    """Column form of the argmin over a SQL vector reference."""
+    return F.expr(_sql_cluster(f"slice({vec_sql}, {m * d + 1}, {d})",
+                               codebook_m))
+
+
+def _sql_l2_normalize(vec: str) -> str:
+    """SQL twin of ``similarity.l2_normalize`` (bound norm, zero vectors
+    pass through as plain double casts)."""
+    norm = (
+        f"sqrt(aggregate(transform({vec}, nx -> CAST(nx AS DOUBLE) * "
+        f"CAST(nx AS DOUBLE)), 0.0D, (nacc, nv) -> nacc + nv))"
+    )
+    return _sql_bind(
+        norm, "nrm",
+        f"CASE WHEN nrm > 0 THEN transform({vec}, dx -> "
+        f"CAST(dx AS DOUBLE) / nrm) ELSE transform({vec}, dx -> "
+        f"CAST(dx AS DOUBLE)) END",
+    )
+
+
+def _sql_residual(vec: str, cluster: str, cents: list[list[float]]) -> str:
+    """SQL twin of ``_residual``: normalized(vec) - centroid[cluster]."""
+    cent = f"element_at({_sql_arr2(cents)}, {cluster} + 1)"
+    return (f"zip_with({_sql_l2_normalize(vec)}, {cent}, "
+            f"(ra, rb) -> ra - rb)")
 
 
 def pq_train_lloyd(
@@ -80,14 +183,15 @@ def pq_train_lloyd(
     v = corpus.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )
-    first = v.select(F.size("v").alias("n")).limit(1).collect()
-    if not first:
+    # one job probes the dimension AND fetches the seed vectors (the
+    # separate limit(1) dim probe was a whole extra Spark job)
+    seed_rows = v.orderBy("vec_id").limit(k).collect()
+    if not seed_rows:
         raise ValueError("pq_train_lloyd: empty corpus")
-    dim = first[0]["n"]
+    dim = len(seed_rows[0]["v"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d = dim // m
-    seed_rows = v.orderBy("vec_id").limit(k).collect()
     if len(seed_rows) < k:
         raise ValueError(f"need >= {k} vectors to seed {k} codewords")
     books = [[[float(seed_rows[j]["v"][mi * d + t]) for t in range(d)]
@@ -96,7 +200,7 @@ def pq_train_lloyd(
         # one job assigns EVERY sub-space: rows (m, cluster, j, fx)
         parts = []
         for mi in range(m):
-            cl = _cluster_expr(F.col("v"), books[mi], mi, d)
+            cl = _cluster_expr("v", books[mi], mi, d)
             parts.append(F.struct(
                 F.lit(mi).alias("m"), cl.alias("cluster"),
                 _sub(F.col("v"), mi, d).alias("sub")))
@@ -132,11 +236,17 @@ def pq_encode(
     pure Column expressions (one narrow map)."""
     m = len(codebooks)
     d = len(codebooks[0][0])
-    v = _as_double(F.col(vec_col))
+    # let-bind the double-cast vector: referenced by every sub-space's
+    # argmin it would otherwise re-cast the full array m (or m*k) times
+    codes = F.expr(_sql_bind(
+        _sql_cast_double(f"`{vec_col}`"), "vv",
+        "array(" + ", ".join(
+            _sql_cluster(f"slice(vv, {mi * d + 1}, {d})", codebooks[mi])
+            for mi in range(m)
+        ) + ")",
+    ))
     return corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.array(*[_cluster_expr(v, codebooks[mi], mi, d)
-                  for mi in range(m)]).alias("codes"),
+        F.col(id_col).alias("vec_id"), codes.alias("codes"),
     )
 
 
@@ -153,18 +263,21 @@ def pq_topk(
     adist ASC then vec_id). The scan touches only the codes."""
     m = len(codebooks)
     d = len(codebooks[0][0])
-    qv = _as_double(F.col(vec_col))
 
-    def _table(mi: int):
-        # factory closure: a two-parameter lambda would make PySpark
-        # pass the array INDEX as the second argument
-        cb = F.array(*[F.array(*[F.lit(x) for x in c])
-                       for c in codebooks[mi]])
-        return F.transform(
-            cb, lambda c: _sqdist(_sub(qv, mi, d), c)).alias(f"t{mi}")
-
-    tables = [_table(mi) for mi in range(m)]
-    q = queries.select(F.col(query_id_col).alias("query_id"), *tables)
+    # one bound double-cast of the query vector feeds all m ADC tables
+    # (same _sqdist values; see _sql_dist_table for the fold accounting)
+    all_tables = F.expr(_sql_bind(
+        _sql_cast_double(f"`{vec_col}`"), "qvv",
+        "struct(" + ", ".join(
+            _sql_dist_table(f"slice(qvv, {mi * d + 1}, {d})",
+                            codebooks[mi]) + f" AS t{mi}"
+            for mi in range(m)
+        ) + ")",
+    ))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), all_tables.alias("_ts")
+    ).select("query_id", *[F.col(f"_ts.t{mi}").alias(f"t{mi}")
+                           for mi in range(m)])
     joined = encoded.crossJoin(F.broadcast(q))
     adist = F.element_at(F.col("t0"),
                          F.element_at("codes", 1).cast("int") + 1)
@@ -193,7 +306,7 @@ def _residual(vec, cents: list[list[float]], cluster_col):
     quantizer's cosine assignment)."""
     from .similarity import l2_normalize
 
-    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+    cent_arr = F.lit([[float(x) for x in c] for c in cents])
     cent = F.element_at(cent_arr, cluster_col + 1)
     return F.zip_with(l2_normalize(vec), cent, lambda a, b: a - b)
 
@@ -241,12 +354,16 @@ def ivfpq_encode(
     m = len(codebooks)
     d = len(codebooks[0][0])
     tagged = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
-    r = _residual(F.col("emb"), centroids, F.col("cluster"))
-    return tagged.select(
-        "vec_id", "cluster",
-        F.array(*[_cluster_expr(r, codebooks[mi], mi, d)
-                  for mi in range(m)]).alias("codes"),
-    )
+    # let-bind the residual: it embeds an l2_normalize and would be
+    # re-evaluated by every sub-space's argmin otherwise
+    codes = F.expr(_sql_bind(
+        _sql_residual("emb", "cluster", centroids), "rv",
+        "array(" + ", ".join(
+            _sql_cluster(f"slice(rv, {mi * d + 1}, {d})", codebooks[mi])
+            for mi in range(m)
+        ) + ")",
+    ))
+    return tagged.select("vec_id", "cluster", codes.alias("codes"))
 
 
 def ivfpq_topk(
@@ -265,15 +382,14 @@ def ivfpq_topk(
     each probed centroid, and rank codes within probed clusters only.
     The scan touches ~n_probe/k_coarse of the CODES (not the vectors).
     -> ``(query_id, vec_id, adist, rank)``."""
-    from .similarity import dot as _dot
-    from .similarity import l2_normalize
-
     m = len(codebooks)
     d = len(codebooks[0][0])
-    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c])
-                         for c in centroids])
-    qn = l2_normalize(F.col(vec_col))
-    scores = F.transform(cent_arr, lambda c: _dot(qn, c))
+    # bind the normalized query vector: the per-centroid scoring lambda
+    # would re-normalize it k_coarse times
+    scores = F.expr(_sql_bind(
+        _sql_l2_normalize(f"`{vec_col}`"), "qnv",
+        f"transform({_sql_arr2(centroids)}, cc -> {_sql_dot('qnv', 'cc')})",
+    ))
     probes = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
@@ -292,16 +408,20 @@ def ivfpq_topk(
     ).select("query_id", "_qv",
              F.col("_p.cluster").cast("int").alias("cluster"))
 
-    qr = _residual(F.col("_qv"), centroids, F.col("cluster"))
-
-    def _table(mi: int):
-        cb = F.array(*[F.array(*[F.lit(x) for x in c])
-                       for c in codebooks[mi]])
-        return F.transform(
-            cb, lambda c: _sqdist(_sub(qr, mi, d), c)).alias(f"t{mi}")
-
-    q = probes.select("query_id", "cluster",
-                      *[_table(mi) for mi in range(m)])
+    # one bound query residual feeds all m ADC tables (it embeds an
+    # l2_normalize — unbound it would be re-evaluated m*k times)
+    all_tables = F.expr(_sql_bind(
+        _sql_residual("_qv", "cluster", centroids), "qrv",
+        "struct(" + ", ".join(
+            _sql_dist_table(f"slice(qrv, {mi * d + 1}, {d})",
+                            codebooks[mi]) + f" AS t{mi}"
+            for mi in range(m)
+        ) + ")",
+    ))
+    q = probes.select(
+        "query_id", "cluster", all_tables.alias("_ts")
+    ).select("query_id", "cluster",
+             *[F.col(f"_ts.t{mi}").alias(f"t{mi}") for mi in range(m)])
     joined = encoded.join(F.broadcast(q), "cluster")
     adist = F.element_at(F.col("t0"),
                          F.element_at("codes", 1).cast("int") + 1)

@@ -33,6 +33,21 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def bind(value: Column, f) -> Column:
+    """Let-binding for expression trees: evaluate ``value`` ONCE per row
+    and pass the result to ``f`` as a lambda variable.
+
+    Higher-order-function lambdas re-evaluate every captured subtree per
+    element (HOFs are interpreted, no common-subexpression elimination),
+    so an expensive expression referenced k times inside a ``transform``
+    costs k evaluations. ``transform`` over a singleton array evaluates
+    its input exactly once and binds it to the lambda variable — same
+    values, one evaluation (guide §1.2 "per-task work"). Bit-identical
+    by construction: the bound subtree is unchanged, only its
+    evaluation count drops."""
+    return F.element_at(F.transform(F.array(value), f), 1)
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -44,10 +59,16 @@ def l2_norm(a: Column) -> Column:
 
 
 def l2_normalize(a: Column) -> Column:
-    """Unit-normalize; zero vectors pass through unchanged (cosine 0)."""
-    n = l2_norm(a)
-    return F.when(n > 0, F.transform(a, lambda x: x.cast("double") / n)).otherwise(
-        F.transform(a, lambda x: x.cast("double"))
+    """Unit-normalize; zero vectors pass through unchanged (cosine 0).
+
+    The norm is let-bound (:func:`bind`): referenced from inside the
+    per-element ``transform`` lambda it would otherwise be re-folded for
+    EVERY element — dim+1 norm evaluations per row instead of one."""
+    return bind(
+        l2_norm(a),
+        lambda n: F.when(
+            n > 0, F.transform(a, lambda x: x.cast("double") / n)
+        ).otherwise(F.transform(a, lambda x: x.cast("double"))),
     )
 
 
