@@ -81,7 +81,7 @@ def distant_supervision(
         F.col(subj_col).alias("subj"),
         F.col(pred_col).alias("predicate"),
         F.col(obj_col).alias("obj"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     ents = (
         f.select(F.col("subj").alias("entity"))
         .unionByName(f.select(F.col("obj").alias("entity")))
@@ -95,9 +95,17 @@ def distant_supervision(
         )
         .filter(F.col("_anchor").isNotNull())
     )
+    # the token explode CARRIES the sentence and haystack: the anchor
+    # join below broadcasts the (bounded) entity vocabulary, so the
+    # exploded corpus side never shuffles and the old join-back to
+    # ``sents`` on (_id, sentence_id) — a full extra shuffle of the
+    # token table, plus a third derivation of split_sentences — is
+    # gone (guide §2.4: remove shuffles outright)
     tokens = sents.select(
         "_id",
         "sentence_id",
+        "sentence",
+        "_hay",
         F.explode(
             F.array_distinct(
                 F.filter(F.split(F.trim("sentence"), r"\s+"), lambda x: x != "")
@@ -115,24 +123,30 @@ def distant_supervision(
             )
             metrics["dropped_entities"] = sorted(r["entity"] for r in dropped)
         ents = ents.join(F.broadcast(hot.select("_anchor")), "_anchor", "left_anti")
+    # explicit broadcast of the vocabulary: its size estimate is opaque
+    # after the union+distinct, and a missed broadcast would shuffle the
+    # whole exploded token table on _anchor (guide §3.1 — hint when you
+    # KNOW a side is small; the label vocabulary of a distant-supervision
+    # fact set is bounded, and the old shape assumed it joins hash-side
+    # anyway). ``sentence`` rides along so the final output needs no
+    # third sents derivation/join; mention distinctness is unchanged
+    # (sentence is functionally dependent on (_id, sentence_id)).
     mentions = (
-        tokens.join(ents, "_anchor")
-        .join(sents.select("_id", "sentence_id", "_hay"), ["_id", "sentence_id"])
+        tokens.join(F.broadcast(ents), "_anchor")
         .filter(
             F.instr(
                 F.col("_hay"), F.concat(F.lit(" "), F.col("entity"), F.lit(" "))
             )
             > 0
         )
-        .select("_id", "sentence_id", "entity")
+        .select("_id", "sentence_id", "sentence", "entity")
         .distinct()
     )
     ms = mentions.withColumnRenamed("entity", "subj")
-    mo = mentions.withColumnRenamed("entity", "obj")
+    mo = mentions.select("_id", "sentence_id", F.col("entity").alias("obj"))
     out = (
         f.join(ms, "subj")
         .join(mo, ["_id", "sentence_id", "obj"])
-        .join(sents.select("_id", "sentence_id", "sentence"), ["_id", "sentence_id"])
         .select(
             F.col("_id").alias(id_col),
             "sentence_id",
