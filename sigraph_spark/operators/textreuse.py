@@ -79,17 +79,31 @@ def reuse_spans(
         hot = hot.localCheckpoint(eager=True)
         metrics["hot_grams_dropped"] = hot.count()
     pruned = idx.join(hot, "gram", "left_anti")
-    a = pruned.select(
-        "gram", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a")
-    )
-    b = pruned.select(
-        "gram", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    # pair generation: ONE shuffle groups each surviving gram's postings
+    # and explodes the cross pairs in place. The old a-join-b self-join
+    # shuffled the full index twice (alias-differing legs defeat exchange
+    # reuse) and then paid a third full shuffle for a .distinct() that is
+    # provably a no-op: the gram AT (doc, pos) is a single value and the
+    # index is unique per (doc, pos), so each (doc_a, doc_b, pos_a,
+    # pos_b) tuple can be produced by exactly one gram match (guide
+    # §2.4). Group size is BOUNDED: hot grams (df > max_gram_df) were
+    # dropped above, so a posting list holds at most max_gram_df
+    # documents' positions — the same fan-out bound the join had.
+    postings = pruned.groupBy("gram").agg(
+        F.collect_list(F.struct("doc_id", "pos")).alias("_ps")
     )
     matches = (
-        a.join(b, "gram")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "pos_a", "pos_b")
-        .distinct()
+        postings.select(
+            F.explode("_ps").alias("_a"), F.col("_ps").alias("_bs")
+        )
+        .select("_a", F.explode("_bs").alias("_b"))
+        .filter(F.col("_a.doc_id") < F.col("_b.doc_id"))
+        .select(
+            F.col("_a.doc_id").alias("doc_a"),
+            F.col("_b.doc_id").alias("doc_b"),
+            F.col("_a.pos").alias("pos_a"),
+            F.col("_b.pos").alias("pos_b"),
+        )
     )
     diag = matches.withColumn("_d", F.col("pos_a") - F.col("pos_b"))
     w = Window.partitionBy("doc_a", "doc_b", "_d").orderBy("pos_a")
