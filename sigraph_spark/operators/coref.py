@@ -67,6 +67,9 @@ def pronoun_coref(
         .withColumn(
             "clean", F.regexp_replace(F.col("tok"), r"[^A-Za-z0-9]", "")
         )
+        # two consumers (mentions, pronouns) — materialize the token
+        # explode + per-token regex once instead of per consumer
+        .localCheckpoint(eager=False)
     )
     is_pron = F.lower(F.col("clean")).isin(*PRONOUNS)
     is_ent = F.col("clean").rlike(r"^[A-Z][a-z0-9]+$") & ~is_pron

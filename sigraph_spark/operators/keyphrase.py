@@ -87,12 +87,18 @@ def textrank_sentences(
     """
     from .corpus import split_sentences
 
+    # sents feeds four consumers (word table, initial scores, isolated
+    # reinstatement, final sentence join) and words feeds BOTH legs of
+    # the pair self-join — without a boundary each consumer re-derives
+    # the whole upstream chain (the caller's sentence synthesis is
+    # HOF-heavy). Lazy localCheckpoints materialize each once.
     sents = (
         split_sentences(docs, text_col=text_col, id_col=id_col)
         .withColumnRenamed(id_col, "doc_id")
         .filter(F.col("sentence_id") <= max_sentences)
+        .localCheckpoint(eager=False)
     )
-    words = _sentence_words(sents)
+    words = _sentence_words(sents).localCheckpoint(eager=False)
 
     w1 = words.alias("w1")
     w2 = words.alias("w2")
@@ -114,9 +120,12 @@ def textrank_sentences(
         edges_half.select("doc_id", F.col("j").alias("i"),
                           F.col("i").alias("j"), "w")
     )
+    # three consumers (norm_edges join, the initial score table, the
+    # isolated-node reinstatement) — materialize the node table once
+    # rather than re-deriving the word-pair self-join per consumer
     wsum = edges.groupBy(
         F.col("doc_id").alias("wdoc"), F.col("i").alias("wnode")
-    ).agg(F.sum("w").alias("wtot"))
+    ).agg(F.sum("w").alias("wtot")).localCheckpoint(eager=False)
     # out-normalized edge: contribution of node j onto node i. The
     # word-pair self-join is the expensive part — localCheckpoint keeps
     # the iteration loop from re-deriving it once per round (same device
@@ -131,17 +140,27 @@ def textrank_sentences(
         .localCheckpoint(eager=False)
     )
 
-    scores = sents.select(
-        "doc_id", F.col("sentence_id").alias("node"),
+    teleport = (15 * _SCALE) // 100
+    # Iterate over CONNECTED nodes only (guide §2.4): the graph is
+    # symmetric (edges_half is unioned both ways), so a node is in
+    # ``wsum`` iff it has any edge. An isolated node receives no inflow
+    # in any round — after round 1 its score is exactly ``teleport`` —
+    # and contributes to no one, so it can be reinstated once at the
+    # end instead of via a per-iteration left join against the full
+    # sentence table (which cost one extra shuffle + join per round).
+    # Every connected node keeps a contrib row each round (each of its
+    # in-edges joins a prev row), so the inner join loses nothing and
+    # the arithmetic per node is unchanged — oracle-identical.
+    scores = wsum.select(
+        F.col("wdoc").alias("doc_id"), F.col("wnode").alias("node"),
         F.lit(_SCALE).cast("long").alias("score"),
     )
-    teleport = (15 * _SCALE) // 100
     for _ in range(iters):
         prev = scores.select(
             F.col("doc_id").alias("sdoc"), F.col("node").alias("snode"),
             F.col("score").alias("sscore"),
         )
-        contrib = (
+        scores = (
             norm_edges.join(
                 prev,
                 (F.col("doc_id") == F.col("sdoc"))
@@ -154,22 +173,27 @@ def textrank_sentences(
             )
             .groupBy("cdoc", "cnode")
             .agg(F.sum("c").alias("inflow"))
-        )
-        scores = (
-            sents.select("doc_id", F.col("sentence_id").alias("node"))
-            .join(
-                contrib,
-                (F.col("doc_id") == F.col("cdoc"))
-                & (F.col("node") == F.col("cnode")),
-                "left",
-            )
             .select(
-                "doc_id", "node",
-                (F.lit(teleport)
-                 + F.expr("85 * coalesce(inflow, 0L) DIV 100"))
+                F.col("cdoc").alias("doc_id"), F.col("cnode").alias("node"),
+                (F.lit(teleport) + F.expr("85 * inflow DIV 100"))
                 .cast("long").alias("score"),
             )
         )
+    isolated = (
+        sents.select("doc_id", F.col("sentence_id").alias("node"))
+        .join(
+            wsum,
+            (F.col("doc_id") == F.col("wdoc"))
+            & (F.col("node") == F.col("wnode")),
+            "left_anti",
+        )
+        .select(
+            "doc_id", "node",
+            F.lit(_SCALE if iters == 0 else teleport)
+            .cast("long").alias("score"),
+        )
+    )
+    scores = scores.unionByName(isolated)
 
     from pyspark.sql import Window
 
