@@ -77,7 +77,17 @@ def page_chains(
     ptr = prev.join(dom, prev["y"] == dom["_d"], "left").select(
         "x", "y", F.lit(1).alias("d"), F.col("_d").isNull().alias("done")
     )
+    # pointer doubling with EARLY TERMINATION: each round is
+    # checkpointed and probed for still-active pointers, so the loop
+    # runs ceil(log2(actual longest chain)) rounds, not
+    # log2(max_steps). Real pagination chains are a handful of pages —
+    # the fixed 6-round unroll paid 2 shuffles per round for rounds
+    # that were provably no-ops (done rows pass through unchanged).
+    # The probe is an isEmpty (limit-1 scan of the checkpointed round).
+    ptr = ptr.localCheckpoint(eager=True)
     for _ in range(max(0, math.ceil(math.log2(max_steps)))):
+        if ptr.filter(~F.col("done")).isEmpty():
+            break
         a = ptr.alias("a")
         b = ptr.select(
             F.col("x").alias("_bx"), F.col("y").alias("_by"),
@@ -89,8 +99,7 @@ def page_chains(
             F.when(F.col("a.done"), F.col("a.d"))
             .otherwise(F.col("a.d") + F.col("_bd")).alias("d"),
             (F.col("a.done") | F.col("_bdone")).alias("done"),
-        )
-    ptr = ptr.localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True)
     if metrics is not None:
         metrics["unterminated"] = ptr.filter(~F.col("done")).count()
     members = ptr.filter(F.col("done")).select(
