@@ -246,10 +246,17 @@ def minhash_candidates(
         minhash_signature_udf(k, num_hashes, hash_family)(F.col(text_col)).alias("sig"),
     )
     banded = sig.select("id", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk"))
-    a = banded.select(F.col("bk"), F.col("id").alias("a"))
-    b = banded.select(F.col("bk"), F.col("id").alias("b"))
+    # pair generation via ONE grouped shuffle + in-place cross-explode:
+    # the aliased a/b self-join legs each re-ran the Arrow signature UDF
+    # over the whole corpus (opaque subplans defeat both reuse and
+    # exchange sharing) and shuffled the band table twice. Bucket arrays
+    # hold bare ids (longs), so per-task memory is linear in the bucket —
+    # the downstream pair explosion, not the array, is the quadratic
+    # term, exactly as in the join form.
+    postings = banded.groupBy("bk").agg(F.collect_list("id").alias("_ids"))
     return (
-        a.join(b, "bk")
+        postings.select(F.explode("_ids").alias("a"), F.col("_ids").alias("_bs"))
+        .select("a", F.explode("_bs").alias("b"))
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
@@ -313,9 +320,12 @@ def incremental_minhash_candidates(
     that is a 1000x scan reduction, and the join key is a near-uniform
     hash bucket (no head-key skew by construction).
     """
+    # lazy checkpoint: three consumers (corpus probe, both new-vs-new
+    # legs, plus the caller's append) would otherwise each re-run the
+    # Arrow signature UDF over the delta
     delta_index = minhash_index(
         new_docs, id_col, text_col, k, num_hashes, bands, rows, hash_family
-    )
+    ).localCheckpoint(eager=False)
     # New ids may collide with corpus ids only if the caller re-feeds a doc;
     # a != b guard keeps self-pairs out in that case.
     corpus = index.select(F.col("bk"), F.col("id").alias("x"))
@@ -344,10 +354,12 @@ def ngram_jaccard(
     """Exact Jaccard over k-word shingle sets for a candidate pair set.
     Returns (a, b, jaccard). Shingle arrays join in via two broadcasts when
     the pair set is small; the arrays themselves never shuffle twice."""
+    # lazy checkpoint: both pair-endpoint joins consume the shingle
+    # arrays; unmaterialized, each would re-shingle the whole corpus
     sh = docs.select(
         F.col(id_col).alias("id"),
         shingle_hashes(F.col(text_col), k).alias("sh"),
-    )
+    ).localCheckpoint(eager=False)
     la = sh.select(F.col("id").alias("a"), F.col("sh").alias("sha"))
     lb = sh.select(F.col("id").alias("b"), F.col("sh").alias("shb"))
     inter = F.size(F.array_intersect("sha", "shb")).cast("double")
@@ -587,7 +599,12 @@ def simhash_candidates(
 
     Signature via the Arrow pandas UDF (see ``_simhash_batch_factory``);
     banding, the bucket self-join, and Hamming verification stay JVM-side."""
-    bands = simhash_index(docs, id_col, text_col, hash_family)
+    # lazy checkpoint: both self-join legs consume the index, and the
+    # aliased subplans would otherwise each re-run the Arrow signature
+    # UDF over the whole corpus
+    bands = simhash_index(docs, id_col, text_col, hash_family).localCheckpoint(
+        eager=False
+    )
     a = bands.select("bi", "bv", F.col("id").alias("a"), F.col("sh").alias("sha"))
     b = bands.select("bi", "bv", F.col("id").alias("b"), F.col("sh").alias("shb"))
     return (
@@ -622,7 +639,9 @@ def incremental_simhash_candidates(
     candidates(old) ∪ incremental(new, index(old))`` exactly. Probe
     cost is O(|delta| x 4) rows against a bucketed index; band values
     are near-uniform hash bits, so no head-key skew by construction."""
-    delta_index = simhash_index(new_docs, id_col, text_col, hash_family)
+    delta_index = simhash_index(
+        new_docs, id_col, text_col, hash_family
+    ).localCheckpoint(eager=False)
     corpus = index.select(
         "bi", "bv", F.col("id").alias("x"), F.col("sh").alias("shx")
     )
