@@ -79,7 +79,10 @@ def portable_hash_sql(expr: str, salt: int) -> str:
 def gen_events(spark: SparkSession, sf: float = 0.001, parts: int | None = None) -> DataFrame:
     """Provenance events table (GraphNode schema, graph_model.py:29-41)."""
     n = events_count(sf)
-    parts = parts or max(4, n // 50_000)
+    # scale-adaptive floor, same rationale as gen_pages
+    parts = parts or max(
+        4, n // 50_000, spark.sparkContext.defaultParallelism
+    )
     base = spark.range(0, n, 1, parts).withColumnRenamed("id", "i")
 
     # deterministic pseudo-random streams from the row id (xxhash64 is a
@@ -226,7 +229,16 @@ def gen_pages(spark: SparkSession, sf: float = 0.001, parts: int | None = None) 
     from sigraph_spark.operators.triples import SENTENCE_BANK
 
     n = pages_count(sf)
-    parts = parts or max(4, n // 20_000)
+    # scale-adaptive parallelism (guide §2): sizing partitions at a flat
+    # 20k pages gave FIVE partitions at sf0.1, so every downstream
+    # narrow pass (html strip, triple matching) ran on 5 of the
+    # cluster's cores — the local-mode starvation bench.py documents
+    # for the webtext fixtures. Floor at the session's default
+    # parallelism; rows are a pure function of ``i`` so the partition
+    # count never changes the data.
+    parts = parts or max(
+        4, n // 20_000, spark.sparkContext.defaultParallelism
+    )
     base = spark.range(0, n, 1, parts).withColumnRenamed("id", "i")
 
     def h(salt: int):

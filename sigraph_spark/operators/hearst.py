@@ -74,30 +74,63 @@ def hearst_pairs(
     the coordinated list -> explode), so one sentence can feed several
     patterns — corpus-level voting in ``taxonomy_edges`` sorts that out.
     """
-    text = F.lower(F.col(text_col))
-    outs = []
-    for name, rx, g_hyper, g_list, guard in HEARST_PATTERNS:
-        pair = F.explode(
-            F.arrays_zip(
-                F.regexp_extract_all(text, F.lit(rx), g_hyper).alias("hyper"),
-                F.regexp_extract_all(text, F.lit(rx), g_list).alias("hypos"),
+    from .similarity import bind
+
+    struct_t = (
+        "array<struct<hyper:string,hypos:string,pattern:string>>"
+    )
+
+    def _pattern_rows(text):
+        # all six patterns in ONE projection over one bound lowercase
+        # text (the union-of-branches form scanned the corpus six
+        # times, lowercasing each time); per-pattern extraction values
+        # are unchanged, and the contains() guard still short-circuits
+        # the regex scans inside the CaseWhen
+        parts = []
+        for name, rx, g_hyper, g_list, guard in HEARST_PATTERNS:
+            # ONE full-document regex scan (group 0); capture groups
+            # are re-extracted from each (short) match string. Safe for
+            # these patterns: matches are self-contained — the greedy
+            # [a-z]+ runs never stop before a letter, so the character
+            # after a match is a non-letter in the document and
+            # end-of-string in the match slice, and the stoplist
+            # lookaheads only inspect text inside the match — so
+            # re-matching the slice reproduces the original groups byte
+            # for byte (pinned by the hearst_pairs gate hash + tests).
+            matches = F.regexp_extract_all(text, F.lit(rx), 0)
+
+            def _mk(_n, _rx, _gh, _gl):
+                # factory closure: a defaulted second lambda parameter
+                # would make PySpark pass the array INDEX instead
+                return lambda m: F.struct(
+                    F.regexp_extract(m, _rx, _gh).alias("hyper"),
+                    F.regexp_extract(m, _rx, _gl).alias("hypos"),
+                    F.lit(_n).alias("pattern"),
+                )
+
+            rows = F.transform(matches, _mk(name, rx, g_hyper, g_list))
+            parts.append(
+                F.when(text.contains(guard), rows)
+                .otherwise(F.array().cast(struct_t))
             )
+        return F.concat(*parts).cast(struct_t)
+
+    return (
+        docs.select(
+            F.col(url_col).alias("url"),
+            F.explode(
+                bind(F.lower(F.col(text_col)), _pattern_rows)
+            ).alias("_m"),
         )
-        outs.append(
-            docs.filter(text.contains(guard))
-            .select(F.col(url_col).alias("url"), pair.alias("_m"))
-            .select(
-                "url",
-                F.col("_m.hyper").alias("hyper"),
-                F.explode(F.split(F.col("_m.hypos"), _SPLIT_LIST)).alias("hypo"),
-            )
-            .filter((F.col("hypo") != "") & (F.col("hypo") != F.col("hyper")))
-            .select("url", "hypo", "hyper", F.lit(name).alias("pattern"))
+        .select(
+            "url",
+            F.col("_m.hyper").alias("hyper"),
+            F.explode(F.split(F.col("_m.hypos"), _SPLIT_LIST)).alias("hypo"),
+            F.col("_m.pattern").alias("pattern"),
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+        .filter((F.col("hypo") != "") & (F.col("hypo") != F.col("hyper")))
+        .select("url", "hypo", "hyper", "pattern")
+    )
 
 
 def taxonomy_edges(pairs: DataFrame, min_support: int = 2) -> DataFrame:
