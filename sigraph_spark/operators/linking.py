@@ -309,6 +309,7 @@ def connected_components(
     dst: str = "b",
     max_iter: int = 50,
     metrics: dict | None = None,
+    small_graph_edges: int = 100_000,
 ) -> DataFrame:
     """Alternating large-star/small-star connected components (SURVEY.md
     §4-custom-1; Kiveris et al. 2014). Deterministic: the canonical id is
@@ -333,6 +334,52 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     n_prev = e.count()
+    if n_prev <= small_graph_edges:
+        # SMALL-GRAPH FAST PATH — the broadcast-join analog for an
+        # iterative algorithm: below the (parameterized) threshold the
+        # canonical edge set fits the driver trivially, and each star
+        # round otherwise costs ~6 shuffle stages of scheduling latency
+        # regardless of data size. Union-find with min-id tracking
+        # produces the IDENTICAL (entity, canonical_id) relation the
+        # contraction converges to (canonical = component minimum);
+        # above the threshold nothing changes. ~100k edges is well
+        # under a driver heartbeat of memory; a 100 TB near-dup graph
+        # takes the distributed path as before.
+        rows = e.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r_ in rows:
+            u, v = r_["u"], r_["v"]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by min: the smaller id roots the tree, so the
+                # root IS the component minimum at all times
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+        mapping = sorted((x, find(x)) for x in parent)
+        if metrics is not None:
+            metrics["rounds"] = 0
+            metrics["edges_final"] = sum(1 for x, c in mapping if x != c)
+        return edges.sparkSession.createDataFrame(
+            mapping,
+            schema=(
+                e.select(
+                    F.col("u").alias("entity"),
+                    F.col("v").alias("canonical_id"),
+                ).schema
+            ),
+        )
     rounds = 0
     for _ in range(max_iter):
         rounds += 1

@@ -382,3 +382,37 @@ def test_canonicalize_predicates_broadcast_passthrough(spark):
     assert got == {("s1", "fetch"), ("s2", "unseen")}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_cc_small_graph_fast_path_equals_star_contraction(spark):
+    """r06: small edge sets take a driver union-find fast path (the
+    broadcast-join analog). Pin it against the distributed star path
+    (forced via small_graph_edges=0) on a fixture with a hub, a long
+    chain, a cycle, and singleton pairs — labels must agree exactly,
+    and the star path must still converge in log rounds."""
+    import random
+
+    rng = random.Random(11)
+    rows = [("hub", f"s{i:03d}") for i in range(50)]
+    rows += [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(60)]
+    rows += [("c000", "hub")]                      # join chain to hub
+    rows += [("z1", "z2"), ("z2", "z3"), ("z3", "z1")]  # cycle
+    rows += [(f"x{k}a", f"x{k}b") for k in range(4)]
+    rng.shuffle(rows)
+    edges = spark.createDataFrame(rows, "a string, b string")
+    fast_metrics: dict = {}
+    fast = {r["entity"]: r["canonical_id"]
+            for r in connected_components(
+                edges, metrics=fast_metrics).collect()}
+    assert fast_metrics["rounds"] == 0  # fast path engaged
+    star_metrics: dict = {}
+    star = {r["entity"]: r["canonical_id"]
+            for r in connected_components(
+                edges, metrics=star_metrics,
+                small_graph_edges=0).collect()}
+    assert star_metrics["rounds"] >= 1  # distributed path engaged
+    assert fast == star
+    # schema parity: both paths must expose identical column types
+    a = connected_components(edges)
+    b = connected_components(edges, small_graph_edges=0)
+    assert a.schema == b.schema
