@@ -100,20 +100,22 @@ def textrank_sentences(
     )
     words = _sentence_words(sents).localCheckpoint(eager=False)
 
-    w1 = words.alias("w1")
-    w2 = words.alias("w2")
+    # sentence-pair evidence via ONE grouped shuffle + in-place cross
+    # explode (the a/b self-join shuffled the word table twice and then
+    # aggregated — same device as textreuse/minhash pair generation).
+    # Group = sentences containing a word within one document, bounded
+    # by max_sentences, so the explode fan-out equals the old join's.
+    grouped = words.groupBy("doc_id", "word").agg(
+        F.collect_list("sentence_id").alias("_sids")
+    )
     edges_half = (
-        w1.join(
-            w2,
-            (F.col("w1.doc_id") == F.col("w2.doc_id"))
-            & (F.col("w1.word") == F.col("w2.word"))
-            & (F.col("w1.sentence_id") < F.col("w2.sentence_id")),
+        grouped.select(
+            "doc_id", F.explode("_sids").alias("i"),
+            F.col("_sids").alias("_s2"),
         )
-        .groupBy(
-            F.col("w1.doc_id").alias("doc_id"),
-            F.col("w1.sentence_id").alias("i"),
-            F.col("w2.sentence_id").alias("j"),
-        )
+        .select("doc_id", "i", F.explode("_s2").alias("j"))
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("doc_id", "i", "j")
         .agg(F.count("*").alias("w"))
     )
     edges = edges_half.unionByName(
@@ -263,11 +265,14 @@ def rake_keywords(
     ``<= max_phrase_words`` words.
     """
     phrases = _phrase_table(docs, text_col, id_col, max_phrase_words)
+    # two consumers (word stats, the scoring join) — materialize the
+    # occurrence explode once instead of re-running the phrase-table
+    # regex passes per consumer
     occ = phrases.select(
         "doc_id", "phrase",
         F.size("words").alias("plen"),
         F.explode("words").alias("word"),
-    )
+    ).localCheckpoint(eager=False)
     stats = occ.groupBy("doc_id", "word").agg(
         F.count("*").alias("freq"),
         F.sum("plen").alias("deg"),
