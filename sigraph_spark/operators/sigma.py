@@ -670,7 +670,10 @@ def apply_correlation(
     # NTZ timestamps cannot cast to long directly; route through the
     # session-UTC timestamp type (sessions pin UTC — session.py)
     epoch = F.col(ts_col).cast("timestamp").cast("long")
-    bucket = epoch - (epoch % F.lit(span))
+    # floor-aligned bucket (pmod, not %): Spark's % truncates toward
+    # zero, so pre-1970 (negative-epoch) timestamps would land one
+    # bucket above the streaming twin's F.window floor alignment
+    bucket = epoch - F.pmod(epoch, F.lit(span))
     g = matched.withColumn("window_start",
                            F.timestamp_seconds(bucket))
     keys = [*group_by, "window_start"]

@@ -167,6 +167,23 @@ def _rows_df(store: DataFrame, rows, quad: bool) -> DataFrame:
         [r[:3] for r in rows], "src string, predicate string, dst string")
 
 
+def _anti_delete(store: DataFrame, rel: DataFrame, cols,
+                 quad: bool) -> DataFrame:
+    """Anti-join delete on the triple/quad columns. A quad store's
+    default graph is ``g = NULL`` and plain ``=`` never matches NULL,
+    so ``g`` compares null-safely (``eqNullSafe``) — otherwise deletes
+    targeting the default graph silently keep their rows."""
+    if not quad:
+        return store.join(rel, cols, "left_anti")
+    left, right = store.alias("_l"), rel.alias("_r")
+    cond = None
+    for c in cols:
+        lc, rc = F.col(f"_l.{c}"), F.col(f"_r.{c}")
+        eq = lc.eqNullSafe(rc) if c == "g" else lc == rc
+        cond = eq if cond is None else cond & eq
+    return left.join(right, cond, "left_anti")
+
+
 def _apply_one(store: DataFrame, op: str, quad: bool,
                max_depth: int) -> DataFrame:
     cols = list(store.columns)
@@ -177,7 +194,7 @@ def _apply_one(store: DataFrame, op: str, quad: bool,
         rel = _rows_df(store, _parse_data_block(m.group(2), quad), quad)
         if m.group(1).upper() == "INSERT":
             return store.unionByName(rel).distinct()
-        return store.join(rel, cols, "left_anti")
+        return _anti_delete(store, rel, cols, quad)
 
     m = re.match(r"CLEAR\s+(DEFAULT|ALL|GRAPH\s+<?([^\s>]+)>?)\s*$", op,
                  re.IGNORECASE)
@@ -252,7 +269,7 @@ def _apply_one(store: DataFrame, op: str, quad: bool,
     out = store
     if del_txt is not None:
         del_rel = _instantiate(bindings, _parse_templates(del_txt), quad)
-        out = out.join(del_rel, cols, "left_anti")
+        out = _anti_delete(out, del_rel, cols, quad)
     if ins_txt is not None:
         ins_rel = _instantiate(bindings, _parse_templates(ins_txt), quad)
         out = out.unionByName(ins_rel)

@@ -66,16 +66,20 @@ def stream_correlation(
     win = F.window(F.col(ts_col), f"{span} seconds")
     g = matched.withWatermark(ts_col, watermark).groupBy(
         win.alias("_w"), *group_by)
+    # count_distinct is rejected inside watermarked streaming
+    # aggregations (AnalysisException on Spark 4.x); size(collect_set)
+    # is the streaming-supported equivalent — both ignore NULLs, so the
+    # value is identical to the batch twin's count_distinct.
     if ctype == "event_count":
         agg = g.agg(F.count(F.lit(1)).cast("long").alias("agg_value"))
     elif ctype == "value_count":
         fld = correlation.get("field")
         if not fld:
             raise ValueError("value_count needs a field")
-        agg = g.agg(F.count_distinct(F.col(fld)).cast("long")
+        agg = g.agg(F.size(F.collect_set(F.col(fld))).cast("long")
                     .alias("agg_value"))
     else:
-        agg = g.agg(F.count_distinct(F.col("_rule")).cast("long")
+        agg = g.agg(F.size(F.collect_set(F.col("_rule"))).cast("long")
                     .alias("agg_value"))
     return agg.filter(cond).select(
         F.lit(rid).alias("rule_id"), *group_by,

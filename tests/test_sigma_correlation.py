@@ -84,3 +84,22 @@ def test_loud_errors(spark):
         apply_correlation(ev, {"type": "temporal", "rules": ["fail"],
                                "timespan": "1m",
                                "condition": {"gte": 1}}, {"fail": FAIL})
+
+
+def test_negative_epoch_bucket_floor_aligned(spark):
+    # r5 ADVICE (low): pre-1970 timestamps must land in the SAME
+    # floor-aligned bucket F.window uses, not one bucket above (the
+    # truncating-% artifact). 1969-12-31 23:59:30 is epoch -30; with a
+    # 1-minute span its floor bucket starts at epoch -60.
+    t = datetime.datetime(1969, 12, 31, 23, 59, 30)
+    rows = [(i, t + datetime.timedelta(seconds=i), 1, "login_fail", 0.0)
+            for i in range(3)]
+    corr = {"id": "neg", "type": "event_count", "rules": ["fail"],
+            "group-by": ["user_id"], "timespan": "1m",
+            "condition": {"gte": 3}}
+    out = apply_correlation(_events(spark, rows), corr,
+                            {"fail": FAIL}).collect()
+    assert len(out) == 1
+    assert out[0]["window_start"] == datetime.datetime(1969, 12, 31,
+                                                       23, 59, 0)
+    assert out[0]["agg_value"] == 3

@@ -148,3 +148,20 @@ def test_duplicate_store_rows_collapse(spark):
     dup = _store(spark, BASE + [("a", "knows", "b")])
     out = update_sparql(dup, "INSERT DATA { q p r }")
     assert len(out.collect()) == len(set(BASE)) + 1
+
+
+def test_quad_default_graph_delete(spark):
+    # NULL g (the default graph) must match null-safely in the delete
+    # anti-joins; plain = keeps the rows silently (r5 ADVICE, high).
+    quad = _store(spark, [("a", "p", "b", None), ("c", "p", "d", "g1")],
+                  quad=True)
+    out = update_sparql(quad, "DELETE DATA { a p b }")
+    assert _rows(out) == {("c", "p", "d", "g1")}
+    # WHERE + templates are default-graph scoped: only the g-NULL row
+    # binds and is deleted; the named-graph row survives
+    out = update_sparql(quad, "DELETE WHERE { ?s p ?o }")
+    assert _rows(out) == {("c", "p", "d", "g1")}
+    # template-path delete with an INSERT: default-graph row rewritten
+    out = update_sparql(
+        quad, "DELETE { ?s p ?o } INSERT { ?o q ?s } WHERE { ?s p ?o }")
+    assert _rows(out) == {("c", "p", "d", "g1"), ("b", "q", "a", None)}

@@ -68,3 +68,53 @@ def test_stream_equals_batch(spark, tmp_path):
         assert batch[k] == v, k
     # all three alert windows are far behind the closer event: emitted
     assert set(got) == set(batch)
+
+
+def _run_stream(spark, tmp_path, corr, rules, name):
+    ev = _events(spark)
+    src = str(tmp_path / f"ev_{name}")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double").parquet(src)
+    out = str(tmp_path / f"alerts_{name}")
+    q = (
+        stream_correlation(stream, corr, rules, watermark="1 minute")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / f"cp_{name}"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return {(r["user_id"], r["window_start"]): r["agg_value"]
+            for r in spark.read.parquet(out).collect()}
+
+
+def test_stream_value_count_equals_batch(spark, tmp_path):
+    # r5 ADVICE (medium): count_distinct is rejected in watermarked
+    # streaming aggs; the collect_set form must start AND match batch.
+    corr = {"id": "vc", "type": "value_count", "field": "event_id",
+            "rules": ["fail"], "group-by": ["user_id"],
+            "timespan": "1m", "condition": {"gte": 3}}
+    got = _run_stream(spark, tmp_path, corr, {"fail": FAIL}, "vc")
+    ev = _events(spark)
+    batch = {(r["user_id"], r["window_start"]): r["agg_value"]
+             for r in apply_correlation(ev, corr, {"fail": FAIL}).collect()}
+    assert got == batch and len(batch) == 3
+
+
+def test_stream_temporal_equals_batch(spark, tmp_path):
+    other = {"id": "other", "detection": {"sel": {"event_type": "other"},
+                                          "condition": "sel"}}
+    corr = {"id": "tm", "type": "temporal",
+            "rules": ["fail", "other"], "group-by": ["user_id"],
+            "timespan": "1m", "condition": {"gte": 2}}
+    rules = {"fail": FAIL, "other": other}
+    got = _run_stream(spark, tmp_path, corr, rules, "tm")
+    ev = _events(spark)
+    batch = {(r["user_id"], r["window_start"]): r["agg_value"]
+             for r in apply_correlation(ev, corr, rules).collect()}
+    # only user 1's first window has both rules fire
+    assert got == batch and len(batch) == 1
