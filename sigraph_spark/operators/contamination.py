@@ -170,10 +170,12 @@ def dup_spans(
 
     Two aggregations, one logical shuffle key each:
       1. ``groupBy(gram)`` → number of distinct docs containing it
-         (uniform 32-ish-bit key space — scales like exact dedup);
-      2. ``groupBy(doc_id)`` → per-doc shared fraction.
-    The gram->doc_count table is reused across both sides via a self-join
-    on ``gram`` rather than recomputing shingles.
+         (uniform 32-ish-bit key space — scales like exact dedup),
+         carrying the gram's doc list so the per-doc side regenerates
+         from the GROUPED postings instead of a self-join — the text is
+         shingled once and the gram string is never shuffled twice;
+      2. ``groupBy(doc_id)`` over exploded ``(doc_id, shared)`` pairs —
+         a shuffle of two small columns, not the gram text.
 
     Returns ``(doc_id, total_ngrams, shared_ngrams, dup_span_ratio)``
     with the ratio rounded to 6dp (same convention as repetition_score).
@@ -182,16 +184,21 @@ def dup_spans(
         F.col(id_col),
         F.explode(_word_shingles(F.col(text_col), k)).alias("gram"),
     )
-    # shingles from _word_shingles are distinct within a doc already
-    counts = grams.groupBy("gram").agg(
-        F.count(F.lit(1)).cast("long").alias("doc_count")
+    # shingles from _word_shingles are distinct within a doc already,
+    # so collect_list per gram is the exact posting list and its size
+    # the doc_count the old self-join recomputed
+    postings = grams.groupBy("gram").agg(
+        F.collect_list(F.col(id_col)).alias("_ids")
     )
     return (
-        grams.join(counts, "gram")
+        postings.select(
+            F.explode("_ids").alias(id_col),
+            (F.size("_ids") > 1).cast("long").alias("_shared"),
+        )
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("total_ngrams"),
-            F.sum((F.col("doc_count") > 1).cast("long")).cast("long").alias("shared_ngrams"),
+            F.sum("_shared").cast("long").alias("shared_ngrams"),
         )
         .select(
             id_col,
