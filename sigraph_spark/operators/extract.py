@@ -86,9 +86,13 @@ def strip_html(
     s = _BLOCK_RE.sub("\n", s)
     s = _TAG_RE.sub(" ", s)
     s = _htmllib.unescape(s)
+    # one space-collapse pass over the whole document (the class excludes
+    # \n, so this is identical to per-line sub) instead of a C regex call
+    # per line; str.strip then drops the collapsed edge spaces
+    s = _SPACES_RE.sub(" ", s)
     lines = []
     for line in s.split("\n"):
-        line = _SPACES_RE.sub(" ", line).strip()
+        line = line.strip()
         if line:
             lines.append(line)
     return "\n".join(lines)

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -100,6 +101,9 @@ _SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+(?=[A-Z])|\n+")
 _CLAUSE_SPLIT_RE = re.compile(r";\s+|,?\s+and then\s+|,\s+then\s+|,?\s+which\s+")
 _AND_RE = re.compile(r"\s+and\s+")
 _TRAIL_PUNCT_RE = re.compile(r"[\s.;,]+$")
+# one merged lexicon set so the per-token loop pays a single hash lookup
+# instead of up to four
+_ALL_VERBS = frozenset(_VERB_MAP) | _DOWNLOAD_VERBS | _MOVE_VERBS | _LOAD_VERBS
 
 
 @dataclass
@@ -116,9 +120,14 @@ def _strip_object(obj: str) -> str:
     return _TRAIL_PUNCT_RE.sub("", obj).strip()
 
 
+@lru_cache(maxsize=65536)
 def _named_entity(text: str) -> str | None:
     """Family > group named-entity match inside a clause (prompt.py:61-67:
-    when both appear, prefer the FAMILY for host-level behaviors)."""
+    when both appear, prefer the FAMILY for host-level behaviors).
+
+    Pure function of the text; memoized because subject phrases and
+    clauses repeat heavily across a templated crawl corpus, turning the
+    two regex searches into one dict hit for repeats."""
     fam = _FAMILY_RE.search(text)
     if fam:
         return fam.group(1)
@@ -130,11 +139,19 @@ def _named_entity(text: str) -> str | None:
 
 def _split_clauses(sentence: str) -> list[str]:
     """Atomic split on ';', 'and then', ', then', 'which' (prompt.py:96-99);
-    plain ' and ' splits only when the remainder carries its own verb."""
-    parts = [p for p in _CLAUSE_SPLIT_RE.split(sentence) if p.strip()]
+    plain ' and ' splits only when the remainder carries its own verb.
+
+    The regex splits only run when a cheap substring scan finds their
+    anchor words at all (every ``_CLAUSE_SPLIT_RE`` alternative contains
+    ';', 'then' or 'which'; every ``_AND_RE`` match contains 'and') —
+    most sentences carry none and skip both C regex passes entirely."""
+    if ";" in sentence or "then" in sentence or "which" in sentence:
+        parts = [p for p in _CLAUSE_SPLIT_RE.split(sentence) if p.strip()]
+    else:
+        parts = [sentence] if sentence.strip() else []
     out: list[str] = []
     for p in parts:
-        sub = _AND_RE.split(p)
+        sub = _AND_RE.split(p) if "and" in p else [p]
         if len(sub) > 1:
             acc = sub[0]
             for nxt in sub[1:]:
@@ -155,12 +172,7 @@ def _find_verb(tokens: list[str]) -> tuple[int, str] | None:
     """First lexicon verb in the clause -> (index, raw token)."""
     for i, tok in enumerate(tokens):
         w = tok.lower().rstrip(".,;:")
-        if (
-            w in _VERB_MAP
-            or w in _DOWNLOAD_VERBS
-            or w in _MOVE_VERBS
-            or w in _LOAD_VERBS
-        ):
+        if w in _ALL_VERBS:
             return i, w
     return None
 
@@ -171,8 +183,16 @@ def _actor_from_phrase(phrase: str, current: str | None) -> str | None:
     strictly **forward-only** (the reference propagates "across all lines"
     consistently) so chunked and whole-document extraction agree."""
     p = phrase.strip().rstrip(",")
+    r = _resolve_subject(p)
+    return current if r is None else r
+
+
+@lru_cache(maxsize=65536)
+def _resolve_subject(p: str) -> str | None:
+    """Pure phrase -> entity resolution (None = fall back to the
+    propagated actor). Memoized: subject phrases repeat across docs."""
     if not p or p.lower() in _GENERIC_ACTORS:
-        return current
+        return None
     # annotated form "XenoRAT (powershell.exe)" keeps the family
     m = _named_entity(p)
     if m:
@@ -182,7 +202,7 @@ def _actor_from_phrase(phrase: str, current: str | None) -> str | None:
         return m.group(1)
     # unknown noun phrase: fall back to the propagated actor rather than
     # emit a generic actor (ACTOR NAMING POLICY is ENFORCED)
-    return current
+    return None
 
 
 def extract_triples(text: str) -> list[ExtractedTriple]:
