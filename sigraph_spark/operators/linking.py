@@ -183,6 +183,7 @@ def tfidf_cosine_scores(
     entities: DataFrame,
     pairs: DataFrame,
     k: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """TF-IDF cosine over char-k-gram shingles for the LSH-pruned pairs,
     computed ENTIRELY JVM-side. Returns (a, b, cosine).
@@ -199,7 +200,7 @@ def tfidf_cosine_scores(
     )
     dfreq = term.groupBy("sh").agg(F.count(F.lit(1)).cast("double").alias("_df"))
     nrow = entities.agg(F.count(F.lit(1)).cast("double").alias("_n"))
-    return _cosine_with_df(entities, pairs, dfreq, nrow, k)
+    return _cosine_with_df(entities, pairs, dfreq, nrow, k, materialize)
 
 
 def _cosine_with_df(
@@ -208,6 +209,7 @@ def _cosine_with_df(
     dfreq: DataFrame,
     nrow: DataFrame,
     k: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Cosine core with EXPLICIT document-frequency statistics: ``dfreq``
     is (sh, _df double) and ``nrow`` a one-row (_n double) frame. The
@@ -248,8 +250,11 @@ def _cosine_with_df(
     # sides, and the unmaterialized form recomputes the idf agg + map
     # build per side (and inflates the composed linking plan past the
     # whole-stage-codegen size cliff). O(vocab) rows of short-string
-    # shingle maps.
-    vecs = vecs.localCheckpoint(eager=True)
+    # shingle maps. The tiny-vocab caller opts out (materialize=False):
+    # there the recompute is cheaper than one more sequential job of
+    # scheduling latency.
+    if materialize:
+        vecs = vecs.localCheckpoint(eager=True)
     lhs = vecs.select(F.col("entity").alias("a"), F.col("vm").alias("va"))
     rhs = vecs.select(F.col("entity").alias("b"), F.col("vm").alias("vb"))
     dot = F.aggregate(
@@ -494,12 +499,50 @@ def link_entities(
     path keeps pair generation near-linear.
     """
     vocab = entity_vocab(triples).localCheckpoint(eager=True)
-    if vocab.limit(small_vocab_max + 1).count() <= small_vocab_max:
+    head = vocab.limit(small_vocab_max + 1).collect()
+    if len(head) <= small_vocab_max:
+        # tiny vocabulary: the pair scoring still runs in Spark (same
+        # expressions, same floats), but WITHOUT the intermediate
+        # checkpoints — on <= ~1k entities each extra sequential job is
+        # pure scheduling latency. Matches collect (bounded by the
+        # capped pair count), the component labels come from the same
+        # min-id union-find the connected_components fast path uses,
+        # and the total mapping is assembled driver-side from the
+        # already-collected vocabulary — no join, 3 jobs instead of ~8.
         a = vocab.select(F.col("entity").alias("a"))
         b = vocab.select(F.col("entity").alias("b"))
         pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
-    else:
-        pairs = candidate_pairs(vocab)
+        scored = tfidf_cosine_scores(vocab, pairs, materialize=False)
+        match_rows = (
+            scored.filter(F.col("cosine") >= cosine_threshold)
+            .select("a", "b").collect()
+        )
+        ents = [r["entity"] for r in head]
+        parent = {e: e for e in ents}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r_ in match_rows:
+            ru, rv = find(r_["a"]), find(r_["b"])
+            if ru != rv:
+                if rv < ru:  # min-id roots (Python str order == UTF-8
+                    ru, rv = rv, ru  # byte order == Spark string order)
+                parent[rv] = ru
+        # broadcast hint: a driver-built frame scans as ExistingRDD with
+        # unknown stats, which silently demotes the downstream
+        # canonicalize joins to sort-merge; the mapping is provably
+        # <= small_vocab_max rows, the sanctioned broadcast size
+        return F.broadcast(triples.sparkSession.createDataFrame(
+            [(e, find(e)) for e in ents],
+            schema="entity string, canonical_id string",
+        ))
+    pairs = candidate_pairs(vocab)
     scored = tfidf_cosine_scores(vocab, pairs)
     matches = (
         scored.filter(F.col("cosine") >= cosine_threshold)
