@@ -118,84 +118,78 @@ def textrank_sentences(
         .groupBy("doc_id", "i", "j")
         .agg(F.count("*").alias("w"))
     )
-    edges = edges_half.unionByName(
-        edges_half.select("doc_id", F.col("j").alias("i"),
-                          F.col("i").alias("j"), "w")
-    )
-    # three consumers (norm_edges join, the initial score table, the
-    # isolated-node reinstatement) — materialize the node table once
-    # rather than re-deriving the word-pair self-join per consumer
-    wsum = edges.groupBy(
-        F.col("doc_id").alias("wdoc"), F.col("i").alias("wnode")
-    ).agg(F.sum("w").alias("wtot")).localCheckpoint(eager=False)
-    # out-normalized edge: contribution of node j onto node i. The
-    # word-pair self-join is the expensive part — localCheckpoint keeps
-    # the iteration loop from re-deriving it once per round (same device
-    # as graphalgo's frontier loops).
-    norm_edges = (
-        edges.join(
-            wsum,
-            (F.col("doc_id") == F.col("wdoc"))
-            & (F.col("j") == F.col("wnode")),
-        )
-        .select("doc_id", "i", "j", "w", "wtot")
-        .localCheckpoint(eager=False)
+    teleport = (15 * _SCALE) // 100
+    # GROUPED POWER ITERATION (guide §1.2 "the distributed algorithm"):
+    # ``max_sentences`` bounds every document's graph to a CONSTANT
+    # (<= 40 nodes, <= 780 half-edges), so the whole damped iteration is
+    # O(1) per document — a narrow map over one collected edge array —
+    # while the DataFrame-level loop paid (join + aggregate) x iters
+    # sequential shuffles of the full edge set. One groupBy collects
+    # each document's half-edges; the kernel below mirrors them, builds
+    # the per-node weight sums, and unrolls the iterations with
+    # let-bound arrays (each round evaluated once). Arithmetic is the
+    # SAME exact BIGINT recurrence (teleport + 85*inflow DIV 100 with
+    # per-edge sscore*w DIV wtot), so aggregation order still cannot
+    # perturb a bit and the oracle is unchanged.
+    per_doc = edges_half.groupBy("doc_id").agg(
+        F.collect_list(F.struct("i", "j", "w")).alias("_e")
     )
 
-    teleport = (15 * _SCALE) // 100
-    # Iterate over CONNECTED nodes only (guide §2.4): the graph is
-    # symmetric (edges_half is unioned both ways), so a node is in
-    # ``wsum`` iff it has any edge. An isolated node receives no inflow
-    # in any round — after round 1 its score is exactly ``teleport`` —
-    # and contributes to no one, so it can be reinstated once at the
-    # end instead of via a per-iteration left join against the full
-    # sentence table (which cost one extra shuffle + join per round).
-    # Every connected node keeps a contrib row each round (each of its
-    # in-edges joins a prev row), so the inner join loses nothing and
-    # the arithmetic per node is unchanged — oracle-identical.
-    scores = wsum.select(
-        F.col("wdoc").alias("doc_id"), F.col("wnode").alias("node"),
-        F.lit(_SCALE).cast("long").alias("score"),
+    def _let_s(val: str, var: str, body: str) -> str:
+        return f"element_at(transform(array({val}), {var} -> {body}), 1)"
+
+    Z = "CAST(0 AS BIGINT)"
+    nodes_s = ("array_sort(array_distinct(concat("
+               "transform(_e, x -> x.i), transform(_e, x -> x.j))))")
+    pe_s = ("transform(_e, x -> named_struct("
+            "'pi', CAST(array_position(ns, x.i) AS INT), "
+            "'pj', CAST(array_position(ns, x.j) AS INT), 'w', x.w))")
+    wt_s = (f"transform(sequence(1, size(ns)), q -> aggregate(pe, {Z}, "
+            f"(a, x) -> a + IF(x.pi = q OR x.pj = q, x.w, {Z})))")
+
+    def _round(pv: str) -> str:
+        # inflow over the mirrored edges: (pi, pj, w) contributes
+        # prev[pj]*w DIV wtot[pj] to pi and prev[pi]*w DIV wtot[pi]
+        # to pj — exactly the symmetric norm_edges join's per-row term
+        return (
+            "transform(sequence(1, size(ns)), q -> CAST("
+            f"{teleport} + (85 * aggregate(pe, {Z}, (a, x) -> a"
+            f" + IF(x.pi = q, (element_at({pv}, x.pj) * x.w)"
+            f" DIV element_at(wt, x.pj), {Z})"
+            f" + IF(x.pj = q, (element_at({pv}, x.pi) * x.w)"
+            f" DIV element_at(wt, x.pi), {Z})"
+            ")) DIV 100 AS BIGINT))"
+        )
+
+    cur = f"transform(ns, n -> CAST({_SCALE} AS BIGINT))"
+    for k in range(iters):
+        cur = _let_s(cur, f"pv{k}", _round(f"pv{k}"))
+    kernel = _let_s(
+        nodes_s, "ns",
+        _let_s(pe_s, "pe",
+               _let_s(wt_s, "wt",
+                      f"zip_with(ns, {cur}, (n, s) -> "
+                      "named_struct('node', n, 'score', s))")),
     )
-    for _ in range(iters):
-        prev = scores.select(
-            F.col("doc_id").alias("sdoc"), F.col("node").alias("snode"),
-            F.col("score").alias("sscore"),
-        )
-        scores = (
-            norm_edges.join(
-                prev,
-                (F.col("doc_id") == F.col("sdoc"))
-                & (F.col("j") == F.col("snode")),
-            )
-            .select(
-                F.col("doc_id").alias("cdoc"),
-                F.col("i").alias("cnode"),
-                F.expr("sscore * w DIV wtot").alias("c"),
-            )
-            .groupBy("cdoc", "cnode")
-            .agg(F.sum("c").alias("inflow"))
-            .select(
-                F.col("cdoc").alias("doc_id"), F.col("cnode").alias("node"),
-                (F.lit(teleport) + F.expr("85 * inflow DIV 100"))
-                .cast("long").alias("score"),
-            )
-        )
-    isolated = (
+    conn = per_doc.select(
+        "doc_id", F.explode(F.expr(kernel)).alias("_x")
+    ).select(
+        "doc_id", F.col("_x.node").alias("node"),
+        F.col("_x.score").alias("score"),
+    )
+    # isolated sentences receive no inflow in any round: exactly the
+    # teleport term after round 1 (initial SCALE when iters == 0)
+    scores = (
         sents.select("doc_id", F.col("sentence_id").alias("node"))
-        .join(
-            wsum,
-            (F.col("doc_id") == F.col("wdoc"))
-            & (F.col("node") == F.col("wnode")),
-            "left_anti",
-        )
+        .join(conn, ["doc_id", "node"], "left")
         .select(
             "doc_id", "node",
-            F.lit(_SCALE if iters == 0 else teleport)
-            .cast("long").alias("score"),
+            F.coalesce(
+                F.col("score"),
+                F.lit(_SCALE if iters == 0 else teleport).cast("long"),
+            ).alias("score"),
         )
     )
-    scores = scores.unionByName(isolated)
 
     from pyspark.sql import Window
 
