@@ -175,18 +175,27 @@ def scoped_attr_kernel(
                 F.trim(_attr(at, prop_attr)).alias("prop"),
                 F.trim(_attr(at, type_attr)).alias("typ"),
                 # value precedence: content attr > tag-specific attr >
-                # trailing text run; the group-3 extract only runs when
-                # both attrs are empty
+                # trailing text run. The text run is everything after
+                # the FIRST '>' of the matched tag (the attr run cannot
+                # contain <>, and the match already stops at the next
+                # '<') — a substring, not a third full-pattern re-match
                 F.coalesce(
                     nz(_attr(at, "content")), nz(tag_attr),
-                    F.trim(F.regexp_extract(t, tag_re, 3)),
+                    F.trim(
+                        F.substring(t, F.instr(t, ">") + 1, F.length(t))
+                    ),
                 ).alias("val"),
             )
 
+        # group pulls via cheap ANCHORED patterns instead of re-running
+        # the full tag_re (alternation + lookbehind) against each tag
+        # string: the match always starts '<name' and its first '>'
+        # closes the attr run, so these extract the IDENTICAL groups —
+        # measured ~2/3 of each scoped channel's kernel CPU
         return let(
-            F.regexp_extract(t, tag_re, 2),
+            F.regexp_extract(t, r"(?s)^<[a-zA-Z][a-zA-Z0-9]*([^<>]*)>", 1),
             lambda at: let(
-                F.lower(F.regexp_extract(t, tag_re, 1)),
+                F.lower(F.regexp_extract(t, r"^<([a-zA-Z][a-zA-Z0-9]*)", 1)),
                 lambda nm: build(at, nm),
             ),
         )
