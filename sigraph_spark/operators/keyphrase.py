@@ -47,14 +47,20 @@ RAKE_STOPWORDS = (
 def _sentence_words(sentences: DataFrame) -> DataFrame:
     """Distinct lowercase alphanumeric tokens per sentence (splitting on
     non-alphanumeric runs strips the sentence-final punctuation that
-    ``split_sentences`` keeps attached)."""
-    ws = F.split(F.lower(F.col("sentence")), r"[^a-z0-9]+")
-    return (
-        sentences.select(
-            "doc_id", "sentence_id", F.explode(ws).alias("word")
+    ``split_sentences`` keeps attached).
+
+    Dedup happens INSIDE each sentence row (``array_distinct`` before
+    the explode): rows are unique per (doc_id, sentence_id), so
+    row-local distinct equals the global ``.distinct()`` this used to
+    shuffle the whole exploded word table for — zero-shuffle now."""
+    ws = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.col("sentence")), r"[^a-z0-9]+"),
+            lambda w: w != "",
         )
-        .filter(F.col("word") != "")
-        .distinct()
+    )
+    return sentences.select(
+        "doc_id", "sentence_id", F.explode(ws).alias("word")
     )
 
 
