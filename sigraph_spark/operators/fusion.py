@@ -590,13 +590,14 @@ def fuse_triples(
     votes = c.groupBy("subject", "predicate", "object").agg(
         F.count(F.lit(1)).cast("long").alias("votes")
     )
-    w0 = Window.partitionBy("subject", "predicate").orderBy(
-        F.desc("votes"), F.asc("object")
-    )
-    winner0 = (
-        votes.withColumn("_rn", F.row_number().over(w0))
-        .filter(F.col("_rn") == 1)
-        .select("subject", "predicate", F.col("object").alias("_win0"))
+    # winner selection as an ALGEBRAIC min-struct aggregation instead of
+    # a ranking window: min over (-votes, object) is exactly "max votes,
+    # ties to the lexicographically smallest object", and unlike
+    # row_number it partial-aggregates map-side and needs no sort.
+    winner0 = votes.groupBy("subject", "predicate").agg(
+        F.min(F.struct(
+            (-F.col("votes")).alias("_nv"), F.col("object").alias("_o")
+        ))["_o"].alias("_win0")
     )
     scores = (
         c.join(winner0, ["subject", "predicate"])
@@ -606,31 +607,40 @@ def fuse_triples(
     )
     if broadcast_scores:
         scores = F.broadcast(scores)
+    # votes and weight come from ONE aggregation over the scored claims
+    # (the per-(s,p,o) claim count IS the vote count — the old
+    # weighted-join-votes re-join added a shuffle join for a value this
+    # grouping already sees)
     weighted = (
         c.join(scores, "source", "left")
         .groupBy("subject", "predicate", "object")
-        .agg(F.sum(F.coalesce("_score", F.lit(0))).alias("weight"))
-    )
-    w1 = Window.partitionBy("subject", "predicate").orderBy(
-        F.desc("weight"), F.asc("object")
-    )
-    fused = (
-        weighted.join(votes, ["subject", "predicate", "object"])
-        .withColumn("_rn", F.row_number().over(w1))
-        .withColumn(
-            "n_objects",
-            F.count(F.lit(1)).over(
-                Window.partitionBy("subject", "predicate")
-            ),
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("votes"),
+            F.sum(F.coalesce("_score", F.lit(0))).alias("weight"),
         )
-        .filter(F.col("_rn") == 1)
+    )
+    # round-1 winner + n_objects in one agg: (weight, object) is unique
+    # within a group (object is the grouping key of `weighted`), so
+    # trailing struct fields can never influence the min — they just
+    # ride along to be extracted from the winning row.
+    fused = (
+        weighted.groupBy("subject", "predicate")
+        .agg(
+            F.min(F.struct(
+                (-F.col("weight")).alias("_nw"),
+                F.col("object").alias("_o"),
+                F.col("votes").alias("_v"),
+                F.col("weight").alias("_w"),
+            )).alias("_win"),
+            F.count(F.lit(1)).cast("long").alias("n_objects"),
+        )
         .select(
             "subject",
             "predicate",
-            F.col("object").alias("fused_object"),
-            "votes",
-            "weight",
-            F.col("n_objects").cast("long").alias("n_objects"),
+            F.col("_win._o").alias("fused_object"),
+            F.col("_win._v").alias("votes"),
+            F.col("_win._w").alias("weight"),
+            "n_objects",
         )
     )
     if mv is None:
