@@ -91,13 +91,22 @@ def alias_map(
         .agg(F.count_distinct("url").alias("n_pages"))
         .filter(F.col("n_pages") >= min_pages)
     )
-    w = Window.partitionBy("short").orderBy(
-        F.col("n_pages").desc(), F.col("long").asc()
-    )
+    # winner per short form via algebraic min-struct (max pages, ties to
+    # lexicographically smallest expansion) — map-side partial agg
+    # instead of a ranking window; (n_pages, long) is unique per group
+    # so the trailing payload field cannot influence the min
     return (
-        votes.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .drop("_r")
+        votes.groupBy("short")
+        .agg(F.min(F.struct(
+            (-F.col("n_pages")).alias("_np"),
+            F.col("long").alias("_l"),
+            F.col("n_pages").alias("_n"),
+        )).alias("_w"))
+        .select(
+            "short",
+            F.col("_w._l").alias("long"),
+            F.col("_w._n").alias("n_pages"),
+        )
     )
 
 

@@ -122,21 +122,23 @@ def pronoun_coref(
         ),
         "left",
     )
-    pick = Window.partitionBy("doc_id", "sid", "pos").orderBy(
-        F.col("msid").desc_nulls_last(),
-        F.col("start_pos").desc_nulls_last(),
-    )
+    # most-recent antecedent via algebraic max-struct: NULL fields sort
+    # lowest in struct comparisons, so max over (msid, start_pos) is
+    # exactly "msid desc nulls last, start_pos desc nulls last, pick
+    # one"; mentions are unique per (msid, start_pos) within a pronoun
+    # group, so the trailing mention field cannot influence the max.
+    # Partial-aggregates map-side — no ranking window, no sort.
     return (
-        joined.withColumn("rn", F.row_number().over(pick))
-        .filter(F.col("rn") == 1)
+        joined.groupBy("doc_id", "sid", "pos", "pronoun")
+        .agg(F.max(F.struct("msid", "start_pos", "mention")).alias("_m"))
         .select(
             "doc_id",
             F.col("sid").cast("int").alias("sentence_id"),
             F.col("pos").cast("int").alias("pronoun_pos"),
             "pronoun",
-            F.col("mention").alias("antecedent"),
-            F.col("msid").cast("int").alias("antecedent_sid"),
-            F.col("start_pos").cast("int").alias("antecedent_pos"),
+            F.col("_m.mention").alias("antecedent"),
+            F.col("_m.msid").cast("int").alias("antecedent_sid"),
+            F.col("_m.start_pos").cast("int").alias("antecedent_pos"),
         )
     )
 

@@ -159,16 +159,16 @@ def entity_type_signature(
             F.countDistinct("o").alias("_no"),
         )
     )
-    w = Window.partitionBy("entity").orderBy(F.desc("_n"), F.asc("p"))
-    return (
-        counts.withColumn("_rn", F.row_number().over(w))
-        .groupBy("entity")
-        .agg(
-            F.max(F.when(F.col("_rn") == 1, F.col("p"))).alias("type_pred"),
-            F.sum("_n").alias("n_claims"),
-            F.count(F.lit(1)).cast("long").alias("n_predicates"),
-            F.sum("_no").alias("n_objects"),
-        )
+    # dominant predicate via min-struct inside the SAME aggregation the
+    # other stats use (max count, ties to smallest predicate) — the
+    # ranking window and its sort disappear outright
+    return counts.groupBy("entity").agg(
+        F.min(F.struct(
+            (-F.col("_n")).alias("_nn"), F.col("p").alias("_p")
+        ))["_p"].alias("type_pred"),
+        F.sum("_n").alias("n_claims"),
+        F.count(F.lit(1)).cast("long").alias("n_predicates"),
+        F.sum("_no").alias("n_objects"),
     )
 
 

@@ -253,17 +253,25 @@ def build_edges(parsed: DataFrame) -> DataFrame:
         F.col("weight").cast("long").alias("weight"),
         "span_id",
     )
-    w = Window.partitionBy("src", "predicate", "dst").orderBy(
-        F.col("start_time").desc(), F.col("span_id").desc()
-    )
+    # last-writer-wins as an ALGEBRAIC max-struct aggregation (the same
+    # semilattice merge_edges already uses): max over (start_time,
+    # span_id) IS "timestamp desc, span_id desc, pick one" — and unlike
+    # the row_number window it partial-aggregates map-side, so hot
+    # (src, predicate, dst) identities collapse before the shuffle
+    # instead of sorting inside it. weight rides along: (start_time,
+    # span_id) is unique per event, so it never influences the max.
     return (
-        directed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-        # the winning event's span_id rides along as the MERGE KEY: delta
-        # merges recombine last-writer-wins exactly via max(struct(
-        # start_time, last_span_id, ...)) — see merge_edges below
-        .withColumnRenamed("span_id", "last_span_id")
+        directed.groupBy("src", "predicate", "dst")
+        .agg(F.max(F.struct("start_time", "span_id", "weight")).alias("_w"))
+        .select(
+            "src", "predicate", "dst",
+            F.col("_w.start_time").alias("start_time"),
+            F.col("_w.weight").alias("weight"),
+            # the winning event's span_id rides along as the MERGE KEY:
+            # delta merges recombine last-writer-wins exactly via
+            # max(struct(start_time, last_span_id, ...)) — merge_edges
+            F.col("_w.span_id").alias("last_span_id"),
+        )
     )
 
 

@@ -61,13 +61,13 @@ def main() -> int:
     if "l_comment" in p:
         failures.append("tpch_q1: scanned unused column")
     # graph construction: codegen, no python
-    check(
-        "graph_edges",
-        E.q_graph_edges(spark, sf_dir),
-        # last-writer-wins dedup: Catalyst's WindowGroupLimit pushes the
-        # rank<=1 filter below the window (partial group limit map-side)
-        want=("WindowGroupLimit", "row_number"),
-    )
+    # last-writer-wins dedup is an algebraic max-struct aggregation
+    # (r6): partial_max must appear (map-side combine of hot edge
+    # identities) and no ranking window may remain
+    df = E.q_graph_edges(spark, sf_dir)
+    p = plan_of(df)
+    check("graph_edges", df, want=("partial_max",),
+          forbid=("WindowGroupLimit", "row_number"))
     # extraction: ArrowEvalPython only (the sanctioned pandas UDF)
     check(
         "triples_extract",
