@@ -403,7 +403,17 @@ def resolve_redirects(
             "x", "y", F.col("y").alias("m"), F.col("_d").isNull().alias("done")
         )
     )
+    # pointer doubling with EARLY TERMINATION (the page_chains device):
+    # each round is checkpointed and probed for still-active pointers,
+    # so the loop stops after ceil(log2(longest chain)) rounds instead
+    # of the fixed log2(max_steps) unroll — a round where every walk is
+    # done passes rows through unchanged (provable no-op). Cycle
+    # members never finish and keep the loop running to the cap, which
+    # the min-over-successors semantics requires.
+    ptr = ptr.localCheckpoint(eager=True)
     for _ in range(rounds):
+        if ptr.filter(~F.col("done")).isEmpty():
+            break
         a = ptr.alias("a")
         b = ptr.select(
             F.col("x").alias("_bx"), F.col("y").alias("_by"),
@@ -418,9 +428,9 @@ def resolve_redirects(
                 .otherwise(F.least(F.col("a.m"), F.col("_bm"))).alias("m"),
                 (F.col("a.done") | F.col("_bdone")).alias("done"),
             )
+            .localCheckpoint(eager=True)
         )
     if metrics is not None:
-        ptr = ptr.localCheckpoint(eager=True)
         metrics["unterminated"] = ptr.filter(~F.col("done")).count()
     return ptr.select(
         F.col("x").alias("url"),
