@@ -59,12 +59,35 @@ def headed_blocks_kernel(html, block_re: str):
     """Column kernel: html -> ``array<struct<heading, body>>`` of every
     block ``block_re`` matches, tagged with the most recent preceding
     ``<h1-6>`` heading in document order ('' before the first one).
-    Three zipped regex passes + a linear ``F.aggregate`` fold."""
+    ONE group-0 regex pass over the page + cheap anchored re-extraction
+    per (short) match string + a linear ``F.aggregate`` fold — the
+    three-zipped-passes form scanned the whole page once per capture
+    group (same fix as the microdata/RDFa group pulls, r6)."""
+    from sigraph_spark.functions.hof import let
+
     full_re = r"(?is)<h([1-6])[^>]*>(.*?)</h\1\s*>|" + block_re
-    marks = F.arrays_zip(
-        F.regexp_extract_all(html, F.lit(full_re), 1).alias("lv"),
-        F.regexp_extract_all(html, F.lit(full_re), 2).alias("ht"),
-        F.regexp_extract_all(html, F.lit(full_re), 3).alias("bd"),
+    # a heading match ends at ITS closer (the page-level lazy group), so
+    # the $-anchored greedy group over the short match string is the
+    # identical span; block matches re-extract with block_re itself
+    # (anchored at 0 by construction). Non-participating groups were ''
+    # in the zipped form — the when/otherwise mirrors that exactly.
+    heading_re = r"(?is)^<h[1-6][^>]*>(.*)</h[1-6]\s*>$"
+    block_only = r"(?is)" + block_re
+
+    def enrich(m):
+        return let(
+            F.regexp_extract(m, r"(?i)^<h([1-6])", 1),
+            lambda lv: F.struct(
+                lv.alias("lv"),
+                F.when(lv != "", F.regexp_extract(m, heading_re, 1))
+                .otherwise(F.lit("")).alias("ht"),
+                F.when(lv == "", F.regexp_extract(m, block_only, 1))
+                .otherwise(F.lit("")).alias("bd"),
+            ),
+        )
+
+    marks = F.transform(
+        F.regexp_extract_all(html, F.lit(full_re), 0), enrich
     )
     # linear fold: headings update the carried context, blocks emit
     step = lambda acc, m: F.when(  # noqa: E731
