@@ -33,3 +33,27 @@ def let(val: Column, body: Callable[[Column], Column]) -> Column:
     a single time however many times ``f`` references it. Nests freely
     (inner bodies may close over outer bindings)."""
     return F.element_at(F.transform(F.array(val), body), 1)
+
+
+def zip_match_groups(text: Column, pattern: str, names: list[str]) -> Column:
+    """All capture groups of every ``pattern`` match in ``text`` as ONE
+    array of structs (field ``names[i]`` = group i+1) from a SINGLE
+    group-0 scan of the input, re-extracting each group from the short
+    match string. The ``arrays_zip(regexp_extract_all(text, p, 1), ...,
+    regexp_extract_all(text, p, n))`` idiom this replaces scanned the
+    whole input once PER GROUP.
+
+    Exactness: re-matching a lookaround-free pattern against its own
+    match string from position 0 reproduces the original match — longer
+    candidate paths fail at end-of-input exactly where they failed on
+    the full text, and edge ``\\b`` assertions hold at SOS/EOS iff they
+    held at the original boundaries (the adjacent chars were non-word).
+    Callers must not pass patterns with lookarounds that inspect text
+    OUTSIDE the match."""
+    return F.transform(
+        F.regexp_extract_all(text, F.lit(pattern), 0),
+        lambda m: F.struct(*[
+            F.regexp_extract(m, pattern, g + 1).alias(nm)
+            for g, nm in enumerate(names)
+        ]),
+    )

@@ -47,11 +47,12 @@ def abbrev_pairs(
 ) -> DataFrame:
     """Docs -> ``(url, pair_idx, long, short)`` verified initialisms;
     ``long`` is the left-trimmed k-word form spelling ``short``."""
+    from sigraph_spark.functions.hof import zip_match_groups
+
     text = F.col(text_col)
-    cands = F.arrays_zip(
-        F.regexp_extract_all(text, F.lit(ABBREV_RE), 1).alias("lf"),
-        F.regexp_extract_all(text, F.lit(ABBREV_RE), 2).alias("sf"),
-    )
+    # one group-0 scan + per-match group pulls (was one full-text pass
+    # per capture group)
+    cands = zip_match_groups(text, ABBREV_RE, ["lf", "sf"])
     x = docs.select(
         F.col(url_col).alias("url"),
         F.posexplode(cands).alias("pair_idx", "c"),

@@ -259,12 +259,11 @@ def extract_anchors(
     html = (
         F.decode(F.col(html_col), "UTF-8") if src == "binary" else F.col(html_col)
     )
-    pair = F.explode(
-        F.arrays_zip(
-            F.regexp_extract_all(html, F.lit(ANCHOR_RE), 1).alias("target"),
-            F.regexp_extract_all(html, F.lit(ANCHOR_RE), 2).alias("anchor"),
-        )
-    )
+    from sigraph_spark.functions.hof import zip_match_groups
+
+    # one group-0 scan + per-match group pulls (was one full-html pass
+    # per capture group)
+    pair = F.explode(zip_match_groups(html, ANCHOR_RE, ["target", "anchor"]))
     return pages.select(F.col(url_col).alias("url"), pair.alias("_a")).select(
         "url", F.col("_a.target").alias("target"), F.col("_a.anchor").alias("anchor")
     )
@@ -343,12 +342,11 @@ def extract_canonical_aliases(
     html = (
         F.decode(F.col(html_col), "UTF-8") if src == "binary" else F.col(html_col)
     )
-    hit = F.explode(
-        F.arrays_zip(
-            F.regexp_extract_all(html, F.lit(CANONICAL_RE), 1).alias("a"),
-            F.regexp_extract_all(html, F.lit(CANONICAL_RE), 2).alias("b"),
-        )
-    )
+    from sigraph_spark.functions.hof import zip_match_groups
+
+    # one group-0 scan + per-match group pulls (was one full-html pass
+    # per capture group)
+    hit = F.explode(zip_match_groups(html, CANONICAL_RE, ["a", "b"]))
     return (
         pages.select(F.col(url_col).alias("src"), hit.alias("_h"))
         .select(

@@ -81,11 +81,12 @@ def extract_quantities(
 ) -> DataFrame:
     """Docs -> ``(url, q_idx, value_raw, unit, unit_class, base)`` with
     ``base`` the exact BIGINT value in the class base unit."""
+    from sigraph_spark.functions.hof import zip_match_groups
+
     text = F.col(text_col)
-    m = F.arrays_zip(
-        F.regexp_extract_all(text, F.lit(QTY_RE), 1).alias("v"),
-        F.regexp_extract_all(text, F.lit(QTY_RE), 2).alias("u"),
-    )
+    # one group-0 scan + per-match group pulls (was one full-text pass
+    # per capture group)
+    m = zip_match_groups(text, QTY_RE, ["v", "u"])
     x = docs.select(
         F.col(url_col).alias("url"),
         F.posexplode(m).alias("q_idx", "q"),

@@ -53,12 +53,13 @@ def extract_quotes(
 ) -> DataFrame:
     """Docs -> ``(url, quote_idx, speaker, verb, quote)`` attributed
     statements; verb is the attribution verb (or ``according_to``)."""
+    from sigraph_spark.functions.hof import zip_match_groups
+
     text = F.col(text_col)
-    passes = F.arrays_zip(
-        *[
-            F.regexp_extract_all(text, F.lit(QUOTE_RE), g).alias(f"g{g}")
-            for g in range(1, 9)
-        ]
+    # one group-0 scan + per-match group pulls (was eight full-text
+    # passes of the same pattern, one per capture group)
+    passes = zip_match_groups(
+        text, QUOTE_RE, [f"g{g}" for g in range(1, 9)]
     )
     x = docs.select(
         F.col(url_col).alias("url"),
