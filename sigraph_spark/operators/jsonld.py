@@ -212,10 +212,11 @@ def meta_kernel(
     predicate, obj>>`` of the kept meta tags (``meta_idx`` counts ALL
     matched tags in document order — dropped ones consume an index,
     matching the posexplode-then-filter DataFrame form)."""
-    pairs = F.arrays_zip(
-        F.regexp_extract_all(html, F.lit(META_RE), 1).alias("p"),
-        F.regexp_extract_all(html, F.lit(META_RE), 2).alias("c"),
-    )
+    from sigraph_spark.functions.hof import zip_match_groups
+
+    # one group-0 scan + per-match group pulls (was one full-html pass
+    # per capture group)
+    pairs = zip_match_groups(html, META_RE, ["p", "c"])
 
     def keep(r):
         k = None
