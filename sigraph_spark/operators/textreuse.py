@@ -38,15 +38,30 @@ def kgram_index(
     docs: DataFrame, doc_col: str = "url", text_col: str = "text", k: int = 5
 ) -> DataFrame:
     """``(doc_id, pos, gram)`` — xxhash64 of each whitespace-token k-gram,
-    one row per position. Docs shorter than k tokens emit nothing."""
-    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(tokens) - k),
-        lambda j: F.xxhash64(F.array_join(F.slice(tokens, j + 1, k), " ")),
+    one row per position. Docs shorter than k tokens emit nothing.
+
+    The token array is ``let``-bound: a lambda-captured subtree is
+    re-evaluated PER ELEMENT in interpreted HOF eval, so the unbound
+    form re-ran the whitespace split once per gram position — O(text²)
+    per document. Docs under k tokens yield NULL, which posexplode
+    drops — the same rows the old pre-filter removed."""
+    from sigraph_spark.functions.hof import let
+
+    grams = let(
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+        lambda tokens: F.when(
+            F.size(tokens) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tokens) - k),
+                lambda j: F.xxhash64(
+                    F.array_join(F.slice(tokens, j + 1, k), " ")
+                ),
+            ),
+        ),
     )
-    return (
-        docs.filter(F.size(tokens) >= k)
-        .select(F.col(doc_col).alias("doc_id"), F.posexplode(grams).alias("pos", "gram"))
+    return docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.posexplode(grams).alias("pos", "gram"),
     )
 
 
