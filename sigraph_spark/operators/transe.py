@@ -180,22 +180,28 @@ def transe_train(
                 (F.col("hs") + F.col("vr") - F.col("vt")).alias("dp"),
                 (F.col("hs") + F.col("vr") - F.col("vn")).alias("dn"),
             )
+        )
+        # per-fact L1 distances as SUM OVER the fact's k-rows computed
+        # in place (one window keyed by the fact) instead of a groupBy
+        # plus a re-join of the k-rows against the violation set — the
+        # same exact BIGINT sums, one shuffle fewer per round, and j
+        # becomes single-consumer so its checkpoint is gone too
+        wv = Window.partitionBy("s", "p", "o", "neg")
+        g = (
+            j.withColumn("_Dp", F.sum(F.abs(F.col("dp"))).over(wv))
+            .withColumn("_Dn", F.sum(F.abs(F.col("dn"))).over(wv))
+            .filter(F.col("_Dp") + F.lit(margin) - F.col("_Dn") > 0)
+            .select(
+                "s", "p", "o", "neg", "k",
+                _sign(F.col("dp")).alias("gp"),
+                _sign(F.col("dn")).alias("gn"),
+            )
             .localCheckpoint(eager=False)
         )
-        dist = j.groupBy("s", "p", "o", "neg").agg(
-            F.sum(F.abs(F.col("dp"))).alias("Dp"),
-            F.sum(F.abs(F.col("dn"))).alias("Dn"),
-        )
-        viol = dist.filter(F.col("Dp") + F.lit(margin) - F.col("Dn") > 0).select(
-            "s", "p", "o", "neg"
-        )
         if metrics is not None:
-            metrics.setdefault("violations", []).append(viol.count())
-        g = j.join(viol, ["s", "p", "o", "neg"]).select(
-            "s", "p", "o", "neg", "k",
-            _sign(F.col("dp")).alias("gp"),
-            _sign(F.col("dn")).alias("gn"),
-        )
+            metrics.setdefault("violations", []).append(
+                g.select("s", "p", "o", "neg").distinct().count()
+            )
         ent_upd = (
             g.select(F.col("s").alias("id"), "k",
                      (F.lit(-lr) * (F.col("gp") - F.col("gn"))).alias("d"))
