@@ -110,52 +110,62 @@ def jsonld_kernel(url, html) -> "F.Column":
         )
 
     # ---- entity -> (key, raw value) ---------------------------------------
+    def ent_rows_m(bi, ei, m):
+        # body over an ALREADY-PARSED entity map
+        return F.when(m.isNull(), empty).otherwise(
+            let(
+                F.coalesce(
+                    m.getItem("@id"),
+                    F.concat(
+                        url, F.lit("#ld"), bi.cast("string"),
+                        F.lit("-"), ei.cast("string"),
+                    ),
+                ),
+                lambda subj: F.flatten(
+                    F.transform(
+                        F.filter(
+                            F.map_entries(m),
+                            lambda kv: (~kv["key"].startswith("@"))
+                            | (kv["key"] == "@type"),
+                        ),
+                        lambda kv: kv_rows(
+                            subj, bi, ei, kv["key"], kv["value"]
+                        ),
+                    )
+                ),
+            )
+        )
+
     def ent_rows(bi, ei, ent):
         return let(
             F.from_json(ent, _ENTITY_SCHEMA),
-            lambda m: F.when(m.isNull(), empty).otherwise(
-                let(
-                    F.coalesce(
-                        m.getItem("@id"),
-                        F.concat(
-                            url, F.lit("#ld"), bi.cast("string"),
-                            F.lit("-"), ei.cast("string"),
-                        ),
-                    ),
-                    lambda subj: F.flatten(
-                        F.transform(
-                            F.filter(
-                                F.map_entries(m),
-                                lambda kv: (~kv["key"].startswith("@"))
-                                | (kv["key"] == "@type"),
-                            ),
-                            lambda kv: kv_rows(
-                                subj, bi, ei, kv["key"], kv["value"]
-                            ),
-                        )
-                    ),
-                )
-            ),
+            lambda m: ent_rows_m(bi, ei, m),
         )
 
     # ---- block -> entities ------------------------------------------------
     def block_rows(raw, bi):
-        ents = let(
-            F.from_json(raw, _ENTITY_SCHEMA),
-            lambda om: F.when(
-                F.ltrim(raw).startswith("["), F.from_json(raw, _ARRAY_SCHEMA)
+        def arr_rows(arr):
+            return F.flatten(
+                F.transform(arr, lambda ent, ei: ent_rows(bi, ei, ent))
             )
-            .when(
-                om.getItem("@graph").isNotNull()
-                & F.ltrim(om.getItem("@graph")).startswith("["),
-                F.from_json(om.getItem("@graph"), _ARRAY_SCHEMA),
-            )
-            .when(om.isNotNull(), F.array(raw)),
-        )
-        # malformed blocks: ents NULL -> coalesce keeps the flatten alive
+
+        # the common plain-object block reuses the ALREADY-PARSED map
+        # (ent_rows_m) instead of round-tripping raw through from_json a
+        # second time — from_json is the kernel's heaviest per-block op;
+        # malformed blocks: om NULL -> no branch fires -> coalesce empty
         return F.coalesce(
-            F.flatten(
-                F.transform(ents, lambda ent, ei: ent_rows(bi, ei, ent))
+            let(
+                F.from_json(raw, _ENTITY_SCHEMA),
+                lambda om: F.when(
+                    F.ltrim(raw).startswith("["),
+                    arr_rows(F.from_json(raw, _ARRAY_SCHEMA)),
+                )
+                .when(
+                    om.getItem("@graph").isNotNull()
+                    & F.ltrim(om.getItem("@graph")).startswith("["),
+                    arr_rows(F.from_json(om.getItem("@graph"), _ARRAY_SCHEMA)),
+                )
+                .when(om.isNotNull(), ent_rows_m(bi, F.lit(0), om)),
             ),
             empty,
         )
