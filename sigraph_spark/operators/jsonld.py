@@ -87,12 +87,17 @@ def jsonld_kernel(url, html) -> "F.Column":
 
         def per_item(item):
             it = F.ltrim(item)
-            obj = let(
-                F.from_json(item, _NESTED_SCHEMA),
-                lambda nested: F.when(
-                    it.startswith("{"), F.coalesce(nested["name"], nested["@id"])
-                ).otherwise(item),
-            )
+            # nested-object parse INSIDE the object branch: a let around
+            # the whole CaseWhen forces from_json for every item, but
+            # scalar items (the majority) never read it — CaseWhen
+            # branches are lazy, so this skips the parse for them
+            obj = F.when(
+                it.startswith("{"),
+                let(
+                    F.from_json(item, _NESTED_SCHEMA),
+                    lambda nested: F.coalesce(nested["name"], nested["@id"]),
+                ),
+            ).otherwise(item)
             kind = (
                 F.when(is_type, F.lit("type"))
                 .when(it.startswith("{"), F.lit("entity"))
@@ -151,21 +156,27 @@ def jsonld_kernel(url, html) -> "F.Column":
 
         # the common plain-object block reuses the ALREADY-PARSED map
         # (ent_rows_m) instead of round-tripping raw through from_json a
-        # second time — from_json is the kernel's heaviest per-block op;
-        # malformed blocks: om NULL -> no branch fires -> coalesce empty
+        # second time — from_json is the kernel's heaviest per-block op.
+        # Top-level-array blocks take the first branch BEFORE the
+        # entity-map let binds, so they skip the (always-failing) map
+        # parse of raw too — CaseWhen branches are lazy; a let outside
+        # the CaseWhen forced it for every block. Malformed blocks:
+        # om NULL -> no branch fires -> coalesce empty
         return F.coalesce(
-            let(
-                F.from_json(raw, _ENTITY_SCHEMA),
-                lambda om: F.when(
-                    F.ltrim(raw).startswith("["),
-                    arr_rows(F.from_json(raw, _ARRAY_SCHEMA)),
+            F.when(
+                F.ltrim(raw).startswith("["),
+                arr_rows(F.from_json(raw, _ARRAY_SCHEMA)),
+            ).otherwise(
+                let(
+                    F.from_json(raw, _ENTITY_SCHEMA),
+                    lambda om: F.when(
+                        om.getItem("@graph").isNotNull()
+                        & F.ltrim(om.getItem("@graph")).startswith("["),
+                        arr_rows(
+                            F.from_json(om.getItem("@graph"), _ARRAY_SCHEMA)
+                        ),
+                    ).when(om.isNotNull(), ent_rows_m(bi, F.lit(0), om)),
                 )
-                .when(
-                    om.getItem("@graph").isNotNull()
-                    & F.ltrim(om.getItem("@graph")).startswith("["),
-                    arr_rows(F.from_json(om.getItem("@graph"), _ARRAY_SCHEMA)),
-                )
-                .when(om.isNotNull(), ent_rows_m(bi, F.lit(0), om)),
             ),
             empty,
         )
