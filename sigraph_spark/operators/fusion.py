@@ -302,11 +302,15 @@ def inverse_predicates(
     predicate cross product. Fan-out per pair key is bounded by the
     predicate vocabulary.
     """
+    # sig feeds several consumers (sz and both legs of the overlap
+    # join); without a boundary each consumer re-runs the distinct —
+    # and the whole upstream triple derivation — from scratch. One lazy
+    # materialization of the deduped (s, p, o) table serves them all.
     sig = triples.select(
         F.col(subj_col).alias("s"),
         F.col(pred_col).alias("p"),
         F.col(obj_col).alias("o"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     sz = sig.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     rev = sig.select(
         F.col("o").alias("s"), F.col("p").alias("p2"), F.col("s").alias("o")
@@ -357,11 +361,15 @@ def predicate_subsumption(
     Scale: one signature dedup + the inverted-index equi-join on the
     (s, o) instance key — only predicate pairs sharing an instance meet.
     """
+    # sig feeds several consumers (sz and both legs of the overlap
+    # join); without a boundary each consumer re-runs the distinct —
+    # and the whole upstream triple derivation — from scratch. One lazy
+    # materialization of the deduped (s, p, o) table serves them all.
     sig = triples.select(
         F.col(subj_col).alias("s"),
         F.col(pred_col).alias("p"),
         F.col(obj_col).alias("o"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     sz = sig.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     inter = (
         sig.join(
