@@ -390,9 +390,13 @@ def resolve_redirects(
     import math
 
     rounds = max(0, math.ceil(math.log2(max_steps)))
+    # nxt feeds BOTH legs of the terminal-detection join (itself and
+    # dom); without a boundary each leg re-runs the min-dst aggregation
+    # from the alias table. One lazy materialization serves both.
     nxt = (
         aliases.groupBy(F.col(src_col).alias("x"))
         .agg(F.min(dst_col).alias("y"))
+        .localCheckpoint(eager=False)
     )
     dom = nxt.select(F.col("x").alias("_d"))
     ptr = (

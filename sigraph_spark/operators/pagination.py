@@ -69,9 +69,14 @@ def page_chains(
     """Next-edges -> ``(url, head, pos)`` for every chain member
     (heads included at pos 0)."""
     # backward pointers: member -> predecessor (min on fan-in conflicts)
+    # prev feeds BOTH legs of the head-detection join (itself and dom);
+    # without a boundary each leg re-runs the min-src aggregation — and
+    # the upstream link extraction — from scratch. One lazy
+    # materialization serves both.
     prev = (
         next_links.groupBy(F.col(dst_col).alias("x"))
         .agg(F.min(src_col).alias("y"))
+        .localCheckpoint(eager=False)
     )
     dom = prev.select(F.col("x").alias("_d"))
     ptr = prev.join(dom, prev["y"] == dom["_d"], "left").select(
