@@ -827,9 +827,13 @@ def predicate_clusters(
     vocabulary, not the corpus. Signature dedup and the intersection
     count are algebraic aggs with map-side combine.
     """
+    # sig feeds THREE consumers (sz and both legs of the object
+    # self-join); without a boundary each consumer re-runs the distinct
+    # — and the whole upstream triple derivation — from scratch. One
+    # lazy materialization of the deduped signature serves them all.
     sig = triples.select(
         F.col(pred_col).alias("p"), F.col(obj_col).alias("o")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     sz = sig.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n_objects"))
     inter = (
         sig.select(F.col("p").alias("p1"), "o")
