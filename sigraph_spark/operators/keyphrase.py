@@ -177,45 +177,57 @@ def textrank_sentences(
                       f"zip_with(ns, {cur}, (n, s) -> "
                       "named_struct('node', n, 'score', s))")),
     )
-    conn = per_doc.select(
-        "doc_id", F.explode(F.expr(kernel)).alias("_x")
-    ).select(
-        "doc_id", F.col("_x.node").alias("node"),
-        F.col("_x.score").alias("score"),
+    # top-k INSIDE the per-doc array: the sentence table groups by
+    # doc_id (co-partitioned with per_doc, so the join adds no
+    # exchange) and the rank comes from an in-array sort bounded by
+    # max_sentences — this replaces a left join back onto sents, a
+    # per-doc ranking window, and a second sents join (three more
+    # exchanges of the score table). Ordering is IDENTICAL: sorting
+    # structs whose leading fields are (-score, node) ascending is
+    # (score desc, node asc), and node is unique per doc so the
+    # trailing payload fields never influence the order. Isolated
+    # sentences (absent from the kernel's node set) receive no inflow
+    # in any round: exactly the teleport term after round 1 (initial
+    # SCALE when iters == 0).
+    sent_doc = sents.groupBy("doc_id").agg(
+        F.collect_list(F.struct("sentence_id", "sentence")).alias("_ss")
     )
-    # isolated sentences receive no inflow in any round: exactly the
-    # teleport term after round 1 (initial SCALE when iters == 0)
-    scores = (
-        sents.select("doc_id", F.col("sentence_id").alias("node"))
-        .join(conn, ["doc_id", "node"], "left")
-        .select(
-            "doc_id", "node",
-            F.coalesce(
-                F.col("score"),
-                F.lit(_SCALE if iters == 0 else teleport).cast("long"),
-            ).alias("score"),
-        )
-    )
+    default = F.lit(_SCALE if iters == 0 else teleport).cast("long")
+    doc = sent_doc.join(per_doc, "doc_id", "left")
 
-    from pyspark.sql import Window
+    def _scored(ss):
+        from sigraph_spark.functions.hof import let
 
-    win = Window.partitionBy("doc_id").orderBy(
-        F.col("score").desc(), F.col("node").asc()
-    )
+        def with_kernel(km):
+            # km is let-BOUND: a lambda-captured subtree re-evaluates
+            # per element in interpreted HOF eval, so referencing the
+            # kernel directly inside per_sent re-ran the whole power
+            # iteration once per sentence (measured 2.6x the leg)
+            def per_sent(s):
+                looked = F.get(
+                    F.filter(km, lambda x: x["node"] == s["sentence_id"]), 0
+                )["score"]
+                sc = F.coalesce(looked, default)
+                return F.struct(
+                    (-sc).alias("_negscore"),
+                    s["sentence_id"].alias("node"),
+                    sc.alias("score"),
+                    s["sentence"].alias("sentence"),
+                )
+
+            return F.slice(F.array_sort(F.transform(ss, per_sent)), 1, top_k)
+
+        # NULL kernel (doc with no edges) => every lookup NULL => teleport
+        return let(F.expr(kernel), with_kernel)
+
     return (
-        scores.withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= top_k)
-        .join(
-            sents.select("doc_id", F.col("sentence_id").alias("node"),
-                         "sentence"),
-            ["doc_id", "node"],
-        )
+        doc.select("doc_id", F.posexplode(_scored(F.col("_ss"))))
         .select(
             "doc_id",
-            F.col("node").alias("sentence_id"),
-            F.col("rank").cast("int").alias("rank"),
-            "score",
-            "sentence",
+            F.col("col.node").alias("sentence_id"),
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            F.col("col.score").alias("score"),
+            F.col("col.sentence").alias("sentence"),
         )
     )
 
