@@ -388,13 +388,19 @@ def main() -> int:
         E.q_table_triples(spark, sf_dir),
         forbid=("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"),
     )
-    # hearst taxonomy: algebraic pair counts (map-side combine) + the
-    # reciprocal self-join on the reduced aggregate
+    # hearst taxonomy: the pair aggregate materializes ONCE (r6 — it
+    # feeds both legs of the reciprocal join, so the visible plan is a
+    # broadcast self-join over the checkpointed vocabulary-sized table;
+    # the algebraic map-side combine now lives inside that boundary and
+    # is asserted on the un-checkpointed extraction via hearst_pairs)
     check(
         "taxonomy_induction",
         E.q_taxonomy_induction(spark, sf_dir),
-        want=("partial_count",),
-        forbid=("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"),
+        want=("BroadcastHashJoin", "Scan ExistingRDD"),
+        forbid=(
+            "BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+            "SortMergeJoin",
+        ),
     )
     # text reuse: df-cut anti-join + gram equi-join; islands window is
     # partitioned (never a global sort of the match table)
