@@ -73,10 +73,12 @@ def triangle_count(
     wedges = w1.join(w2, "m").filter(F.col("u") != F.col("v"))
     closer = o.select(F.col("a").alias("u"), F.col("b").alias("v"))
     tri = wedges.join(closer, ["u", "v"])  # (m, u, v) triangles, each once
+    # one corner row per triangle vertex via explode — the unionAll-of-
+    # three-projections form re-derived the whole wedge join once per
+    # leg (three executions of the O(wedges) step; same multiset of
+    # corner nodes either way)
     per_node = (
-        tri.select(F.col("m").alias("node"))
-        .unionAll(tri.select(F.col("u").alias("node")))
-        .unionAll(tri.select(F.col("v").alias("node")))
+        tri.select(F.explode(F.array("m", "u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("triangles"))
     )
@@ -521,13 +523,23 @@ def ktruss(
         ).select("a", "b", "c")
 
         def und_edge(p, q):
-            return F.least(p, q).alias("x"), F.greatest(p, q).alias("y")
+            return F.struct(
+                F.least(p, q).alias("x"), F.greatest(p, q).alias("y")
+            )
 
-        tri_edges = (
-            tri.select(*und_edge(F.col("a"), F.col("b")))
-            .unionByName(tri.select(*und_edge(F.col("a"), F.col("c"))))
-            .unionByName(tri.select(*und_edge(F.col("b"), F.col("c"))))
-        )
+        # one edge row per triangle side via explode — the unionByName-
+        # of-three-projections form re-derived the whole wedge join once
+        # per leg, three executions of the O(wedges) step PER ROUND
+        # (same edge multiset either way)
+        tri_edges = tri.select(
+            F.explode(
+                F.array(
+                    und_edge(F.col("a"), F.col("b")),
+                    und_edge(F.col("a"), F.col("c")),
+                    und_edge(F.col("b"), F.col("c")),
+                )
+            ).alias("_e")
+        ).select(F.col("_e.x").alias("x"), F.col("_e.y").alias("y"))
         support = tri_edges.groupBy("x", "y").agg(
             F.count(F.lit(1)).alias("support")
         )
