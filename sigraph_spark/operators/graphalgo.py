@@ -1357,21 +1357,25 @@ def modularity(
             "y",
         )
     )
-    # intra-community edge counts per community
-    e_c = (
-        lab.filter(F.col("cx") == F.col("cy"))
-        .groupBy(F.col("cx").alias("c"))
-        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
-    )
-    # community degree: each undirected edge adds 1 to both endpoints
-    deg = (
-        lab.select(F.col("cx").alias("c"))
-        .unionAll(lab.select(F.col("cy").alias("c")))
+    # intra-edge counts and community degree from ONE scan of the
+    # labeled edge table: the earlier filter+groupBy plus a two-leg
+    # unionAll re-derived lab (a double join) three times and then paid
+    # a join to recombine. Exploding both endpoint labels with an
+    # intra flag gives the same numbers — every undirected edge adds 1
+    # to both endpoint communities (d = count), and an intra edge
+    # contributes its flag twice, so e_in = sum(flag) DIV 2 exactly
+    # (the sum is always even).
+    per_c = (
+        lab.select(
+            F.explode(F.array("cx", "cy")).alias("c"),
+            (F.col("cx") == F.col("cy")).cast("long").alias("_i"),
+        )
         .groupBy("c")
-        .agg(F.count(F.lit(1)).cast("long").alias("d"))
-    )
-    per_c = deg.join(e_c, "c", "left").select(
-        "c", F.coalesce("e_in", F.lit(0)).alias("e_in"), "d"
+        .agg(
+            F.expr("sum(_i) DIV 2").cast("long").alias("e_in"),
+            F.count(F.lit(1)).cast("long").alias("d"),
+        )
+        .select("c", "e_in", "d")
     )
     stats = und.agg(F.count(F.lit(1)).cast("long").alias("m")).crossJoin(
         per_c.agg(
