@@ -230,7 +230,12 @@ def incremental_audio_candidates(
     Returns ``(pairs, delta_index)``."""
     from .imagehash import _first_match
 
-    delta_index = audio_index(new_media, id_col, payload_col)
+    # the delta index feeds the probe leg, the new-vs-new pair
+    # generator, AND the caller's append — without a boundary the
+    # delta's Arrow decode+hash pass re-runs per consumer
+    delta_index = audio_index(new_media, id_col, payload_col).localCheckpoint(
+        eager=False
+    )
     corpus = index.select(
         "bi", "bv", F.col("id").alias("x"), F.col("afp").alias("hx")
     )

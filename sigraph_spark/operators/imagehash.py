@@ -207,6 +207,13 @@ def banded_neardup_pairs(
     self-join on (bi, bv), first-matching-band dedup (no distinct),
     exact Hamming verify via bit_count(xor). Complete for Hamming <=
     3 by the pigeonhole principle; best-effort above."""
+    # the index feeds BOTH self-join legs, and its upstream is usually
+    # the Arrow decode+hash pass — an opaque subplan the optimizer
+    # cannot share across aliased legs (the dedup.simhash lesson), so
+    # without a boundary every payload decodes twice. One lazy
+    # materialization serves both legs; a deployment reads the STORED
+    # index here anyway.
+    banded = banded.localCheckpoint(eager=False)
     a = banded.select("bi", "bv", F.col("id").alias("a"),
                       F.col(hash_col).alias("ha"))
     b = banded.select("bi", "bv", F.col("id").alias("b"),
@@ -262,7 +269,12 @@ def incremental_image_candidates(
     have no crawl-side hot key amplification beyond true duplicate
     clusters (the hot-bucket diagnostic ``dedup.bucket_histogram``
     applies unchanged)."""
-    delta_index = image_index(new_media, id_col, payload_col)
+    # the delta index feeds the probe leg, both new-vs-new legs, AND
+    # the caller's append — without a boundary the delta's Arrow
+    # decode+hash pass re-runs per consumer (opaque subplan, no reuse)
+    delta_index = image_index(new_media, id_col, payload_col).localCheckpoint(
+        eager=False
+    )
     corpus = index.select(
         "bi", "bv", F.col("id").alias("x"), F.col("dh").alias("dhx")
     )

@@ -99,11 +99,16 @@ def video_neardup(
     ``(a, b, shared)``. Frame hashes appearing in more than
     ``max_hash_df`` videos (intro cards, test patterns) are dropped
     before the join."""
+    # fh feeds the document-frequency cut, its anti-join, and both
+    # self-join legs — without a boundary each consumer re-runs the
+    # video DECODE pass (opaque Arrow subplan, no reuse). One lazy
+    # materialization of the per-video distinct frame hashes serves all.
     fh = (
         video_frame_hashes(media, id_col, payload_col)
         .filter(F.col("dh").isNotNull())
         .select("id", "dh")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     common = (
         fh.groupBy("dh").agg(F.count(F.lit(1)).alias("_n"))
