@@ -286,6 +286,12 @@ def embedding_neardup_lsh(
             ])
         ).alias("_bk"),
     ).select("id", "v", "bks", F.col("_bk.band").alias("band"), F.col("_bk.bucket").alias("bucket"))
+    # the banded table feeds BOTH self-join legs; its upstream holds the
+    # bucket kernel (an opaque pandas UDF on the numpy path) plus the
+    # normalization, which aliased legs would re-run over the whole
+    # corpus (no exchange reuse across opaque subplans — the
+    # dedup/media-plane lesson). One lazy materialization serves both.
+    banded = banded.localCheckpoint(eager=False)
     a = banded.select("band", "bucket", F.col("id").alias("a"),
                       F.col("v").alias("va"), F.col("bks").alias("bksa"))
     b = banded.select("band", "bucket", F.col("id").alias("b"),
