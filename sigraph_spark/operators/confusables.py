@@ -115,12 +115,17 @@ def spoof_pairs(
     ``.observe`` is not used — callers needing the diagnostic join
     ``bucket_histogram`` from ``dedup``."""
     sk = skeleton_udf()
+    # named feeds the bucket-size aggregate AND the join's left leg;
+    # sized feeds both self-join legs. Without boundaries the skeleton
+    # pandas UDF (an opaque subplan — no exchange reuse) re-ran over
+    # the vocabulary once per derivation, up to four times. Two lazy
+    # materializations run it exactly once.
     named = entities.select(F.col(id_col).alias("name")).distinct() \
-        .withColumn("skeleton", sk(F.col("name")))
+        .withColumn("skeleton", sk(F.col("name"))).localCheckpoint(eager=False)
     sized = named.join(
         named.groupBy("skeleton").agg(F.count(F.lit(1)).alias("_n")),
         "skeleton",
-    ).filter(F.col("_n") <= max_bucket).drop("_n")
+    ).filter(F.col("_n") <= max_bucket).drop("_n").localCheckpoint(eager=False)
     a = sized.select("skeleton", F.col("name").alias("a"))
     b = sized.select("skeleton", F.col("name").alias("b"))
     return (

@@ -60,9 +60,11 @@ def typo_pairs(
         entities.select(F.col(id_col).alias("name")).distinct()
         .filter(F.length("name") >= min_len)
     )
+    # keyed feeds BOTH self-join legs; without a boundary each leg
+    # re-runs the distinct and the deletion-key explode
     keyed = named.select(
         "name", F.explode(deletion_keys(F.col("name"))).alias("k")
-    )
+    ).localCheckpoint(eager=False)
     a = keyed.select("k", F.col("name").alias("a"))
     b = keyed.select("k", F.col("name").alias("b"))
     return (
