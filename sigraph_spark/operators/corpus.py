@@ -738,10 +738,15 @@ def unigram_logprob(
     Returns ``(doc_id, n_tokens, mean_logprob)`` (natural log, 6dp).
     """
     words = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    # toks feeds the frequency aggregation AND the scoring join's left
+    # leg; freq feeds the total AND the join — without boundaries each
+    # consumer re-tokenizes the corpus / re-counts the vocabulary
     toks = docs.select(
         F.col(id_col), F.explode(words).alias("token")
-    ).filter(F.col("token") != "")
-    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    ).filter(F.col("token") != "").localCheckpoint(eager=False)
+    freq = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
     total = freq.agg(F.sum("tf").alias("n")).select("n")
     scored = (
         toks.join(freq, "token")
@@ -779,11 +784,15 @@ def bigram_pmi(
     from sigraph_spark.operators.dedup import _word_grams
 
     words = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    # uni feeds its total plus BOTH unigram join legs (w1 and w2), and
+    # bi feeds its total plus the pair join — without boundaries each
+    # consumer re-tokenizes the corpus and re-runs the aggregation
     uni = (
         docs.select(F.explode(words).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     n_uni = uni.agg(F.sum("c").alias("nu")).select("nu")
     bi = (
@@ -792,6 +801,7 @@ def bigram_pmi(
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .filter(F.col("c_ab") >= min_count)
+        .localCheckpoint(eager=False)
     )
     n_bi = bi.agg(F.sum("c_ab").alias("nb")).select("nb")
     w1 = F.substring_index(F.col("b"), " ", 1)
