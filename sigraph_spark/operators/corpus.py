@@ -549,11 +549,18 @@ def bm25_scores(
         F.count("*").alias("n_docs"), F.avg(F.size("w")).alias("avgdl")
     )
     dl = toks.select("id", F.size("w").cast("double").alias("dl"))
+    # hits (query-term rows only — tiny) feeds the df aggregate AND the
+    # scoring join; one lazy materialization saves a full explode+count
+    # pass over the corpus. toks itself stays un-materialized on
+    # purpose: it holds the split text arrays (corpus-sized), and a
+    # narrow re-split is cheaper than pinning that in block-manager
+    # memory.
     hits = (
         toks.select("id", F.explode("w").alias("t"))
         .filter(F.col("t").isin(query_terms))
         .groupBy("id", "t")
         .agg(F.count("*").cast("double").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     df_rel = hits.groupBy("t").agg(F.count("*").cast("double").alias("df"))
     idf = F.log(
@@ -850,7 +857,11 @@ def doc_keyterms(
     toks = docs.select(F.col(id_col), F.explode(words).alias("term")).filter(
         F.col("term") != ""
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds the document-frequency aggregate AND the scoring join;
+    # without a boundary each re-tokenizes the corpus and re-counts
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.select(F.count(F.lit(1)).alias("n"))
     scored = (
