@@ -128,8 +128,12 @@ def remove_dup_spans(
     w = Window.partitionBy("span").orderBy(id_col, "pos")
     ranked = spans.withColumn("rn", F.row_number().over(w))
     kept = ranked.filter(F.col("rn") == 1)
-    per_doc = spans.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_spans")
+    # n_spans per doc IS the exploded chunk count, greatest(n_chunks, 1)
+    # — a narrow projection of docs; aggregating the span table for it
+    # re-derived the whole corpus-sized explode+slice a second time
+    per_doc = docs.select(
+        F.col(id_col),
+        F.greatest(n_chunks, F.lit(1)).cast("long").alias("n_spans"),
     )
     rebuilt = (
         kept.groupBy(id_col)

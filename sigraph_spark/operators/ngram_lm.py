@@ -60,11 +60,15 @@ def train_ngram_lm(
     "total": int}``. Contexts do not cross document boundaries."""
     t = _tokens(docs, id_col, text_col)
     w = Window.partitionBy("doc_id").orderBy("pos")
+    # ctx feeds the three n-gram order branches; without a boundary
+    # each branch re-tokenizes the corpus and re-runs the lag window.
+    # localCheckpoint storage is disk-backed, so the token-level
+    # materialization spills rather than pinning memory.
     ctx = t.select(
         "word",
         F.lag("word", 1).over(w).alias("_p1"),
         F.lag("word", 2).over(w).alias("_p2"),
-    )
+    ).localCheckpoint(eager=False)
     uni = ctx.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")).select(
         F.lit(1).alias("order"), F.lit("").alias("context"), "word", "cnt")
     bi = (
@@ -80,7 +84,14 @@ def train_ngram_lm(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.lit(3).alias("order"), "context", "word", "cnt")
     )
-    counts = uni.unionByName(bi).unionByName(tri)
+    # the model's counts table feeds FIVE filtered views at scoring
+    # time (uni/bi/tri plus the two renamed denominator tables); the
+    # vocabulary-sized materialization runs the count branches once —
+    # the in-session analog of persisting the trained model, which is
+    # how a deployment would ship it anyway
+    counts = uni.unionByName(bi).unionByName(tri).localCheckpoint(
+        eager=False
+    )
     total = t.count()
     return {"counts": counts, "total": total}
 
