@@ -54,11 +54,17 @@ def _checked(name: str) -> Column:
 
 def _cells(assign: DataFrame, pred: str, gold: str) -> DataFrame:
     """(pred, gold) contingency cells. Assumes one row per item —
-    callers pass an assignment table, not an event log."""
+    callers pass an assignment table, not an event log.
+
+    Materialized lazily: every metric derives three aggregates from the
+    cell table (sizes per side plus the joined/total view), and without
+    a boundary each would re-scan the assignment and re-count. The
+    table is contingency-sized (cluster vocabularies), tiny."""
     return (
         assign.select(_checked(pred), _checked(gold))
         .groupBy(pred, gold)
         .agg(F.count(F.lit(1)).alias("cell"))
+        .localCheckpoint(eager=False)
     )
 
 
