@@ -52,10 +52,13 @@ def related_traces(
     path length. Implemented as an iterative frontier BFS over the
     undirected edge set rooted at each trace's contained nodes; each round
     is one join + dedup, so round r materializes only the hop-r frontier."""
+    # und joins every frontier round; without a boundary each round
+    # re-runs the union + distinct from the edge table
     und = (
         edges.select(F.col("src").alias("x"), F.col("dst").alias("y"))
         .unionAll(edges.select(F.col("dst").alias("x"), F.col("src").alias("y")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     seed = (
         trace_contains.filter(F.col("unit_id") == unit_id)
@@ -112,6 +115,9 @@ def provenance_subgraph(
         .filter(F.col("src_label") != "MODULE")
         .filter(~((F.col("src_label") == "PROCESS") & (F.col("dst_label") == "PROCESS")))
         .select("src", "predicate", "dst", "start_time", "weight")
+        # joined by every expansion round; without a boundary each
+        # round re-runs both label joins from scratch
+        .localCheckpoint(eager=False)
     )
     anchor = (
         trace_contains.filter(F.col("unit_id") == unit_id)
